@@ -1,13 +1,95 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Points
+import graft.engine.{Selectors, StepGrid}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator from SURVEY.md §2 over the
+  * driver testdata; [[oracleSql]] carries the DuckDB-equivalent SQL (same
+  * column names, same rounding) for the correctness gate.
+  */
 object SparkEntry {
+
+  // ---- shared constants over the events table (spans Jan 2024) ----
+  private[graft] val T0  = 1704067200000L // 2024-01-01T00:00:00Z epoch ms
+  private[graft] val DAY = 86400000L
+  private[graft] val T_END = T0 + 30 * DAY // 2024-01-31T00:00:00Z
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flatten the engine's canonical vector shape for the oracle compare:
+    * the labels map becomes its single `user` key; sig is dropped. */
+  private def flat(df: DataFrame): DataFrame =
+    df.select(col("name"), col("labels").getItem("user").as("user"),
+      col("step"), col("t"), col("value"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 storage scan + §2.3-analog relational aggregation (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §2.2 instant vector selector: newest sample per series in lookback
+    "q_sel_instant" -> ((s, dir) => {
+      val pts = Points.eventsPoints(s, dir).where(col("name") === "click")
+      flat(Selectors.instant(pts, StepGrid(T_END, T_END, DAY), lookbackMs = DAY))
+    }),
+
+    // §2.2 range (matrix) selector: all samples in (step-2d, step] per step
+    "q_sel_range" -> ((s, dir) => {
+      val pts = Points.eventsPoints(s, dir).where(col("name") === "purchase")
+      flat(Selectors.range(pts, StepGrid(T0 + 2 * DAY, T_END, DAY), rangeMs = 2 * DAY))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sel_instant" ->
+      s"""WITH p AS (
+         |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |         epoch_us(ts) // 1000 AS t, value
+         |  FROM events WHERE event_type = 'click'
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY name, "user" ORDER BY t DESC) AS rn
+         |  FROM p WHERE t > $T_END - $DAY AND t <= $T_END
+         |)
+         |SELECT name, "user", CAST($T_END AS BIGINT) AS step, t, value
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_sel_range" ->
+      s"""WITH steps AS (
+         |  SELECT unnest(generate_series(${T0 + 2 * DAY}, $T_END, $DAY)) AS step
+         |), p AS (
+         |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |         epoch_us(ts) // 1000 AS t, value
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT p.name, p."user", steps.step, p.t, p.value
+         |FROM steps JOIN p ON p.t > steps.step - ${2 * DAY} AND p.t <= steps.step""".stripMargin
+  )
 }

@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Points
+
+/** Evaluation step grid for a range query: timestamps
+  * `start, start+step, ..., <= end` (epoch ms). An instant query is the
+  * degenerate grid `start == end` (reference: instant = 1-step range eval,
+  * vendor/.../promql/engine.go:686-742).
+  */
+final case class StepGrid(startMs: Long, endMs: Long, stepMs: Long) {
+  require(stepMs > 0, "step must be positive")
+  require(endMs >= startMs, "end must be >= start")
+  val nSteps: Long = (endMs - startMs) / stepMs + 1
+
+  /** One-row-per-step DataFrame: (step: Long). */
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(nSteps).select((lit(startMs) + col("id") * stepMs).as("step"))
+  }
+}
+
+/** PromQL selectors over the canonical points relation.
+  *
+  * Both selectors assign each sample to the grid steps it can serve with a
+  * pure per-row `explode(sequence(kLo, kHi))` — integer arithmetic on the
+  * step index, no range join and no shuffle before the per-(series, step)
+  * aggregation. The explode factor is bounded by `window/step + 1`, and
+  * Catalyst keeps the scan filter (`t` bounds, label matchers) pushed down to
+  * parquet. At 100 TB this is a single scan + one hash aggregation whose
+  * output is result-sized.
+  *
+  * Reference semantics:
+  *  - instant selector: newest sample in `(step - lookback, step]`, skipping
+  *    staleness markers (vendor/.../promql/engine.go:1678-1727,1882-1946).
+  *  - range selector: all samples in `(step - range, step]`
+  *    (vendor/.../promql/engine.go:1948-1996).
+  */
+object Selectors {
+
+  /** Explode points to (all original columns, step) for a trailing window of
+    * `windowMs` ending at each step: a sample at `t` serves step indices
+    * k in [ceil((t-start)/step), floor((t+w-1-start)/step)] ∩ [0, nSteps).
+    * The pre-filter keeps the floor arithmetic in non-negative territory. */
+  def explodeToSteps(points: DataFrame, grid: StepGrid, windowMs: Long): DataFrame = {
+    val bounded = points.where(col("t") > grid.startMs - windowMs && col("t") <= grid.endMs)
+    // Integer step-index window; `div`-style truncation is floor here because
+    // the numerators are guaranteed non-negative by the bound above.
+    val withK = bounded
+      .withColumn("_kLo", greatest(lit(0L),
+        floor((col("t") - grid.startMs + grid.stepMs - 1) / grid.stepMs).cast("long")))
+      .withColumn("_kHi", least(lit(grid.nSteps - 1),
+        floor((col("t") + windowMs - 1 - grid.startMs) / grid.stepMs).cast("long")))
+      .where(col("_kLo") <= col("_kHi"))
+    withK
+      .withColumn("step", explode(sequence(col("_kLo"), col("_kHi"))))
+      .withColumn("step", lit(grid.startMs) + col("step") * grid.stepMs)
+      .drop("_kLo", "_kHi")
+  }
+
+  /** Instant vector selector: per (series, step), the newest sample within
+    * the lookback horizon. Output: sig, name, labels, step, t, value. */
+  def instant(points: DataFrame, grid: StepGrid,
+              lookbackMs: Long = Points.DefaultLookbackMs): DataFrame = {
+    val exploded = explodeToSteps(dropStale(points), grid, lookbackMs)
+    exploded
+      .groupBy(col("sig"), col("step"))
+      .agg(
+        max_by(struct(col("t"), col("value")), col("t")).as("tv"),
+        first(col("name")).as("name"),
+        first(col("labels")).as("labels"))
+      .select(col("sig"), col("name"), col("labels"), col("step"),
+        col("tv.t").as("t"), col("tv.value").as("value"))
+  }
+
+  /** Range (matrix) selector: all samples per (series, step) in
+    * `(step - range, step]`, one output row per sample — feed to a range
+    * kernel (groupBy sig, step). Output: sig, name, labels, step, t, value. */
+  def range(points: DataFrame, grid: StepGrid, rangeMs: Long): DataFrame =
+    explodeToSteps(dropStale(points), grid, rangeMs)
+      .select(col("sig"), col("name"), col("labels"), col("step"), col("t"), col("value"))
+
+  /** Remove staleness-marker rows if the relation carries a `stale` flag
+    * column (reference: special NaN excluded from selection,
+    * vendor/.../promql/engine.go:1910-1916). */
+  def dropStale(points: DataFrame): DataFrame =
+    if (points.columns.contains("stale")) points.where(!col("stale")).drop("stale")
+    else points
+}

@@ -1,0 +1,75 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Canonical labeled-sample relation — the engine's universal shape.
+  *
+  * Mirrors the reference's ingest unit `Point{Name, Timestamp, Value, Labels}`
+  * (reference: src/pkg/rpc/rpc.go:3-8) re-expressed relationally:
+  *
+  * {{{
+  *   sig    LONG                 -- stable hash of (name, labels): series identity
+  *   name   STRING               -- metric name (the reserved __name__ label)
+  *   labels MAP<STRING,STRING>   -- full label set, metric name excluded
+  *   t      LONG                 -- sample timestamp, epoch milliseconds
+  *   value  DOUBLE               -- float64 sample
+  * }}}
+  *
+  * Every PromQL operator in `graft.engine` consumes and produces DataFrames of
+  * this shape (instant vectors carry one row per (series, step); range data
+  * carries all samples per (series, step) before a range kernel folds them).
+  *
+  * Spark cannot group by a MapType column, so series identity is the 64-bit
+  * `sig` hash over the canonicalized (sorted) label entries; the labels map
+  * rides along and is recovered per group with `first(labels)`.
+  */
+object Points {
+  /** Millisecond lookback horizon for instant selectors — reference default
+    * 5m (reference: src/internal/metric-store/metric_store.go:301). */
+  val DefaultLookbackMs: Long = 5 * 60 * 1000L
+
+  /** Canonical string of a labels map: entries sorted by key, joined with
+    * / separators (cannot appear in sanitized label text). */
+  def canonical(labels: Column): Column =
+    concat_ws(
+      "",
+      transform(
+        array_sort(map_entries(labels)),
+        e => concat_ws("", e.getField("key"), e.getField("value"))))
+
+  /** Series signature over labels only (vector-matching joins use this with
+    * restricted label subsets). */
+  def sigOf(labels: Column): Column = xxhash64(canonical(labels))
+
+  /** Series signature over name + labels (full series identity). */
+  def sigOf(name: Column, labels: Column): Column =
+    xxhash64(name, canonical(labels))
+
+  /** Attach/refresh the `sig` column from current name + labels. */
+  def withSig(df: DataFrame): DataFrame =
+    df.withColumn("sig", sigOf(col("name"), col("labels")))
+
+  /** The driver testdata `events` table viewed as metric points:
+    * name = event_type, labels = {user: user_id}, t = epoch ms, value.
+    * The parquet `ts` is TIMESTAMP(NANOS): with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as LongType
+    * nanoseconds, otherwise (if a future reader maps it to TimestampType)
+    * as a microsecond timestamp — handle both. */
+  def fromEvents(events: DataFrame): DataFrame = {
+    val tMs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => expr("unix_micros(ts) div 1000")
+    }
+    withSig(
+      events.select(
+        col("event_type").as("name"),
+        map(lit("user"), col("user_id").cast("string")).as("labels"),
+        tMs.as("t"),
+        col("value").as("value")))
+  }
+
+  /** Load the points view of `events` for a testdata scale-factor dir. */
+  def eventsPoints(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    fromEvents(spark.read.parquet(s"$sfDir/events.parquet"))
+}
