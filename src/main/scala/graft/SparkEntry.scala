@@ -76,7 +76,7 @@ object SparkEntry {
          |  FROM events WHERE event_type = 'click'
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY name, "user" ORDER BY t DESC) AS rn
-         |  FROM p WHERE t > $T_END - $DAY AND t <= $T_END
+         |  FROM p WHERE t >= $T_END - $DAY AND t <= $T_END
          |)
          |SELECT name, "user", CAST($T_END AS BIGINT) AS step, t, value
          |FROM r WHERE rn = 1""".stripMargin,
@@ -90,6 +90,6 @@ object SparkEntry {
          |  FROM events WHERE event_type = 'purchase'
          |)
          |SELECT p.name, p."user", steps.step, p.t, p.value
-         |FROM steps JOIN p ON p.t > steps.step - ${2 * DAY} AND p.t <= steps.step""".stripMargin
+         |FROM steps JOIN p ON p.t >= steps.step - ${2 * DAY} AND p.t <= steps.step""".stripMargin
   )
 }

@@ -1,0 +1,221 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Points
+import graft.promql._
+import graft.promql.Cardinality._
+
+/** PromQL binary operators: arithmetic / comparison (with `bool`) via an
+  * equi-join on the vector-matching label signature, set ops via
+  * semi/anti/union joins (reference: vendor/.../promql/engine.go:2126-2526).
+  * Catalyst picks broadcast vs shuffled hash join; both sides are
+  * result-sized vectors, usually small after aggregation.
+  */
+object BinOps {
+
+  private val arithOps = Set("+", "-", "*", "/", "%", "^", "atan2")
+  private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+  private val setOps = Set("and", "or", "unless")
+
+  def eval(be: BinaryExpr, ctx: EvalContext): Value = {
+    (Compiler.eval(be.lhs, ctx), Compiler.eval(be.rhs, ctx)) match {
+      case (l: ScalarVal, r: ScalarVal) => scalarScalar(be, l, r, ctx)
+      case (l: VectorVal, r: ScalarVal) => vectorScalar(be, l, r, scalarOnRight = true)
+      case (l: ScalarVal, r: VectorVal) => vectorScalar(be, r, l, scalarOnRight = false)
+      case (l: VectorVal, r: VectorVal) if setOps(be.op) => setOp(be, l, r)
+      case (l: VectorVal, r: VectorVal) => vectorVector(be, l, r)
+      case (l, r) => throw new IllegalArgumentException(
+        s"binary op ${be.op} unsupported between ${l.getClass.getSimpleName} and ${r.getClass.getSimpleName}")
+    }
+  }
+
+  /** The arithmetic kernel — semantics of vectorElemBinop
+    * (engine.go:2456-2526): `%` is float remainder (Go math.Mod), `^` is
+    * math.Pow, `/` by zero follows IEEE (±Inf/NaN). */
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    // Spark SQL yields NULL on ÷0 and %0 even for doubles; PromQL needs IEEE
+    // (±Inf / NaN). (Sign of a zero divisor is lost — SQL comparisons do not
+    // distinguish -0.0 — which PromQL itself doesn't exercise.)
+    case "/" =>
+      when(r =!= 0.0, l / r).otherwise(
+        when(isnan(l) || l === 0.0, lit(Double.NaN))
+          .when(l > 0, lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NegativeInfinity)))
+    case "%" => when(r =!= 0.0, l % r).otherwise(lit(Double.NaN))
+    case "^" => pow(l, r)
+    case "atan2" => atan2(l, r)
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "==" => l === r
+    case "!=" => l =!= r
+    case ">" => l > r
+    case "<" => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+  }
+
+  private def scalarScalar(be: BinaryExpr, l: ScalarVal, r: ScalarVal, ctx: EvalContext): ScalarVal = {
+    // constant-fold literal arithmetic so const propagates (quantile φ etc.)
+    (l.const, r.const) match {
+      case (Some(a), Some(b)) =>
+        val v = constEval(be.op, a, b, be.returnBool)
+        ScalarVal(ctx.grid.df(ctx.spark).withColumn("value", lit(v)), const = Some(v))
+      case _ =>
+        val rr = r.df.withColumnRenamed("value", "_rv")
+        val df = l.df.join(rr, "step")
+        val out =
+          if (arithOps(be.op)) df.withColumn("value", arith(be.op, col("value"), col("_rv")))
+          else df.withColumn("value",
+            when(cmp(be.op, col("value"), col("_rv")), lit(1.0)).otherwise(lit(0.0)))
+        ScalarVal(out.drop("_rv"))
+    }
+  }
+
+  private def constEval(op: String, a: Double, b: Double, bool: Boolean): Double = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b
+    case "^" => math.pow(a, b)
+    case "atan2" => math.atan2(a, b)
+    case _ =>
+      val t = op match {
+        case "==" => a == b
+        case "!=" => a != b
+        case ">" => a > b
+        case "<" => a < b
+        case ">=" => a >= b
+        case "<=" => a <= b
+      }
+      if (t) 1.0 else 0.0
+  }
+
+  /** vector ∘ scalar (either side): elementwise; comparisons filter the
+    * vector side unless `bool` (engine.go:2380-2421). */
+  private def vectorScalar(be: BinaryExpr, v: VectorVal, s: ScalarVal,
+                           scalarOnRight: Boolean): VectorVal = {
+    val withS = s.const match {
+      case Some(c) => v.df.withColumn("_sv", lit(c))
+      case None => v.df.join(broadcast(s.df.withColumnRenamed("value", "_sv")), "step")
+    }
+    def lr(vc: Column, sc: Column): (Column, Column) =
+      if (scalarOnRight) (vc, sc) else (sc, vc)
+    val (lc, rc) = lr(col("value"), col("_sv"))
+    val out =
+      if (arithOps(be.op)) {
+        Labels.dropName(withS.withColumn("value", arith(be.op, lc, rc)))
+      } else if (be.returnBool) {
+        Labels.dropName(withS.withColumn("value",
+          when(cmp(be.op, lc, rc), lit(1.0)).otherwise(lit(0.0))))
+      } else {
+        withS.where(cmp(be.op, lc, rc)) // keep original sample value + labels
+      }
+    VectorVal(out.drop("_sv"))
+  }
+
+  /** Matching signature: hash of the `on` subset or of all labels minus the
+    * `ignoring` subset (metric name never participates). */
+  private def msig(m: VectorMatching): Column =
+    if (m.on) Points.sigOf(Labels.keep(col("labels"), m.labels))
+    else Points.sigOf(Labels.drop(col("labels"), m.labels))
+
+  /** Result labels for one-to-one matching (engine.go:2336-2377):
+    * `on` → only the on labels; otherwise lhs labels minus ignored. */
+  private def oneToOneLabels(m: VectorMatching): Column =
+    if (m.on) Labels.keep(col("labels"), m.labels)
+    else Labels.drop(col("labels"), m.labels)
+
+  private def vectorVector(be: BinaryExpr, l: VectorVal, r: VectorVal): VectorVal = {
+    val m = be.matching
+    val dropsName = arithOps(be.op) || be.returnBool
+    m.card match {
+      case OneToOne =>
+        val lhs = l.df.withColumn("_msig", msig(m))
+        val rhs = r.df.withColumn("_msig", msig(m))
+          .select(col("_msig"), col("step"), col("value").as("_rv"),
+            col("labels").as("_rlabels"))
+        // many-to-many detection: a duplicate signature on either side of a
+        // 1:1 match is an error in PromQL (engine.go:2253-2302)
+        val joined = lhs.join(
+          dupGuard(rhs, "_rv", "many-to-many matching not allowed: matching labels must be unique on one side"),
+          Seq("_msig", "step"))
+        val out =
+          if (arithOps(be.op))
+            joined.withColumn("value", arith(be.op, col("value"), col("_rv")))
+          else if (be.returnBool)
+            joined.withColumn("value",
+              when(cmp(be.op, col("value"), col("_rv")), lit(1.0)).otherwise(lit(0.0)))
+          else
+            joined.where(cmp(be.op, col("value"), col("_rv")))
+        val relabeled =
+          if (dropsName)
+            out.withColumn("labels", oneToOneLabels(m))
+              .withColumn("name", lit(null).cast("string"))
+          else out
+        VectorVal(Labels.resig(relabeled).select(
+          col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value")))
+
+      case ManyToOne | OneToMany =>
+        val (many, one, manyIsLeft) =
+          if (m.card == ManyToOne) (l.df, r.df, true) else (r.df, l.df, false)
+        val oneSide = dupGuard(
+          one.withColumn("_msig", msig(m))
+            .select(col("_msig"), col("step"), col("value").as("_ov"), col("labels").as("_olabels")),
+          "_ov",
+          "multiple matches for labels: grouping labels must ensure unique matches")
+        val joined = many.withColumn("_msig", msig(m)).join(oneSide, Seq("_msig", "step"))
+        val (lc, rc) =
+          if (manyIsLeft) (col("value"), col("_ov")) else (col("_ov"), col("value"))
+        val valued =
+          if (arithOps(be.op)) joined.withColumn("value", arith(be.op, lc, rc))
+          else if (be.returnBool) joined.withColumn("value",
+            when(cmp(be.op, lc, rc), lit(1.0)).otherwise(lit(0.0)))
+          else joined.where(cmp(be.op, lc, rc))
+        // include labels copied from the "one" side overwrite the many side
+        val withIncl = m.include.foldLeft(valued) { (df, k) =>
+          df.withColumn("labels", Labels.set(col("labels"), k, element_at(col("_olabels"), k)))
+        }
+        val named =
+          if (dropsName) withIncl.withColumn("name", lit(null).cast("string"))
+          else withIncl
+        VectorVal(Labels.resig(named).select(
+          col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value")))
+    }
+  }
+
+  /** Embed a runtime uniqueness assertion into the value column itself: any
+    * (_msig, step) with >1 row makes the query fail in the executor,
+    * mirroring the reference's duplicate-match errors — no separate
+    * driver-side action, and Catalyst cannot prune it because the guarded
+    * column IS the output value. */
+  private def dupGuard(df: DataFrame, valueCol: String, msg: String): DataFrame = {
+    val w = Window.partitionBy(col("_msig"), col("step"))
+    df.withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn(valueCol,
+        when(col("_cnt") > 1, raise_error(lit(msg)).cast("double")).otherwise(col(valueCol)))
+      .drop("_cnt")
+  }
+
+  /** and / or / unless on the matching signature (engine.go:2126-2200). */
+  private def setOp(be: BinaryExpr, l: VectorVal, r: VectorVal): VectorVal = {
+    val m = be.matching
+    val lhs = l.df.withColumn("_msig", msig(m))
+    val rhs = r.df.withColumn("_msig", msig(m))
+    val out = be.op match {
+      case "and" => lhs.join(rhs.select("_msig", "step"), Seq("_msig", "step"), "left_semi")
+      case "unless" => lhs.join(rhs.select("_msig", "step"), Seq("_msig", "step"), "left_anti")
+      case "or" =>
+        val rOnly = rhs.join(lhs.select("_msig", "step"), Seq("_msig", "step"), "left_anti")
+        lhs.unionByName(rOnly)
+    }
+    VectorVal(out.drop("_msig"))
+  }
+}

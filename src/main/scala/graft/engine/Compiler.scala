@@ -1,0 +1,178 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Points
+import graft.promql._
+
+/** AST → DataFrame evaluator. The whole expression is compiled into ONE
+  * declarative Spark plan covering every grid step (set-oriented, unlike the
+  * reference's per-step interpreter loop, vendor/.../promql/engine.go:1112);
+  * Catalyst then supplies pushdown, pruning, partial aggregation and the
+  * distributed physical plan.
+  */
+object Compiler {
+
+  def eval(expr: Expr, ctx: EvalContext): Value = expr match {
+    case NumberLiteral(v) =>
+      ScalarVal(ctx.grid.df(ctx.spark).withColumn("value", lit(v)), const = Some(v))
+    case StringLiteral(s) => StringVal(s)
+    case ParenExpr(e) => eval(e, ctx)
+    case vs: VectorSelector => evalVectorSelector(vs, ctx)
+    case ms: MatrixSelector => evalMatrixSelector(ms, ctx)
+    case sq: SubqueryExpr => evalSubquery(sq, ctx)
+    case ae: AggregateExpr => Aggregations.eval(ae, ctx)
+    case be: BinaryExpr => BinOps.eval(be, ctx)
+    case UnaryExpr("+", e) => eval(e, ctx)
+    case UnaryExpr(_, e) =>
+      eval(e, ctx) match {
+        case ScalarVal(df, c) => ScalarVal(df.withColumn("value", -col("value")), c.map(-_))
+        case VectorVal(df) => VectorVal(Labels.dropName(
+          df.withColumn("value", -col("value")).withColumn("t", col("step"))))
+        case other => throw new IllegalArgumentException(s"unary minus on $other")
+      }
+    case Call(fn, args) => Functions.eval(fn, args, ctx)
+  }
+
+  /** Evaluate to an instant vector (errors otherwise). */
+  def evalVector(expr: Expr, ctx: EvalContext): VectorVal = eval(expr, ctx) match {
+    case v: VectorVal => v
+    case other => throw new IllegalArgumentException(
+      s"expected instant vector, got ${other.getClass.getSimpleName}")
+  }
+
+  // ---- selectors --------------------------------------------------------
+
+  /** Label matchers → one pushdown-friendly filter Column
+    * (reference: matcher conjunction, filter_translator.go:48-70).
+    * PromQL regexes are fully anchored; missing labels match "". */
+  def matcherFilter(matchers: Seq[LabelMatcher]): Column = {
+    val cs = matchers.map { m =>
+      val target =
+        if (m.name == "__name__") coalesce(col("name"), lit(""))
+        else Labels.get(col("labels"), m.name)
+      m.op match {
+        case MatchOp.Eq => target === m.value
+        case MatchOp.NotEq => target =!= m.value
+        case MatchOp.Re => target.rlike("\\A(?:" + m.value + ")\\z")
+        case MatchOp.NotRe => !target.rlike("\\A(?:" + m.value + ")\\z")
+      }
+    }
+    cs.foldLeft(lit(true))(_ && _)
+  }
+
+  private def selectorPoints(vs: VectorSelector, ctx: EvalContext): DataFrame = {
+    val base = vs.name match {
+      case Some(n) => ctx.points.where(col("name") === n)
+      case None => ctx.points
+    }
+    base.where(matcherFilter(vs.matchers))
+  }
+
+  /** Resolve the effective eval-time pin of a selector: `@` is an absolute
+    * timestamp, start()/end() the query bounds (engine.go:2922-2961). */
+  private def pinnedTs(at: AtModifier, grid: StepGrid): Long = at match {
+    case AtModifier.Start => grid.startMs
+    case AtModifier.End => grid.endMs
+    case AtModifier.At(ts) => ts
+  }
+
+  def evalVectorSelector(vs: VectorSelector, ctx: EvalContext): VectorVal = {
+    val pts = selectorPoints(vs, ctx)
+    val grid = ctx.grid
+    vs.at match {
+      case None =>
+        if (vs.offsetMs == 0L) {
+          VectorVal(Selectors.instant(pts, grid, ctx.lookbackMs))
+        } else {
+          val shifted = StepGrid(grid.startMs - vs.offsetMs, grid.endMs - vs.offsetMs, grid.stepMs)
+          VectorVal(Selectors.instant(pts, shifted, ctx.lookbackMs)
+            .withColumn("step", col("step") + vs.offsetMs))
+        }
+      case Some(at) =>
+        // step-invariant: evaluate once at the pinned ts, replicate across grid
+        val ts = pinnedTs(at, grid) - vs.offsetMs
+        val once = Selectors.instant(pts, StepGrid(ts, ts, 1), ctx.lookbackMs).drop("step")
+        VectorVal(once.crossJoin(broadcast(grid.df(ctx.spark))))
+    }
+  }
+
+  def evalMatrixSelector(ms: MatrixSelector, ctx: EvalContext): MatrixVal = {
+    val vs = ms.vs
+    val pts = selectorPoints(vs, ctx)
+    val grid = ctx.grid
+    vs.at match {
+      case None =>
+        if (vs.offsetMs == 0L) {
+          MatrixVal(Selectors.range(pts, grid, ms.rangeMs), ms.rangeMs)
+        } else {
+          val shifted = StepGrid(grid.startMs - vs.offsetMs, grid.endMs - vs.offsetMs, grid.stepMs)
+          MatrixVal(Selectors.range(pts, shifted, ms.rangeMs)
+            .withColumn("step", col("step") + vs.offsetMs),
+            ms.rangeMs, windowEndMsOffset = vs.offsetMs)
+        }
+      case Some(at) =>
+        val ts = pinnedTs(at, grid) - vs.offsetMs
+        val once = Selectors.range(pts, StepGrid(ts, ts, 1), ms.rangeMs).drop("step")
+        MatrixVal(once.crossJoin(broadcast(grid.df(ctx.spark))), ms.rangeMs,
+          pinnedEndMs = Some(ts))
+    }
+  }
+
+  /** Subquery `expr[range:step]`: evaluate the inner expr on its own finer
+    * grid (absolute-aligned, reference engine.go:1313-1344), then treat the
+    * inner result as a points relation feeding the outer range window. */
+  def evalSubquery(sq: SubqueryExpr, ctx: EvalContext): MatrixVal = {
+    val innerStep = sq.stepMs.getOrElse(ctx.defaultSubqueryStepMs)
+    val grid = ctx.grid
+    val (outerStart, outerEnd) = sq.at match {
+      case Some(at) =>
+        val ts = pinnedTs(at, grid) - sq.offsetMs
+        (ts, ts)
+      case None => (grid.startMs - sq.offsetMs, grid.endMs - sq.offsetMs)
+    }
+    var innerStart = outerStart - sq.rangeMs
+    // align to absolute multiples of the inner step (engine.go:1327-1331)
+    if (innerStart % innerStep != 0) {
+      innerStart = innerStart - Math.floorMod(innerStart, innerStep) + innerStep
+    }
+    val innerGrid = StepGrid(innerStart, outerEnd, innerStep)
+    val inner = evalVector(sq.expr, ctx.copy(grid = innerGrid))
+    // inner vector -> points: the sample time is the inner step
+    val asPoints = inner.df.select(
+      col("sig"), col("name"), col("labels"),
+      col("step").as("t"), col("value"))
+    sq.at match {
+      case Some(at) =>
+        val ts = pinnedTs(at, grid) - sq.offsetMs
+        val once = Selectors.range(asPoints, StepGrid(ts, ts, 1), sq.rangeMs).drop("step")
+        MatrixVal(once.crossJoin(broadcast(grid.df(ctx.spark))), sq.rangeMs,
+          pinnedEndMs = Some(ts))
+      case None =>
+        if (sq.offsetMs == 0L) {
+          MatrixVal(Selectors.range(asPoints, grid, sq.rangeMs), sq.rangeMs)
+        } else {
+          val shifted = StepGrid(grid.startMs - sq.offsetMs, grid.endMs - sq.offsetMs, grid.stepMs)
+          MatrixVal(Selectors.range(asPoints, shifted, sq.rangeMs)
+            .withColumn("step", col("step") + sq.offsetMs),
+            sq.rangeMs, windowEndMsOffset = sq.offsetMs)
+        }
+    }
+  }
+
+  /** A scalar argument that must be a compile-time constant (quantile φ,
+    * topk k, clamp bounds...). The reference evaluates these per step; in
+    * practice they are literals, and constant folding covers arithmetic on
+    * literals. */
+  def constScalar(v: Value, what: String): Double = v match {
+    case ScalarVal(_, Some(c)) => c
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a constant scalar expression in this engine")
+  }
+
+  def constString(v: Value, what: String): String = v match {
+    case StringVal(s) => s
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
+}

@@ -1,0 +1,355 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Points
+import graft.promql._
+
+/** The PromQL function registry (reference: the ~70-entry closed registry at
+  * vendor/.../promql/functions.go:1414 and parser/functions.go:27-394).
+  * Instant-vector math is pure codegen'd Column expressions; range-vector
+  * aggregations are per-(series, step) hash aggregations; only the genuinely
+  * sequential kernels (rate family, holt_winters, histogram_quantile) fold a
+  * collected sample list (see [[Kernels]]).
+  */
+object Functions {
+
+  def eval(fn: String, args: Seq[Expr], ctx: EvalContext): Value = fn match {
+    // ---- rate / counter family (range vector -> instant vector) ----
+    case "rate" => rangeKernelExtrapolated(args, ctx, isCounter = true, isRate = true)
+    case "increase" => rangeKernelExtrapolated(args, ctx, isCounter = true, isRate = false)
+    case "delta" => rangeKernelExtrapolated(args, ctx, isCounter = false, isRate = false)
+    case "irate" => rangeKernelUdf(args, ctx, m => Kernels.instantValueUdf(isRate = true)(Kernels.collectedSamples, col("step")))
+    case "idelta" => rangeKernelUdf(args, ctx, m => Kernels.instantValueUdf(isRate = false)(Kernels.collectedSamples, col("step")))
+    case "resets" => rangeKernelUdf(args, ctx, m => Kernels.resetsUdf(Kernels.collectedSamples, col("step")))
+    case "changes" => rangeKernelUdf(args, ctx, m => Kernels.changesUdf(Kernels.collectedSamples, col("step")))
+    case "deriv" => rangeKernelUdf(args, ctx, m => Kernels.derivUdf(Kernels.collectedSamples, col("step")))
+    case "predict_linear" =>
+      val t = Compiler.constScalar(Compiler.eval(args(1), ctx), "predict_linear t")
+      rangeKernelUdf(args.take(1), ctx, m => Kernels.predictLinearUdf(t)(Kernels.collectedSamples, col("step")))
+    case "holt_winters" | "double_exponential_smoothing" =>
+      val sf = Compiler.constScalar(Compiler.eval(args(1), ctx), "holt_winters sf")
+      val tf = Compiler.constScalar(Compiler.eval(args(2), ctx), "holt_winters tf")
+      rangeKernelUdf(args.take(1), ctx, m => Kernels.holtWintersUdf(sf, tf)(Kernels.collectedSamples, col("step")))
+
+    // ---- *_over_time (range-vector aggregations, functions.go:453-710) ----
+    case "sum_over_time" => overTime(args, ctx, sum(col("value")))
+    case "avg_over_time" =>
+      // overflow-safe two-pass mean, like the reference's incremental mean
+      // with Kahan fallback (functions.go:453-510)
+      val m = evalMatrix(args(0), ctx)
+      val grouped = m.df
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sig"), col("step"))))
+        .groupBy(col("sig"), col("step"))
+        .agg(sum(col("value") / col("_n")).as("value"),
+          first(col("name")).as("name"), first(col("labels")).as("labels"))
+        .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
+      VectorVal(Labels.dropName(grouped))
+    case "count_over_time" => overTime(args, ctx, count(lit(1)).cast("double"))
+    case "min_over_time" =>
+      overTime(args, ctx, coalesce(
+        min(when(isnan(col("value")), lit(null)).otherwise(col("value"))), lit(Double.NaN)))
+    case "max_over_time" =>
+      overTime(args, ctx, coalesce(
+        max(when(isnan(col("value")), lit(null)).otherwise(col("value"))), lit(Double.NaN)))
+    case "last_over_time" =>
+      overTime(args, ctx, max_by(col("value"), col("t")), keepName = true)
+    case "stddev_over_time" => overTime(args, ctx, stddev_pop(col("value")))
+    case "stdvar_over_time" => overTime(args, ctx, var_pop(col("value")))
+    case "quantile_over_time" =>
+      val m = evalMatrix(args(1), ctx)
+      val withQ = Compiler.eval(args(0), ctx) match {
+        case ScalarVal(_, Some(c)) => m.df.withColumn("_q", lit(c))
+        case ScalarVal(sdf, None) =>
+          m.df.join(broadcast(sdf.withColumnRenamed("value", "_q")), "step")
+        case other => throw new IllegalArgumentException("quantile_over_time φ must be a scalar")
+      }
+      val grouped = withQ.groupBy(col("sig"), col("step"))
+        .agg(Kernels.goQuantileUdf(collect_list(col("value")), first(col("_q"))).as("value"),
+          first(col("name")).as("name"), first(col("labels")).as("labels"))
+        .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
+      VectorVal(Labels.dropName(grouped))
+    case "present_over_time" => overTime(args, ctx, first(lit(1.0)))
+    case "absent_over_time" =>
+      val m = evalMatrix(args(0), ctx)
+      absentFrom(m.df, argSelectorOf(args(0)), ctx)
+
+    // ---- instant-vector math (drop __name__, functions.go:724-855) ----
+    case "abs" => math1(args, ctx, abs)
+    case "ceil" => math1(args, ctx, ceil(_).cast("double"))
+    case "floor" => math1(args, ctx, floor(_).cast("double"))
+    case "exp" => math1(args, ctx, exp)
+    case "sqrt" => math1(args, ctx, v => when(v < 0, lit(Double.NaN)).otherwise(sqrt(v)))
+    case "ln" => math1(args, ctx, goLog(_, log(_)))
+    case "log2" => math1(args, ctx, goLog(_, log2))
+    case "log10" => math1(args, ctx, goLog(_, log10))
+    case "sgn" => math1(args, ctx, signum)
+    case "sin" => math1(args, ctx, sin)
+    case "cos" => math1(args, ctx, cos)
+    case "tan" => math1(args, ctx, tan)
+    case "asin" => math1(args, ctx, asin)
+    case "acos" => math1(args, ctx, acos)
+    case "atan" => math1(args, ctx, atan)
+    case "sinh" => math1(args, ctx, sinh)
+    case "cosh" => math1(args, ctx, cosh)
+    case "tanh" => math1(args, ctx, tanh)
+    case "asinh" => math1(args, ctx, asinh)
+    case "acosh" => math1(args, ctx, v => when(v < 1, lit(Double.NaN)).otherwise(acosh(v)))
+    case "atanh" => math1(args, ctx, v => when(abs(v) > 1, lit(Double.NaN)).otherwise(atanh(v)))
+    case "deg" => math1(args, ctx, degrees)
+    case "rad" => math1(args, ctx, radians)
+    case "pi" => ScalarVal(ctx.grid.df(ctx.spark).withColumn("value", lit(math.Pi)), const = Some(math.Pi))
+
+    case "clamp" =>
+      val lo = Compiler.constScalar(Compiler.eval(args(1), ctx), "clamp min")
+      val hi = Compiler.constScalar(Compiler.eval(args(2), ctx), "clamp max")
+      val v = Compiler.evalVector(args(0), ctx)
+      if (lo > hi) VectorVal(v.df.limit(0))
+      else if (lo.isNaN || hi.isNaN) math1Vec(v, _ => lit(Double.NaN))
+      else math1Vec(v, c => least(greatest(c, lit(lo)), lit(hi)))
+    case "clamp_min" =>
+      val lo = Compiler.constScalar(Compiler.eval(args(1), ctx), "clamp_min")
+      math1Vec(Compiler.evalVector(args(0), ctx), c => greatest(c, lit(lo)))
+    case "clamp_max" =>
+      val hi = Compiler.constScalar(Compiler.eval(args(1), ctx), "clamp_max")
+      math1Vec(Compiler.evalVector(args(0), ctx), c => least(c, lit(hi)))
+    case "round" =>
+      // round to the nearest multiple of `to` (functions.go:410-430)
+      val to = if (args.size > 1) Compiler.constScalar(Compiler.eval(args(1), ctx), "round to") else 1.0
+      val inv = 1.0 / to
+      math1Vec(Compiler.evalVector(args(0), ctx), c => floor(c * inv + 0.5) / inv)
+
+    // ---- time component functions (UTC, functions.go:1325-1412) ----
+    case "minute" => timeComponent(args, ctx, ts => minute(ts).cast("double"))
+    case "hour" => timeComponent(args, ctx, ts => hour(ts).cast("double"))
+    case "day_of_week" => timeComponent(args, ctx, ts => (dayofweek(ts) - 1).cast("double"))
+    case "day_of_month" => timeComponent(args, ctx, ts => dayofmonth(ts).cast("double"))
+    case "day_of_year" => timeComponent(args, ctx, ts => dayofyear(ts).cast("double"))
+    case "days_in_month" => timeComponent(args, ctx, ts => dayofmonth(last_day(ts)).cast("double"))
+    case "month" => timeComponent(args, ctx, ts => month(ts).cast("double"))
+    case "year" => timeComponent(args, ctx, ts => year(ts).cast("double"))
+    case "time" =>
+      ScalarVal(ctx.grid.df(ctx.spark).withColumn("value", col("step") / 1000.0))
+    case "timestamp" =>
+      // value = the SAMPLE's timestamp; the result sample itself then sits
+      // at the eval step (so nested timestamp() yields the step time)
+      val v = Compiler.evalVector(args(0), ctx)
+      VectorVal(Labels.dropName(v.df
+        .withColumn("value", col("t") / 1000.0)
+        .withColumn("t", col("step"))))
+
+    // ---- histograms (conventional le-bucketed; quantile.go:74-123) ----
+    case "histogram_quantile" =>
+      val q = Compiler.constScalar(Compiler.eval(args(0), ctx), "histogram_quantile φ")
+      histogramQuantile(q, Compiler.evalVector(args(1), ctx))
+    // native-histogram functions: the store rejects native histograms
+    // (persistence/appender.go:93-96) — statically empty results
+    case "histogram_count" | "histogram_sum" | "histogram_fraction" |
+         "histogram_stddev" | "histogram_stdvar" | "histogram_avg" =>
+      VectorVal(Compiler.evalVector(args.last, ctx).df.limit(0))
+
+    // ---- label manipulation (functions.go:1215-1323) ----
+    case "label_replace" =>
+      labelReplace(Compiler.evalVector(args(0), ctx),
+        str(args(1), ctx, "dst"), str(args(2), ctx, "replacement"),
+        str(args(3), ctx, "src"), str(args(4), ctx, "regex"))
+    case "label_join" =>
+      val v = Compiler.evalVector(args(0), ctx)
+      val dst = str(args(1), ctx, "dst")
+      val sep = str(args(2), ctx, "separator")
+      val srcs = args.drop(3).map(a => str(a, ctx, "src label"))
+      requireLabelName(dst)
+      val joined = concat_ws(sep, srcs.map(s => Labels.get(col("labels"), s)): _*)
+      VectorVal(Labels.resig(v.df.withColumn("labels", Labels.set(col("labels"), dst, joined))))
+
+    // ---- shape / sorting (functions.go:349-441,684-698,1270-1277) ----
+    case "sort" => sorted(args, ctx, col("value").asc)
+    case "sort_desc" => sorted(args, ctx, col("value").desc)
+    case "scalar" =>
+      val v = Compiler.evalVector(args(0), ctx)
+      val per = v.df.groupBy("step")
+        .agg(count(lit(1)).as("_n"), first(col("value")).as("_v"))
+      val out = ctx.grid.df(ctx.spark).join(per, Seq("step"), "left")
+        .select(col("step"),
+          when(col("_n") === 1, col("_v")).otherwise(lit(Double.NaN)).as("value"))
+      ScalarVal(out)
+    case "vector" =>
+      val s = Compiler.eval(args(0), ctx) match {
+        case sv: ScalarVal => sv
+        case other => throw new IllegalArgumentException("vector() takes a scalar")
+      }
+      val empty = map().cast("map<string,string>")
+      VectorVal(s.df.select(
+        Points.sigOf(lit(null).cast("string"), empty).as("sig"),
+        lit(null).cast("string").as("name"), empty.as("labels"),
+        col("step"), col("step").as("t"), col("value")))
+    case "absent" =>
+      val v = Compiler.evalVector(args(0), ctx)
+      absentFrom(v.df, argSelectorOf(args(0)), ctx)
+
+    case other => throw new IllegalArgumentException(s"unknown function $other")
+  }
+
+  // ---- helpers ----------------------------------------------------------
+
+  private def str(e: Expr, ctx: EvalContext, what: String): String =
+    Compiler.constString(Compiler.eval(e, ctx), what)
+
+  private def evalMatrix(e: Expr, ctx: EvalContext): MatrixVal =
+    Compiler.eval(e, ctx) match {
+      case m: MatrixVal => m
+      case other => throw new IllegalArgumentException(
+        s"expected range vector, got ${other.getClass.getSimpleName}")
+    }
+
+  /** groupBy(series, step) over range-selected samples with a builtin
+    * aggregate — partial aggregation makes this one scan + one shuffle of
+    * result-sized partials. */
+  private def overTime(args: Seq[Expr], ctx: EvalContext, aggCol: Column,
+                       keepName: Boolean = false): VectorVal = {
+    val m = evalMatrix(args(0), ctx)
+    val out = m.df.groupBy(col("sig"), col("step"))
+      .agg(aggCol.as("value"), first(col("name")).as("name"), first(col("labels")).as("labels"))
+      .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
+    if (keepName) VectorVal(out) else VectorVal(Labels.dropName(out))
+  }
+
+  private def rangeKernelExtrapolated(args: Seq[Expr], ctx: EvalContext,
+                                      isCounter: Boolean, isRate: Boolean): VectorVal = {
+    val m = evalMatrix(args(0), ctx)
+    // the extrapolation window ends at selector time (step - offset / @-pin)
+    rangeKernel(m, Kernels.extrapolatedUdf(m.rangeMs, isCounter, isRate)(
+      Kernels.collectedSamples, m.windowEnd))
+  }
+
+  private def rangeKernelUdf(args: Seq[Expr], ctx: EvalContext,
+                             mk: MatrixVal => Column): VectorVal = {
+    val m = evalMatrix(args(0), ctx)
+    rangeKernel(m, mk(m))
+  }
+
+  private def rangeKernel(m: MatrixVal, valueCol: Column): VectorVal = {
+    val out = m.df.groupBy(col("sig"), col("step"))
+      .agg(valueCol.as("value"), first(col("name")).as("name"), first(col("labels")).as("labels"))
+      .where(col("value").isNotNull)
+      .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
+    VectorVal(Labels.dropName(out))
+  }
+
+  private def math1(args: Seq[Expr], ctx: EvalContext, f: Column => Column): Value =
+    Compiler.eval(args.headOption.getOrElse(NumberLiteral(0)), ctx) match {
+      case v: VectorVal => math1Vec(v, f)
+      case ScalarVal(df, c) =>
+        ScalarVal(df.withColumn("value", f(col("value"))))
+      case other => throw new IllegalArgumentException(s"math function on $other")
+    }
+
+  private def math1Vec(v: VectorVal, f: Column => Column): VectorVal =
+    VectorVal(Labels.dropName(v.df
+      .withColumn("value", f(col("value")))
+      .withColumn("t", col("step"))))
+
+  /** Go log semantics: log(0) = -Inf, log(<0) = NaN (Spark's would be null). */
+  private def goLog(v: Column, f: Column => Column): Column =
+    when(isnan(v) || v < 0, lit(Double.NaN))
+      .when(v === 0, lit(Double.NegativeInfinity))
+      .otherwise(f(v))
+
+  /** Time-component functions: arg defaults to vector(time()); values are
+    * epoch seconds interpreted in UTC. */
+  private def timeComponent(args: Seq[Expr], ctx: EvalContext,
+                            f: Column => Column): Value = {
+    val v: VectorVal = args.headOption match {
+      case Some(e) => Compiler.evalVector(e, ctx)
+      case None =>
+        eval("vector", Seq(Call("time", Nil)), ctx).asInstanceOf[VectorVal]
+    }
+    math1Vec(v, c => f(timestamp_seconds(c)))
+  }
+
+  private def requireLabelName(n: String): Unit =
+    if (!n.matches("[a-zA-Z_][a-zA-Z0-9_]*"))
+      throw new IllegalArgumentException(s"invalid destination label name '$n'")
+
+  private def labelReplace(v: VectorVal, dst: String, repl: String,
+                           src: String, regex: String): VectorVal = {
+    requireLabelName(dst)
+    val anchored = "\\A(?:" + regex + ")\\z"
+    val srcVal =
+      if (src == "__name__") coalesce(col("name"), lit(""))
+      else Labels.get(col("labels"), src)
+    val matched = srcVal.rlike(anchored)
+    val newVal = regexp_replace(srcVal, anchored, repl)
+    val out =
+      if (dst == "__name__")
+        v.df.withColumn("name", when(matched, newVal).otherwise(col("name")))
+      else
+        v.df.withColumn("labels",
+          when(matched, Labels.set(col("labels"), dst, newVal)).otherwise(col("labels")))
+    VectorVal(Labels.resig(out))
+  }
+
+  /** Presentation-order sort by value (instant queries; the driver compare
+    * is order-insensitive but the API layer preserves this ordering). */
+  private def sorted(args: Seq[Expr], ctx: EvalContext, o: Column): VectorVal = {
+    val v = Compiler.evalVector(args(0), ctx)
+    VectorVal(v.df.orderBy(o, col("sig").asc))
+  }
+
+  /** absent()/absent_over_time(): 1 for every grid step with NO series at
+    * all; labels inferred from the argument's equality matchers
+    * (functions.go:684-698). */
+  private def absentFrom(present: DataFrame, sel: Option[VectorSelector],
+                         ctx: EvalContext): VectorVal = {
+    // only labels with exactly ONE matcher, and that one an equality, are
+    // inferable; conflicting/duplicated matchers drop the label entirely
+    // (functions.go createLabelsForAbsentFunction)
+    val inferred: Seq[(String, String)] = sel match {
+      case Some(vs) =>
+        val byName = vs.matchers.filter(_.name != "__name__").groupBy(_.name)
+        byName.toSeq.sortBy(_._1).collect {
+          case (n, Seq(LabelMatcher(_, MatchOp.Eq, v))) => (n, v)
+        }
+      case None => Nil
+    }
+    val labelCol =
+      if (inferred.isEmpty) map().cast("map<string,string>")
+      else map(inferred.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val missing = ctx.grid.df(ctx.spark)
+      .join(present.select("step").distinct(), Seq("step"), "left_anti")
+    VectorVal(missing.select(
+      Points.sigOf(lit(null).cast("string"), labelCol).as("sig"),
+      lit(null).cast("string").as("name"), labelCol.as("labels"),
+      col("step"), col("step").as("t"), lit(1.0).as("value")))
+  }
+
+  /** The underlying selector of a function argument, for absent()'s label
+    * inference. */
+  private def argSelectorOf(e: Expr): Option[VectorSelector] = e match {
+    case vs: VectorSelector => Some(vs)
+    case MatrixSelector(vs, _) => Some(vs)
+    case ParenExpr(inner) => argSelectorOf(inner)
+    case _ => None
+  }
+
+  private def histogramQuantile(q: Double, v: VectorVal): VectorVal = {
+    val leVal = Labels.get(col("labels"), "le")
+    val leDouble = when(leVal.isin("+Inf", "Inf", "inf"), lit(Double.PositiveInfinity))
+      .when(leVal === "-Inf", lit(Double.NegativeInfinity))
+      .otherwise(leVal.cast("double"))
+    val grouped = v.df
+      .withColumn("labels", Labels.drop(col("labels"), Seq("le")))
+      .withColumn("sig", Points.sigOf(col("labels")))
+      .withColumn("_le", leDouble)
+      .groupBy(col("sig"), col("step"))
+      .agg(
+        Kernels.bucketQuantileUdf(lit(q), collect_list(struct(col("_le"), col("value")))).as("value"),
+        first(col("labels")).as("labels"))
+      .where(col("value").isNotNull)
+      .select(col("sig"), lit(null).cast("string").as("name"), col("labels"),
+        col("step"), col("step").as("t"), col("value"))
+    VectorVal(grouped)
+  }
+}

@@ -39,19 +39,19 @@ final case class StepGrid(startMs: Long, endMs: Long, stepMs: Long) {
   */
 object Selectors {
 
-  /** Explode points to (all original columns, step) for a trailing window of
-    * `windowMs` ending at each step: a sample at `t` serves step indices
-    * k in [ceil((t-start)/step), floor((t+w-1-start)/step)] ∩ [0, nSteps).
+  /** Explode points to (all original columns, step) for a trailing CLOSED
+    * window `[step - w, step]` (this reference vintage includes both window
+    * edges — vendor/.../promql/engine.go vectorSelectorSingle /
+    * matrixIterSlice use `t >= mint`): a sample at `t` serves step indices
+    * k in [ceil((t-start)/step), floor((t+w-start)/step)] ∩ [0, nSteps).
     * The pre-filter keeps the floor arithmetic in non-negative territory. */
   def explodeToSteps(points: DataFrame, grid: StepGrid, windowMs: Long): DataFrame = {
-    val bounded = points.where(col("t") > grid.startMs - windowMs && col("t") <= grid.endMs)
-    // Integer step-index window; `div`-style truncation is floor here because
-    // the numerators are guaranteed non-negative by the bound above.
+    val bounded = points.where(col("t") >= grid.startMs - windowMs && col("t") <= grid.endMs)
     val withK = bounded
       .withColumn("_kLo", greatest(lit(0L),
         floor((col("t") - grid.startMs + grid.stepMs - 1) / grid.stepMs).cast("long")))
       .withColumn("_kHi", least(lit(grid.nSteps - 1),
-        floor((col("t") + windowMs - 1 - grid.startMs) / grid.stepMs).cast("long")))
+        floor((col("t") + windowMs - grid.startMs) / grid.stepMs).cast("long")))
       .where(col("_kLo") <= col("_kHi"))
     withK
       .withColumn("step", explode(sequence(col("_kLo"), col("_kHi"))))
@@ -60,23 +60,28 @@ object Selectors {
   }
 
   /** Instant vector selector: per (series, step), the newest sample within
-    * the lookback horizon. Output: sig, name, labels, step, t, value. */
+    * the lookback horizon — INCLUDING staleness markers, which then knock
+    * the series out for that step (a stale marker "ends" the series until a
+    * newer real sample; reference: vendor/.../promql/engine.go:1910-1916).
+    * Output: sig, name, labels, step, t, value. */
   def instant(points: DataFrame, grid: StepGrid,
               lookbackMs: Long = Points.DefaultLookbackMs): DataFrame = {
-    val exploded = explodeToSteps(dropStale(points), grid, lookbackMs)
+    val exploded = explodeToSteps(withStaleFlag(points), grid, lookbackMs)
     exploded
       .groupBy(col("sig"), col("step"))
       .agg(
-        max_by(struct(col("t"), col("value")), col("t")).as("tv"),
+        max_by(struct(col("t"), col("value"), col("stale")), col("t")).as("tv"),
         first(col("name")).as("name"),
         first(col("labels")).as("labels"))
+      .where(!col("tv.stale"))
       .select(col("sig"), col("name"), col("labels"), col("step"),
         col("tv.t").as("t"), col("tv.value").as("value"))
   }
 
   /** Range (matrix) selector: all samples per (series, step) in
-    * `(step - range, step]`, one output row per sample — feed to a range
-    * kernel (groupBy sig, step). Output: sig, name, labels, step, t, value. */
+    * `(step - range, step]`; stale markers are simply absent samples here.
+    * One output row per sample — feed to a range kernel (groupBy sig, step).
+    * Output: sig, name, labels, step, t, value. */
   def range(points: DataFrame, grid: StepGrid, rangeMs: Long): DataFrame =
     explodeToSteps(dropStale(points), grid, rangeMs)
       .select(col("sig"), col("name"), col("labels"), col("step"), col("t"), col("value"))
@@ -87,4 +92,8 @@ object Selectors {
   def dropStale(points: DataFrame): DataFrame =
     if (points.columns.contains("stale")) points.where(!col("stale")).drop("stale")
     else points
+
+  private def withStaleFlag(points: DataFrame): DataFrame =
+    if (points.columns.contains("stale")) points
+    else points.withColumn("stale", lit(false))
 }

@@ -1,0 +1,50 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Runtime value kinds of the PromQL evaluator, set-oriented: every kind is a
+  * DataFrame spanning ALL grid steps at once (the reference evaluates
+  * step-by-step in a loop, vendor/.../promql/engine.go:1112; we evaluate the
+  * whole grid as one relational plan).
+  *
+  *  - [[VectorVal]]: instant vector — one row per (series, step).
+  *    Columns: sig LONG, name STRING, labels MAP, step LONG, t LONG, value DOUBLE.
+  *  - [[MatrixVal]]: range vector — all window samples per (series, step),
+  *    same columns, plus the window length that produced it (rate/increase
+  *    extrapolation needs it).
+  *  - [[ScalarVal]]: per-step scalar — columns: step LONG, value DOUBLE.
+  *  - [[StringVal]]: a string literal (driver-side).
+  */
+sealed trait Value
+
+final case class VectorVal(df: DataFrame) extends Value
+
+/** `windowEndMsOffset`: the range window actually ends at
+  * `step - windowEndMsOffset` in sample time (non-zero for `offset`
+  * selectors, where the output step is shifted back to query time but the
+  * samples — and the extrapolation window — live at selector time). `@`
+  * pins make the offset step-invariant via `pinnedEndMs`. */
+final case class MatrixVal(
+    df: DataFrame,
+    rangeMs: Long,
+    windowEndMsOffset: Long = 0L,
+    pinnedEndMs: Option[Long] = None) extends Value {
+  /** Column expression for the true window end (sample-time ms). */
+  def windowEnd: org.apache.spark.sql.Column = pinnedEndMs match {
+    case Some(ts) => org.apache.spark.sql.functions.lit(ts)
+    case None => org.apache.spark.sql.functions.col("step") - windowEndMsOffset
+  }
+}
+final case class ScalarVal(df: DataFrame, const: Option[Double] = None) extends Value
+final case class StringVal(s: String) extends Value
+
+/** Everything an evaluation needs: the points relation, the step grid, and
+  * engine knobs (lookback horizon = reference 5m default,
+  * src/internal/metric-store/metric_store.go:301; default subquery
+  * resolution = reference 1m, metric_store.go:234-244). */
+final case class EvalContext(
+    spark: SparkSession,
+    points: DataFrame,
+    grid: StepGrid,
+    lookbackMs: Long = 300000L,
+    defaultSubqueryStepMs: Long = 60000L)

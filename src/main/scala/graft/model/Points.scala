@@ -33,10 +33,10 @@ object Points {
     * / separators (cannot appear in sanitized label text). */
   def canonical(labels: Column): Column =
     concat_ws(
-      "",
+      "\u0001",
       transform(
         array_sort(map_entries(labels)),
-        e => concat_ws("", e.getField("key"), e.getField("value"))))
+        e => concat_ws("\u0002", e.getField("key"), e.getField("value"))))
 
   /** Series signature over labels only (vector-matching joins use this with
     * restricted label subsets). */

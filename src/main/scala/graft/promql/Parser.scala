@@ -42,8 +42,10 @@ object Parser {
       case Op(o, _) => o == s
       case _ => false
     }
+    // keywords (by/without/on/.../and/or/unless and aggregator names) are
+    // case-insensitive in PromQL; metric/label/function names are not
     private def isIdent(s: String): Boolean = cur match {
-      case Ident(i, _) => i == s
+      case Ident(i, _) => i.equalsIgnoreCase(s)
       case _ => false
     }
     private def eat(s: String): Boolean =
@@ -68,7 +70,7 @@ object Parser {
 
     private def peekBinOp(ops: Set[String]): Option[String] = cur match {
       case Op(o, _) if ops(o) => Some(o)
-      case Ident(i, _) if ops(i) => Some(i)
+      case Ident(i, _) if ops(i.toLowerCase) => Some(i.toLowerCase)
       case _ => None
     }
 
@@ -158,8 +160,8 @@ object Parser {
         expect(")")
         ParenExpr(e)
       case Op("{", _) => parseVectorSelector(None)
-      case Ident(name, _) if aggregators(name) && peekIsAggStart() =>
-        parseAggregate(name)
+      case Ident(name, _) if aggregators(name.toLowerCase) && peekIsAggStart() =>
+        parseAggregate(name.toLowerCase)
       case Ident(name, p) =>
         advance()
         if (isOp("(")) parseCall(name, p)
@@ -173,7 +175,7 @@ object Parser {
       val next = toks(pos + 1)
       next match {
         case Op("(", _) => true
-        case Ident("by", _) | Ident("without", _) => true
+        case Ident(kw, _) => kw.equalsIgnoreCase("by") || kw.equalsIgnoreCase("without")
         case _ => false
       }
     }
