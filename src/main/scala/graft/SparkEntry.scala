@@ -33,7 +33,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // §2.1 storage scan + §2.3-analog relational aggregation (TPC-H Q1 shape)
     "q1_agg" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -51,12 +52,12 @@ object SparkEntry {
       flat(Selectors.instant(pts, StepGrid(T_END, T_END, DAY), lookbackMs = DAY))
     }),
 
-    // §2.2 range (matrix) selector: all samples in (step-2d, step] per step
+    // §2.2 range (matrix) selector: all samples in [step-2d, step] per step
     "q_sel_range" -> ((s, dir) => {
       val pts = Points.eventsPoints(s, dir).where(col("name") === "purchase")
       flat(Selectors.range(pts, StepGrid(T0 + 2 * DAY, T_END, DAY), rangeMs = 2 * DAY))
     })
-  )
+  ) ++ graft.queries.PromqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -91,5 +92,5 @@ object SparkEntry {
          |)
          |SELECT p.name, p."user", steps.step, p.t, p.value
          |FROM steps JOIN p ON p.t >= steps.step - ${2 * DAY} AND p.t <= steps.step""".stripMargin
-  )
+  ) ++ graft.queries.PromqlQueries.oracle
 }

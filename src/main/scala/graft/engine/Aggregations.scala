@@ -91,9 +91,12 @@ object Aggregations {
     val p = Compiler.eval(ae.param.get, ctx)
     val gsig = if (ae.without) Points.sigOf(Labels.drop(col("labels"), ae.grouping))
                else Points.sigOf(Labels.keep(col("labels"), ae.grouping))
+    // tie-break on (name, canonical labels): deterministic AND reproducible
+    // by an external oracle (a hash tiebreak would not be)
+    val tieBreak = Seq(col("name").asc_nulls_first, Points.canonical(col("labels")).asc)
     val ordered =
-      if (ae.op == "topk") Seq(isnan(col("value")).asc, col("value").desc, col("sig").asc)
-      else Seq(isnan(col("value")).asc, col("value").asc, col("sig").asc)
+      if (ae.op == "topk") Seq(isnan(col("value")).asc, col("value").desc) ++ tieBreak
+      else Seq(isnan(col("value")).asc, col("value").asc) ++ tieBreak
     val w = Window.partitionBy(col("_gsig"), col("step")).orderBy(ordered: _*)
     val kCol = when(isnan(col("_p")), lit(0L)).otherwise(col("_p").cast("long"))
     val out = withParam(v.df, p)

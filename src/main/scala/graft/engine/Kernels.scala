@@ -35,17 +35,20 @@ object Kernels {
     val s = sorted(samples)
     val rangeStart = step - rangeMs
     val rangeEnd = step
-    var result = s.last._2 - s.head._2
+    // corrections accumulated separately, then added once: same float
+    // association as an external (last-first)+sum(corrections) oracle
+    var corr = 0.0
     if (isCounter) {
       var last = s.head._2
       var i = 1
       while (i < s.length) {
         val v = s(i)._2
-        if (v < last) result += last
+        if (v < last) corr += last
         last = v
         i += 1
       }
     }
+    val result = s.last._2 - s.head._2 + corr
     var durationToStart = (s.head._1 - rangeStart).toDouble / 1000.0
     val durationToEnd = (rangeEnd - s.last._1).toDouble / 1000.0
     val sampledInterval = (s.last._1 - s.head._1).toDouble / 1000.0

@@ -64,7 +64,9 @@ object Points {
     withSig(
       events.select(
         col("event_type").as("name"),
-        map(lit("user"), col("user_id").cast("string")).as("labels"),
+        map(
+          lit("user"), col("user_id").cast("string"),
+          lit("par"), pmod(col("user_id"), lit(3)).cast("string")).as("labels"),
         tMs.as("t"),
         col("value").as("value")))
   }
