@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Every operator here is linear (explode → hash-partition → aggregate) or
+  * candidate-bounded (LSH banding) — no O(n²) pass touches the full corpus,
+  * so each survives a 1000-executor scale-up:
+  *
+  *  - exact: one hash aggregation on the content key (map-side combined).
+  *  - MinHash+LSH: shingle explode (linear) → per-doc signature (one agg) →
+  *    band explode (constant ×B) → bucket self-join (only colliding bands
+  *    shuffle) → candidate pairs. The full-corpus cross join never exists.
+  *  - SimHash: per-doc 16-bit signature in one aggregation; pairing is done
+  *    on signature buckets (exact-match or prefix bands), not all-pairs.
+  *  - n-gram Jaccard: exact verification join on shared shingles — meant to
+  *    run AFTER candidate generation (LSH) at scale; the gate query bounds
+  *    it to a doc_id prefix instead.
+  *
+  * Hash = md5 (Spark and any SQL oracle agree bit-for-bit on it); min() over
+  * hex strings is order-isomorphic to min over the numeric hash value.
+  */
+object Dedup {
+
+  /** Whitespace tokens of `text`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact dedup: one row per distinct text with the surviving doc_id
+    * (smallest) and the duplicate count. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"), length(col("text")).as("n_chars"))
+
+  /** Per-doc MinHash signature columns over the token set:
+    * sig_i = min(md5(i || '|' || token)). */
+  private def minhashSigs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("tok")))).as(s"sig$i"))
+
+  /** MinHash+LSH candidate pairs: `numHashes` signatures, bands of
+    * `rowsPerBand`; two docs are candidates iff some band matches exactly.
+    * Returns (doc_a, doc_b) with doc_a < doc_b, distinct. */
+  def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sigs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(minhashSigs(numHashes).head, minhashSigs(numHashes).tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat(parts: _*).as("bv"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over the token multiset: bit j is the sign of the vote
+    * sum where each token votes ±1 according to bit j of its md5. Output:
+    * (doc_id, simhash LONG). Near-dup pairing then buckets on the signature
+    * (or bands of it) rather than comparing all pairs. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val bits: Seq[Column] = (0 until 16).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Exact token-set Jaccard ≥ `threshold` pairs via a shared-token join:
+    * |A∩B| from the join, |A|/|B| from per-doc distinct counts — the only
+    * float op is the final single division (bit-stable for any oracle).
+    * At scale this runs on LSH candidates; `docFilter` bounds the gate. */
+  def ngramJaccard(docs: DataFrame, threshold: Double,
+                   docFilter: Column = lit(true)): DataFrame = {
+    val tok = docs.where(docFilter)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver-gate queries for the training-data pipeline operators (dedup,
+  * similarity search, text analysis, multimodal plumbing) over the
+  * `documents` and `embeddings` tables, with DuckDB oracles. Hashes are md5
+  * and ratios are single divisions so both engines produce bit-identical
+  * doubles before rounding.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minHashLsh(docs(s, dir), 16, 2)),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simHash(docs(s, dir))),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), 0.5, col("doc_id") < 100)),
+    "q_dedup_emb_cos" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), 0.4, col("vec_id") < 200)),
+    "q_sim_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), 3)
+    }),
+    "q_sim_lsh_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.annTopK(e, e.where(col("vec_id") < 10), 3, bits = 4)
+    }),
+    "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    "q_text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "q_text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
+    "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir)))
+  )
+
+  // ---- oracles ---------------------------------------------------------
+
+  private val dotTerms = (1 to 64)
+    .map(i => s"CAST(qe[$i] AS DOUBLE) * CAST(ce[$i] AS DOUBLE)").mkString(" + ")
+  private def selfDot(v: String) = (1 to 64)
+    .map(i => s"CAST($v[$i] AS DOUBLE) * CAST($v[$i] AS DOUBLE)").mkString(" + ")
+
+  private val minhashSigsSql = (0 until 16)
+    .map(i => s"min(md5('$i' || '|' || tok)) AS sig$i").mkString(", ")
+  private val bandsSql = (0 until 8).map { b =>
+    s"SELECT doc_id, $b AS band, sig${2 * b} || sig${2 * b + 1} AS bv FROM sig"
+  }.mkString("\nUNION ALL ")
+
+  private val simhashVotes = (0 until 16).map { j =>
+    s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j"
+  }.mkString(", ")
+  private val simhashBits = (0 until 16)
+    .map(j => s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+
+  private val stopEn = "('the','a','of','to','and','in','is')"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, length(text) AS n_chars
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |sig AS (SELECT doc_id, $minhashSigsSql FROM tok GROUP BY doc_id),
+         |banded AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |v AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id)
+         |SELECT doc_id, $simhashBits AS simhash FROM v""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH tokd AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 100),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY doc_id),
+        |it AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM tokd a JOIN tokd b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM it
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    "q_dedup_emb_cos" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         a.embedding AS qe, b.embedding AS ce
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT vec_a, vec_b,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM pairs)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4""".stripMargin,
+
+    "q_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM pairs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  round(CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopEn)) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / length(text), 6) AS punct_ratio,
+         |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS avg_tok_len
+         |FROM documents""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $stopEn)) AS s_en,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','das','ist'))) AS s_de,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ('el','la','y','de','es'))) AS s_es,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','de','est'))) AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM sc""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(w) >= 5 THEN
+        |    list_min(list_transform(generate_series(1, len(w) - 4),
+        |      i -> md5(array_to_string(w[i:i+4], ' '))))
+        |  ELSE md5(text) END AS fingerprint
+        |FROM t""".stripMargin,
+
+    "q_mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 256 + 1 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 256 + 1 AS INT) AS height,
+        |  3 AS channels
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup keeps one row per distinct text") {
+    val d = Dedup.exact(docs)
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.agg(sum("n_dups")).head.getLong(0) == docs.count())
+  }
+
+  test("ngram jaccard is bounded and excludes self-pairs") {
+    val j = Dedup.ngramJaccard(docs, 0.0, col("doc_id") < 30).collect()
+    assert(j.nonEmpty)
+    assert(j.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(j.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("minhash candidates are a superset of high-jaccard pairs") {
+    // any pair with identical token sets must share every band
+    val sim = Dedup.minHashLsh(docs.limit(50).union(docs.limit(50)), 16, 2)
+    assert(sim.count() >= 50) // each duplicated doc pairs with its twin
+  }
+
+  test("simhash emits one 16-bit signature per doc") {
+    val s = Dedup.simHash(docs)
+    assert(s.count() == docs.count())
+    assert(s.where(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0)
+  }
+
+  test("brute-force topk: self excluded, cosine in [-1,1], k ranks") {
+    val t = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), 3).collect()
+    assert(t.length == 15)
+    assert(t.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(t.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("ann results are a subset of brute-force rankings' candidates") {
+    val ann = Similarity.annTopK(emb, emb.where(col("vec_id") < 5), 3, bits = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), 500)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(bf))
+  }
+
+  test("text analysis: counts positive, langid total, fingerprint deterministic") {
+    assert(TextAnalysis.tokenCounts(docs).where(col("n_ws_tokens") <= 0).count() == 0)
+    assert(TextAnalysis.langId(docs).count() == docs.count())
+    val f1 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val f2 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(f1 == f2)
+  }
+
+  test("multimodal stub: metadata matches payload size") {
+    val m = Multimodal.decodeMeta(spark, docs).collect()
+    assert(m.length == docs.count())
+    assert(m.forall(x => x.width == (x.n_bytes % 256) + 1 && x.channels == 3))
+    val fr = Multimodal.sampleFrames(spark, docs, everyK = 64)
+    assert(fr.count() > 0)
+  }
+}
