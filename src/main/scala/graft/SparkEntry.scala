@@ -57,7 +57,8 @@ object SparkEntry {
       val pts = Points.eventsPoints(s, dir).where(col("name") === "purchase")
       flat(Selectors.range(pts, StepGrid(T0 + 2 * DAY, T_END, DAY), rangeMs = 2 * DAY))
     })
-  ) ++ graft.queries.PromqlQueries.queries ++ graft.queries.PipelineQueries.queries
+  ) ++ graft.queries.PromqlQueries.queries ++ graft.queries.PipelineQueries.queries ++
+    graft.queries.RollupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -92,5 +93,6 @@ object SparkEntry {
          |)
          |SELECT p.name, p."user", steps.step, p.t, p.value
          |FROM steps JOIN p ON p.t >= steps.step - ${2 * DAY} AND p.t <= steps.step""".stripMargin
-  ) ++ graft.queries.PromqlQueries.oracle ++ graft.queries.PipelineQueries.oracle
+  ) ++ graft.queries.PromqlQueries.oracle ++ graft.queries.PipelineQueries.oracle ++
+    graft.queries.RollupQueries.oracle
 }

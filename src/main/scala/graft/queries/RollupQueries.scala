@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Rollups
+import graft.rules.Rules
+
+/** Gate queries for the ingest-side streaming operators (SURVEY §2.8),
+  * run through the batch-equivalent path (the same column logic drives
+  * the readStream variant) over `events` viewed as timer envelopes:
+  * source_id = event_type, start = ts, stop = ts + value milliseconds.
+  */
+object RollupQueries {
+
+  private val DAY = QueryKit.DAY
+
+  /** events → timer-envelope relation (timestamp/start/stop in ns). */
+  private def timers(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsNs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => expr("unix_micros(ts) * 1000")
+    }
+    ev.select(
+      col("event_type").as("source_id"),
+      tsNs.as("timestamp"),
+      tsNs.as("start"),
+      (tsNs + (col("value") * 1000000L).cast("long")).as("stop"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup_counter" -> ((s, dir) =>
+      Rollups.counterRollup(timers(s, dir), DAY)),
+    "q_rollup_histogram" -> ((s, dir) =>
+      Rollups.histogramRollup(timers(s, dir), DAY)
+        .withColumn("value", round(col("value"), 6))),
+    "q_rule_recording" -> ((s, dir) => {
+      val out = Rules.recordingTick(s, graft.model.Points.eventsPoints(s, dir),
+        Rules.RecordingRule("par:click:sum", "sum by (par) (click)",
+          Map("rule_group" -> "g1")),
+        QueryKit.T0 + 10 * DAY, lookbackMs = DAY)
+      out.select(col("name"), col("labels").getItem("par").as("par"),
+        col("labels").getItem("rule_group").as("rule_group"),
+        col("t"), round(col("value"), 6).as("value"))
+    })
+  )
+
+  private val bucketSelects = Rollups.DefaultBuckets.zipWithIndex.map { case (b, i) =>
+    s"SELECT w AS window_start, sid AS source_id, '$b' AS le, round(CAST(le_$i AS DOUBLE), 6) AS value, 'bucket' AS kind FROM agg"
+  }.mkString("\nUNION ALL ")
+  private val bucketAggs = Rollups.DefaultBuckets.zipWithIndex.map { case (b, i) =>
+    s"sum(CASE WHEN dur <= $b THEN 1 ELSE 0 END) AS le_$i"
+  }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q_rollup_counter" ->
+      s"""SELECT (epoch_us(ts) // 1000 // $DAY) * $DAY AS window_start,
+         |       event_type AS source_id, count(*) AS value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_rollup_histogram" ->
+      s"""WITH base AS (
+         |  SELECT (epoch_us(ts) // 1000 // $DAY) * $DAY AS w,
+         |         event_type AS sid, value / 1000.0 AS dur
+         |  FROM events),
+         |agg AS (
+         |  SELECT w, sid, $bucketAggs, count(*) AS cnt, sum(dur) AS dsum
+         |  FROM base GROUP BY 1, 2)
+         |$bucketSelects
+         |UNION ALL SELECT w, sid, '+Inf', CAST(cnt AS DOUBLE), 'bucket' FROM agg
+         |UNION ALL SELECT w, sid, CAST(NULL AS VARCHAR), CAST(cnt AS DOUBLE), 'count' FROM agg
+         |UNION ALL SELECT w, sid, CAST(NULL AS VARCHAR), round(dsum, 6), 'sum' FROM agg""".stripMargin,
+
+    "q_rule_recording" -> {
+      val at = QueryKit.T0 + 10 * DAY
+      QueryKit.withClauses(QueryKit.pSql,
+        QueryKit.stepsSql(at, at, DAY),
+        QueryKit.instSql(DAY, "p.name = 'click'")) +
+        s"""
+           |SELECT 'par:click:sum' AS name, par, 'g1' AS rule_group,
+           |       round(sum(value), 6) AS value, step AS t
+           |FROM inst GROUP BY par, step""".stripMargin
+    }
+  )
+}

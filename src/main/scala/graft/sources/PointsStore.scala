@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned parquet storage for the points relation — the Spark
+  * mapping of the reference's 24-hour TSM shards (SURVEY §1.3/§1.4):
+  *
+  *  - one partition directory per UTC day (`date=YYYY-MM-DD`), so Catalyst
+  *    partition pruning replaces the reference's shard pruning by time range
+  *    (reference: influx_adapter.go:364-389);
+  *  - retention = whole-partition deletion, the analog of shard expiry
+  *    (reference: persistence/store.go:158-214);
+  *  - appends are plain parquet appends into the day partition — the
+  *    streaming sink (`foreachBatch`) and the batch writer share this.
+  *
+  * At 100 TB: day partitions keep any time-bounded query to the touched
+  * days only; within a day, files are splittable parquet scanned in
+  * parallel by every executor. For heavy per-series workloads, an optional
+  * repartition by name spreads series files so a selector for one metric
+  * prunes by partition AND row-group stats.
+  */
+object PointsStore {
+
+  /** Write points (sig/name/labels/t/value) partitioned by UTC day. */
+  def append(points: DataFrame, path: String): Unit =
+    points
+      .withColumn("date", to_date(timestamp_millis(col("t"))))
+      .write
+      .partitionBy("date")
+      .mode(SaveMode.Append)
+      .parquet(path)
+
+  /** Read back, pruning day partitions to [startMs-slackMs, endMs]. The
+    * slack covers lookback/range windows that reach before the grid start. */
+  def read(spark: SparkSession, path: String,
+           startMs: Long, endMs: Long, slackMs: Long = 0L): DataFrame =
+    spark.read.parquet(path)
+      .where(col("date") >= to_date(timestamp_millis(lit(startMs - slackMs))) &&
+        col("date") <= to_date(timestamp_millis(lit(endMs))))
+      .drop("date")
+
+  /** Retention: drop whole day partitions older than the cutoff —
+    * the reference deletes whole 24 h shards, never individual rows. */
+  def expire(spark: SparkSession, path: String, cutoffMs: Long): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Nil
+    val cutoff = java.time.Instant.ofEpochMilli(cutoffMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val dropped = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("date=") &&
+          java.time.LocalDate.parse(p.getName.stripPrefix("date=")).isBefore(cutoff)
+      }
+    dropped.foreach(p => fs.delete(p, true))
+    dropped.map(_.toString)
+  }
+}

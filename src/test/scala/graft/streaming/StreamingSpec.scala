@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rules.Rules
+import graft.sources.PointsStore
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val envSchema = StructType(Seq(
+    StructField("source_id", StringType), StructField("timestamp", LongType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("kind", StringType),
+    StructField("gauge", MapType(StringType, DoubleType)),
+    StructField("name", StringType), StructField("total", DoubleType),
+    StructField("start", LongType), StructField("stop", LongType)))
+
+  private def envelopes(rows: Seq[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), envSchema)
+
+  test("nozzle: gauge fans out per metric, counter keeps total, sanitization applies") {
+    val ns = 1704067200L * 1000000000L
+    val envFixed = envelopes(Seq(
+      Row("app-1", ns, Map("deployment" -> "cf"), "gauge",
+        Map("cpu" -> 0.5, "mem%used" -> 77.0), null, null, null, null),
+      Row("app-1", ns, Map("bad tag!" -> ("x" * 300)), "counter",
+        null, "9http.requests", 42.0, null, null),
+      Row("app-1", ns, null, "counter", null, "ok_name", Double.NaN, null, null)))
+    val pts = Nozzle.toPoints(envFixed).collect()
+    assert(pts.length == 3) // 2 gauge metrics + 1 counter; NaN rejected
+    val names = pts.map(_.getAs[String]("name")).toSet
+    assert(names.contains("cpu"))
+    assert(names.contains("mem_used")) // '%' sanitized
+    assert(names.contains("_http_requests")) // leading digit -> '_'
+    val counterRow = pts.find(_.getAs[String]("name") == "_http_requests").get
+    val labels = counterRow.getAs[Map[String, String]]("labels")
+    assert(labels.contains("bad_tag_"))
+    assert(labels("bad_tag_").length == 256) // value truncation
+    assert(labels("source_id") == "app-1")
+  }
+
+  test("streaming counter rollup over a memory stream matches batch rollup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val timers = mem.toDF().toDF("source_id", "timestamp", "start", "stop")
+    val agg = Rollups.streamingCounterRollup(timers, 60000L)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_out").start()
+    val base = 1704067200L * 1000000000L
+    mem.addData(
+      ("gorouter", base, base, base + 5000000L),
+      ("gorouter", base + 30L * 1000000000L, base, base),
+      ("gorouter", base + 90L * 1000000000L, base, base),
+      ("other", base, base, base))
+    q.processAllAvailable()
+    val got = spark.table("rollup_out").collect()
+      .map(r => (r.getAs[Long]("window_start"), r.getAs[String]("source_id"), r.getAs[Long]("value")))
+      .toSet
+    q.stop()
+    val expected = Set(
+      (1704067200000L, "gorouter", 2L),
+      (1704067260000L, "gorouter", 1L),
+      (1704067200000L, "other", 1L))
+    assert(got == expected)
+  }
+
+  test("points store: partitioned write, pruned read, retention drop") {
+    val dir = Files.createTempDirectory("pts").toString
+    val day1 = 1704067200000L
+    val day3 = day1 + 2 * 86400000L
+    val pts = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("m", Map("a" -> "1"), day1 + 10L, 1.0),
+        Row("m", Map("a" -> "1"), day3 + 10L, 3.0)), 1),
+      StructType(Seq(
+        StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+        StructField("t", LongType), StructField("value", DoubleType)))))
+    PointsStore.append(pts, dir)
+    assert(PointsStore.read(spark, dir, day1, day1 + 1000).count() == 1)
+    assert(PointsStore.read(spark, dir, day1, day3 + 1000000).count() == 2)
+    val dropped = PointsStore.expire(spark, dir, day3)
+    assert(dropped.length == 1)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("alerting rule: pending -> firing with for:, resolves on absence") {
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pts(rows: Seq[Row]) = graft.model.Points.withSig(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    val rule = Rules.AlertingRule("HighLoad", "load > 10", forMs = 120000L)
+    val t1 = 1704067200000L
+    val high = Seq(Row("load", Map("job" -> "x"), t1, 50.0))
+    // tick 1: condition true -> pending, not firing
+    val (s1, f1) = Rules.alertingTick(spark, pts(high), rule, Rules.emptyState(spark), t1)
+    assert(s1.count() == 1 && f1.count() == 0)
+    // tick 2 at +2min: still true -> firing
+    val high2 = Seq(Row("load", Map("job" -> "x"), t1 + 120000L, 50.0))
+    val (s2, f2) = Rules.alertingTick(spark, pts(high2), rule, s1, t1 + 120000L)
+    assert(f2.count() == 1)
+    assert(f2.head.getAs[String]("alertname") == "HighLoad")
+    // tick 3: condition gone -> state empties
+    val low = Seq(Row("load", Map("job" -> "x"), t1 + 240000L, 1.0))
+    val (s3, f3) = Rules.alertingTick(spark, pts(low), rule, s2, t1 + 240000L)
+    assert(s3.count() == 0 && f3.count() == 0)
+  }
+}
