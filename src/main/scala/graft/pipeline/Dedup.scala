@@ -43,12 +43,15 @@ object Dedup {
   /** MinHash+LSH candidate pairs: `numHashes` signatures, bands of
     * `rowsPerBand`; two docs are candidates iff some band matches exactly.
     * Returns (doc_a, doc_b) with doc_a < doc_b, distinct. */
-  def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+  def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sigs = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"))
       .agg(minhashSigs(numHashes).head, minhashSigs(numHashes).tail: _*)
+      // the signature subplan feeds BOTH sides of the bucket self-join —
+      // without this the token explode + 16-way min agg runs twice
+      .cache()
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat(parts: _*).as("bv"))

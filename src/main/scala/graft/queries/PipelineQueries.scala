@@ -18,7 +18,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
-    "q_dedup_minhash" -> ((s, dir) => Dedup.minHashLsh(docs(s, dir), 16, 2)),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minHashLsh(docs(s, dir), 16, 4)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simHash(docs(s, dir))),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), 0.5, col("doc_id") < 100)),
@@ -49,8 +49,9 @@ object PipelineQueries {
 
   private val minhashSigsSql = (0 until 16)
     .map(i => s"min(md5('$i' || '|' || tok)) AS sig$i").mkString(", ")
-  private val bandsSql = (0 until 8).map { b =>
-    s"SELECT doc_id, $b AS band, sig${2 * b} || sig${2 * b + 1} AS bv FROM sig"
+  private val bandsSql = (0 until 4).map { b =>
+    val parts = (0 until 4).map(r => s"sig${4 * b + r}").mkString(" || ")
+    s"SELECT doc_id, $b AS band, $parts AS bv FROM sig"
   }.mkString("\nUNION ALL ")
 
   private val simhashVotes = (0 until 16).map { j =>
