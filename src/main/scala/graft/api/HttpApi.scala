@@ -1,0 +1,202 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Engine
+
+/** Prometheus HTTP API v1 surface over the engine (reference:
+  * src/internal/api/prom_api.go:74-108 routing the vendored
+  * web/api/v1 handler set):
+  *
+  *   GET /api/v1/query?query=&time=        → instant vector/scalar
+  *   GET /api/v1/query_range?query=&start=&end=&step=
+  *   GET /api/v1/labels
+  *   GET /api/v1/label/<name>/values
+  *   GET /api/v1/series?match[]=&start=&end=
+  *
+  * JSON bodies follow the Prometheus response envelope
+  * {"status":"success","data":{...}}. The server is the JDK built-in
+  * HttpServer — the API layer is driver-side presentation; all heavy
+  * lifting stays in the distributed plan, and only result-sized data is
+  * collected for serialization.
+  */
+final class HttpApi(spark: SparkSession, points: DataFrame,
+                    lookbackMs: Long = 300000L) {
+
+  private var server: HttpServer = _
+
+  def start(port: Int): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/api/v1/query_range", (ex: HttpExchange) => handle(ex)(queryRange))
+    server.createContext("/api/v1/query", (ex: HttpExchange) => handle(ex)(instant))
+    server.createContext("/api/v1/labels", (ex: HttpExchange) => handle(ex)(_ => labels()))
+    server.createContext("/api/v1/label/", (ex: HttpExchange) => handle(ex)(labelValues))
+    server.createContext("/api/v1/series", (ex: HttpExchange) => handle(ex)(series))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- handlers --------------------------------------------------------
+
+  private def handle(ex: HttpExchange)(f: HttpExchange => String): Unit = {
+    val (code, body) =
+      try (200, f(ex))
+      catch {
+        case e: Throwable =>
+          (422, s"""{"status":"error","errorType":"execution","error":${Json.str(rootMsg(e))}}""")
+      }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def rootMsg(e: Throwable): String = {
+    var c = e
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    Option(c.getMessage).getOrElse(c.toString).split("\n").head
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  /** Prometheus times are unix seconds (fractional allowed). */
+  private def ms(s: String): Long = (s.toDouble * 1000).toLong
+
+  private def instant(ex: HttpExchange): String = {
+    val p = params(ex)
+    val ts = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000.0).toString))
+    val out = Engine.instantQuery(spark, points, p("query"), ts, lookbackMs)
+    if (out.columns.contains("labels")) {
+      val rows = out.collect().map { r =>
+        val metric = metricJson(Option(r.getAs[String]("name")), r.getAs[Map[String, String]]("labels"))
+        s"""{"metric":$metric,"value":${sample(r.getAs[Long]("t"), r.getAs[Double]("value"))}}"""
+      }
+      envelope("vector", rows.mkString("[", ",", "]"))
+    } else {
+      val r = out.collect().head
+      envelope("scalar", sample(r.getAs[Long]("t"), r.getAs[Double]("value")))
+    }
+  }
+
+  private def queryRange(ex: HttpExchange): String = {
+    val p = params(ex)
+    val out = Engine.rangeQuery(spark, points, p("query"),
+      ms(p("start")), ms(p("end")), ms(p("step")), lookbackMs)
+    val rows = out.collect()
+    if (out.columns.contains("labels")) {
+      val bySeries = rows.groupBy(r =>
+        (Option(r.getAs[String]("name")), r.getAs[Map[String, String]]("labels")))
+      val items = bySeries.toSeq.sortBy(_._1.toString).map { case ((name, labels), rs) =>
+        val vals = rs.sortBy(_.getAs[Long]("t"))
+          .map(r => sample(r.getAs[Long]("t"), r.getAs[Double]("value")))
+        s"""{"metric":${metricJson(name, labels)},"values":${vals.mkString("[", ",", "]")}}"""
+      }
+      envelope("matrix", items.mkString("[", ",", "]"))
+    } else {
+      val vals = rows.sortBy(_.getAs[Long]("t"))
+        .map(r => sample(r.getAs[Long]("t"), r.getAs[Double]("value")))
+      envelope("matrix", s"""[{"metric":{},"values":${vals.mkString("[", ",", "]")}}]""")
+    }
+  }
+
+  /** All label names across the store, __name__ included
+    * (reference fan-out analog: replicated_querier.go:214-283). */
+  private def labels(): String = {
+    val names = points.select(explode(map_keys(col("labels"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    s"""{"status":"success","data":${Json.arr(("__name__" +: names.toSeq).distinct.sorted)}}"""
+  }
+
+  private def labelValues(ex: HttpExchange): String = {
+    val path = ex.getRequestURI.getPath // /api/v1/label/<name>/values
+    val label = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
+    val vals =
+      if (label == "__name__")
+        points.select(col("name")).where(col("name").isNotNull).distinct()
+          .collect().map(_.getString(0))
+      else
+        points.select(element_at(col("labels"), label).as("v"))
+          .where(col("v").isNotNull).distinct().collect().map(_.getString(0))
+    s"""{"status":"success","data":${Json.arr(vals.sorted.toSeq)}}"""
+  }
+
+  private def series(ex: HttpExchange): String = {
+    val p = params(ex)
+    val sel = p.getOrElse("match[]", p.getOrElse("match%5B%5D", "{}"))
+    val (start, end) = (ms(p.getOrElse("start", "0")),
+      ms(p.getOrElse("end", (System.currentTimeMillis() / 1000.0).toString)))
+    val parsed = graft.promql.Parser.parse(sel) match {
+      case vs: graft.promql.VectorSelector => vs
+      case _ => throw new IllegalArgumentException("match[] must be a selector")
+    }
+    val filtered = points
+      .where(col("t") >= start && col("t") <= end)
+      .where(graft.engine.Compiler.matcherFilter(parsed.matchers))
+    val named = parsed.name match {
+      case Some(n) => filtered.where(col("name") === n)
+      case None => filtered
+    }
+    // distinct on a MapType column is unsupported — dedup on the series sig
+    val rows = named
+      .groupBy(graft.model.Points.sigOf(col("name"), col("labels")).as("_s"))
+      .agg(first(col("name")).as("name"), first(col("labels")).as("labels"))
+      .collect()
+      .map(r => metricJson(Option(r.getAs[String]("name")), r.getAs[Map[String, String]]("labels")))
+      .sorted
+    s"""{"status":"success","data":${rows.mkString("[", ",", "]")}}"""
+  }
+
+  // ---- JSON ------------------------------------------------------------
+
+  private def envelope(resultType: String, result: String): String =
+    s"""{"status":"success","data":{"resultType":"$resultType","result":$result}}"""
+
+  /** Prometheus sample: [unixSeconds, "value"]. */
+  private def sample(tMs: Long, v: Double): String = {
+    val ts = if (tMs % 1000 == 0) (tMs / 1000).toString else (tMs / 1000.0).toString
+    s"""[$ts,${Json.str(Json.num(v))}]"""
+  }
+
+  private def metricJson(name: Option[String], labels: Map[String, String]): String = {
+    val all = name.filter(_.nonEmpty).map(n => Map("__name__" -> n)).getOrElse(Map.empty) ++
+      Option(labels).getOrElse(Map.empty)
+    all.toSeq.sorted.map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
+      .mkString("{", ",", "}")
+  }
+}
+
+private object Json {
+  def str(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Go-style shortest float formatting for sample values. */
+  def num(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v.isPosInfinity) "+Inf"
+    else if (v.isNegInfinity) "-Inf"
+    else if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  def arr(xs: Seq[String]): String = xs.map(str).mkString("[", ",", "]")
+}

@@ -145,7 +145,8 @@ object BinOps {
         // many-to-many detection: a duplicate signature on either side of a
         // 1:1 match is an error in PromQL (engine.go:2253-2302)
         val joined = lhs.join(
-          dupGuard(rhs, "_rv", "many-to-many matching not allowed: matching labels must be unique on one side"),
+          dupGuard(rhs, "_rv", Seq("_rlabels"),
+            "many-to-many matching not allowed: matching labels must be unique on one side"),
           Seq("_msig", "step"))
         val out =
           if (arithOps(be.op))
@@ -169,7 +170,7 @@ object BinOps {
         val oneSide = dupGuard(
           one.withColumn("_msig", msig(m))
             .select(col("_msig"), col("step"), col("value").as("_ov"), col("labels").as("_olabels")),
-          "_ov",
+          "_ov", Seq("_olabels"),
           "multiple matches for labels: grouping labels must ensure unique matches")
         val joined = many.withColumn("_msig", msig(m)).join(oneSide, Seq("_msig", "step"))
         val (lc, rc) =
@@ -195,10 +196,16 @@ object BinOps {
     * (_msig, step) with >1 row makes the query fail in the executor,
     * mirroring the reference's duplicate-match errors — no separate
     * driver-side action, and Catalyst cannot prune it because the guarded
-    * column IS the output value. */
-  private def dupGuard(df: DataFrame, valueCol: String, msg: String): DataFrame = {
-    val w = Window.partitionBy(col("_msig"), col("step"))
-    df.withColumn("_cnt", count(lit(1)).over(w))
+    * column IS the output value.
+    *
+    * Shape: a hash aggregation (partial+final, no sort) rather than a
+    * window — at scale this also DEDUPLICATES the join side, so the join
+    * probe stream stays result-sized even on pathological inputs. */
+  private def dupGuard(df: DataFrame, valueCol: String, otherCols: Seq[String],
+                       msg: String): DataFrame = {
+    val keep = otherCols.map(c => first(col(c)).as(c)) :+ count(lit(1)).as("_cnt")
+    df.groupBy(col("_msig"), col("step"))
+      .agg(first(col(valueCol)).as(valueCol), keep: _*)
       .withColumn(valueCol,
         when(col("_cnt") > 1, raise_error(lit(msg)).cast("double")).otherwise(col(valueCol)))
       .drop("_cnt")

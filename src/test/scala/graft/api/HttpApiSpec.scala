@@ -1,0 +1,69 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HttpApiSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+    StructField("t", LongType), StructField("value", DoubleType)))
+
+  private def points = graft.model.Points.withSig(spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row("http_total", Map("job" -> "api", "instance" -> "0"), 60000L, 10.0),
+      Row("http_total", Map("job" -> "api", "instance" -> "1"), 60000L, 20.0),
+      Row("up", Map("job" -> "api"), 60000L, 1.0)), 1), schema))
+
+  private def get(port: Int, path: String): String = {
+    val client = HttpClient.newHttpClient()
+    val encoded = path.replace(" ", "%20").replace("[", "%5B").replace("]", "%5D")
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$encoded")).GET().build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  test("instant query, labels, label values, series over HTTP") {
+    val api = new HttpApi(spark, points)
+    val port = api.start(0)
+    try {
+      val v = get(port, "/api/v1/query?query=sum(http_total)&time=120")
+      assert(v.contains(""""resultType":"vector""""))
+      assert(v.contains(""""value":[120,"30"]"""))
+
+      val s = get(port, "/api/v1/query?query=scalar(sum(http_total))&time=120")
+      assert(s.contains(""""resultType":"scalar""""))
+
+      val r = get(port, "/api/v1/query_range?query=sum by (job) (http_total)&start=60&end=180&step=60")
+      assert(r.contains(""""resultType":"matrix""""))
+      assert(r.contains(""""job":"api""""))
+
+      val l = get(port, "/api/v1/labels")
+      assert(l.contains("__name__") && l.contains("instance") && l.contains("job"))
+
+      val lv = get(port, "/api/v1/label/__name__/values")
+      assert(lv.contains("http_total") && lv.contains("up"))
+
+      val inst = get(port, "/api/v1/label/instance/values")
+      assert(inst.contains("\"0\"") && inst.contains("\"1\""))
+
+      val se = get(port, "/api/v1/series?match[]=http_total&start=0&end=1000")
+      assert(se.contains(""""__name__":"http_total"""") && !se.contains("\"up\""))
+
+      val bad = get(port, "/api/v1/query?query=sum(")
+      assert(bad.contains(""""status":"error""""))
+    } finally api.stop()
+  }
+}
