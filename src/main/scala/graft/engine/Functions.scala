@@ -55,7 +55,9 @@ object Functions {
       overTime(args, ctx, coalesce(
         max(when(isnan(col("value")), lit(null)).otherwise(col("value"))), lit(Double.NaN)))
     case "last_over_time" =>
-      overTime(args, ctx, max_by(col("value"), col("t")), keepName = true)
+      // max(struct) instead of max_by: keeps the HashAggregate/codegen path
+      overTime(args, ctx, max(struct(col("t"), col("value"))).getField("value"),
+        keepName = true)
     case "stddev_over_time" => overTime(args, ctx, stddev_pop(col("value")))
     case "stdvar_over_time" => overTime(args, ctx, var_pop(col("value")))
     case "quantile_over_time" =>

@@ -67,10 +67,14 @@ object Selectors {
   def instant(points: DataFrame, grid: StepGrid,
               lookbackMs: Long = Points.DefaultLookbackMs): DataFrame = {
     val exploded = explodeToSteps(withStaleFlag(points), grid, lookbackMs)
+    // max over a (t, ...) struct == max_by(..., t) since t leads the struct
+    // ordering and is unique per series — but plain max is a declarative
+    // aggregate, so this stays a codegen'd HashAggregate instead of the
+    // SortAggregate that max_by (TypedImperative) would force
     exploded
       .groupBy(col("sig"), col("step"))
       .agg(
-        max_by(struct(col("t"), col("value"), col("stale")), col("t")).as("tv"),
+        max(struct(col("t"), col("value"), col("stale"))).as("tv"),
         first(col("name")).as("name"),
         first(col("labels")).as("labels"))
       .where(!col("tv.stale"))

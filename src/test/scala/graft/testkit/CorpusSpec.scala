@@ -39,11 +39,17 @@ class CorpusSpec extends AnyFunSuite {
     StructField("stale", BooleanType)))
 
   private def pointsDf(series: Seq[Series]): DataFrame = {
-    val rows = series.flatMap { s =>
-      s.samples.map(p => Row(s.name, s.labels, p.tMs, p.value, p.stale))
+    // storage is last-write-wins per (series, ts) — a later `load` line for
+    // the same series+timestamp overwrites (reference: TSM upsert semantics)
+    val dedup = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Map[String, String], Long), Row]
+    series.foreach { s =>
+      s.samples.foreach { p =>
+        dedup((s.name, s.labels, p.tMs)) = Row(s.name, s.labels, p.tMs, p.value, p.stale)
+      }
     }
     Points.withSig(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 2), schema))
+      spark.sparkContext.parallelize(dedup.values.toSeq, 2), schema))
   }
 
   private val eps = 1e-6
