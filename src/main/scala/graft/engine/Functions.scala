@@ -17,21 +17,23 @@ object Functions {
 
   def eval(fn: String, args: Seq[Expr], ctx: EvalContext): Value = fn match {
     // ---- rate / counter family (range vector -> instant vector) ----
-    case "rate" => rangeKernelExtrapolated(args, ctx, isCounter = true, isRate = true)
-    case "increase" => rangeKernelExtrapolated(args, ctx, isCounter = true, isRate = false)
-    case "delta" => rangeKernelExtrapolated(args, ctx, isCounter = false, isRate = false)
-    case "irate" => rangeKernelUdf(args, ctx, m => Kernels.instantValueUdf(isRate = true)(Kernels.collectedSamples, col("step")))
-    case "idelta" => rangeKernelUdf(args, ctx, m => Kernels.instantValueUdf(isRate = false)(Kernels.collectedSamples, col("step")))
-    case "resets" => rangeKernelUdf(args, ctx, m => Kernels.resetsUdf(Kernels.collectedSamples, col("step")))
-    case "changes" => rangeKernelUdf(args, ctx, m => Kernels.changesUdf(Kernels.collectedSamples, col("step")))
-    case "deriv" => rangeKernelUdf(args, ctx, m => Kernels.derivUdf(Kernels.collectedSamples, col("step")))
+    // native TypedImperativeAggregate kernels (SeriesAgg): primitive-array
+    // buffers inside one ObjectHashAggregate, window end threaded per group
+    case "rate" => foldKernel(args, ctx, m => SeriesAgg.Extrapolated(m.rangeMs, isCounter = true, isRate = true), useWindowEnd = true)
+    case "increase" => foldKernel(args, ctx, m => SeriesAgg.Extrapolated(m.rangeMs, isCounter = true, isRate = false), useWindowEnd = true)
+    case "delta" => foldKernel(args, ctx, m => SeriesAgg.Extrapolated(m.rangeMs, isCounter = false, isRate = false), useWindowEnd = true)
+    case "irate" => foldKernel(args, ctx, _ => SeriesAgg.InstantValue(isRate = true))
+    case "idelta" => foldKernel(args, ctx, _ => SeriesAgg.InstantValue(isRate = false))
+    case "resets" => foldKernel(args, ctx, _ => SeriesAgg.Resets)
+    case "changes" => foldKernel(args, ctx, _ => SeriesAgg.Changes)
+    case "deriv" => foldKernel(args, ctx, _ => SeriesAgg.Deriv)
     case "predict_linear" =>
       val t = Compiler.constScalar(Compiler.eval(args(1), ctx), "predict_linear t")
-      rangeKernelUdf(args.take(1), ctx, m => Kernels.predictLinearUdf(t)(Kernels.collectedSamples, col("step")))
+      foldKernel(args.take(1), ctx, _ => SeriesAgg.PredictLinear(t))
     case "holt_winters" | "double_exponential_smoothing" =>
       val sf = Compiler.constScalar(Compiler.eval(args(1), ctx), "holt_winters sf")
       val tf = Compiler.constScalar(Compiler.eval(args(2), ctx), "holt_winters tf")
-      rangeKernelUdf(args.take(1), ctx, m => Kernels.holtWintersUdf(sf, tf)(Kernels.collectedSamples, col("step")))
+      foldKernel(args.take(1), ctx, _ => SeriesAgg.HoltWinters(sf, tf))
 
     // ---- *_over_time (range-vector aggregations, functions.go:453-710) ----
     case "sum_over_time" => overTime(args, ctx, sum(col("value")))
@@ -218,18 +220,15 @@ object Functions {
     if (keepName) VectorVal(out) else VectorVal(Labels.dropName(out))
   }
 
-  private def rangeKernelExtrapolated(args: Seq[Expr], ctx: EvalContext,
-                                      isCounter: Boolean, isRate: Boolean): VectorVal = {
+  /** Fold a SeriesAgg kernel per (series, step); the extrapolation family
+    * needs the true window end (step - offset / @-pin), the rest only the
+    * samples. */
+  private def foldKernel(args: Seq[Expr], ctx: EvalContext,
+                         mk: MatrixVal => SeriesAgg.Kernel,
+                         useWindowEnd: Boolean = false): VectorVal = {
     val m = evalMatrix(args(0), ctx)
-    // the extrapolation window ends at selector time (step - offset / @-pin)
-    rangeKernel(m, Kernels.extrapolatedUdf(m.rangeMs, isCounter, isRate)(
-      Kernels.collectedSamples, m.windowEnd))
-  }
-
-  private def rangeKernelUdf(args: Seq[Expr], ctx: EvalContext,
-                             mk: MatrixVal => Column): VectorVal = {
-    val m = evalMatrix(args(0), ctx)
-    rangeKernel(m, mk(m))
+    val end = if (useWindowEnd) m.windowEnd else col("step")
+    rangeKernel(m, SeriesAgg.fold(mk(m), col("t"), col("value"), end))
   }
 
   private def rangeKernel(m: MatrixVal, valueCol: Column): VectorVal = {
