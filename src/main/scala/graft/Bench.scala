@@ -1,6 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Synthetic canary per FIXTURES §5 (blackbox perf probe shape): one
+    * sample per minute per series for a week (10,080 samples/series — the
+    * reference's canary magnitude), 1000 series with the 18-label template
+    * spread over 16 instance_ids. 10M in-memory points — the scale of the
+    * reference's MaxSamples=20M query guard. */
+  private val T0 = 1704067200000L
+  private val WEEK_MIN = 10080L
+  private val N_SERIES = 1000L
+
+  private def canary(spark: SparkSession): DataFrame =
+    graft.model.Points.withSig(
+      spark.range(WEEK_MIN * N_SERIES).select(
+        lit("canary").as("name"),
+        map(
+          lit("source_id"), lit("blackbox"),
+          lit("app_id"), lit("9f2a"),
+          lit("deployment"), lit("cf"),
+          lit("job"), lit("router"),
+          lit("instance_id"), pmod((col("id") / WEEK_MIN).cast("long"), lit(16)).cast("string"),
+          lit("series"), (col("id") / WEEK_MIN).cast("long").cast("string")).as("labels"),
+        (lit(T0) + (col("id") % WEEK_MIN) * 60000L).as("t"),
+        lit(10.0).as("value")))
+
+  /** PromQL workload on the canary (reference probes:
+    * blackbox/performance_calculator.go:55-71). */
+  private def canaryQueries(spark: SparkSession): Map[String, () => Long] = {
+    val pts = canary(spark).cache()
+    pts.count() // materialize outside the timed section
+    val end = T0 + (WEEK_MIN - 1) * 60000L
+    Map(
+      "canary_count_over_time" -> (() =>
+        graft.engine.Engine.instantQuery(spark, pts,
+          "sum(count_over_time(canary[1w]))", end).count()),
+      "canary_rate_range" -> (() =>
+        graft.engine.Engine.rangeQuery(spark, pts,
+          "sum by (instance_id) (rate(canary[5m]))",
+          end - 3600000L, end, 60000L).count()),
+      "canary_instant" -> (() =>
+        graft.engine.Engine.instantQuery(spark, pts,
+          """canary{instance_id="5"}""", end).count()))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,10 +65,14 @@ object Bench {
       spark.read.parquet(s"$sfDir/events.parquet").count()
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val gate = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (() => fn(spark, sfDir).count())
+    }
+    val results = (gate ++ canaryQueries(spark).toSeq.sortBy(_._1)).map {
+      case (name, run) =>
+        val t0 = System.nanoTime()
+        try run() catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
