@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Kernels
+import graft.promql.Parser
+
+/** Property tests (SURVEY §5 test plan: ScalaCheck for sanitizers/
+  * matchers): ingest sanitization always yields legal names, duration
+  * round-trips, quantile bounds/monotonicity. Deterministic seeds so runs
+  * are reproducible. */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("sanitized metric names always match [A-Za-z_:][A-Za-z0-9_:]*") {
+    val gen = samples(Gen.asciiPrintableStr.suchThat(_.nonEmpty), 60)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(gen.map(Row(_)), 2),
+      StructType(Seq(StructField("raw", StringType))))
+    val out = df.select(graft.streaming.Nozzle.sanitizeName(col("raw")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out.forall(_.matches("[A-Za-z_:][A-Za-z0-9_:]*")), out.mkString(","))
+  }
+
+  test("duration parse: composed units sum") {
+    val cases = samples(for {
+      h <- Gen.choose(0, 48); m <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+    } yield (h, m, s), 100).filter { case (h, m, s) => h + m + s > 0 }
+    cases.foreach { case (h, m, s) =>
+      val str = (if (h > 0) s"${h}h" else "") +
+        (if (m > 0) s"${m}m" else "") + (if (s > 0) s"${s}s" else "")
+      assert(Parser.parseDuration(str) == h * 3600000L + m * 60000L + s * 1000L, str)
+    }
+  }
+
+  test("goQuantile: bounded by min/max, monotone in φ") {
+    val cases = samples(for {
+      vs <- Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+      q1 <- Gen.choose(0.0, 1.0); q2 <- Gen.choose(0.0, 1.0)
+    } yield (vs, q1, q2), 200)
+    cases.foreach { case (vs, q1, q2) =>
+      val (lo, hi) = (math.min(q1, q2), math.max(q1, q2))
+      val a = Kernels.goQuantile(vs, lo)
+      val b = Kernels.goQuantile(vs, hi)
+      assert(a >= vs.min - 1e-9 && b <= vs.max + 1e-9)
+      assert(a <= b + 1e-9)
+    }
+  }
+
+  test("parser round-trips selector structure for arbitrary label values") {
+    val cases = samples(for {
+      label <- Gen.alphaLowerStr.suchThat(s => s.nonEmpty && s.length < 10)
+      value <- Gen.asciiPrintableStr.suchThat(s => !s.contains("\\") && !s.contains("\""))
+    } yield (label, value), 100)
+    cases.foreach { case (label, value) =>
+      val q = s"""metric{$label="${value}"}"""
+      val parsed = Parser.parse(q).asInstanceOf[graft.promql.VectorSelector]
+      assert(parsed.name.contains("metric"))
+      assert(parsed.matchers.head.value == value, q)
+    }
+  }
+}
