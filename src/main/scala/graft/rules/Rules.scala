@@ -47,6 +47,63 @@ object Rules {
         StructField("since", LongType), StructField("value", DoubleType))))
   }
 
+  /** Alert transition event emitted by the streaming path. */
+  final case class AlertEvent(sig: Long, alertname: String, status: String,
+                              tMs: Long, value: Double)
+
+  /** Per-series `for:` tracking state (public: Catalyst's encoder codegen
+    * needs constructor access). */
+  final case class AlertState(sinceMs: Long, firing: Boolean)
+
+  /** Streaming per-series threshold alerting directly on a points stream:
+    * `value > threshold for: forMs` tracked with
+    * `flatMapGroupsWithState` — the stateful-streaming deployment of the
+    * reference's pending→firing `for:` machinery for simple threshold
+    * rules (complex PromQL rules go through the batch [[alertingTick]]
+    * inside foreachBatch instead). Emits pending/firing/resolved
+    * transition events in Append mode. */
+  def streamingThresholdAlerts(
+      spark: SparkSession,
+      points: DataFrame, // streaming: sig, name, labels, t, value
+      alertname: String,
+      metric: String,
+      threshold: Double,
+      forMs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = points.where(col("name") === metric)
+      .select(col("sig"), col("t"), col("value")).as[(Long, Long, Double)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (sig: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[AlertState]) => {
+          val out = Seq.newBuilder[AlertEvent]
+          var st = state.getOption
+          rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+            if (v > threshold) {
+              st match {
+                case None =>
+                  st = Some(AlertState(t, firing = false))
+                  out += AlertEvent(sig, alertname, "pending", t, v)
+                case Some(s) if !s.firing && t - s.sinceMs >= forMs =>
+                  st = Some(s.copy(firing = true))
+                  out += AlertEvent(sig, alertname, "firing", t, v)
+                case _ => ()
+              }
+            } else if (st.isDefined) {
+              out += AlertEvent(sig, alertname, "resolved", t, v)
+              st = None
+            }
+          }
+          st match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** One alerting tick. Returns (newState, firing):
     *  - a series in this tick's result keeps (or gains) `since`;
     *  - a series absent from the result is dropped (alert resolves);

@@ -98,6 +98,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("streaming threshold alerts: pending -> firing -> resolved across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val pts = mem.toDF().toDF("sig", "name", "t", "value")
+      .withColumn("labels", org.apache.spark.sql.functions.map())
+    val alerts = graft.rules.Rules.streamingThresholdAlerts(
+      spark, pts, "Hot", "temp", threshold = 50.0, forMs = 120000L)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("alerts_out").start()
+    val t0 = 1704067200000L
+    mem.addData((1L, "temp", t0, 80.0))                    // batch 1: pending
+    q.processAllAvailable()
+    mem.addData((1L, "temp", t0 + 130000L, 85.0))          // batch 2: firing
+    q.processAllAvailable()
+    mem.addData((1L, "temp", t0 + 200000L, 10.0))          // batch 3: resolved
+    q.processAllAvailable()
+    val got = spark.table("alerts_out").collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("tMs"))).toList
+    q.stop()
+    assert(got == List(("pending", t0), ("firing", t0 + 130000L), ("resolved", t0 + 200000L)))
+  }
+
   test("alerting rule: pending -> firing with for:, resolves on absence") {
     val schema = StructType(Seq(
       StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
