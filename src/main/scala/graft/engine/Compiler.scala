@@ -14,7 +14,10 @@ import graft.promql._
   */
 object Compiler {
 
-  def eval(expr: Expr, ctx: EvalContext): Value = expr match {
+  def eval(expr: Expr, ctx: EvalContext): Value =
+    ctx.memo.getOrElseUpdate(expr, evalUncached(expr, ctx))
+
+  private def evalUncached(expr: Expr, ctx: EvalContext): Value = expr match {
     case NumberLiteral(v) =>
       ScalarVal(ctx.grid.df(ctx.spark).withColumn("value", lit(v)), const = Some(v))
     case StringLiteral(s) => StringVal(s)
@@ -138,7 +141,8 @@ object Compiler {
       innerStart = innerStart - Math.floorMod(innerStart, innerStep) + innerStep
     }
     val innerGrid = StepGrid(innerStart, outerEnd, innerStep)
-    val inner = evalVector(sq.expr, ctx.copy(grid = innerGrid))
+    val inner = evalVector(sq.expr,
+      ctx.copy(grid = innerGrid, memo = scala.collection.mutable.Map.empty))
     // inner vector -> points: the sample time is the inner step
     val asPoints = inner.df.select(
       col("sig"), col("name"), col("labels"),

@@ -41,10 +41,19 @@ final case class StringVal(s: String) extends Value
 /** Everything an evaluation needs: the points relation, the step grid, and
   * engine knobs (lookback horizon = reference 5m default,
   * src/internal/metric-store/metric_store.go:301; default subquery
-  * resolution = reference 1m, metric_store.go:234-244). */
+  * resolution = reference 1m, metric_store.go:234-244).
+  *
+  * `memo` caches evaluated subtrees within ONE evaluation (same grid):
+  * repeated selectors/subexpressions — ubiquitous in real PromQL — compile
+  * to the identical DataFrame instance, so Catalyst's ReusedExchange
+  * dedupes the physical work (the reference's one-Select-per-selector
+  * reuse, engine.go:893). Subquery evaluation swaps in a fresh memo
+  * because the inner grid differs. */
 final case class EvalContext(
     spark: SparkSession,
     points: DataFrame,
     grid: StepGrid,
     lookbackMs: Long = 300000L,
-    defaultSubqueryStepMs: Long = 60000L)
+    defaultSubqueryStepMs: Long = 60000L,
+    memo: scala.collection.mutable.Map[graft.promql.Expr, Value] =
+      scala.collection.mutable.Map.empty)
