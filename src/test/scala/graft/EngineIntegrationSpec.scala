@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+import graft.model.Points
+import graft.sources.PointsStore
+
+/** Full-path integration: events → points → day-partitioned store →
+  * pruned read → PromQL evaluation, checked against evaluating the same
+  * query on the un-persisted relation. Exercises the production storage
+  * path (partition pruning + pushed filters) end-to-end. */
+class EngineIntegrationSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("store round-trip preserves query results and prunes partitions") {
+    val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("store").toString
+    PointsStore.append(pts, dir)
+
+    val t0 = 1704067200000L
+    val day = 86400000L
+    val (start, end, step) = (t0 + 5 * day, t0 + 10 * day, day)
+    val q = "sum by (user) (rate(click[2d]))"
+
+    val direct = Engine.rangeQuery(spark, pts, q, start, end, step, day)
+      .select(col("labels")("user").as("user"), col("t"), round(col("value"), 9).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // pruned read: only the days covering [start - range, end]
+    val stored = PointsStore.read(spark, dir, start, end, slackMs = 2 * day)
+    val viaStore = Engine.rangeQuery(spark, stored, q, start, end, step, day)
+      .select(col("labels")("user").as("user"), col("t"), round(col("value"), 9).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(direct.nonEmpty)
+    assert(viaStore == direct)
+
+    // the pruned scan must touch fewer day partitions than exist
+    val allDays = spark.read.parquet(dir).select("date").distinct().count()
+    val readDays = PointsStore.read(spark, dir, start, start, slackMs = 0)
+      .select(expr("t div 86400000")).distinct().count()
+    assert(allDays >= 29)
+    assert(readDays <= 2)
+  }
+
+  test("recording rule output persists and is queryable as a new series") {
+    val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("store").toString
+    val tick = 1704067200000L + 10 * 86400000L
+    val rec = graft.rules.Rules.recordingTick(spark, pts,
+      graft.rules.Rules.RecordingRule("user:click:sum", "sum by (user) (click)"),
+      tick, lookbackMs = 86400000L)
+    PointsStore.append(rec, dir)
+    val back = PointsStore.read(spark, dir, tick, tick)
+    val res = Engine.instantQuery(spark, back, "user:click:sum", tick)
+    assert(res.count() == rec.count() && res.count() > 0)
+  }
+}
