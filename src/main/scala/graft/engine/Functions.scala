@@ -337,17 +337,29 @@ object Functions {
 
   private def histogramQuantile(q: Double, v: VectorVal): VectorVal = {
     val leVal = Labels.get(col("labels"), "le")
-    val leDouble = when(leVal.isin("+Inf", "Inf", "inf"), lit(Double.PositiveInfinity))
-      .when(leVal === "-Inf", lit(Double.NegativeInfinity))
+    val leDouble = when(lower(leVal).isin("+inf", "inf"), lit(Double.PositiveInfinity))
+      .when(lower(leVal) === "-inf", lit(Double.NegativeInfinity))
       .otherwise(leVal.cast("double"))
     val grouped = v.df
+      .withColumn("_le", leDouble) // must read labels BEFORE le is dropped
+      .withColumn("_leStr", leVal)
       .withColumn("labels", Labels.drop(col("labels"), Seq("le")))
       .withColumn("sig", Points.sigOf(col("labels")))
-      .withColumn("_le", leDouble)
       .groupBy(col("sig"), col("step"))
       .agg(
-        Kernels.bucketQuantileUdf(lit(q), collect_list(struct(col("_le"), col("value")))).as("value"),
-        first(col("labels")).as("labels"))
+        // one sorted struct array keeps the (le, count) pairs aligned for
+        // the two parallel-array UDF arguments
+        sort_array(collect_list(struct(col("_le").as("le"), col("value").as("v")))).as("_bs"),
+        first(col("labels")).as("labels"),
+        // two histograms collapsing onto one labelset (e.g. a __name__
+        // regex matching several *_bucket metrics) is an error — detected
+        // as a repeated exact le STRING within the group (different
+        // representations of the same bound are legitimately distinct)
+        (count(lit(1)) =!= count_distinct(col("_leStr"))).as("_dup"))
+      .withColumn("value", when(col("_dup"),
+        raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
+        .otherwise(Kernels.bucketQuantileUdf(lit(q),
+          expr("transform(_bs, x -> x.le)"), expr("transform(_bs, x -> x.v)"))))
       .where(col("value").isNotNull)
       .select(col("sig"), lit(null).cast("string").as("name"), col("labels"),
         col("step"), col("step").as("t"), col("value"))

@@ -31,20 +31,30 @@ object Kernels {
     arr(lower) * (1 - weight) + arr(upper) * weight
   }
 
-  /** histogram_quantile bucket kernel over (le, cumulativeCount) pairs:
-    * sort by upper bound, enforce monotonicity, linearly interpolate inside
-    * the target bucket; highest bucket must be +Inf. */
-  def bucketQuantile(q: Double, buckets: Seq[Row]): java.lang.Double = {
-    if (buckets == null || buckets.isEmpty) return null
+  /** histogram_quantile bucket kernel over pre-sorted parallel (le,
+    * cumulativeCount) arrays: coalesce equal upper bounds (summing counts,
+    * like the reference's coalesceBuckets), enforce monotonicity, linearly
+    * interpolate inside the target bucket; highest bucket must be +Inf. */
+  def bucketQuantile(q: Double, les: Seq[java.lang.Double],
+                     counts: Seq[java.lang.Double]): java.lang.Double = {
+    if (les == null || les.isEmpty) return null
     if (q < 0) return Double.NegativeInfinity
     if (q > 1) return Double.PositiveInfinity
     if (q.isNaN) return Double.NaN
-    // (upperBound, cumulative count)
-    var bs = buckets.iterator
-      .map(r => (r.getDouble(0), r.getDouble(1)))
-      .filter(!_._1.isNaN)
-      .toArray
-    java.util.Arrays.sort(bs, Ordering.by((p: (Double, Double)) => p._1))
+    // arrives sorted by le (sort_array upstream); coalesce duplicates
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var i = 0
+    while (i < les.length) {
+      if (les(i) != null && counts(i) != null && !les(i).isNaN) {
+        val le = les(i).doubleValue()
+        val c = counts(i).doubleValue()
+        if (merged.nonEmpty && merged.last._1 == le)
+          merged(merged.length - 1) = (le, merged.last._2 + c)
+        else merged += ((le, c))
+      }
+      i += 1
+    }
+    var bs = merged.toArray
     if (bs.length < 2) return Double.NaN
     if (!bs.last._1.isPosInfinity) return Double.NaN
     // fix float/scrape-skew induced non-monotonicity

@@ -172,7 +172,9 @@ class CorpusSpec extends AnyFunSuite {
   private val files = Seq(
     "literals.test", "selectors.test", "aggregators.test", "operators.test",
     "functions.test", "trig_functions.test", "staleness.test",
-    "subquery.test", "at_modifier.test", "collision.test")
+    "subquery.test", "at_modifier.test", "collision.test",
+    "histograms.test") // conventional le-bucket sections (native-histogram
+                       // files stay excluded: the store rejects them)
 
   for (f <- files) {
     test(s"corpus: $f") {
