@@ -35,6 +35,30 @@ object RollupQueries {
     "q_rollup_histogram" -> ((s, dir) =>
       Rollups.histogramRollup(timers(s, dir), DAY)
         .withColumn("value", round(col("value"), 6))),
+    // histogram_quantile over le-bucketed series constructed from events:
+    // per UTC day, cumulative counts of click values <= {50,100,150,+Inf}
+    // become click_bucket{le=...} points at the day boundary; the engine
+    // then evaluates the PromQL through the full pipeline
+    "q_fn_histogram_quantile" -> ((s, dir) => {
+      val ev = graft.model.Points.eventsPoints(s, dir).where(col("name") === "click")
+      val byDay = ev.groupBy(((col("t") / DAY).cast("long") * DAY + DAY).as("t"))
+        .agg(
+          sum(when(col("value") <= 50, 1L).otherwise(0L)).as("c50"),
+          sum(when(col("value") <= 100, 1L).otherwise(0L)).as("c100"),
+          sum(when(col("value") <= 150, 1L).otherwise(0L)).as("c150"),
+          count(lit(1)).as("cinf"))
+      val buckets = Seq(("50.0", "c50"), ("100.0", "c100"), ("150.0", "c150"), ("+Inf", "cinf"))
+        .map { case (le, c) =>
+          byDay.select(lit("click_bucket").as("name"),
+            map(lit("le"), lit(le)).as("labels"),
+            col("t"), col(c).cast("double").as("value"))
+        }.reduce(_.unionByName(_))
+      val pts = graft.model.Points.withSig(buckets)
+      val out = graft.engine.Engine.rangeQuery(s, pts,
+        "histogram_quantile(0.9, click_bucket)",
+        QueryKit.START, QueryKit.T_END, DAY, lookbackMs = 1L)
+      out.select(col("t"), round(col("value"), 6).as("value"))
+    }),
     "q_rule_recording" -> ((s, dir) => {
       val out = Rules.recordingTick(s, graft.model.Points.eventsPoints(s, dir),
         Rules.RecordingRule("par:click:sum", "sum by (par) (click)",
@@ -71,6 +95,25 @@ object RollupQueries {
          |UNION ALL SELECT w, sid, '+Inf', CAST(cnt AS DOUBLE), 'bucket' FROM agg
          |UNION ALL SELECT w, sid, CAST(NULL AS VARCHAR), CAST(cnt AS DOUBLE), 'count' FROM agg
          |UNION ALL SELECT w, sid, CAST(NULL AS VARCHAR), round(dsum, 6), 'sum' FROM agg""".stripMargin,
+
+    "q_fn_histogram_quantile" ->
+      s"""WITH base AS (
+         |  SELECT (epoch_us(ts) // 1000 // $DAY) * $DAY + $DAY AS t, value
+         |  FROM events WHERE event_type = 'click'),
+         |agg AS (
+         |  SELECT t,
+         |    sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS c50,
+         |    sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS c100,
+         |    sum(CASE WHEN value <= 150 THEN 1 ELSE 0 END) AS c150,
+         |    count(*) AS cinf
+         |  FROM base GROUP BY t),
+         |r AS (SELECT *, 0.9 * cinf AS rank FROM agg WHERE t <= ${QueryKit.T_END})
+         |SELECT t, round(CASE
+         |    WHEN rank <= c50 THEN (50 - 0) * (rank / c50)
+         |    WHEN rank <= c100 THEN 50 + (100 - 50) * ((rank - c50) / (c100 - c50))
+         |    WHEN rank <= c150 THEN 100 + (150 - 100) * ((rank - c100) / (c150 - c100))
+         |    ELSE 150 END, 6) AS value
+         |FROM r WHERE cinf > 0""".stripMargin,
 
     "q_rule_recording" -> {
       val at = QueryKit.T0 + 10 * DAY
