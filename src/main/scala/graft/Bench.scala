@@ -27,22 +27,24 @@ object Bench {
         lit(10.0).as("value")))
 
   /** PromQL workload on the canary (reference probes:
-    * blackbox/performance_calculator.go:55-71). */
-  private def canaryQueries(spark: SparkSession): Map[String, () => Long] = {
-    val pts = canary(spark).cache()
-    pts.count() // materialize outside the timed section
+    * blackbox/performance_calculator.go:55-71). The caller materializes the
+    * cached canary relation between the gate phase and this one, so cache
+    * build cost stays outside the timed sections and the gate queries'
+    * memory churn cannot evict it first. */
+  private def canaryQueries(spark: SparkSession,
+                            pts: org.apache.spark.sql.DataFrame): Seq[(String, () => Long)] = {
     val end = T0 + (WEEK_MIN - 1) * 60000L
-    Map(
+    Seq(
+      "canary_instant" -> (() =>
+        graft.engine.Engine.instantQuery(spark, pts,
+          """canary{instance_id="5"}""", end).count()),
       "canary_count_over_time" -> (() =>
         graft.engine.Engine.instantQuery(spark, pts,
           "sum(count_over_time(canary[1w]))", end).count()),
       "canary_rate_range" -> (() =>
         graft.engine.Engine.rangeQuery(spark, pts,
           "sum by (instance_id) (rate(canary[5m]))",
-          end - 3600000L, end, 60000L).count()),
-      "canary_instant" -> (() =>
-        graft.engine.Engine.instantQuery(spark, pts,
-          """canary{instance_id="5"}""", end).count()))
+          end - 3600000L, end, 60000L).count()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -65,15 +67,19 @@ object Bench {
       spark.read.parquet(s"$sfDir/events.parquet").count()
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val gate = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (() => fn(spark, sfDir).count())
-    }
-    val results = (gate ++ canaryQueries(spark).toSeq.sortBy(_._1)).map {
-      case (name, run) =>
+    def timed(qs: Seq[(String, () => Long)]): Map[String, Double] =
+      qs.map { case (name, run) =>
         val t0 = System.nanoTime()
         try run() catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      }.toMap
+    val gate = timed(SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (() => fn(spark, sfDir).count())
+    })
+    // canary phase: materialize the cached relation untimed, then measure
+    val pts = canary(spark).cache()
+    pts.count()
+    val results = gate ++ timed(canaryQueries(spark, pts))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
