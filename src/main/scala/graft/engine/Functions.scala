@@ -107,23 +107,40 @@ object Functions {
     case "pi" => ScalarVal(ctx.grid.df(ctx.spark).withColumn("value", lit(math.Pi)), const = Some(math.Pi))
 
     case "clamp" =>
-      val lo = Compiler.constScalar(Compiler.eval(args(1), ctx), "clamp min")
-      val hi = Compiler.constScalar(Compiler.eval(args(2), ctx), "clamp max")
+      // per-step scalar bounds: min > max or NaN bounds drop/NaN the step
       val v = Compiler.evalVector(args(0), ctx)
-      if (lo > hi) VectorVal(v.df.limit(0))
-      else if (lo.isNaN || hi.isNaN) math1Vec(v, _ => lit(Double.NaN))
-      else math1Vec(v, c => least(greatest(c, lit(lo)), lit(hi)))
+      val (df1, lo) = withScalarParam(v.df, Compiler.eval(args(1), ctx), "_lo")
+      val (df2, hi) = withScalarParam(df1, Compiler.eval(args(2), ctx), "_hi")
+      val clamped = df2
+        .where(lo <= hi || isnan(lo) || isnan(hi))
+        .withColumn("value",
+          when(isnan(lo) || isnan(hi), lit(Double.NaN))
+            .otherwise(least(greatest(col("value"), lo), hi)))
+        .withColumn("t", col("step"))
+        .drop("_lo", "_hi")
+      VectorVal(Labels.dropName(clamped))
     case "clamp_min" =>
-      val lo = Compiler.constScalar(Compiler.eval(args(1), ctx), "clamp_min")
-      math1Vec(Compiler.evalVector(args(0), ctx), c => greatest(c, lit(lo)))
+      val v = Compiler.evalVector(args(0), ctx)
+      val (df, lo) = withScalarParam(v.df, Compiler.eval(args(1), ctx), "_lo")
+      VectorVal(Labels.dropName(df
+        .withColumn("value", greatest(col("value"), lo))
+        .withColumn("t", col("step")).drop("_lo")))
     case "clamp_max" =>
-      val hi = Compiler.constScalar(Compiler.eval(args(1), ctx), "clamp_max")
-      math1Vec(Compiler.evalVector(args(0), ctx), c => least(c, lit(hi)))
+      val v = Compiler.evalVector(args(0), ctx)
+      val (df, hi) = withScalarParam(v.df, Compiler.eval(args(1), ctx), "_hi")
+      VectorVal(Labels.dropName(df
+        .withColumn("value", least(col("value"), hi))
+        .withColumn("t", col("step")).drop("_hi")))
     case "round" =>
       // round to the nearest multiple of `to` (functions.go:410-430)
-      val to = if (args.size > 1) Compiler.constScalar(Compiler.eval(args(1), ctx), "round to") else 1.0
-      val inv = 1.0 / to
-      math1Vec(Compiler.evalVector(args(0), ctx), c => floor(c * inv + 0.5) / inv)
+      val v = Compiler.evalVector(args(0), ctx)
+      val toVal: Value =
+        if (args.size > 1) Compiler.eval(args(1), ctx)
+        else ScalarVal(null, const = Some(1.0))
+      val (df, to) = withScalarParam(v.df, toVal, "_to")
+      VectorVal(Labels.dropName(df
+        .withColumn("value", floor(col("value") * (lit(1.0) / to) + 0.5) / (lit(1.0) / to))
+        .withColumn("t", col("step")).drop("_to")))
 
     // ---- time component functions (UTC, functions.go:1325-1412) ----
     case "minute" => timeComponent(args, ctx, ts => minute(ts).cast("double"))
@@ -200,6 +217,18 @@ object Functions {
 
   private def str(e: Expr, ctx: EvalContext, what: String): String =
     Compiler.constString(Compiler.eval(e, ctx), what)
+
+  /** Attach a scalar parameter as a column: literal for constants, a
+    * broadcast per-step join otherwise (parameters may be arbitrary scalar
+    * expressions in PromQL). */
+  private def withScalarParam(df: DataFrame, p: Value, name: String): (DataFrame, Column) =
+    p match {
+      case ScalarVal(_, Some(c)) => (df.withColumn(name, lit(c)), col(name))
+      case ScalarVal(sdf, None) =>
+        (df.join(broadcast(sdf.withColumnRenamed("value", name)), "step"), col(name))
+      case other => throw new IllegalArgumentException(
+        s"$name must be a scalar, got ${other.getClass.getSimpleName}")
+    }
 
   private def evalMatrix(e: Expr, ctx: EvalContext): MatrixVal =
     Compiler.eval(e, ctx) match {
