@@ -47,12 +47,17 @@ object RollupQueries {
           sum(when(col("value") <= 100, 1L).otherwise(0L)).as("c100"),
           sum(when(col("value") <= 150, 1L).otherwise(0L)).as("c150"),
           count(lit(1)).as("cinf"))
-      val buckets = Seq(("50.0", "c50"), ("100.0", "c100"), ("150.0", "c150"), ("+Inf", "cinf"))
-        .map { case (le, c) =>
-          byDay.select(lit("click_bucket").as("name"),
-            map(lit("le"), lit(le)).as("labels"),
-            col("t"), col(c).cast("double").as("value"))
-        }.reduce(_.unionByName(_))
+      // one pass: explode the four bucket rows out of each day row instead
+      // of unioning four re-aggregations of the same groupBy
+      val bucketStructs = array(
+        Seq(("50.0", "c50"), ("100.0", "c100"), ("150.0", "c150"), ("+Inf", "cinf")).map {
+          case (le, c) => struct(lit(le).as("le"), col(c).cast("double").as("v"))
+        }: _*)
+      val buckets = byDay
+        .select(col("t"), explode(bucketStructs).as("b"))
+        .select(lit("click_bucket").as("name"),
+          map(lit("le"), col("b.le")).as("labels"),
+          col("t"), col("b.v").as("value"))
       val pts = graft.model.Points.withSig(buckets)
       val out = graft.engine.Engine.rangeQuery(s, pts,
         "histogram_quantile(0.9, click_bucket)",
