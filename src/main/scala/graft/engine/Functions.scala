@@ -163,8 +163,7 @@ object Functions {
 
     // ---- histograms (conventional le-bucketed; quantile.go:74-123) ----
     case "histogram_quantile" =>
-      val q = Compiler.constScalar(Compiler.eval(args(0), ctx), "histogram_quantile φ")
-      histogramQuantile(q, Compiler.evalVector(args(1), ctx))
+      histogramQuantile(Compiler.eval(args(0), ctx), Compiler.evalVector(args(1), ctx))
     // native-histogram functions: the store rejects native histograms
     // (persistence/appender.go:93-96) — statically empty results
     case "histogram_count" | "histogram_sum" | "histogram_fraction" |
@@ -364,12 +363,13 @@ object Functions {
     case _ => None
   }
 
-  private def histogramQuantile(q: Double, v: VectorVal): VectorVal = {
+  private def histogramQuantile(qv: Value, v: VectorVal): VectorVal = {
     val leVal = Labels.get(col("labels"), "le")
     val leDouble = when(lower(leVal).isin("+inf", "inf"), lit(Double.PositiveInfinity))
       .when(lower(leVal) === "-inf", lit(Double.NegativeInfinity))
       .otherwise(leVal.cast("double"))
-    val grouped = v.df
+    val (withQ, qCol) = withScalarParam(v.df, qv, "_q")
+    val grouped = withQ
       .withColumn("_le", leDouble) // must read labels BEFORE le is dropped
       .withColumn("_leStr", leVal)
       .withColumn("labels", Labels.drop(col("labels"), Seq("le")))
@@ -379,6 +379,7 @@ object Functions {
         // one sorted struct array keeps the (le, count) pairs aligned for
         // the two parallel-array UDF arguments
         sort_array(collect_list(struct(col("_le").as("le"), col("value").as("v")))).as("_bs"),
+        first(qCol).as("_q"),
         first(col("labels")).as("labels"),
         // two histograms collapsing onto one labelset (e.g. a __name__
         // regex matching several *_bucket metrics) is an error — detected
@@ -387,7 +388,7 @@ object Functions {
         (count(lit(1)) =!= count_distinct(col("_leStr"))).as("_dup"))
       .withColumn("value", when(col("_dup"),
         raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
-        .otherwise(Kernels.bucketQuantileUdf(lit(q),
+        .otherwise(Kernels.bucketQuantileUdf(col("_q"),
           expr("transform(_bs, x -> x.le)"), expr("transform(_bs, x -> x.v)"))))
       .where(col("value").isNotNull)
       .select(col("sig"), lit(null).cast("string").as("name"), col("labels"),

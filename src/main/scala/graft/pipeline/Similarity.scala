@@ -82,6 +82,69 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer
+    * assigns every vector to its nearest centroid; queries probe the
+    * `nProbe` nearest centroid cells and run exact cosine inside them.
+    * Centroids are trained with a few Lloyd iterations seeded by the
+    * first `k` vectors in vec_id order (deterministic — no RNG state).
+    *
+    * Scale shape: training touches a sample (here: the corpus; at fleet
+    * scale a limit() sample), assignment is one broadcast-join pass,
+    * probing joins only the selected cells — candidate volume ≈
+    * corpus × nProbe / k per query, independent of corpus growth when k
+    * scales with sqrt(N). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+              k: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    // --- train coarse quantizer (driver holds k × dims doubles only) ---
+    var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = c.withColumn("cell", nearestCentroidUdf(bc)(col("e")))
+      val next = assigned.groupBy(col("cell"))
+        .agg(array((0 until centroids(0).length).map(d =>
+          avg(element_at(col("e"), d + 1))): _*).as("mean"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+      centroids = centroids.indices
+        .map(i => next.getOrElse(i, centroids(i))).toArray
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    // --- assignment + probe ---
+    val cells = c.withColumn("cell", nearestCentroidUdf(bc)(col("e")))
+      .select(col("cell"), col("vec_id").as("cid"), col("e").as("ce"))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cell", explode(nearestCentroidsUdf(bc, nProbe)(col("qe"))))
+    val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  private def nearestCentroidUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf((e: Seq[Double]) => nearestCells(bc.value, e, 1).head)
+
+  private def nearestCentroidsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                                  n: Int) =
+    udf((e: Seq[Double]) => nearestCells(bc.value, e, n))
+
+  private def nearestCells(cs: Array[Array[Double]], e: Seq[Double], n: Int): Seq[Int] = {
+    val arr = e.toArray
+    cs.indices
+      .map { i =>
+        var d = 0.0
+        var j = 0
+        while (j < arr.length) { val x = arr(j) - cs(i)(j); d += x * x; j += 1 }
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }
+      .take(n).map(_._1)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to a
     * vec_id prefix for the exact gate query (the scale path feeds LSH
     * buckets instead of the full cross join). */

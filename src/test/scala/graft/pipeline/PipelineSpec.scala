@@ -48,6 +48,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(t.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("ivf ann: deterministic, self-excluded, decent recall vs brute force") {
+    val q = emb.where(col("vec_id") < 10)
+    val ivf1 = Similarity.ivfTopK(emb, q, 3, k = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = Similarity.ivfTopK(emb, q, 3, k = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1 == ivf2) // deterministic quantizer
+    assert(ivf1.forall { case (a, b) => a != b })
+    val exact = Similarity.bruteForceTopK(emb, q, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf1.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // probing 3/8 cells
+  }
+
   test("ann results are a subset of brute-force rankings' candidates") {
     val ann = Similarity.annTopK(emb, emb.where(col("vec_id") < 5), 3, bits = 2)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
