@@ -189,6 +189,9 @@ object BinOps {
           else withIncl
         VectorVal(Labels.resig(named).select(
           col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value")))
+
+      case ManyToMany =>
+        throw new IllegalStateException("set operations are handled by setOp")
     }
   }
 

@@ -40,6 +40,33 @@ object PointsStore {
         col("date") <= to_date(timestamp_millis(lit(endMs))))
       .drop("date")
 
+  /** Hot-label flattening: selected label keys are ALSO stored as physical
+    * `lbl_<key>` columns next to the map, so equality/range predicates on
+    * them push into parquet (row-group stats + dictionary pruning) — the
+    * map column itself cannot prune. The map stays authoritative; the
+    * flattened columns are denormalized copies dropped on read. */
+  def appendFlattened(points: DataFrame, path: String, hotKeys: Seq[String]): Unit = {
+    val flattened = hotKeys.foldLeft(points) { (df, k) =>
+      df.withColumn(s"lbl_$k", element_at(col("labels"), k))
+    }
+    append(flattened, path)
+  }
+
+  /** Read with hot-label equality pushdown: `hotFilters` are applied to the
+    * flattened columns (reaching the parquet scan), then dropped. */
+  def readFlattened(spark: SparkSession, path: String,
+                    startMs: Long, endMs: Long,
+                    hotFilters: Map[String, String],
+                    slackMs: Long = 0L): DataFrame = {
+    val base = spark.read.parquet(path)
+      .where(col("date") >= to_date(timestamp_millis(lit(startMs - slackMs))) &&
+        col("date") <= to_date(timestamp_millis(lit(endMs))))
+    val filtered = hotFilters.foldLeft(base) { case (df, (k, v)) =>
+      df.where(col(s"lbl_$k") === v)
+    }
+    filtered.drop("date").drop(filtered.columns.filter(_.startsWith("lbl_")): _*)
+  }
+
   /** Retention: drop whole day partitions older than the cutoff —
     * the reference deletes whole 24 h shards, never individual rows. */
   def expire(spark: SparkSession, path: String, cutoffMs: Long): Seq[String] = {

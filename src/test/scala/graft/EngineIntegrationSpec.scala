@@ -57,6 +57,23 @@ class EngineIntegrationSpec extends AnyFunSuite {
     assert(readDays <= 2)
   }
 
+  test("flattened hot labels push equality filters into the parquet scan") {
+    val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("store").toString
+    PointsStore.appendFlattened(pts, dir, hotKeys = Seq("user"))
+    val t0 = 1704067200000L
+    val read = PointsStore.readFlattened(spark, dir, t0, t0 + 30 * 86400000L,
+      hotFilters = Map("user" -> "7"))
+    // the flattened column filter must reach the scan as a pushed filter
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lbl_user"))
+    // and results equal filtering on the map after the fact
+    val viaMap = PointsStore.read(spark, dir, t0, t0 + 30 * 86400000L)
+      .where(org.apache.spark.sql.functions.element_at(col("labels"), "user") === "7")
+      .drop("lbl_user")
+    assert(read.count() == viaMap.count() && read.count() > 0)
+  }
+
   test("recording rule output persists and is queryable as a new series") {
     val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("store").toString
