@@ -89,11 +89,37 @@ class CorpusSpec extends AnyFunSuite {
     m.toSeq.sorted.map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
 
   /** None = pass; Some(message) = failure description. */
-  private def runEval(ev: Eval, points: DataFrame): Option[String] = {
+  private def runEval(ev: Eval, points: DataFrame): Option[String] =
+    runEvalOnce(ev, points, asRange = false).orElse {
+      // every instant eval ALSO runs as the last step of a 3-step range
+      // query — the per-step results of a range grid must agree with the
+      // corresponding instant evaluation (set-oriented grid regression net)
+      if (ev.mode == "instant") runEvalOnce(ev, points, asRange = true)
+        .map(m => s"[range-mode] $m")
+      else None
+    }
+
+  private def runEvalOnce(ev: Eval, points: DataFrame, asRange: Boolean): Option[String] = {
     val attempt = Try {
-      val out = Engine.instantQuery(spark, points, ev.expr, ev.atMs,
-        strictCollision = true)
-      out.collect()
+      val out =
+        if (asRange) {
+          val step = 300000L
+          Engine.rangeQuery(spark, points, ev.expr,
+            ev.atMs - 2 * step, ev.atMs, step, strictCollision = true)
+        } else {
+          Engine.instantQuery(spark, points, ev.expr, ev.atMs,
+            strictCollision = true)
+        }
+      val rows = out.collect()
+      if (asRange) {
+        // keep only the final-step slice: vector/scalar rows have t ==
+        // eval ts; bare-matrix rows carry their window's `step`
+        rows.filter { r =>
+          val f = r.schema.fieldNames
+          if (f.contains("step")) r.getAs[Long]("step") == ev.atMs
+          else r.getAs[Long]("t") == ev.atMs
+        }
+      } else rows
     }
     (ev.mode, attempt) match {
       case ("fail", Failure(_)) => None
