@@ -73,13 +73,24 @@ object Bench {
         try run() catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
-    val gate = timed(SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (() => fn(spark, sfDir).count())
-    })
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration; the
+    // driver never sets it, so the per-round bench always runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    val gate = timed(SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1))
+      .map { case (name, fn) =>
+        name -> (() => fn(spark, sfDir).count())
+      })
     // canary phase: materialize the cached relation untimed, then measure
-    val pts = canary(spark).cache()
-    pts.count()
-    val results = gate ++ timed(canaryQueries(spark, pts))
+    val canaryQs0 = canaryQueries(spark, null).map(_._1).filter(selected)
+    val results =
+      if (canaryQs0.isEmpty) gate
+      else {
+        val pts = canary(spark).cache()
+        pts.count()
+        gate ++ timed(canaryQueries(spark, pts).filter(q => selected(q._1)))
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

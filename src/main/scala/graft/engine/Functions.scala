@@ -369,6 +369,11 @@ object Functions {
       .when(lower(leVal) === "-inf", lit(Double.NegativeInfinity))
       .otherwise(leVal.cast("double"))
     val (withQ, qCol) = withScalarParam(v.df, qv, "_q")
+    // the whole kernel — sort, coalesce, monotonicity repair, interpolation,
+    // and the duplicate-labelset error (repeated exact le STRING within the
+    // group; different representations of one bound are legitimately
+    // distinct) — is a single native TypedImperativeAggregate: one
+    // ObjectHashAggregate, no collect_list value, no distinct-agg Expand
     val grouped = withQ
       .withColumn("_le", leDouble) // must read labels BEFORE le is dropped
       .withColumn("_leStr", leVal)
@@ -376,20 +381,8 @@ object Functions {
       .withColumn("sig", Points.sigOf(col("labels")))
       .groupBy(col("sig"), col("step"))
       .agg(
-        // one sorted struct array keeps the (le, count) pairs aligned for
-        // the two parallel-array UDF arguments
-        sort_array(collect_list(struct(col("_le").as("le"), col("value").as("v")))).as("_bs"),
-        first(qCol).as("_q"),
-        first(col("labels")).as("labels"),
-        // two histograms collapsing onto one labelset (e.g. a __name__
-        // regex matching several *_bucket metrics) is an error — detected
-        // as a repeated exact le STRING within the group (different
-        // representations of the same bound are legitimately distinct)
-        (count(lit(1)) =!= count_distinct(col("_leStr"))).as("_dup"))
-      .withColumn("value", when(col("_dup"),
-        raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
-        .otherwise(Kernels.bucketQuantileUdf(col("_q"),
-          expr("transform(_bs, x -> x.le)"), expr("transform(_bs, x -> x.v)"))))
+        BucketQuantileAgg.column(qCol, col("_leStr"), col("_le"), col("value")).as("value"),
+        first(col("labels")).as("labels"))
       .where(col("value").isNotNull)
       .select(col("sig"), lit(null).cast("string").as("name"), col("labels"),
         col("step"), col("step").as("t"), col("value"))

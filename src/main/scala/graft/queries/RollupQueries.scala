@@ -58,7 +58,10 @@ object RollupQueries {
         .select(lit("click_bucket").as("name"),
           map(lit("le"), col("b.le")).as("labels"),
           col("t"), col("b.v").as("value"))
-      val pts = graft.model.Points.withSig(buckets)
+      // the bucket relation is tiny (days x 4 rows) but sits on a full
+      // events scan + day agg — materialize it once so the engine's passes
+      // don't recompute the subtree
+      val pts = graft.model.Points.withSig(buckets).cache()
       val out = graft.engine.Engine.rangeQuery(s, pts,
         "histogram_quantile(0.9, click_bucket)",
         QueryKit.START, QueryKit.T_END, DAY, lookbackMs = 1L)
