@@ -38,17 +38,9 @@ object Functions {
     // ---- *_over_time (range-vector aggregations, functions.go:453-710) ----
     case "sum_over_time" => overTime(args, ctx, sum(col("value")))
     case "avg_over_time" =>
-      // overflow-safe two-pass mean, like the reference's incremental mean
-      // with Kahan fallback (functions.go:453-510)
-      val m = evalMatrix(args(0), ctx)
-      val grouped = m.df
-        .withColumn("_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("sig"), col("step"))))
-        .groupBy(col("sig"), col("step"))
-        .agg(sum(col("value") / col("_n")).as("value"),
-          first(col("name")).as("name"), first(col("labels")).as("labels"))
-        .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
-      VectorVal(Labels.dropName(grouped))
+      // single-pass overflow-safe incremental mean ([[AvgAgg]]), matching
+      // the reference's divide-then-subtract form (functions.go:453-510)
+      overTime(args, ctx, AvgAgg.column(col("value")))
     case "count_over_time" => overTime(args, ctx, count(lit(1)).cast("double"))
     case "min_over_time" =>
       overTime(args, ctx, coalesce(
@@ -57,9 +49,9 @@ object Functions {
       overTime(args, ctx, coalesce(
         max(when(isnan(col("value")), lit(null)).otherwise(col("value"))), lit(Double.NaN)))
     case "last_over_time" =>
-      // max(struct) instead of max_by: keeps the HashAggregate/codegen path
-      overTime(args, ctx, max(struct(col("t"), col("value"))).getField("value"),
-        keepName = true)
+      // max_by over primitives is declarative with a mutable buffer:
+      // stays inside the codegen'd HashAggregate
+      overTime(args, ctx, max_by(col("value"), col("t")), keepName = true)
     case "stddev_over_time" => overTime(args, ctx, stddev_pop(col("value")))
     case "stdvar_over_time" => overTime(args, ctx, var_pop(col("value")))
     case "quantile_over_time" =>
@@ -238,12 +230,23 @@ object Functions {
 
   /** groupBy(series, step) over range-selected samples with a builtin
     * aggregate — partial aggregation makes this one scan + one shuffle of
-    * result-sized partials. */
+    * result-sized partials.
+    *
+    * The aggregation itself carries ONLY primitive columns (a map-typed
+    * `first(labels)` buffer would force a SortAggregate fallback); (name,
+    * labels) join back from the matrix via a representative sample key
+    * (sig, step, max t) — the result-sized aggregate output is the build
+    * side, so AQE broadcasts it and the label maps never enter the
+    * aggregation shuffle. */
   private def overTime(args: Seq[Expr], ctx: EvalContext, aggCol: Column,
                        keepName: Boolean = false): VectorVal = {
     val m = evalMatrix(args(0), ctx)
-    val out = m.df.groupBy(col("sig"), col("step"))
-      .agg(aggCol.as("value"), first(col("name")).as("name"), first(col("labels")).as("labels"))
+    val agg = m.df.select(col("sig"), col("step"), col("t"), col("value"))
+      .groupBy(col("sig"), col("step"))
+      .agg(aggCol.as("value"), max(col("t")).as("_rt"))
+    val meta = m.df.select(
+      col("sig"), col("step"), col("t").as("_rt"), col("name"), col("labels"))
+    val out = agg.join(meta, Seq("sig", "step", "_rt"))
       .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
     if (keepName) VectorVal(out) else VectorVal(Labels.dropName(out))
   }

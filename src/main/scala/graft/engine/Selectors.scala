@@ -63,23 +63,39 @@ object Selectors {
     * the lookback horizon — INCLUDING staleness markers, which then knock
     * the series out for that step (a stale marker "ends" the series until a
     * newer real sample; reference: vendor/.../promql/engine.go:1910-1916).
+    *
+    * Two-relation shape for a codegen'd whole-stage HashAggregate: the
+    * aggregation carries ONLY primitive columns (map-typed labels or
+    * struct buffers would force a SortAggregate fallback — neither is an
+    * UnsafeRow-mutable buffer type), keyed (sig, step) with `max_by(_, t)`
+    * (declarative, primitive buffers); (name, labels) then join back from
+    * the time-bounded source on (sig, t). The join's build side is the
+    * result-sized aggregate output — AQE broadcasts it — so the label maps
+    * never ride through the explode or the shuffle at all.
+    *
+    * Assumes at most one sample per (series, t) — guaranteed by the
+    * store's last-write-wins semantics (the reference's TSM storage
+    * dedupes per (series, ts) the same way).
+    *
     * Output: sig, name, labels, step, t, value. */
   def instant(points: DataFrame, grid: StepGrid,
               lookbackMs: Long = Points.DefaultLookbackMs): DataFrame = {
-    val exploded = explodeToSteps(withStaleFlag(points), grid, lookbackMs)
-    // max over a (t, ...) struct == max_by(..., t) since t leads the struct
-    // ordering and is unique per series — but plain max is a declarative
-    // aggregate, so this stays a codegen'd HashAggregate instead of the
-    // SortAggregate that max_by (TypedImperative) would force
-    exploded
+    val flagged = withStaleFlag(points)
+    val exploded = explodeToSteps(
+      flagged.select(col("sig"), col("t"), col("value"), col("stale")), grid, lookbackMs)
+    val sel = exploded
       .groupBy(col("sig"), col("step"))
       .agg(
-        max(struct(col("t"), col("value"), col("stale"))).as("tv"),
-        first(col("name")).as("name"),
-        first(col("labels")).as("labels"))
-      .where(!col("tv.stale"))
+        max(col("t")).as("t"),
+        max_by(col("value"), col("t")).as("value"),
+        max_by(col("stale"), col("t")).as("stale"))
+      .where(!col("stale"))
+    val meta = flagged
+      .where(col("t") >= grid.startMs - lookbackMs && col("t") <= grid.endMs)
+      .select(col("sig"), col("t"), col("name"), col("labels"))
+    sel.join(meta, Seq("sig", "t"))
       .select(col("sig"), col("name"), col("labels"), col("step"),
-        col("tv.t").as("t"), col("tv.value").as("value"))
+        col("t"), col("value"))
   }
 
   /** Range (matrix) selector: all samples per (series, step) in
