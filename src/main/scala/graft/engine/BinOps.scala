@@ -142,8 +142,8 @@ object BinOps {
         val rhs = r.df.withColumn("_msig", msig(m))
           .select(col("_msig"), col("step"), col("value").as("_rv"),
             col("labels").as("_rlabels"))
-        // many-to-many detection: a duplicate signature on either side of a
-        // 1:1 match is an error in PromQL (engine.go:2253-2302)
+        // a duplicate signature on the RHS of a 1:1 match errors during the
+        // reference's hash-map build, unconditionally (engine.go:2226-2243)
         val joined = lhs.join(
           dupGuard(rhs, "_rv", Seq("_rlabels"),
             "many-to-many matching not allowed: matching labels must be unique on one side"),
@@ -156,12 +156,26 @@ object BinOps {
               when(cmp(be.op, col("value"), col("_rv")), lit(1.0)).otherwise(lit(0.0)))
           else
             joined.where(cmp(be.op, col("value"), col("_rv")))
-        val relabeled =
-          if (dropsName)
-            out.withColumn("labels", oneToOneLabels(m))
-              .withColumn("name", lit(null).cast("string"))
-          else out
-        VectorVal(Labels.resig(relabeled).select(
+        // duplicate LHS matches error only when they actually MATCH — and,
+        // for filtering comparisons, only among samples that survive the
+        // predicate (the reference checks matchedSigs after the keep test,
+        // engine.go:2283-2295) — so the guard counts the FINAL output rows
+        val dups = out.groupBy(col("_msig"), col("step"))
+          .agg(count(lit(1)).as("_lcnt")).where(col("_lcnt") > 1)
+        val guarded = out.join(broadcast(dups), Seq("_msig", "step"), "left")
+          .withColumn("value", when(col("_lcnt").isNotNull,
+            raise_error(lit("multiple matches for labels: many-to-one matching must be explicit (group_left/group_right)")).cast("double"))
+            .otherwise(col("value")))
+          .drop("_lcnt")
+        // resultMetric applies Keep(on)/Del(ignoring) to EVERY one-to-one
+        // result, filtering comparisons included (engine.go:2336-2377);
+        // __name__ goes when the op drops it or when `on` keeps it out
+        val relabeled = guarded.withColumn("labels", oneToOneLabels(m))
+        val named =
+          if (dropsName || (m.on && !m.labels.contains("__name__")))
+            relabeled.withColumn("name", lit(null).cast("string"))
+          else relabeled
+        VectorVal(Labels.resig(named).select(
           col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value")))
 
       case ManyToOne | OneToMany =>

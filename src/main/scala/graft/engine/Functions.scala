@@ -74,8 +74,11 @@ object Functions {
 
     // ---- instant-vector math (drop __name__, functions.go:724-855) ----
     case "abs" => math1(args, ctx, abs)
-    case "ceil" => math1(args, ctx, ceil(_).cast("double"))
-    case "floor" => math1(args, ctx, floor(_).cast("double"))
+    // Spark's ceil/floor return LONG (NaN -> 0, Inf -> Long.Max, huge
+    // doubles clamp); Go's math.Ceil/Floor preserve NaN, +-Inf, and values
+    // past 2^63 — which are already integral, so pass them through
+    case "ceil" => math1(args, ctx, goIntegral(_, ceil))
+    case "floor" => math1(args, ctx, goIntegral(_, floor))
     case "exp" => math1(args, ctx, exp)
     case "sqrt" => math1(args, ctx, v => when(v < 0, lit(Double.NaN)).otherwise(sqrt(v)))
     case "ln" => math1(args, ctx, goLog(_, log(_)))
@@ -288,6 +291,13 @@ object Functions {
     when(isnan(v) || v < 0, lit(Double.NaN))
       .when(v === 0, lit(Double.NegativeInfinity))
       .otherwise(f(v))
+
+  /** Go math.Ceil/Floor semantics over Spark's long-returning ceil/floor:
+    * NaN, +-Inf, and |v| >= 2^63 (already integral at that magnitude) pass
+    * through unchanged instead of casting through LongType. */
+  private def goIntegral(v: Column, f: Column => Column): Column =
+    when(isnan(v) || abs(v) >= lit(9.223372036854776e18), v)
+      .otherwise(f(v).cast("double"))
 
   /** Time-component functions: arg defaults to vector(time()); values are
     * epoch seconds interpreted in UTC. */

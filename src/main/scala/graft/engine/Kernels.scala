@@ -24,6 +24,18 @@ object Kernels {
     if (q > 1) return Double.PositiveInfinity
     val arr = values.toArray
     java.util.Arrays.sort(arr)
+    // Go's sort.Float64s orders NaN FIRST (Less: x < y || (isNaN(x) &&
+    // !isNaN(y))); Arrays.sort puts NaN last — rotate the NaN tail to the
+    // front so windows containing NaN pick the same order statistics
+    var firstNaN = arr.length
+    while (firstNaN > 0 && arr(firstNaN - 1).isNaN) firstNaN -= 1
+    if (firstNaN < arr.length) {
+      val nNaN = arr.length - firstNaN
+      val rotated = new Array[Double](arr.length)
+      java.util.Arrays.fill(rotated, 0, nNaN, Double.NaN)
+      System.arraycopy(arr, 0, rotated, nNaN, firstNaN)
+      System.arraycopy(rotated, 0, arr, 0, arr.length)
+    }
     val rank = q * (arr.length - 1)
     val lower = math.floor(rank).toInt
     val upper = math.ceil(rank).toInt

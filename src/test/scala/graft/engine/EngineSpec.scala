@@ -41,6 +41,79 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.instantQuery(spark, p, "m", 300001L).count() == 0)
   }
 
+  test("ceil/floor preserve NaN, +-Inf, and magnitudes past 2^63 (Go math semantics)") {
+    val p = pts(Seq(
+      Row("m", Map("i" -> "nan"), 1000L, Double.NaN),
+      Row("m", Map("i" -> "pinf"), 1000L, Double.PositiveInfinity),
+      Row("m", Map("i" -> "ninf"), 1000L, Double.NegativeInfinity),
+      Row("m", Map("i" -> "big"), 1000L, 1.5e300),
+      Row("m", Map("i" -> "frac"), 1000L, 2.5)))
+    def vals(q: String): Map[String, Double] =
+      Engine.instantQuery(spark, p, q, 1000L).collect()
+        .map(r => r.getAs[Map[String, String]]("labels")("i") -> r.getAs[Double]("value")).toMap
+    val c = vals("ceil(m)")
+    assert(c("nan").isNaN && c("pinf").isPosInfinity && c("ninf").isNegInfinity)
+    assert(c("big") == 1.5e300 && c("frac") == 3.0)
+    val f = vals("floor(m)")
+    assert(f("nan").isNaN && f("pinf").isPosInfinity && f("ninf").isNegInfinity)
+    assert(f("big") == 1.5e300 && f("frac") == 2.0)
+  }
+
+  test("quantile over a window containing NaN sorts NaN first (Go sort order)") {
+    // Go sort.Float64s: [NaN, 1, 2, 3]; phi=0 picks NaN, phi=1 picks 3,
+    // phi=0.5 interpolates order stats 1 and 2 -> 1.5
+    val rows = Seq(Double.NaN, 1.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+      Row("m", Map.empty[String, String], i * 1000L, v)
+    }
+    val p = pts(rows)
+    def q(phi: Double): Double =
+      Engine.instantQuery(spark, p, s"quantile_over_time($phi, m[1m])", 60000L)
+        .collect().head.getAs[Double]("value")
+    assert(q(0.0).isNaN)
+    assert(q(1.0) == 3.0)
+    assert(q(0.5) == 1.5)
+  }
+
+  test("one-to-one matching applies on/ignoring relabeling to filtering comparisons") {
+    val p = pts(Seq(
+      Row("a", Map("job" -> "j1", "x" -> "1"), 1000L, 10.0),
+      Row("b", Map("job" -> "j1", "y" -> "2"), 1000L, 3.0)))
+    // reference resultMetric: Keep(on) applies even without bool, and Keep
+    // removes __name__ (engine.go:2336-2377)
+    val out = Engine.instantQuery(spark, p, """a > on(job) b""", 1000L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("name") == null)
+    assert(r.getAs[Map[String, String]]("labels") == Map("job" -> "j1"))
+    assert(r.getAs[Double]("value") == 10.0) // LHS sample value is kept
+    // ignoring: Del(ignoring) keeps the name for a filter comparison
+    val ig = Engine.instantQuery(spark, p, """a > ignoring(x, y) b""", 1000L).collect()
+    assert(ig.head.getAs[String]("name") == "a")
+    assert(ig.head.getAs[Map[String, String]]("labels") == Map("job" -> "j1"))
+  }
+
+  test("duplicate LHS matches on one-to-one matching raise the explicit-matching error") {
+    val p = pts(Seq(
+      Row("a", Map("job" -> "j1", "inst" -> "1"), 1000L, 1.0),
+      Row("a", Map("job" -> "j1", "inst" -> "2"), 1000L, 2.0),
+      Row("b", Map("job" -> "j1"), 1000L, 1.0)))
+    val e = intercept[Exception] {
+      Engine.instantQuery(spark, p, """a + on(job) b""", 1000L).collect()
+    }
+    assert(e.getMessage.contains("many-to-one matching must be explicit") ||
+      Option(e.getCause).exists(_.getMessage.contains("many-to-one matching must be explicit")))
+  }
+
+  test("filtered-out duplicate LHS matches do not raise (keep test precedes dup check)") {
+    val p = pts(Seq(
+      Row("a", Map("job" -> "j1", "inst" -> "1"), 1000L, 5.0),
+      Row("a", Map("job" -> "j1", "inst" -> "2"), 1000L, 1.0),
+      Row("b", Map("job" -> "j1"), 1000L, 3.0)))
+    // only inst=1 passes (5 > 3); inst=2 fails -> exactly one match survives
+    val out = Engine.instantQuery(spark, p, """a > on(job) b""", 1000L).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 5.0)
+  }
+
   test("subquery default resolution follows the engine knob") {
     // samples every 30s; sum_over_time over [2m:] at default 1m resolution
     // picks 2 inner steps -> different result than a 30s resolution would
