@@ -1,15 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
@@ -21,42 +20,49 @@ object Scratch {
       val r = f
       println(f"TIMING $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
-    // warmup
-    spark.read.parquet(s"$sfDir/events.parquet").count()
-    t("warmup q1")(SparkEntry.queries("q1_agg")(spark, sfDir).count())
-    import org.apache.spark.sql.functions._
-    t("events rows")(spark.read.parquet(s"$sfDir/events.parquet").count())
-    t("eventsPoints click")(graft.model.Points.eventsPoints(spark, sfDir)
-      .where(col("name") === "click").count())
-    t("day agg")(graft.model.Points.eventsPoints(spark, sfDir)
-      .where(col("name") === "click")
-      .groupBy(((col("t") / 86400000L).cast("long")).as("d"))
-      .agg(count(lit(1))).count())
-    // split the gate into bucket-construction+cache vs engine eval
-    val ev = graft.model.Points.eventsPoints(spark, sfDir).where(col("name") === "click")
-    val DAY = 86400000L
-    val byDay = ev.groupBy(((col("t") / DAY).cast("long") * DAY + DAY).as("t"))
-      .agg(
-        sum(when(col("value") <= 50, 1L).otherwise(0L)).as("c50"),
-        sum(when(col("value") <= 100, 1L).otherwise(0L)).as("c100"),
-        sum(when(col("value") <= 150, 1L).otherwise(0L)).as("c150"),
-        count(lit(1)).as("cinf"))
-    val bucketStructs = array(
-      Seq(("50.0", "c50"), ("100.0", "c100"), ("150.0", "c150"), ("+Inf", "cinf")).map {
-        case (le, c) => struct(lit(le).as("le"), col(c).cast("double").as("v"))
-      }: _*)
-    val buckets = byDay
-      .select(col("t"), explode(bucketStructs).as("b"))
-      .select(lit("click_bucket").as("name"),
-        map(lit("le"), col("b.le")).as("labels"),
-        col("t"), col("b.v").as("value"))
-    val pts = graft.model.Points.withSig(buckets).cache()
+    val T0 = 1704067200000L
+    val WEEK_MIN = 10080L
+    val N_SERIES = 1000L
+    val pts = graft.model.Points.withSig(
+      spark.range(WEEK_MIN * N_SERIES).select(
+        lit("canary").as("name"),
+        map(
+          lit("source_id"), lit("blackbox"),
+          lit("app_id"), lit("9f2a"),
+          lit("deployment"), lit("cf"),
+          lit("job"), lit("router"),
+          lit("instance_id"), pmod((col("id") / WEEK_MIN).cast("long"), lit(16)).cast("string"),
+          lit("series"), (col("id") / WEEK_MIN).cast("long").cast("string")).as("labels"),
+        (lit(T0) + (col("id") % WEEK_MIN) * 60000L).as("t"),
+        lit(10.0).as("value"))).cache()
     t("cache populate")(pts.count())
-    val q = graft.engine.Engine.rangeQuery(spark, pts,
-      "histogram_quantile(0.9, click_bucket)",
-      graft.queries.QueryKit.START, graft.queries.QueryKit.T_END, DAY, lookbackMs = 1L)
-    t("engine eval")(q.select(col("t"), round(col("value"), 6).as("value")).count())
-    t("engine eval 2nd")(q.select(col("t"), round(col("value"), 6).as("value")).count())
+    t("scan cached")(pts.count())
+    t("canonical per row")(pts.select(graft.model.Points.canonical(col("labels")).as("lc")).count())
+    t("agg by (sig,step-const)")(
+      pts.groupBy(col("sig")).agg(count(lit(1))).count())
+    t("agg by (name,lc)")(
+      pts.withColumn("_lc", graft.model.Points.canonical(col("labels")))
+        .groupBy(col("name"), col("_lc")).agg(count(lit(1))).count())
+    t("agg by (sig) + first(lc) [objhash? sort?]")(
+      pts.withColumn("_lc", graft.model.Points.canonical(col("labels")))
+        .groupBy(col("sig")).agg(count(lit(1)), first(col("_lc"))).count())
+    val end = T0 + (WEEK_MIN - 1) * 60000L
+    val grid = graft.engine.StepGrid(end, end, 1000L)
+    val m = graft.engine.Selectors.range(pts, grid, 7L * 24 * 3600 * 1000)
+    t("A matrix agg (name,_lc,step)")(
+      m.groupBy(col("name"), col("_lc"), col("step")).agg(count(lit(1))).count())
+    t("B matrix agg (sig,step)+first(name,_lc)")(
+      m.groupBy(col("sig"), col("step"))
+        .agg(count(lit(1)), first(col("name")), first(col("_lc"))).count())
+    t("C matrix agg (sig,step)+dict join")({
+      val agg = m.groupBy(col("sig"), col("step")).agg(count(lit(1)).as("n"))
+      val dict = pts.select(col("sig"), col("name"), col("labels")).dropDuplicates("sig")
+      agg.join(dict, Seq("sig")).count()
+    })
+    val q = graft.engine.Engine.instantQuery(spark, pts,
+      "sum(count_over_time(canary[1w]))", end)
+    q.explain("formatted")
+    t("count_over_time full")(q.count())
     spark.stop()
   }
 }

@@ -53,9 +53,11 @@ object SparkEntry {
     }),
 
     // §2.2 range (matrix) selector: all samples in [step-2d, step] per step
+    // (the matrix carries the canonical label string; rebuild the map)
     "q_sel_range" -> ((s, dir) => {
       val pts = Points.eventsPoints(s, dir).where(col("name") === "purchase")
-      flat(Selectors.range(pts, StepGrid(T0 + 2 * DAY, T_END, DAY), rangeMs = 2 * DAY))
+      flat(Selectors.range(pts, StepGrid(T0 + 2 * DAY, T_END, DAY), rangeMs = 2 * DAY)
+        .withColumn("labels", graft.engine.Labels.fromCanonical(col("_lc"))))
     })
   ) ++ graft.queries.PromqlQueries.queries ++ graft.queries.PipelineQueries.queries ++
     graft.queries.RollupQueries.queries

@@ -42,16 +42,20 @@ object Aggregations {
     }
   }
 
-  /** Grouped labels column for by/without (`without` also drops __name__ —
-    * name is a separate column here, dropped for every aggregation). */
-  private def groupedLabels(ae: AggregateExpr): Column =
-    if (ae.without) Labels.drop(col("labels"), ae.grouping)
-    else Labels.keep(col("labels"), ae.grouping)
+  /** Canonical string of the grouping-label subset — the aggregation's
+    * group key. The by/without filter is fused into the native canonical
+    * expression (`without` also drops __name__ — name is a separate column
+    * here, dropped for every aggregation). */
+  private def groupedCanonical(ae: AggregateExpr): Column =
+    if (ae.without) CanonicalLabels.dropColumn(col("labels"), ae.grouping)
+    else CanonicalLabels.keepColumn(col("labels"), ae.grouping)
 
-  /** Rewrite labels to the grouping subset (the group sig/canonical is
-    * recomputed inside [[grouped]]). */
+  /** Rewrite labels to the grouping subset (count_values needs the map to
+    * splice in its value label before grouping). */
   private def regroup(df: DataFrame, ae: AggregateExpr): DataFrame =
-    df.withColumn("labels", groupedLabels(ae))
+    df.withColumn("labels",
+      if (ae.without) Labels.drop(col("labels"), ae.grouping)
+      else Labels.keep(col("labels"), ae.grouping))
 
   private def finish(aggregated: DataFrame): VectorVal =
     VectorVal(aggregated.select(
@@ -67,18 +71,16 @@ object Aggregations {
     * separators cannot appear in sanitized label text). Keeps the whole
     * operator a single codegen'd HashAggregate pass: no second evaluation
     * of the input vector, no join. */
-  private def grouped(re: DataFrame, aggCols: Seq[Column]): DataFrame =
-    re.withColumn("_glc", Points.canonical(col("labels")))
+  private def grouped(re: DataFrame, glc: Column, aggCols: Seq[Column]): DataFrame =
+    re.withColumn("_glc", glc)
       .groupBy(col("_glc"), col("step"))
       .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("labels",
-        when(col("_glc") === "", map().cast("map<string,string>"))
-          .otherwise(str_to_map(col("_glc"), lit("\u0001"), lit("\u0002"))))
-      .withColumn("sig", Points.sigOf(col("labels")))
+      .withColumn("labels", Labels.fromCanonical(col("_glc")))
+      .withColumn("sig", xxhash64(col("_glc")))
       .drop("_glc")
 
   private def simple(ae: AggregateExpr, v: VectorVal, aggCol: Column): VectorVal =
-    finish(grouped(regroup(v.df, ae), Seq(aggCol.as("value"))))
+    finish(grouped(v.df, groupedCanonical(ae), Seq(aggCol.as("value"))))
 
   /** Attach a per-step scalar parameter column `_p` (constant-folded when
     * the parameter is a literal expression). */
@@ -92,7 +94,7 @@ object Aggregations {
 
   private def quantileAgg(ae: AggregateExpr, v: VectorVal, ctx: EvalContext): VectorVal = {
     val p = Compiler.eval(ae.param.get, ctx)
-    finish(grouped(withParam(regroup(v.df, ae), p),
+    finish(grouped(withParam(v.df, p), groupedCanonical(ae),
       Seq(Kernels.goQuantileUdf(collect_list(col("value")), first(col("_p"))).as("value"))))
   }
 
@@ -106,8 +108,8 @@ object Aggregations {
     * AND reproducible by an external oracle (a hash tiebreak would not be). */
   private def topBottomK(ae: AggregateExpr, v: VectorVal, ctx: EvalContext): VectorVal = {
     val p = Compiler.eval(ae.param.get, ctx)
-    val gsig = if (ae.without) Points.sigOf(Labels.drop(col("labels"), ae.grouping))
-               else Points.sigOf(Labels.keep(col("labels"), ae.grouping))
+    val gsig = if (ae.without) xxhash64(CanonicalLabels.dropColumn(col("labels"), ae.grouping))
+               else xxhash64(CanonicalLabels.keepColumn(col("labels"), ae.grouping))
     val tie = concat_ws("\u0000",
       coalesce(col("name"), lit("")), Points.canonical(col("labels")))
     val winners = withParam(v.df, p)
@@ -136,8 +138,8 @@ object Aggregations {
     ).otherwise(col("value").cast("string"))
     finish(grouped(
       regroup(v.df, ae)
-        .withColumn("labels", Labels.set(col("labels"), lbl, valueStr))
-        .withColumn("sig", Points.sigOf(col("labels"))),
+        .withColumn("labels", Labels.set(col("labels"), lbl, valueStr)),
+      Points.canonical(col("labels")),
       Seq(count(lit(1)).cast("double").as("value"))))
   }
 }

@@ -122,10 +122,12 @@ object BinOps {
   }
 
   /** Matching signature: hash of the `on` subset or of all labels minus the
-    * `ignoring` subset (metric name never participates). */
+    * `ignoring` subset (metric name never participates). The keep/drop
+    * filter is fused into the native canonical expression — no map_filter
+    * HOF, so the join stays codegen'd. */
   private def msig(m: VectorMatching): Column =
-    if (m.on) Points.sigOf(Labels.keep(col("labels"), m.labels))
-    else Points.sigOf(Labels.drop(col("labels"), m.labels))
+    if (m.on) xxhash64(CanonicalLabels.keepColumn(col("labels"), m.labels))
+    else xxhash64(CanonicalLabels.dropColumn(col("labels"), m.labels))
 
   /** Result labels for one-to-one matching (engine.go:2336-2377):
     * `on` → only the on labels; otherwise lhs labels minus ignored. */

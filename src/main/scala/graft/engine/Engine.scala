@@ -41,8 +41,10 @@ object Engine {
       case ScalarVal(df, _) => df.select(col("step").as("t"), col("value"))
       case MatrixVal(df, _, _, _) =>
         // a bare range selector (e.g. `m[5m]` as the whole query): all
-        // window samples, tagged with both step and sample time
-        df.select(col("name"), col("labels"), col("step"), col("t"), col("value"))
+        // window samples, tagged with both step and sample time; the labels
+        // map is rebuilt from the canonical string the matrix carries
+        df.select(col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
+          col("step"), col("t"), col("value"))
       case StringVal(s) =>
         spark.range(1).select(lit(startMs).as("t"), lit(s).as("value"))
     }

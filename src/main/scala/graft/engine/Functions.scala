@@ -64,8 +64,9 @@ object Functions {
       }
       val grouped = withQ.groupBy(col("sig"), col("step"))
         .agg(Kernels.goQuantileUdf(collect_list(col("value")), first(col("_q"))).as("value"),
-          first(col("name")).as("name"), first(col("labels")).as("labels"))
-        .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
+          first(col("name")).as("name"), first(col("_lc")).as("_lc"))
+        .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
+          col("step"), col("step").as("t"), col("value"))
       VectorVal(Labels.dropName(grouped))
     case "present_over_time" => overTime(args, ctx, first(lit(1.0)))
     case "absent_over_time" =>
@@ -235,22 +236,20 @@ object Functions {
     * aggregate — partial aggregation makes this one scan + one shuffle of
     * result-sized partials.
     *
-    * The aggregation itself carries ONLY primitive columns (a map-typed
-    * `first(labels)` buffer would force a SortAggregate fallback); (name,
-    * labels) join back from the matrix via a representative sample key
-    * (sig, step, max t) — the result-sized aggregate output is the build
-    * side, so AQE broadcasts it and the label maps never enter the
-    * aggregation shuffle. */
+    * The matrix carries the canonical label STRING `_lc` instead of the
+    * map (see [[Selectors.range]]): the 8-byte sig is the hash key and the
+    * canonical string rides as a small `first` buffer — far cheaper to
+    * sort/carry than the map it replaces, and hashed per GROUP rather than
+    * per row (range windows multiply input rows by window/step, so per-row
+    * string hashing is the expensive axis). The labels map is rebuilt on
+    * the result-sized output. */
   private def overTime(args: Seq[Expr], ctx: EvalContext, aggCol: Column,
                        keepName: Boolean = false): VectorVal = {
     val m = evalMatrix(args(0), ctx)
-    val agg = m.df.select(col("sig"), col("step"), col("t"), col("value"))
-      .groupBy(col("sig"), col("step"))
-      .agg(aggCol.as("value"), max(col("t")).as("_rt"))
-    val meta = m.df.select(
-      col("sig"), col("step"), col("t").as("_rt"), col("name"), col("labels"))
-    val out = agg.join(meta, Seq("sig", "step", "_rt"))
-      .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
+    val out = m.df.groupBy(col("sig"), col("step"))
+      .agg(aggCol.as("value"), first(col("name")).as("name"), first(col("_lc")).as("_lc"))
+      .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
+        col("step"), col("step").as("t"), col("value"))
     if (keepName) VectorVal(out) else VectorVal(Labels.dropName(out))
   }
 
@@ -265,11 +264,16 @@ object Functions {
     rangeKernel(m, SeriesAgg.fold(mk(m), col("t"), col("value"), end))
   }
 
+  /** The fold kernels are TypedImperativeAggregates, so the plan is an
+    * ObjectHashAggregate (hash-based, any buffer type) — carrying the
+    * canonical STRING through `first` costs far less than the map value
+    * it replaces; the map is rebuilt on the result-sized output. */
   private def rangeKernel(m: MatrixVal, valueCol: Column): VectorVal = {
     val out = m.df.groupBy(col("sig"), col("step"))
-      .agg(valueCol.as("value"), first(col("name")).as("name"), first(col("labels")).as("labels"))
+      .agg(valueCol.as("value"), first(col("name")).as("name"), first(col("_lc")).as("_lc"))
       .where(col("value").isNotNull)
-      .select(col("sig"), col("name"), col("labels"), col("step"), col("step").as("t"), col("value"))
+      .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
+        col("step"), col("step").as("t"), col("value"))
     VectorVal(Labels.dropName(out))
   }
 

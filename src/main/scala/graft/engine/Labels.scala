@@ -33,6 +33,13 @@ object Labels {
         .otherwise(concat(others, entry)))
   }
 
+  /** Rebuild a labels map from its canonical string (exact inverse of
+    * [[Points.canonical]]; label text must not contain the \u0001/\u0002
+    * separators — guaranteed for sanitized ingest). */
+  def fromCanonical(c: Column): Column =
+    when(c === "", map().cast("map<string,string>"))
+      .otherwise(str_to_map(c, lit("\u0001"), lit("\u0002")))
+
   /** Recompute the series signature after a label/name change. */
   def resig(df: DataFrame): DataFrame =
     df.withColumn("sig", Points.sigOf(col("name"), col("labels")))

@@ -64,14 +64,14 @@ object Selectors {
     * the series out for that step (a stale marker "ends" the series until a
     * newer real sample; reference: vendor/.../promql/engine.go:1910-1916).
     *
-    * Two-relation shape for a codegen'd whole-stage HashAggregate: the
-    * aggregation carries ONLY primitive columns (map-typed labels or
-    * struct buffers would force a SortAggregate fallback — neither is an
-    * UnsafeRow-mutable buffer type), keyed (sig, step) with `max_by(_, t)`
-    * (declarative, primitive buffers); (name, labels) then join back from
-    * the time-bounded source on (sig, t). The join's build side is the
-    * result-sized aggregate output — AQE broadcasts it — so the label maps
-    * never ride through the explode or the shuffle at all.
+    * Single-pass codegen'd HashAggregate shape: the labels MAP never enters
+    * the aggregation — a map-typed buffer would force a SortAggregate
+    * fallback (maps are not UnsafeRow-mutable) — but GROUP KEYS have no
+    * mutability restriction, so the series identity rides as the canonical
+    * label STRING (computed once per input row, BEFORE the explode). The
+    * aggregates are declarative max/max_by over primitives, and the labels
+    * map is reconstructed from the canonical key on the result-sized
+    * output. One scan, one shuffle of result-sized partials, no join.
     *
     * Assumes at most one sample per (series, t) — guaranteed by the
     * store's last-write-wins semantics (the reference's TSM storage
@@ -80,31 +80,37 @@ object Selectors {
     * Output: sig, name, labels, step, t, value. */
   def instant(points: DataFrame, grid: StepGrid,
               lookbackMs: Long = Points.DefaultLookbackMs): DataFrame = {
-    val flagged = withStaleFlag(points)
-    val exploded = explodeToSteps(
-      flagged.select(col("sig"), col("t"), col("value"), col("stale")), grid, lookbackMs)
-    val sel = exploded
-      .groupBy(col("sig"), col("step"))
+    val slim = withStaleFlag(points).select(
+      col("name"), Points.canonical(col("labels")).as("_lc"),
+      col("t"), col("value"), col("stale"))
+    explodeToSteps(slim, grid, lookbackMs)
+      .groupBy(col("name"), col("_lc"), col("step"))
       .agg(
         max(col("t")).as("t"),
         max_by(col("value"), col("t")).as("value"),
         max_by(col("stale"), col("t")).as("stale"))
       .where(!col("stale"))
-    val meta = flagged
-      .where(col("t") >= grid.startMs - lookbackMs && col("t") <= grid.endMs)
-      .select(col("sig"), col("t"), col("name"), col("labels"))
-    sel.join(meta, Seq("sig", "t"))
-      .select(col("sig"), col("name"), col("labels"), col("step"),
+      .select(xxhash64(col("name"), col("_lc")).as("sig"), col("name"),
+        Labels.fromCanonical(col("_lc")).as("labels"), col("step"),
         col("t"), col("value"))
   }
 
   /** Range (matrix) selector: all samples per (series, step) in
     * `(step - range, step]`; stale markers are simply absent samples here.
     * One output row per sample — feed to a range kernel (groupBy sig, step).
-    * Output: sig, name, labels, step, t, value. */
+    *
+    * Like [[instant]], the labels map is replaced by its canonical string
+    * `_lc` (computed once per input row, before the explode) so downstream
+    * range aggregations never carry maps; consumers rebuild the map on
+    * their result-sized output via [[Labels.fromCanonical]].
+    *
+    * Output: sig, name, _lc, step, t, value. */
   def range(points: DataFrame, grid: StepGrid, rangeMs: Long): DataFrame =
-    explodeToSteps(dropStale(points), grid, rangeMs)
-      .select(col("sig"), col("name"), col("labels"), col("step"), col("t"), col("value"))
+    explodeToSteps(
+      dropStale(points).select(col("sig"), col("name"),
+        Points.canonical(col("labels")).as("_lc"), col("t"), col("value")),
+      grid, rangeMs)
+      .select(col("sig"), col("name"), col("_lc"), col("step"), col("t"), col("value"))
 
   /** Remove staleness-marker rows if the relation carries a `stale` flag
     * column (reference: special NaN excluded from selection,

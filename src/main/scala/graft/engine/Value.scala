@@ -10,8 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[VectorVal]]: instant vector — one row per (series, step).
   *    Columns: sig LONG, name STRING, labels MAP, step LONG, t LONG, value DOUBLE.
   *  - [[MatrixVal]]: range vector — all window samples per (series, step),
-  *    same columns, plus the window length that produced it (rate/increase
-  *    extrapolation needs it).
+  *    plus the window length that produced it (rate/increase extrapolation
+  *    needs it). Columns: sig LONG, name STRING, _lc STRING (canonical
+  *    label string — consumers rebuild the map on their result-sized
+  *    output via Labels.fromCanonical), step, t, value.
   *  - [[ScalarVal]]: per-step scalar — columns: step LONG, value DOUBLE.
   *  - [[StringVal]]: a string literal (driver-side).
   */

@@ -30,13 +30,12 @@ object Points {
   val DefaultLookbackMs: Long = 5 * 60 * 1000L
 
   /** Canonical string of a labels map: entries sorted by key, joined with
-    * / separators (cannot appear in sanitized label text). */
+    * \\u0001 / \\u0002 separators (cannot appear in sanitized label text).
+    * A native codegen expression — the equivalent HOF formulation is a
+    * CodegenFallback that would poison whole-stage codegen for every
+    * operator above it (see [[graft.engine.CanonicalLabels]]). */
   def canonical(labels: Column): Column =
-    concat_ws(
-      "\u0001",
-      transform(
-        array_sort(map_entries(labels)),
-        e => concat_ws("\u0002", e.getField("key"), e.getField("value"))))
+    graft.engine.CanonicalLabels.column(labels)
 
   /** Series signature over labels only (vector-matching joins use this with
     * restricted label subsets). */

@@ -42,8 +42,21 @@ object Dedup {
 
   /** MinHash+LSH candidate pairs: `numHashes` signatures, bands of
     * `rowsPerBand`; two docs are candidates iff some band matches exactly.
-    * Returns (doc_a, doc_b) with doc_a < doc_b, distinct. */
-  def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    * Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    *
+    * Scale hardening:
+    *  - the join key is `xxhash64` of the concatenated band signature —
+    *    8 bytes through the shuffle instead of a 128-char hex string; an
+    *    external oracle joining on the raw concatenation produces the same
+    *    pairs (equal strings ⇔ equal hashes modulo 2^-64 collisions).
+    *  - buckets larger than `maxBucket` docs are dropped BEFORE the
+    *    self-join: a degenerate bucket of k near-identical docs costs k²
+    *    pairs that exact dedup (or clustering on the bucket id) handles for
+    *    k, not k² — the cap bounds the worst-case join fan-out. Singleton
+    *    buckets are pruned in the same pass (they cannot produce a pair),
+    *    so the self-join probe is only the genuinely colliding rows. */
+  def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
+                 maxBucket: Int = 1000): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sigs = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -54,13 +67,18 @@ object Dedup {
       .cache()
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat(parts: _*).as("bv"))
+      struct(lit(b).as("band"), xxhash64(concat(parts: _*)).as("bv"))
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"))
+    val pairable = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("_bc"))
+      .where(col("_bc") > 1 && col("_bc") <= maxBucket)
+      .select(col("band"), col("bv"))
+    val capped = banded.join(pairable, Seq("band", "bv"))
+    val a = capped.select(col("band"), col("bv"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("band"), col("bv"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bv"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))

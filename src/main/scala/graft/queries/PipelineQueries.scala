@@ -70,9 +70,13 @@ object PipelineQueries {
     "q_dedup_minhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |sig AS (SELECT doc_id, $minhashSigsSql FROM tok GROUP BY doc_id),
-         |banded AS ($bandsSql)
+         |banded AS ($bandsSql),
+         |pairable AS (
+         |  SELECT band, bv FROM banded GROUP BY band, bv
+         |  HAVING count(*) BETWEEN 2 AND 1000),
+         |capped AS (SELECT banded.* FROM banded JOIN pairable USING (band, bv))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM banded a JOIN banded b
+         |FROM capped a JOIN capped b
          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
