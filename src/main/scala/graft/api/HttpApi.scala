@@ -26,7 +26,8 @@ import graft.engine.Engine
   * collected for serialization.
   */
 final class HttpApi(spark: SparkSession, points: DataFrame,
-                    lookbackMs: Long = 300000L) {
+                    lookbackMs: Long = 300000L,
+                    rules: Option[graft.rules.RuleManagers] = None) {
 
   private var server: HttpServer = _
 
@@ -37,6 +38,12 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     server.createContext("/api/v1/labels", (ex: HttpExchange) => handle(ex)(_ => labels()))
     server.createContext("/api/v1/label/", (ex: HttpExchange) => handle(ex)(labelValues))
     server.createContext("/api/v1/series", (ex: HttpExchange) => handle(ex)(series))
+    rules.foreach { rm =>
+      server.createContext("/api/v1/rules",
+        (ex: HttpExchange) => handle(ex)(_ => RulesApi.listing(rm)))
+      server.createContext("/rules/manager",
+        (ex: HttpExchange) => handleCode(ex)(e => RulesApi.route(rm, e)))
+    }
     server.start()
     server.getAddress.getPort
   }
@@ -45,17 +52,23 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
 
   // ---- handlers --------------------------------------------------------
 
-  private def handle(ex: HttpExchange)(f: HttpExchange => String): Unit = {
+  private def handle(ex: HttpExchange)(f: HttpExchange => String): Unit =
+    handleCode(ex)(e => (200, f(e)))
+
+  private def handleCode(ex: HttpExchange)(f: HttpExchange => (Int, String)): Unit = {
     val (code, body) =
-      try (200, f(ex))
+      try f(ex)
       catch {
         case e: Throwable =>
           (422, s"""{"status":"error","errorType":"execution","error":${Json.str(rootMsg(e))}}""")
       }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length)
-    ex.getResponseBody.write(bytes)
+    if (bytes.isEmpty) { ex.sendResponseHeaders(code, -1) }
+    else {
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    }
     ex.close()
   }
 
@@ -80,7 +93,12 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     val p = params(ex)
     val ts = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000.0).toString))
     val out = Engine.instantQuery(spark, points, p("query"), ts, lookbackMs)
-    if (out.columns.contains("labels")) {
+    if (out.columns.contains("step")) {
+      // a bare range selector (`m[5m]`) evaluates to a Matrix even via the
+      // instant endpoint — resultType "matrix" with per-series value lists
+      // (the reference returns Matrix from engine.exec for these)
+      envelope("matrix", matrixJson(out.collect()))
+    } else if (out.columns.contains("labels")) {
       val rows = out.collect().map { r =>
         val metric = metricJson(Option(r.getAs[String]("name")), r.getAs[Map[String, String]]("labels"))
         s"""{"metric":$metric,"value":${sample(r.getAs[Long]("t"), r.getAs[Double]("value"))}}"""
@@ -92,20 +110,24 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     }
   }
 
+  /** Matrix items: one entry per series, values sorted by sample time. */
+  private def matrixJson(rows: Array[org.apache.spark.sql.Row]): String = {
+    val bySeries = rows.groupBy(r =>
+      (Option(r.getAs[String]("name")), r.getAs[Map[String, String]]("labels")))
+    bySeries.toSeq.sortBy(_._1.toString).map { case ((name, labels), rs) =>
+      val vals = rs.sortBy(_.getAs[Long]("t"))
+        .map(r => sample(r.getAs[Long]("t"), r.getAs[Double]("value")))
+      s"""{"metric":${metricJson(name, labels)},"values":${vals.mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
+  }
+
   private def queryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val out = Engine.rangeQuery(spark, points, p("query"),
       ms(p("start")), ms(p("end")), ms(p("step")), lookbackMs)
     val rows = out.collect()
     if (out.columns.contains("labels")) {
-      val bySeries = rows.groupBy(r =>
-        (Option(r.getAs[String]("name")), r.getAs[Map[String, String]]("labels")))
-      val items = bySeries.toSeq.sortBy(_._1.toString).map { case ((name, labels), rs) =>
-        val vals = rs.sortBy(_.getAs[Long]("t"))
-          .map(r => sample(r.getAs[Long]("t"), r.getAs[Double]("value")))
-        s"""{"metric":${metricJson(name, labels)},"values":${vals.mkString("[", ",", "]")}}"""
-      }
-      envelope("matrix", items.mkString("[", ",", "]"))
+      envelope("matrix", matrixJson(rows))
     } else {
       val vals = rows.sortBy(_.getAs[Long]("t"))
         .map(r => sample(r.getAs[Long]("t"), r.getAs[Double]("value")))

@@ -64,6 +64,12 @@ class HttpApiSpec extends AnyFunSuite {
 
       val bad = get(port, "/api/v1/query?query=sum(")
       assert(bad.contains(""""status":"error""""))
+
+      // a bare range selector via the instant endpoint is a Matrix
+      // (Prometheus resultType "matrix"), not per-sample vector rows
+      val m = get(port, "/api/v1/query?query=http_total[5m]&time=120")
+      assert(m.contains(""""resultType":"matrix""""))
+      assert(m.contains(""""values":[[60,"10"]]"""))
     } finally api.stop()
   }
 }
