@@ -27,7 +27,19 @@ import graft.engine.Engine
   */
 final class HttpApi(spark: SparkSession, points: DataFrame,
                     lookbackMs: Long = 300000L,
-                    rules: Option[graft.rules.RuleManagers] = None) {
+                    rules: Option[graft.rules.RuleManagers] = None,
+                    limits: Option[graft.engine.Guards.QueryLimits] = None) {
+
+  /** Enforce the reference's query envelope when limits are configured:
+    * sample-budget precheck, then timeout + concurrency slot around the
+    * driver-side action (metric_store.go:296,109,295-316). */
+  private def guarded[T](q: String, grid: graft.engine.StepGrid)(body: => T): T =
+    limits match {
+      case Some(l) =>
+        graft.engine.Guards.checkSampleBudget(points, q, grid, l, lookbackMs)
+        graft.engine.Guards.run(spark, l)(body)
+      case None => body
+    }
 
   private var server: HttpServer = _
 
@@ -92,6 +104,10 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def instant(ex: HttpExchange): String = {
     val p = params(ex)
     val ts = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000.0).toString))
+    guarded(p("query"), graft.engine.StepGrid(ts, ts, 1000L))(instantBody(p, ts))
+  }
+
+  private def instantBody(p: Map[String, String], ts: Long): String = {
     val out = Engine.instantQuery(spark, points, p("query"), ts, lookbackMs)
     if (out.columns.contains("step")) {
       // a bare range selector (`m[5m]`) evaluates to a Matrix even via the
@@ -123,8 +139,14 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
 
   private def queryRange(ex: HttpExchange): String = {
     val p = params(ex)
-    val out = Engine.rangeQuery(spark, points, p("query"),
-      ms(p("start")), ms(p("end")), ms(p("step")), lookbackMs)
+    val (start, end, step) = (ms(p("start")), ms(p("end")), ms(p("step")))
+    guarded(p("query"), graft.engine.StepGrid(start, math.max(start, end), step))(
+      queryRangeBody(p, start, end, step))
+  }
+
+  private def queryRangeBody(p: Map[String, String], start: Long, end: Long,
+                             step: Long): String = {
+    val out = Engine.rangeQuery(spark, points, p("query"), start, end, step, lookbackMs)
     val rows = out.collect()
     if (out.columns.contains("labels")) {
       envelope("matrix", matrixJson(rows))

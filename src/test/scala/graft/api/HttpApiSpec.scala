@@ -72,4 +72,18 @@ class HttpApiSpec extends AnyFunSuite {
       assert(m.contains(""""values":[[60,"10"]]"""))
     } finally api.stop()
   }
+
+  test("query guards enforce the MaxSamples envelope over HTTP") {
+    val api = new HttpApi(spark, points,
+      limits = Some(graft.engine.Guards.QueryLimits(maxSamples = 1)))
+    val port = api.start(0)
+    try {
+      // 2 http_total samples in the window, budget 1 -> reference's error
+      val over = get(port, "/api/v1/query?query=sum(http_total)&time=120")
+      assert(over.contains("too many samples"))
+      // a selective query stays under budget and succeeds
+      val ok = get(port, "/api/v1/query?query=sum(up)&time=120")
+      assert(ok.contains(""""status":"success""""))
+    } finally api.stop()
+  }
 }
