@@ -27,13 +27,12 @@ object Functions {
     case "resets" => foldKernel(args, ctx, _ => SeriesAgg.Resets)
     case "changes" => foldKernel(args, ctx, _ => SeriesAgg.Changes)
     case "deriv" => foldKernel(args, ctx, _ => SeriesAgg.Deriv)
+    // per-step scalar parameters, like the reference's per-step argument
+    // re-evaluation (functions.go:952-964, 302-347)
     case "predict_linear" =>
-      val t = Compiler.constScalar(Compiler.eval(args(1), ctx), "predict_linear t")
-      foldKernel(args.take(1), ctx, _ => SeriesAgg.PredictLinear(t))
+      foldKernelP(args(0), args.slice(1, 2), ctx, SeriesAgg.PredictLinear)
     case "holt_winters" | "double_exponential_smoothing" =>
-      val sf = Compiler.constScalar(Compiler.eval(args(1), ctx), "holt_winters sf")
-      val tf = Compiler.constScalar(Compiler.eval(args(2), ctx), "holt_winters tf")
-      foldKernel(args.take(1), ctx, _ => SeriesAgg.HoltWinters(sf, tf))
+      foldKernelP(args(0), args.slice(1, 3), ctx, SeriesAgg.HoltWinters)
 
     // ---- *_over_time (range-vector aggregations, functions.go:453-710) ----
     case "sum_over_time" => overTime(args, ctx, sum(col("value")))
@@ -261,15 +260,34 @@ object Functions {
                          useWindowEnd: Boolean = false): VectorVal = {
     val m = evalMatrix(args(0), ctx)
     val end = if (useWindowEnd) m.windowEnd else col("step")
-    rangeKernel(m, SeriesAgg.fold(mk(m), col("t"), col("value"), end))
+    rangeKernel(m, m.df, SeriesAgg.fold(mk(m), col("t"), col("value"), end))
+  }
+
+  /** Fold a parameterized kernel: scalar args become per-step columns
+    * (constant-folded literals or a broadcast per-step join), captured
+    * group-constant into the aggregation buffer — matching the reference's
+    * per-step argument evaluation. */
+  private def foldKernelP(vecArg: Expr, paramArgs: Seq[Expr], ctx: EvalContext,
+                          kernel: SeriesAgg.Kernel): VectorVal = {
+    val m = evalMatrix(vecArg, ctx)
+    var df = m.df
+    val pcols = paramArgs.zipWithIndex.map { case (pe, i) =>
+      val (d2, c) = withScalarParam(df, Compiler.eval(pe, ctx), s"_p${i + 1}")
+      df = d2
+      c
+    }
+    val p1 = pcols.headOption.getOrElse(lit(0.0))
+    val p2 = pcols.lift(1).getOrElse(lit(0.0))
+    rangeKernel(m, df,
+      SeriesAgg.fold(kernel, col("t"), col("value"), col("step"), p1, p2))
   }
 
   /** The fold kernels are TypedImperativeAggregates, so the plan is an
     * ObjectHashAggregate (hash-based, any buffer type) — carrying the
     * canonical STRING through `first` costs far less than the map value
     * it replaces; the map is rebuilt on the result-sized output. */
-  private def rangeKernel(m: MatrixVal, valueCol: Column): VectorVal = {
-    val out = m.df.groupBy(col("sig"), col("step"))
+  private def rangeKernel(m: MatrixVal, df: DataFrame, valueCol: Column): VectorVal = {
+    val out = df.groupBy(col("sig"), col("step"))
       .agg(valueCol.as("value"), first(col("name")).as("name"), first(col("_lc")).as("_lc"))
       .where(col("value").isNotNull)
       .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),

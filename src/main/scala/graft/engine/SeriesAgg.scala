@@ -27,13 +27,18 @@ import org.apache.spark.sql.types.{AbstractDataType, AnyDataType, DataType, Doub
   */
 object SeriesAgg {
 
-  /** A kernel folds the t-sorted window samples; `end` = window end ms. */
+  /** A kernel folds the t-sorted window samples; `end` = window end ms;
+    * `p1`/`p2` = group-constant scalar parameters (predict_linear horizon,
+    * holt_winters sf/tf) — evaluated per STEP like the reference, which
+    * re-evaluates function arguments at every grid step. */
   sealed trait Kernel extends Serializable {
-    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long): java.lang.Double
+    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
+              p1: Double, p2: Double): java.lang.Double
   }
 
   final case class Extrapolated(rangeMs: Long, isCounter: Boolean, isRate: Boolean) extends Kernel {
-    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long): java.lang.Double = {
+    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
+              p1: Double, p2: Double): java.lang.Double = {
       if (n < 2) return null
       var corr = 0.0
       if (isCounter) {
@@ -61,7 +66,8 @@ object SeriesAgg {
   }
 
   final case class InstantValue(isRate: Boolean) extends Kernel {
-    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long): java.lang.Double = {
+    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
+              p1: Double, p2: Double): java.lang.Double = {
       if (n < 2) return null
       val (pt, pv) = (ts(n - 2), vs(n - 2))
       val (lt, lv) = (ts(n - 1), vs(n - 1))
@@ -73,7 +79,8 @@ object SeriesAgg {
   }
 
   case object Resets extends Kernel {
-    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long): java.lang.Double = {
+    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
+              p1: Double, p2: Double): java.lang.Double = {
       if (n == 0) return null
       var c = 0; var i = 1
       while (i < n) { if (vs(i) < vs(i - 1)) c += 1; i += 1 }
@@ -82,7 +89,8 @@ object SeriesAgg {
   }
 
   case object Changes extends Kernel {
-    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long): java.lang.Double = {
+    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
+              p1: Double, p2: Double): java.lang.Double = {
       if (n == 0) return null
       var c = 0; var i = 1
       while (i < n) {
@@ -118,22 +126,35 @@ object SeriesAgg {
   }
 
   case object Deriv extends Kernel {
-    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long): java.lang.Double = {
+    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
+              p1: Double, p2: Double): java.lang.Double = {
       if (n < 2) return null
       regression(ts, vs, n, ts(0))._1
     }
   }
 
-  final case class PredictLinear(tSeconds: Double) extends Kernel {
-    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long): java.lang.Double = {
+  /** p1 = the prediction horizon in seconds (functions.go:952-964). */
+  case object PredictLinear extends Kernel {
+    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
+              p1: Double, p2: Double): java.lang.Double = {
       if (n < 2) return null
       val (slope, intercept) = regression(ts, vs, n, end)
-      slope * tSeconds + intercept
+      slope * p1 + intercept
     }
   }
 
-  final case class HoltWinters(sf: Double, tf: Double) extends Kernel {
-    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long): java.lang.Double = {
+  /** p1 = smoothing factor, p2 = trend factor (functions.go:302-347;
+    * out-of-range factors error exactly like the reference :309-315). */
+  case object HoltWinters extends Kernel {
+    def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
+              p1: Double, p2: Double): java.lang.Double = {
+      val sf = p1; val tf = p2
+      if (sf <= 0 || sf >= 1)
+        throw new IllegalArgumentException(
+          s"invalid smoothing factor. Expected: 0 < sf < 1, got: $sf")
+      if (tf <= 0 || tf >= 1)
+        throw new IllegalArgumentException(
+          s"invalid trend factor. Expected: 0 < tf < 1, got: $tf")
       if (n < 2) return null
       var s0 = 0.0
       var s1 = vs(0)
@@ -152,17 +173,24 @@ object SeriesAgg {
   }
 
   /** Column factory: fold `kernel` over (t, value) per group; `end` is the
-    * (group-constant) window-end column. */
-  def fold(kernel: Kernel, t: Column, value: Column, end: Column): Column =
+    * (group-constant) window-end column, `p1`/`p2` optional group-constant
+    * scalar parameter columns. */
+  def fold(kernel: Kernel, t: Column, value: Column, end: Column,
+           p1: Column = org.apache.spark.sql.functions.lit(0.0),
+           p2: Column = org.apache.spark.sql.functions.lit(0.0)): Column =
     ColumnBridge.column(
       SeriesFoldAgg(ColumnBridge.expression(t), ColumnBridge.expression(value),
-        ColumnBridge.expression(end), kernel).toAggregateExpression())
+        ColumnBridge.expression(end), ColumnBridge.expression(p1),
+        ColumnBridge.expression(p2), kernel).toAggregateExpression())
 }
 
-/** Growable paired primitive buffer; sorted lazily at eval. */
+/** Growable paired primitive buffer; sorted lazily at eval. `p1`/`p2`
+  * capture the group-constant parameter columns on first update. */
 final class SamplesBuf(var ts: Array[Long], var vs: Array[Double],
-                       var n: Int, var end: Long) {
-  def this() = this(new Array[Long](8), new Array[Double](8), 0, Long.MinValue)
+                       var n: Int, var end: Long,
+                       var p1: Double, var p2: Double, var hasP: Boolean) {
+  def this() = this(new Array[Long](8), new Array[Double](8), 0, Long.MinValue,
+    0.0, 0.0, false)
 
   def add(t: Long, v: Double): Unit = {
     if (n == ts.length) {
@@ -176,6 +204,7 @@ final class SamplesBuf(var ts: Array[Long], var vs: Array[Double],
     var i = 0
     while (i < o.n) { add(o.ts(i), o.vs(i)); i += 1 }
     if (o.end > end) end = o.end
+    if (!hasP && o.hasP) { p1 = o.p1; p2 = o.p2; hasP = true }
   }
 
   /** In-place pair sort by timestamp (insertion sort is fine for window-
@@ -196,12 +225,14 @@ final case class SeriesFoldAgg(
     tExpr: Expression,
     vExpr: Expression,
     endExpr: Expression,
+    p1Expr: Expression,
+    p2Expr: Expression,
     kernel: SeriesAgg.Kernel,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SamplesBuf] {
 
-  override def children: Seq[Expression] = Seq(tExpr, vExpr, endExpr)
+  override def children: Seq[Expression] = Seq(tExpr, vExpr, endExpr, p1Expr, p2Expr)
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = s"series_fold_${kernel.getClass.getSimpleName.toLowerCase}"
@@ -219,6 +250,15 @@ final case class SeriesFoldAgg(
         if (el > buf.end) buf.end = el
       }
     }
+    if (!buf.hasP) {
+      val a = p1Expr.eval(input)
+      val b = p2Expr.eval(input)
+      if (a != null && b != null) {
+        buf.p1 = a.asInstanceOf[Double]
+        buf.p2 = b.asInstanceOf[Double]
+        buf.hasP = true
+      }
+    }
     buf
   }
 
@@ -227,12 +267,13 @@ final case class SeriesFoldAgg(
   override def eval(buf: SamplesBuf): Any = {
     if (buf.n == 0) return null
     buf.sortByTime()
-    kernel(buf.ts, buf.vs, buf.n, buf.end)
+    kernel(buf.ts, buf.vs, buf.n, buf.end, buf.p1, buf.p2)
   }
 
   override def serialize(buf: SamplesBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 + buf.n * 16)
+    val bb = ByteBuffer.allocate(4 + 8 + 17 + buf.n * 16)
     bb.putInt(buf.n).putLong(buf.end)
+    bb.putDouble(buf.p1).putDouble(buf.p2).put(if (buf.hasP) 1.toByte else 0.toByte)
     var i = 0
     while (i < buf.n) { bb.putLong(buf.ts(i)); bb.putDouble(buf.vs(i)); i += 1 }
     bb.array()
@@ -242,11 +283,14 @@ final case class SeriesFoldAgg(
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val end = bb.getLong
+    val p1 = bb.getDouble
+    val p2 = bb.getDouble
+    val hasP = bb.get() == 1
     val ts = new Array[Long](math.max(n, 8))
     val vs = new Array[Double](math.max(n, 8))
     var i = 0
     while (i < n) { ts(i) = bb.getLong; vs(i) = bb.getDouble; i += 1 }
-    new SamplesBuf(ts, vs, n, end)
+    new SamplesBuf(ts, vs, n, end, p1, p2, hasP)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SeriesFoldAgg =
@@ -255,5 +299,6 @@ final case class SeriesFoldAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SeriesFoldAgg =
-    copy(tExpr = newChildren(0), vExpr = newChildren(1), endExpr = newChildren(2))
+    copy(tExpr = newChildren(0), vExpr = newChildren(1), endExpr = newChildren(2),
+      p1Expr = newChildren(3), p2Expr = newChildren(4))
 }

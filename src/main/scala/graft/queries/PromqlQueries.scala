@@ -59,6 +59,9 @@ object PromqlQueries {
     "q_fn_changes" -> promql("changes(click[2d])"),
     "q_fn_deriv" -> promql("deriv(click[2d])", roundTo = 9),
     "q_fn_predict_linear" -> promql("predict_linear(click[2d], 3600)", roundTo = 4),
+    // NON-literal horizon: the scalar argument re-evaluates per step and
+    // rides into the fold kernel as a per-step parameter column
+    "q_fn_predict_linear_step" -> promql("predict_linear(click[2d], time() / 1000)", roundTo = 2),
     "q_fn_holt_winters" -> promql("holt_winters(click[5d], 0.5, 0.3)", roundTo = 6),
 
     // §2.5 *_over_time
@@ -277,6 +280,14 @@ object PromqlQueries {
            |SELECT $nullName, "user", par, step AS t,
            |       round(regr_slope(value, (t - step) / 1000.0) * 3600
            |             + regr_intercept(value, (t - step) / 1000.0), 4) AS value
+           |FROM rng GROUP BY "user", par, step HAVING count(*) >= 2""".stripMargin),
+
+    "q_fn_predict_linear_step" ->
+      (withClauses(pSql, stepsSql(), rngSql(2 * DAY, "p.name = 'click'")) +
+        s"""
+           |SELECT $nullName, "user", par, step AS t,
+           |       round(regr_slope(value, (t - step) / 1000.0) * ((step / 1000.0) / 1000)
+           |             + regr_intercept(value, (t - step) / 1000.0), 2) AS value
            |FROM rng GROUP BY "user", par, step HAVING count(*) >= 2""".stripMargin),
 
     "q_fn_sum_over_time" -> overTimeOracle("round(sum(value), 6)", 2 * DAY, "click"),
