@@ -44,8 +44,9 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
-    * the top bit of the first md5 nibble of "p:d". */
-  private def planeSign(p: Int, d: Int): Double =
+    * the top bit of the first md5 nibble of "p:d". Driver-computable, so
+    * an external oracle can bake the same signs into SQL. */
+  private[graft] def planeSign(p: Int, d: Int): Double =
     if ((Integer.parseInt(org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$p:$d").substring(0, 1), 16) & 0x8) != 0) 1.0
     else -1.0
 

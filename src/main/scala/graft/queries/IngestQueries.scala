@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rules.Rules
+import graft.sources.Scrape
+import graft.streaming.Nozzle
+
+/** Driver gates for the ingest-side operators that previously had only
+  * local specs: nozzle envelope→point conversion (sanitization, NaN/Inf
+  * rejection, gauge fan-out), the Prometheus text-exposition parser, and
+  * the alerting `for:` state machine. Each builds its input
+  * deterministically from the `events` table so a DuckDB oracle can
+  * reproduce the expected output exactly.
+  */
+object IngestQueries {
+
+  private val DAY = QueryKit.DAY
+  private val T0 = QueryKit.T0
+
+  /** events → envelope relation: even users emit a gauge envelope with two
+    * metrics (one name needs dot→underscore sanitization, one space→
+    * underscore; the second value turns +Inf every 97th user to exercise
+    * rejection), odd users emit a counter with a dash-bearing name. A tag
+    * key starting with a digit exercises label-key sanitization. */
+  private def envelopes(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsNs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => expr("unix_micros(ts) * 1000")
+    }
+    ev.select(
+      col("event_type").as("source_id"),
+      tsNs.as("timestamp"),
+      map(lit("user"), col("user_id").cast("string"), lit("1bad"), lit("x")).as("tags"),
+      when(pmod(col("user_id"), lit(2)) === 0, lit("gauge")).otherwise(lit("counter")).as("kind"),
+      map(
+        lit("cpu.pct"), col("value"),
+        lit("mem used"), when(pmod(col("user_id"), lit(97)) === 0,
+          lit(Double.PositiveInfinity)).otherwise(col("value") * 2)).as("gauge"),
+      concat(col("event_type"), lit("-total")).as("name"),
+      col("value").as("total"),
+      lit(null).cast("long").as("start"),
+      lit(null).cast("long").as("stop"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nozzle_points" -> ((s, dir) => {
+      val pts = Nozzle.toPoints(envelopes(s, dir))
+      pts.select(col("name"),
+        col("labels").getItem("user").as("user"),
+        col("labels").getItem("_bad").as("bad"),
+        col("labels").getItem("source_id").as("source_id"),
+        col("t"), col("value"))
+    }),
+
+    "q_scrape_parse" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tMs = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+        case _ => expr("unix_micros(ts) div 1000")
+      }
+      val rows = ev.where(col("user_id") < 5)
+        .select(col("event_type"), col("user_id"), tMs.as("t"), col("value"))
+        .orderBy(col("t"), col("user_id"), col("event_type"), col("value"))
+        .collect()
+      // text exposition: escaped quote in a label value, +Inf every 7th
+      // user (rejected at the sanitize step like the ingest path)
+      val body = rows.map { r =>
+        val uid = r.getAs[Long]("user_id")
+        val v =
+          if (uid % 7 == 0) "+Inf"
+          else r.getAs[Double]("value").toString
+        s"""ev_total{user="$uid",src="${r.getAs[String]("event_type")}",esc="q\\"x"} $v ${r.getAs[Long]("t")}"""
+      }.mkString("\n# HELP ev_total synthetic\n", "\n", "\n")
+      val pts = Scrape.scrapeTargets(s, Seq("target-a"), _ => body, T0)
+      pts.select(col("name"),
+        col("labels").getItem("user").as("user"),
+        col("labels").getItem("src").as("src"),
+        col("labels").getItem("esc").as("esc"),
+        col("labels").getItem("instance").as("instance"),
+        col("t"), col("value"))
+    }),
+
+    "q_alert_for_state" -> ((s, dir) => {
+      val pts = graft.model.Points.eventsPoints(s, dir)
+      // the threshold lives in the PromQL expression (comparison filter),
+      // exactly like a real alerting rule; `for: 2d` must hold across
+      // consecutive daily ticks before the alert fires
+      val rule = Rules.AlertingRule("HighClick",
+        "sum by (user) (click) > 10", forMs = 2 * DAY)
+      var state = Rules.emptyState(s)
+      var firing: DataFrame = null
+      val lastTick = T0 + 14 * DAY
+      (10 to 14).foreach { k =>
+        val tick = T0 + k * DAY
+        val (st, f) = Rules.alertingTick(s, pts, rule, state, tick, lookbackMs = DAY)
+        state = st.localCheckpoint(true)
+        firing = f
+      }
+      firing.select(col("labels").getItem("user").as("user"),
+        round(col("value"), 6).as("value"), col("since"), lit(lastTick).as("t"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_nozzle_points" ->
+      """WITH base AS (
+        |  SELECT event_type, user_id, epoch_us(ts) // 1000 AS t, value FROM events),
+        |pts AS (
+        |  SELECT 'cpu_pct' AS name, user_id, event_type, t, value
+        |  FROM base WHERE user_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'mem_used', user_id, event_type, t, value * 2
+        |  FROM base WHERE user_id % 2 = 0 AND user_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT replace(event_type, '-', '_') || '_total', user_id, event_type, t, value
+        |  FROM base WHERE user_id % 2 = 1)
+        |SELECT name, CAST(user_id AS VARCHAR) AS "user", 'x' AS bad,
+        |       event_type AS source_id, t, value
+        |FROM pts""".stripMargin,
+
+    "q_scrape_parse" ->
+      """SELECT 'ev_total' AS name, CAST(user_id AS VARCHAR) AS "user",
+        |       event_type AS src, 'q"x' AS esc, 'target-a' AS instance,
+        |       epoch_us(ts) // 1000 AS t, value
+        |FROM events WHERE user_id < 5 AND user_id % 7 <> 0""".stripMargin,
+
+    "q_alert_for_state" -> {
+      val lastTick = T0 + 14 * DAY
+      QueryKit.withClauses(QueryKit.pSql,
+        QueryKit.stepsSql(T0 + 10 * DAY, lastTick, DAY),
+        QueryKit.instSql(DAY, "p.name = 'click'")) +
+        s"""
+           |, s AS (
+           |  SELECT "user", step, sum(value) AS v FROM inst GROUP BY 1, 2),
+           |c AS (
+           |  SELECT *, step // $DAY - row_number() OVER (PARTITION BY "user" ORDER BY step) AS grp
+           |  FROM s WHERE v > 10),
+           |r AS (SELECT "user", grp, min(step) AS since FROM c GROUP BY 1, 2)
+           |SELECT c."user", round(c.v, 6) AS value, r.since, CAST($lastTick AS BIGINT) AS t
+           |FROM c JOIN r USING ("user", grp)
+           |WHERE c.step = $lastTick AND $lastTick - r.since >= ${2 * DAY}""".stripMargin
+    }
+  )
+}

@@ -47,6 +47,18 @@ object PipelineQueries {
   private def selfDot(v: String) = (1 to 64)
     .map(i => s"CAST($v[$i] AS DOUBLE) * CAST($v[$i] AS DOUBLE)").mkString(" + ")
 
+  /** The LSH bucket expression with the driver-computable hyperplane signs
+    * baked in as literals — same ±1 per (plane, dim) and the same
+    * left-associated summation order as [[Similarity.lshBucket]], so the
+    * float signs (and therefore buckets) agree bitwise. */
+  private def lshBucketSql(v: String, bits: Int = 4, dims: Int = 64): String =
+    (0 until bits).map { p =>
+      val proj = (0 until dims)
+        .map(d => s"CAST($v[${d + 1}] AS DOUBLE) * (${Similarity.planeSign(p, d)})")
+        .mkString(" + ")
+      s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   private val minhashSigsSql = (0 until 16)
     .map(i => s"min(md5('$i' || '|' || tok)) AS sig$i").mkString(", ")
   private val bandsSql = (0 until 4).map { b =>
@@ -112,6 +124,29 @@ object PipelineQueries {
          |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
          |  FROM pairs)
          |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4""".stripMargin,
+
+    "q_sim_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |       ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+         |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM pairs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text) - 1, 64)) AS frame_off
+        |  FROM documents)
+        |SELECT f.doc_id, f.frame_off,
+        |       CAST(ascii(substr(d.text, CAST(f.frame_off AS INT) + 1, 1)) AS BIGINT) AS frame_val
+        |FROM f JOIN documents d ON f.doc_id = d.doc_id""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -61,7 +61,9 @@ object Nozzle {
       .select(
         sanitizeName(col("name")).as("name"),
         sanitizeLabels(col("labels0")).as("labels"),
-        (col("timestamp") / 1000000L).cast("long").as("t"), // ns -> ms
+        // integer division: `/` would round-trip through double, which
+        // cannot represent epoch-ns exactly (2^63-scale > 2^53)
+        expr("timestamp div 1000000").as("t"), // ns -> ms
         col("value"))
     Points.withSig(all)
   }
