@@ -28,7 +28,8 @@ import graft.engine.Engine
 final class HttpApi(spark: SparkSession, points: DataFrame,
                     lookbackMs: Long = 300000L,
                     rules: Option[graft.rules.RuleManagers] = None,
-                    limits: Option[graft.engine.Guards.QueryLimits] = None) {
+                    limits: Option[graft.engine.Guards.QueryLimits] = None,
+                    reloadConfig: () => Unit = () => ()) {
 
   /** Enforce the reference's query envelope when limits are configured:
     * sample-budget precheck, then timeout + concurrency slot around the
@@ -56,6 +57,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       server.createContext("/rules/manager",
         (ex: HttpExchange) => handleCode(ex)(e => RulesApi.route(rm, e)))
     }
+    // POST /~/reload — the reference's config-reload hook
+    // (src/internal/api/reload_api.go): invoke the supplied reload
+    // callback (rule files, scrape configs) and answer 200
+    server.createContext("/~/reload", (ex: HttpExchange) => handleCode(ex) { e =>
+      if (e.getRequestMethod.equalsIgnoreCase("POST")) { reloadConfig(); (200, "{}") }
+      else (405, s"""{"status":"error","error":"POST required"}""")
+    })
     server.start()
     server.getAddress.getPort
   }

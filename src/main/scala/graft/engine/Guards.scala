@@ -102,14 +102,25 @@ object Guards {
 
   private val slots = new java.util.concurrent.ConcurrentHashMap[Int, Semaphore]()
 
+  /** Crash-forensics analog of the reference's mmap'd active-query log
+    * (vendored promql/query_logger.go wired at metric_store.go:295-316):
+    * every guarded run registers here for its duration, so a wedged
+    * process can be inspected for the queries it was executing. */
+  final case class ActiveQuery(group: String, startedMs: Long, description: String)
+  private val active = new java.util.concurrent.ConcurrentHashMap[String, ActiveQuery]()
+  def activeQueries: Seq[ActiveQuery] =
+    active.values().toArray(Array.empty[ActiveQuery]).toSeq.sortBy(_.startedMs)
+
   /** Run `body` (the driver-side action of a query) under the limits:
     * a concurrency slot is acquired first (blocking, like the reference's
     * ActiveQueryTracker), and the Spark jobs it spawns are tagged with a
     * job group that is cancelled if the deadline passes. */
-  def run[T](spark: SparkSession, limits: QueryLimits)(body: => T): T = {
+  def run[T](spark: SparkSession, limits: QueryLimits,
+             description: String = "")(body: => T): T = {
     val sem = slots.computeIfAbsent(limits.maxConcurrent, n => new Semaphore(n, true))
     sem.acquire()
     val group = s"graft-query-${System.nanoTime()}"
+    active.put(group, ActiveQuery(group, System.currentTimeMillis(), description))
     val sc = spark.sparkContext
     try {
       @volatile var timedOut = false
@@ -130,6 +141,9 @@ object Guards {
         watchdog.interrupt()
         sc.clearJobGroup()
       }
-    } finally sem.release()
+    } finally {
+      active.remove(group)
+      sem.release()
+    }
   }
 }

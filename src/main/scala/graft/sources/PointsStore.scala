@@ -22,10 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object PointsStore {
 
-  /** Write points (sig/name/labels/t/value) partitioned by UTC day. */
+  /** Write points (sig/name/labels/t/value) partitioned by UTC day.
+    *
+    * Within each written file, rows are CLUSTERED by (name, sig, t) —
+    * the path-based analog of bucketing by metric name: parquet row-group
+    * min/max stats on `name` then become selective for every selector's
+    * name-equality pushdown (a metric's rows occupy a contiguous run of
+    * row groups instead of smearing across all of them), and series
+    * arrive time-ordered per sig — the layout the reference's TSM
+    * compaction maintains per series key. The sort is per write batch
+    * (micro-batch sized), mirroring the reference's compaction cost. */
   def append(points: DataFrame, path: String): Unit =
     points
       .withColumn("date", to_date(timestamp_millis(col("t"))))
+      .sortWithinPartitions(col("date"), col("name"), col("sig"), col("t"))
       .write
       .partitionBy("date")
       .mode(SaveMode.Append)

@@ -57,6 +57,34 @@ class EngineIntegrationSpec extends AnyFunSuite {
     assert(readDays <= 2)
   }
 
+  test("clustered writes: name-selector scans push equality and skip row groups") {
+    val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("store").toString
+    PointsStore.append(pts, dir)
+    val t0 = 1704067200000L
+    val read = PointsStore.read(spark, dir, t0, t0 + 30 * 86400000L)
+      .where(col("name") === "click")
+    // the metric-name equality must reach the parquet scan; with rows
+    // clustered by (name, sig, t) inside each file its row-group stats
+    // are selective (a metric occupies a contiguous run of row groups)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(name,click)"))
+    // files are physically name-then-time clustered: within every file,
+    // rows for one metric are contiguous
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name()).orderBy(monotonically_increasing_id())
+    val breaks = spark.read.parquet(dir)
+      .select(col("name"), input_file_name().as("f"), monotonically_increasing_id().as("i"))
+      .withColumn("prev", lag(col("name"), 1).over(
+        Window.partitionBy(col("f")).orderBy(col("i"))))
+      .where(col("prev").isNotNull && col("prev") =!= col("name"))
+      .count()
+    val metrics = pts.select("name").distinct().count()
+    val files = spark.read.parquet(dir).select(input_file_name()).distinct().count()
+    assert(breaks <= metrics * files) // at most (#metrics - 1) transitions per file
+  }
+
   test("flattened hot labels push equality filters into the parquet scan") {
     val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("store").toString
