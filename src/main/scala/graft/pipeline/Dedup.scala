@@ -103,6 +103,39 @@ object Dedup {
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-duplicate PAIRS with hamming distance <= `maxHamming`,
+    * via pigeonhole banding: the 16-bit signature splits into
+    * `maxHamming + 1` bands — two signatures within the distance budget
+    * must agree EXACTLY on at least one band (<= maxHamming bits differ,
+    * so some band is untouched), so the band-bucket self-join has perfect
+    * recall while only colliding bands shuffle; the final bit_count(xor)
+    * verification is exact. Scale shape mirrors minHashLsh: linear band
+    * explode, bucket join, no corpus cross join. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => i * 16 / nBands)
+    val sigs = simHash(docs)
+    val bandCols = (0 until nBands).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - bounds(b)
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact token-set Jaccard ≥ `threshold` pairs via a shared-token join:
     * |A∩B| from the join, |A|/|B| from per-doc distinct counts — the only
     * float op is the final single division (bit-stable for any oracle).

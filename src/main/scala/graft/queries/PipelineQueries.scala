@@ -20,6 +20,7 @@ object PipelineQueries {
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minHashLsh(docs(s, dir), 16, 4)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simHash(docs(s, dir))),
+    "q_dedup_simhash_pairs" -> ((s, dir) => Dedup.simHashPairs(docs(s, dir), 2)),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), 0.5, col("doc_id") < 100)),
     "q_dedup_emb_cos" -> ((s, dir) =>
@@ -96,6 +97,18 @@ object PipelineQueries {
          |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
          |v AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id)
          |SELECT doc_id, $simhashBits AS simhash FROM v""".stripMargin,
+
+    // brute-force oracle over all pairs — the engine's pigeonhole banding
+    // must reach the identical pair set (exact recall for hamming <= 2)
+    "q_dedup_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |v AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $simhashBits AS sh FROM v)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.sh, b.sh)) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 2""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH tokd AS (

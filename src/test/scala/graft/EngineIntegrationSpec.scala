@@ -57,6 +57,16 @@ class EngineIntegrationSpec extends AnyFunSuite {
     assert(readDays <= 2)
   }
 
+  test("instant selector aggregates via codegen'd HashAggregate (no SortAggregate fallback)") {
+    val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
+    val t0 = 1704067200000L
+    val sel = graft.engine.Selectors.instant(pts,
+      graft.engine.StepGrid(t0 + 86400000L, t0 + 86400000L, 1000L), lookbackMs = 86400000L)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("SortAggregate"))
+  }
+
   test("clustered writes: name-selector scans push equality and skip row groups") {
     val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("store").toString

@@ -35,6 +35,56 @@ class PropertySpec extends AnyFunSuite {
     assert(out.forall(_.matches("[A-Za-z_:][A-Za-z0-9_:]*")), out.mkString(","))
   }
 
+  test("CanonicalLabels matches the builtin-HOF formulation and round-trips") {
+    // random label maps (sanitized charset, as ingest guarantees)
+    val keyGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(8))
+    val valGen = Gen.listOf(Gen.asciiPrintableChar).map(_.mkString.take(12))
+    val mapGen = Gen.mapOf(Gen.zip(keyGen, valGen)).map(_.take(6))
+    val maps = samples(mapGen, 80)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(maps.map(Row(_)), 2),
+      StructType(Seq(StructField("m", MapType(StringType, StringType)))))
+    val hof = concat_ws("\u0001",
+      transform(array_sort(map_entries(col("m"))),
+        e => concat_ws("\u0002", e.getField("key"), e.getField("value"))))
+    val out = df.select(
+      graft.model.Points.canonical(col("m")).as("native"),
+      hof.as("hof"),
+      graft.engine.Labels.fromCanonical(
+        graft.model.Points.canonical(col("m"))).as("roundtrip"),
+      col("m"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("native") == r.getAs[String]("hof"),
+        s"native != hof for ${r.getAs[Map[String, String]]("m")}")
+      assert(r.getAs[Map[String, String]]("roundtrip") == r.getAs[Map[String, String]]("m"))
+    }
+  }
+
+  test("CanonicalLabels keep/drop filters match map_filter-then-canonical") {
+    val maps = Seq(
+      Map("a" -> "1", "b" -> "2", "c" -> "3"),
+      Map("b" -> "x"),
+      Map.empty[String, String],
+      Map("z" -> "", "a" -> "v"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(maps.map(Row(_)), 1),
+      StructType(Seq(StructField("m", MapType(StringType, StringType)))))
+    val keys = Seq("a", "c")
+    val out = df.select(
+      graft.engine.CanonicalLabels.keepColumn(col("m"), keys).as("k"),
+      graft.model.Points.canonical(
+        map_filter(col("m"), (k, _) => k.isInCollection(keys))).as("kRef"),
+      graft.engine.CanonicalLabels.dropColumn(col("m"), keys).as("d"),
+      graft.model.Points.canonical(
+        map_filter(col("m"), (k, _) => !k.isInCollection(keys))).as("dRef"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("k") == r.getAs[String]("kRef"))
+      assert(r.getAs[String]("d") == r.getAs[String]("dRef"))
+    }
+  }
+
   test("duration parse: composed units sum") {
     val cases = samples(for {
       h <- Gen.choose(0, 48); m <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
