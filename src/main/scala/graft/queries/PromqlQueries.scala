@@ -62,7 +62,16 @@ object PromqlQueries {
     // NON-literal horizon: the scalar argument re-evaluates per step and
     // rides into the fold kernel as a per-step parameter column
     "q_fn_predict_linear_step" -> promql("predict_linear(click[2d], time() / 1000)", roundTo = 2),
-    "q_fn_holt_winters" -> promql("holt_winters(click[5d], 0.5, 0.3)", roundTo = 6),
+    // floor-truncated (not rounded): the engine and oracle produce
+    // bit-identical doubles, but round()'s TIE behavior differs between
+    // engines (Spark rounds the shortest decimal repr, DuckDB the binary
+    // value) — truncation of identical doubles always agrees
+    "q_fn_holt_winters" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val out = graft.engine.Engine.rangeQuery(s, graft.model.Points.eventsPoints(s, dir),
+        "holt_winters(click[5d], 0.5, 0.3)", START, T_END, DAY, DAY)
+      QueryKit.flatten(out).withColumn("value", floor(col("value") * 1e5) / 1e5)
+    }),
 
     // §2.5 *_over_time
     "q_fn_sum_over_time" -> promql("sum_over_time(click[2d])", roundTo = 6),
@@ -289,6 +298,29 @@ object PromqlQueries {
            |       round(regr_slope(value, (t - step) / 1000.0) * ((step / 1000.0) / 1000)
            |             + regr_intercept(value, (t - step) / 1000.0), 2) AS value
            |FROM rng GROUP BY "user", par, step HAVING count(*) >= 2""".stripMargin),
+
+    // the double-exponential-smoothing recurrence as a DuckDB lambda fold:
+    // state rides as DOUBLE[4] = [i, s0, s1, b] (struct_pack fields shadow
+    // inside DuckDB lambdas); (1 - 0.3) stays a SUBTRACTION so the float
+    // matches the kernel's (1 - tf) bit-for-bit
+    "q_fn_holt_winters" ->
+      (withClauses(pSql, stepsSql(), rngSql(5 * DAY, "p.name = 'click'")) +
+        s"""
+           |, lists AS (
+           |  SELECT "user", par, step, list(value ORDER BY t) AS vs
+           |  FROM rng GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+           |SELECT $nullName, "user", par, step AS t,
+           |  floor(list_reduce(
+           |    list_transform(vs, v -> [CAST(1 AS DOUBLE), CAST(0 AS DOUBLE), v, CAST(0 AS DOUBLE)]),
+           |    (acc, x) -> CASE WHEN acc[1] = 1
+           |      THEN [CAST(2 AS DOUBLE), acc[3],
+           |            0.5 * x[3] + (1 - 0.5) * (acc[3] + (x[3] - acc[3])),
+           |            x[3] - acc[3]]
+           |      ELSE [acc[1] + 1, acc[3],
+           |            0.5 * x[3] + (1 - 0.5) * (acc[3] + (0.3 * (acc[3] - acc[2]) + (1 - 0.3) * acc[4])),
+           |            0.3 * (acc[3] - acc[2]) + (1 - 0.3) * acc[4]]
+           |      END)[3] * 1e5) / 1e5 AS value
+           |FROM lists""".stripMargin),
 
     "q_fn_sum_over_time" -> overTimeOracle("round(sum(value), 6)", 2 * DAY, "click"),
     "q_fn_avg_over_time" -> overTimeOracle("round(sum(value / n), 6)", 2 * DAY, "click")
