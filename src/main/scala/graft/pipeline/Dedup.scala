@@ -34,11 +34,22 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"), length(col("text")).as("n_chars"))
 
-  /** Per-doc MinHash signature columns over the token set:
-    * sig_i = min(md5(i || '|' || token)). */
+  /** Per-doc MinHash signature columns over pre-hashed token columns:
+    * sig_i = min(h_i). */
   private def minhashSigs(numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("tok")))).as(s"sig$i"))
+    (0 until numHashes).map(i => min(col(s"h$i")).as(s"sig$i"))
+
+  /** Token -> (h0..h15) hash dictionary over the DISTINCT vocabulary:
+    * tokens repeat heavily across documents, so hashing each vocabulary
+    * entry once and joining back costs |vocab| x numHashes md5 calls
+    * instead of |token occurrences| x numHashes (an order of magnitude at
+    * corpus scale). The dictionary is vocabulary-sized; AQE broadcasts it
+    * while it fits and falls back to a shuffle join beyond that. */
+  private def tokenHashDict(tok: DataFrame, numHashes: Int): DataFrame =
+    tok.select(col("tok")).distinct()
+      .select(col("tok") +:
+        (0 until numHashes).map(i =>
+          md5(concat(lit(i.toString), lit("|"), col("tok"))).as(s"h$i")): _*)
 
   /** MinHash+LSH candidate pairs: `numHashes` signatures, bands of
     * `rowsPerBand`; two docs are candidates iff some band matches exactly.
@@ -58,12 +69,13 @@ object Dedup {
   def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
                  maxBucket: Int = 1000): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sigs = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val sigs = tok
+      .join(tokenHashDict(tok, numHashes), "tok")
       .groupBy(col("doc_id"))
       .agg(minhashSigs(numHashes).head, minhashSigs(numHashes).tail: _*)
       // the signature subplan feeds BOTH sides of the bucket self-join —
-      // without this the token explode + 16-way min agg runs twice
+      // without this the token explode + hash join + min agg runs twice
       .cache()
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
