@@ -48,7 +48,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/api/v1/query_range", (ex: HttpExchange) => handle(ex)(queryRange))
     server.createContext("/api/v1/query", (ex: HttpExchange) => handle(ex)(instant))
-    server.createContext("/api/v1/labels", (ex: HttpExchange) => handle(ex)(_ => labels()))
+    server.createContext("/api/v1/labels", (ex: HttpExchange) => handle(ex)(labels))
     server.createContext("/api/v1/label/", (ex: HttpExchange) => handle(ex)(labelValues))
     server.createContext("/api/v1/series", (ex: HttpExchange) => handle(ex)(series))
     rules.foreach { rm =>
@@ -165,10 +165,34 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     }
   }
 
-  /** All label names across the store, __name__ included
+  /** Optional start/end/match[] restriction for the label APIs (the
+    * vendored web/api/v1 accepts all three; absent params mean the full
+    * store). */
+  private def labelScope(p: Map[String, String]) = {
+    val bounded = (p.get("start"), p.get("end")) match {
+      case (None, None) => points
+      case (s, e) =>
+        points.where(
+          col("t") >= ms(s.getOrElse("0")) &&
+            col("t") <= ms(e.getOrElse((System.currentTimeMillis() / 1000.0).toString)))
+    }
+    p.get("match[]") match {
+      case Some(sel) =>
+        val vs = graft.promql.Parser.parse(sel) match {
+          case v: graft.promql.VectorSelector => v
+          case _ => throw new IllegalArgumentException("match[] must be a selector")
+        }
+        val named = vs.name.map(n => bounded.where(col("name") === n)).getOrElse(bounded)
+        named.where(graft.engine.Compiler.matcherFilter(vs.matchers))
+      case None => bounded
+    }
+  }
+
+  /** All label names across the (scoped) store, __name__ included
     * (reference fan-out analog: replicated_querier.go:214-283). */
-  private def labels(): String = {
-    val names = points.select(explode(map_keys(col("labels"))).as("k"))
+  private def labels(ex: HttpExchange): String = {
+    val scoped = labelScope(params(ex))
+    val names = scoped.select(explode(map_keys(col("labels"))).as("k"))
       .distinct().collect().map(_.getString(0)).sorted
     s"""{"status":"success","data":${Json.arr(("__name__" +: names.toSeq).distinct.sorted)}}"""
   }
@@ -176,12 +200,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def labelValues(ex: HttpExchange): String = {
     val path = ex.getRequestURI.getPath // /api/v1/label/<name>/values
     val label = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
+    val scoped = labelScope(params(ex))
     val vals =
       if (label == "__name__")
-        points.select(col("name")).where(col("name").isNotNull).distinct()
+        scoped.select(col("name")).where(col("name").isNotNull).distinct()
           .collect().map(_.getString(0))
       else
-        points.select(element_at(col("labels"), label).as("v"))
+        scoped.select(element_at(col("labels"), label).as("v"))
           .where(col("v").isNotNull).distinct().collect().map(_.getString(0))
     s"""{"status":"success","data":${Json.arr(vals.sorted.toSeq)}}"""
   }

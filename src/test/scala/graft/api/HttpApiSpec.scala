@@ -73,6 +73,22 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("label APIs honor start/end and match[] scoping") {
+    val api = new HttpApi(spark, points)
+    val port = api.start(0)
+    try {
+      // match[] restricts to the selector's series (vendored api.go accepts it)
+      val scoped = get(port, "/api/v1/labels?match[]=up")
+      assert(scoped.contains("\"job\"") && !scoped.contains("\"instance\""))
+      // a time window past all samples yields no label values
+      val late = get(port, "/api/v1/label/job/values?start=1000&end=2000")
+      assert(late.contains(""""data":[]"""))
+      // the sample window includes them (samples sit at t=60s)
+      val hit = get(port, "/api/v1/label/job/values?start=50&end=70")
+      assert(hit.contains("\"api\""))
+    } finally api.stop()
+  }
+
   test("query guards enforce the MaxSamples envelope over HTTP") {
     val api = new HttpApi(spark, points,
       limits = Some(graft.engine.Guards.QueryLimits(maxSamples = 1)))

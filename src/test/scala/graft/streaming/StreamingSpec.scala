@@ -52,6 +52,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(labels("source_id") == "app-1")
   }
 
+  test("end-to-end: streaming envelopes -> nozzle -> store append -> PromQL query") {
+    // the full ingest path of the reference (envelope stream -> sanitize ->
+    // shard append -> queryable), as readStream -> foreachBatch ->
+    // PointsStore.append -> Engine over the persisted partitions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("e2e").toString
+    val ns0 = 1704067200L * 1000000000L
+    val mem = MemoryStream[(String, Long, String, Double)]
+    val env = mem.toDF().toDF("source_id", "timestamp", "name", "total")
+      .withColumn("tags", map(lit("job"), col("source_id")))
+      .withColumn("kind", lit("counter"))
+      .withColumn("gauge", lit(null).cast("map<string,double>"))
+      .withColumn("start", lit(null).cast("long"))
+      .withColumn("stop", lit(null).cast("long"))
+    val q = Nozzle.toPoints(env).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PointsStore.append(batch, dir)
+      }
+      .start()
+    try {
+      // two micro-batches, two days of samples (exercises partition split)
+      mem.addData(("app-1", ns0, "http_total", 10.0),
+        ("app-1", ns0 + 60L * 1000000000L, "http_total", 20.0))
+      q.processAllAvailable()
+      mem.addData(("app-1", ns0 + 86400L * 1000000000L, "http_total", 35.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t0 = 1704067200000L
+    val stored = PointsStore.read(spark, dir, t0, t0 + 2 * 86400000L)
+    // rate over the counter across the stored samples
+    val rate = graft.engine.Engine.instantQuery(spark, stored,
+      "rate(http_total[1m30s])", t0 + 60000L)
+      .collect()
+    assert(rate.length == 1)
+    assert(rate.head.getAs[Map[String, String]]("labels")("job") == "app-1")
+    assert(rate.head.getAs[Double]("value") > 0)
+    // the second day's sample landed in its own partition and is visible
+    val day2 = graft.engine.Engine.instantQuery(spark, stored,
+      "http_total", t0 + 86400000L)
+      .collect()
+    assert(day2.head.getAs[Double]("value") == 35.0)
+  }
+
   test("streaming counter rollup over a memory stream matches batch rollup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
