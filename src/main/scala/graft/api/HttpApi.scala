@@ -32,14 +32,17 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                     reloadConfig: () => Unit = () => ()) {
 
   /** Enforce the reference's query envelope when limits are configured:
-    * sample-budget precheck, then timeout + concurrency slot around the
-    * driver-side action (metric_store.go:296,109,295-316). */
-  private def guarded[T](q: String, grid: graft.engine.StepGrid)(body: => T): T =
+    * timeout + concurrency slot around the driver-side action, with the
+    * MaxSamples budget metered IN-SCAN by a TallySamples accumulator the
+    * evaluation threads through its selectors — no pre-count pass
+    * (metric_store.go:296,109,295-316). */
+  private def guarded[T](q: String, grid: graft.engine.StepGrid)(
+      body: Option[org.apache.spark.util.LongAccumulator] => T): T =
     limits match {
       case Some(l) =>
-        graft.engine.Guards.checkSampleBudget(points, q, grid, l, lookbackMs)
-        graft.engine.Guards.run(spark, l)(body)
-      case None => body
+        val tally = graft.engine.Guards.newTally(spark)
+        graft.engine.Guards.run(spark, l, q, Some(tally))(body(Some(tally)))
+      case None => body(None)
     }
 
   private var server: HttpServer = _
@@ -112,11 +115,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def instant(ex: HttpExchange): String = {
     val p = params(ex)
     val ts = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000.0).toString))
-    guarded(p("query"), graft.engine.StepGrid(ts, ts, 1000L))(instantBody(p, ts))
+    guarded(p("query"), graft.engine.StepGrid(ts, ts, 1000L))(instantBody(p, ts, _))
   }
 
-  private def instantBody(p: Map[String, String], ts: Long): String = {
-    val out = Engine.instantQuery(spark, points, p("query"), ts, lookbackMs)
+  private def instantBody(p: Map[String, String], ts: Long,
+                          tally: Option[org.apache.spark.util.LongAccumulator]): String = {
+    val out = Engine.instantQuery(spark, points, p("query"), ts, lookbackMs,
+      sampleTally = tally)
     if (out.columns.contains("step")) {
       // a bare range selector (`m[5m]`) evaluates to a Matrix even via the
       // instant endpoint — resultType "matrix" with per-series value lists
@@ -149,12 +154,14 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     val p = params(ex)
     val (start, end, step) = (ms(p("start")), ms(p("end")), ms(p("step")))
     guarded(p("query"), graft.engine.StepGrid(start, math.max(start, end), step))(
-      queryRangeBody(p, start, end, step))
+      queryRangeBody(p, start, end, step, _))
   }
 
   private def queryRangeBody(p: Map[String, String], start: Long, end: Long,
-                             step: Long): String = {
-    val out = Engine.rangeQuery(spark, points, p("query"), start, end, step, lookbackMs)
+                             step: Long,
+                             tally: Option[org.apache.spark.util.LongAccumulator]): String = {
+    val out = Engine.rangeQuery(spark, points, p("query"), start, end, step, lookbackMs,
+      sampleTally = tally)
     val rows = out.collect()
     if (out.columns.contains("labels")) {
       envelope("matrix", matrixJson(rows))

@@ -87,16 +87,16 @@ object Compiler {
     vs.at match {
       case None =>
         if (vs.offsetMs == 0L) {
-          VectorVal(Selectors.instant(pts, grid, ctx.lookbackMs))
+          VectorVal(Selectors.instant(pts, grid, ctx.lookbackMs, ctx.sampleTally))
         } else {
           val shifted = StepGrid(grid.startMs - vs.offsetMs, grid.endMs - vs.offsetMs, grid.stepMs)
-          VectorVal(Selectors.instant(pts, shifted, ctx.lookbackMs)
+          VectorVal(Selectors.instant(pts, shifted, ctx.lookbackMs, ctx.sampleTally)
             .withColumn("step", col("step") + vs.offsetMs))
         }
       case Some(at) =>
         // step-invariant: evaluate once at the pinned ts, replicate across grid
         val ts = pinnedTs(at, grid) - vs.offsetMs
-        val once = Selectors.instant(pts, StepGrid(ts, ts, 1), ctx.lookbackMs).drop("step")
+        val once = Selectors.instant(pts, StepGrid(ts, ts, 1), ctx.lookbackMs, ctx.sampleTally).drop("step")
         VectorVal(once.crossJoin(broadcast(grid.df(ctx.spark))))
     }
   }
@@ -108,16 +108,16 @@ object Compiler {
     vs.at match {
       case None =>
         if (vs.offsetMs == 0L) {
-          MatrixVal(Selectors.range(pts, grid, ms.rangeMs), ms.rangeMs)
+          MatrixVal(Selectors.range(pts, grid, ms.rangeMs, ctx.sampleTally), ms.rangeMs)
         } else {
           val shifted = StepGrid(grid.startMs - vs.offsetMs, grid.endMs - vs.offsetMs, grid.stepMs)
-          MatrixVal(Selectors.range(pts, shifted, ms.rangeMs)
+          MatrixVal(Selectors.range(pts, shifted, ms.rangeMs, ctx.sampleTally)
             .withColumn("step", col("step") + vs.offsetMs),
             ms.rangeMs, windowEndMsOffset = vs.offsetMs)
         }
       case Some(at) =>
         val ts = pinnedTs(at, grid) - vs.offsetMs
-        val once = Selectors.range(pts, StepGrid(ts, ts, 1), ms.rangeMs).drop("step")
+        val once = Selectors.range(pts, StepGrid(ts, ts, 1), ms.rangeMs, ctx.sampleTally).drop("step")
         MatrixVal(once.crossJoin(broadcast(grid.df(ctx.spark))), ms.rangeMs,
           pinnedEndMs = Some(ts))
     }

@@ -1,19 +1,20 @@
 package graft.engine
 
-import java.util.concurrent.{Semaphore, TimeUnit}
+import java.util.concurrent.Semaphore
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
-import graft.promql._
+import org.apache.spark.sql.SparkSession
 
 /** Query resource guards, mirroring the reference's engine envelope
   * (src/internal/metric-store/metric_store.go:296,109,295-316):
   *
-  *  - MaxSamples 20e6: abort before evaluation when the samples a query's
-  *    selectors would load exceed the budget. Spark-native shape: ONE
-  *    cheap pre-count scan (pushdown-filtered, counts all selector windows
-  *    in a single pass) instead of the reference's per-step accounting.
+  *  - MaxSamples 20e6: the samples a query's selectors load are counted
+  *    IN-SCAN by a [[TallySamples]] accumulator riding the selector's own
+  *    codegen'd pipeline — zero extra passes over the data (a pre-count
+  *    scan would double every guarded query's I/O at fleet scale). The
+  *    watchdog polls the accumulator as task updates stream in and cancels
+  *    the job group mid-flight once the budget is exceeded; a query that
+  *    finishes under the poll interval is still rejected post-hoc, so the
+  *    budget is enforced deterministically either way.
   *  - Query timeout (reference code default 10 s): the evaluation runs in
   *    a job group that is cancelled at the deadline.
   *  - Max concurrent queries (reference ActiveQueryTracker, 20): a
@@ -33,70 +34,11 @@ object Guards {
   final class QueryTimeoutException extends RuntimeException(
     "query timed out in query execution")
 
-  /** Count the samples every selector in `promql` would load — one
-    * filtered scan, all selector windows summed — and abort when the
-    * total exceeds the budget. A mild overcount versus the reference's
-    * per-step dedup accounting is acceptable for a guard. */
-  def checkSampleBudget(points: DataFrame, promql: String, grid: StepGrid,
-                        limits: QueryLimits, lookbackMs: Long = 300000L): Unit = {
-    val conds = selectorConds(Parser.parse(promql), grid, lookbackMs)
-    if (conds.isEmpty) return
-    val perSelector = conds.map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
-    val total = points.agg(sum(perSelector).as("n")).collect().head.getAs[Any]("n") match {
-      case null => 0L
-      case n: Long => n
-      case n: Number => n.longValue()
-    }
-    if (total > limits.maxSamples) throw new TooManySamplesException
-  }
-
-  /** One membership predicate per selector: label matchers AND the full
-    * time window the selector can touch across the grid (lookback/range,
-    * offset, `@` pin — the same algebra the compiler applies). */
-  private def selectorConds(ast: Expr, grid: StepGrid, lookbackMs: Long): Seq[Column] = {
-    def selCond(vs: VectorSelector, windowMs: Long): Column = {
-      val (lo, hi) = vs.at match {
-        case Some(at) =>
-          val ts = (at match {
-            case AtModifier.Start => grid.startMs
-            case AtModifier.End => grid.endMs
-            case AtModifier.At(t) => t
-          }) - vs.offsetMs
-          (ts - windowMs, ts)
-        case None =>
-          (grid.startMs - vs.offsetMs - windowMs, grid.endMs - vs.offsetMs)
-      }
-      val nameCond = vs.name.map(n => col("name") === n).getOrElse(lit(true))
-      nameCond && Compiler.matcherFilter(vs.matchers) &&
-        col("t") >= lo && col("t") <= hi
-    }
-    def walk(e: Expr): Seq[Column] = e match {
-      case vs: VectorSelector => Seq(selCond(vs, lookbackMs))
-      case MatrixSelector(vs, rangeMs) => Seq(selCond(vs, rangeMs))
-      case sq: SubqueryExpr =>
-        // the inner expression evaluates over a grid widened by the
-        // subquery range (plus offset/@ shifts) — widen and recurse
-        val (s, e2) = sq.at match {
-          case Some(at) =>
-            val ts = (at match {
-              case AtModifier.Start => grid.startMs
-              case AtModifier.End => grid.endMs
-              case AtModifier.At(t) => t
-            }) - sq.offsetMs
-            (ts - sq.rangeMs, ts)
-          case None => (grid.startMs - sq.offsetMs - sq.rangeMs, grid.endMs - sq.offsetMs)
-        }
-        selectorConds(sq.expr, StepGrid(s, math.max(s, e2), grid.stepMs), lookbackMs)
-      case ParenExpr(inner) => walk(inner)
-      case UnaryExpr(_, inner) => walk(inner)
-      case AggregateExpr(_, inner, param, _, _) =>
-        walk(inner) ++ param.toSeq.flatMap(walk)
-      case BinaryExpr(_, l, r, _, _) => walk(l) ++ walk(r)
-      case Call(_, args) => args.flatMap(walk)
-      case _ => Nil
-    }
-    walk(ast)
-  }
+  /** Fresh MaxSamples meter for one guarded query: pass it to
+    * `Engine.rangeQuery(sampleTally = Some(acc))` (it rides the selector's
+    * scan via [[TallySamples]]) and hand the same instance to [[run]]. */
+  def newTally(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.samples")
 
   // ---- timeout + concurrency gate --------------------------------------
 
@@ -114,9 +56,13 @@ object Guards {
   /** Run `body` (the driver-side action of a query) under the limits:
     * a concurrency slot is acquired first (blocking, like the reference's
     * ActiveQueryTracker), and the Spark jobs it spawns are tagged with a
-    * job group that is cancelled if the deadline passes. */
+    * job group. The watchdog cancels the group when the deadline passes OR
+    * when `tally` (the in-scan [[TallySamples]] meter) exceeds MaxSamples;
+    * the budget is re-checked after `body` so fast queries that complete
+    * between polls are still rejected deterministically. */
   def run[T](spark: SparkSession, limits: QueryLimits,
-             description: String = "")(body: => T): T = {
+             description: String = "",
+             tally: Option[org.apache.spark.util.LongAccumulator] = None)(body: => T): T = {
     val sem = slots.computeIfAbsent(limits.maxConcurrent, n => new Semaphore(n, true))
     sem.acquire()
     val group = s"graft-query-${System.nanoTime()}"
@@ -124,18 +70,35 @@ object Guards {
     val sc = spark.sparkContext
     try {
       @volatile var timedOut = false
+      @volatile var overBudget = false
+      def budgetExceeded: Boolean = tally.exists(_.value > limits.maxSamples)
+      val deadline = System.nanoTime() + limits.timeoutMs * 1000000L
       val watchdog = new Thread(() => {
         try {
-          Thread.sleep(limits.timeoutMs)
-          timedOut = true
-          sc.cancelJobGroup(group)
+          var done = false
+          while (!done) {
+            if (System.nanoTime() >= deadline) {
+              timedOut = true
+              sc.cancelJobGroup(group)
+              done = true
+            } else if (budgetExceeded) {
+              overBudget = true
+              sc.cancelJobGroup(group)
+              done = true
+            } else Thread.sleep(50)
+          }
         } catch { case _: InterruptedException => () }
       }, s"$group-watchdog")
       watchdog.setDaemon(true)
       sc.setJobGroup(group, "graft guarded query", interruptOnCancel = true)
       watchdog.start()
-      try body
-      catch {
+      try {
+        val result = body
+        if (overBudget || budgetExceeded) throw new TooManySamplesException
+        result
+      } catch {
+        case _: TooManySamplesException => throw new TooManySamplesException
+        case e: Throwable if overBudget => throw new TooManySamplesException
         case e: Throwable if timedOut => throw new QueryTimeoutException
       } finally {
         watchdog.interrupt()

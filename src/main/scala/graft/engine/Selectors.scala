@@ -45,7 +45,8 @@ object Selectors {
     * matrixIterSlice use `t >= mint`): a sample at `t` serves step indices
     * k in [ceil((t-start)/step), floor((t+w-start)/step)] ∩ [0, nSteps).
     * The pre-filter keeps the floor arithmetic in non-negative territory. */
-  def explodeToSteps(points: DataFrame, grid: StepGrid, windowMs: Long): DataFrame = {
+  def explodeToSteps(points: DataFrame, grid: StepGrid, windowMs: Long,
+                     tally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val bounded = points.where(col("t") >= grid.startMs - windowMs && col("t") <= grid.endMs)
     val withK = bounded
       .withColumn("_kLo", greatest(lit(0L),
@@ -53,9 +54,19 @@ object Selectors {
       .withColumn("_kHi", least(lit(grid.nSteps - 1),
         floor((col("t") + windowMs - grid.startMs) / grid.stepMs).cast("long")))
       .where(col("_kLo") <= col("_kHi"))
+    // the MaxSamples meter wraps the step column: it is evaluated exactly
+    // once per (sample, window) row — the reference's per-step sample
+    // accounting — inside the same codegen'd pipeline (no second scan),
+    // and step feeds every downstream aggregation so it is never pruned
+    val stepCol = lit(grid.startMs) + col("step") * grid.stepMs
+    val counted = tally match {
+      case Some(acc) => org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        TallySamples(org.apache.spark.sql.graftbridge.ColumnBridge.expression(stepCol), acc))
+      case None => stepCol
+    }
     withK
       .withColumn("step", explode(sequence(col("_kLo"), col("_kHi"))))
-      .withColumn("step", lit(grid.startMs) + col("step") * grid.stepMs)
+      .withColumn("step", counted)
       .drop("_kLo", "_kHi")
   }
 
@@ -79,11 +90,12 @@ object Selectors {
     *
     * Output: sig, name, labels, step, t, value. */
   def instant(points: DataFrame, grid: StepGrid,
-              lookbackMs: Long = Points.DefaultLookbackMs): DataFrame = {
+              lookbackMs: Long = Points.DefaultLookbackMs,
+              tally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val slim = withStaleFlag(points).select(
       col("name"), Points.canonical(col("labels")).as("_lc"),
       col("t"), col("value"), col("stale"))
-    explodeToSteps(slim, grid, lookbackMs)
+    explodeToSteps(slim, grid, lookbackMs, tally)
       .groupBy(col("name"), col("_lc"), col("step"))
       .agg(
         max(col("t")).as("t"),
@@ -105,11 +117,12 @@ object Selectors {
     * their result-sized output via [[Labels.fromCanonical]].
     *
     * Output: sig, name, _lc, step, t, value. */
-  def range(points: DataFrame, grid: StepGrid, rangeMs: Long): DataFrame =
+  def range(points: DataFrame, grid: StepGrid, rangeMs: Long,
+            tally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
     explodeToSteps(
       dropStale(points).select(col("sig"), col("name"),
         Points.canonical(col("labels")).as("_lc"), col("t"), col("value")),
-      grid, rangeMs)
+      grid, rangeMs, tally)
       .select(col("sig"), col("name"), col("_lc"), col("step"), col("t"), col("value"))
 
   /** Remove staleness-marker rows if the relation carries a `stale` flag

@@ -34,6 +34,9 @@ object SeriesAgg {
   sealed trait Kernel extends Serializable {
     def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
               p1: Double, p2: Double): java.lang.Double
+    /** Whether the kernel reads p1/p2 — parameterless kernels skip the
+      * parameter-expression evaluation in the per-row update path. */
+    def needsParams: Boolean = false
   }
 
   final case class Extrapolated(rangeMs: Long, isCounter: Boolean, isRate: Boolean) extends Kernel {
@@ -135,6 +138,7 @@ object SeriesAgg {
 
   /** p1 = the prediction horizon in seconds (functions.go:952-964). */
   case object PredictLinear extends Kernel {
+    override def needsParams: Boolean = true
     def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
               p1: Double, p2: Double): java.lang.Double = {
       if (n < 2) return null
@@ -146,6 +150,7 @@ object SeriesAgg {
   /** p1 = smoothing factor, p2 = trend factor (functions.go:302-347;
     * out-of-range factors error exactly like the reference :309-315). */
   case object HoltWinters extends Kernel {
+    override def needsParams: Boolean = true
     def apply(ts: Array[Long], vs: Array[Double], n: Int, end: Long,
               p1: Double, p2: Double): java.lang.Double = {
       val sf = p1; val tf = p2
@@ -244,19 +249,21 @@ final case class SeriesFoldAgg(
     val v = vExpr.eval(input)
     if (t != null && v != null) {
       buf.add(t.asInstanceOf[Long], v.asInstanceOf[Double])
-      val e = endExpr.eval(input)
-      if (e != null) {
-        val el = e.asInstanceOf[Long]
-        if (el > buf.end) buf.end = el
+      // end and p1/p2 are group-constant by construction (derived from the
+      // grouping step), so they evaluate once per buffer, not per row;
+      // parameterless kernels never touch the parameter expressions
+      if (buf.end == Long.MinValue) {
+        val e = endExpr.eval(input)
+        if (e != null) buf.end = e.asInstanceOf[Long]
       }
-    }
-    if (!buf.hasP) {
-      val a = p1Expr.eval(input)
-      val b = p2Expr.eval(input)
-      if (a != null && b != null) {
-        buf.p1 = a.asInstanceOf[Double]
-        buf.p2 = b.asInstanceOf[Double]
-        buf.hasP = true
+      if (kernel.needsParams && !buf.hasP) {
+        val a = p1Expr.eval(input)
+        val b = p2Expr.eval(input)
+        if (a != null && b != null) {
+          buf.p1 = a.asInstanceOf[Double]
+          buf.p2 = b.asInstanceOf[Double]
+          buf.hasP = true
+        }
       }
     }
     buf

@@ -1,0 +1,47 @@
+package graft.engine
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.util.LongAccumulator
+
+/** Pass-through expression that bumps a `LongAccumulator` once per
+  * evaluated row — the in-scan MaxSamples meter. Wrapping the selector's
+  * step column (always consumed by the downstream aggregation, so never
+  * pruned) counts each sample once per window it serves, matching the
+  * reference's per-step sample accounting, with ZERO extra passes: the
+  * counting rides inside the same whole-stage-codegen'd scan+filter+explode
+  * pipeline the query already runs, and the watchdog reads the accumulator
+  * driver-side as task updates stream in (reference envelope:
+  * src/internal/metric-store/metric_store.go:296).
+  *
+  * Codegen'd (a bare `$acc.add(1)` after the child's code), so it never
+  * breaks a WholeStageCodegen span. Not "cheap" in CollapseProject's
+  * sense, so the optimizer will not duplicate it into multiple consumers.
+  */
+final case class TallySamples(child: Expression, acc: LongAccumulator)
+  extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "tally_samples"
+
+  override def eval(input: InternalRow): Any = {
+    acc.add(1L)
+    child.eval(input)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val accRef = ctx.addReferenceObj("tallyAcc", acc, classOf[LongAccumulator].getName)
+    val childCode = child.genCode(ctx)
+    ev.copy(
+      code = childCode.code + code"\n$accRef.add(1L);",
+      isNull = childCode.isNull,
+      value = childCode.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TallySamples =
+    copy(child = newChild)
+}

@@ -58,4 +58,8 @@ final case class EvalContext(
     lookbackMs: Long = 300000L,
     defaultSubqueryStepMs: Long = 60000L,
     memo: scala.collection.mutable.Map[graft.promql.Expr, Value] =
-      scala.collection.mutable.Map.empty)
+      scala.collection.mutable.Map.empty,
+    /** In-scan MaxSamples meter ([[TallySamples]]): when set, every selector
+      * counts its per-step samples into this accumulator as the query runs —
+      * no separate budget pre-scan. */
+    sampleTally: Option[org.apache.spark.util.LongAccumulator] = None)

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: shingle explode (linear) → per-doc signature (one agg) →
   *    band explode (constant ×B) → bucket self-join (only colliding bands
   *    shuffle) → candidate pairs. The full-corpus cross join never exists.
-  *  - SimHash: per-doc 16-bit signature in one aggregation; pairing is done
-  *    on signature buckets (exact-match or prefix bands), not all-pairs.
+  *  - SimHash: per-doc 64-bit signature in one aggregation; pairing is done
+  *    on signature bands (pigeonhole buckets), not all-pairs.
   *  - n-gram Jaccard: exact verification join on shared shingles — meant to
   *    run AFTER candidate generation (LSH) at scale; the gate query bounds
   *    it to a doc_id prefix instead.
@@ -44,106 +44,145 @@ object Dedup {
     * entry once and joining back costs |vocab| x numHashes md5 calls
     * instead of |token occurrences| x numHashes (an order of magnitude at
     * corpus scale). The dictionary is vocabulary-sized; AQE broadcasts it
-    * while it fits and falls back to a shuffle join beyond that. */
+    * while it fits and falls back to a shuffle join beyond that.
+    *
+    * Each hash is carried as the NUMERIC value of the md5's first 15 hex
+    * chars (60 bits — the widest hex prefix that fits a signed long):
+    * fixed-width lowercase hex is order-isomorphic to its numeric value,
+    * so min() picks the same winner as a string oracle, and band equality
+    * over the truncated values agrees with full-hex equality up to 2^-60
+    * prefix collisions. 16 longs through the join and the min-aggregation
+    * cost 128 B/row instead of 512 B of hex, and the aggregate runs on
+    * primitive buffers. */
   private def tokenHashDict(tok: DataFrame, numHashes: Int): DataFrame =
     tok.select(col("tok")).distinct()
       .select(col("tok") +:
         (0 until numHashes).map(i =>
-          md5(concat(lit(i.toString), lit("|"), col("tok"))).as(s"h$i")): _*)
+          conv(substring(md5(concat(lit(i.toString), lit("|"), col("tok"))), 1, 15), 16, 10)
+            .cast("long").as(s"h$i")): _*)
 
   /** MinHash+LSH candidate pairs: `numHashes` signatures, bands of
     * `rowsPerBand`; two docs are candidates iff some band matches exactly.
     * Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     *
     * Scale hardening:
-    *  - the join key is `xxhash64` of the concatenated band signature —
+    *  - the bucket key is `xxhash64` of the concatenated band signature —
     *    8 bytes through the shuffle instead of a 128-char hex string; an
     *    external oracle joining on the raw concatenation produces the same
     *    pairs (equal strings ⇔ equal hashes modulo 2^-64 collisions).
-    *  - buckets larger than `maxBucket` docs are dropped BEFORE the
-    *    self-join: a degenerate bucket of k near-identical docs costs k²
-    *    pairs that exact dedup (or clustering on the bucket id) handles for
-    *    k, not k² — the cap bounds the worst-case join fan-out. Singleton
-    *    buckets are pruned in the same pass (they cannot produce a pair),
-    *    so the self-join probe is only the genuinely colliding rows. */
+    *  - the signature subplan is scanned ONCE: each bucket's members are
+    *    gathered by a single [[BoundedCollect]] aggregation (buffer and
+    *    shuffle hard-capped at maxBucket+1 longs even for a bucket holding
+    *    half the corpus) and pairs expand from the bucket array with a
+    *    narrow double-explode — no bucket self-join, no second pass over
+    *    the token explode + hash dictionary + min aggregation.
+    *  - buckets larger than `maxBucket` docs evaluate to the overflow
+    *    marker (size maxBucket+1) and are dropped before pair expansion: a
+    *    degenerate bucket of k near-identical docs would cost k² pairs that
+    *    exact dedup (or clustering on the bucket id) handles for k, not k²
+    *    — the cap bounds the worst-case expansion fan-out. Singleton
+    *    buckets are filtered in the same pass (they cannot produce a
+    *    pair). */
   def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000, broadcastDict: Boolean = true): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // the dictionary is |vocab|-sized — broadcast it explicitly (the
+    // occurrence side is ALWAYS the bigger one, but its parquet-derived
+    // size estimate can fool the planner into building the wrong side);
+    // at fleet scale where the vocabulary itself outgrows a broadcast,
+    // pass broadcastDict=false for a shuffle join co-partitioned on tok
+    val dict = tokenHashDict(tok, numHashes)
     val sigs = tok
-      .join(tokenHashDict(tok, numHashes), "tok")
+      .join(if (broadcastDict) broadcast(dict) else dict, "tok")
       .groupBy(col("doc_id"))
       .agg(minhashSigs(numHashes).head, minhashSigs(numHashes).tail: _*)
-      // the signature subplan feeds BOTH sides of the bucket self-join —
-      // without this the token explode + hash join + min agg runs twice
-      .cache()
     val bandCols = (0 until numBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(concat(parts: _*)).as("bv"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bv"))
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val pairable = banded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("_bc"))
-      .where(col("_bc") > 1 && col("_bc") <= maxBucket)
-      .select(col("band"), col("bv"))
-    val capped = banded.join(pairable, Seq("band", "bv"))
-    val a = capped.select(col("band"), col("bv"), col("doc_id").as("doc_a"))
-    val b = capped.select(col("band"), col("bv"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bv"))
+    val buckets = banded.groupBy(col("band"), col("bv"))
+      .agg(BoundedCollect.column(col("doc_id"), maxBucket).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
-  /** 16-bit SimHash over the token multiset: bit j is the sign of the vote
-    * sum where each token votes ±1 according to bit j of its md5. Output:
-    * (doc_id, simhash LONG). Near-dup pairing then buckets on the signature
-    * (or bands of it) rather than comparing all pairs. */
+  /** 64-bit SimHash over the token multiset: bit j is the sign of the vote
+    * sum where each token votes ±1 according to bit j of its md5 (bit j
+    * lives in nibble j/4 of the first 16 hex chars, position j%4 inside the
+    * nibble — every md5 bit is used, unlike a high-bit-per-hex-digit scheme
+    * that would cap the signature at 32 bits). Output: (doc_id, simhash
+    * LONG). 64 bits matter at corpus scale: banding for near-dup pairing
+    * gets ~21-bit bands (2^21 bucket values) instead of the 2^5-ish a short
+    * signature leaves, so bucket sizes stay corpus/2^21 rather than
+    * corpus-sized. Bit 63 is assembled from the Long.MinValue literal and
+    * the word is OR-combined — both reproducible in an external SQL engine
+    * without signed-shift overflow. */
   def simHash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val votes = (0 until 16).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+    val nibs = (0 until 16).map(i =>
+      conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as(s"nib$i"))
+    val withNibs = tok.select(col("doc_id") +: nibs: _*)
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(lit(1)) === 1, 1)
         .otherwise(-1)).as(s"v$j")
     }
-    val bits: Seq[Column] = (0 until 16).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-    tok.groupBy(col("doc_id"))
+    val bits: Seq[Column] = (0 until 64).map { j =>
+      val bitVal = if (j == 63) lit(Long.MinValue) else lit(1L << j)
+      when(col(s"v$j") > 0, bitVal).otherwise(lit(0L))
+    }
+    withNibs.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** SimHash near-duplicate PAIRS with hamming distance <= `maxHamming`,
-    * via pigeonhole banding: the 16-bit signature splits into
-    * `maxHamming + 1` bands — two signatures within the distance budget
-    * must agree EXACTLY on at least one band (<= maxHamming bits differ,
-    * so some band is untouched), so the band-bucket self-join has perfect
-    * recall while only colliding bands shuffle; the final bit_count(xor)
-    * verification is exact. Scale shape mirrors minHashLsh: linear band
-    * explode, bucket join, no corpus cross join. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    * via pigeonhole banding: the 64-bit signature splits into
+    * `maxHamming + 1` contiguous bands — two signatures within the distance
+    * budget must agree EXACTLY on at least one band (<= maxHamming bits
+    * differ, so some band is untouched), giving perfect recall; the final
+    * bit_count(xor) verification is exact.
+    *
+    * Scale shape mirrors [[minHashLsh]]: bucket members gather in ONE
+    * [[BoundedCollect.pairs]] aggregation (buffer capped at maxBucket+1
+    * entries), pairs expand by double-explode carrying both signatures so
+    * verification needs no join back, and buckets over `maxBucket` are
+    * dropped. Band cardinality at maxHamming=2 is 2^21..2^22 values per
+    * band, so expected bucket size is corpus/2^21 — the cap only fires on
+    * truly degenerate (near-identical) clusters, which exact dedup handles
+    * upstream. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 2,
+                   maxBucket: Int = 1000): DataFrame = {
     val nBands = maxHamming + 1
-    val bounds = (0 to nBands).map(i => i * 16 / nBands)
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val sigs = simHash(docs)
     val bandCols = (0 until nBands).map { b =>
       val lo = bounds(b)
       val width = bounds(b + 1) - bounds(b)
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
     }
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
-      col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
-      col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "bv"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+    val buckets = banded.groupBy(col("band"), col("bv"))
+      .agg(BoundedCollect.pairs(col("doc_id"), col("simhash"), maxBucket).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -67,11 +67,19 @@ object PipelineQueries {
     s"SELECT doc_id, $b AS band, $parts AS bv FROM sig"
   }.mkString("\nUNION ALL ")
 
-  private val simhashVotes = (0 until 16).map { j =>
-    s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j"
+  // 64-bit simhash: bit j = high bit of (nibble j/4 >> j%4); bit 63 comes
+  // from the Long.MinValue literal (1<<63 overflows DuckDB's checked shift)
+  // and the word is OR-assembled — mirrors Dedup.simHash exactly
+  private val simhashNibs = (0 until 16)
+    .map(i => s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS nib$i")
+    .mkString(", ")
+  private val simhashVotes = (0 until 64).map { j =>
+    s"sum(CASE WHEN (nib${j / 4} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
   }.mkString(", ")
-  private val simhashBits = (0 until 16)
-    .map(j => s"CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+  private val simhashBits = (0 until 64).map { j =>
+    val bitLit = if (j == 63) "(-9223372036854775808)::BIGINT" else s"CAST(${1L << j} AS BIGINT)"
+    s"(CASE WHEN v$j > 0 THEN $bitLit ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" | ")
 
   private val stopEn = "('the','a','of','to','and','in','is')"
 
@@ -95,7 +103,8 @@ object PipelineQueries {
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
-         |v AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id)
+         |nib AS (SELECT doc_id, $simhashNibs FROM h),
+         |v AS (SELECT doc_id, $simhashVotes FROM nib GROUP BY doc_id)
          |SELECT doc_id, $simhashBits AS simhash FROM v""".stripMargin,
 
     // brute-force oracle over all pairs — the engine's pigeonhole banding
@@ -103,7 +112,8 @@ object PipelineQueries {
     "q_dedup_simhash_pairs" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
-         |v AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id),
+         |nib AS (SELECT doc_id, $simhashNibs FROM h),
+         |v AS (SELECT doc_id, $simhashVotes FROM nib GROUP BY doc_id),
          |sig AS (SELECT doc_id, $simhashBits AS sh FROM v)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       bit_count(xor(a.sh, b.sh)) AS hamming

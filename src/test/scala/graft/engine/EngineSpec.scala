@@ -114,6 +114,27 @@ class EngineSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Double]("value") == 5.0)
   }
 
+  test("collision guard: label_replace collapsing two series raises; bare selector pays nothing") {
+    val p = pts(Seq(
+      Row("m", Map("job" -> "a"), 1000L, 1.0),
+      Row("m", Map("job" -> "b"), 1000L, 2.0)))
+    // rewrite both series onto the same labelset -> reference's error
+    val e = intercept[Exception] {
+      Engine.instantQuery(spark, p,
+        """label_replace(m, "job", "x", "job", ".*")""", 1000L).collect()
+    }
+    assert(e.getMessage.contains("same labelset") ||
+      Option(e.getCause).exists(_.getMessage.contains("same labelset")))
+    // statically collision-free shapes skip the guard: no tally aggregation
+    // (count) node appears above the bare selector's own aggregation
+    assert(!Engine.mayCollide(Parser.parse("m")))
+    assert(!Engine.mayCollide(Parser.parse("sum by (job) (rate(m[5m]))")))
+    assert(!Engine.mayCollide(Parser.parse("a / on(job) b")))
+    assert(Engine.mayCollide(Parser.parse("""label_replace(m, "j", "x", "job", ".*")""")))
+    assert(Engine.mayCollide(Parser.parse("""abs({job="a"})"""))) // no literal name
+    assert(Engine.mayCollide(Parser.parse("""-{__name__=~"a|b"}""")))
+  }
+
   test("subquery default resolution follows the engine knob") {
     // samples every 30s; sum_over_time over [2m:] at default 1m resolution
     // picks 2 inner steps -> different result than a 30s resolution would

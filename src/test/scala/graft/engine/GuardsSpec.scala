@@ -25,38 +25,60 @@ class GuardsSpec extends AnyFunSuite {
     spark.sparkContext.parallelize((0 until n).map(i =>
       Row("m", Map("i" -> (i % 3).toString), i * 1000L, i.toDouble)), 2), schema))
 
-  test("over-budget query fails fast with the reference's MaxSamples error") {
+  test("over-budget query aborts from the in-scan meter — no second pass") {
     val p = pts(100)
-    val grid = StepGrid(0L, 99000L, 1000L)
-    // all 100 samples fall inside the selector window; budget 50 -> abort
+    val tally = Guards.newTally(spark)
+    val df = graft.engine.Engine.instantQuery(spark, p, "sum(m)", 99000L,
+      lookbackMs = 300000L, sampleTally = Some(tally))
+    // the meter rides the query's own plan: tally_samples sits inside the
+    // single selector scan — there is no separate pre-count job
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("tally_samples"))
+    assert("(?i)scan".r.findAllIn(plan).size >= 1)
     val e = intercept[TooManySamplesException] {
-      Guards.checkSampleBudget(p, "sum(m)", grid, QueryLimits(maxSamples = 50),
-        lookbackMs = 300000L)
+      Guards.run(spark, QueryLimits(maxSamples = 50), "sum(m)", Some(tally)) {
+        df.collect()
+      }
     }
     assert(e.getMessage.contains("too many samples"))
-    // a selective matcher stays under budget
-    Guards.checkSampleBudget(p, """sum(m{i="0"})""", grid,
-      QueryLimits(maxSamples = 50), lookbackMs = 300000L)
-    // range selectors count their window; both selectors of a binop count
-    intercept[TooManySamplesException] {
-      Guards.checkSampleBudget(p, "rate(m[5m]) + rate(m[5m])", grid,
-        QueryLimits(maxSamples = 150), lookbackMs = 300000L)
-    }
-    // subqueries widen the inner window
-    Guards.checkSampleBudget(p, "max_over_time(sum(m)[2m:1m])", grid,
-      QueryLimits(maxSamples = 101), lookbackMs = 300000L)
+    // all 100 samples were counted by the single evaluation pass
+    assert(tally.value == 100)
   }
 
-  test("offset and @ shift the counted window") {
-    val p = pts(100) // samples at t = 0s..99s
-    // grid far in the future; without offset nothing is in window
-    val farGrid = StepGrid(10_000_000L, 10_000_000L, 1000L)
-    Guards.checkSampleBudget(p, "m", farGrid, QueryLimits(maxSamples = 1), lookbackMs = 1000L)
-    // @ pins into the data: 5m lookback at t=99s covers all 100 samples
-    intercept[TooManySamplesException] {
-      Guards.checkSampleBudget(p, "m @ 99", farGrid, QueryLimits(maxSamples = 50),
-        lookbackMs = 300000L)
+  test("a selective matcher stays under budget and passes") {
+    val p = pts(100)
+    val tally = Guards.newTally(spark)
+    val df = graft.engine.Engine.instantQuery(spark, p, """sum(m{i="0"})""",
+      99000L, lookbackMs = 300000L, sampleTally = Some(tally))
+    val n = Guards.run(spark, QueryLimits(maxSamples = 50), "q", Some(tally)) {
+      df.collect().length
     }
+    assert(n == 1)
+    assert(tally.value == 34) // i % 3 == 0 -> 34 of the 100 samples
+  }
+
+  test("range windows count once per step served (per-step accounting)") {
+    val p = pts(10) // samples at t = 0s..9s
+    val tally = Guards.newTally(spark)
+    val df = graft.engine.Engine.rangeQuery(spark, p, "count_over_time(m[20s])",
+      10000L, 30000L, 10000L, sampleTally = Some(tally))
+    df.collect()
+    // each sample lands in the [t-20s, t] windows of steps 10s and 20s
+    assert(tally.value == 20)
+  }
+
+  test("@-pinned selectors meter the pinned window") {
+    val p = pts(100) // samples at t = 0s..99s
+    // grid far in the future: without the pin nothing would be in window
+    val tally = Guards.newTally(spark)
+    val df = graft.engine.Engine.instantQuery(spark, p, "m @ 99", 10_000_000L,
+      lookbackMs = 300000L, sampleTally = Some(tally))
+    intercept[TooManySamplesException] {
+      Guards.run(spark, QueryLimits(maxSamples = 50), "m @ 99", Some(tally)) {
+        df.collect()
+      }
+    }
+    assert(tally.value == 100)
   }
 
   test("a query past its deadline is cancelled with the timeout error") {

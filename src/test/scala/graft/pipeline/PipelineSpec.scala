@@ -35,10 +35,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(sim.count() >= 50) // each duplicated doc pairs with its twin
   }
 
-  test("simhash emits one 16-bit signature per doc") {
+  test("simhash emits one signature per doc; identical texts agree") {
     val s = Dedup.simHash(docs)
     assert(s.count() == docs.count())
-    assert(s.where(col("simhash") < 0 || col("simhash") > 0xFFFFL).count() == 0)
+    // identical token multisets must produce identical signatures
+    val perText = docs.join(s, "doc_id")
+      .groupBy(col("text")).agg(countDistinct(col("simhash")).as("n"))
+    assert(perText.where(col("n") > 1).count() == 0)
+  }
+
+  test("simhash pairs: banding finds all duplicated-doc pairs") {
+    val base = docs.limit(30).select(col("doc_id"), col("text"))
+    val twins = base.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val pairs = Dedup.simHashPairs(base.union(twins), 2)
+    // every doc and its twin share the text -> identical signature -> a
+    // hamming-0 pair the banding must recall
+    assert(pairs.where(col("hamming") === 0).count() >= 30)
+    assert(pairs.where(col("hamming") > 2).count() == 0)
   }
 
   test("brute-force topk: self excluded, cosine in [-1,1], k ranks") {
