@@ -38,6 +38,7 @@ object PipelineQueries {
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
+    "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir)))
   )
 
@@ -227,9 +228,29 @@ object PipelineQueries {
     "q_mm_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'raw' AS format,
         |  CAST(octet_length(encode(text)) % 256 + 1 AS INT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 256 + 1 AS INT) AS height,
         |  3 AS channels
+        |FROM documents""".stripMargin,
+
+    // the engine SYNTHESIZES real WAV/BMP bytes from doc_id and must parse
+    // them back through the genuine header parsers; the oracle reproduces
+    // the expected fields from the same generation arithmetic — a parse
+    // bug (endianness, offsets, chunk walk) breaks the match
+    "q_mm_decode_real" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN 44 + (doc_id % 50 + 1) * (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) * 2
+        |    ELSE 54 + ((3 * (doc_id % 640 + 1) + 3) // 4) * 4 * ((doc_id * 3) % 480 + 1)
+        |  END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 50 + 1
+        |       ELSE doc_id % 640 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3)
+        |       ELSE (doc_id * 3) % 480 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
+        |       ELSE 3 END AS INT) AS channels
         |FROM documents""".stripMargin
   )
 }

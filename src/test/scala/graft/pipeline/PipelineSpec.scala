@@ -91,6 +91,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1 == f2)
   }
 
+  test("wav/bmp header parsers round-trip the synthesizers") {
+    val w = Multimodal.parseWav(1, Multimodal.synthWav(2, 16000, 16, 37)).get
+    assert(w.format == "wav" && w.width == 37 && w.height == 16000 && w.channels == 2)
+    assert(w.n_bytes == 44 + 37 * 2 * 2)
+    val b = Multimodal.parseBmp(2, Multimodal.synthBmp(13, 7)).get
+    assert(b.format == "bmp" && b.width == 13 && b.height == 7 && b.channels == 3)
+    assert(b.n_bytes == 54 + ((3 * 13 + 3) / 4) * 4 * 7)
+    // unknown container bytes fall through to the stub
+    assert(Multimodal.decodeOne(Multimodal.MediaBlob(3, "hello".getBytes)).format == "raw")
+  }
+
   test("multimodal stub: metadata matches payload size") {
     val m = Multimodal.decodeMeta(spark, docs).collect()
     assert(m.length == docs.count())
