@@ -89,21 +89,24 @@ object Similarity {
     * Centroids are trained with a few Lloyd iterations seeded by the
     * first `k` vectors in vec_id order (deterministic — no RNG state).
     *
-    * Scale shape: training touches a sample (here: the corpus; at fleet
-    * scale a limit() sample), assignment is one broadcast-join pass,
-    * probing joins only the selected cells — candidate volume ≈
-    * corpus × nProbe / k per query, independent of corpus growth when k
-    * scales with sqrt(N). */
+    * Scale shape: training touches a bounded `trainLimit` sample (Lloyd
+    * refinement does not need the full corpus — a fixed-size sample gives
+    * the same cell geometry at a fraction of the passes), assignment is
+    * one broadcast-join pass, probing joins only the selected cells —
+    * candidate volume ≈ corpus × nProbe / k per query, independent of
+    * corpus growth when k scales with sqrt(N). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
-              k: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+              k: Int = 16, nProbe: Int = 4, iters: Int = 5,
+              trainLimit: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     // --- train coarse quantizer (driver holds k × dims doubles only) ---
+    val sample = c.orderBy(col("vec_id")).limit(trainLimit)
     var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = c.withColumn("cell", nearestCentroidUdf(bc)(col("e")))
+      val assigned = sample.withColumn("cell", nearestCentroidUdf(bc)(col("e")))
       val next = assigned.groupBy(col("cell"))
         .agg(array((0 until centroids(0).length).map(d =>
           avg(element_at(col("e"), d + 1))): _*).as("mean"))
@@ -111,8 +114,17 @@ object Similarity {
       centroids = centroids.indices
         .map(i => next.getOrElse(i, centroids(i))).toArray
     }
+    ivfProbe(corpus, queries, topK, centroids, nProbe)
+  }
+
+  /** Assignment + probe against a GIVEN coarse quantizer: one broadcast
+    * pass assigns cells, queries explode to their `nProbe` nearest cells,
+    * and exact cosine runs inside the joined cells only. */
+  def ivfProbe(corpus: DataFrame, queries: DataFrame, topK: Int,
+               centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val bc = spark.sparkContext.broadcast(centroids)
-    // --- assignment + probe ---
     val cells = c.withColumn("cell", nearestCentroidUdf(bc)(col("e")))
       .select(col("cell"), col("vec_id").as("cid"), col("e").as("ce"))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
@@ -125,6 +137,17 @@ object Similarity {
       .where(col("rank") <= topK)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
+
+  /** Deterministic fixed centroid grid for the oracle-gated probe test:
+    * component (i, d) = (md5Byte("c:i:d") - 128) / 128 — exactly
+    * representable (denominator 2^7), so its decimal rendering re-parses
+    * to the identical double in any SQL engine and the argmin distance
+    * fold matches bit-for-bit. */
+  def fixedCentroids(k: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(k, dims) { (i, d) =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"c:$i:$d").substring(0, 2)
+      (Integer.parseInt(hex, 16) - 128) / 128.0
+    }
 
   private def nearestCentroidUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
     udf((e: Seq[Double]) => nearestCells(bc.value, e, 1).head)

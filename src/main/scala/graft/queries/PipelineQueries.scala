@@ -33,6 +33,11 @@ object PipelineQueries {
       val e = emb(s, dir)
       Similarity.annTopK(e, e.where(col("vec_id") < 10), 3, bits = 4)
     }),
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfProbe(e, e.where(col("vec_id") < 10), 3,
+        Similarity.fixedCentroids(8, 64), nProbe = 3)
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -60,6 +65,26 @@ object PipelineQueries {
         .mkString(" + ")
       s"(CASE WHEN ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Squared-L2 distance of `v` to fixed centroid i, with the SAME
+    * left-associated term order as Similarity.nearestCells' inner loop and
+    * the centroid components printed from the exactly-representable
+    * doubles [[Similarity.fixedCentroids]] yields — bitwise-equal folds. */
+  private def ivfDistSql(v: String, i: Int, dims: Int = 64): String = {
+    val cs = Similarity.fixedCentroids(8, dims)(i)
+    (0 until dims).map { d =>
+      val c = cs(d)
+      s"(CAST($v[${d + 1}] AS DOUBLE) - ($c)) * (CAST($v[${d + 1}] AS DOUBLE) - ($c))"
+    }.mkString(" + ")
+  }
+
+  /** Argmin over the 8 per-centroid distance columns d0..d7; `<=` in cell
+    * order reproduces nearestCells' stable (dist, cell) tie-break. */
+  private val ivfArgminSql: String =
+    (0 until 7).map { i =>
+      val wins = (0 until 8).filter(_ != i).map(j => s"d$i <= d$j").mkString(" AND ")
+      s"WHEN $wins THEN $i"
+    }.mkString("CASE ", " ", " ELSE 7 END")
 
   private val minhashSigsSql = (0 until 16)
     .map(i => s"min(md5('$i' || '|' || tok)) AS sig$i").mkString(", ")
@@ -160,6 +185,35 @@ object PipelineQueries {
          |  SELECT qid, cid,
          |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
          |  FROM pairs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // fixed-centroid IVF probe: per-vector distances to the 8 baked-in
+    // centroids once in a CTE; corpus rows take the argmin cell, queries
+    // rank cells and probe the nearest 3; exact cosine inside the joined
+    // cells reproduces ivfProbe's join exactly
+    "q_sim_ivf" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id, embedding,
+         |         ${(0 until 8).map(i => s"(${ivfDistSql("embedding", i)}) AS d$i").mkString(",\n         ")}
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id AS cid, embedding AS ce, $ivfArgminSql AS cell FROM dist),
+         |qprobe0 AS (
+         |  SELECT vec_id AS qid, embedding AS qe,
+         |         unnest([${(0 until 8).map(i => s"struct_pack(cell := $i, dist := d$i)").mkString(", ")}]) AS u
+         |  FROM dist WHERE vec_id < 10),
+         |qprobe AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT qid, qe, u.cell AS cell, u.dist AS dist,
+         |           row_number() OVER (PARTITION BY qid ORDER BY u.dist, u.cell) AS cr
+         |    FROM qprobe0)
+         |  WHERE cr <= 3),
+         |scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM qprobe q JOIN cells c ON q.cell = c.cell AND q.qid <> c.cid),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
          |      FROM scored)
          |SELECT qid, cid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 3""".stripMargin,
