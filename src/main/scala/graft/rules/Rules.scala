@@ -104,6 +104,77 @@ object Rules {
       .toDF()
   }
 
+  // ---- checkpointed deployment of full-PromQL alerting -----------------
+
+  /** Newest persisted `for:` state for `alert` under `stateDir` older than
+    * `beforeTs`, or the empty state. Only versions with a _SUCCESS marker
+    * are considered, so a crash mid-write is invisible (the previous
+    * version stays newest); `beforeTs` keeps a REPLAYED tick from reading
+    * the version it is about to overwrite. */
+  def loadAlertState(spark: SparkSession, stateDir: String, alert: String,
+                     beforeTs: Long = Long.MaxValue): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(s"$stateDir/$alert")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return emptyState(spark)
+    val versions = fs.listStatus(base).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(2).toLong)
+      .filter(_ < beforeTs)
+    if (versions.isEmpty) emptyState(spark)
+    else spark.read.parquet(s"$base/v=${versions.max}")
+  }
+
+  /** One PERSISTED alerting tick: load newest state, run [[alertingTick]],
+    * write the successor state as `stateDir/<alert>/v=<tsMs>` (idempotent
+    * on replay of the same tick — the reference's rule manager re-reads
+    * its persisted alert state on restart, prom_manager.go:34-143 /
+    * acceptance metric_store_test.go:1509), prune all but the two newest
+    * versions, and return the firing set. */
+  def persistedAlertingTick(spark: SparkSession, points: DataFrame,
+                            rule: AlertingRule, stateDir: String, tsMs: Long,
+                            lookbackMs: Long = 300000L): DataFrame = {
+    val st = loadAlertState(spark, stateDir, rule.alert, beforeTs = tsMs)
+    val (newState, firing) = alertingTick(spark, points, rule, st, tsMs, lookbackMs)
+    val out = firing.cache()
+    out.count() // one materialization serves both the write and the caller
+    newState.write.mode("overwrite").parquet(s"$stateDir/${rule.alert}/v=$tsMs")
+    val base = new org.apache.hadoop.fs.Path(s"$stateDir/${rule.alert}")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(base).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .map(s => (s.getPath.getName.drop(2).toLong, s.getPath))
+      .sortBy(-_._1)
+    versions.drop(2).foreach { case (_, p) => fs.delete(p, true) }
+    out
+  }
+
+  /** `writeStream.foreachBatch` sink running arbitrary-PromQL alerting on a
+    * points stream: each micro-batch appends to the store, then every rule
+    * ticks at the batch's max sample time over the WHOLE persisted store
+    * (instant query + lookback), with `for:` state surviving restarts via
+    * [[persistedAlertingTick]]. `onFiring` receives each rule's firing
+    * rows (alertmanager notifier hook). */
+  def alertingSink(storeDir: String, stateDir: String, rules: Seq[AlertingRule],
+                   lookbackMs: Long = 300000L,
+                   onFiring: (AlertingRule, Array[org.apache.spark.sql.Row]) => Unit =
+                     (_, _) => ())
+      : (DataFrame, Long) => Unit = (batch, _) => {
+    graft.sources.PointsStore.append(batch, storeDir)
+    val spark = batch.sparkSession
+    val maxT = batch.agg(max(col("t"))).head.getAs[Any](0)
+    if (maxT != null) {
+      val tsMs = maxT.asInstanceOf[Long]
+      val stored = spark.read.parquet(storeDir)
+      rules.foreach { rule =>
+        val firing = persistedAlertingTick(spark, stored, rule, stateDir, tsMs, lookbackMs)
+        val rows = firing.collect()
+        if (rows.nonEmpty) onFiring(rule, rows)
+        firing.unpersist()
+      }
+    }
+  }
+
   /** One alerting tick. Returns (newState, firing):
     *  - a series in this tick's result keeps (or gains) `since`;
     *  - a series absent from the result is dropped (alert resolves);

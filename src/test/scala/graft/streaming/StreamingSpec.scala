@@ -168,6 +168,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == List(("pending", t0), ("firing", t0 + 130000L), ("resolved", t0 + 200000L)))
   }
 
+  test("checkpointed PromQL alerting: for: state survives a stream restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val storeDir = Files.createTempDirectory("alert_store").toString
+    val stateDir = Files.createTempDirectory("alert_state").toString
+    // each run gets its own source checkpoint: the restart durability under
+    // test is the rule STATE in stateDir, which outlives the stream query
+    val ckpt1 = Files.createTempDirectory("alert_ckpt1").toString
+    val ckpt2 = Files.createTempDirectory("alert_ckpt2").toString
+    val rule = Rules.AlertingRule("HighLoad", "load > 10", forMs = 120000L)
+    val firedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sink = Rules.alertingSink(storeDir, stateDir, Seq(rule),
+      onFiring = (_, rows) => firedAt ++= rows.map(_.getAs[Long]("since")))
+    def mkPoints(mem: MemoryStream[(String, Long, Double)]) =
+      graft.model.Points.withSig(mem.toDF().toDF("name", "t", "value")
+        .withColumn("labels", map(lit("job"), lit("x"))))
+    val t1 = 1704067200000L
+
+    // run 1: condition true at t1 -> pending persisted, nothing firing
+    val mem1 = MemoryStream[(String, Long, Double)]
+    val q1 = mkPoints(mem1).writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt1)
+      .foreachBatch(sink).start()
+    mem1.addData(("load", t1, 50.0))
+    q1.processAllAvailable()
+    q1.stop() // kill between ticks
+    assert(firedAt.isEmpty)
+    assert(Rules.loadAlertState(spark, stateDir, "HighLoad").count() == 1)
+
+    // run 2 (fresh query, same checkpoint/state): still true at t1+2min ->
+    // the persisted `since` carries the pending window across the restart
+    val mem2 = MemoryStream[(String, Long, Double)]
+    val q2 = mkPoints(mem2).writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch(sink).start()
+    mem2.addData(("load", t1 + 120000L, 55.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(firedAt.toList == List(t1)) // fired, with since = the PRE-restart tick
+
+    // the streamed firing decision matches the pure batch-tick sequence
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pts(rows: Seq[Row]) = graft.model.Points.withSig(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    val (s1, f1) = Rules.alertingTick(spark, pts(Seq(Row("load", Map("job" -> "x"), t1, 50.0))),
+      rule, Rules.emptyState(spark), t1)
+    val (_, f2) = Rules.alertingTick(spark,
+      pts(Seq(Row("load", Map("job" -> "x"), t1 + 120000L, 55.0))), rule, s1, t1 + 120000L)
+    assert(f1.count() == 0)
+    assert(f2.select("since").as[Long].collect().toList == firedAt.toList)
+  }
+
   test("alerting rule: pending -> firing with for:, resolves on absence") {
     val schema = StructType(Seq(
       StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
