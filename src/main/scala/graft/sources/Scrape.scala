@@ -110,8 +110,190 @@ object Scrape {
       parseExposition(fetch(target), tsMs)
         .map(p => (p.name, p.labels + ("instance" -> target), p.t, p.value))
     }
+    toPoints(spark, rows)
+  }
+
+  private def toPoints(spark: SparkSession,
+                       rows: Seq[(String, Map[String, String], Long, Double)]): DataFrame = {
+    import spark.implicits._
     val df = rows.toDF("name", "labels", "t", "value")
     Points.withSig(df.where(!col("value").isNaN &&
       col("value") =!= Double.PositiveInfinity && col("value") =!= Double.NegativeInfinity))
   }
+
+  // ---- scrape_configs subset (reference: scraping/scraper.go:66-100
+  // delegates to the Prometheus config/scrape managers; this implements
+  // the narrow surface those configs actually exercise here: job_name,
+  // scrape_interval, static_configs targets, relabel_configs with
+  // replace/keep/drop) -------------------------------------------------
+
+  final case class RelabelRule(
+      action: String = "replace",
+      sourceLabels: Seq[String] = Nil,
+      separator: String = ";",
+      regex: String = "(.*)",
+      targetLabel: String = "",
+      replacement: String = "$1")
+
+  final case class ScrapeJob(
+      jobName: String,
+      targets: Seq[String],
+      intervalMs: Long = 60000L,
+      relabel: Seq[RelabelRule] = Nil)
+
+  /** Prometheus relabelling subset over a target's labelset. Regexes are
+    * fully anchored (as in prometheus/relabel); `replace` expands $1..$9
+    * into target_label (an empty result deletes the label), `keep`/`drop`
+    * filter the whole target. Returns None when the target is dropped. */
+  def relabel(labels: Map[String, String],
+              rules: Seq[RelabelRule]): Option[Map[String, String]] =
+    rules.foldLeft(Option(labels)) {
+      case (None, _) => None
+      case (Some(ls), r) =>
+        val src = r.sourceLabels.map(ls.getOrElse(_, "")).mkString(r.separator)
+        val m = java.util.regex.Pattern.compile(r.regex).matcher(src)
+        r.action match {
+          case "keep" => if (m.matches()) Some(ls) else None
+          case "drop" => if (m.matches()) None else Some(ls)
+          case "replace" =>
+            if (!m.matches() || r.targetLabel.isEmpty) Some(ls)
+            else {
+              val value = "\\$(\\d)".r.replaceAllIn(r.replacement, g =>
+                scala.util.matching.Regex.quoteReplacement(
+                  Option(m.group(g.group(1).toInt)).getOrElse("")))
+              if (value.isEmpty) Some(ls - r.targetLabel)
+              else Some(ls + (r.targetLabel -> value))
+            }
+          case other =>
+            throw new IllegalArgumentException(s"unsupported relabel action $other")
+        }
+    }
+
+  /** Scrape one configured job NOW: apply relabelling to each target's
+    * initial labelset (job, __address__), drop filtered targets, default
+    * `instance` from the (possibly rewritten) address, strip `__` meta
+    * labels, and merge the target labels over each sample's own. */
+  def scrapeJob(spark: SparkSession, job: ScrapeJob,
+                fetch: String => String, tsMs: Long): DataFrame = {
+    val rows = job.targets.flatMap { target =>
+      relabel(Map("job" -> job.jobName, "__address__" -> target), job.relabel) match {
+        case None => Nil
+        case Some(ls0) =>
+          val instance = ls0.getOrElse("instance", ls0.getOrElse("__address__", target))
+          val targetLabels =
+            ls0.filterNot(_._1.startsWith("__")) + ("instance" -> instance)
+          parseExposition(fetch(target), tsMs)
+            .map(p => (p.name, p.labels ++ targetLabels, p.t, p.value))
+      }
+    }
+    toPoints(spark, rows)
+  }
+
+  /** One interval-scheduler tick over `jobs`: scrape exactly the targets
+    * whose `scrape_interval` has elapsed since `lastRun` (keyed
+    * "job/target"; never-scraped targets are due immediately), returning
+    * the appended points and the advanced schedule state. Pure — the
+    * caller owns the loop (cron, or foreachBatch on a trigger stream),
+    * matching the reference where the Prometheus scrape manager owns
+    * per-target timers. */
+  def scrapeTick(spark: SparkSession, jobs: Seq[ScrapeJob],
+                 fetch: String => String, nowMs: Long,
+                 lastRun: Map[String, Long] = Map.empty)
+      : (DataFrame, Map[String, Long]) = {
+    val due = jobs.map { job =>
+      job.copy(targets = job.targets.filter { t =>
+        lastRun.get(s"${job.jobName}/$t").forall(nowMs - _ >= job.intervalMs)
+      })
+    }.filter(_.targets.nonEmpty)
+    val dfs = due.map(scrapeJob(spark, _, fetch, nowMs))
+    val points =
+      if (dfs.isEmpty) toPoints(spark, Nil)
+      else dfs.reduce(_ unionByName _)
+    val advanced = lastRun ++ due.flatMap(j =>
+      j.targets.map(t => s"${j.jobName}/$t" -> nowMs))
+    (points, advanced)
+  }
+
+  /** Parse the scrape_configs YAML subset (same hand-rolled narrow parser
+    * approach as [[graft.rules.RuleFiles]] — zero-egress build, no YAML
+    * dependency): job_name, scrape_interval, static_configs flow-list
+    * targets, relabel_configs entries. */
+  def parseScrapeConfigs(text: String): Seq[ScrapeJob] = {
+    val lines = text.split("\n").toIndexedSeq
+      .map(stripComment).filter(_.trim.nonEmpty)
+    val jobs = scala.collection.mutable.ArrayBuffer[ScrapeJob]()
+    var jName = ""; var jInterval = 60000L
+    var jTargets = scala.collection.mutable.ArrayBuffer[String]()
+    var jRules = scala.collection.mutable.ArrayBuffer[RelabelRule]()
+    var inJob = false
+    var rFields = scala.collection.mutable.Map[String, String]()
+    var inRule = false
+
+    def flushRule(): Unit = if (inRule) {
+      jRules += RelabelRule(
+        action = rFields.getOrElse("action", "replace"),
+        sourceLabels = rFields.get("source_labels").map(parseFlowList).getOrElse(Nil),
+        separator = rFields.getOrElse("separator", ";"),
+        regex = rFields.getOrElse("regex", "(.*)"),
+        targetLabel = rFields.getOrElse("target_label", ""),
+        replacement = rFields.getOrElse("replacement", "$1"))
+      rFields = scala.collection.mutable.Map(); inRule = false
+    }
+    def flushJob(): Unit = if (inJob) {
+      jobs += ScrapeJob(jName, jTargets.toSeq, jInterval, jRules.toSeq)
+      jTargets = scala.collection.mutable.ArrayBuffer()
+      jRules = scala.collection.mutable.ArrayBuffer()
+      jInterval = 60000L; inJob = false
+    }
+
+    val relabelKeys = Set("action", "source_labels", "separator", "regex",
+      "target_label", "replacement")
+    lines.foreach { line =>
+      val t = line.trim
+      if (t == "scrape_configs:" || t == "static_configs:" || t == "relabel_configs:") ()
+      else if (t.startsWith("- job_name:")) {
+        flushRule(); flushJob()
+        inJob = true
+        jName = unquote(t.stripPrefix("- job_name:").trim)
+      } else if (t.startsWith("- targets:")) {
+        flushRule()
+        jTargets ++= parseFlowList(t.stripPrefix("- targets:").trim)
+      } else if (t.startsWith("- ") &&
+        relabelKeys.contains(t.drop(2).split(":", 2).head.trim)) {
+        flushRule(); inRule = true
+        val Array(k, v) = t.drop(2).split(":", 2)
+        rFields(k.trim) = unquote(v.trim)
+      } else if (t.startsWith("scrape_interval:") && inJob) {
+        flushRule()
+        jInterval = graft.promql.Parser.parseDuration(t.stripPrefix("scrape_interval:").trim)
+      } else if (inRule && t.contains(":")) {
+        val Array(k, v) = t.split(":", 2)
+        if (relabelKeys.contains(k.trim)) rFields(k.trim) = unquote(v.trim)
+      }
+    }
+    flushRule(); flushJob()
+    jobs.toSeq
+  }
+
+  private def parseFlowList(s: String): Seq[String] =
+    s.stripPrefix("[").stripSuffix("]").split(",").toSeq
+      .map(x => unquote(x.trim)).filter(_.nonEmpty)
+
+  private def stripComment(s: String): String = {
+    var inQ = false; var q = ' '
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == q) inQ = false }
+      else if (c == '"' || c == '\'') { inQ = true; q = c }
+      else if (c == '#') return s.substring(0, i)
+      i += 1
+    }
+    s
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
 }

@@ -42,4 +42,69 @@ class ScrapeSpec extends AnyFunSuite {
     assert(rows.length == 4) // +Inf sample rejected at ingest
     assert(rows.forall(_.getAs[Map[String, String]]("labels")("instance") == "host:9090"))
   }
+
+  private val config =
+    """scrape_configs:
+      |  - job_name: node
+      |    scrape_interval: 15s
+      |    static_configs:
+      |      - targets: ['host1:9100', 'host2:9100']
+      |    relabel_configs:
+      |      - source_labels: [__address__]
+      |        regex: '([^:]+):.*'
+      |        target_label: host
+      |        replacement: '$1'
+      |      - action: drop
+      |        source_labels: [__address__]
+      |        regex: 'host2:.*'
+      |  - job_name: app
+      |    static_configs:
+      |      - targets: [svc:8080]
+      |""".stripMargin
+
+  test("scrape_configs subset: jobs, intervals, targets, relabel rules") {
+    val jobs = Scrape.parseScrapeConfigs(config)
+    assert(jobs.map(_.jobName) == Seq("node", "app"))
+    assert(jobs.head.intervalMs == 15000L)
+    assert(jobs.head.targets == Seq("host1:9100", "host2:9100"))
+    assert(jobs.head.relabel.length == 2)
+    assert(jobs.head.relabel.head.targetLabel == "host")
+    assert(jobs(1).intervalMs == 60000L) // default
+    assert(jobs(1).targets == Seq("svc:8080"))
+  }
+
+  test("relabelling: replace extracts captures, drop filters the target") {
+    val jobs = Scrape.parseScrapeConfigs(config)
+    val df = Scrape.scrapeJob(spark, jobs.head, _ => "up 1\n", tsMs = 1000L)
+    val rows = df.collect()
+    // host2 dropped by the relabel rule; host1 gains host=host1
+    assert(rows.length == 1)
+    val labels = rows.head.getAs[Map[String, String]]("labels")
+    assert(labels("instance") == "host1:9100")
+    assert(labels("host") == "host1")
+    assert(labels("job") == "node")
+    assert(!labels.contains("__address__")) // meta labels stripped
+  }
+
+  test("interval scheduling: a target is scraped only when its interval elapses") {
+    val jobs = Scrape.parseScrapeConfigs(config) // node 15s, app 60s
+    var fetches = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fetch(t: String): String = { fetches += t; "up 1\n" }
+    val t0 = 1704067200000L
+    // first tick: every never-scraped target is due (host2 is relabel-
+    // dropped BEFORE any fetch happens — Prometheus drops at relabel time)
+    val (p1, s1) = Scrape.scrapeTick(spark, jobs, fetch, t0)
+    p1.count()
+    assert(fetches.toSet == Set("host1:9100", "svc:8080"))
+    // +20s: only the 15s job re-scrapes
+    fetches.clear()
+    val (p2, s2) = Scrape.scrapeTick(spark, jobs, fetch, t0 + 20000L, s1)
+    p2.count()
+    assert(fetches.toSet == Set("host1:9100"))
+    // +70s: both jobs due again
+    fetches.clear()
+    val (p3, _) = Scrape.scrapeTick(spark, jobs, fetch, t0 + 70000L, s2)
+    p3.count()
+    assert(fetches.toSet == Set("host1:9100", "svc:8080"))
+  }
 }
