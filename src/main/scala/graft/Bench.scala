@@ -12,9 +12,9 @@ object Bench {
   private val WEEK_MIN = 10080L
   private val N_SERIES = 1000L
 
-  private def canary(spark: SparkSession): DataFrame =
+  private def canary(spark: SparkSession, nSeries: Long = N_SERIES): DataFrame =
     graft.model.Points.withSig(
-      spark.range(WEEK_MIN * N_SERIES).select(
+      spark.range(WEEK_MIN * nSeries).select(
         lit("canary").as("name"),
         map(
           lit("source_id"), lit("blackbox"),
@@ -87,13 +87,27 @@ object Bench {
       })
     // canary phase: materialize the cached relation untimed, then measure
     val canaryQs0 = canaryQueries(spark, null).map(_._1).filter(selected)
-    val results =
+    val results0 =
       if (canaryQs0.isEmpty) gate
       else {
         val pts = canary(spark).cache()
         pts.count()
         gate ++ timed(canaryQueries(spark, pts).filter(q => selected(q._1)))
       }
+    // second canary scale — 10x series (100M points), NOT cached: the
+    // relation is regenerated inside each timed query, so these numbers
+    // measure the full selector/aggregation pipeline at a scale where a
+    // plan regression is 10x more visible than run-to-run variance
+    val big = canary(spark, N_SERIES * 10)
+    val end10 = T0 + (WEEK_MIN - 1) * 60000L
+    val results = results0 ++ timed(Seq(
+      "canary10x_instant" -> (() =>
+        graft.engine.Engine.instantQuery(spark, big,
+          """canary{instance_id="5"}""", end10).count()),
+      "canary10x_rate_range" -> (() =>
+        graft.engine.Engine.rangeQuery(spark, big,
+          "sum by (instance_id) (rate(canary[5m]))",
+          end10 - 3600000L, end10, 60000L).count())).filter(q => selected(q._1)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -112,6 +112,30 @@ class EngineIntegrationSpec extends AnyFunSuite {
     assert(read.count() == viaMap.count() && read.count() > 0)
   }
 
+  test("slowest gate queries keep their intended physical shapes") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    // the bench's five heaviest queries must never regress into a
+    // cartesian product, a nested-loop join, a SortAggregate fallback, or
+    // an Expand — the shapes that stop scaling first at 100 TB
+    Seq("q_dedup_minhash", "q_dedup_simhash_pairs", "q_alert_for_state",
+      "q_sim_lsh_ann", "q_fn_histogram_quantile").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+      assert(!p.contains("SortAggregate"), s"$q falls back to SortAggregate")
+      assert(!p.contains("Expand"), s"$q plans an Expand")
+    }
+    // minhash: vocabulary dictionary broadcast as the build side, bucket
+    // membership gathered by the capped hash-based collect (one pass)
+    val mh = plan("q_dedup_minhash")
+    assert(mh.contains("BroadcastHashJoin") && mh.contains("bounded_collect"))
+    // the brute-force cosine baseline is the ONE intended nested-loop:
+    // its broadcast side is the bounded query set, by design
+    assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("recording rule output persists and is queryable as a new series") {
     val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("store").toString
