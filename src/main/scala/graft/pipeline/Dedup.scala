@@ -128,19 +128,24 @@ object Dedup {
   def simHash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val nibs = (0 until 16).map(i =>
-      conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as(s"nib$i"))
-    val withNibs = tok.select(col("doc_id") +: nibs: _*)
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(lit(1)) === 1, 1)
-        .otherwise(-1)).as(s"v$j")
-    }
+    // 64 per-bit ±1 vote sums, packed: vote_j = 2·ones_j − n (exact integer
+    // identity), and the 64 ones-counters ride as 16-bit fields four to a
+    // long — 16 packed sum buffers + count(*) instead of 64 aggregates
+    // (safe to 65535 tokens/doc). The per-row bit extraction is ONE
+    // [[NibbleSpread]] call (16 conv(substring(...)) chains inline enough
+    // generated code to break whole-stage codegen). The signatures are
+    // bit-identical to the unpacked formulation, so an external oracle
+    // can keep summing ±1 votes.
+    val packed = tok.select(col("doc_id"), NibbleSpread.column(col("h")).as("ps"))
+    val aggs = (0 until 16).map(k => sum(element_at(col("ps"), k + 1)).as(s"s$k")) :+
+      count(lit(1)).as("n")
     val bits: Seq[Column] = (0 until 64).map { j =>
+      val ones = shiftright(col(s"s${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
       val bitVal = if (j == 63) lit(Long.MinValue) else lit(1L << j)
-      when(col(s"v$j") > 0, bitVal).otherwise(lit(0L))
+      when(ones * 2 > col("n"), bitVal).otherwise(lit(0L))
     }
-    withNibs.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
+    packed.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
   }
 
