@@ -12,8 +12,11 @@ object Bench {
   private val WEEK_MIN = 10080L
   private val N_SERIES = 1000L
 
+  // the canary carries the ingest-time `_lc` column exactly like a
+  // PointsStore-read relation would — queries read the canonical string
+  // instead of rebuilding it per row from the map
   private def canary(spark: SparkSession, nSeries: Long = N_SERIES): DataFrame =
-    graft.model.Points.withSig(
+    graft.model.Points.withCanonical(graft.model.Points.withSig(
       spark.range(WEEK_MIN * nSeries).select(
         lit("canary").as("name"),
         map(
@@ -24,7 +27,7 @@ object Bench {
           lit("instance_id"), pmod((col("id") / WEEK_MIN).cast("long"), lit(16)).cast("string"),
           lit("series"), (col("id") / WEEK_MIN).cast("long").cast("string")).as("labels"),
         (lit(T0) + (col("id") % WEEK_MIN) * 60000L).as("t"),
-        lit(10.0).as("value")))
+        lit(10.0).as("value"))))
 
   /** PromQL workload on the canary (reference probes:
     * blackbox/performance_calculator.go:55-71). The caller materializes the
@@ -87,6 +90,19 @@ object Bench {
       })
     // canary phase: materialize the cached relation untimed, then measure
     val canaryQs0 = canaryQueries(spark, null).map(_._1).filter(selected)
+    // the canary plan shapes (cached relation + week-window explode) have
+    // their own codegen; run them once on a 2-series canary so the timed
+    // numbers measure the plan, not first-call Janino/JIT compilation
+    // (the reference is a long-running server — cold-start is not query
+    // latency). The 10x queries reuse the same shapes.
+    if (canaryQs0.nonEmpty || selected("canary10x_instant") || selected("canary10x_rate_range")) {
+      val warm = canary(spark, 2).cache()
+      warm.count()
+      canaryQueries(spark, warm).foreach { case (_, run) =>
+        try run() catch { case _: Throwable => () }
+      }
+      warm.unpersist()
+    }
     val results0 =
       if (canaryQs0.isEmpty) gate
       else {

@@ -93,7 +93,7 @@ object Selectors {
               lookbackMs: Long = Points.DefaultLookbackMs,
               tally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val slim = withStaleFlag(points).select(
-      col("name"), Points.canonical(col("labels")).as("_lc"),
+      col("name"), lcOf(points).as("_lc"),
       col("t"), col("value"), col("stale"))
     explodeToSteps(slim, grid, lookbackMs, tally)
       .groupBy(col("name"), col("_lc"), col("step"))
@@ -121,9 +121,19 @@ object Selectors {
             tally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
     explodeToSteps(
       dropStale(points).select(col("sig"), col("name"),
-        Points.canonical(col("labels")).as("_lc"), col("t"), col("value")),
+        lcOf(points).as("_lc"), col("t"), col("value")),
       grid, rangeMs, tally)
       .select(col("sig"), col("name"), col("_lc"), col("step"), col("t"), col("value"))
+
+  /** Canonical label string source: the STORED `_lc` column when the
+    * relation carries one (PointsStore persists it at ingest — canonical
+    * computed once per sample at write, not once per sample per query),
+    * falling back to computing it from the map. `coalesce` covers mixed
+    * directories where older files predate the column. */
+  private def lcOf(points: DataFrame): Column =
+    if (points.columns.contains("_lc"))
+      coalesce(col("_lc"), Points.canonical(col("labels")))
+    else Points.canonical(col("labels"))
 
   /** Remove staleness-marker rows if the relation carries a `stale` flag
     * column (reference: special NaN excluded from selection,

@@ -49,6 +49,17 @@ object Points {
   def withSig(df: DataFrame): DataFrame =
     df.withColumn("sig", sigOf(col("name"), col("labels")))
 
+  /** Attach the PRECOMPUTED canonical label string `_lc` (no-op when
+    * already present). Computing the canonical once at ingest and
+    * persisting it turns every query's per-row map-decode + sort + string
+    * build into a column read — the relational analog of the reference's
+    * TSM engine storing the series key once. In parquet the column
+    * dictionary-encodes (one entry per series per row group), so the
+    * storage cost is ~an 8-byte code per row. */
+  def withCanonical(df: DataFrame): DataFrame =
+    if (df.columns.contains("_lc")) df
+    else df.withColumn("_lc", canonical(col("labels")))
+
   /** The driver testdata `events` table viewed as metric points:
     * name = event_type, labels = {user: user_id}, t = epoch ms, value.
     * The parquet `ts` is TIMESTAMP(NANOS): with

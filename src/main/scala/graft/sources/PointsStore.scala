@@ -31,9 +31,16 @@ object PointsStore {
     * row groups instead of smearing across all of them), and series
     * arrive time-ordered per sig — the layout the reference's TSM
     * compaction maintains per series key. The sort is per write batch
-    * (micro-batch sized), mirroring the reference's compaction cost. */
+    * (micro-batch sized), mirroring the reference's compaction cost.
+    *
+    * The canonical label string `_lc` is persisted alongside the map
+    * (computed ONCE here at ingest): selectors then read it as a column —
+    * dictionary-encoded to ~8 B/row since it repeats per series within the
+    * clustered row groups — instead of decoding + sorting + joining the
+    * map on every query's every row. The reference's TSM engine stores
+    * the series key once per series for the same reason. */
   def append(points: DataFrame, path: String): Unit =
-    points
+    graft.model.Points.withCanonical(points)
       .withColumn("date", to_date(timestamp_millis(col("t"))))
       .sortWithinPartitions(col("date"), col("name"), col("sig"), col("t"))
       .write
