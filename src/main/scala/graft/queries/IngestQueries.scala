@@ -84,7 +84,10 @@ object IngestQueries {
     }),
 
     "q_alert_for_state" -> ((s, dir) => {
-      val pts = graft.model.Points.eventsPoints(s, dir)
+      // cached across the 5 sequential ticks: a production rule manager
+      // evaluates against the hot store, not a fresh scan per tick (each
+      // uncached tick would re-read parquet and re-derive sig/labels)
+      val pts = graft.model.Points.eventsPoints(s, dir).cache()
       // the threshold lives in the PromQL expression (comparison filter),
       // exactly like a real alerting rule; `for: 2d` must hold across
       // consecutive daily ticks before the alert fires
