@@ -84,6 +84,51 @@ object PointsStore {
     filtered.drop("date").drop(filtered.columns.filter(_.startsWith("lbl_")): _*)
   }
 
+  /** Compact one or all day partitions: streaming `foreachBatch` appends
+    * leave one small file per micro-batch per day — at fleet scale the
+    * small-file count, not data volume, becomes the scan bottleneck (every
+    * file costs a task + footer read). Compaction rewrites a day's files
+    * into ~`targetBytes` outputs re-clustered by (name, sig, t) — the
+    * reference's TSM compaction merges write-order segments into
+    * series-ordered files for the same reason (persistence/store.go).
+    *
+    * The rewrite is swap-atomic per partition: write to `<day>.compacting`,
+    * then delete + rename. Readers racing the swap see either the old
+    * files or the new — never a mix — matching the reference's
+    * shard-replacement semantics. Returns the compacted partition paths. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              onlyDay: Option[String] = None): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Nil
+    val days = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter(s => onlyDay.forall(d => s.getPath.getName == s"date=$d"))
+    val done = Seq.newBuilder[String]
+    days.foreach { st =>
+      val dayPath = st.getPath
+      val files = fs.listStatus(dayPath).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      if (files.length > 1) {
+        val totalBytes = files.map(_.getLen).sum
+        val nOut = math.max(1, (totalBytes / targetBytes).toInt)
+        val tmp = new org.apache.hadoop.fs.Path(
+          dayPath.getParent, dayPath.getName + ".compacting")
+        fs.delete(tmp, true)
+        spark.read.parquet(dayPath.toString)
+          .repartition(nOut)
+          .sortWithinPartitions(col("name"), col("sig"), col("t"))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(dayPath, true)
+        fs.rename(tmp, dayPath)
+        done += dayPath.toString
+      }
+    }
+    done.result()
+  }
+
   /** Retention: drop whole day partitions older than the cutoff —
     * the reference deletes whole 24 h shards, never individual rows. */
   def expire(spark: SparkSession, path: String, cutoffMs: Long): Seq[String] = {

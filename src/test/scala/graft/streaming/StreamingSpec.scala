@@ -144,6 +144,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("compaction merges per-batch small files, preserves rows and clustering") {
+    val dir = Files.createTempDirectory("compact").toString
+    val day1 = 1704067200000L
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pts(rows: Seq[Row]) = graft.model.Points.withSig(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema))
+    // three appends = three+ files in the day partition (micro-batch shape)
+    (0 until 3).foreach { b =>
+      PointsStore.append(pts(Seq(
+        Row("m2", Map("a" -> b.toString), day1 + b * 1000L, b.toDouble),
+        Row("m1", Map("a" -> b.toString), day1 + b * 1000L, b * 2.0))), dir)
+    }
+    def dayFiles = {
+      val d = new java.io.File(s"$dir/date=2024-01-01")
+      d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val before = PointsStore.read(spark, dir, day1, day1 + 10000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dayFiles >= 3)
+    val compacted = PointsStore.compact(spark, dir)
+    assert(compacted.nonEmpty)
+    assert(dayFiles == 1)
+    // identical rows after the swap
+    val after = PointsStore.read(spark, dir, day1, day1 + 10000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // and the rewritten file is (name, sig, t)-clustered: no name returns
+    // after a different name appears
+    val names = spark.read.parquet(s"$dir/date=2024-01-01")
+      .select("name").collect().map(_.getString(0)).toSeq
+    val transitions = names.zip(names.drop(1)).count { case (a, b) => a != b }
+    assert(transitions <= 1) // m1-block then m2-block
+  }
+
   test("streaming threshold alerts: pending -> firing -> resolved across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
