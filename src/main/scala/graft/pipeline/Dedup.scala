@@ -28,11 +28,17 @@ object Dedup {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Exact dedup: one row per distinct text with the surviving doc_id
-    * (smallest) and the duplicate count. */
+    * (smallest) and the duplicate count. Groups by the md5 CONTENT HASH,
+    * not the text: the shuffle then carries 16 bytes per document instead
+    * of the document itself — at corpus scale that is the difference
+    * between shuffling the corpus and shuffling 2% of it. (An md5
+    * collision would merge two distinct texts; at 2^-128 per pair that is
+    * the standard content-addressing trade.) */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-      .select(col("keep_id"), col("n_dups"), length(col("text")).as("n_chars"))
+    docs.groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
+        first(length(col("text"))).as("n_chars"))
+      .select(col("keep_id"), col("n_dups"), col("n_chars"))
 
   /** Per-doc MinHash signature columns over pre-hashed token columns:
     * sig_i = min(h_i). */

@@ -152,7 +152,7 @@ object Multimodal {
             bitsPerSample = 16,
             nFrames = (id % 50).toInt + 1))
         else MediaBlob(id, synthBmp(
-          width = (id % 640).toInt + 1, height = ((id * 3) % 480).toInt + 1))
+          width = (id % 64).toInt + 1, height = ((id * 3) % 48).toInt + 1))
       decodeOne(blob)
     })
   }

@@ -296,13 +296,13 @@ object PipelineQueries {
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 2 = 0
         |    THEN 44 + (doc_id % 50 + 1) * (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) * 2
-        |    ELSE 54 + ((3 * (doc_id % 640 + 1) + 3) // 4) * 4 * ((doc_id * 3) % 480 + 1)
+        |    ELSE 54 + ((3 * (doc_id % 64 + 1) + 3) // 4) * 4 * ((doc_id * 3) % 48 + 1)
         |  END AS BIGINT) AS n_bytes,
         |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS format,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 50 + 1
-        |       ELSE doc_id % 640 + 1 END AS INT) AS width,
+        |       ELSE doc_id % 64 + 1 END AS INT) AS width,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3)
-        |       ELSE (doc_id * 3) % 480 + 1 END AS INT) AS height,
+        |       ELSE (doc_id * 3) % 48 + 1 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)
         |       ELSE 3 END AS INT) AS channels
         |FROM documents""".stripMargin
