@@ -50,30 +50,56 @@ object Similarity {
     if ((Integer.parseInt(org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$p:$d").substring(0, 1), 16) & 0x8) != 0) 1.0
     else -1.0
 
+  /** Signed projection of `embedding` onto deterministic plane `p`. */
+  private def planeProj(embedding: Column, p: Int, dims: Int): Column =
+    (0 until dims).map(d =>
+      element_at(embedding, d + 1) * lit(planeSign(p, d))).reduce(_ + _)
+
   /** Bucket id = `bits`-bit signature of sign(plane·v). */
-  def lshBucket(embedding: Column, bits: Int, dims: Int): Column = {
-    val planes: Seq[Column] = (0 until bits).map { p =>
-      val proj = (0 until dims).map(d =>
-        element_at(embedding, d + 1) * lit(planeSign(p, d))).reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
-  }
+  def lshBucket(embedding: Column, bits: Int, dims: Int): Column =
+    (0 until bits).map { p =>
+      when(planeProj(embedding, p, dims) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   def lshBuckets(corpus: DataFrame, bits: Int = 8, dims: Int = 64): DataFrame =
     corpus.select(col("vec_id"),
       lshBucket(asDouble(col("embedding")), bits, dims).as("bucket"),
       asDouble(col("embedding")).as("e"))
 
-  /** Approximate top-k: exact cosine, but only within the query's LSH
-    * bucket. Recall improves with multi-probe (neighbouring buckets) —
-    * bump `bits` down or add probes for higher recall. */
+  /** Approximate top-k: exact cosine, but only within the query's probed
+    * LSH buckets. `probes` = 1 searches the query's own bucket; larger
+    * values ADD the buckets reached by flipping the `probes - 1` bits
+    * whose hyperplane margin |plane·q| is smallest — the classic
+    * multi-probe refinement: a near-zero margin means the true neighbours
+    * straddle that plane, so its flip-bucket is the likeliest to hold the
+    * missed ones. Probing multiplies only the QUERY side (corpus rows
+    * stay in exactly one bucket, so candidates never duplicate), and
+    * recall rises without re-hashing or densifying the corpus. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 8, dims: Int = 64): DataFrame = {
+              bits: Int = 8, dims: Int = 64, probes: Int = 1): DataFrame = {
     val c = lshBuckets(corpus, bits, dims)
       .select(col("bucket"), col("vec_id").as("cid"), col("e").as("ce"))
-    val q = lshBuckets(queries, bits, dims)
-      .select(col("bucket"), col("vec_id").as("qid"), col("e").as("qe"))
+    val qb = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qe"))
+      .withColumn("bucket", lshBucket(col("qe"), bits, dims))
+    val own = qb.select(col("bucket"), col("qid"), col("qe"))
+    val q =
+      if (probes <= 1) own
+      else {
+        val margins = array((0 until bits).map(p =>
+          abs(planeProj(col("qe"), p, dims))): _*)
+        val flips = qb
+          .select(col("qid"), col("qe"), col("bucket"),
+            posexplode(margins).as(Seq("p", "m")))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(col("m").asc, col("p").asc)))
+          .where(col("rk") <= probes - 1)
+          .select(col("bucket").bitwiseXOR(
+            org.apache.spark.sql.functions.expr("shiftleft(CAST(1 AS BIGINT), p)")).as("bucket"),
+            col("qid"), col("qe"))
+        own.unionByName(flips)
+      }
     val scored = q.join(c, Seq("bucket")).where(col("qid") =!= col("cid"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
     val w = org.apache.spark.sql.expressions.Window

@@ -75,6 +75,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // probing 3/8 cells
   }
 
+  test("multi-probe lsh lifts recall over single-probe") {
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, q, 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-random synthetic embeddings give LSH little natural locality,
+    // so compare at bits=3 where 4 probes cover half the bucket space —
+    // the assertion is the multi-probe MECHANISM (more of the true top-k
+    // recovered, never less), not absolute ANN quality on noise
+    def recall(probes: Int): Double = {
+      val got = Similarity.annTopK(emb, q, 3, bits = 3, probes = probes)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"multi-probe recall $r4 below single-probe $r1")
+    assert(r4 > r1 || r4 >= 0.5, s"probing added nothing: $r1 -> $r4")
+  }
+
   test("ann results are a subset of brute-force rankings' candidates") {
     val ann = Similarity.annTopK(emb, emb.where(col("vec_id") < 5), 3, bits = 2)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
