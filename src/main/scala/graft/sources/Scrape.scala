@@ -214,6 +214,28 @@ object Scrape {
     (points, advanced)
   }
 
+  /** `writeStream.foreachBatch` deployment of the interval scheduler: feed
+    * it a trigger stream carrying a `t` epoch-ms column (a rate source in
+    * production, a MemoryStream in tests); each micro-batch ticks the
+    * scheduler at the batch's max trigger time and appends due scrapes to
+    * the store. The `lastRun` schedule state lives in the returned sink's
+    * closure — one scheduler per stream, like the reference's scrape
+    * manager owning per-target timers; the target fan-out and the parse
+    * happen inside the tick's Spark job. */
+  def scrapeSink(jobs: Seq[ScrapeJob], fetch: String => String,
+                 storeDir: String): (DataFrame, Long) => Unit = {
+    var lastRun = Map.empty[String, Long]
+    (batch, _) => {
+      val maxT = batch.agg(org.apache.spark.sql.functions.max(col("t"))).head.getAs[Any](0)
+      if (maxT != null) {
+        val nowMs = maxT.asInstanceOf[Long]
+        val (points, advanced) = scrapeTick(batch.sparkSession, jobs, fetch, nowMs, lastRun)
+        lastRun = advanced
+        if (!points.isEmpty) PointsStore.append(points, storeDir)
+      }
+    }
+  }
+
   /** Parse the scrape_configs YAML subset (same hand-rolled narrow parser
     * approach as [[graft.rules.RuleFiles]] — zero-egress build, no YAML
     * dependency): job_name, scrape_interval, static_configs flow-list

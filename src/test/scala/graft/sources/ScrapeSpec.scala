@@ -107,4 +107,30 @@ class ScrapeSpec extends AnyFunSuite {
     p3.count()
     assert(fetches.toSet == Set("host1:9100", "svc:8080"))
   }
+
+  test("streaming scrape: trigger stream drives interval scheduling into the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scrape_store").toString
+    val jobs = Scrape.parseScrapeConfigs(config) // node 15s (host2 dropped), app 60s
+    var n = 0
+    def fetch(t: String): String = { n += 1; s"up $n\n" }
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("t").writeStream.outputMode("append")
+      .foreachBatch(Scrape.scrapeSink(jobs, fetch, dir)).start()
+    val t0 = 1704067200000L
+    mem.addData(t0)           // both jobs due
+    q.processAllAvailable()
+    mem.addData(t0 + 20000L)  // only the 15s job
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(dir)
+    // 2 scrapes of host1 (t0, t0+20s) + 1 of svc (t0) = 3 samples
+    assert(stored.count() == 3)
+    val insts = stored.select(org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.col("labels"), "instance")).collect().map(_.getString(0))
+    assert(insts.count(_ == "host1:9100") == 2)
+    assert(insts.count(_ == "svc:8080") == 1)
+  }
 }
