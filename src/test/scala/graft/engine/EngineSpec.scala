@@ -125,6 +125,16 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("same labelset") ||
       Option(e.getCause).exists(_.getMessage.contains("same labelset")))
+    // name-dropping over a multi-name selector: two metrics with the same
+    // labelset collapse onto one labelset after unary minus drops __name__
+    val p2 = pts(Seq(
+      Row("a", Map("job" -> "x"), 1000L, 1.0),
+      Row("b", Map("job" -> "x"), 1000L, 2.0)))
+    val e2 = intercept[Exception] {
+      Engine.instantQuery(spark, p2, """-{__name__=~"a|b"}""", 1000L).collect()
+    }
+    assert(e2.getMessage.contains("same labelset") ||
+      Option(e2.getCause).exists(_.getMessage.contains("same labelset")))
     // statically collision-free shapes skip the guard: no tally aggregation
     // (count) node appears above the bare selector's own aggregation
     assert(!Engine.mayCollide(Parser.parse("m")))
