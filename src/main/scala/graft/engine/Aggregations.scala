@@ -94,7 +94,7 @@ object Aggregations {
   private def quantileAgg(ae: AggregateExpr, v: VectorVal, ctx: EvalContext): VectorVal = {
     val p = Compiler.eval(ae.param.get, ctx)
     finish(grouped(withParam(v.df, p), groupedCanonical(ae),
-      Seq(Kernels.goQuantileUdf(collect_list(col("value")), first(col("_p"))).as("value"))))
+      Seq(QuantileAgg.column(col("value"), col("_p")).as("value"))))
   }
 
   /** topk/bottomk keep the ORIGINAL series labels; NaN sorts away from both

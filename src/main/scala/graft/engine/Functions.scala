@@ -62,7 +62,7 @@ object Functions {
         case other => throw new IllegalArgumentException("quantile_over_time φ must be a scalar")
       }
       val grouped = withQ.groupBy(col("sig"), col("step"))
-        .agg(Kernels.goQuantileUdf(collect_list(col("value")), first(col("_q"))).as("value"),
+        .agg(QuantileAgg.column(col("value"), col("_q")).as("value"),
           first(col("name")).as("name"), first(col("_lc")).as("_lc"))
         .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
           col("step"), col("step").as("t"), col("value"))

@@ -87,6 +87,4 @@ object Kernels {
     bucketStart + (bucketEnd - bucketStart) * (rank / count)
   }
 
-  val bucketQuantileUdf = udf(bucketQuantile _)
-  val goQuantileUdf = udf(goQuantile _)
 }
