@@ -14,8 +14,9 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_sel_instant", "q_fn_rate", "q_agg_sum_by", "q_binop_arith",
-        "q_fn_histogram_quantile", "q_sim_topk", "q_dedup_minhash",
-        "q_dedup_simhash_pairs")
+        "q_fn_histogram_quantile", "q_agg_quantile", "q_sim_topk", "q_sim_ivf",
+        "q_dedup_minhash", "q_dedup_simhash_pairs", "q_dedup_exact",
+        "q_mm_decode_real")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -101,13 +101,26 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     Option(c.getMessage).getOrElse(c.toString).split("\n").head
   }
 
-  private def params(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
-      .filter(_.contains("="))
-      .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
-      }.toMap
+  /** Query-string params, merged with a POST form body when present —
+    * Prometheus clients POST application/x-www-form-urlencoded for
+    * queries too large for a URL (the vendored web/api/v1 registers every
+    * query route for GET and POST); body values win over the URL. */
+  private def params(ex: HttpExchange): Map[String, String] = {
+    def parse(s: String): Map[String, String] =
+      s.split("&").toSeq.filter(_.contains("="))
+        .map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+    val fromUrl = parse(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    val fromBody =
+      if (ex.getRequestMethod.equalsIgnoreCase("POST") &&
+        Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.startsWith("application/x-www-form-urlencoded")))
+        parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      else Map.empty[String, String]
+    fromUrl ++ fromBody
+  }
 
   /** Prometheus times are unix seconds (fractional allowed). */
   private def ms(s: String): Long = (s.toDouble * 1000).toLong

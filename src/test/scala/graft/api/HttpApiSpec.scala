@@ -70,6 +70,16 @@ class HttpApiSpec extends AnyFunSuite {
       val m = get(port, "/api/v1/query?query=http_total[5m]&time=120")
       assert(m.contains(""""resultType":"matrix""""))
       assert(m.contains(""""values":[[60,"10"]]"""))
+
+      // POST with a form body (Prometheus clients POST large queries)
+      val client = HttpClient.newHttpClient()
+      val post = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/query"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "query=" + java.net.URLEncoder.encode("sum(http_total)", "UTF-8") + "&time=120"))
+        .build()
+      val pv = client.send(post, HttpResponse.BodyHandlers.ofString()).body()
+      assert(pv.contains(""""value":[120,"30"]"""))
     } finally api.stop()
   }
 
