@@ -76,9 +76,7 @@ object Bench {
     // min-of-2 timing: the second run measures steady state (no
     // first-call codegen/JIT) and a transient load spike on either run
     // cannot inflate the reported number — round-over-round deltas then
-    // reflect plan changes, not machine weather. Queries already past
-    // half the reference's 10 s envelope skip the re-run to bound total
-    // bench time.
+    // reflect plan changes, not machine weather.
     def timed(qs: Seq[(String, () => Long)]): Map[String, Double] =
       qs.map { case (name, run) =>
         def once(): Double = {
@@ -86,8 +84,7 @@ object Bench {
           try run() catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }
-        val a = once()
-        name -> (if (a < 5.0) math.min(a, once()) else a)
+        name -> math.min(once(), once())
       }.toMap
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration; the
     // driver never sets it, so the per-round bench always runs everything
