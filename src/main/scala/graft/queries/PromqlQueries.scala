@@ -186,10 +186,16 @@ object PromqlQueries {
           |FROM inst GROUP BY 1, 2""".stripMargin),
 
     "q_binop_arith" ->
+      // IEEE division like the engine (and Go): x/0 is +-Inf for x != 0 and
+      // NaN for 0/0 — DuckDB's / returns NULL on a zero divisor
       (withClauses(pSql, stepsSql(), instSql(DAY, "p.name IN ('purchase','click')")) +
         s"""
            |SELECT $nullName, l."user", $nullPar, l.step AS t,
-           |       round(l.value / r.value, 6) AS value
+           |       round(CASE WHEN r.value = 0 THEN
+           |               CASE WHEN l.value > 0 THEN CAST('infinity' AS DOUBLE)
+           |                    WHEN l.value < 0 THEN CAST('-infinity' AS DOUBLE)
+           |                    ELSE CAST('nan' AS DOUBLE) END
+           |             ELSE l.value / r.value END, 6) AS value
            |FROM inst l JOIN inst r ON l."user" = r."user" AND l.step = r.step
            |WHERE l.name = 'purchase' AND r.name = 'click'""".stripMargin),
     "q_binop_pow_mod" -> instProj("pow(fmod(value, 7), 2)", "p.name = 'click'",
@@ -337,7 +343,11 @@ object PromqlQueries {
     "q_fn_math_chain" -> instProj("ceil(sqrt(abs(value - 100)))", "p.name = 'purchase'", keepName = false),
     "q_fn_clamp" -> instProj("round(least(greatest(value, 50), 150), 6)", "p.name = 'click'", keepName = false),
     "q_fn_round" -> instProj("floor(value * 0.1 + 0.5) / 0.1", "p.name = 'click'", keepName = false),
-    "q_fn_exp_ln" -> instProj("round(exp(ln(value)), 6)", "p.name = 'click'", keepName = false),
+    // Go log semantics (engine goLog): ln(0) = -Inf so exp(ln(0)) = 0,
+    // ln(<0) = NaN — DuckDB's ln raises on zero
+    "q_fn_exp_ln" -> instProj(
+      "round(CASE WHEN value = 0 THEN 0 WHEN value < 0 THEN CAST('nan' AS DOUBLE) ELSE exp(ln(value)) END, 6)",
+      "p.name = 'click'", keepName = false),
     "q_fn_sgn_floor" -> instProj(
       "sign(value - 100) * floor(value)", "p.name = 'purchase'", keepName = false),
     "q_fn_label_replace" -> instProj("value", "p.name = 'click'",
