@@ -50,9 +50,15 @@ object PromqlQueries {
     "q_unary_neg" -> promql("-click", roundTo = 6),
 
     // §2.5 rate / counter family
-    "q_fn_rate" -> promql("rate(click[2d])", roundTo = 7),
-    "q_fn_increase" -> promql("increase(click[2d])", roundTo = 6),
-    "q_fn_delta" -> promql("delta(purchase[2d])", roundTo = 6),
+    // floor-truncated, not rounded (see QueryKit.truncated): the two
+    // engines produce bit-identical doubles here but their round()
+    // implementations disagree at decimal tie boundaries
+    "q_fn_rate" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      QueryKit.truncated(promql("rate(click[2d])")(s, dir), 7)),
+    "q_fn_increase" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      QueryKit.truncated(promql("increase(click[2d])")(s, dir), 6)),
+    "q_fn_delta" -> ((s: org.apache.spark.sql.SparkSession, dir: String) =>
+      QueryKit.truncated(promql("delta(purchase[2d])")(s, dir), 6)),
     "q_fn_irate" -> promql("irate(click[2d])", roundTo = 9),
     "q_fn_idelta" -> promql("idelta(purchase[2d])", roundTo = 6),
     "q_fn_resets" -> promql("resets(click[2d])"),
@@ -139,6 +145,46 @@ object PromqlQueries {
          |SELECT $nameOut, "user", par, $v AS value, step AS t
          |FROM rng GROUP BY name, "user", par, step""".stripMargin
   }
+
+  /** Least-squares oracle with the kernel's EXACT float fold: samples in
+    * time order, x = (t - base)/1000, sums accumulated sequentially as a
+    * DOUBLE[7] list_reduce state [cnt, sumX, sumY, sumXY, sumX2, constY,
+    * initY], and the slope/intercept formulas in the kernel's association
+    * order (Kernels/SeriesAgg.regression) — bit-identical at any scale,
+    * where DuckDB's regr_slope sums in ITS OWN order and drifts by an ulp
+    * on ~0.1% of rows at sf0.1. `valueExpr` may use slope / intercept. */
+  private def regressionOracle(r: Long, name: String, baseExpr: String,
+                               valueExpr: String, roundTo: Int): String =
+    withClauses(pSql, stepsSql(), rngSql(r, s"p.name = '$name'")) +
+      s"""
+         |, lists AS (
+         |  SELECT "user", par, step, list(value ORDER BY t) AS vs, list(t ORDER BY t) AS ts
+         |  FROM rng GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+         |folded AS (
+         |  SELECT "user", par, step,
+         |    list_reduce(list_transform(generate_series(1, len(vs)),
+         |      i -> [CAST(1 AS DOUBLE), (ts[i] - $baseExpr) / 1000.0, vs[i],
+         |            ((ts[i] - $baseExpr) / 1000.0) * vs[i],
+         |            ((ts[i] - $baseExpr) / 1000.0) * ((ts[i] - $baseExpr) / 1000.0),
+         |            CAST(1 AS DOUBLE), vs[i]]),
+         |      (acc, e) -> [acc[1] + 1, acc[2] + e[2], acc[3] + e[3],
+         |                   acc[4] + e[4], acc[5] + e[5],
+         |                   CASE WHEN acc[6] = 1 AND e[7] = acc[7]
+         |                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END,
+         |                   acc[7]]) AS st
+         |  FROM lists),
+         |calc AS (
+         |  SELECT "user", par, step, st,
+         |    (st[4] - st[2] * st[3] / st[1]) / (st[5] - st[2] * st[2] / st[1]) AS rawslope
+         |  FROM folded),
+         |fin AS (
+         |  SELECT "user", par, step,
+         |    CASE WHEN st[6] = 1 THEN 0 ELSE rawslope END AS slope,
+         |    CASE WHEN st[6] = 1 THEN st[7]
+         |         ELSE st[3] / st[1] - rawslope * st[2] / st[1] END AS intercept
+         |  FROM calc)
+         |SELECT $nullName, "user", par, step AS t, round($valueExpr, $roundTo) AS value
+         |FROM fin""".stripMargin
 
   private def instProj(valueExpr: String, where: String, roundTo: Int = -1,
                        keepName: Boolean = true, extraCols: String = ""): String = {
@@ -283,27 +329,14 @@ object PromqlQueries {
            |SELECT $nullName, "user", par, step AS t,
            |       CAST(sum(CASE WHEN pv IS NOT NULL AND value <> pv THEN 1 ELSE 0 END) AS DOUBLE) AS value
            |FROM w GROUP BY "user", par, step""".stripMargin),
-    "q_fn_deriv" ->
-      (withClauses(pSql, stepsSql(), rngSql(2 * DAY, "p.name = 'click'")) +
-        s"""
-           |SELECT $nullName, "user", par, step AS t,
-           |       round(regr_slope(value, t / 1000.0), 9) AS value
-           |FROM rng GROUP BY "user", par, step HAVING count(*) >= 2""".stripMargin),
+    // deriv anchors x at the window's first sample time (ts[1] after the
+    // time-order sort); predict_linear at the window end (= step here)
+    "q_fn_deriv" -> regressionOracle(2 * DAY, "click", "ts[1]", "slope", 9),
     "q_fn_predict_linear" ->
-      (withClauses(pSql, stepsSql(), rngSql(2 * DAY, "p.name = 'click'")) +
-        s"""
-           |SELECT $nullName, "user", par, step AS t,
-           |       round(regr_slope(value, (t - step) / 1000.0) * 3600
-           |             + regr_intercept(value, (t - step) / 1000.0), 4) AS value
-           |FROM rng GROUP BY "user", par, step HAVING count(*) >= 2""".stripMargin),
-
+      regressionOracle(2 * DAY, "click", "step", "slope * 3600 + intercept", 4),
     "q_fn_predict_linear_step" ->
-      (withClauses(pSql, stepsSql(), rngSql(2 * DAY, "p.name = 'click'")) +
-        s"""
-           |SELECT $nullName, "user", par, step AS t,
-           |       round(regr_slope(value, (t - step) / 1000.0) * ((step / 1000.0) / 1000)
-           |             + regr_intercept(value, (t - step) / 1000.0), 2) AS value
-           |FROM rng GROUP BY "user", par, step HAVING count(*) >= 2""".stripMargin),
+      regressionOracle(2 * DAY, "click", "step",
+        "slope * ((step / 1000.0) / 1000) + intercept", 2),
 
     // the double-exponential-smoothing recurrence as a DuckDB lambda fold:
     // state rides as DOUBLE[4] = [i, s0, s1, b] (struct_pack fields shadow

@@ -93,12 +93,19 @@ object QueryKit {
     "WITH " + clauses.mkString(",\n")
 
   /** The extrapolated rate/increase/delta oracle, mirroring
-    * Kernels.extrapolated (reference functions.go:63-169). */
+    * Kernels.extrapolated (reference functions.go:63-169). The counter
+    * reset correction folds over the TIME-ORDERED values exactly like the
+    * kernel's sequential loop (state [prev, corr]) — an unordered
+    * sum(CASE...) drifts by an ulp on occasional rows at 10x scale. */
   def extrapolatedSql(r: Long, nameFilter: String, isCounter: Boolean,
                       isRate: Boolean, roundTo: Int): String = {
     val rSec = r / 1000.0
     val resetsExpr =
-      if (isCounter) "sum(CASE WHEN value < pv THEN pv ELSE 0 END)" else "0"
+      if (isCounter)
+        """list_reduce(list_transform(vs, v -> [v, CAST(0 AS DOUBLE)]),
+          |            (acc, e) -> [e[1], CASE WHEN e[1] < acc[1]
+          |                                    THEN acc[2] + acc[1] ELSE acc[2] END])[2]""".stripMargin
+      else "0"
     // parenthesization matters: the kernel computes sampled * (v0 / result0)
     // and the oracle must produce the bit-identical double
     val zeroCut =
@@ -108,31 +115,43 @@ object QueryKit {
       else "dstart0"
     val rateDiv = if (isRate) s" / $rSec" else ""
     withClauses(pSql, stepsSql(), rngSql(r, s"p.name = '$nameFilter'"),
-      """w AS (SELECT *, lag(value) OVER (PARTITION BY name, "user", step ORDER BY t) AS pv FROM rng)""",
       s"""agg AS (
          |  SELECT name, "user", par, step, count(*) AS n,
          |         min(t) AS t0, max(t) AS t1,
          |         arg_min(value, t) AS v0, arg_max(value, t) AS v1,
-         |         $resetsExpr AS rcorr
-         |  FROM w GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)""".stripMargin,
+         |         list(value ORDER BY t) AS vs
+         |  FROM rng GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)""".stripMargin,
+      s"""corr AS (
+         |  SELECT *, ($resetsExpr) AS rcorr FROM agg)""".stripMargin,
       s"""ext AS (
          |  SELECT *, (v1 - v0 + rcorr) AS result0,
          |         (t0 - (step - $r)) / 1000.0 AS dstart0,
          |         (step - t1) / 1000.0 AS dend,
          |         (t1 - t0) / 1000.0 AS sampled,
          |         (t1 - t0) / 1000.0 / (n - 1) AS avgspace
-         |  FROM agg)""".stripMargin,
+         |  FROM corr)""".stripMargin,
       s"""fin AS (
          |  SELECT *, ($zeroCut) AS dstart,
          |         1.1 * avgspace AS thresh
          |  FROM ext)""".stripMargin) +
       s"""
          |SELECT CAST(NULL AS VARCHAR) AS name, "user", par, step AS t,
-         |       round(result0 * (
+         |       floor(result0 * (
          |         (sampled
          |          + CASE WHEN dstart < thresh THEN dstart ELSE avgspace / 2 END
          |          + CASE WHEN dend < thresh THEN dend ELSE avgspace / 2 END)
-         |         / sampled$rateDiv), $roundTo) AS value
+         |         / sampled$rateDiv) * 1e$roundTo) / 1e$roundTo AS value
          |FROM fin""".stripMargin
+  }
+
+  /** Floor-truncate instead of round: both engines compute the identical
+    * double, and floor of the identical double always agrees, while
+    * round() at a tie boundary does not (Spark rounds the shortest
+    * decimal repr, DuckDB the binary value). */
+  def truncated(df: org.apache.spark.sql.DataFrame, digits: Int): org.apache.spark.sql.DataFrame = {
+    val scale = math.pow(10, digits)
+    df.withColumn("value",
+      when(isnan(col("value")), col("value"))
+        .otherwise(floor(col("value") * scale) / scale))
   }
 }
