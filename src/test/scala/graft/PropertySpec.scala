@@ -122,4 +122,55 @@ class PropertySpec extends AnyFunSuite {
       assert(parsed.matchers.head.value == value, q)
     }
   }
+
+  test("NibbleSpread matches the conv(substring) bit decomposition") {
+    val hexGen = Gen.listOfN(32, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+    val hexes = samples(hexGen, 40)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(hexes.map(Row(_)), 2),
+      StructType(Seq(StructField("h", StringType))))
+    val got = df.select(graft.pipeline.NibbleSpread.column(col("h")).as("ps"))
+      .collect().map(_.getSeq[Long](0).toVector)
+    val ref = df.select(array((0 until 16).map { i =>
+      val nib = conv(substring(col("h"), i + 1, 1), 16, 10).cast("long")
+      (0 until 4).map(b =>
+        shiftleft(shiftright(nib, b).bitwiseAND(lit(1L)), 16 * b)).reduce(_ + _)
+    }: _*).as("ps")).collect().map(_.getSeq[Long](0).toVector)
+    assert(got.toSeq == ref.toSeq)
+  }
+
+  test("BoundedCollect equals collect_list under the cap, truncates over it") {
+    val n = 300
+    val df = spark.range(n).select((col("id") % 7).as("g"), col("id"))
+    // generous cap: same multiset as collect_list per group
+    val under = df.groupBy(col("g"))
+      .agg(graft.pipeline.BoundedCollect.column(col("id"), 1000).as("b"),
+        collect_list(col("id")).as("c"))
+      .collect()
+    assert(under.forall(r =>
+      r.getSeq[Long](1).sorted == r.getSeq[Long](2).sorted))
+    // tight cap: exactly cap+1 elements survive (the overflow marker)
+    val over = df.groupBy(col("g"))
+      .agg(graft.pipeline.BoundedCollect.column(col("id"), 10).as("b"))
+      .collect()
+    assert(over.forall(_.getSeq[Long](1).length == 11))
+  }
+
+  test("relabel replace expands captures; keep/drop filter exactly") {
+    import graft.sources.Scrape
+    val hostGen = for {
+      h <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+      p <- Gen.choose(1, 65535)
+    } yield s"$h:$p"
+    val rules = Seq(
+      Scrape.RelabelRule(sourceLabels = Seq("__address__"),
+        regex = "([a-z]+):(\\d+)", targetLabel = "host", replacement = "$1"),
+      Scrape.RelabelRule(action = "drop", sourceLabels = Seq("host"), regex = "zz.*"))
+    samples(hostGen, 50).foreach { addr =>
+      val out = Scrape.relabel(Map("__address__" -> addr), rules)
+      val host = addr.takeWhile(_ != ':')
+      if (host.startsWith("zz")) assert(out.isEmpty)
+      else assert(out.get("host") == host, s"$addr -> $out")
+    }
+  }
 }
