@@ -165,7 +165,11 @@ object Rules {
     val maxT = batch.agg(max(col("t"))).head.getAs[Any](0)
     if (maxT != null) {
       val tsMs = maxT.asInstanceOf[Long]
-      val stored = spark.read.parquet(storeDir)
+      // partition-pruned read: an instant tick can only touch samples in
+      // its lookback horizon — at fleet scale this is the difference
+      // between scanning the whole retention window and one day
+      val stored = graft.sources.PointsStore.read(
+        spark, storeDir, tsMs - lookbackMs, tsMs)
       rules.foreach { rule =>
         val firing = persistedAlertingTick(spark, stored, rule, stateDir, tsMs, lookbackMs)
         val rows = firing.collect()
