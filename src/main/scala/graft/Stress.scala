@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator scale probe beyond the driver testdata: synthesizes a
+  * corpus with a REALISTIC vocabulary (the sf* documents table has a
+  * 31-token vocabulary — the degenerate hot-bucket worst case for LSH;
+  * this generates ~`vocab` distinct tokens with a skewed frequency mix)
+  * and embeddings, then times the dedup/similarity operators at
+  * `STRESS_DOCS` documents (default 100k — 20x the sf0.1 gate scale).
+  *
+  * Prints one JSON line like Bench. Everything is deterministic
+  * (hash-derived), no RNG state.
+  *
+  * Usage: STRESS_DOCS=100000 sbt "runMain graft.Stress"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("STRESS_DOCS", "100000").toLong
+    val vocab = sys.env.getOrElse("STRESS_VOCAB", "50000").toLong
+    val tokensPerDoc = 200
+    val dupPct = 5 // % of docs that are exact duplicates of an earlier doc
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // skewed vocabulary: token k for slot (doc, i) = xxhash64 mixed, then
+    // squared-fraction skew so low ids dominate (Zipf-ish head)
+    def tokenCol(doc: org.apache.spark.sql.Column, i: Int) = {
+      val h = abs(xxhash64(doc, lit(i)))
+      val frac = (h % 1000000L).cast("double") / 1000000.0
+      concat(lit("t"), ((frac * frac) * vocab).cast("long"))
+    }
+    // dupPct% of docs replicate the content of doc_id - nDocs/20
+    val base = spark.range(nDocs)
+      .withColumn("src",
+        when(col("id") % 100 < dupPct && col("id") >= nDocs / 20,
+          col("id") - nDocs / 20).otherwise(col("id")))
+    val docs = base.select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until tokensPerDoc).map(i => tokenCol(col("src"), i)): _*).as("text"))
+      .cache()
+    val emb = spark.range(nDocs / 10).select(col("id").as("vec_id"),
+      array((0 until 64).map(d =>
+        ((abs(xxhash64(col("id"), lit(d))) % 2000L).cast("double") / 1000.0 - 1.0)
+          .cast("float")): _*).as("embedding"))
+      .cache()
+    println(s"corpus: ${docs.count()} docs, ${emb.count()} embeddings, " +
+      s"${docs.select(explode(split(col("text"), " "))).distinct().count()} distinct tokens")
+
+    import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+    def timed(name: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS $name%-22s $dt%7.2f s   rows=$n")
+      (name, dt, n)
+    }
+    val results = Seq(
+      timed("exact_dedup")(Dedup.exact(docs).where(col("n_dups") > 1).count()),
+      timed("minhash_lsh")(Dedup.minHashLsh(docs, 16, 4).count()),
+      timed("simhash_pairs")(Dedup.simHashPairs(docs, 2).count()),
+      timed("lang_id")(TextAnalysis.langId(docs).count()),
+      timed("ann_multiprobe")(Similarity.annTopK(emb, emb.where(col("vec_id") < 100),
+        10, bits = 8, probes = 4).count()),
+      timed("ivf_topk")(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100),
+        10, k = 32, nProbe = 4, trainLimit = 20000).count()))
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"docs":$nDocs}""")
+    spark.stop()
+  }
+}
