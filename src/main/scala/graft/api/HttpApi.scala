@@ -29,7 +29,12 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                     lookbackMs: Long = 300000L,
                     rules: Option[graft.rules.RuleManagers] = None,
                     limits: Option[graft.engine.Guards.QueryLimits] = None,
-                    reloadConfig: () => Unit = () => ()) {
+                    reloadConfig: () => Unit = () => (),
+                    /** (job, target) pairs for /api/v1/targets. */
+                    scrapeTargets: () => Seq[(String, String)] = () => Nil) {
+
+  private val Version = "0.3.0-graft"
+  private val startedMs = System.currentTimeMillis()
 
   /** Enforce the reference's query envelope when limits are configured:
     * timeout + concurrency slot around the driver-side action, with the
@@ -57,9 +62,34 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     rules.foreach { rm =>
       server.createContext("/api/v1/rules",
         (ex: HttpExchange) => handle(ex)(_ => RulesApi.listing(rm)))
+      server.createContext("/api/v1/alerts",
+        (ex: HttpExchange) => handle(ex)(_ => RulesApi.alerts(rm)))
+      server.createContext("/api/v1/alertmanagers",
+        (ex: HttpExchange) => handle(ex)(_ => RulesApi.alertmanagers(rm)))
       server.createContext("/rules/manager",
         (ex: HttpExchange) => handleCode(ex)(e => RulesApi.route(rm, e)))
     }
+    // status/metadata surface the vendored web/api/v1 registers — the
+    // reference returns mostly-empty values too (nil retrievers, empty
+    // config); dashboards probe these before issuing queries
+    server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => handle(ex)(_ =>
+      s"""{"status":"success","data":{"version":"$Version","revision":"","branch":"",""" +
+        s""""buildUser":"","buildDate":"","goVersion":"spark-${spark.version}"}}"""))
+    server.createContext("/api/v1/status/runtimeinfo", (ex: HttpExchange) => handle(ex)(_ =>
+      s"""{"status":"success","data":{"startTime":"${java.time.Instant.ofEpochMilli(startedMs)}",""" +
+        s""""CWD":"","reloadConfigSuccess":true,"lastConfigTime":"${java.time.Instant.ofEpochMilli(startedMs)}",""" +
+        """"corruptionCount":0,"goroutineCount":0,"GOMAXPROCS":0,"GOGC":"","GODEBUG":"","storageRetention":""}}"""))
+    server.createContext("/api/v1/metadata", (ex: HttpExchange) => handle(ex)(_ =>
+      """{"status":"success","data":{}}"""))
+    server.createContext("/api/v1/targets", (ex: HttpExchange) => handle(ex)(_ => {
+      val active = scrapeTargets().map { case (job, target) =>
+        s"""{"discoveredLabels":{"__address__":${Json.str(target)},"job":${Json.str(job)}},""" +
+          s""""labels":{"instance":${Json.str(target)},"job":${Json.str(job)}},""" +
+          s""""scrapePool":${Json.str(job)},"scrapeUrl":${Json.str(s"http://$target/metrics")},""" +
+          """"health":"unknown"}"""
+      }
+      s"""{"status":"success","data":{"activeTargets":${active.mkString("[", ",", "]")},"droppedTargets":[]}}"""
+    }))
     // POST /~/reload — the reference's config-reload hook
     // (src/internal/api/reload_api.go): invoke the supplied reload
     // callback (rule files, scrape configs) and answer 200

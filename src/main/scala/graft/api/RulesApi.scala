@@ -163,4 +163,28 @@ object RulesApi {
     }
     s"""{"status":"success","data":{"groups":${groups.mkString("[", ",", "]")}}}"""
   }
+
+  private def iso(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
+
+  /** GET /api/v1/alerts — active (pending/firing) alerts from the live
+    * `for:` state (vendored web/api/v1 alerts endpoint shape). */
+  def alerts(rm: graft.rules.RuleManagers): String = {
+    val items = rm.activeAlerts.map { a =>
+      MiniJson.objOf(Seq(
+        "labels" -> MiniJson.strMap(a.labels + ("alertname" -> a.alertname)),
+        "annotations" -> MiniJson.strMap(a.annotations),
+        "state" -> MiniJson.str(if (a.firing) "firing" else "pending"),
+        "activeAt" -> MiniJson.str(iso(a.sinceMs)),
+        "value" -> MiniJson.str(a.value.toString)))
+    }
+    s"""{"status":"success","data":{"alerts":${items.mkString("[", ",", "]")}}}"""
+  }
+
+  /** GET /api/v1/alertmanagers — configured notifier endpoints. */
+  def alertmanagers(rm: graft.rules.RuleManagers): String = {
+    val active = rm.all.flatMap(_.alertmanagers).distinct.map(u =>
+      MiniJson.objOf(Seq("url" -> MiniJson.str(u))))
+    s"""{"status":"success","data":{"activeAlertmanagers":${active.mkString("[", ",", "]")},"droppedAlertmanagers":[]}}"""
+  }
 }

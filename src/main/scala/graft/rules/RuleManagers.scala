@@ -61,7 +61,14 @@ final class RuleManagers {
     val groups = new TrieMap[String, RuleGroup]()
     /** Per alerting rule (group/alert) -> alert state between ticks. */
     private[rules] val alertState = new TrieMap[(String, String), DataFrame]()
+    /** Timestamp of the last evaluation tick (0 before the first). */
+    @volatile private[rules] var lastTickMs: Long = 0L
   }
+
+  /** One active (pending or firing) alert series, for /api/v1/alerts. */
+  final case class ActiveAlert(alertname: String, labels: Map[String, String],
+                               annotations: Map[String, String],
+                               sinceMs: Long, value: Double, firing: Boolean)
 
   private val managers = new TrieMap[String, Manager]()
 
@@ -86,6 +93,24 @@ final class RuleManagers {
   def get(id: String): Option[Manager] = managers.get(id)
   def all: Seq[Manager] = managers.values.toSeq.sortBy(_.id)
 
+  /** Live ACTIVE alerts from the per-rule `for:` state of the last tick —
+    * the data behind /api/v1/alerts (vendored web/api/v1 alerts endpoint).
+    * State relations are alert-sized, so the collect is result-sized. */
+  def activeAlerts: Seq[ActiveAlert] =
+    for {
+      m <- all
+      ((gName, alert), state) <- m.alertState.toSeq.sortBy(_._1)
+      rule <- m.groups.get(gName).toSeq.flatMap(_.rules)
+        .find(_.alert.contains(alert)).toSeq
+      row <- state.collect().toSeq
+    } yield {
+      val labels = Option(row.getAs[Map[String, String]]("labels")).getOrElse(Map.empty)
+      val since = row.getAs[Long]("since")
+      ActiveAlert(alert, labels ++ rule.labels, rule.annotations, since,
+        row.getAs[Double]("value"),
+        firing = m.lastTickMs - since >= rule.forMs)
+    }
+
   /** One evaluation tick over every group of every manager: returns the
     * recording-rule output (appendable points relation, empty when no
     * recording rules exist) and posts firing alerts to each manager's
@@ -94,6 +119,7 @@ final class RuleManagers {
                      notifier: Notifier = Notifier.noop,
                      lookbackMs: Long = 300000L): Option[DataFrame] = {
     var recorded: Option[DataFrame] = None
+    for (m <- all) m.lastTickMs = tsMs
     for (m <- all; g <- m.groups.values.toSeq.sortBy(_.name); r <- g.rules) {
       (r.record, r.alert) match {
         case (Some(rec), _) =>

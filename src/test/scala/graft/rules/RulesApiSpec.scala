@@ -139,4 +139,40 @@ class RulesApiSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("name") == "job:http_total:sum")
     assert(out.head.getAs[Double]("value") == 30.0)
   }
+
+  test("alerts, alertmanagers, status, metadata, targets endpoints") {
+    val rm = new RuleManagers
+    rm.createManager("mgr1", Seq("http://am.example:9093"))
+    rm.upsertRuleGroup("mgr1", RuleManagers.RuleGroup("g1", None, Seq(
+      RuleManagers.Rule(None, Some("ManyHits"), "http_total > 5",
+        forMs = 120000L, annotations = Map("summary" -> "hot")))))
+    val api = new HttpApi(spark, points, rules = Some(rm),
+      scrapeTargets = () => Seq(("node", "host1:9100")))
+    val port = api.start(0)
+    try {
+      // before any tick: no active alerts
+      assert(get(port, "/api/v1/alerts").contains("\"alerts\":[]"))
+      // tick 1 at t=60s: both series over threshold -> pending
+      rm.evaluationTick(spark, points, 60000L)
+      val pending = get(port, "/api/v1/alerts")
+      assert(pending.contains("\"state\":\"pending\""))
+      assert(pending.contains("\"alertname\":\"ManyHits\""))
+      assert(pending.contains("\"summary\":\"hot\""))
+      // tick 2 past the for: window -> firing
+      val later = graft.model.Points.withSig(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row("http_total", Map("source_id" -> "app1"), 190000L, 11.0),
+          Row("http_total", Map("source_id" -> "app2"), 190000L, 21.0)), 1), schema))
+      rm.evaluationTick(spark, later, 190000L)
+      assert(get(port, "/api/v1/alerts").contains("\"state\":\"firing\""))
+      // alertmanagers reflect the manager config
+      assert(get(port, "/api/v1/alertmanagers").contains("http://am.example:9093"))
+      // status + metadata + targets respond with the v1 shapes
+      assert(get(port, "/api/v1/status/buildinfo").contains("\"version\""))
+      assert(get(port, "/api/v1/status/runtimeinfo").contains("\"startTime\""))
+      assert(get(port, "/api/v1/metadata").contains("\"data\":{}"))
+      val targets = get(port, "/api/v1/targets")
+      assert(targets.contains("host1:9100") && targets.contains("\"scrapePool\":\"node\""))
+    } finally api.stop()
+  }
 }
