@@ -116,9 +116,28 @@ object Scrape {
   private def toPoints(spark: SparkSession,
                        rows: Seq[(String, Map[String, String], Long, Double)]): DataFrame = {
     import spark.implicits._
-    val df = rows.toDF("name", "labels", "t", "value")
+    finitePoints(rows.toDF("name", "labels", "t", "value"))
+  }
+
+  private def finitePoints(df: DataFrame): DataFrame =
     Points.withSig(df.where(!col("value").isNaN &&
       col("value") =!= Double.PositiveInfinity && col("value") =!= Double.NegativeInfinity))
+
+  /** Distributed scrape: the target list becomes a Dataset spread across
+    * executors and each PARTITION fetches + parses its targets — the
+    * fleet-scale shape for thousands of targets, where the driver-side
+    * variant would serialize all fetch latency onto one thread. The fetch
+    * closure must be serializable (construct the HTTP client inside it,
+    * per call or per partition via lazy init). */
+  def scrapeTargetsDistributed(spark: SparkSession, targets: Seq[String],
+                               fetch: String => String, tsMs: Long): DataFrame = {
+    import spark.implicits._
+    val parsed = spark.createDataset(targets)
+      .mapPartitions(_.flatMap { target =>
+        parseExposition(fetch(target), tsMs)
+          .map(p => (p.name, p.labels + ("instance" -> target), p.t, p.value))
+      })
+    finitePoints(parsed.toDF("name", "labels", "t", "value"))
   }
 
   // ---- scrape_configs subset (reference: scraping/scraper.go:66-100

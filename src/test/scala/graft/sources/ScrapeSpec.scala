@@ -133,4 +133,12 @@ class ScrapeSpec extends AnyFunSuite {
     assert(insts.count(_ == "host1:9100") == 2)
     assert(insts.count(_ == "svc:8080") == 1)
   }
+
+  test("distributed scrape matches the driver-side variant") {
+    val dist = Scrape.scrapeTargetsDistributed(spark, Seq("host:9090"), _ => body, tsMs = 5000L)
+      .collect().map(_.toString).sorted.toSeq
+    val local = Scrape.scrapeTargets(spark, Seq("host:9090"), _ => body, tsMs = 5000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dist == local && dist.nonEmpty)
+  }
 }
