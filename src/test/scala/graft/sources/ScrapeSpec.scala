@@ -135,9 +135,13 @@ class ScrapeSpec extends AnyFunSuite {
   }
 
   test("distributed scrape matches the driver-side variant") {
-    val dist = Scrape.scrapeTargetsDistributed(spark, Seq("host:9090"), _ => body, tsMs = 5000L)
+    // bind the body to a local so the executor-shipped closure captures a
+    // String, not the (non-serializable) spec instance
+    val b = body
+    val fetch: String => String = _ => b
+    val dist = Scrape.scrapeTargetsDistributed(spark, Seq("host:9090"), fetch, tsMs = 5000L)
       .collect().map(_.toString).sorted.toSeq
-    val local = Scrape.scrapeTargets(spark, Seq("host:9090"), _ => body, tsMs = 5000L)
+    val local = Scrape.scrapeTargets(spark, Seq("host:9090"), fetch, tsMs = 5000L)
       .collect().map(_.toString).sorted.toSeq
     assert(dist == local && dist.nonEmpty)
   }
