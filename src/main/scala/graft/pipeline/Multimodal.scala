@@ -52,6 +52,7 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id4 = tag(b, off)
       val sz = le32(b, off + 4)
+      if (sz < 0) return None // malformed chunk size: bail, don't loop
       if (id4 == "fmt " && off + 8 + 16 <= b.length) {
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)

@@ -119,6 +119,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(b.n_bytes == 54 + ((3 * 13 + 3) / 4) * 4 * 7)
     // unknown container bytes fall through to the stub
     assert(Multimodal.decodeOne(Multimodal.MediaBlob(3, "hello".getBytes)).format == "raw")
+    // malformed RIFF with a negative chunk size must not hang the parser
+    val evil = Multimodal.synthWav(1, 8000, 16, 4)
+    evil(16) = 0xFF.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte // fmt size -> -1
+    assert(Multimodal.decodeOne(Multimodal.MediaBlob(4, evil)).format == "raw")
   }
 
   test("multimodal stub: metadata matches payload size") {
