@@ -121,6 +121,9 @@ object Engine {
       case MatrixSelector(vs, _) => vs.name.isEmpty
       case SubqueryExpr(x, _, _, _, _) => multiName(x)
       case ParenExpr(x) => multiName(x)
+      // topk/bottomk SELECT rows (original labels incl. name) rather than
+      // aggregate them — multi-name inputs pass straight through
+      case AggregateExpr("topk" | "bottomk", x, _, _, _) => multiName(x)
       case AggregateExpr(_, _, _, _, _) => false // keyed by grouping, no name
       case Call("label_replace" | "label_join", _) => true // rewritten labels
       case Call(_, args) => args.exists(multiName)

@@ -13,8 +13,14 @@ import org.apache.spark.sql.SparkSession
   *    scan would double every guarded query's I/O at fleet scale). The
   *    watchdog polls the accumulator as task updates stream in and cancels
   *    the job group mid-flight once the budget is exceeded; a query that
-  *    finishes under the poll interval is still rejected post-hoc, so the
-  *    budget is enforced deterministically either way.
+  *    finishes under the poll interval is still rejected post-hoc.
+  *    Accumulator caveat (documented contract): updates happen in a
+  *    TRANSFORMATION stage, so a stage retry after a fetch failure, a
+  *    speculative duplicate task, or a plan that executes the selector
+  *    subtree twice without exchange reuse can OVERcount — the guard then
+  *    errs toward rejecting, never toward letting an over-budget query
+  *    through (memoized selectors compile to one subtree, so reuse
+  *    normally dedups the common double-consume shapes).
   *  - Query timeout (reference code default 10 s): the evaluation runs in
   *    a job group that is cancelled at the deadline.
   *  - Max concurrent queries (reference ActiveQueryTracker, 20): a

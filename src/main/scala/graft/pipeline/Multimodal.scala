@@ -52,7 +52,9 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id4 = tag(b, off)
       val sz = le32(b, off + 4)
-      if (sz < 0) return None // malformed chunk size: bail, don't loop
+      // malformed chunk size (negative, or larger than the blob — which
+      // would also overflow the Int offset): bail to the stub, don't loop
+      if (sz < 0 || sz > b.length) return None
       if (id4 == "fmt " && off + 8 + 16 <= b.length) {
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)
@@ -62,9 +64,10 @@ object Multimodal {
       }
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    if (channels <= 0 || bits <= 0 || dataLen < 0) None
+    val frameSize = channels * (bits / 8)
+    if (channels <= 0 || bits <= 0 || dataLen < 0 || frameSize <= 0) None
     else Some(MediaMeta(id, b.length.toLong, "wav",
-      dataLen / (channels * bits / 8), rate, channels))
+      dataLen / frameSize, rate, channels))
   }
 
   /** BMP with BITMAPINFOHEADER: "BM" magic, width/height (LE32, height may

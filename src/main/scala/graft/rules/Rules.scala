@@ -165,11 +165,15 @@ object Rules {
     val maxT = batch.agg(max(col("t"))).head.getAs[Any](0)
     if (maxT != null) {
       val tsMs = maxT.asInstanceOf[Long]
-      // partition-pruned read: an instant tick can only touch samples in
-      // its lookback horizon — at fleet scale this is the difference
-      // between scanning the whole retention window and one day
+      // partition-pruned read bounded by what the rules' OWN selectors can
+      // reach: the lookback horizon plus the widest range window/offset/
+      // subquery in any rule expression — at fleet scale this is the
+      // difference between scanning the whole retention window and the
+      // day(s) a tick actually touches
+      val horizon = lookbackMs +
+        rules.map(r => maxSelectorReachMs(r.expr)).foldLeft(0L)(math.max)
       val stored = graft.sources.PointsStore.read(
-        spark, storeDir, tsMs - lookbackMs, tsMs)
+        spark, storeDir, tsMs - horizon, tsMs)
       rules.foreach { rule =>
         val firing = persistedAlertingTick(spark, stored, rule, stateDir, tsMs, lookbackMs)
         val rows = firing.collect()
@@ -177,6 +181,29 @@ object Rules {
         firing.unpersist()
       }
     }
+  }
+
+  /** How far before the evaluation timestamp the selectors of `promql` can
+    * reach: max over selectors of range + offset (+ enclosing subquery
+    * ranges/offsets). Drives the alerting sink's pruned store read. */
+  def maxSelectorReachMs(promql: String): Long = {
+    import graft.promql._
+    def walk(e: Expr, inherited: Long): Long = e match {
+      case vs: VectorSelector => inherited + vs.offsetMs
+      case MatrixSelector(vs, rangeMs) => inherited + rangeMs + vs.offsetMs
+      case SubqueryExpr(x, rangeMs, _, offsetMs, _) =>
+        walk(x, inherited + rangeMs + offsetMs)
+      case ParenExpr(x) => walk(x, inherited)
+      case UnaryExpr(_, x) => walk(x, inherited)
+      case AggregateExpr(_, x, p, _, _) =>
+        math.max(walk(x, inherited), p.map(walk(_, inherited)).getOrElse(0L))
+      case BinaryExpr(_, l, r, _, _) =>
+        math.max(walk(l, inherited), walk(r, inherited))
+      case Call(_, args) =>
+        args.map(walk(_, inherited)).foldLeft(0L)(math.max)
+      case _ => 0L
+    }
+    walk(Parser.parse(promql), 0L)
   }
 
   /** One alerting tick. Returns (newState, firing):

@@ -92,10 +92,14 @@ object PointsStore {
     * reference's TSM compaction merges write-order segments into
     * series-ordered files for the same reason (persistence/store.go).
     *
-    * The rewrite is swap-atomic per partition: write to `<day>.compacting`,
-    * then delete + rename. Readers racing the swap see either the old
-    * files or the new — never a mix — matching the reference's
-    * shard-replacement semantics. Returns the compacted partition paths. */
+    * The rewrite stages into a DOT-PREFIXED temp dir (hidden from Spark's
+    * file index and partition discovery, so racing readers never see
+    * half-written files or a bogus partition value) and swaps with two
+    * metadata renames: old -> .trash, new -> live, then delete trash. The
+    * visibility gap is the latency of two renames — the closest a
+    * rename-based filesystem gets to the reference's atomic shard
+    * replacement; a crash inside the gap leaves the day recoverable in
+    * `.compact-trash`. Returns the compacted partition paths. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               onlyDay: Option[String] = None): Seq[String] = {
@@ -114,15 +118,22 @@ object PointsStore {
       if (files.length > 1) {
         val totalBytes = files.map(_.getLen).sum
         val nOut = math.max(1, (totalBytes / targetBytes).toInt)
+        // dot-prefixed staging/trash dirs are invisible to Spark's file
+        // index AND to partition-value inference (a `date=X.compacting`
+        // sibling would corrupt the inferred partition column type)
         val tmp = new org.apache.hadoop.fs.Path(
-          dayPath.getParent, dayPath.getName + ".compacting")
+          dayPath.getParent, ".compact-tmp-" + dayPath.getName)
+        val trash = new org.apache.hadoop.fs.Path(
+          dayPath.getParent, ".compact-trash-" + dayPath.getName)
         fs.delete(tmp, true)
+        fs.delete(trash, true)
         spark.read.parquet(dayPath.toString)
           .repartition(nOut)
           .sortWithinPartitions(col("name"), col("sig"), col("t"))
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(dayPath, true)
+        fs.rename(dayPath, trash)
         fs.rename(tmp, dayPath)
+        fs.delete(trash, true)
         done += dayPath.toString
       }
     }

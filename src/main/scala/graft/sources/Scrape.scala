@@ -177,9 +177,14 @@ object Scrape {
           case "replace" =>
             if (!m.matches() || r.targetLabel.isEmpty) Some(ls)
             else {
-              val value = "\\$(\\d)".r.replaceAllIn(r.replacement, g =>
+              // a reference to a group the regex does not define expands to
+              // "" (Go regexp.ExpandString semantics), not an exception
+              val value = "\\$(\\d)".r.replaceAllIn(r.replacement, g => {
+                val idx = g.group(1).toInt
                 scala.util.matching.Regex.quoteReplacement(
-                  Option(m.group(g.group(1).toInt)).getOrElse("")))
+                  if (idx > m.groupCount()) ""
+                  else Option(m.group(idx)).getOrElse(""))
+              })
               if (value.isEmpty) Some(ls - r.targetLabel)
               else Some(ls + (r.targetLabel -> value))
             }

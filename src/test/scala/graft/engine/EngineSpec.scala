@@ -143,6 +143,19 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.mayCollide(Parser.parse("""label_replace(m, "j", "x", "job", ".*")""")))
     assert(Engine.mayCollide(Parser.parse("""abs({job="a"})"""))) // no literal name
     assert(Engine.mayCollide(Parser.parse("""-{__name__=~"a|b"}""")))
+    // topk/bottomk SELECT rows with their names — a name-dropping wrapper
+    // over a multi-name input must keep the guard on
+    assert(Engine.mayCollide(Parser.parse("""abs(topk(2, {job="a"}))""")))
+    assert(!Engine.mayCollide(Parser.parse("abs(topk(2, m))"))) // literal name: safe
+    // and end-to-end: two same-label metrics through topk then abs collide
+    val p3 = pts(Seq(
+      Row("a", Map("job" -> "x"), 1000L, 1.0),
+      Row("b", Map("job" -> "x"), 1000L, 2.0)))
+    val e3 = intercept[Exception] {
+      Engine.instantQuery(spark, p3, """abs(topk(2, {job="x"}))""", 1000L).collect()
+    }
+    assert(e3.getMessage.contains("same labelset") ||
+      Option(e3.getCause).exists(_.getMessage.contains("same labelset")))
   }
 
   test("subquery default resolution follows the engine knob") {

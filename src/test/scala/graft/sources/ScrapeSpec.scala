@@ -86,6 +86,15 @@ class ScrapeSpec extends AnyFunSuite {
     assert(!labels.contains("__address__")) // meta labels stripped
   }
 
+  test("relabel: replacement referencing an undefined group expands empty") {
+    // Prometheus (Go regexp.ExpandString) substitutes "" for missing
+    // groups; an exception here would kill the whole scrape batch
+    val out = Scrape.relabel(Map("__address__" -> "h:1"), Seq(
+      Scrape.RelabelRule(sourceLabels = Seq("__address__"),
+        regex = "(.*)", targetLabel = "x", replacement = "$2")))
+    assert(out.get.get("x").isEmpty) // empty expansion deletes the label
+  }
+
   test("interval scheduling: a target is scraped only when its interval elapses") {
     val jobs = Scrape.parseScrapeConfigs(config) // node 15s, app 60s
     var fetches = scala.collection.mutable.ArrayBuffer.empty[String]
