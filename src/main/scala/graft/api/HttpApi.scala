@@ -39,14 +39,18 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   /** Enforce the reference's query envelope when limits are configured:
     * timeout + concurrency slot around the driver-side action, with the
     * MaxSamples budget metered IN-SCAN by a TallySamples accumulator the
-    * evaluation threads through its selectors — no pre-count pass
-    * (metric_store.go:296,109,295-316). */
+    * evaluation threads through its selectors — no pre-count pass on the
+    * happy path (metric_store.go:296,109,295-316). The accumulator can
+    * overcount on stage retries/speculation, so a tripped meter is
+    * confirmed by one exact pushdown-filtered count before the query is
+    * rejected (Guards.exactSampleCount). */
   private def guarded[T](q: String, grid: graft.engine.StepGrid)(
       body: Option[org.apache.spark.util.LongAccumulator] => T): T =
     limits match {
       case Some(l) =>
         val tally = graft.engine.Guards.newTally(spark)
-        graft.engine.Guards.run(spark, l, q, Some(tally))(body(Some(tally)))
+        val confirm = () => graft.engine.Guards.exactSampleCount(points, q, grid, lookbackMs)
+        graft.engine.Guards.run(spark, l, q, Some(tally), Some(confirm))(body(Some(tally)))
       case None => body(None)
     }
 

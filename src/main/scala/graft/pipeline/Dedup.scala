@@ -132,12 +132,19 @@ object Dedup {
     * the word is OR-combined — both reproducible in an external SQL engine
     * without signed-shift overflow. */
   def simHash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // the packed ones-counters below are 16-bit lanes, so a document with
+    // more tokens than 65535 would silently overflow into the neighboring
+    // lane and corrupt the signature — the signature is computed over the
+    // first 65535 tokens (deterministic, mirrored in the SQL oracle);
+    // beyond that SimHash's vote sums are statistically saturated anyway
+    val tok = docs.select(col("doc_id"),
+        explode(slice(tokens(col("text")), 1, 65535)).as("tok"))
       .withColumn("h", md5(col("tok")))
     // 64 per-bit ±1 vote sums, packed: vote_j = 2·ones_j − n (exact integer
     // identity), and the 64 ones-counters ride as 16-bit fields four to a
     // long — 16 packed sum buffers + count(*) instead of 64 aggregates
-    // (safe to 65535 tokens/doc). The per-row bit extraction is ONE
+    // (lane overflow prevented by the 65535-token clamp above). The
+    // per-row bit extraction is ONE
     // [[NibbleSpread]] call (16 conv(substring(...)) chains inline enough
     // generated code to break whole-stage codegen). The signatures are
     // bit-identical to the unpacked formulation, so an external oracle

@@ -127,7 +127,7 @@ object PipelineQueries {
          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 65535)) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
          |nib AS (SELECT doc_id, $simhashNibs FROM h),
          |v AS (SELECT doc_id, $simhashVotes FROM nib GROUP BY doc_id)
@@ -136,7 +136,7 @@ object PipelineQueries {
     // brute-force oracle over all pairs — the engine's pigeonhole banding
     // must reach the identical pair set (exact recall for hamming <= 2)
     "q_dedup_simhash_pairs" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 65535)) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
          |nib AS (SELECT doc_id, $simhashNibs FROM h),
          |v AS (SELECT doc_id, $simhashVotes FROM nib GROUP BY doc_id),

@@ -169,11 +169,18 @@ object Rules {
       // reach: the lookback horizon plus the widest range window/offset/
       // subquery in any rule expression — at fleet scale this is the
       // difference between scanning the whole retention window and the
-      // day(s) a tick actually touches
-      val horizon = lookbackMs +
-        rules.map(r => maxSelectorReachMs(r.expr)).foldLeft(0L)(math.max)
-      val stored = graft.sources.PointsStore.read(
-        spark, storeDir, tsMs - horizon, tsMs)
+      // day(s) a tick actually touches. An `@`-pinned selector can reach
+      // ANY absolute timestamp (start()/end()/unix pin), which the
+      // relative-reach algebra cannot bound — those rules read unpruned
+      // rather than silently evaluating against missing data.
+      val stored =
+        if (rules.exists(r => hasAtModifier(r.expr)))
+          graft.sources.PointsStore.read(spark, storeDir, Long.MinValue, Long.MaxValue)
+        else {
+          val horizon = lookbackMs +
+            rules.map(r => maxSelectorReachMs(r.expr)).foldLeft(0L)(math.max)
+          graft.sources.PointsStore.read(spark, storeDir, tsMs - horizon, tsMs)
+        }
       rules.foreach { rule =>
         val firing = persistedAlertingTick(spark, stored, rule, stateDir, tsMs, lookbackMs)
         val rows = firing.collect()
@@ -183,9 +190,30 @@ object Rules {
     }
   }
 
+  /** Does any selector/subquery in `promql` carry an `@` modifier? Such
+    * expressions evaluate at an absolute pinned timestamp, so the relative
+    * reach from [[maxSelectorReachMs]] does not bound the data they touch. */
+  def hasAtModifier(promql: String): Boolean = {
+    import graft.promql._
+    def walk(e: Expr): Boolean = e match {
+      case vs: VectorSelector => vs.at.isDefined
+      case MatrixSelector(vs, _) => vs.at.isDefined
+      case sq: SubqueryExpr => sq.at.isDefined || walk(sq.expr)
+      case ParenExpr(x) => walk(x)
+      case UnaryExpr(_, x) => walk(x)
+      case AggregateExpr(_, x, p, _, _) => walk(x) || p.exists(walk)
+      case BinaryExpr(_, l, r, _, _) => walk(l) || walk(r)
+      case Call(_, args) => args.exists(walk)
+      case _ => false
+    }
+    walk(Parser.parse(promql))
+  }
+
   /** How far before the evaluation timestamp the selectors of `promql` can
     * reach: max over selectors of range + offset (+ enclosing subquery
-    * ranges/offsets). Drives the alerting sink's pruned store read. */
+    * ranges/offsets). Drives the alerting sink's pruned store read —
+    * callers must check [[hasAtModifier]] first (an `@` pin escapes this
+    * relative bound). */
   def maxSelectorReachMs(promql: String): Long = {
     import graft.promql._
     def walk(e: Expr, inherited: Long): Long = e match {

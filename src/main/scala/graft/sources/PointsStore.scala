@@ -49,13 +49,20 @@ object PointsStore {
       .parquet(path)
 
   /** Read back, pruning day partitions to [startMs-slackMs, endMs]. The
-    * slack covers lookback/range windows that reach before the grid start. */
+    * slack covers lookback/range windows that reach before the grid start.
+    * `Long.MinValue`/`Long.MaxValue` bounds mean "unbounded" on that side
+    * (no date predicate — `timestamp_millis` of the sentinels would
+    * overflow the timestamp range). */
   def read(spark: SparkSession, path: String,
-           startMs: Long, endMs: Long, slackMs: Long = 0L): DataFrame =
-    spark.read.parquet(path)
-      .where(col("date") >= to_date(timestamp_millis(lit(startMs - slackMs))) &&
-        col("date") <= to_date(timestamp_millis(lit(endMs))))
-      .drop("date")
+           startMs: Long, endMs: Long, slackMs: Long = 0L): DataFrame = {
+    val conds = Seq(
+      if (startMs == Long.MinValue) None
+      else Some(col("date") >= to_date(timestamp_millis(lit(startMs - slackMs)))),
+      if (endMs == Long.MaxValue) None
+      else Some(col("date") <= to_date(timestamp_millis(lit(endMs))))
+    ).flatten
+    conds.foldLeft(spark.read.parquet(path))(_.where(_)).drop("date")
+  }
 
   /** Hot-label flattening: selected label keys are ALSO stored as physical
     * `lbl_<key>` columns next to the map, so equality/range predicates on
@@ -103,9 +110,10 @@ object PointsStore {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               onlyDay: Option[String] = None): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // derive the FS from the store path, not the default FS — a store on
+    // s3a:// with defaultFS=hdfs would otherwise rename on the wrong FS
     val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     val days = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
@@ -143,9 +151,8 @@ object PointsStore {
   /** Retention: drop whole day partitions older than the cutoff —
     * the reference deletes whole 24 h shards, never individual rows. */
   def expire(spark: SparkSession, path: String, cutoffMs: Long): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     val cutoff = java.time.Instant.ofEpochMilli(cutoffMs)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate
