@@ -18,8 +18,14 @@ import org.apache.spark.util.LongAccumulator
   * src/internal/metric-store/metric_store.go:296).
   *
   * Codegen'd (a bare `$acc.add(1)` after the child's code), so it never
-  * breaks a WholeStageCodegen span. Not "cheap" in CollapseProject's
-  * sense, so the optimizer will not duplicate it into multiple consumers.
+  * breaks a WholeStageCodegen span. Declared NON-deterministic so the
+  * optimizer can never duplicate the side effect: a deterministic tally
+  * gets substituted into predicates pushed through the aggregate above it
+  * (PushDownPredicates rewrites a filter on the grouping attribute into
+  * the grouping EXPRESSION — each reference then bumps the accumulator
+  * again, a measured 5× overcount on subquery shapes). Non-determinism
+  * keeps every downstream filter above the tally projection; the selector's
+  * own scan filters sit below it and still push to parquet.
   */
 final case class TallySamples(child: Expression, acc: LongAccumulator)
   extends UnaryExpression {
@@ -27,6 +33,7 @@ final case class TallySamples(child: Expression, acc: LongAccumulator)
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "tally_samples"
+  override lazy val deterministic: Boolean = false
 
   override def eval(input: InternalRow): Any = {
     acc.add(1L)

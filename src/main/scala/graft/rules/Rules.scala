@@ -106,23 +106,70 @@ object Rules {
 
   // ---- checkpointed deployment of full-PromQL alerting -----------------
 
-  /** Newest persisted `for:` state for `alert` under `stateDir` older than
-    * `beforeTs`, or the empty state. Only versions with a _SUCCESS marker
-    * are considered, so a crash mid-write is invisible (the previous
+  /** Directory under the state root holding the BATCHED all-rules state
+    * table (one row per (alert, sig)); alert names are sanitized metric
+    * names, which cannot collide with the dunder. */
+  private val BatchedStateDir = "__all__"
+
+  /** Newest `v=<ts>` version under `base` older than `beforeTs`, gated on
+    * the _SUCCESS marker so a crash mid-write is invisible (the previous
     * version stays newest); `beforeTs` keeps a REPLAYED tick from reading
     * the version it is about to overwrite. */
-  def loadAlertState(spark: SparkSession, stateDir: String, alert: String,
-                     beforeTs: Long = Long.MaxValue): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(s"$stateDir/$alert")
+  private def newestVersion(spark: SparkSession,
+                            base: org.apache.hadoop.fs.Path,
+                            beforeTs: Long): Option[Long] = {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return emptyState(spark)
+    if (!fs.exists(base)) return None
     val versions = fs.listStatus(base).toSeq
       .filter(_.getPath.getName.startsWith("v="))
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(2).toLong)
       .filter(_ < beforeTs)
-    if (versions.isEmpty) emptyState(spark)
-    else spark.read.parquet(s"$base/v=${versions.max}")
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** Newest persisted `for:` state for `alert` under `stateDir` older than
+    * `beforeTs`, or the empty state. Reads the batched all-rules table when
+    * one exists (the batched tick is the deployment path), falling back to
+    * the per-rule layout `stateDir/<alert>/v=<ts>`. */
+  def loadAlertState(spark: SparkSession, stateDir: String, alert: String,
+                     beforeTs: Long = Long.MaxValue): DataFrame = {
+    val batched = new org.apache.hadoop.fs.Path(s"$stateDir/$BatchedStateDir")
+    newestVersion(spark, batched, beforeTs) match {
+      case Some(v) =>
+        spark.read.parquet(s"$batched/v=$v")
+          .where(col("alert") === alert)
+          .select(col("sig"), col("labels"), col("since"), col("value"))
+      case None =>
+        val base = new org.apache.hadoop.fs.Path(s"$stateDir/$alert")
+        newestVersion(spark, base, beforeTs) match {
+          case Some(v) => spark.read.parquet(s"$base/v=$v")
+          case None => emptyState(spark)
+        }
+    }
+  }
+
+  /** Newest batched state (alert, sig, labels, since, value) older than
+    * `beforeTs`; when only legacy per-rule state exists (an upgraded
+    * deployment), the per-rule tables are unioned under their alert names
+    * so `since` windows survive the layout migration. */
+  private def loadBatchedState(spark: SparkSession, stateDir: String,
+                               rules: Seq[AlertingRule],
+                               beforeTs: Long): DataFrame = {
+    val batched = new org.apache.hadoop.fs.Path(s"$stateDir/$BatchedStateDir")
+    newestVersion(spark, batched, beforeTs) match {
+      case Some(v) => spark.read.parquet(s"$batched/v=$v")
+      case None =>
+        rules.map { r =>
+          val base = new org.apache.hadoop.fs.Path(s"$stateDir/${r.alert}")
+          val legacy = newestVersion(spark, base, beforeTs) match {
+            case Some(v) => spark.read.parquet(s"$base/v=$v")
+            case None => emptyState(spark)
+          }
+          legacy.select(lit(r.alert).as("alert"), col("sig"), col("labels"),
+            col("since"), col("value"))
+        }.reduce(_.unionByName(_))
+    }
   }
 
   /** One PERSISTED alerting tick: load newest state, run [[alertingTick]],
@@ -150,11 +197,17 @@ object Rules {
   }
 
   /** `writeStream.foreachBatch` sink running arbitrary-PromQL alerting on a
-    * points stream: each micro-batch appends to the store, then every rule
-    * ticks at the batch's max sample time over the WHOLE persisted store
-    * (instant query + lookback), with `for:` state surviving restarts via
-    * [[persistedAlertingTick]]. `onFiring` receives each rule's firing
-    * rows (alertmanager notifier hook). */
+    * points stream: each micro-batch appends to the store, then ALL rules
+    * tick at the batch's max sample time in ONE batched evaluation
+    * ([[batchedPersistedTick]]): one unioned job, one state-version write,
+    * one result collect — at hundreds of rules the per-rule variant was
+    * hundreds of tiny jobs per tick. The store read is partition-pruned to
+    * the exact union of absolute windows the rules' selectors can touch
+    * ([[graft.engine.Guards.selectorWindowBounds]]): offsets and range
+    * windows reach relatively, and an `@` pin resolves to its absolute
+    * instant — so one pinned rule costs its pinned day(s), never a
+    * full-retention scan. `onFiring` receives each rule's firing rows
+    * (alertmanager notifier hook). */
   def alertingSink(storeDir: String, stateDir: String, rules: Seq[AlertingRule],
                    lookbackMs: Long = 300000L,
                    onFiring: (AlertingRule, Array[org.apache.spark.sql.Row]) => Unit =
@@ -163,75 +216,83 @@ object Rules {
     graft.sources.PointsStore.append(batch, storeDir)
     val spark = batch.sparkSession
     val maxT = batch.agg(max(col("t"))).head.getAs[Any](0)
-    if (maxT != null) {
+    if (maxT != null && rules.nonEmpty) {
       val tsMs = maxT.asInstanceOf[Long]
-      // partition-pruned read bounded by what the rules' OWN selectors can
-      // reach: the lookback horizon plus the widest range window/offset/
-      // subquery in any rule expression — at fleet scale this is the
-      // difference between scanning the whole retention window and the
-      // day(s) a tick actually touches. An `@`-pinned selector can reach
-      // ANY absolute timestamp (start()/end()/unix pin), which the
-      // relative-reach algebra cannot bound — those rules read unpruned
-      // rather than silently evaluating against missing data.
+      val grid = graft.engine.StepGrid(tsMs, tsMs, 1000L)
+      val bounds = rules.flatMap(r =>
+        graft.engine.Guards.selectorWindowBounds(r.expr, grid, lookbackMs))
       val stored =
-        if (rules.exists(r => hasAtModifier(r.expr)))
-          graft.sources.PointsStore.read(spark, storeDir, Long.MinValue, Long.MaxValue)
-        else {
-          val horizon = lookbackMs +
-            rules.map(r => maxSelectorReachMs(r.expr)).foldLeft(0L)(math.max)
-          graft.sources.PointsStore.read(spark, storeDir, tsMs - horizon, tsMs)
+        if (bounds.isEmpty)
+          graft.sources.PointsStore.read(spark, storeDir, tsMs - lookbackMs, tsMs)
+        else
+          graft.sources.PointsStore.read(spark, storeDir,
+            bounds.map(_._1).min, bounds.map(_._2).max)
+      val firing = batchedPersistedTick(spark, stored, rules, stateDir, tsMs, lookbackMs)
+      val rows = firing.collect()
+      firing.unpersist()
+      if (rows.nonEmpty) {
+        val byAlert = rows.groupBy(_.getAs[String]("alertname"))
+        rules.foreach { r =>
+          byAlert.get(r.alert).foreach(rs => onFiring(r, rs))
         }
-      rules.foreach { rule =>
-        val firing = persistedAlertingTick(spark, stored, rule, stateDir, tsMs, lookbackMs)
-        val rows = firing.collect()
-        if (rows.nonEmpty) onFiring(rule, rows)
-        firing.unpersist()
       }
     }
   }
 
-  /** Does any selector/subquery in `promql` carry an `@` modifier? Such
-    * expressions evaluate at an absolute pinned timestamp, so the relative
-    * reach from [[maxSelectorReachMs]] does not bound the data they touch. */
-  def hasAtModifier(promql: String): Boolean = {
-    import graft.promql._
-    def walk(e: Expr): Boolean = e match {
-      case vs: VectorSelector => vs.at.isDefined
-      case MatrixSelector(vs, _) => vs.at.isDefined
-      case sq: SubqueryExpr => sq.at.isDefined || walk(sq.expr)
-      case ParenExpr(x) => walk(x)
-      case UnaryExpr(_, x) => walk(x)
-      case AggregateExpr(_, x, p, _, _) => walk(x) || p.exists(walk)
-      case BinaryExpr(_, l, r, _, _) => walk(l) || walk(r)
-      case Call(_, args) => args.exists(walk)
-      case _ => false
-    }
-    walk(Parser.parse(promql))
+  /** One batched alerting tick over ALL rules: each rule's instant query is
+    * compiled into one unioned plan tagged by alert name, joined against
+    * the single (alert, sig)-keyed state table — per tick this is one
+    * evaluation job and one state row set, however many rules there are.
+    * Returns (newState, firing) like [[alertingTick]], with an `alert`
+    * column on the state and an `alertname` column on the firing rows. */
+  def batchedAlertingTick(spark: SparkSession, points: DataFrame,
+                          rules: Seq[AlertingRule], state: DataFrame, tsMs: Long,
+                          lookbackMs: Long = 300000L): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "batched tick needs at least one rule")
+    val evals = rules.map { r =>
+      Engine.instantQuery(spark, points, r.expr, tsMs, lookbackMs)
+        .select(lit(r.alert).as("alert"),
+          Points.sigOf(col("name"), col("labels")).as("sig"),
+          col("labels"), col("value"))
+    }.reduce(_.unionByName(_))
+    val prev = state.select(col("alert"), col("sig"), col("since"))
+    val newState = evals
+      .join(prev, Seq("alert", "sig"), "left")
+      .select(col("alert"), col("sig"), col("labels"),
+        coalesce(col("since"), lit(tsMs)).as("since"), col("value"))
+    // per-rule `for:` thresholds ride a broadcast of the rule list itself
+    import spark.implicits._
+    val thresholds = broadcast(
+      rules.map(r => (r.alert, r.forMs)).toDF("alert", "forMs"))
+    val firing = newState
+      .join(thresholds, Seq("alert"))
+      .where(lit(tsMs) - col("since") >= col("forMs"))
+      .drop("forMs")
+      .withColumn("alertname", col("alert"))
+    (newState, firing)
   }
 
-  /** How far before the evaluation timestamp the selectors of `promql` can
-    * reach: max over selectors of range + offset (+ enclosing subquery
-    * ranges/offsets). Drives the alerting sink's pruned store read —
-    * callers must check [[hasAtModifier]] first (an `@` pin escapes this
-    * relative bound). */
-  def maxSelectorReachMs(promql: String): Long = {
-    import graft.promql._
-    def walk(e: Expr, inherited: Long): Long = e match {
-      case vs: VectorSelector => inherited + vs.offsetMs
-      case MatrixSelector(vs, rangeMs) => inherited + rangeMs + vs.offsetMs
-      case SubqueryExpr(x, rangeMs, _, offsetMs, _) =>
-        walk(x, inherited + rangeMs + offsetMs)
-      case ParenExpr(x) => walk(x, inherited)
-      case UnaryExpr(_, x) => walk(x, inherited)
-      case AggregateExpr(_, x, p, _, _) =>
-        math.max(walk(x, inherited), p.map(walk(_, inherited)).getOrElse(0L))
-      case BinaryExpr(_, l, r, _, _) =>
-        math.max(walk(l, inherited), walk(r, inherited))
-      case Call(_, args) =>
-        args.map(walk(_, inherited)).foldLeft(0L)(math.max)
-      case _ => 0L
-    }
-    walk(Parser.parse(promql), 0L)
+  /** Persisted deployment of [[batchedAlertingTick]]: load the newest
+    * batched state (migrating legacy per-rule tables on first use), tick,
+    * write the successor as `stateDir/__all__/v=<tsMs>` (idempotent on
+    * replay), prune all but the two newest versions, and return the
+    * (cached) firing rows — caller unpersists. */
+  def batchedPersistedTick(spark: SparkSession, points: DataFrame,
+                           rules: Seq[AlertingRule], stateDir: String, tsMs: Long,
+                           lookbackMs: Long = 300000L): DataFrame = {
+    val st = loadBatchedState(spark, stateDir, rules, beforeTs = tsMs)
+    val (newState, firing) = batchedAlertingTick(spark, points, rules, st, tsMs, lookbackMs)
+    val out = firing.cache()
+    out.count() // one materialization serves both the write and the caller
+    val base = new org.apache.hadoop.fs.Path(s"$stateDir/$BatchedStateDir")
+    newState.write.mode("overwrite").parquet(s"$base/v=$tsMs")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(base).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .map(s => (s.getPath.getName.drop(2).toLong, s.getPath))
+      .sortBy(-_._1)
+    versions.drop(2).foreach { case (_, p) => fs.delete(p, true) }
+    out
   }
 
   /** One alerting tick. Returns (newState, firing):

@@ -36,7 +36,8 @@ class GuardsSpec extends AnyFunSuite {
     assert(plan.contains("tally_samples"))
     assert("(?i)scan".r.findAllIn(plan).size >= 1)
     val e = intercept[TooManySamplesException] {
-      Guards.run(spark, QueryLimits(maxSamples = 50), "sum(m)", Some(tally)) {
+      Guards.run(spark, QueryLimits(maxSamples = 50, timeoutMs = 120000L),
+        "sum(m)", Some(tally)) {
         df.collect()
       }
     }
@@ -50,7 +51,10 @@ class GuardsSpec extends AnyFunSuite {
     val tally = Guards.newTally(spark)
     val df = graft.engine.Engine.instantQuery(spark, p, """sum(m{i="0"})""",
       99000L, lookbackMs = 300000L, sampleTally = Some(tally))
-    val n = Guards.run(spark, QueryLimits(maxSamples = 50), "q", Some(tally)) {
+    // generous timeout: this test exercises the budget meter, and a cold
+    // first collect under machine load can exceed the reference's 10 s
+    val n = Guards.run(spark, QueryLimits(maxSamples = 50, timeoutMs = 120000L),
+      "q", Some(tally)) {
       df.collect().length
     }
     assert(n == 1)
@@ -74,11 +78,65 @@ class GuardsSpec extends AnyFunSuite {
     val df = graft.engine.Engine.instantQuery(spark, p, "m @ 99", 10_000_000L,
       lookbackMs = 300000L, sampleTally = Some(tally))
     intercept[TooManySamplesException] {
-      Guards.run(spark, QueryLimits(maxSamples = 50), "m @ 99", Some(tally)) {
+      Guards.run(spark, QueryLimits(maxSamples = 50, timeoutMs = 120000L),
+        "m @ 99", Some(tally)) {
         df.collect()
       }
     }
     assert(tally.value == 100)
+  }
+
+  test("exact confirmation counts the same per-step quantity as the meter") {
+    // the confirmation oracle must measure what the meter measures — the
+    // exploded (sample × step) rows, i.e. each stored point weighted by the
+    // grid steps it serves — or multi-step queries confirm far under the
+    // meter and the MaxSamples guard silently stops guarding them
+    val p = pts(100)
+    val cases = Seq(
+      // instant query: one step, plain membership
+      ("sum(m)", StepGrid(99000L, 99000L, 1000L)),
+      // multi-step range window: each sample serves ~window/step+1 steps
+      ("count_over_time(m[20s])", StepGrid(10000L, 30000L, 10000L)),
+      // multi-step instant selector with lookback across a wide grid
+      ("sum(m)", StepGrid(50000L, 150000L, 10000L)),
+      // matcher-filtered
+      ("""sum(m{i="0"})""", StepGrid(99000L, 99000L, 1000L)),
+      // @-pinned: single-step pinned window regardless of the outer grid
+      ("m @ 99", StepGrid(10000000L, 10000000L, 1000L)),
+      // offset shifts the selector's grid
+      ("rate(m[30s] offset 10s)", StepGrid(30000L, 90000L, 15000L)),
+      // subquery: inner selector counts over the aligned inner grid
+      ("avg_over_time(m[30s:10s])", StepGrid(50000L, 90000L, 20000L)))
+    cases.foreach { case (q, g) =>
+      val tally = Guards.newTally(spark)
+      graft.engine.Engine.rangeQuery(spark, p, q, g.startMs, g.endMs, g.stepMs,
+        sampleTally = Some(tally)).collect()
+      val exact = Guards.exactSampleCount(p, q, g)
+      assert(exact == tally.value,
+        s"query '$q' grid $g: exact=$exact meter=${tally.value}")
+    }
+  }
+
+  test("a retry-inflated meter confirmed under budget does not abort") {
+    val tally = Guards.newTally(spark)
+    tally.add(1000) // meter overcount (stage retry / speculation shape)
+    val n = Guards.run(spark, QueryLimits(maxSamples = 50), "q",
+      Some(tally), confirmExact = Some(() => 10L)) {
+      Thread.sleep(200) // let the budget thread poll + confirm mid-flight
+      spark.range(5).count()
+    }
+    assert(n == 5)
+  }
+
+  test("a meter confirmed over budget rejects") {
+    val tally = Guards.newTally(spark)
+    tally.add(1000)
+    intercept[TooManySamplesException] {
+      Guards.run(spark, QueryLimits(maxSamples = 50), "q",
+        Some(tally), confirmExact = Some(() => 1000L)) {
+        spark.range(5).count()
+      }
+    }
   }
 
   test("a query past its deadline is cancelled with the timeout error") {

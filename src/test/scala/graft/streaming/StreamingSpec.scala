@@ -259,6 +259,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(f2.select("since").as[Long].collect().toList == firedAt.toList)
   }
 
+  test("an @-pinned rule reads only its pinned day(s), not the retention window") {
+    val day = 86400000L
+    val t0 = 1704067200000L // day boundary
+    val storeDir = Files.createTempDirectory("at_store").toString
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    // 30 days of data, one point per day
+    val pts = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 30).map(d =>
+        Row("load", Map("job" -> "x"), t0 + d * day + 1000L, 50.0)), 2), schema))
+    PointsStore.append(pts, storeDir)
+
+    // the rule pins its selector to an absolute timestamp on day 3, far
+    // enough past midnight that the 5m lookback stays inside the day
+    val pin = t0 + 3 * day + 301000L
+    val rule = Rules.AlertingRule("Pinned", s"load @ ${pin / 1000} > 10", forMs = 0L)
+    val tick = t0 + 29 * day + 1000L
+    val grid = graft.engine.StepGrid(tick, tick, 1000L)
+    val bounds = graft.engine.Guards.selectorWindowBounds(rule.expr, grid).get
+    // the pinned selector's absolute window is [pin - lookback, pin]
+    assert(bounds == (pin - 300000L, pin))
+    // a store read over those bounds touches only the pinned day —
+    // not the 30-day retention window the old unbounded fallback scanned
+    val readDays = PointsStore.read(spark, storeDir, bounds._1, bounds._2)
+      .select(expr("t div 86400000")).distinct().count()
+    assert(readDays == 1)
+    // and the sink still fires correctly off the pinned evaluation
+    val stateDir = Files.createTempDirectory("at_state").toString
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = Rules.alertingSink(storeDir, stateDir, Seq(rule),
+      onFiring = (r, _) => fired += r.alert)
+    sink(pts.where(col("t") === tick), 0L)
+    assert(fired.toList == List("Pinned"))
+  }
+
+  test("batched tick: many rules = one state version, one pass, per-rule firing") {
+    val storeDir = Files.createTempDirectory("batch_store").toString
+    val stateDir = Files.createTempDirectory("batch_state").toString
+    val t1 = 1704067200000L
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pts(t: Long) = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 50).map(i =>
+        Row(s"m$i", Map("job" -> "x"), t, i.toDouble)), 2), schema))
+    // 50 rules; half have a satisfied threshold, half can never fire
+    val rules = (0 until 50).map(i =>
+      Rules.AlertingRule(s"R$i", s"m$i > ${if (i % 2 == 0) -1 else 1e9}",
+        forMs = 60000L))
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sink = Rules.alertingSink(storeDir, stateDir, rules,
+      onFiring = (r, rows) => { assert(rows.length == 1); fired += r.alert })
+    sink(pts(t1), 0L) // tick 1: pending
+    assert(fired.isEmpty)
+    sink(pts(t1 + 60000L), 1L) // tick 2: for: satisfied on even rules
+    assert(fired.toList == (0 until 50 by 2).map(i => s"R$i").toList)
+    // ONE batched state table, not 50 per-rule tables
+    val stateRoot = new java.io.File(stateDir)
+    assert(stateRoot.listFiles().map(_.getName).toSet == Set("__all__"))
+    // pruned to the two newest versions
+    val versions = new java.io.File(stateDir, "__all__").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted.toList
+    assert(versions == List(s"v=$t1", s"v=${t1 + 60000L}"))
+    // per-alert state remains readable through the compat loader
+    assert(Rules.loadAlertState(spark, stateDir, "R0").count() == 1)
+  }
+
+  test("batched tick migrates legacy per-rule state (since survives)") {
+    val stateDir = Files.createTempDirectory("mig_state").toString
+    val t1 = 1704067200000L
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pts(t: Long) = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("load", Map("job" -> "x"), t, 50.0)), 1), schema))
+    val rule = Rules.AlertingRule("HighLoad", "load > 10", forMs = 120000L)
+    // legacy layout: a per-rule tick persisted pending state at t1
+    Rules.persistedAlertingTick(spark, pts(t1), rule, stateDir, t1).unpersist()
+    assert(new java.io.File(stateDir, "HighLoad").exists())
+    // batched tick at t1+2min picks up the legacy `since` and fires
+    val firing = Rules.batchedPersistedTick(spark, pts(t1 + 120000L), Seq(rule),
+      stateDir, t1 + 120000L)
+    val rows = firing.collect()
+    firing.unpersist()
+    assert(rows.length == 1 && rows.head.getAs[Long]("since") == t1)
+  }
+
   test("alerting rule: pending -> firing with for:, resolves on absence") {
     val schema = StructType(Seq(
       StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
