@@ -1,22 +1,36 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Round benchmark. Methodology (see BENCH.md): gate queries run over the
+  * driver's sf parquet; the canary workload is STORE-BACKED — written once
+  * through [[graft.sources.PointsStore.append]] + [[graft.sources.PointsStore.compact]]
+  * and then timed against fresh partition-pruned parquet reads, so the
+  * timed numbers exercise the engine's whole 100 TB story (day pruning,
+  * clustered row-group stats, persisted `_lc` dictionary reads) instead of
+  * an in-memory regenerated relation whose timing was dominated by
+  * allocation/GC state. The driver heap is pinned by build.sbt
+  * (SPARK_DRIVER_MEM, default 32g) for the same reason. All timings are
+  * min-of-2 (second run = steady state).
+  */
 object Bench {
 
   /** Synthetic canary per FIXTURES §5 (blackbox perf probe shape): one
     * sample per minute per series for a week (10,080 samples/series — the
-    * reference's canary magnitude), 1000 series with the 18-label template
-    * spread over 16 instance_ids. 10M in-memory points — the scale of the
-    * reference's MaxSamples=20M query guard. */
+    * reference's canary magnitude), with the 18-label template spread over
+    * 16 instance_ids. 1000 series = 10M points (the scale of the
+    * reference's MaxSamples=20M guard); the 10x store holds 100M. */
   private val T0 = 1704067200000L
   private val WEEK_MIN = 10080L
   private val N_SERIES = 1000L
+  private val END = T0 + (WEEK_MIN - 1) * 60000L
 
-  // the canary carries the ingest-time `_lc` column exactly like a
-  // PointsStore-read relation would — queries read the canonical string
-  // instead of rebuilding it per row from the map
-  private def canary(spark: SparkSession, nSeries: Long = N_SERIES): DataFrame =
-    graft.model.Points.withCanonical(graft.model.Points.withSig(
+  /** Bump when the canary data or store layout changes: a mismatched
+    * marker invalidates the cached store and it is rebuilt. */
+  private val StoreLayoutVersion = "v1"
+
+  private def canary(spark: SparkSession, nSeries: Long): DataFrame =
+    graft.model.Points.withSig(
       spark.range(WEEK_MIN * nSeries).select(
         lit("canary").as("name"),
         map(
@@ -27,32 +41,64 @@ object Bench {
           lit("instance_id"), pmod((col("id") / WEEK_MIN).cast("long"), lit(16)).cast("string"),
           lit("series"), (col("id") / WEEK_MIN).cast("long").cast("string")).as("labels"),
         (lit(T0) + (col("id") % WEEK_MIN) * 60000L).as("t"),
-        lit(10.0).as("value"))))
+        lit(10.0).as("value")))
 
-  /** PromQL workload on the canary (reference probes:
-    * blackbox/performance_calculator.go:55-71). The caller materializes the
-    * cached canary relation between the gate phase and this one, so cache
-    * build cost stays outside the timed sections and the gate queries'
-    * memory churn cannot evict it first. */
-  private def canaryQueries(spark: SparkSession,
-                            pts: org.apache.spark.sql.DataFrame): Seq[(String, () => Long)] = {
-    val end = T0 + (WEEK_MIN - 1) * 60000L
-    Seq(
-      "canary_instant" -> (() =>
-        graft.engine.Engine.instantQuery(spark, pts,
-          """canary{instance_id="5"}""", end).count()),
-      "canary_count_over_time" -> (() =>
-        graft.engine.Engine.instantQuery(spark, pts,
-          "sum(count_over_time(canary[1w]))", end).count()),
-      "canary_rate_range" -> (() =>
-        graft.engine.Engine.rangeQuery(spark, pts,
-          "sum by (instance_id) (rate(canary[5m]))",
-          end - 3600000L, end, 60000L).count()))
+  /** Write the canary through the real ingest path (append + one
+    * compaction) unless a valid store from a previous bench run exists —
+    * the data is deterministic, so the store is reusable across runs and
+    * the untimed build cost is paid once per machine. */
+  private def ensureStore(spark: SparkSession, dir: String, nSeries: Long): Unit = {
+    val marker = new java.io.File(dir, "_GRAFT_BENCH_STORE_OK")
+    val want = s"$StoreLayoutVersion:${WEEK_MIN * nSeries}"
+    if (marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == want) return
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (root.exists()) rm(root)
+    graft.sources.PointsStore.append(canary(spark, nSeries), dir)
+    graft.sources.PointsStore.compact(spark, dir)
+    java.nio.file.Files.write(marker.toPath, want.getBytes)
   }
+
+  /** One store-backed engine query: the read is partition-pruned to the
+    * exact union of the query's selector windows (the same absolute-window
+    * algebra the alerting sink uses), so the timed work includes the
+    * pruned parquet scan with its pushed filters — the plan a 100 TB
+    * deployment would run. */
+  def storeBackedQuery(spark: SparkSession, store: String, promql: String,
+                       startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    val grid = graft.engine.StepGrid(startMs, endMs, stepMs)
+    val (lo, hi) = graft.engine.Guards.selectorWindowBounds(promql, grid)
+      .getOrElse((startMs - 300000L, endMs))
+    val pts = graft.sources.PointsStore.read(spark, store, lo, hi)
+    graft.engine.Engine.rangeQuery(spark, pts, promql, startMs, endMs, stepMs)
+  }
+
+  /** PromQL workload over a canary store (reference probes:
+    * blackbox/performance_calculator.go:55-71). Every query plans a fresh
+    * pruned read — nothing is cached between timings. */
+  private def canaryQueries(spark: SparkSession, store: String,
+                            prefix: String): Seq[(String, () => Long)] = Seq(
+    // instant selector: prunes to the single day the lookback touches
+    s"${prefix}_instant" -> (() =>
+      storeBackedQuery(spark, store, """canary{instance_id="5"}""",
+        END, END, 1000L).count()),
+    // whole-store scan: every sample in the week through one aggregation
+    s"${prefix}_count_over_time" -> (() =>
+      storeBackedQuery(spark, store, "sum(count_over_time(canary[1w]))",
+        END, END, 1000L).count()),
+    // range query over the last hour: prunes to one day, rate kernel
+    s"${prefix}_rate_range" -> (() =>
+      storeBackedQuery(spark, store, "sum by (instance_id) (rate(canary[5m]))",
+        END - 3600000L, END, 60000L).count()))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val storeRoot = sys.env.getOrElse("SPARK_GRAFT_BENCH_STORE", "target/bench-store")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,9 +120,10 @@ object Bench {
         .foreach(q => SparkEntry.queries.get(q).foreach(_(spark, sfDir).count()))
     } catch { case _: Throwable => () }
     // min-of-2 timing: the second run measures steady state (no
-    // first-call codegen/JIT) and a transient load spike on either run
-    // cannot inflate the reported number — round-over-round deltas then
-    // reflect plan changes, not machine weather.
+    // first-call codegen/JIT, OS page cache warm) and a transient load
+    // spike on either run cannot inflate the reported number —
+    // round-over-round deltas then reflect plan changes, not machine
+    // weather.
     def timed(qs: Seq[(String, () => Long)]): Map[String, Double] =
       qs.map { case (name, run) =>
         def once(): Double = {
@@ -95,42 +142,27 @@ object Bench {
       .map { case (name, fn) =>
         name -> (() => fn(spark, sfDir).count())
       })
-    // canary phase: materialize the cached relation untimed, then measure
-    val canaryQs0 = canaryQueries(spark, null).map(_._1).filter(selected)
-    // the canary plan shapes (cached relation + week-window explode) have
-    // their own codegen; run them once on a 2-series canary so the timed
-    // numbers measure the plan, not first-call Janino/JIT compilation
-    // (the reference is a long-running server — cold-start is not query
-    // latency). The 10x queries reuse the same shapes.
-    if (canaryQs0.nonEmpty || selected("canary10x_instant") || selected("canary10x_rate_range")) {
-      val warm = canary(spark, 2).cache()
-      warm.count()
-      canaryQueries(spark, warm).foreach { case (_, run) =>
-        try run() catch { case _: Throwable => () }
-      }
-      warm.unpersist()
-    }
-    val results0 =
-      if (canaryQs0.isEmpty) gate
+    // canary phase: store-backed. Store builds (append + compact) are
+    // untimed one-off setup, reused across runs via the layout marker;
+    // a tiny 2-series store warms the store-backed plan shapes so the
+    // timed numbers measure the plan, not first-call Janino/JIT.
+    val canary1x = canaryQueries(spark, s"$storeRoot/c1x", "canary")
+    val canary10x = canaryQueries(spark, s"$storeRoot/c10x", "canary10x")
+    val wantedCanary = (canary1x ++ canary10x).filter(q => selected(q._1))
+    val results =
+      if (wantedCanary.isEmpty) gate
       else {
-        val pts = canary(spark).cache()
-        pts.count()
-        gate ++ timed(canaryQueries(spark, pts).filter(q => selected(q._1)))
+        val warmStore = s"$storeRoot/cwarm"
+        ensureStore(spark, warmStore, 2)
+        canaryQueries(spark, warmStore, "warm").foreach { case (_, run) =>
+          try run() catch { case _: Throwable => () }
+        }
+        if (canary1x.exists(q => selected(q._1)))
+          ensureStore(spark, s"$storeRoot/c1x", N_SERIES)
+        if (canary10x.exists(q => selected(q._1)))
+          ensureStore(spark, s"$storeRoot/c10x", N_SERIES * 10)
+        gate ++ timed(wantedCanary)
       }
-    // second canary scale — 10x series (100M points), NOT cached: the
-    // relation is regenerated inside each timed query, so these numbers
-    // measure the full selector/aggregation pipeline at a scale where a
-    // plan regression is 10x more visible than run-to-run variance
-    val big = canary(spark, N_SERIES * 10)
-    val end10 = T0 + (WEEK_MIN - 1) * 60000L
-    val results = results0 ++ timed(Seq(
-      "canary10x_instant" -> (() =>
-        graft.engine.Engine.instantQuery(spark, big,
-          """canary{instance_id="5"}""", end10).count()),
-      "canary10x_rate_range" -> (() =>
-        graft.engine.Engine.rangeQuery(spark, big,
-          "sum by (instance_id) (rate(canary[5m]))",
-          end10 - 3600000L, end10, 60000L).count())).filter(q => selected(q._1)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -66,13 +66,67 @@ final case class CanonicalLabels(
     copy(child = newChild)
 }
 
+/** Exact inverse of [[CanonicalLabels]]: canonical string -> labels map,
+  * undoing the separator escapes -- native and codegen'd for the same
+  * reason as the builder (this sits in every selector's result
+  * reconstruction). */
+final case class CanonicalToMap(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType, StringType,
+      valueContainsNull = false)
+  override def prettyName: String = "canonical_to_map"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CanonicalLabels.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.engine.CanonicalLabels.parse($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalToMap =
+    copy(child = newChild)
+}
+
 object CanonicalLabels {
   private val SEP_ENTRY = UTF8String.fromString("\u0001")
   private val SEP_KV = UTF8String.fromString("\u0002")
 
+  /** Escape the separator bytes so ARBITRARY label text round-trips: the
+    * reference truncates but otherwise stores any label value
+    * (persistence/appender.go:44,126-138 — only metric names and label
+    * NAMES are sanitized), so a value containing \u0001/\u0002 must not
+    * corrupt the canonical string that series identity hangs off.
+    * \u0003 escapes \u0001/\u0002/\u0003 (ESC + the byte, bijective);
+    * the fast path is a byte scan that allocates nothing when no
+    * escapable byte exists — every sanitized-ingest string. */
+  private def escape(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var extra = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 1 && b <= 3) extra += 1
+      i += 1
+    }
+    if (extra == 0) return s
+    val in = s.getBytes
+    val out = new Array[Byte](n + extra)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val b = in(i)
+      if (b >= 1 && b <= 3) { out(o) = 3; o += 1 }
+      out(o) = b
+      o += 1
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** Build the canonical string: entries passing the keep/drop filter,
-    * sorted by key (unsigned byte order), `key\u0002value` joined with
-    * `\u0001`. Called from generated code — must stay a static signature. */
+    * sorted by RAW key (unsigned byte order), escaped `key\u0002value`
+    * joined with `\u0001`. Called from generated code — must stay a
+    * static signature. */
   def build(m: MapData, keepSet: java.util.HashSet[UTF8String],
             dropSet: java.util.HashSet[UTF8String]): UTF8String = {
     val n = m.numElements()
@@ -107,13 +161,47 @@ object CanonicalLabels {
     var p = 0
     while (p < cnt) {
       val idx = sel(p)
-      val k = keys.getUTF8String(idx)
+      val k = escape(keys.getUTF8String(idx))
       parts(p) =
         if (vals.isNullAt(idx)) k
-        else UTF8String.concat(k, SEP_KV, vals.getUTF8String(idx))
+        else UTF8String.concat(k, SEP_KV, escape(vals.getUTF8String(idx)))
       p += 1
     }
     UTF8String.concatWs(SEP_ENTRY, parts: _*)
+  }
+
+  /** Exact inverse of [[build]] (full-map form): split on unescaped
+    * \u0001/\u0002, undo the \u0003 escapes. Called from generated code. */
+  def parse(c: UTF8String): MapData = {
+    val bytes = c.getBytes
+    val n = bytes.length
+    val keys = new java.util.ArrayList[UTF8String]()
+    val vals = new java.util.ArrayList[UTF8String]()
+    val buf = new Array[Byte](n)
+    var i = 0
+    var len = 0
+    var key: UTF8String = null
+    def flush(endOfEntry: Boolean): Unit = {
+      val s = UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
+      len = 0
+      if (endOfEntry) {
+        if (key == null) { keys.add(s); vals.add(UTF8String.EMPTY_UTF8) }
+        else { keys.add(key); vals.add(s); key = null }
+      } else key = s
+    }
+    if (n > 0) {
+      while (i < n) {
+        val b = bytes(i)
+        if (b == 3 && i + 1 < n) { buf(len) = bytes(i + 1); len += 1; i += 2 }
+        else if (b == 1) { flush(endOfEntry = true); i += 1 }
+        else if (b == 2 && key == null) { flush(endOfEntry = false); i += 1 }
+        else { buf(len) = b; len += 1; i += 1 }
+      }
+      flush(endOfEntry = true)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      keys.toArray(Array.empty[UTF8String]).asInstanceOf[Array[Any]],
+      vals.toArray(Array.empty[UTF8String]).asInstanceOf[Array[Any]])
   }
 
   // ---- Column factories -------------------------------------------------

@@ -17,7 +17,23 @@ object Compiler {
   def eval(expr: Expr, ctx: EvalContext): Value =
     ctx.memo.getOrElseUpdate(expr, evalUncached(expr, ctx))
 
-  private def evalUncached(expr: Expr, ctx: EvalContext): Value = expr match {
+  /** Evaluate one node, guarding its materialization against duplicate
+    * labelsets when this node is a collision PRODUCER
+    * ([[Engine.producesCollision]]) — the reference errors at every vector
+    * materialization (engine.go:1930-1934); producer-side guarding
+    * reproduces that at the same expression depth (an inner collision
+    * raises even when a later aggregation would re-unify it) while leaving
+    * provably-clean shapes untouched. */
+  private def evalUncached(expr: Expr, ctx: EvalContext): Value = {
+    val v = evalRaw(expr, ctx)
+    v match {
+      case VectorVal(df) if ctx.strictCollision && Engine.producesCollision(expr) =>
+        VectorVal(Collision.guard(df))
+      case other => other
+    }
+  }
+
+  private def evalRaw(expr: Expr, ctx: EvalContext): Value = expr match {
     case NumberLiteral(v) =>
       ScalarVal(ctx.grid.df(ctx.spark).withColumn("value", lit(v)), const = Some(v))
     case StringLiteral(s) => StringVal(s)

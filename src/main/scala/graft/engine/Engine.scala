@@ -27,13 +27,13 @@ object Engine {
       strictCollision: Boolean = true,
       sampleTally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val ctx = EvalContext(spark, points, StepGrid(startMs, endMs, stepMs),
-      lookbackMs, defaultSubqueryStepMs, sampleTally = sampleTally)
+      lookbackMs, defaultSubqueryStepMs, sampleTally = sampleTally,
+      strictCollision = strictCollision)
     val ast = Parser.parse(promql)
     Compiler.eval(ast, ctx) match {
-      case VectorVal(df0) =>
-        // the collision guard re-aggregates, destroying presentation order —
-        // reapply the root operator's ordering afterwards
-        val df1 = if (strictCollision && mayCollide(ast)) collisionGuard(df0) else df0
+      case VectorVal(df1) =>
+        // collision checks run at each producing materialization inside the
+        // compile ([[Collision]]); the root result is already proven clean
         val df = presentationOrder(ast) match {
           case Some(ord) => df1.orderBy(ord: _*)
           case None => df1
@@ -83,31 +83,58 @@ object Engine {
     }
   }
 
-  /** Static collision analysis: most PromQL shapes CANNOT produce two
-    * samples with the same labelset — a selector keyed by (name, labels),
-    * an aggregation keyed by its grouping, a one-to-one binop behind its
-    * duplicate-match guards — so the runtime check (reference: errors
-    * unconditionally at vector materialization, engine.go:1930-1934) is
-    * pure overhead for them. The guard runs only when the plan can
-    * actually collide: a label-rewriting call (label_replace/label_join),
-    * or a name-dropping transform / unary / vector arithmetic over an
-    * input that may carry multiple metric names for one labelset (a
-    * selector without a literal name). This is the Spark answer to a
-    * per-row runtime check: prove it away at plan time, pay the shuffle
-    * only where it buys correctness. */
+  /** Does evaluating `e` pay a collision guard ANYWHERE in its tree —
+    * i.e. is some node a collision producer (guarded at its own
+    * materialization, [[producesCollision]]) or a label-rewriting call
+    * (whose guard is fused into the function's re-key)? Structurally
+    * collision-free shapes — a selector keyed by (name, labels), an
+    * aggregation keyed by its grouping, a one-to-one binop behind its
+    * duplicate-match guards — answer false and carry zero extra Exchange:
+    * the Spark answer to the reference's unconditional per-materialization
+    * runtime check (engine.go:1930-1934) is to prove it away at plan time
+    * and pay the shuffle only where it buys correctness. */
   private[engine] def mayCollide(e: graft.promql.Expr): Boolean = {
     import graft.promql._
     e match {
-      case Call("label_replace" | "label_join", _) => true
-      case Call(_, args) => args.exists(a => multiName(a) || mayCollide(a))
-      case UnaryExpr(_, x) => multiName(x) || mayCollide(x)
-      case BinaryExpr(op, l, r, _, _) if !Set("and", "or", "unless").contains(op) =>
-        multiName(l) || multiName(r) || mayCollide(l) || mayCollide(r)
-      case BinaryExpr(_, l, r, _, _) => mayCollide(l) || mayCollide(r)
+      case Call("label_replace" | "label_join", _) => true // fused guard
+      case c @ Call(_, args) => producesCollision(c) || args.exists(mayCollide)
+      case u @ UnaryExpr(_, x) => producesCollision(u) || mayCollide(x)
+      case b @ BinaryExpr(_, l, r, _, _) =>
+        producesCollision(b) || mayCollide(l) || mayCollide(r)
       case AggregateExpr(_, x, p, _, _) => mayCollide(x) || p.exists(mayCollide)
       case SubqueryExpr(x, _, _, _, _) => mayCollide(x)
       case MatrixSelector(_, _) => false
       case ParenExpr(x) => mayCollide(x)
+      case _ => false
+    }
+  }
+
+  /** Can THIS node's own operation turn a collision-free input into a
+    * vector holding two samples with one labelset? Only two shapes can:
+    * a name-dropping transform over an input that may carry multiple
+    * metric names for one labelset (a selector without a literal name
+    * flowing through value math, a rate/over_time kernel, a unary, or a
+    * vector⋈scalar arithmetic), and a label rewrite
+    * (label_replace/label_join — guarded inside the function itself, so
+    * excluded here). The compiler wraps exactly these nodes' outputs with
+    * [[Collision.guard]] — the reference's per-materialization error
+    * surfaces at the same expression depth. */
+  private[engine] def producesCollision(e: graft.promql.Expr): Boolean = {
+    import graft.promql._
+    e match {
+      // fused into the function's own re-key (Functions.labelReplace/join)
+      case Call("label_replace" | "label_join", _) => false
+      // name-preserving, constructed-label, grouped-without-name, or
+      // statically-empty outputs cannot produce a collision
+      case Call("sort" | "sort_desc" | "last_over_time" | "absent" |
+                "absent_over_time" | "vector" | "time" | "pi" | "scalar" |
+                "histogram_quantile" | "histogram_count" | "histogram_sum" |
+                "histogram_fraction" | "histogram_stddev" | "histogram_stdvar" |
+                "histogram_avg", _) => false
+      case Call(_, args) => args.exists(multiName)
+      case UnaryExpr(_, x) => multiName(x)
+      case BinaryExpr(op, l, r, _, _) if !Set("and", "or", "unless").contains(op) =>
+        multiName(l) || multiName(r)
       case _ => false
     }
   }
@@ -133,28 +160,4 @@ object Engine {
     }
   }
 
-  /** PromQL instant vectors must not contain two samples with the same
-    * labelset ("vector cannot contain metrics with the same labelset" —
-    * the reference errors unconditionally; [[mayCollide]] proves the check
-    * away for structurally collision-free plans, so this is default-on).
-    *
-    * Shape: ONE hash aggregation keyed by (name, canonical labels, step).
-    * In the no-collision case every group has exactly one row, so the
-    * "aggregation" is a pass-through that doubles as the check; the error
-    * is embedded in the value column (Catalyst cannot prune it). For a
-    * bare selector the keys coincide with the selector's own aggregation
-    * keys, so the existing partitioning satisfies the guard and no extra
-    * Exchange appears; label-rewriting operators (label_replace/join,
-    * name-dropping math) get the re-key shuffle exactly where collisions
-    * can actually arise. No window, no join. */
-  private def collisionGuard(df: DataFrame): DataFrame =
-    df.withColumn("_gl", graft.model.Points.canonical(col("labels")))
-      .groupBy(col("name"), col("_gl"), col("step"))
-      .agg(count(lit(1)).as("_cnt"), first(col("t")).as("t"),
-        first(col("value")).as("_v"))
-      .select(col("name"), Labels.fromCanonical(col("_gl")).as("labels"),
-        col("step"), col("t"),
-        when(col("_cnt") > 1,
-          raise_error(lit("vector cannot contain metrics with the same labelset")).cast("double"))
-          .otherwise(col("_v")).as("value"))
 }

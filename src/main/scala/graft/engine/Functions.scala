@@ -169,7 +169,7 @@ object Functions {
     case "label_replace" =>
       labelReplace(Compiler.evalVector(args(0), ctx),
         str(args(1), ctx, "dst"), str(args(2), ctx, "replacement"),
-        str(args(3), ctx, "src"), str(args(4), ctx, "regex"))
+        str(args(3), ctx, "src"), str(args(4), ctx, "regex"), ctx)
     case "label_join" =>
       val v = Compiler.evalVector(args(0), ctx)
       val dst = str(args(1), ctx, "dst")
@@ -177,7 +177,8 @@ object Functions {
       val srcs = args.drop(3).map(a => str(a, ctx, "src label"))
       requireLabelName(dst)
       val joined = concat_ws(sep, srcs.map(s => Labels.get(col("labels"), s)): _*)
-      VectorVal(Labels.resig(v.df.withColumn("labels", Labels.set(col("labels"), dst, joined))))
+      VectorVal(rekeyed(
+        v.df.withColumn("labels", Labels.set(col("labels"), dst, joined)), ctx))
 
     // ---- shape / sorting (functions.go:349-441,684-698,1270-1277) ----
     case "sort" => sorted(args, ctx, col("value").asc)
@@ -338,7 +339,7 @@ object Functions {
       throw new IllegalArgumentException(s"invalid destination label name '$n'")
 
   private def labelReplace(v: VectorVal, dst: String, repl: String,
-                           src: String, regex: String): VectorVal = {
+                           src: String, regex: String, ctx: EvalContext): VectorVal = {
     requireLabelName(dst)
     val anchored = "\\A(?:" + regex + ")\\z"
     val srcVal =
@@ -352,8 +353,18 @@ object Functions {
       else
         v.df.withColumn("labels",
           when(matched, Labels.set(col("labels"), dst, newVal)).otherwise(col("labels")))
-    VectorVal(Labels.resig(out))
+    VectorVal(rekeyed(out, ctx))
   }
+
+  /** Re-key after a label rewrite. Strict mode FUSES the collision guard
+    * into the re-key: [[Collision.guard]] computes the canonical string
+    * once per row and derives BOTH the refreshed sig and the duplicate
+    * check from it — one aggregation replaces the per-row re-sig
+    * projection plus the separate root-level guard the engine used to
+    * run (reference errors at this exact materialization,
+    * engine.go:1930-1934). */
+  private def rekeyed(df: DataFrame, ctx: EvalContext): DataFrame =
+    if (ctx.strictCollision) Collision.guard(df) else Labels.resig(df)
 
   /** Presentation-order sort by value (instant queries; the driver compare
     * is order-insensitive but the API layer preserves this ordering). */

@@ -33,12 +33,14 @@ object Labels {
         .otherwise(concat(others, entry)))
   }
 
-  /** Rebuild a labels map from its canonical string (exact inverse of
-    * [[Points.canonical]]; label text must not contain the \u0001/\u0002
-    * separators — guaranteed for sanitized ingest). */
+  /** Rebuild a labels map from its canonical string — the exact inverse of
+    * [[Points.canonical]] for ARBITRARY label text (the codec escapes its
+    * own separators, so a label value containing \u0001/\u0002 round-trips
+    * instead of corrupting series identity). Native expression: stays
+    * inside whole-stage codegen like the builder. */
   def fromCanonical(c: Column): Column =
-    when(c === "", map().cast("map<string,string>"))
-      .otherwise(str_to_map(c, lit("\u0001"), lit("\u0002")))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CanonicalToMap(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** Recompute the series signature after a label/name change. */
   def resig(df: DataFrame): DataFrame =

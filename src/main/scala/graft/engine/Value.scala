@@ -62,4 +62,7 @@ final case class EvalContext(
     /** In-scan MaxSamples meter ([[TallySamples]]): when set, every selector
       * counts its per-step samples into this accumulator as the query runs —
       * no separate budget pre-scan. */
-    sampleTally: Option[org.apache.spark.util.LongAccumulator] = None)
+    sampleTally: Option[org.apache.spark.util.LongAccumulator] = None,
+    /** Default-on duplicate-labelset detection at every provably-collidable
+      * vector materialization ([[Collision]]). */
+    strictCollision: Boolean = true)

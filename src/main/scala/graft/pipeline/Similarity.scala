@@ -124,15 +124,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
               k: Int = 16, nProbe: Int = 4, iters: Int = 5,
               trainLimit: Int = 100000): DataFrame = {
-    val spark = corpus.sparkSession
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     // --- train coarse quantizer (driver holds k × dims doubles only) ---
     val sample = c.orderBy(col("vec_id")).limit(trainLimit)
     var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = sample.withColumn("cell", nearestCentroidUdf(bc)(col("e")))
+      val assigned = sample.withColumn("cell", NearestCells.cell(col("e"), centroids))
       val next = assigned.groupBy(col("cell"))
         .agg(array((0 until centroids(0).length).map(d =>
           avg(element_at(col("e"), d + 1))): _*).as("mean"))
@@ -148,13 +146,11 @@ object Similarity {
     * and exact cosine runs inside the joined cells only. */
   def ivfProbe(corpus: DataFrame, queries: DataFrame, topK: Int,
                centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
-    val spark = corpus.sparkSession
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cells = c.withColumn("cell", nearestCentroidUdf(bc)(col("e")))
+    val cells = c.withColumn("cell", NearestCells.cell(col("e"), centroids))
       .select(col("cell"), col("vec_id").as("cid"), col("e").as("ce"))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-      .withColumn("cell", explode(nearestCentroidsUdf(bc, nProbe)(col("qe"))))
+      .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
     val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
     val w = org.apache.spark.sql.expressions.Window
@@ -174,26 +170,6 @@ object Similarity {
       val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"c:$i:$d").substring(0, 2)
       (Integer.parseInt(hex, 16) - 128) / 128.0
     }
-
-  private def nearestCentroidUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
-    udf((e: Seq[Double]) => nearestCells(bc.value, e, 1).head)
-
-  private def nearestCentroidsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
-                                  n: Int) =
-    udf((e: Seq[Double]) => nearestCells(bc.value, e, n))
-
-  private def nearestCells(cs: Array[Array[Double]], e: Seq[Double], n: Int): Seq[Int] = {
-    val arr = e.toArray
-    cs.indices
-      .map { i =>
-        var d = 0.0
-        var j = 0
-        while (j < arr.length) { val x = arr(j) - cs(i)(j); d += x * x; j += 1 }
-        (i, d)
-      }
-      .sortBy { case (i, d) => (d, i) }
-      .take(n).map(_._1)
-  }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to a
     * vec_id prefix for the exact gate query (the scale path feeds LSH

@@ -52,7 +52,17 @@ object PointsStore {
     * slack covers lookback/range windows that reach before the grid start.
     * `Long.MinValue`/`Long.MaxValue` bounds mean "unbounded" on that side
     * (no date predicate — `timestamp_millis` of the sentinels would
-    * overflow the timestamp range). */
+    * overflow the timestamp range).
+    *
+    * Reads go through the per-day MANIFEST view ([[liveFiles]]): a
+    * compacting writer never renames or deletes a file a planned reader
+    * might hold — it adds its outputs under new names and atomically
+    * publishes a manifest flipping which names are live — so a reader
+    * concurrent with compaction sees either the old file set or the new
+    * one, both complete, never half of each. The date predicates are still
+    * applied on the partition column, so the plan shows the same
+    * PartitionFilters a path-based read had (and the driver-side day
+    * pruning in liveFiles already restricted the listing). */
   def read(spark: SparkSession, path: String,
            startMs: Long, endMs: Long, slackMs: Long = 0L): DataFrame = {
     val conds = Seq(
@@ -61,7 +71,89 @@ object PointsStore {
       if (endMs == Long.MaxValue) None
       else Some(col("date") <= to_date(timestamp_millis(lit(endMs))))
     ).flatten
-    conds.foldLeft(spark.read.parquet(path))(_.where(_)).drop("date")
+    conds.foldLeft(readLive(spark, path, startMs, endMs, slackMs))(_.where(_)).drop("date")
+  }
+
+  // ---- manifest-gated file visibility ----------------------------------
+  //
+  // Compaction output files carry the `compacted-` prefix and are visible
+  // ONLY when the day's newest `_manifest.<ts>` +lists them; plain append
+  // files (Spark `part-*`) are visible unless -listed. The manifest file
+  // is published with an atomic rename, so visibility flips as one unit:
+  // before the flip a reader sees the old live set (old files are still on
+  // disk), after it the compacted set — the reader-visible gap of the old
+  // rename-the-directory swap is gone. Dead files are vacuumed by a LATER
+  // compaction once the manifest that killed them is older than the grace
+  // window, so in-flight plans keep their files.
+
+  private val CompactedPrefix = "compacted-"
+  private val ManifestPrefix = "_manifest."
+
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** Newest manifest of a day dir: (publish ts, +live set, -dead set). */
+  private def newestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             day: org.apache.hadoop.fs.Path)
+      : Option[(Long, Set[String], Set[String])] = {
+    val manifests = fs.listStatus(day).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+      .map(s => (s.getPath.getName.drop(ManifestPrefix.length).toLong, s.getPath))
+    if (manifests.isEmpty) return None
+    val (ts, p) = manifests.maxBy(_._1)
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    Some((ts,
+      lines.filter(_.startsWith("+")).map(_.drop(1)).toSet,
+      lines.filter(_.startsWith("-")).map(_.drop(1)).toSet))
+  }
+
+  /** The files of one day a reader may see: manifest-+listed compacted
+    * outputs, plus append files not -listed. Unlisted `compacted-` files
+    * (a compaction that crashed before publishing, or one mid-publish) are
+    * never visible. */
+  private def liveDayFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           day: org.apache.hadoop.fs.Path): Seq[String] = {
+    val files = fs.listStatus(day).toSeq
+      .filter(s => s.isFile && !isHidden(s.getPath.getName))
+    val (plus, minus) = newestManifest(fs, day) match {
+      case Some((_, p, m)) => (p, m)
+      case None => (Set.empty[String], Set.empty[String])
+    }
+    files.map(_.getPath).filter { p =>
+      val n = p.getName
+      if (n.startsWith(CompactedPrefix)) plus.contains(n)
+      else !minus.contains(n)
+    }.map(_.toString)
+  }
+
+  /** DataFrame over the manifest-visible files of the days intersecting
+    * [startMs-slackMs, endMs]; `basePath` keeps the `date` partition
+    * column derivable so callers' date predicates still show as
+    * PartitionFilters. */
+  private def readLive(spark: SparkSession, path: String,
+                       startMs: Long, endMs: Long, slackMs: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return spark.read.parquet(path) // preserve error
+    def dayOf(ms: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val lo = if (startMs == Long.MinValue) None else Some(dayOf(startMs - slackMs))
+    val hi = if (endMs == Long.MaxValue) None else Some(dayOf(endMs))
+    val days = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter { s =>
+        val d = java.time.LocalDate.parse(s.getPath.getName.stripPrefix("date="))
+        lo.forall(l => !d.isBefore(l)) && hi.forall(h => !d.isAfter(h))
+      }
+    val files = days.flatMap(d => liveDayFiles(fs, d.getPath))
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.option("basePath", path).parquet(files: _*)
   }
 
   /** Hot-label flattening: selected label keys are ALSO stored as physical
@@ -82,7 +174,7 @@ object PointsStore {
                     startMs: Long, endMs: Long,
                     hotFilters: Map[String, String],
                     slackMs: Long = 0L): DataFrame = {
-    val base = spark.read.parquet(path)
+    val base = readLive(spark, path, startMs, endMs, slackMs)
       .where(col("date") >= to_date(timestamp_millis(lit(startMs - slackMs))) &&
         col("date") <= to_date(timestamp_millis(lit(endMs))))
     val filtered = hotFilters.foldLeft(base) { case (df, (k, v)) =>
@@ -94,22 +186,26 @@ object PointsStore {
   /** Compact one or all day partitions: streaming `foreachBatch` appends
     * leave one small file per micro-batch per day — at fleet scale the
     * small-file count, not data volume, becomes the scan bottleneck (every
-    * file costs a task + footer read). Compaction rewrites a day's files
-    * into ~`targetBytes` outputs re-clustered by (name, sig, t) — the
+    * file costs a task + footer read). Compaction rewrites a day's live
+    * files into ~`targetBytes` outputs re-clustered by (name, sig, t) — the
     * reference's TSM compaction merges write-order segments into
     * series-ordered files for the same reason (persistence/store.go).
     *
-    * The rewrite stages into a DOT-PREFIXED temp dir (hidden from Spark's
-    * file index and partition discovery, so racing readers never see
-    * half-written files or a bogus partition value) and swaps with two
-    * metadata renames: old -> .trash, new -> live, then delete trash. The
-    * visibility gap is the latency of two renames — the closest a
-    * rename-based filesystem gets to the reference's atomic shard
-    * replacement; a crash inside the gap leaves the day recoverable in
-    * `.compact-trash`. Returns the compacted partition paths. */
+    * CONCURRENT-READER SAFE (MVCC via the day manifest): the rewrite
+    * stages into a dot-prefixed temp dir, moves its outputs INTO the live
+    * day dir under `compacted-<ts>-` names (invisible until +listed), and
+    * flips visibility with ONE atomic manifest publish — replaced files
+    * are -listed, never renamed or deleted in place, so a reader planned
+    * against the old set keeps every file it references. Dead files and
+    * superseded manifests are vacuumed by a LATER compaction once the
+    * manifest that killed them is older than `graceMs` (any reader that
+    * old has finished); a crash before publish leaves only unlisted
+    * `compacted-` orphans, which readers never see and the orphan sweep
+    * removes. Returns the compacted partition paths. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              onlyDay: Option[String] = None): Seq[String] = {
+              onlyDay: Option[String] = None,
+              graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
     // derive the FS from the store path, not the default FS — a store on
     // s3a:// with defaultFS=hdfs would otherwise rename on the wrong FS
     val root = new org.apache.hadoop.fs.Path(path)
@@ -121,27 +217,65 @@ object PointsStore {
     val done = Seq.newBuilder[String]
     days.foreach { st =>
       val dayPath = st.getPath
-      val files = fs.listStatus(dayPath).filter(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-      if (files.length > 1) {
-        val totalBytes = files.map(_.getLen).sum
-        val nOut = math.max(1, (totalBytes / targetBytes).toInt)
-        // dot-prefixed staging/trash dirs are invisible to Spark's file
-        // index AND to partition-value inference (a `date=X.compacting`
-        // sibling would corrupt the inferred partition column type)
+      val now = System.currentTimeMillis()
+      // ---- vacuum: the previous generation's dead files, superseded
+      // manifests, and never-published orphans, all past the grace window
+      newestManifest(fs, dayPath) match {
+        case Some((ts, plus, minus)) if now - ts >= graceMs =>
+          minus.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dayPath, n), false))
+          fs.listStatus(dayPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.startsWith(CompactedPrefix) &&
+              !plus.contains(s.getPath.getName) &&
+              now - s.getModificationTime >= graceMs)
+            .foreach(s => fs.delete(s.getPath, false))
+        case _ => ()
+      }
+      fs.listStatus(dayPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+        .sortBy(-_.getPath.getName.drop(ManifestPrefix.length).toLong)
+        .drop(1) // never the newest
+        .filter(s => now - s.getPath.getName.drop(ManifestPrefix.length).toLong >= graceMs)
+        .foreach(s => fs.delete(s.getPath, false))
+      // ---- rewrite the current live set when it is fragmented
+      val live = liveDayFiles(fs, dayPath)
+      if (live.length > 1) {
+        val liveBytes = live.map(f =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        val nOut = math.max(1, (liveBytes / targetBytes).toInt)
         val tmp = new org.apache.hadoop.fs.Path(
           dayPath.getParent, ".compact-tmp-" + dayPath.getName)
-        val trash = new org.apache.hadoop.fs.Path(
-          dayPath.getParent, ".compact-trash-" + dayPath.getName)
         fs.delete(tmp, true)
-        fs.delete(trash, true)
-        spark.read.parquet(dayPath.toString)
+        // reading the explicit live files keeps a racing appender's new
+        // files out of this generation (they stay unlisted -> still live)
+        spark.read.parquet(live: _*)
           .repartition(nOut)
           .sortWithinPartitions(col("name"), col("sig"), col("t"))
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.rename(dayPath, trash)
-        fs.rename(tmp, dayPath)
-        fs.delete(trash, true)
+        val parts = fs.listStatus(tmp).toSeq
+          .filter(s => s.isFile && !isHidden(s.getPath.getName))
+          .sortBy(_.getPath.getName)
+        val newNames = parts.zipWithIndex.map { case (p, i) =>
+          val name = s"$CompactedPrefix$now-$i.parquet"
+          fs.rename(p.getPath, new org.apache.hadoop.fs.Path(dayPath, name))
+          name
+        }
+        fs.delete(tmp, true)
+        // previously-dead names still on disk must stay dead in the new
+        // manifest (they are append-named: unlisted would resurrect them)
+        val prevMinus = newestManifest(fs, dayPath) match {
+          case Some((_, _, m)) =>
+            m.filter(n => fs.exists(new org.apache.hadoop.fs.Path(dayPath, n)))
+          case None => Set.empty[String]
+        }
+        val liveNames = live.map(f => new org.apache.hadoop.fs.Path(f).getName)
+        val manifestBody =
+          (newNames.map("+" + _) ++ (liveNames ++ prevMinus).map("-" + _))
+            .mkString("", "\n", "\n")
+        val tmpManifest = new org.apache.hadoop.fs.Path(dayPath, s".$ManifestPrefix$now.tmp")
+        val out = fs.create(tmpManifest, true)
+        try out.write(manifestBody.getBytes("UTF-8")) finally out.close()
+        // the atomic visibility flip
+        fs.rename(tmpManifest, new org.apache.hadoop.fs.Path(dayPath, s"$ManifestPrefix$now"))
         done += dayPath.toString
       }
     }

@@ -158,7 +158,23 @@ object Scrape {
       jobName: String,
       targets: Seq[String],
       intervalMs: Long = 60000L,
-      relabel: Seq[RelabelRule] = Nil)
+      relabel: Seq[RelabelRule] = Nil,
+      scheme: String = "http",
+      timeoutMs: Long = 10000L)
+
+  /** Default HTTP fetcher for a job's scheme/timeout knobs: GET
+    * `scheme://target/metrics` with connect+read timeouts. Captures only
+    * primitives, so it serializes to executors for the distributed path. */
+  def httpFetch(scheme: String = "http", timeoutMs: Long = 10000L): String => String =
+    target => {
+      val conn = new java.net.URL(s"$scheme://$target/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs.toInt)
+      conn.setReadTimeout(timeoutMs.toInt)
+      val in = conn.getInputStream
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally { in.close(); conn.disconnect() }
+    }
 
   /** Prometheus relabelling subset over a target's labelset. Regexes are
     * fully anchored (as in prometheus/relabel); `replace` expands $1..$9
@@ -194,23 +210,46 @@ object Scrape {
     }
 
   /** Scrape one configured job NOW: apply relabelling to each target's
-    * initial labelset (job, __address__), drop filtered targets, default
-    * `instance` from the (possibly rewritten) address, strip `__` meta
-    * labels, and merge the target labels over each sample's own. */
+    * initial labelset (job, __address__) on the driver (cheap, per-target),
+    * drop filtered targets BEFORE any fetch (Prometheus drops at relabel
+    * time), default `instance` from the (possibly rewritten) address,
+    * strip `__` meta labels, and merge the target labels over each
+    * sample's own.
+    *
+    * `distributed = true` runs fetch + parse on EXECUTORS (the surviving
+    * target list becomes a Dataset, one fetch per row inside
+    * mapPartitions) — the fleet-scale shape, where the driver-side
+    * variant serializes every target's HTTP latency onto one thread. The
+    * fetch closure must then be executor-serializable ([[httpFetch]] is). */
   def scrapeJob(spark: SparkSession, job: ScrapeJob,
-                fetch: String => String, tsMs: Long): DataFrame = {
-    val rows = job.targets.flatMap { target =>
+                fetch: String => String, tsMs: Long,
+                distributed: Boolean = false): DataFrame = {
+    val resolved: Seq[(String, Map[String, String])] = job.targets.flatMap { target =>
       relabel(Map("job" -> job.jobName, "__address__" -> target), job.relabel) match {
         case None => Nil
         case Some(ls0) =>
           val instance = ls0.getOrElse("instance", ls0.getOrElse("__address__", target))
-          val targetLabels =
-            ls0.filterNot(_._1.startsWith("__")) + ("instance" -> instance)
-          parseExposition(fetch(target), tsMs)
-            .map(p => (p.name, p.labels ++ targetLabels, p.t, p.value))
+          Seq((target, ls0.filterNot(_._1.startsWith("__")) + ("instance" -> instance)))
       }
     }
-    toPoints(spark, rows)
+    if (!distributed) {
+      toPoints(spark, resolved.flatMap { case (target, targetLabels) =>
+        parseExposition(fetch(target), tsMs)
+          .map(p => (p.name, p.labels ++ targetLabels, p.t, p.value))
+      })
+    } else if (resolved.isEmpty) toPoints(spark, Nil)
+    else {
+      import spark.implicits._
+      val slots = math.max(1,
+        math.min(resolved.size, spark.sparkContext.defaultParallelism))
+      val parsed = spark.createDataset(resolved)
+        .repartition(slots) // spread fetch latency across executor slots
+        .mapPartitions(_.flatMap { case (target, targetLabels) =>
+          parseExposition(fetch(target), tsMs)
+            .map(p => (p.name, p.labels ++ targetLabels, p.t, p.value))
+        })
+      finitePoints(parsed.toDF("name", "labels", "t", "value"))
+    }
   }
 
   /** One interval-scheduler tick over `jobs`: scrape exactly the targets
@@ -222,14 +261,15 @@ object Scrape {
     * per-target timers. */
   def scrapeTick(spark: SparkSession, jobs: Seq[ScrapeJob],
                  fetch: String => String, nowMs: Long,
-                 lastRun: Map[String, Long] = Map.empty)
+                 lastRun: Map[String, Long] = Map.empty,
+                 distributed: Boolean = false)
       : (DataFrame, Map[String, Long]) = {
     val due = jobs.map { job =>
       job.copy(targets = job.targets.filter { t =>
         lastRun.get(s"${job.jobName}/$t").forall(nowMs - _ >= job.intervalMs)
       })
     }.filter(_.targets.nonEmpty)
-    val dfs = due.map(scrapeJob(spark, _, fetch, nowMs))
+    val dfs = due.map(scrapeJob(spark, _, fetch, nowMs, distributed))
     val points =
       if (dfs.isEmpty) toPoints(spark, Nil)
       else dfs.reduce(_ unionByName _)
@@ -245,15 +285,25 @@ object Scrape {
     * the store. The `lastRun` schedule state lives in the returned sink's
     * closure — one scheduler per stream, like the reference's scrape
     * manager owning per-target timers; the target fan-out and the parse
-    * happen inside the tick's Spark job. */
+    * happen inside the tick's Spark job.
+    *
+    * The deployment default is the EXECUTOR-SIDE fetch (`distributed =
+    * true`): the due-target list fans out across the cluster and each
+    * partition fetches + parses its targets, so a fleet of thousands of
+    * targets is limited by executor slots, not one driver thread. Pass a
+    * serializable fetch ([[httpFetch]] honors each job's scheme/timeout
+    * knobs when partially applied per job) or set `distributed = false`
+    * for a driver-side fetch closure. */
   def scrapeSink(jobs: Seq[ScrapeJob], fetch: String => String,
-                 storeDir: String): (DataFrame, Long) => Unit = {
+                 storeDir: String,
+                 distributed: Boolean = true): (DataFrame, Long) => Unit = {
     var lastRun = Map.empty[String, Long]
     (batch, _) => {
       val maxT = batch.agg(org.apache.spark.sql.functions.max(col("t"))).head.getAs[Any](0)
       if (maxT != null) {
         val nowMs = maxT.asInstanceOf[Long]
-        val (points, advanced) = scrapeTick(batch.sparkSession, jobs, fetch, nowMs, lastRun)
+        val (points, advanced) =
+          scrapeTick(batch.sparkSession, jobs, fetch, nowMs, lastRun, distributed)
         lastRun = advanced
         if (!points.isEmpty) PointsStore.append(points, storeDir)
       }
@@ -269,6 +319,7 @@ object Scrape {
       .map(stripComment).filter(_.trim.nonEmpty)
     val jobs = scala.collection.mutable.ArrayBuffer[ScrapeJob]()
     var jName = ""; var jInterval = 60000L
+    var jScheme = "http"; var jTimeout = 10000L
     var jTargets = scala.collection.mutable.ArrayBuffer[String]()
     var jRules = scala.collection.mutable.ArrayBuffer[RelabelRule]()
     var inJob = false
@@ -286,10 +337,11 @@ object Scrape {
       rFields = scala.collection.mutable.Map(); inRule = false
     }
     def flushJob(): Unit = if (inJob) {
-      jobs += ScrapeJob(jName, jTargets.toSeq, jInterval, jRules.toSeq)
+      jobs += ScrapeJob(jName, jTargets.toSeq, jInterval, jRules.toSeq,
+        scheme = jScheme, timeoutMs = jTimeout)
       jTargets = scala.collection.mutable.ArrayBuffer()
       jRules = scala.collection.mutable.ArrayBuffer()
-      jInterval = 60000L; inJob = false
+      jInterval = 60000L; jScheme = "http"; jTimeout = 10000L; inJob = false
     }
 
     val relabelKeys = Set("action", "source_labels", "separator", "regex",
@@ -312,6 +364,12 @@ object Scrape {
       } else if (t.startsWith("scrape_interval:") && inJob) {
         flushRule()
         jInterval = graft.promql.Parser.parseDuration(t.stripPrefix("scrape_interval:").trim)
+      } else if (t.startsWith("scrape_timeout:") && inJob) {
+        flushRule()
+        jTimeout = graft.promql.Parser.parseDuration(t.stripPrefix("scrape_timeout:").trim)
+      } else if (t.startsWith("scheme:") && inJob) {
+        flushRule()
+        jScheme = unquote(t.stripPrefix("scheme:").trim)
       } else if (inRule && t.contains(":")) {
         val Array(k, v) = t.split(":", 2)
         if (relabelKeys.contains(k.trim)) rFields(k.trim) = unquote(v.trim)

@@ -136,6 +136,50 @@ class EngineIntegrationSpec extends AnyFunSuite {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("store-backed canary bench plans prune partitions and push filters") {
+    // the SAME path the timed bench runs (Bench.storeBackedQuery over a
+    // PointsStore): the instant query's plan must show day-partition
+    // pruning AND the metric-name equality pushed into the parquet scan —
+    // this is the plan shape the 100 TB story rests on, asserted in CI so
+    // the timed numbers can never silently regress to a full scan
+    val dir = Files.createTempDirectory("bench_store").toString
+    val t0 = 1704067200000L
+    val week = 10080L
+    val pts = Points.withSig(spark.range(week * 2).select(
+      lit("canary").as("name"),
+      map(lit("instance_id"), pmod((col("id") / week).cast("long"), lit(16)).cast("string"),
+        lit("series"), (col("id") / week).cast("long").cast("string")).as("labels"),
+      (lit(t0) + (col("id") % week) * 60000L).as("t"),
+      lit(10.0).as("value")))
+    PointsStore.append(pts, dir)
+    PointsStore.compact(spark, dir)
+    val end = t0 + (week - 1) * 60000L
+    val instant = graft.Bench.storeBackedQuery(spark, dir,
+      """canary{instance_id="0"}""", end, end, 1000L)
+    val plan = instant.queryExecution.executedPlan.toString
+    // partition pruning reached the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("date"),
+      "no partition filters in the store-backed canary plan")
+    // metric-name equality pushed to parquet (row-group stats selective
+    // because files are (name,sig,t)-clustered)
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(name,canary)"),
+      "name equality not pushed to the parquet scan")
+    // functional check: the instant query's pruned read touches only the
+    // final day of the 7-day store, and the result is correct
+    val grid = graft.engine.StepGrid(end, end, 1000L)
+    val (lo, hi) = graft.engine.Guards.selectorWindowBounds(
+      """canary{instance_id="0"}""", grid).get
+    val readDays = PointsStore.read(spark, dir, lo, hi)
+      .select(expr("t div 86400000")).distinct().count()
+    assert(readDays == 1, s"instant canary read $readDays days, expected 1")
+    assert(instant.count() == 1) // series 0 carries instance_id=0
+    // the whole-week scan query still sees every sample
+    val cot = graft.Bench.storeBackedQuery(spark, dir,
+      "sum(count_over_time(canary[1w]))", end, end, 1000L)
+    assert(cot.head.getAs[Double]("value") == (week * 2).toDouble)
+  }
+
   test("recording rule output persists and is queryable as a new series") {
     val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("store").toString

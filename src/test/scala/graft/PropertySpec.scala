@@ -61,6 +61,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial labels containing the separator bytes round-trip exactly") {
+    // label VALUES are arbitrary in the reference (only names/label names
+    // are sanitized) — the canonical codec escapes its own separators, so
+    // \u0001/\u0002/\u0003 text must survive the string round-trip AND two
+    // different maps must never canonicalize to one string
+    val sepChars = Gen.oneOf('\u0001', '\u0002', '\u0003', 'a', 'b', '=')
+    val advVal = Gen.listOfN(6, sepChars).map(_.mkString)
+    val keyGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6))
+    val mapGen = Gen.mapOf(Gen.zip(keyGen, advVal)).map(_.take(4))
+    val maps = samples(mapGen, 120) ++ Seq(
+      // the classic corruption pair: without escaping these collide
+      Map("a" -> "xby"),
+      Map("a" -> "x", "b" -> "y"),
+      Map("a" -> "\u0003"),
+      Map("a" -> ""),
+      Map("k" -> "v"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(maps.map(Row(_)), 2),
+      StructType(Seq(StructField("m", MapType(StringType, StringType)))))
+    val out = df.select(
+      graft.model.Points.canonical(col("m")).as("c"),
+      graft.engine.Labels.fromCanonical(
+        graft.model.Points.canonical(col("m"))).as("roundtrip"),
+      col("m"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Map[String, String]]("roundtrip") == r.getAs[Map[String, String]]("m"),
+        s"round-trip failed for ${r.getAs[Map[String, String]]("m")}")
+    }
+    // injectivity over this adversarial sample: distinct maps -> distinct
+    // canonical strings (series identity cannot be corrupted)
+    val byCanonical = out.groupBy(_.getAs[String]("c"))
+    byCanonical.foreach { case (c, rows) =>
+      assert(rows.map(_.getAs[Map[String, String]]("m")).distinct.length == 1,
+        s"two different maps share canonical '$c'")
+    }
+  }
+
   test("CanonicalLabels keep/drop filters match map_filter-then-canonical") {
     val maps = Seq(
       Map("a" -> "1", "b" -> "2", "c" -> "3"),

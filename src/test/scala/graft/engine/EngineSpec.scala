@@ -114,6 +114,38 @@ class EngineSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Double]("value") == 5.0)
   }
 
+  test("an inner collision inside sum(...) raises at its own materialization") {
+    // the reference errors at EVERY vector materialization
+    // (engine.go:1930-1934): a label_replace that collapses two series
+    // must raise even though the enclosing sum would re-unify the pair
+    // into one row — a root-only check would silently diverge here
+    val p = pts(Seq(
+      Row("m", Map("job" -> "a"), 1000L, 1.0),
+      Row("m", Map("job" -> "b"), 1000L, 2.0)))
+    val e = intercept[Exception] {
+      Engine.instantQuery(spark, p,
+        """sum(label_replace(m, "job", "x", "job", ".*"))""", 1000L).collect()
+    }
+    assert(e.getMessage.contains("same labelset") ||
+      Option(e.getCause).exists(_.getMessage.contains("same labelset")))
+    // same for a name-drop producer feeding an aggregation
+    val p2 = pts(Seq(
+      Row("a", Map("job" -> "x"), 1000L, 1.0),
+      Row("b", Map("job" -> "x"), 1000L, 2.0)))
+    val e2 = intercept[Exception] {
+      Engine.instantQuery(spark, p2, """sum(-{__name__=~"a|b"})""", 1000L).collect()
+    }
+    assert(e2.getMessage.contains("same labelset") ||
+      Option(e2.getCause).exists(_.getMessage.contains("same labelset")))
+    // clean shapes pay ZERO extra Exchange for the guard: the strict plan
+    // is exchange-identical to the guard-disabled plan
+    def exchanges(strict: Boolean): Int =
+      "Exchange".r.findAllIn(
+        Engine.instantQuery(spark, p, "sum by (job) (rate(m[5m]))", 1000L,
+          strictCollision = strict).queryExecution.executedPlan.toString).length
+    assert(exchanges(strict = true) == exchanges(strict = false))
+  }
+
   test("collision guard: label_replace collapsing two series raises; bare selector pays nothing") {
     val p = pts(Seq(
       Row("m", Map("job" -> "a"), 1000L, 1.0),

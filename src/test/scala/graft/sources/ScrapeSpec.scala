@@ -143,6 +143,56 @@ class ScrapeSpec extends AnyFunSuite {
     assert(insts.count(_ == "svc:8080") == 1)
   }
 
+  test("scheme and scrape_timeout knobs parse per job") {
+    val cfg =
+      """scrape_configs:
+        |  - job_name: secure
+        |    scheme: https
+        |    scrape_timeout: 5s
+        |    static_configs:
+        |      - targets: [tls-host:443]
+        |  - job_name: plain
+        |    static_configs:
+        |      - targets: [h:80]
+        |""".stripMargin
+    val jobs = Scrape.parseScrapeConfigs(cfg)
+    assert(jobs.head.scheme == "https" && jobs.head.timeoutMs == 5000L)
+    assert(jobs(1).scheme == "http" && jobs(1).timeoutMs == 10000L) // defaults
+  }
+
+  test("distributed scrapeJob matches the driver-side job (relabel included)") {
+    val jobs = Scrape.parseScrapeConfigs(config)
+    val fetch: String => String = _ => "up 1\n" // serializable: captures nothing
+    val dist = Scrape.scrapeJob(spark, jobs.head, fetch, tsMs = 1000L, distributed = true)
+      .collect().map(_.toString).sorted.toSeq
+    val local = Scrape.scrapeJob(spark, jobs.head, fetch, tsMs = 1000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dist == local && dist.nonEmpty)
+    // relabel-dropped host2 was never fetched on the executors either
+    assert(dist.length == 1)
+  }
+
+  test("scrapeSink deployment path: executor-side fetch through the sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scrape_dist").toString
+    val jobs = Scrape.parseScrapeConfigs(config)
+    val fetch: String => String = t => s"""up{src="$t"} 1\n""" // serializable
+    val mem = MemoryStream[Long]
+    // distributed = true is the default deployment shape
+    val q = mem.toDF().toDF("t").writeStream.outputMode("append")
+      .foreachBatch(Scrape.scrapeSink(jobs, fetch, dir)).start()
+    mem.addData(1704067200000L)
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == 2) // host1 (host2 relabel-dropped) + svc
+    val srcs = stored.select(org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.col("labels"), "src")).collect().map(_.getString(0)).toSet
+    assert(srcs == Set("host1:9100", "svc:8080"))
+  }
+
   test("distributed scrape matches the driver-side variant") {
     // bind the body to a local so the executor-shipped closure captures a
     // String, not the (non-serializable) spec instance

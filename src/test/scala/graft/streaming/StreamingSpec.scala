@@ -167,17 +167,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(dayFiles >= 3)
     val compacted = PointsStore.compact(spark, dir)
     assert(compacted.nonEmpty)
-    assert(dayFiles == 1)
-    // identical rows after the swap
+    // MVCC: the replaced files stay on disk through the grace window (a
+    // planned reader keeps every file it references); only the manifest
+    // flips which set a NEW reader sees
+    assert(dayFiles >= 4)
     val after = PointsStore.read(spark, dir, day1, day1 + 10000L)
       .collect().map(_.toString).sorted.toSeq
     assert(after == before)
-    // and the rewritten file is (name, sig, t)-clustered: no name returns
-    // after a different name appears
-    val names = spark.read.parquet(s"$dir/date=2024-01-01")
+    // a later compaction past the grace window vacuums the dead files
+    PointsStore.compact(spark, dir, graceMs = 0L)
+    assert(dayFiles == 1)
+    assert(PointsStore.read(spark, dir, day1, day1 + 10000L)
+      .collect().map(_.toString).sorted.toSeq == before)
+    // and the rewritten live file is (name, sig, t)-clustered: no name
+    // returns after a different name appears
+    val liveFile = new java.io.File(s"$dir/date=2024-01-01").listFiles()
+      .filter(f => f.getName.startsWith("compacted-") && f.getName.endsWith(".parquet"))
+      .head.toString
+    val names = spark.read.parquet(liveFile)
       .select("name").collect().map(_.getString(0)).toSeq
     val transitions = names.zip(names.drop(1)).count { case (a, b) => a != b }
     assert(transitions <= 1) // m1-block then m2-block
+  }
+
+  test("a reader planned before compaction survives the swap (no visibility gap)") {
+    val dir = Files.createTempDirectory("mvcc").toString
+    val day1 = 1704067200000L
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pts(rows: Seq[Row]) = graft.model.Points.withSig(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    (0 until 10).foreach { b =>
+      PointsStore.append(pts(Seq(
+        Row("m", Map("b" -> b.toString), day1 + b * 1000L, 1.0),
+        Row("m", Map("b" -> b.toString), day1 + b * 1000L + 1, 2.0))), dir)
+    }
+    // plan a reader BEFORE compaction: its file index pins the pre-swap set
+    val planned = PointsStore.read(spark, dir, day1, day1 + 100000L)
+    assert(planned.count() == 20)
+    // compact with the default grace: replaced files are -listed in the
+    // manifest but never renamed or deleted — the planned reader's files
+    // all still exist, and a fresh reader sees the compacted set
+    assert(PointsStore.compact(spark, dir).nonEmpty)
+    assert(planned.count() == 20) // old plan, old files: intact
+    assert(PointsStore.read(spark, dir, day1, day1 + 100000L).count() == 20)
+    // appends after compaction are visible alongside the compacted output
+    PointsStore.append(pts(Seq(Row("m", Map("b" -> "x"), day1 + 50000L, 3.0))), dir)
+    assert(PointsStore.read(spark, dir, day1, day1 + 100000L).count() == 21)
+    // second generation: compact again (old plan still safe), then vacuum
+    assert(PointsStore.compact(spark, dir).nonEmpty)
+    assert(planned.count() == 20)
+    PointsStore.compact(spark, dir, graceMs = 0L)
+    assert(PointsStore.read(spark, dir, day1, day1 + 100000L).count() == 21)
   }
 
   test("streaming threshold alerts: pending -> firing -> resolved across micro-batches") {
