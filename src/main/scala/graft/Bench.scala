@@ -27,7 +27,7 @@ object Bench {
 
   /** Bump when the canary data or store layout changes: a mismatched
     * marker invalidates the cached store and it is rebuilt. */
-  private val StoreLayoutVersion = "v1"
+  private val StoreLayoutVersion = "v2" // v2: series-dictionary sidecar
 
   private def canary(spark: SparkSession, nSeries: Long): DataFrame =
     graft.model.Points.withSig(
@@ -74,7 +74,8 @@ object Bench {
     val (lo, hi) = graft.engine.Guards.selectorWindowBounds(promql, grid)
       .getOrElse((startMs - 300000L, endMs))
     val pts = graft.sources.PointsStore.read(spark, store, lo, hi)
-    graft.engine.Engine.rangeQuery(spark, pts, promql, startMs, endMs, stepMs)
+    graft.engine.Engine.rangeQuery(spark, pts, promql, startMs, endMs, stepMs,
+      seriesDict = graft.sources.PointsStore.readDict(spark, store))
   }
 
   /** PromQL workload over a canary store (reference probes:

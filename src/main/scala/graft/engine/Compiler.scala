@@ -103,16 +103,16 @@ object Compiler {
     vs.at match {
       case None =>
         if (vs.offsetMs == 0L) {
-          VectorVal(Selectors.instant(pts, grid, ctx.lookbackMs, ctx.sampleTally))
+          VectorVal(Selectors.instant(pts, grid, ctx.lookbackMs, ctx.sampleTally, ctx.seriesDict))
         } else {
           val shifted = StepGrid(grid.startMs - vs.offsetMs, grid.endMs - vs.offsetMs, grid.stepMs)
-          VectorVal(Selectors.instant(pts, shifted, ctx.lookbackMs, ctx.sampleTally)
+          VectorVal(Selectors.instant(pts, shifted, ctx.lookbackMs, ctx.sampleTally, ctx.seriesDict)
             .withColumn("step", col("step") + vs.offsetMs))
         }
       case Some(at) =>
         // step-invariant: evaluate once at the pinned ts, replicate across grid
         val ts = pinnedTs(at, grid) - vs.offsetMs
-        val once = Selectors.instant(pts, StepGrid(ts, ts, 1), ctx.lookbackMs, ctx.sampleTally).drop("step")
+        val once = Selectors.instant(pts, StepGrid(ts, ts, 1), ctx.lookbackMs, ctx.sampleTally, ctx.seriesDict).drop("step")
         VectorVal(once.crossJoin(broadcast(grid.df(ctx.spark))))
     }
   }

@@ -25,10 +25,11 @@ object Engine {
       lookbackMs: Long = 300000L,
       defaultSubqueryStepMs: Long = 60000L,
       strictCollision: Boolean = true,
-      sampleTally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      sampleTally: Option[org.apache.spark.util.LongAccumulator] = None,
+      seriesDict: Option[DataFrame] = None): DataFrame = {
     val ctx = EvalContext(spark, points, StepGrid(startMs, endMs, stepMs),
       lookbackMs, defaultSubqueryStepMs, sampleTally = sampleTally,
-      strictCollision = strictCollision)
+      strictCollision = strictCollision, seriesDict = seriesDict)
     val ast = Parser.parse(promql)
     Compiler.eval(ast, ctx) match {
       case VectorVal(df1) =>
@@ -59,9 +60,10 @@ object Engine {
       lookbackMs: Long = 300000L,
       defaultSubqueryStepMs: Long = 60000L,
       strictCollision: Boolean = true,
-      sampleTally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+      sampleTally: Option[org.apache.spark.util.LongAccumulator] = None,
+      seriesDict: Option[DataFrame] = None): DataFrame =
     rangeQuery(spark, points, promql, tsMs, tsMs, 1000L, lookbackMs,
-      defaultSubqueryStepMs, strictCollision, sampleTally)
+      defaultSubqueryStepMs, strictCollision, sampleTally, seriesDict)
 
   /** Row ordering the API surfaces for order-sensitive root operators
     * (sort/sort_desc by value; topk descending / bottomk ascending per

@@ -65,4 +65,10 @@ final case class EvalContext(
     sampleTally: Option[org.apache.spark.util.LongAccumulator] = None,
     /** Default-on duplicate-labelset detection at every provably-collidable
       * vector materialization ([[Collision]]). */
-    strictCollision: Boolean = true)
+    strictCollision: Boolean = true,
+    /** Series dictionary sig -> (name, _lc) of the points relation
+      * ([[graft.sources.PointsStore.readDict]]): when present, instant
+      * selectors aggregate on the 8-byte sig alone and join the labels
+      * back at result size — no label string rides the selector's
+      * exchange. */
+    seriesDict: Option[DataFrame] = None)

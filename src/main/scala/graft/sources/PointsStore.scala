@@ -39,14 +39,40 @@ object PointsStore {
     * clustered row groups — instead of decoding + sorting + joining the
     * map on every query's every row. The reference's TSM engine stores
     * the series key once per series for the same reason. */
-  def append(points: DataFrame, path: String): Unit =
-    graft.model.Points.withCanonical(points)
+  def append(points: DataFrame, path: String): Unit = {
+    val withLc = graft.model.Points.withCanonical(points)
+    withLc
       .withColumn("date", to_date(timestamp_millis(col("t"))))
       .sortWithinPartitions(col("date"), col("name"), col("sig"), col("t"))
       .write
       .partitionBy("date")
       .mode(SaveMode.Append)
       .parquet(path)
+    // series-dictionary sidecar: sig -> (name, _lc), one row per series
+    // per batch (map-side partial dedup keeps the shuffle series-sized).
+    // Selectors reading this store can then aggregate on the 8-byte sig
+    // alone and join the labels back at RESULT size instead of carrying
+    // the canonical string through every exchange (the relational analog
+    // of the reference's TSM series-key file). Batches may repeat series;
+    // [[readDict]] dedups (sig is a pure function of name+labels, so any
+    // copy is authoritative).
+    withLc.select(col("sig"), col("name"), col("_lc"))
+      .dropDuplicates("sig")
+      .write.mode(SaveMode.Append).parquet(s"$path/$DictDir")
+  }
+
+  /** Dictionary dir name: underscore-prefixed, so data readers' file
+    * listings (and Spark partition discovery) never see it. */
+  private val DictDir = "_dict"
+
+  /** The store's series dictionary (sig, name, _lc), deduped across
+    * append batches; None when the store predates the sidecar. */
+  def readDict(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$DictDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).dropDuplicates("sig"))
+  }
 
   /** Read back, pruning day partitions to [startMs-slackMs, endMs]. The
     * slack covers lookback/range windows that reach before the grid start.

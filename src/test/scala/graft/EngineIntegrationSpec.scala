@@ -180,6 +180,52 @@ class EngineIntegrationSpec extends AnyFunSuite {
     assert(cot.head.getAs[Double]("value") == (week * 2).toDouble)
   }
 
+  test("series-dictionary path: sig-only selector shuffle, labels joined back") {
+    val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("dict_store").toString
+    PointsStore.append(pts, dir)
+    val t0 = 1704067200000L
+    val tick = t0 + 10 * 86400000L
+    val day = 86400000L
+    val stored = PointsStore.read(spark, dir, tick - day, tick)
+    val dict = PointsStore.readDict(spark, dir)
+    assert(dict.isDefined, "append did not write the series dictionary")
+
+    def results(d: Option[org.apache.spark.sql.DataFrame]) =
+      Engine.instantQuery(spark, stored, "click", tick, lookbackMs = day,
+        seriesDict = d)
+        .select(col("labels")("user").as("u"), col("t"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val withDict = results(dict)
+    assert(withDict == results(None) && withDict.nonEmpty)
+
+    // the dictionary plan's selector aggregation shuffles ONLY primitives:
+    // every exchange partitioned by sig carries no string attribute (the
+    // canonical label string is joined back at result size instead). AQE
+    // wraps exchanges in query stages, hiding them from collect — inspect
+    // the non-adaptive physical plan.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val sigShuffles = try {
+      // the SELECTOR aggregation partitions by (sig, step); the dict's own
+      // series-sized dedup shuffle partitions by sig alone and may carry
+      // its (name, _lc) payload — that one is the result-sized join side
+      Engine.instantQuery(spark, stored, "click", tick,
+        lookbackMs = day, seriesDict = dict).queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("sig") &&
+             e.outputPartitioning.toString.contains("step") => e
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(sigShuffles.nonEmpty, "expected a (sig, step)-partitioned selector exchange")
+    sigShuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType),
+        s"label string crosses the selector exchange: ${e.output.mkString(",")}")
+    }
+  }
+
   test("recording rule output persists and is queryable as a new series") {
     val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("store").toString
