@@ -63,6 +63,27 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     server.createContext("/api/v1/labels", (ex: HttpExchange) => handle(ex)(labels))
     server.createContext("/api/v1/label/", (ex: HttpExchange) => handle(ex)(labelValues))
     server.createContext("/api/v1/series", (ex: HttpExchange) => handle(ex)(series))
+    // POST /api/v1/read — Prometheus remote-read (snappy+protobuf, SAMPLES
+    // mode): a real Prometheus can federate from this engine
+    // (reference serves it via vendored web/api/v1/api.go:392)
+    server.createContext("/api/v1/read", (ex: HttpExchange) => {
+      try {
+        if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
+          throw new IllegalArgumentException("POST required")
+        val out = RemoteRead.handle(spark, points, ex.getRequestBody.readAllBytes())
+        ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+        ex.getResponseHeaders.set("Content-Encoding", "snappy")
+        ex.sendResponseHeaders(200, out.length)
+        ex.getResponseBody.write(out)
+      } catch {
+        case e: Throwable =>
+          val msg = s"""{"status":"error","error":${Json.str(rootMsg(e))}}"""
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(422, msg.length)
+          ex.getResponseBody.write(msg)
+      } finally ex.close()
+    })
     rules.foreach { rm =>
       server.createContext("/api/v1/rules",
         (ex: HttpExchange) => handle(ex)(_ => RulesApi.listing(rm)))

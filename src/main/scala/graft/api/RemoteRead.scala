@@ -1,0 +1,321 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.promql.{LabelMatcher, MatchOp}
+
+/** Prometheus remote-read endpoint: POST /api/v1/read with a
+  * snappy-compressed protobuf ReadRequest, answered with a
+  * snappy-compressed ReadResponse in SAMPLES mode — the server half of
+  * the protocol the reference both serves (vendored web/api/v1/api.go:392)
+  * and consumes for cross-node queries
+  * (src/internal/storage/remote_querier.go:82-93). A real Prometheus can
+  * federate from this engine with a `remote_read` block.
+  *
+  * The prompb subset (public protocol, prometheus/prompb/{remote,types}
+  * .proto) is hand-encoded — the zero-egress build has no protoc or
+  * protobuf-java dependency, and the five message shapes involved are
+  * stable varint/length-delimited layouts:
+  *
+  *   ReadRequest  { repeated Query queries = 1 }
+  *   Query        { int64 start_timestamp_ms = 1; int64 end_timestamp_ms = 2;
+  *                  repeated LabelMatcher matchers = 3 }
+  *   LabelMatcher { Type type = 1 (EQ NEQ RE NRE); string name = 2; string value = 3 }
+  *   ReadResponse { repeated QueryResult results = 1 }
+  *   QueryResult  { repeated TimeSeries timeseries = 1 }
+  *   TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2 }
+  *   Label        { string name = 1; string value = 2 }
+  *   Sample       { double value = 1; int64 timestamp = 2 }
+  *
+  * Samples are raw stored points (no PromQL evaluation — the remote
+  * CLIENT's engine evaluates), capped at the reference's remote-read
+  * sample limit (src/internal/api/prom_api.go:20).
+  */
+object RemoteRead {
+
+  /** Reference: api/prom_api.go:20 (remote read sample limit). */
+  val SampleLimit: Long = 20000000L
+
+  final case class Query(startMs: Long, endMs: Long, matchers: Seq[LabelMatcher])
+
+  // ---- serving ----------------------------------------------------------
+
+  /** Decode a snappy+proto ReadRequest body, run each query against the
+    * points relation, and return the snappy+proto ReadResponse bytes. */
+  def handle(spark: SparkSession, points: DataFrame, body: Array[Byte]): Array[Byte] = {
+    val queries = decodeRequest(org.xerial.snappy.Snappy.uncompress(body))
+    val results = queries.map { q =>
+      val filtered = points
+        .where(col("t") >= q.startMs && col("t") <= q.endMs)
+        .where(graft.engine.Compiler.matcherFilter(q.matchers))
+      // name-equality matchers additionally push down on the name column
+      val named = q.matchers.collectFirst {
+        case LabelMatcher("__name__", MatchOp.Eq, v) => v
+      } match {
+        case Some(n) => filtered.where(col("name") === n)
+        case None => filtered
+      }
+      val rows = named
+        .select(col("name"), col("labels"), col("t"), col("value"))
+        .collect()
+      if (rows.length > SampleLimit)
+        throw new IllegalStateException("remote read exceeds sample limit")
+      // one TimeSeries per (name, labels), samples time-ordered
+      rows.groupBy(r => (Option(r.getAs[String]("name")),
+          r.getAs[Map[String, String]]("labels")))
+        .toSeq.sortBy(_._1.toString)
+        .map { case ((name, labels), rs) =>
+          val full = name.filter(_.nonEmpty).map(n => Map("__name__" -> n))
+            .getOrElse(Map.empty) ++ Option(labels).getOrElse(Map.empty)
+          (full.toSeq.sortBy(_._1),
+            rs.sortBy(_.getAs[Long]("t"))
+              .map(r => (r.getAs[Double]("value"), r.getAs[Long]("t"))).toSeq)
+        }
+    }
+    org.xerial.snappy.Snappy.compress(encodeResponse(results))
+  }
+
+  // ---- protobuf wire helpers --------------------------------------------
+
+  private final class Writer {
+    private val out = new java.io.ByteArrayOutputStream()
+    def bytes: Array[Byte] = out.toByteArray
+    def varint(v: Long): Unit = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt)
+    }
+    def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
+    def int64(field: Int, v: Long): Unit =
+      if (v != 0) { tag(field, 0); varint(v) } // proto3 default elision
+    def double(field: Int, v: Double): Unit = {
+      tag(field, 1)
+      val bits = java.lang.Double.doubleToRawLongBits(v)
+      var i = 0
+      while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def str(field: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      tag(field, 2); varint(b.length); out.write(b, 0, b.length)
+    }
+    def message(field: Int)(body: Writer => Unit): Unit = {
+      val w = new Writer
+      body(w)
+      val b = w.bytes
+      tag(field, 2); varint(b.length); out.write(b, 0, b.length)
+    }
+    /** doubles must always be written (field presence carries the sample),
+      * including 0.0/NaN. */
+    def sampleMsg(field: Int, value: Double, tMs: Long): Unit =
+      message(field) { w => w.double(1, value); w.int64(2, tMs) }
+  }
+
+  private final class Reader(buf: Array[Byte], from: Int, to: Int) {
+    private var pos = from
+    def hasNext: Boolean = pos < to
+    def varint(): Long = {
+      var shift = 0; var res = 0L
+      var b = 0
+      do {
+        b = buf(pos) & 0xff; pos += 1
+        res |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      res
+    }
+    def fixed64(): Long = {
+      var res = 0L
+      var i = 0
+      while (i < 8) { res |= (buf(pos) & 0xffL) << (8 * i); pos += 1; i += 1 }
+      res
+    }
+    /** Returns (field, wire). */
+    def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
+    def lenDelimited(): (Int, Int) = {
+      val len = varint().toInt
+      val start = pos
+      pos += len
+      (start, start + len)
+    }
+    def str(): String = { val (s, e) = lenDelimited(); new String(buf, s, e - s, "UTF-8") }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => lenDelimited()
+      case 5 => pos += 4
+      case other => throw new IllegalArgumentException(s"unsupported wire type $other")
+    }
+  }
+
+  // ---- prompb decode (request) ------------------------------------------
+
+  private[api] def decodeRequest(raw: Array[Byte]): Seq[Query] = {
+    val r = new Reader(raw, 0, raw.length)
+    val queries = Seq.newBuilder[Query]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      if (field == 1 && wire == 2) {
+        val (s, e) = r.lenDelimited()
+        queries += decodeQuery(raw, s, e)
+      } else r.skip(wire)
+    }
+    queries.result()
+  }
+
+  private def decodeQuery(buf: Array[Byte], from: Int, to: Int): Query = {
+    val r = new Reader(buf, from, to)
+    var start = 0L
+    var end = 0L
+    val ms = Seq.newBuilder[LabelMatcher]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      (field, wire) match {
+        case (1, 0) => start = r.varint()
+        case (2, 0) => end = r.varint()
+        case (3, 2) =>
+          val (s, e) = r.lenDelimited()
+          ms += decodeMatcher(buf, s, e)
+        case _ => r.skip(wire)
+      }
+    }
+    Query(start, end, ms.result())
+  }
+
+  private def decodeMatcher(buf: Array[Byte], from: Int, to: Int): LabelMatcher = {
+    val r = new Reader(buf, from, to)
+    var tpe = 0L
+    var name = ""
+    var value = ""
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      (field, wire) match {
+        case (1, 0) => tpe = r.varint()
+        case (2, 2) => name = r.str()
+        case (3, 2) => value = r.str()
+        case _ => r.skip(wire)
+      }
+    }
+    val op = tpe match {
+      case 0 => MatchOp.Eq
+      case 1 => MatchOp.NotEq
+      case 2 => MatchOp.Re
+      case 3 => MatchOp.NotRe
+      case other => throw new IllegalArgumentException(s"unknown matcher type $other")
+    }
+    LabelMatcher(name, op, value)
+  }
+
+  // ---- prompb encode (response + client-side request) -------------------
+
+  private def encodeResponse(
+      results: Seq[Seq[(Seq[(String, String)], Seq[(Double, Long)])]]): Array[Byte] = {
+    val w = new Writer
+    results.foreach { series =>
+      w.message(1) { qr => // QueryResult
+        series.foreach { case (labels, samples) =>
+          qr.message(1) { ts => // TimeSeries
+            labels.foreach { case (k, v) =>
+              ts.message(1) { l => l.str(1, k); l.str(2, v) }
+            }
+            samples.foreach { case (v, t) => ts.sampleMsg(2, v, t) }
+          }
+        }
+      }
+    }
+    w.bytes
+  }
+
+  /** Client-side encoder (and the spec's request builder): a ReadRequest
+    * for one query. */
+  def encodeRequest(q: Query): Array[Byte] = {
+    val w = new Writer
+    w.message(1) { qw =>
+      qw.int64(1, q.startMs)
+      qw.int64(2, q.endMs)
+      q.matchers.foreach { m =>
+        qw.message(3) { mw =>
+          mw.int64(1, m.op match {
+            case MatchOp.Eq => 0L
+            case MatchOp.NotEq => 1L
+            case MatchOp.Re => 2L
+            case MatchOp.NotRe => 3L
+          })
+          mw.str(2, m.name)
+          mw.str(3, m.value)
+        }
+      }
+    }
+    org.xerial.snappy.Snappy.compress(w.bytes)
+  }
+
+  /** Client-side response decode (spec oracle): series → samples. */
+  def decodeResponse(body: Array[Byte]): Seq[Seq[(Map[String, String], Seq[(Double, Long)])]] = {
+    val raw = org.xerial.snappy.Snappy.uncompress(body)
+    val r = new Reader(raw, 0, raw.length)
+    val results = Seq.newBuilder[Seq[(Map[String, String], Seq[(Double, Long)])]]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      if (field == 1 && wire == 2) {
+        val (s, e) = r.lenDelimited()
+        results += decodeQueryResult(raw, s, e)
+      } else r.skip(wire)
+    }
+    results.result()
+  }
+
+  private def decodeQueryResult(buf: Array[Byte], from: Int, to: Int)
+      : Seq[(Map[String, String], Seq[(Double, Long)])] = {
+    val r = new Reader(buf, from, to)
+    val series = Seq.newBuilder[(Map[String, String], Seq[(Double, Long)])]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      if (field == 1 && wire == 2) {
+        val (s, e) = r.lenDelimited()
+        series += decodeTimeSeries(buf, s, e)
+      } else r.skip(wire)
+    }
+    series.result()
+  }
+
+  private def decodeTimeSeries(buf: Array[Byte], from: Int, to: Int)
+      : (Map[String, String], Seq[(Double, Long)]) = {
+    val r = new Reader(buf, from, to)
+    val labels = Map.newBuilder[String, String]
+    val samples = Seq.newBuilder[(Double, Long)]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      (field, wire) match {
+        case (1, 2) =>
+          val (s, e) = r.lenDelimited()
+          val lr = new Reader(buf, s, e)
+          var k = ""
+          var v = ""
+          while (lr.hasNext) {
+            val (f2, w2) = lr.tag()
+            (f2, w2) match {
+              case (1, 2) => k = lr.str()
+              case (2, 2) => v = lr.str()
+              case _ => lr.skip(w2)
+            }
+          }
+          labels += (k -> v)
+        case (2, 2) =>
+          val (s, e) = r.lenDelimited()
+          val sr = new Reader(buf, s, e)
+          var value = 0.0
+          var t = 0L
+          while (sr.hasNext) {
+            val (f2, w2) = sr.tag()
+            (f2, w2) match {
+              case (1, 1) => value = java.lang.Double.longBitsToDouble(sr.fixed64())
+              case (2, 0) => t = sr.varint()
+              case _ => sr.skip(w2)
+            }
+          }
+          samples += ((value, t))
+        case _ => r.skip(wire)
+      }
+    }
+    (labels.result(), samples.result())
+  }
+}

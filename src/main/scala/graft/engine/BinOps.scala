@@ -120,13 +120,23 @@ object BinOps {
     VectorVal(out.drop("_sv"))
   }
 
-  /** Matching signature: hash of the `on` subset or of all labels minus the
-    * `ignoring` subset (metric name never participates). The keep/drop
-    * filter is fused into the native canonical expression — no map_filter
-    * HOF, so the join stays codegen'd. */
+  /** Matching signature: hash of the `on` subset or of all labels minus
+    * the `ignoring` subset. The metric name participates ONLY when
+    * `on(...)` lists `__name__` explicitly — the reference keys
+    * BytesWithLabels(on-names) for `on` (so a listed __name__ counts) and
+    * always appends MetricName to the dropped set for `ignoring`
+    * (engine.go signatureFunc). The name lives in its own column here, so
+    * it is hashed alongside the canonical subset rather than through the
+    * map. The keep/drop filter is fused into the native canonical
+    * expression — no map_filter HOF, so the join stays codegen'd. */
   private def msig(m: VectorMatching): Column =
-    if (m.on) xxhash64(CanonicalLabels.keepColumn(col("labels"), m.labels))
-    else xxhash64(CanonicalLabels.dropColumn(col("labels"), m.labels))
+    if (m.on) {
+      val mapKeys = m.labels.filterNot(_ == "__name__")
+      val base = CanonicalLabels.keepColumn(col("labels"), mapKeys)
+      if (m.labels.contains("__name__"))
+        xxhash64(coalesce(col("name"), lit("")), base)
+      else xxhash64(base)
+    } else xxhash64(CanonicalLabels.dropColumn(col("labels"), m.labels))
 
   /** Result labels for one-to-one matching (engine.go:2336-2377):
     * `on` → only the on labels; otherwise lhs labels minus ignored. */

@@ -35,6 +35,55 @@ class HttpApiSpec extends AnyFunSuite {
     client.send(req, HttpResponse.BodyHandlers.ofString()).body()
   }
 
+  test("remote read: snappy+protobuf round-trip over HTTP (SAMPLES mode)") {
+    import graft.promql.{LabelMatcher, MatchOp}
+    val api = new HttpApi(spark, points)
+    val port = api.start(0)
+    try {
+      val req = RemoteRead.encodeRequest(RemoteRead.Query(0L, 100000L, Seq(
+        LabelMatcher("__name__", MatchOp.Eq, "http_total"),
+        LabelMatcher("job", MatchOp.Eq, "api"))))
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/read"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Content-Encoding", "snappy")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(req)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Encoding").orElse("") == "snappy")
+      val results = RemoteRead.decodeResponse(resp.body())
+      assert(results.length == 1)
+      val series = results.head.toMap
+      // two http_total series, raw samples with their stored timestamps;
+      // the `up` series is excluded by the name matcher
+      assert(series.keySet == Set(
+        Map("__name__" -> "http_total", "job" -> "api", "instance" -> "0"),
+        Map("__name__" -> "http_total", "job" -> "api", "instance" -> "1")))
+      assert(series(Map("__name__" -> "http_total", "job" -> "api", "instance" -> "0"))
+        == Seq((10.0, 60000L)))
+      assert(series(Map("__name__" -> "http_total", "job" -> "api", "instance" -> "1"))
+        == Seq((20.0, 60000L)))
+
+      // regex matcher + multiple queries in one request
+      val req2 = org.xerial.snappy.Snappy.uncompress(req) // sanity: body decodes
+      assert(RemoteRead.decodeRequest(req2).head.matchers.length == 2)
+      val reqRe = RemoteRead.encodeRequest(RemoteRead.Query(0L, 100000L, Seq(
+        LabelMatcher("__name__", MatchOp.Re, "up|none"))))
+      val respRe = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(reqRe)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val seriesRe = RemoteRead.decodeResponse(respRe.body()).head
+      assert(seriesRe.map(_._1) == Seq(Map("__name__" -> "up", "job" -> "api")))
+      assert(seriesRe.head._2 == Seq((1.0, 60000L)))
+
+      // GET is rejected
+      val bad = get(port, "/api/v1/read")
+      assert(bad.contains("error"))
+    } finally api.stop()
+  }
+
   test("instant query, labels, label values, series over HTTP") {
     val api = new HttpApi(spark, points)
     val port = api.start(0)

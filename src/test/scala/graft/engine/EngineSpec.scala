@@ -114,6 +114,20 @@ class EngineSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Double]("value") == 5.0)
   }
 
+  test("on(__name__) matches by metric name (name participates when listed)") {
+    // reference: signatureFunc keys BytesWithLabels(on-names) — a listed
+    // __name__ counts. With the name ignored, these two same-labelset
+    // series would share one match signature and raise a duplicate-match
+    // error; keyed by name, each matches only itself.
+    val p = pts(Seq(
+      Row("a", Map("job" -> "1"), 1000L, 1.0),
+      Row("b", Map("job" -> "1"), 1000L, 2.0)))
+    val out = Engine.instantQuery(spark, p,
+      """{__name__=~"a|b"} >= on(__name__, job) {__name__=~"a|b"}""", 1000L)
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[Double]("value"))).toSet
+    assert(out == Set(("a", 1.0), ("b", 2.0)))
+  }
+
   test("an inner collision inside sum(...) raises at its own materialization") {
     // the reference errors at EVERY vector materialization
     // (engine.go:1930-1934): a label_replace that collapses two series
