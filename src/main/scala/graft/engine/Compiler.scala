@@ -121,21 +121,24 @@ object Compiler {
     val vs = ms.vs
     val pts = selectorPoints(vs, ctx)
     val grid = ctx.grid
+    val dict = ctx.seriesDict.filter(_ => pts.columns.contains("sig"))
     vs.at match {
       case None =>
         if (vs.offsetMs == 0L) {
-          MatrixVal(Selectors.range(pts, grid, ms.rangeMs, ctx.sampleTally), ms.rangeMs)
+          MatrixVal(Selectors.range(pts, grid, ms.rangeMs, ctx.sampleTally, dict),
+            ms.rangeMs, dict = dict)
         } else {
           val shifted = StepGrid(grid.startMs - vs.offsetMs, grid.endMs - vs.offsetMs, grid.stepMs)
-          MatrixVal(Selectors.range(pts, shifted, ms.rangeMs, ctx.sampleTally)
+          MatrixVal(Selectors.range(pts, shifted, ms.rangeMs, ctx.sampleTally, dict)
             .withColumn("step", col("step") + vs.offsetMs),
-            ms.rangeMs, windowEndMsOffset = vs.offsetMs)
+            ms.rangeMs, windowEndMsOffset = vs.offsetMs, dict = dict)
         }
       case Some(at) =>
         val ts = pinnedTs(at, grid) - vs.offsetMs
-        val once = Selectors.range(pts, StepGrid(ts, ts, 1), ms.rangeMs, ctx.sampleTally).drop("step")
+        val once = Selectors.range(pts, StepGrid(ts, ts, 1), ms.rangeMs,
+          ctx.sampleTally, dict).drop("step")
         MatrixVal(once.crossJoin(broadcast(grid.df(ctx.spark))), ms.rangeMs,
-          pinnedEndMs = Some(ts))
+          pinnedEndMs = Some(ts), dict = dict)
     }
   }
 

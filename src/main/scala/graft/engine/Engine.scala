@@ -41,10 +41,15 @@ object Engine {
         }
         df.select(col("name"), col("labels"), col("step").as("t"), col("value"))
       case ScalarVal(df, _) => df.select(col("step").as("t"), col("value"))
-      case MatrixVal(df, _, _, _) =>
+      case m: MatrixVal =>
         // a bare range selector (e.g. `m[5m]` as the whole query): all
         // window samples, tagged with both step and sample time; the labels
-        // map is rebuilt from the canonical string the matrix carries
+        // map is rebuilt from the canonical string the matrix carries (or
+        // joined back from the series dictionary on the slim path)
+        val df = m.dict match {
+          case Some(d) => m.df.join(d.select(col("sig"), col("name"), col("_lc")), Seq("sig"))
+          case None => m.df
+        }
         df.select(col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
           col("step"), col("t"), col("value"))
       case StringVal(s) =>

@@ -61,9 +61,9 @@ object Functions {
           m.df.join(broadcast(sdf.withColumnRenamed("value", "_q")), "step")
         case other => throw new IllegalArgumentException("quantile_over_time φ must be a scalar")
       }
-      val grouped = withQ.groupBy(col("sig"), col("step"))
+      val grouped = restoreSeries(m, withQ.groupBy(col("sig"), col("step"))
         .agg(QuantileAgg.column(col("value"), col("_q")).as("value"),
-          first(col("name")).as("name"), first(col("_lc")).as("_lc"))
+          seriesAggCols(m): _*))
         .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
           col("step"), col("step").as("t"), col("value"))
       VectorVal(Labels.dropName(grouped))
@@ -243,11 +243,25 @@ object Functions {
     * per row (range windows multiply input rows by window/step, so per-row
     * string hashing is the expensive axis). The labels map is rebuilt on
     * the result-sized output. */
+  /** Series-identity columns for a matrix aggregation: carried as cheap
+    * `first` buffers normally; EMPTY on the dictionary path, where the
+    * exploded rows hold no strings and [[restoreSeries]] joins them back
+    * on the result-sized output. */
+  private def seriesAggCols(m: MatrixVal): Seq[Column] =
+    if (m.dict.isDefined) Nil
+    else Seq(first(col("name")).as("name"), first(col("_lc")).as("_lc"))
+
+  private def restoreSeries(m: MatrixVal, aggregated: DataFrame): DataFrame =
+    m.dict match {
+      case Some(d) => aggregated.join(d.select(col("sig"), col("name"), col("_lc")), Seq("sig"))
+      case None => aggregated
+    }
+
   private def overTime(args: Seq[Expr], ctx: EvalContext, aggCol: Column,
                        keepName: Boolean = false): VectorVal = {
     val m = evalMatrix(args(0), ctx)
-    val out = m.df.groupBy(col("sig"), col("step"))
-      .agg(aggCol.as("value"), first(col("name")).as("name"), first(col("_lc")).as("_lc"))
+    val out = restoreSeries(m, m.df.groupBy(col("sig"), col("step"))
+      .agg(aggCol.as("value"), seriesAggCols(m): _*))
       .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
         col("step"), col("step").as("t"), col("value"))
     if (keepName) VectorVal(out) else VectorVal(Labels.dropName(out))
@@ -288,9 +302,10 @@ object Functions {
     * canonical STRING through `first` costs far less than the map value
     * it replaces; the map is rebuilt on the result-sized output. */
   private def rangeKernel(m: MatrixVal, df: DataFrame, valueCol: Column): VectorVal = {
-    val out = df.groupBy(col("sig"), col("step"))
-      .agg(valueCol.as("value"), first(col("name")).as("name"), first(col("_lc")).as("_lc"))
-      .where(col("value").isNotNull)
+    val out = restoreSeries(m,
+      df.groupBy(col("sig"), col("step"))
+        .agg(valueCol.as("value"), seriesAggCols(m): _*)
+        .where(col("value").isNotNull))
       .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
         col("step"), col("step").as("t"), col("value"))
     VectorVal(Labels.dropName(out))

@@ -141,12 +141,24 @@ object Selectors {
     *
     * Output: sig, name, _lc, step, t, value. */
   def range(points: DataFrame, grid: StepGrid, rangeMs: Long,
-            tally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
-    explodeToSteps(
-      dropStale(points).select(col("sig"), col("name"),
-        lcOf(points).as("_lc"), col("t"), col("value")),
-      grid, rangeMs, tally)
-      .select(col("sig"), col("name"), col("_lc"), col("step"), col("t"), col("value"))
+            tally: Option[org.apache.spark.util.LongAccumulator] = None,
+            seriesDict: Option[DataFrame] = None): DataFrame = seriesDict match {
+    case Some(_) if points.columns.contains("sig") =>
+      // DICTIONARY PATH: the exploded window rows — the largest relation
+      // in the engine (samples × window/step) — carry only primitives;
+      // the range kernels aggregate by (sig, step) and join (name, _lc)
+      // back from the sidecar on their result-sized output.
+      explodeToSteps(
+        dropStale(points).select(col("sig"), col("t"), col("value")),
+        grid, rangeMs, tally)
+        .select(col("sig"), col("step"), col("t"), col("value"))
+    case _ =>
+      explodeToSteps(
+        dropStale(points).select(col("sig"), col("name"),
+          lcOf(points).as("_lc"), col("t"), col("value")),
+        grid, rangeMs, tally)
+        .select(col("sig"), col("name"), col("_lc"), col("step"), col("t"), col("value"))
+  }
 
   /** Canonical label string source: the STORED `_lc` column when the
     * relation carries one (PointsStore persists it at ingest — canonical

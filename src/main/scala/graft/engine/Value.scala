@@ -30,7 +30,12 @@ final case class MatrixVal(
     df: DataFrame,
     rangeMs: Long,
     windowEndMsOffset: Long = 0L,
-    pinnedEndMs: Option[Long] = None) extends Value {
+    pinnedEndMs: Option[Long] = None,
+    /** When set (store-backed reads with a series dictionary), `df`
+      * carries ONLY (sig, step, t, value) — no name/_lc strings — and
+      * consumers join (name, _lc) back from this dictionary on their
+      * result-sized aggregated output. */
+    dict: Option[DataFrame] = None) extends Value {
   /** Column expression for the true window end (sample-time ms). */
   def windowEnd: org.apache.spark.sql.Column = pinnedEndMs match {
     case Some(ts) => org.apache.spark.sql.functions.lit(ts)

@@ -227,7 +227,8 @@ object Rules {
         else
           graft.sources.PointsStore.read(spark, storeDir,
             bounds.map(_._1).min, bounds.map(_._2).max)
-      val firing = batchedPersistedTick(spark, stored, rules, stateDir, tsMs, lookbackMs)
+      val firing = batchedPersistedTick(spark, stored, rules, stateDir, tsMs, lookbackMs,
+        seriesDict = graft.sources.PointsStore.readDict(spark, storeDir))
       val rows = firing.collect()
       firing.unpersist()
       if (rows.nonEmpty) {
@@ -247,10 +248,11 @@ object Rules {
     * column on the state and an `alertname` column on the firing rows. */
   def batchedAlertingTick(spark: SparkSession, points: DataFrame,
                           rules: Seq[AlertingRule], state: DataFrame, tsMs: Long,
-                          lookbackMs: Long = 300000L): (DataFrame, DataFrame) = {
+                          lookbackMs: Long = 300000L,
+                          seriesDict: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(rules.nonEmpty, "batched tick needs at least one rule")
     val evals = rules.map { r =>
-      Engine.instantQuery(spark, points, r.expr, tsMs, lookbackMs)
+      Engine.instantQuery(spark, points, r.expr, tsMs, lookbackMs, seriesDict = seriesDict)
         .select(lit(r.alert).as("alert"),
           Points.sigOf(col("name"), col("labels")).as("sig"),
           col("labels"), col("value"))
@@ -279,9 +281,11 @@ object Rules {
     * (cached) firing rows — caller unpersists. */
   def batchedPersistedTick(spark: SparkSession, points: DataFrame,
                            rules: Seq[AlertingRule], stateDir: String, tsMs: Long,
-                           lookbackMs: Long = 300000L): DataFrame = {
+                           lookbackMs: Long = 300000L,
+                           seriesDict: Option[DataFrame] = None): DataFrame = {
     val st = loadBatchedState(spark, stateDir, rules, beforeTs = tsMs)
-    val (newState, firing) = batchedAlertingTick(spark, points, rules, st, tsMs, lookbackMs)
+    val (newState, firing) = batchedAlertingTick(spark, points, rules, st, tsMs,
+      lookbackMs, seriesDict)
     val out = firing.cache()
     out.count() // one materialization serves both the write and the caller
     val base = new org.apache.hadoop.fs.Path(s"$stateDir/$BatchedStateDir")

@@ -224,6 +224,31 @@ class EngineIntegrationSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StringType),
         s"label string crosses the selector exchange: ${e.output.mkString(",")}")
     }
+
+    // range kernels ride the same slim path: the exploded window rows —
+    // the engine's largest relation — shuffle only primitives too
+    def rateResults(d: Option[org.apache.spark.sql.DataFrame]) =
+      Engine.rangeQuery(spark, stored, "sum by (user) (rate(click[2d]))",
+        tick, tick, 1000L, lookbackMs = day, seriesDict = d)
+        .select(col("labels")("user"), col("t"), round(col("value"), 9))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val rateWith = rateResults(dict)
+    assert(rateWith == rateResults(None) && rateWith.nonEmpty)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val rateShuffles = try {
+      Engine.rangeQuery(spark, stored, "rate(click[2d])", tick, tick, 1000L,
+        lookbackMs = day, seriesDict = dict).queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("sig") &&
+             e.outputPartitioning.toString.contains("step") => e
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(rateShuffles.nonEmpty, "expected a (sig, step)-partitioned kernel exchange")
+    rateShuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType),
+        s"label string crosses the rate-kernel exchange: ${e.output.mkString(",")}")
+    }
   }
 
   test("recording rule output persists and is queryable as a new series") {
