@@ -170,6 +170,11 @@ object CanonicalLabels {
     UTF8String.concatWs(SEP_ENTRY, parts: _*)
   }
 
+  /** Driver-side escape of a plan-time constant (matcher values), for
+    * building substring predicates against the persisted canonical
+    * column. */
+  def escapeString(s: String): String = escape(UTF8String.fromString(s)).toString
+
   /** Exact inverse of [[build]] (full-map form): split on unescaped
     * \u0001/\u0002, undo the \u0003 escapes. Called from generated code. */
   def parse(c: UTF8String): MapData = {

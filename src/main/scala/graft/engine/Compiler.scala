@@ -65,13 +65,37 @@ object Compiler {
 
   /** Label matchers → one pushdown-friendly filter Column
     * (reference: matcher conjunction, filter_translator.go:48-70).
-    * PromQL regexes are fully anchored; missing labels match "". */
-  def matcherFilter(matchers: Seq[LabelMatcher]): Column = {
+    * PromQL regexes are fully anchored; missing labels match "".
+    *
+    * `useLc = true` (store relations with a persisted, fully-populated
+    * `_lc` column — the series-dictionary layout guarantees it) rewrites
+    * EQUALITY matchers as substring predicates on the canonical string:
+    * `labels[k] = v` ⟺ the padded canonical contains the escaped entry
+    * `kv`. The scan then never materializes the labels
+    * MAP at all for eq/neq-only selectors — one dictionary-encoded string
+    * compare per row instead of per-row map assembly, which dominated the
+    * pruned-day instant canary. Regex matchers keep the map path. */
+  def matcherFilter(matchers: Seq[LabelMatcher], useLc: Boolean = false): Column = {
+    val sep1 = "\u0001"
+    val sep2 = "\u0002"
+    lazy val padded = concat(lit(sep1), col("_lc"), lit(sep1))
+    def lcHasEntry(k: String, v: String): Column =
+      padded.contains(lit(sep1 + CanonicalLabels.escapeString(k) + sep2 +
+        CanonicalLabels.escapeString(v) + sep1))
+    def lcHasKey(k: String): Column =
+      padded.contains(lit(sep1 + CanonicalLabels.escapeString(k) + sep2))
+    // missing label ≡ empty value: k="" matches absent k OR an
+    // empty-valued entry
+    def lcEq(k: String, v: String): Column =
+      if (v.nonEmpty) lcHasEntry(k, v)
+      else !lcHasKey(k) || lcHasEntry(k, "")
     val cs = matchers.map { m =>
-      val target =
+      def target =
         if (m.name == "__name__") coalesce(col("name"), lit(""))
         else Labels.get(col("labels"), m.name)
       m.op match {
+        case MatchOp.Eq if useLc && m.name != "__name__" => lcEq(m.name, m.value)
+        case MatchOp.NotEq if useLc && m.name != "__name__" => !lcEq(m.name, m.value)
         case MatchOp.Eq => target === m.value
         case MatchOp.NotEq => target =!= m.value
         case MatchOp.Re => target.rlike("\\A(?:" + m.value + ")\\z")
@@ -86,7 +110,10 @@ object Compiler {
       case Some(n) => ctx.points.where(col("name") === n)
       case None => ctx.points
     }
-    base.where(matcherFilter(vs.matchers))
+    // dictionary-layout stores always persist `_lc`, so equality matchers
+    // can run on the canonical string and skip the labels map entirely
+    val useLc = ctx.seriesDict.isDefined && base.columns.contains("_lc")
+    base.where(matcherFilter(vs.matchers, useLc))
   }
 
   /** Resolve the effective eval-time pin of a selector: `@` is an absolute

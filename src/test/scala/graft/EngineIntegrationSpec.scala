@@ -225,6 +225,31 @@ class EngineIntegrationSpec extends AnyFunSuite {
         s"label string crosses the selector exchange: ${e.output.mkString(",")}")
     }
 
+    // equality matchers rewrite to substring predicates on the persisted
+    // canonical string: results identical, and the scan never reads the
+    // labels MAP at all (ReadSchema carries _lc, not labels)
+    val someUser = Engine.instantQuery(spark, stored, "click", tick,
+      lookbackMs = day).select(col("labels")("user")).head.getString(0)
+    def matcherResults(d: Option[org.apache.spark.sql.DataFrame]) =
+      Engine.instantQuery(spark, stored, s"""click{user="$someUser"}""", tick,
+        lookbackMs = day, seriesDict = d)
+        .select(col("labels")("user"), col("value"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val mWith = matcherResults(dict)
+    assert(mWith == matcherResults(None) && mWith.nonEmpty)
+    val mPlan = Engine.instantQuery(spark, stored, s"""click{user="$someUser"}""", tick,
+      lookbackMs = day, seriesDict = dict).queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(mPlan).toSeq
+      .filterNot(_.contains("name:string,_lc:string")) // the dict's own scan
+    assert(readSchemas.exists(_.contains("_lc")), mPlan)
+    assert(!readSchemas.exists(_.contains("labels")),
+      s"labels map read on the slim matcher path: $readSchemas")
+    // negative and empty-value (absent-label) matchers survive the rewrite
+    def negResults(d: Option[org.apache.spark.sql.DataFrame]) =
+      Engine.instantQuery(spark, stored, """click{user!="0",missing=""}""", tick,
+        lookbackMs = day, seriesDict = d).count()
+    assert(negResults(dict) == negResults(None) && negResults(dict) > 0)
+
     // range kernels ride the same slim path: the exploded window rows —
     // the engine's largest relation — shuffle only primitives too
     def rateResults(d: Option[org.apache.spark.sql.DataFrame]) =
