@@ -52,6 +52,20 @@ object SparkEntry {
       flat(Selectors.instant(pts, StepGrid(T_END, T_END, DAY), lookbackMs = DAY))
     }),
 
+    // §2.1+§2.2 full store round-trip on the series-dictionary layout:
+    // append (persists _lc + the _dict sidecar) -> pruned read -> slim
+    // instant evaluation (sig-only shuffle, canonical-string matcher,
+    // labels joined back from the dictionary at result size)
+    "q_sel_dict_instant" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dict_store").toString
+      graft.sources.PointsStore.append(Points.eventsPoints(s, dir), tmp)
+      val stored = graft.sources.PointsStore.read(s, tmp, T_END - DAY, T_END)
+      graft.engine.Engine.instantQuery(s, stored, """click{par="1"}""", T_END,
+        lookbackMs = DAY, seriesDict = graft.sources.PointsStore.readDict(s, tmp))
+        .select(col("name"), col("labels").getItem("user").as("user"),
+          col("t"), col("value"))
+    }),
+
     // §2.2 range (matrix) selector: all samples in [step-2d, step] per step
     // (the matrix carries the canonical label string; rebuild the map)
     "q_sel_range" -> ((s, dir) => {
@@ -83,6 +97,18 @@ object SparkEntry {
          |  FROM p WHERE t >= $T_END - $DAY AND t <= $T_END
          |)
          |SELECT name, "user", CAST($T_END AS BIGINT) AS step, t, value
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_sel_dict_instant" ->
+      s"""WITH p AS (
+         |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |         epoch_us(ts) // 1000 AS t, value
+         |  FROM events WHERE event_type = 'click' AND user_id % 3 = 1
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY name, "user" ORDER BY t DESC) AS rn
+         |  FROM p WHERE t >= $T_END - $DAY AND t <= $T_END
+         |)
+         |SELECT name, "user", CAST($T_END AS BIGINT) AS t, value
          |FROM r WHERE rn = 1""".stripMargin,
 
     "q_sel_range" ->

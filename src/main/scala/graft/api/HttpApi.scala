@@ -31,7 +31,11 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                     limits: Option[graft.engine.Guards.QueryLimits] = None,
                     reloadConfig: () => Unit = () => (),
                     /** (job, target) pairs for /api/v1/targets. */
-                    scrapeTargets: () => Seq[(String, String)] = () => Nil) {
+                    scrapeTargets: () => Seq[(String, String)] = () => Nil,
+                    /** Series dictionary of a store-backed points relation
+                      * (PointsStore.readDict): queries then run the slim
+                      * sig-only path. */
+                    seriesDict: Option[DataFrame] = None) {
 
   private val Version = "0.3.0-graft"
   private val startedMs = System.currentTimeMillis()
@@ -189,7 +193,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def instantBody(p: Map[String, String], ts: Long,
                           tally: Option[org.apache.spark.util.LongAccumulator]): String = {
     val out = Engine.instantQuery(spark, points, p("query"), ts, lookbackMs,
-      sampleTally = tally)
+      sampleTally = tally, seriesDict = seriesDict)
     if (out.columns.contains("step")) {
       // a bare range selector (`m[5m]`) evaluates to a Matrix even via the
       // instant endpoint — resultType "matrix" with per-series value lists
@@ -229,7 +233,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                              step: Long,
                              tally: Option[org.apache.spark.util.LongAccumulator]): String = {
     val out = Engine.rangeQuery(spark, points, p("query"), start, end, step, lookbackMs,
-      sampleTally = tally)
+      sampleTally = tally, seriesDict = seriesDict)
     val rows = out.collect()
     if (out.columns.contains("labels")) {
       envelope("matrix", matrixJson(rows))
