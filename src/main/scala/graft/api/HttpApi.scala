@@ -32,10 +32,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                     reloadConfig: () => Unit = () => (),
                     /** (job, target) pairs for /api/v1/targets. */
                     scrapeTargets: () => Seq[(String, String)] = () => Nil,
-                    /** Series dictionary of a store-backed points relation
-                      * (PointsStore.readDict): queries then run the slim
-                      * sig-only path. */
-                    seriesDict: Option[DataFrame] = None) {
+                    /** Series dictionary of a store-backed points relation:
+                      * queries then run the slim sig-only path. A PROVIDER,
+                      * resolved per query (e.g. `() => PointsStore.readDict(
+                      * spark, dir)`) — a dictionary snapshot pinned at
+                      * construction would go stale as appends land, and the
+                      * dict join would silently drop the new series. */
+                    seriesDict: () => Option[DataFrame] = () => None) {
 
   private val Version = "0.3.0-graft"
   private val startedMs = System.currentTimeMillis()
@@ -193,7 +196,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def instantBody(p: Map[String, String], ts: Long,
                           tally: Option[org.apache.spark.util.LongAccumulator]): String = {
     val out = Engine.instantQuery(spark, points, p("query"), ts, lookbackMs,
-      sampleTally = tally, seriesDict = seriesDict)
+      sampleTally = tally, seriesDict = seriesDict())
     if (out.columns.contains("step")) {
       // a bare range selector (`m[5m]`) evaluates to a Matrix even via the
       // instant endpoint — resultType "matrix" with per-series value lists
@@ -233,7 +236,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                              step: Long,
                              tally: Option[org.apache.spark.util.LongAccumulator]): String = {
     val out = Engine.rangeQuery(spark, points, p("query"), start, end, step, lookbackMs,
-      sampleTally = tally, seriesDict = seriesDict)
+      sampleTally = tally, seriesDict = seriesDict())
     val rows = out.collect()
     if (out.columns.contains("labels")) {
       envelope("matrix", matrixJson(rows))

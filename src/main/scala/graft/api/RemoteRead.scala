@@ -42,8 +42,16 @@ object RemoteRead {
   // ---- serving ----------------------------------------------------------
 
   /** Decode a snappy+proto ReadRequest body, run each query against the
-    * points relation, and return the snappy+proto ReadResponse bytes. */
-  def handle(spark: SparkSession, points: DataFrame, body: Array[Byte]): Array[Byte] = {
+    * points relation, and return the snappy+proto ReadResponse bytes.
+    *
+    * The sample limit is enforced BEFORE any driver materialization: a
+    * distributed `count()` over the (pushdown-filtered) matching set
+    * rejects over-limit reads while the driver has held zero sample rows —
+    * the reference enforces the same limit while streaming
+    * (src/internal/api/prom_api.go:20). Only an under-limit set (bounded
+    * at `sampleLimit` rows) is ever collected for encoding. */
+  def handle(spark: SparkSession, points: DataFrame, body: Array[Byte],
+             sampleLimit: Long = SampleLimit): Array[Byte] = {
     val queries = decodeRequest(org.xerial.snappy.Snappy.uncompress(body))
     val results = queries.map { q =>
       val filtered = points
@@ -56,11 +64,11 @@ object RemoteRead {
         case Some(n) => filtered.where(col("name") === n)
         case None => filtered
       }
-      val rows = named
-        .select(col("name"), col("labels"), col("t"), col("value"))
-        .collect()
-      if (rows.length > SampleLimit)
+      val slim = named.select(col("name"), col("labels"), col("t"), col("value"))
+      // executor-side count: no sample reaches the driver on the reject path
+      if (slim.count() > sampleLimit)
         throw new IllegalStateException("remote read exceeds sample limit")
+      val rows = slim.collect()
       // one TimeSeries per (name, labels), samples time-ordered
       rows.groupBy(r => (Option(r.getAs[String]("name")),
           r.getAs[Map[String, String]]("labels")))

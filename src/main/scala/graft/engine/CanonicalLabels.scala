@@ -96,9 +96,14 @@ object CanonicalLabels {
     * (persistence/appender.go:44,126-138 — only metric names and label
     * NAMES are sanitized), so a value containing \u0001/\u0002 must not
     * corrupt the canonical string that series identity hangs off.
-    * \u0003 escapes \u0001/\u0002/\u0003 (ESC + the byte, bijective);
-    * the fast path is a byte scan that allocates nothing when no
-    * escapable byte exists — every sanitized-ingest string. */
+    * \u0003 escapes \u0001/\u0002/\u0003 as ESC + (byte+4), i.e.
+    * \u0003\u0005 / \u0003\u0006 / \u0003\u0007 (bijective). SHIFTING the
+    * escaped byte keeps raw \u0001/\u0002 out of escaped content entirely,
+    * so separator bytes occur ONLY at true entry/kv boundaries: a
+    * substring search for `\u0001esc(k)\u0002esc(v)\u0001` over the
+    * padded canonical (Compiler.matcherFilter's equality rewrite) is
+    * EXACT, never matching inside an escape pair. The fast path is a byte
+    * scan that allocates nothing when no escapable byte exists — every sanitized-ingest string. */
   private def escape(s: UTF8String): UTF8String = {
     val n = s.numBytes
     var extra = 0
@@ -115,8 +120,10 @@ object CanonicalLabels {
     i = 0
     while (i < n) {
       val b = in(i)
-      if (b >= 1 && b <= 3) { out(o) = 3; o += 1 }
-      out(o) = b
+      if (b >= 1 && b <= 3) {
+        out(o) = 3; o += 1
+        out(o) = (b + 4).toByte
+      } else out(o) = b
       o += 1
       i += 1
     }
@@ -197,7 +204,7 @@ object CanonicalLabels {
     if (n > 0) {
       while (i < n) {
         val b = bytes(i)
-        if (b == 3 && i + 1 < n) { buf(len) = bytes(i + 1); len += 1; i += 2 }
+        if (b == 3 && i + 1 < n) { buf(len) = (bytes(i + 1) - 4).toByte; len += 1; i += 2 }
         else if (b == 1) { flush(endOfEntry = true); i += 1 }
         else if (b == 2 && key == null) { flush(endOfEntry = false); i += 1 }
         else { buf(len) = b; len += 1; i += 1 }

@@ -71,7 +71,11 @@ object Compiler {
     * `_lc` column — the series-dictionary layout guarantees it) rewrites
     * EQUALITY matchers as substring predicates on the canonical string:
     * `labels[k] = v` ⟺ the padded canonical contains the escaped entry
-    * `kv`. The scan then never materializes the labels
+    * `kv`. The rewrite is EXACT, not a pre-filter:
+    * CanonicalLabels' shifted escape keeps raw separator bytes out of
+    * escaped content, so the pattern can only match at a true entry
+    * boundary — no false positive even for adversarial label text
+    * containing separator bytes. The scan never materializes the labels
     * MAP at all for eq/neq-only selectors — one dictionary-encoded string
     * compare per row instead of per-row map assembly, which dominated the
     * pruned-day instant canary. Regex matchers keep the map path. */

@@ -362,8 +362,15 @@ object Guards {
             case ConfirmedOver => throw new TooManySamplesException
             case ConfirmedUnder => ()
             case ConfirmAborted =>
+              // no verdict, per the contract above: a deadline-cancelled
+              // confirm is a timeout; any OTHER interruption (shutdown)
+              // surfaces as the interruption it is — an aborted confirm
+              // never converts into a spurious over-budget rejection
               if (timedOut) throw new QueryTimeoutException
-              else throw new TooManySamplesException // trust the meter
+              else {
+                Thread.currentThread().interrupt()
+                throw new InterruptedException("query guard confirmation interrupted")
+              }
           }
         }
         if (overBudget) throw new TooManySamplesException

@@ -90,6 +90,14 @@ object NearestCells {
         if (!used(ii) && ds(ii) < bd) { bd = ds(ii); best = ii }
         ii += 1
       }
+      if (best == -1) {
+        // every remaining distance is NaN (NaN in the embedding): degrade
+        // to the first unused index — an arbitrary but valid assignment,
+        // matching the sortBy total-order behavior of the UDF this
+        // replaced — instead of crashing the stage on used(-1)
+        var jj = 0
+        while (best == -1 && jj < k) { if (!used(jj)) best = jj; jj += 1 }
+      }
       used(best) = true
       out(r) = best
       r += 1

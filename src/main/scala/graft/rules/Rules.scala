@@ -212,8 +212,12 @@ object Rules {
                    lookbackMs: Long = 300000L,
                    onFiring: (AlertingRule, Array[org.apache.spark.sql.Row]) => Unit =
                      (_, _) => ())
-      : (DataFrame, Long) => Unit = (batch, _) => {
-    graft.sources.PointsStore.append(batch, storeDir)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    // exactly-once per micro-batch: a replayed batch (foreachBatch is
+    // at-least-once) skips the append instead of double-counting every
+    // downstream rate/count_over_time — the rules still tick, so a replay
+    // after a crash-before-state-write recomputes the alert state
+    graft.sources.PointsStore.appendOnce(batch, storeDir, batchId)
     val spark = batch.sparkSession
     val maxT = batch.agg(max(col("t"))).head.getAs[Any](0)
     if (maxT != null && rules.nonEmpty) {
@@ -224,9 +228,7 @@ object Rules {
       val stored =
         if (bounds.isEmpty)
           graft.sources.PointsStore.read(spark, storeDir, tsMs - lookbackMs, tsMs)
-        else
-          graft.sources.PointsStore.read(spark, storeDir,
-            bounds.map(_._1).min, bounds.map(_._2).max)
+        else prunedUnionRead(spark, storeDir, bounds)
       val firing = batchedPersistedTick(spark, stored, rules, stateDir, tsMs, lookbackMs,
         seriesDict = graft.sources.PointsStore.readDict(spark, storeDir))
       val rows = firing.collect()
@@ -239,6 +241,31 @@ object Rules {
       }
     }
   }
+
+  /** Merge selector windows into disjoint day-granularity intervals: two
+    * windows merge when their [start, end] ranges touch the same or
+    * adjacent UTC days (the store prunes at day granularity, so a finer
+    * split buys nothing). An `@ 40d ago`-pinned rule alongside rules at
+    * `now` thus costs its pinned day(s) plus the current day(s) — NOT the
+    * 40-day hull between them. */
+  private[graft] def mergeWindows(bounds: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val DayMs = 86400000L
+    bounds.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (s, e)) if s <= hi + DayMs =>
+        (lo, math.max(hi, e)) :: rest
+      case (acc, b) => b :: acc
+    }.reverse
+  }
+
+  /** Read the store pruned to each merged window, unioned: the scan
+    * touches only the days some rule's selector can reach. Selectors
+    * re-filter by `t` inside the evaluation, so overlap between a rule's
+    * window and another rule's days is filtered, never double-read. */
+  private[graft] def prunedUnionRead(spark: SparkSession, storeDir: String,
+                                     bounds: Seq[(Long, Long)]): DataFrame =
+    mergeWindows(bounds)
+      .map { case (lo, hi) => graft.sources.PointsStore.read(spark, storeDir, lo, hi) }
+      .reduce(_.unionByName(_))
 
   /** One batched alerting tick over ALL rules: each rule's instant query is
     * compiled into one unioned plan tagged by alert name, joined against

@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object PointsStore {
 
+  /** Monotonic per-JVM write-generation stamp: every append carries it as
+    * the `_seq` column (constant per batch — dictionary-encodes to ~0
+    * bytes), giving compaction a total write order for last-write-wins
+    * (sig, t) dedup. Wall-clock based so stamps ALSO order across writer
+    * restarts; the atomic max(+1) keeps two same-millisecond appends from
+    * one JVM distinct. */
+  private val lastSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextSeq(): Long =
+    lastSeq.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
   /** Write points (sig/name/labels/t/value) partitioned by UTC day.
     *
     * Within each written file, rows are CLUSTERED by (name, sig, t) —
@@ -38,40 +48,99 @@ object PointsStore {
     * dictionary-encoded to ~8 B/row since it repeats per series within the
     * clustered row groups — instead of decoding + sorting + joining the
     * map on every query's every row. The reference's TSM engine stores
-    * the series key once per series for the same reason. */
+    * the series key once per series for the same reason.
+    *
+    * LAST-WRITE-WINS: a re-sent (series, t) point is overwritten, matching
+    * the reference's TSM per-(series, ts) overwrite semantics
+    * (influx_adapter.go:63-86 feeding tsm1). The write itself is a plain
+    * append — the winner is selected by [[compact]]'s (sig, t) keep-newest
+    * dedup using the `_seq` write stamp (and exactly-once sinks avoid the
+    * duplicate entirely via [[appendOnce]]). */
   def append(points: DataFrame, path: String): Unit = {
     val withLc = graft.model.Points.withCanonical(points)
-    withLc
       .withColumn("date", to_date(timestamp_millis(col("t"))))
+    // series-dictionary sidecar: sig -> (name, _lc, lastDay), one row per
+    // series per batch (map-side partial dedup keeps the shuffle
+    // series-sized; sig functionally determines name and _lc, so they ride
+    // as group keys). Selectors reading this store can then aggregate on
+    // the 8-byte sig alone and join the labels back at RESULT size instead
+    // of carrying the canonical string through every exchange (the
+    // relational analog of the reference's TSM series-key file).
+    // `lastDay` (the newest day the series was seen) lets [[expire]] prune
+    // dictionary entries with the data. Batches may repeat series;
+    // [[readDict]] / [[compact]] dedup keeping max lastDay.
+    //
+    // Written BEFORE the data so the dictionary is always a SUPERSET of
+    // the data's series: a crash between the two writes leaves dict
+    // entries whose data never arrived (harmless) — never data whose
+    // series the dict-join would silently drop. Readers must take their
+    // data snapshot before (or with) their dict snapshot for the same
+    // reason; [[read]] + [[readDict]] callers get this by reading data
+    // first.
+    withLc.groupBy(col("sig"), col("name"), col("_lc"))
+      .agg(max(col("date")).as("lastDay"))
+      .write.mode(SaveMode.Append).parquet(s"$path/$DictDir")
+    withLc
+      .withColumn("_seq", lit(nextSeq()))
       .sortWithinPartitions(col("date"), col("name"), col("sig"), col("t"))
       .write
       .partitionBy("date")
       .mode(SaveMode.Append)
       .parquet(path)
-    // series-dictionary sidecar: sig -> (name, _lc), one row per series
-    // per batch (map-side partial dedup keeps the shuffle series-sized).
-    // Selectors reading this store can then aggregate on the 8-byte sig
-    // alone and join the labels back at RESULT size instead of carrying
-    // the canonical string through every exchange (the relational analog
-    // of the reference's TSM series-key file). Batches may repeat series;
-    // [[readDict]] dedups (sig is a pure function of name+labels, so any
-    // copy is authoritative).
-    withLc.select(col("sig"), col("name"), col("_lc"))
-      .dropDuplicates("sig")
-      .write.mode(SaveMode.Append).parquet(s"$path/$DictDir")
+  }
+
+  /** Exactly-once [[append]] for at-least-once replay contexts (a
+    * streaming `foreachBatch` sink): the write is skipped — returning
+    * false — when this (path, batchId) already committed, so a replayed
+    * micro-batch cannot double-count in any downstream
+    * rate/count_over_time. The marker commits AFTER the append: a crash
+    * between append and marker replays the whole append, and the
+    * resulting duplicates are removed by [[compact]]'s (sig, t)
+    * last-write-wins dedup (replayed batches carry identical values, so
+    * any surviving copy is correct). */
+  def appendOnce(points: DataFrame, path: String, batchId: Long): Boolean = {
+    val markers = new org.apache.hadoop.fs.Path(path, BatchMarkerDir)
+    val fs = markers.getFileSystem(points.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(markers, s"batch-$batchId")
+    if (fs.exists(marker)) return false
+    append(points, path)
+    fs.mkdirs(markers)
+    fs.create(marker, true).close()
+    true
   }
 
   /** Dictionary dir name: underscore-prefixed, so data readers' file
     * listings (and Spark partition discovery) never see it. */
   private val DictDir = "_dict"
 
-  /** The store's series dictionary (sig, name, _lc), deduped across
-    * append batches; None when the store predates the sidecar. */
+  /** Batch-idempotence marker dir for [[appendOnce]]. */
+  private val BatchMarkerDir = "_batches"
+
+  /** Dedup dictionary rows across append batches: one row per sig, keeping
+    * the newest lastDay. (sig, name, _lc) are the group keys — sig alone
+    * determines the other two — so the aggregation buffer holds only the
+    * DateType max and the plan stays a codegen'd HashAggregate. */
+  private def dedupDict(df: DataFrame): DataFrame =
+    if (df.columns.contains("lastDay"))
+      df.groupBy(col("sig"), col("name"), col("_lc"))
+        .agg(max(col("lastDay")).as("lastDay"))
+    else df.dropDuplicates("sig") // pre-lastDay sidecar layout
+
+  /** The store's series dictionary (sig, name, _lc, lastDay), deduped
+    * across append batches; None when the store predates the sidecar.
+    * Respects the `_dict` manifest ([[compact]] folds the sidecar into one
+    * deduped file with the same MVCC visibility flip the day partitions
+    * use) — and when exactly one live file remains (a compacted store with
+    * no later appends), it is returned as-is: no dedup shuffle on the
+    * query path. */
   def readDict(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$DictDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).dropDuplicates("sig"))
+    if (!fs.exists(p)) return None
+    val live = liveDayFiles(fs, p)
+    if (live.isEmpty) None
+    else if (live.length == 1) Some(spark.read.parquet(live.head))
+    else Some(dedupDict(spark.read.parquet(live: _*)))
   }
 
   /** Read back, pruning day partitions to [startMs-slackMs, endMs]. The
@@ -118,15 +187,33 @@ object PointsStore {
   private def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
+  /** Unique generation id for one rewrite: wall-clock millis (orders
+    * generations and drives the grace window) plus a nanoTime uniquifier —
+    * two rewrites of the same dir within one millisecond (or clock-skewed
+    * writers) can no longer collide on manifest/output names. */
+  private def newGen(nowMs: Long): String =
+    s"$nowMs-${java.lang.Long.toUnsignedString(System.nanoTime(), 36)}"
+
+  /** Parse a manifest file name into its ordering stamp: (publish ms,
+    * full suffix — the tie-break within one millisecond). Returns None for
+    * stray `_manifest.*` files that don't start with a timestamp, which
+    * are simply ignored rather than breaking every read of the dir. */
+  private def manifestStamp(fileName: String): Option[(Long, String)] = {
+    val suffix = fileName.drop(ManifestPrefix.length)
+    val digits = suffix.takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 18) None
+    else Some((digits.toLong, suffix))
+  }
+
   /** Newest manifest of a day dir: (publish ts, +live set, -dead set). */
   private def newestManifest(fs: org.apache.hadoop.fs.FileSystem,
                              day: org.apache.hadoop.fs.Path)
       : Option[(Long, Set[String], Set[String])] = {
     val manifests = fs.listStatus(day).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
-      .map(s => (s.getPath.getName.drop(ManifestPrefix.length).toLong, s.getPath))
+      .flatMap(s => manifestStamp(s.getPath.getName).map(st => (st, s.getPath)))
     if (manifests.isEmpty) return None
-    val (ts, p) = manifests.maxBy(_._1)
+    val ((ts, _), p) = manifests.maxBy(_._1)
     val in = fs.open(p)
     val text = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -244,72 +331,137 @@ object PointsStore {
     days.foreach { st =>
       val dayPath = st.getPath
       val now = System.currentTimeMillis()
-      // ---- vacuum: the previous generation's dead files, superseded
-      // manifests, and never-published orphans, all past the grace window
-      newestManifest(fs, dayPath) match {
-        case Some((ts, plus, minus)) if now - ts >= graceMs =>
-          minus.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dayPath, n), false))
-          fs.listStatus(dayPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.startsWith(CompactedPrefix) &&
-              !plus.contains(s.getPath.getName) &&
-              now - s.getModificationTime >= graceMs)
-            .foreach(s => fs.delete(s.getPath, false))
-        case _ => ()
-      }
-      fs.listStatus(dayPath).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
-        .sortBy(-_.getPath.getName.drop(ManifestPrefix.length).toLong)
-        .drop(1) // never the newest
-        .filter(s => now - s.getPath.getName.drop(ManifestPrefix.length).toLong >= graceMs)
-        .foreach(s => fs.delete(s.getPath, false))
+      vacuum(fs, dayPath, now, graceMs)
       // ---- rewrite the current live set when it is fragmented
       val live = liveDayFiles(fs, dayPath)
       if (live.length > 1) {
         val liveBytes = live.map(f =>
           fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
         val nOut = math.max(1, (liveBytes / targetBytes).toInt)
-        val tmp = new org.apache.hadoop.fs.Path(
-          dayPath.getParent, ".compact-tmp-" + dayPath.getName)
-        fs.delete(tmp, true)
         // reading the explicit live files keeps a racing appender's new
         // files out of this generation (they stay unlisted -> still live)
-        spark.read.parquet(live: _*)
-          .repartition(nOut)
-          .sortWithinPartitions(col("name"), col("sig"), col("t"))
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val parts = fs.listStatus(tmp).toSeq
-          .filter(s => s.isFile && !isHidden(s.getPath.getName))
-          .sortBy(_.getPath.getName)
-        val newNames = parts.zipWithIndex.map { case (p, i) =>
-          val name = s"$CompactedPrefix$now-$i.parquet"
-          fs.rename(p.getPath, new org.apache.hadoop.fs.Path(dayPath, name))
-          name
-        }
-        fs.delete(tmp, true)
-        // previously-dead names still on disk must stay dead in the new
-        // manifest (they are append-named: unlisted would resurrect them)
-        val prevMinus = newestManifest(fs, dayPath) match {
-          case Some((_, _, m)) =>
-            m.filter(n => fs.exists(new org.apache.hadoop.fs.Path(dayPath, n)))
-          case None => Set.empty[String]
-        }
-        val liveNames = live.map(f => new org.apache.hadoop.fs.Path(f).getName)
-        val manifestBody =
-          (newNames.map("+" + _) ++ (liveNames ++ prevMinus).map("-" + _))
-            .mkString("", "\n", "\n")
-        val tmpManifest = new org.apache.hadoop.fs.Path(dayPath, s".$ManifestPrefix$now.tmp")
-        val out = fs.create(tmpManifest, true)
-        try out.write(manifestBody.getBytes("UTF-8")) finally out.close()
-        // the atomic visibility flip
-        fs.rename(tmpManifest, new org.apache.hadoop.fs.Path(dayPath, s"$ManifestPrefix$now"))
+        val raw = spark.read.parquet(live: _*)
+        // LAST-WRITE-WINS (sig, t) dedup, keeping the newest write stamp:
+        // re-sent / replayed points collapse to one sample per (series, t)
+        // — the guarantee Selectors.instant documents and the reference's
+        // TSM cache/compaction enforce per (series, ts). Window-lag over
+        // (sig)-clustered, (t, _seq desc)-ordered rows: the first row of
+        // each t run is the newest write; one shuffle, series-parallel.
+        import org.apache.spark.sql.expressions.Window
+        val order =
+          if (raw.columns.contains("_seq")) Seq(col("t"), col("_seq").desc)
+          else Seq(col("t")) // pre-_seq layout: duplicates are identical copies
+        val w = Window.partitionBy(col("sig")).orderBy(order: _*)
+        val deduped = raw
+          .withColumn("_prevT", lag(col("t"), 1).over(w))
+          .where(col("_prevT").isNull || col("_prevT") =!= col("t"))
+          .drop("_prevT")
+        publishRewrite(fs, dayPath, live, now, tmp =>
+          deduped
+            .repartition(nOut)
+            .sortWithinPartitions(col("name"), col("sig"), col("t"))
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString))
         done += dayPath.toString
+      }
+    }
+    // ---- fold the series-dictionary sidecar: rewrite the accumulated
+    // per-batch dict files into ONE deduped file (same MVCC manifest flip),
+    // so readDict on a compacted store is a single-file read — no
+    // per-query dedup shuffle, and the sidecar stops growing with append
+    // count (it scales with live series again).
+    val dictPath = new org.apache.hadoop.fs.Path(root, DictDir)
+    if (fs.exists(dictPath)) {
+      val now = System.currentTimeMillis()
+      vacuum(fs, dictPath, now, graceMs)
+      val live = liveDayFiles(fs, dictPath)
+      if (live.length > 1) {
+        publishRewrite(fs, dictPath, live, now, tmp =>
+          dedupDict(spark.read.parquet(live: _*))
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString))
+        done += dictPath.toString
       }
     }
     done.result()
   }
 
+  /** Vacuum one manifest-managed dir: the previous generation's dead
+    * files, superseded manifests, and never-published orphans, all past
+    * the grace window (any reader that planned against them has
+    * finished). */
+  private def vacuum(fs: org.apache.hadoop.fs.FileSystem,
+                     dir: org.apache.hadoop.fs.Path,
+                     now: Long, graceMs: Long): Unit = {
+    newestManifest(fs, dir) match {
+      case Some((ts, plus, minus)) if now - ts >= graceMs =>
+        minus.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith(CompactedPrefix) &&
+            !plus.contains(s.getPath.getName) &&
+            now - s.getModificationTime >= graceMs)
+          .foreach(s => fs.delete(s.getPath, false))
+      case _ => ()
+    }
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+      .flatMap(s => manifestStamp(s.getPath.getName).map(st => (st, s.getPath)))
+      .sortBy(_._1).reverse
+      .drop(1) // never the newest
+      .filter { case ((ts, _), _) => now - ts >= graceMs }
+      .foreach { case (_, p) => fs.delete(p, false) }
+  }
+
+  /** Stage `writeTmp`'s output into `dir` under unique `compacted-<gen>-`
+    * names (invisible until +listed) and flip visibility with ONE atomic
+    * manifest publish: replaced files are -listed, never renamed or
+    * deleted in place, so a reader planned against the old set keeps every
+    * file it references. The generation id is uniquified ([[newGen]]) —
+    * concurrent or same-millisecond rewrites cannot collide on names; if
+    * two publish concurrently, the newest manifest wins and the loser's
+    * outputs are swept as unlisted orphans. */
+  private def publishRewrite(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path,
+                             live: Seq[String], now: Long,
+                             writeTmp: org.apache.hadoop.fs.Path => Unit): Unit = {
+    val gen = newGen(now)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir.getParent, s".compact-tmp-${dir.getName}-$gen")
+    fs.delete(tmp, true)
+    writeTmp(tmp)
+    val parts = fs.listStatus(tmp).toSeq
+      .filter(s => s.isFile && !isHidden(s.getPath.getName))
+      .sortBy(_.getPath.getName)
+    val newNames = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"$CompactedPrefix$gen-$i.parquet"
+      fs.rename(p.getPath, new org.apache.hadoop.fs.Path(dir, name))
+      name
+    }
+    fs.delete(tmp, true)
+    // previously-dead names still on disk must stay dead in the new
+    // manifest (they are append-named: unlisted would resurrect them)
+    val prevMinus = newestManifest(fs, dir) match {
+      case Some((_, _, m)) =>
+        m.filter(n => fs.exists(new org.apache.hadoop.fs.Path(dir, n)))
+      case None => Set.empty[String]
+    }
+    val liveNames = live.map(f => new org.apache.hadoop.fs.Path(f).getName)
+    val manifestBody =
+      (newNames.map("+" + _) ++ (liveNames ++ prevMinus).map("-" + _))
+        .mkString("", "\n", "\n")
+    val tmpManifest = new org.apache.hadoop.fs.Path(dir, s".$ManifestPrefix$gen.tmp")
+    val out = fs.create(tmpManifest, true)
+    try out.write(manifestBody.getBytes("UTF-8")) finally out.close()
+    // the atomic visibility flip
+    fs.rename(tmpManifest, new org.apache.hadoop.fs.Path(dir, s"$ManifestPrefix$gen"))
+  }
+
   /** Retention: drop whole day partitions older than the cutoff —
-    * the reference deletes whole 24 h shards, never individual rows. */
+    * the reference deletes whole 24 h shards, never individual rows.
+    * The series-dictionary sidecar is pruned with the data: entries whose
+    * `lastDay` (newest day the series was written) predates the cutoff can
+    * only reference expired partitions, so the dict keeps scaling with
+    * LIVE series, not all-time series churn. The rewrite is dict-sized and
+    * published with the same MVCC manifest flip compaction uses. */
   def expire(spark: SparkSession, path: String, cutoffMs: Long): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -324,6 +476,20 @@ object PointsStore {
           java.time.LocalDate.parse(p.getName.stripPrefix("date=")).isBefore(cutoff)
       }
     dropped.foreach(p => fs.delete(p, true))
+    val dictPath = new org.apache.hadoop.fs.Path(root, DictDir)
+    if (dropped.nonEmpty && fs.exists(dictPath)) {
+      val live = liveDayFiles(fs, dictPath)
+      if (live.nonEmpty) {
+        val dict = spark.read.parquet(live: _*)
+        if (dict.columns.contains("lastDay")) {
+          publishRewrite(fs, dictPath, live, System.currentTimeMillis(), tmp =>
+            dedupDict(dict)
+              .where(col("lastDay") >= lit(cutoff.toString).cast("date"))
+              .coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString))
+        }
+      }
+    }
     dropped.map(_.toString)
   }
 }

@@ -99,6 +99,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("substring equality matchers are exact on adversarial label names") {
+    // a label NAME containing the entry separator must not false-positive
+    // an unrelated matcher: with the shifted escape, raw \u0001 occurs
+    // only at true entry boundaries, so the k="v" substring pattern cannot
+    // match inside the escaped name "a\u0001k"
+    import graft.promql.{LabelMatcher, MatchOp}
+    val maps = Seq(Map("a\u0001k" -> "v"), Map("k" -> "v"), Map("k" -> "w"))
+    val df = graft.model.Points.withCanonical(spark.createDataFrame(
+      spark.sparkContext.parallelize(maps.map(m => Row("m", m, 0L, 1.0)), 1),
+      StructType(Seq(
+        StructField("name", StringType),
+        StructField("labels", MapType(StringType, StringType)),
+        StructField("t", LongType), StructField("value", DoubleType)))))
+    val hits = df.where(graft.engine.Compiler.matcherFilter(
+        Seq(LabelMatcher("k", MatchOp.Eq, "v")), useLc = true))
+      .select("labels").collect().map(_.getAs[Map[String, String]](0)).toSet
+    assert(hits == Set(Map("k" -> "v")), s"false positives: $hits")
+    // the same selector through the map path agrees
+    val viaMap = df.where(graft.engine.Compiler.matcherFilter(
+        Seq(LabelMatcher("k", MatchOp.Eq, "v")), useLc = false))
+      .select("labels").collect().map(_.getAs[Map[String, String]](0)).toSet
+    assert(viaMap == hits)
+  }
+
   test("CanonicalLabels keep/drop filters match map_filter-then-canonical") {
     val maps = Seq(
       Map("a" -> "1", "b" -> "2", "c" -> "3"),

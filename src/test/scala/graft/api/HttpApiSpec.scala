@@ -84,6 +84,23 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote read enforces the sample limit before any driver collect") {
+    import graft.promql.{LabelMatcher, MatchOp}
+    val req = RemoteRead.encodeRequest(RemoteRead.Query(0L, 100000L, Seq(
+      LabelMatcher("job", MatchOp.Eq, "api"))))
+    // 3 matching samples against a limit of 2: rejected by the distributed
+    // pre-count — the reject path never materializes a sample row on the
+    // driver (the count() precedes the collect() in RemoteRead.handle)
+    val err = intercept[IllegalStateException] {
+      RemoteRead.handle(spark, points, req, sampleLimit = 2L)
+    }
+    assert(err.getMessage.contains("sample limit"))
+    // at exactly the limit the read succeeds and returns every sample
+    val ok = RemoteRead.handle(spark, points, req, sampleLimit = 3L)
+    val series = RemoteRead.decodeResponse(ok).head
+    assert(series.flatMap(_._2).length == 3)
+  }
+
   test("instant query, labels, label values, series over HTTP") {
     val api = new HttpApi(spark, points)
     val port = api.start(0)

@@ -222,6 +222,127 @@ class StreamingSpec extends AnyFunSuite {
     assert(PointsStore.read(spark, dir, day1, day1 + 100000L).count() == 21)
   }
 
+  test("last-write-wins: re-sent (series, t) points collapse to the newest write on compact") {
+    val dir = Files.createTempDirectory("lww").toString
+    val day1 = 1704067200000L
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pts(v: Double) = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 10).map(i =>
+        Row("m", Map("s" -> (i % 2).toString), day1 + i * 1000L, v)), 2), schema))
+    // the same 10 (series, t) points written twice, second write newer value
+    PointsStore.append(pts(1.0), dir)
+    PointsStore.append(pts(2.0), dir)
+    assert(PointsStore.read(spark, dir, day1, day1 + 60000L).count() == 20)
+    PointsStore.compact(spark, dir)
+    val after = PointsStore.read(spark, dir, day1, day1 + 60000L)
+      .select("t", "value").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // one sample per (sig, t), and the NEWER write won (TSM overwrite
+    // semantics — the guarantee Selectors.instant documents)
+    assert(after.length == 10)
+    assert(after.forall(_._2 == 2.0))
+    // a range kernel over the compacted store counts each point once
+    val stored = PointsStore.read(spark, dir, day1, day1 + 60000L)
+    val cot = graft.engine.Engine.instantQuery(spark, stored,
+      "sum(count_over_time(m[2m]))", day1 + 60000L)
+    assert(cot.head.getAs[Double]("value") == 10.0)
+  }
+
+  test("a replayed micro-batch appends exactly once (idempotent sink, stable rates)") {
+    val storeDir = Files.createTempDirectory("replay_store").toString
+    val stateDir = Files.createTempDirectory("replay_state").toString
+    val t1 = 1704067200000L
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    val batch = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 5).map(i =>
+        Row("load", Map("job" -> "x"), t1 + i * 60000L, 10.0 + i)), 2), schema))
+    val sink = Rules.alertingSink(storeDir, stateDir,
+      Seq(Rules.AlertingRule("High", "load > 1", forMs = 0L)))
+    sink(batch, 7L)
+    def counted = graft.engine.Engine.instantQuery(spark,
+      PointsStore.read(spark, storeDir, t1, t1 + 600000L),
+      "count_over_time(load[10m])", t1 + 300000L).head.getAs[Double]("value")
+    val once = counted
+    assert(once == 5.0)
+    // foreachBatch is at-least-once: the SAME batchId replayed must not
+    // double-count any downstream count_over_time/rate
+    sink(batch, 7L)
+    assert(counted == once)
+    assert(!PointsStore.appendOnce(batch, storeDir, 7L)) // marker committed
+    assert(PointsStore.appendOnce(batch, storeDir, 8L))  // next batch writes
+    assert(counted == 2 * once)
+  }
+
+  test("series dictionary lifecycle: compact folds to one file, expire prunes dead sigs") {
+    val dir = Files.createTempDirectory("dict_life").toString
+    val day = 86400000L
+    val t0 = 1704067200000L
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pt(name: String, t: Long) = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(name, Map("job" -> "x"), t, 1.0)), 1), schema))
+    // series a lives only on day 1; b only on day 30; c spans both
+    PointsStore.append(pt("a", t0 + 1000L), dir)
+    PointsStore.append(pt("c", t0 + 2000L), dir)
+    PointsStore.append(pt("b", t0 + 29 * day + 1000L), dir)
+    PointsStore.append(pt("c", t0 + 29 * day + 2000L), dir)
+    def dictNames = PointsStore.readDict(spark, dir).get
+      .select("name").collect().map(_.getString(0)).toSeq.sorted
+    assert(dictNames == Seq("a", "b", "c")) // c deduped across days
+    // compact folds the per-batch sidecar files into ONE deduped file:
+    // reading it afterwards plans no aggregation (no shuffle per query)
+    PointsStore.compact(spark, dir)
+    val dict = PointsStore.readDict(spark, dir).get
+    assert(dictNames == Seq("a", "b", "c"))
+    assert(!dict.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+      "readDict still plans a dedup shuffle on a compacted store")
+    // retention: dropping days < cutoff prunes dict entries whose newest
+    // day predates it — `a` dies with day 1, `c` survives via day 30
+    PointsStore.expire(spark, dir, t0 + 15 * day)
+    assert(dictNames == Seq("b", "c"))
+    // and the pruned dict is still consistent with the remaining data
+    val stored = PointsStore.read(spark, dir, t0, t0 + 30 * day)
+    val names = stored.select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("b", "c"))
+  }
+
+  test("mixed rule windows read the union of their days, not the hull") {
+    val day = 86400000L
+    val t0 = 1704067200000L
+    val storeDir = Files.createTempDirectory("union_store").toString
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    val pts = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 30).map(d =>
+        Row("load", Map("job" -> "x"), t0 + d * day + 400000L, 50.0)), 2), schema))
+    PointsStore.append(pts, storeDir)
+    // one rule pinned 26 days before another: the hull would span 27 days
+    val pin = t0 + 3 * day + 400000L
+    val tick = t0 + 29 * day + 400000L
+    val grid = graft.engine.StepGrid(tick, tick, 1000L)
+    val rules = Seq(
+      Rules.AlertingRule("Pinned", s"load @ ${pin / 1000} > 10", forMs = 0L),
+      Rules.AlertingRule("Now", "load > 10", forMs = 0L))
+    val bounds = rules.flatMap(r =>
+      graft.engine.Guards.selectorWindowBounds(r.expr, grid))
+    assert(bounds.length == 2)
+    // two disjoint day-granularity intervals, merged windows stay apart
+    val merged = Rules.mergeWindows(bounds)
+    assert(merged.length == 2)
+    // the union read touches exactly the pinned day + the current day
+    val readDays = Rules.prunedUnionRead(spark, storeDir, bounds)
+      .select(expr("t div 86400000")).distinct().count()
+    assert(readDays == 2, s"union read touched $readDays days, expected 2")
+    // windows in the same or adjacent days DO merge (single pruned read)
+    assert(Rules.mergeWindows(Seq((t0, t0 + 1000L), (t0 + day, t0 + day + 1000L))).length == 1)
+    assert(Rules.mergeWindows(Seq((t0, t0 + 1000L), (t0 + 3 * day, t0 + 3 * day + 1000L))).length == 2)
+  }
+
   test("streaming threshold alerts: pending -> firing -> resolved across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
