@@ -256,6 +256,81 @@ object RemoteRead {
     org.xerial.snappy.Snappy.compress(w.bytes)
   }
 
+  // ---- consuming client -------------------------------------------------
+
+  /** Remote-read CLIENT — the reference's consuming side
+    * (src/internal/storage/remote_querier.go:82-93): POST a query to a
+    * Prometheus-compatible `remote_read` endpoint and surface the
+    * returned series as a points relation (`name, labels, t, value` +
+    * sig) that [[graft.engine.Engine]] evaluates over like any stored
+    * relation — this engine can federate FROM a real Prometheus, or
+    * from another instance of itself (loopback-tested in HttpApiSpec).
+    * TLS and auth reuse the scrape connector's config machinery.
+    *
+    * Scale shape: the response is one HTTP stream bounded by the
+    * server's sample limit (the reference's 20e6), materialized on the
+    * driver and parallelized — remote read is a federation/backfill
+    * path, not a bulk-scan path, exactly as in the reference (its
+    * querier also materializes the remote response per query). */
+  final case class Client(
+      url: String,
+      timeoutMs: Long = 30000L,
+      auth: Option[graft.sources.Scrape.AuthConfig] = None,
+      tls: Option[graft.sources.Scrape.TlsConfig] = None) {
+
+    /** Raw protocol round-trip: one Query, decoded series. */
+    def fetch(q: Query): Seq[(Map[String, String], Seq[(Double, Long)])] = {
+      val body = encodeRequest(q)
+      val conn = new java.net.URL(url).openConnection()
+      conn match {
+        case https: javax.net.ssl.HttpsURLConnection =>
+          tls.map(graft.sources.Scrape.buildSslContext)
+            .foreach(c => https.setSSLSocketFactory(c.getSocketFactory))
+          if (tls.exists(_.insecureSkipVerify))
+            https.setHostnameVerifier((_, _) => true)
+        case _ => ()
+      }
+      val http = conn.asInstanceOf[java.net.HttpURLConnection]
+      http.setRequestMethod("POST")
+      http.setDoOutput(true)
+      http.setConnectTimeout(timeoutMs.toInt)
+      http.setReadTimeout(timeoutMs.toInt)
+      http.setRequestProperty("Content-Type", "application/x-protobuf")
+      http.setRequestProperty("Content-Encoding", "snappy")
+      http.setRequestProperty("Accept-Encoding", "snappy")
+      http.setRequestProperty("X-Prometheus-Remote-Read-Version", "0.1.0")
+      auth.flatMap(_.header).foreach(http.setRequestProperty("Authorization", _))
+      val os = http.getOutputStream
+      try os.write(body) finally os.close()
+      if (http.getResponseCode != 200) {
+        val err = Option(http.getErrorStream)
+          .map(s => try new String(s.readAllBytes(), "UTF-8") finally s.close())
+          .getOrElse("")
+        throw new java.io.IOException(
+          s"remote read failed: HTTP ${http.getResponseCode} $err")
+      }
+      val in = http.getInputStream
+      val resp = try in.readAllBytes() finally { in.close(); http.disconnect() }
+      decodeResponse(resp).headOption.getOrElse(Nil)
+    }
+
+    /** The remote series as a canonical points relation — feed to
+      * [[graft.engine.Engine]] or append to a [[graft.sources
+      * .PointsStore]]. `__name__` becomes the name column; remaining
+      * labels the map. */
+    def read(spark: SparkSession, startMs: Long, endMs: Long,
+             matchers: Seq[LabelMatcher]): DataFrame = {
+      import spark.implicits._
+      val rows = fetch(Query(startMs, endMs, matchers)).flatMap {
+        case (labels, samples) =>
+          val name = labels.getOrElse("__name__", null)
+          val rest = labels - "__name__"
+          samples.map { case (v, t) => (name, rest, t, v) }
+      }
+      graft.model.Points.withSig(rows.toDF("name", "labels", "t", "value"))
+    }
+  }
+
   /** Client-side response decode (spec oracle): series → samples. */
   def decodeResponse(body: Array[Byte]): Seq[Seq[(Map[String, String], Seq[(Double, Long)])]] = {
     val raw = org.xerial.snappy.Snappy.uncompress(body)

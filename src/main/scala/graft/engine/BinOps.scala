@@ -98,26 +98,30 @@ object BinOps {
   }
 
   /** vector ∘ scalar (either side): elementwise; comparisons filter the
-    * vector side unless `bool` (engine.go:2380-2421). */
+    * vector side unless `bool` (engine.go:2380-2421).
+    *
+    * A filtering comparison preserves series identity, so a SLIM operand
+    * (dictionary path) stays slim: the predicate runs on the primitive
+    * rows and the dict rides along unrestored. Arithmetic and `bool`
+    * drop the metric name (an identity re-key), so those restore first. */
   private def vectorScalar(be: BinaryExpr, v: VectorVal, s: ScalarVal,
                            scalarOnRight: Boolean): VectorVal = {
-    val withS = s.const match {
-      case Some(c) => v.df.withColumn("_sv", lit(c))
-      case None => v.df.join(broadcast(s.df.withColumnRenamed("value", "_sv")), "step")
-    }
     def lr(vc: Column, sc: Column): (Column, Column) =
       if (scalarOnRight) (vc, sc) else (sc, vc)
+    val filtering = !arithOps(be.op) && !be.returnBool
+    val base = if (filtering) v.raw else v.df
+    val withS = s.const match {
+      case Some(c) => base.withColumn("_sv", lit(c))
+      case None => base.join(broadcast(s.df.withColumnRenamed("value", "_sv")), "step")
+    }
     val (lc, rc) = lr(col("value"), col("_sv"))
-    val out =
-      if (arithOps(be.op)) {
-        Labels.dropName(withS.withColumn("value", arith(be.op, lc, rc)))
-      } else if (be.returnBool) {
-        Labels.dropName(withS.withColumn("value",
-          when(cmp(be.op, lc, rc), lit(1.0)).otherwise(lit(0.0))))
-      } else {
-        withS.where(cmp(be.op, lc, rc)) // keep original sample value + labels
-      }
-    VectorVal(out.drop("_sv"))
+    if (filtering) // keep original sample value + labels (series unchanged)
+      VectorVal(withS.where(cmp(be.op, lc, rc)).drop("_sv"), v.dict)
+    else if (arithOps(be.op))
+      VectorVal(Labels.dropName(withS.withColumn("value", arith(be.op, lc, rc))).drop("_sv"))
+    else
+      VectorVal(Labels.dropName(withS.withColumn("value",
+        when(cmp(be.op, lc, rc), lit(1.0)).otherwise(lit(0.0)))).drop("_sv"))
   }
 
   /** Matching signature: hash of the `on` subset or of all labels minus
@@ -138,6 +142,43 @@ object BinOps {
       else xxhash64(base)
     } else xxhash64(CanonicalLabels.dropColumn(col("labels"), m.labels))
 
+  /** [[msig]] evaluated on a series-DICTIONARY row (name, _lc) instead of
+    * a sample row: the canonical string is expanded to the labels map and
+    * filtered exactly as the per-row path does, so both representations
+    * hash identically. Runs once per SERIES, not once per (series, step). */
+  private def msigOnDict(m: VectorMatching): Column = {
+    val labels = Labels.fromCanonical(col("_lc"))
+    if (m.on) {
+      val mapKeys = m.labels.filterNot(_ == "__name__")
+      val base = CanonicalLabels.keepColumn(labels, mapKeys)
+      if (m.labels.contains("__name__"))
+        xxhash64(coalesce(col("name"), lit("")), base)
+      else xxhash64(base)
+    } else xxhash64(CanonicalLabels.dropColumn(labels, m.labels))
+  }
+
+  /** Attach the matching signature to an operand's rows. FULL operands
+    * compute it per row (a pure projection). SLIM operands (dictionary
+    * path) compute it per series on the dictionary and join the
+    * (sig → _msig) mapping in — a primitive, series-sized build side —
+    * so the per-(series, step) rows entering the binop exchange stay
+    * string-free. */
+  private def withMsig(v: VectorVal, m: VectorMatching): DataFrame = v.dict match {
+    case Some(d) => v.raw.join(d.select(col("sig"), msigOnDict(m).as("_msig")), Seq("sig"))
+    case None => v.df.withColumn("_msig", msig(m))
+  }
+
+  /** Join (name, labels) back from a slim operand's dictionary onto a
+    * RESULT-sized frame keyed by `sigCol`; identity on full operands. */
+  private def restoreSeries(df: DataFrame, v: VectorVal, sigCol: String = "sig"): DataFrame =
+    v.dict match {
+      case Some(d) =>
+        val dd = d.select(col("sig").as(sigCol), col("name"),
+          Labels.fromCanonical(col("_lc")).as("labels"))
+        df.join(dd, Seq(sigCol))
+      case None => df
+    }
+
   /** Result labels for one-to-one matching (engine.go:2336-2377):
     * `on` → only the on labels; otherwise lhs labels minus ignored. */
   private def oneToOneLabels(m: VectorMatching): Column =
@@ -149,14 +190,19 @@ object BinOps {
     val dropsName = arithOps(be.op) || be.returnBool
     m.card match {
       case OneToOne =>
-        val lhs = l.df.withColumn("_msig", msig(m))
-        val rhs = r.df.withColumn("_msig", msig(m))
-          .select(col("_msig"), col("step"), col("value").as("_rv"),
+        val lhs = withMsig(l, m)
+        val rhsPre = withMsig(r, m)
+        // a slim RHS contributes only primitives to the join; a full RHS
+        // keeps its labels rider (unused downstream, kept for parity)
+        val rhs = r.dict match {
+          case Some(_) => rhsPre.select(col("_msig"), col("step"), col("value").as("_rv"))
+          case None => rhsPre.select(col("_msig"), col("step"), col("value").as("_rv"),
             col("labels").as("_rlabels"))
+        }
         // a duplicate signature on the RHS of a 1:1 match errors during the
         // reference's hash-map build, unconditionally (engine.go:2226-2243)
         val joined = lhs.join(
-          dupGuard(rhs, "_rv", Seq("_rlabels"),
+          dupGuard(rhs, "_rv", if (r.dict.isDefined) Nil else Seq("_rlabels"),
             "many-to-many matching not allowed: matching labels must be unique on one side"),
           Seq("_msig", "step"))
         val out =
@@ -178,10 +224,13 @@ object BinOps {
             raise_error(lit("multiple matches for labels: many-to-one matching must be explicit (group_left/group_right)")).cast("double"))
             .otherwise(col("value")))
           .drop("_lcnt")
+        // a slim LHS restores (name, labels) from the dictionary HERE —
+        // after the join, on result-sized rows
+        val withSeries = restoreSeries(guarded, l)
         // resultMetric applies Keep(on)/Del(ignoring) to EVERY one-to-one
         // result, filtering comparisons included (engine.go:2336-2377);
         // __name__ goes when the op drops it or when `on` keeps it out
-        val relabeled = guarded.withColumn("labels", oneToOneLabels(m))
+        val relabeled = withSeries.withColumn("labels", oneToOneLabels(m))
         val named =
           if (dropsName || (m.on && !m.labels.contains("__name__")))
             relabeled.withColumn("name", lit(null).cast("string"))
@@ -191,13 +240,24 @@ object BinOps {
 
       case ManyToOne | OneToMany =>
         val (many, one, manyIsLeft) =
-          if (m.card == ManyToOne) (l.df, r.df, true) else (r.df, l.df, false)
-        val oneSide = dupGuard(
-          one.withColumn("_msig", msig(m))
-            .select(col("_msig"), col("step"), col("value").as("_ov"), col("labels").as("_olabels")),
-          "_ov", Seq("_olabels"),
-          "multiple matches for labels: grouping labels must ensure unique matches")
-        val joined = many.withColumn("_msig", msig(m)).join(oneSide, Seq("_msig", "step"))
+          if (m.card == ManyToOne) (l, r, true) else (r, l, false)
+        // a slim one-side rides its sig through the guard instead of its
+        // labels map; the include labels are joined back from the
+        // dictionary on the result-sized output below
+        val onePre = withMsig(one, m)
+        val oneSide = one.dict match {
+          case Some(_) => dupGuard(
+            onePre.select(col("_msig"), col("step"), col("value").as("_ov"),
+              col("sig").as("_osig")),
+            "_ov", Seq("_osig"),
+            "multiple matches for labels: grouping labels must ensure unique matches")
+          case None => dupGuard(
+            onePre.select(col("_msig"), col("step"), col("value").as("_ov"),
+              col("labels").as("_olabels")),
+            "_ov", Seq("_olabels"),
+            "multiple matches for labels: grouping labels must ensure unique matches")
+        }
+        val joined = withMsig(many, m).join(oneSide, Seq("_msig", "step"))
         val (lc, rc) =
           if (manyIsLeft) (col("value"), col("_ov")) else (col("_ov"), col("value"))
         val valued =
@@ -205,8 +265,20 @@ object BinOps {
           else if (be.returnBool) joined.withColumn("value",
             when(cmp(be.op, lc, rc), lit(1.0)).otherwise(lit(0.0)))
           else joined.where(cmp(be.op, lc, rc))
+        // restore the many side's (name, labels) and — when the one side is
+        // slim and `group_x(include)` asks for its labels — its map too,
+        // both joins at result size
+        val manyRestored = restoreSeries(valued, many)
+        val withOlabels = one.dict match {
+          case Some(d) if m.include.nonEmpty =>
+            manyRestored.join(
+              d.select(col("sig").as("_osig"),
+                Labels.fromCanonical(col("_lc")).as("_olabels")),
+              Seq("_osig"))
+          case _ => manyRestored
+        }
         // include labels copied from the "one" side overwrite the many side
-        val withIncl = m.include.foldLeft(valued) { (df, k) =>
+        val withIncl = m.include.foldLeft(withOlabels) { (df, k) =>
           df.withColumn("labels", Labels.set(col("labels"), k, element_at(col("_olabels"), k)))
         }
         val named =
@@ -239,18 +311,37 @@ object BinOps {
       .drop("_cnt")
   }
 
-  /** and / or / unless on the matching signature (engine.go:2126-2200). */
+  /** and / or / unless on the matching signature (engine.go:2126-2200).
+    *
+    * Set ops preserve each surviving row's series identity, so slim
+    * operands STAY slim: `and`/`unless` emit lhs rows (the rhs contributes
+    * only its primitive (_msig, step) key set), and `or` unions two slim
+    * sides when they share one dictionary. The output VectorVal carries
+    * the dict onward — a chain of set ops never materializes a label. */
   private def setOp(be: BinaryExpr, l: VectorVal, r: VectorVal): VectorVal = {
     val m = be.matching
-    val lhs = l.df.withColumn("_msig", msig(m))
-    val rhs = r.df.withColumn("_msig", msig(m))
-    val out = be.op match {
-      case "and" => lhs.join(rhs.select("_msig", "step"), Seq("_msig", "step"), "left_semi")
-      case "unless" => lhs.join(rhs.select("_msig", "step"), Seq("_msig", "step"), "left_anti")
+    be.op match {
+      case "and" =>
+        VectorVal(withMsig(l, m).join(withMsig(r, m).select("_msig", "step"),
+          Seq("_msig", "step"), "left_semi").drop("_msig"), l.dict)
+      case "unless" =>
+        VectorVal(withMsig(l, m).join(withMsig(r, m).select("_msig", "step"),
+          Seq("_msig", "step"), "left_anti").drop("_msig"), l.dict)
       case "or" =>
-        val rOnly = rhs.join(lhs.select("_msig", "step"), Seq("_msig", "step"), "left_anti")
-        lhs.unionByName(rOnly)
+        // union needs one common schema: slim ∪ slim over the SAME dict
+        // stays slim; anything mixed restores both sides first
+        val sameDict = (l.dict, r.dict) match {
+          case (Some(a), Some(b)) => a eq b
+          case (None, None) => true
+          case _ => false
+        }
+        val (lv, rv, outDict) =
+          if (sameDict) (l, r, l.dict)
+          else (VectorVal(l.df), VectorVal(r.df), None)
+        val lhs = withMsig(lv, m)
+        val rOnly = withMsig(rv, m)
+          .join(lhs.select("_msig", "step"), Seq("_msig", "step"), "left_anti")
+        VectorVal(lhs.unionByName(rOnly).drop("_msig"), outDict)
     }
-    VectorVal(out.drop("_msig"))
   }
 }

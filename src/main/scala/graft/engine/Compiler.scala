@@ -27,8 +27,8 @@ object Compiler {
   private def evalUncached(expr: Expr, ctx: EvalContext): Value = {
     val v = evalRaw(expr, ctx)
     v match {
-      case VectorVal(df) if ctx.strictCollision && Engine.producesCollision(expr) =>
-        VectorVal(Collision.guard(df))
+      case vv: VectorVal if ctx.strictCollision && Engine.producesCollision(expr) =>
+        VectorVal(Collision.guard(vv.df))
       case other => other
     }
   }
@@ -47,8 +47,8 @@ object Compiler {
     case UnaryExpr(_, e) =>
       eval(e, ctx) match {
         case ScalarVal(df, c) => ScalarVal(df.withColumn("value", -col("value")), c.map(-_))
-        case VectorVal(df) => VectorVal(Labels.dropName(
-          df.withColumn("value", -col("value")).withColumn("t", col("step"))))
+        case vv: VectorVal => VectorVal(Labels.dropName(
+          vv.df.withColumn("value", -col("value")).withColumn("t", col("step"))))
         case other => throw new IllegalArgumentException(s"unary minus on $other")
       }
     case Call(fn, args) => Functions.eval(fn, args, ctx)
@@ -131,20 +131,28 @@ object Compiler {
   def evalVectorSelector(vs: VectorSelector, ctx: EvalContext): VectorVal = {
     val pts = selectorPoints(vs, ctx)
     val grid = ctx.grid
+    // dictionary path: the selector stays SLIM — (sig, step, t, value) with
+    // the dict attached to the VectorVal — so a consuming binop's join
+    // exchanges carry no strings; every other consumer restores lazily via
+    // VectorVal.df at exactly the point the old eager join sat
+    val dict = ctx.seriesDict.filter(_ => pts.columns.contains("sig"))
+    def sel(g: StepGrid): DataFrame = dict match {
+      case Some(_) => Selectors.instantSlim(pts, g, ctx.lookbackMs, ctx.sampleTally)
+      case None => Selectors.instant(pts, g, ctx.lookbackMs, ctx.sampleTally)
+    }
     vs.at match {
       case None =>
         if (vs.offsetMs == 0L) {
-          VectorVal(Selectors.instant(pts, grid, ctx.lookbackMs, ctx.sampleTally, ctx.seriesDict))
+          VectorVal(sel(grid), dict)
         } else {
           val shifted = StepGrid(grid.startMs - vs.offsetMs, grid.endMs - vs.offsetMs, grid.stepMs)
-          VectorVal(Selectors.instant(pts, shifted, ctx.lookbackMs, ctx.sampleTally, ctx.seriesDict)
-            .withColumn("step", col("step") + vs.offsetMs))
+          VectorVal(sel(shifted).withColumn("step", col("step") + vs.offsetMs), dict)
         }
       case Some(at) =>
         // step-invariant: evaluate once at the pinned ts, replicate across grid
         val ts = pinnedTs(at, grid) - vs.offsetMs
-        val once = Selectors.instant(pts, StepGrid(ts, ts, 1), ctx.lookbackMs, ctx.sampleTally, ctx.seriesDict).drop("step")
-        VectorVal(once.crossJoin(broadcast(grid.df(ctx.spark))))
+        val once = sel(StepGrid(ts, ts, 1)).drop("step")
+        VectorVal(once.crossJoin(broadcast(grid.df(ctx.spark))), dict)
     }
   }
 

@@ -32,9 +32,10 @@ object Engine {
       strictCollision = strictCollision, seriesDict = seriesDict)
     val ast = Parser.parse(promql)
     Compiler.eval(ast, ctx) match {
-      case VectorVal(df1) =>
+      case vv: VectorVal =>
         // collision checks run at each producing materialization inside the
         // compile ([[Collision]]); the root result is already proven clean
+        val df1 = vv.df
         val df = presentationOrder(ast) match {
           case Some(ord) => df1.orderBy(ord: _*)
           case None => df1

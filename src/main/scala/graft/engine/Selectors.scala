@@ -94,22 +94,7 @@ object Selectors {
               tally: Option[org.apache.spark.util.LongAccumulator] = None,
               seriesDict: Option[DataFrame] = None): DataFrame = seriesDict match {
     case Some(dict) if points.columns.contains("sig") =>
-      // DICTIONARY PATH (store-backed relations): group by the 8-byte sig
-      // alone — the exchange carries only primitives — and join
-      // (name, labels) back from the persisted sidecar at RESULT size
-      // (broadcast when small, shuffled series-sized otherwise). At fleet
-      // scale this removes the ~100-byte canonical string from every
-      // partial row of the selector's shuffle.
-      val slim = withStaleFlag(points).select(
-        col("sig"), col("t"), col("value"), col("stale"))
-      val agg = explodeToSteps(slim, grid, lookbackMs, tally)
-        .groupBy(col("sig"), col("step"))
-        .agg(
-          max(col("t")).as("t"),
-          max_by(col("value"), col("t")).as("value"),
-          max_by(col("stale"), col("t")).as("stale"))
-        .where(!col("stale"))
-      agg
+      instantSlim(points, grid, lookbackMs, tally)
         .join(dict.select(col("sig"), col("name"), col("_lc")), Seq("sig"))
         .select(col("sig"), col("name"),
           Labels.fromCanonical(col("_lc")).as("labels"), col("step"),
@@ -128,6 +113,31 @@ object Selectors {
         .select(xxhash64(col("name"), col("_lc")).as("sig"), col("name"),
           Labels.fromCanonical(col("_lc")).as("labels"), col("step"),
           col("t"), col("value"))
+  }
+
+  /** DICTIONARY-PATH instant selector core (store-backed relations with a
+    * persisted sig): group by the 8-byte sig alone — the exchange carries
+    * only primitives — leaving (name, labels) to be joined back from the
+    * persisted sidecar at RESULT size (broadcast when small, shuffled
+    * series-sized otherwise). At fleet scale this removes the ~100-byte
+    * canonical string from every partial row of the selector's shuffle.
+    * Callers either restore immediately ([[instant]]) or carry the slim
+    * rows further as a slim [[VectorVal]] so binop joins stay string-free.
+    *
+    * Output: sig, step, t, value. */
+  def instantSlim(points: DataFrame, grid: StepGrid,
+                  lookbackMs: Long = Points.DefaultLookbackMs,
+                  tally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val slim = withStaleFlag(points).select(
+      col("sig"), col("t"), col("value"), col("stale"))
+    explodeToSteps(slim, grid, lookbackMs, tally)
+      .groupBy(col("sig"), col("step"))
+      .agg(
+        max(col("t")).as("t"),
+        max_by(col("value"), col("t")).as("value"),
+        max_by(col("stale"), col("t")).as("stale"))
+      .where(!col("stale"))
+      .drop("stale")
   }
 
   /** Range (matrix) selector: all samples per (series, step) in

@@ -19,7 +19,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 sealed trait Value
 
-final case class VectorVal(df: DataFrame) extends Value
+/** Instant vector. Two physical representations share the type:
+  *
+  *  - FULL (`dict == None`): `raw` carries sig, name, labels MAP, step,
+  *    t, value — `df` is `raw` itself.
+  *  - SLIM (`dict == Some`): `raw` carries ONLY (sig, step, t, value) —
+  *    store-backed selector output on the series-dictionary path. `df`
+  *    lazily joins (name, labels) back from the dictionary at RESULT
+  *    size, so consumers that need the label map pay for it exactly
+  *    where the old eager join sat, while slim-aware consumers
+  *    ([[BinOps]]) keep every per-(series, step) exchange string-free
+  *    and do the restore after their own result-sized join.
+  */
+final case class VectorVal(raw: DataFrame, dict: Option[DataFrame] = None)
+    extends Value {
+  /** Full rows (sig, name, labels, step, t, value). */
+  lazy val df: DataFrame = dict match {
+    case Some(d) =>
+      import org.apache.spark.sql.functions.col
+      raw.join(d.select(col("sig"), col("name"), col("_lc")), Seq("sig"))
+        .select(col("sig"), col("name"),
+          Labels.fromCanonical(col("_lc")).as("labels"),
+          col("step"), col("t"), col("value"))
+    case None => raw
+  }
+}
 
 /** `windowEndMsOffset`: the range window actually ends at
   * `step - windowEndMsOffset` in sample time (non-zero for `offset`

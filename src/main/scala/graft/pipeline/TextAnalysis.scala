@@ -23,20 +23,106 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "de", "es"),
     "fr" -> Seq("le", "la", "et", "de", "est"))
 
-  private def stopHits(lang: String): Column =
-    size(filter(toks(col("text")), t => t.isInCollection(stopwords(lang))))
+  // ---- language identification ------------------------------------------
 
-  /** Language-ID: arg-max of per-language stopword hits, fixed precedence
-    * en > de > es > fr on ties (a CASE chain any SQL oracle can mirror). */
-  def langId(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      stopHits("en").as("s_en"), stopHits("de").as("s_de"),
-      stopHits("es").as("s_es"), stopHits("fr").as("s_fr"))
-      .withColumn("lang_pred",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-          .when(col("s_es") >= col("s_fr"), "es")
-          .otherwise("fr"))
+  /** Character-trigram profiles (Cavnar & Trenkle, "N-Gram-Based Text
+    * Categorization", 1994 — the method behind textcat/langdetect): the
+    * most frequent space-padded trigrams of each language, 40 per
+    * language so raw hit counts are comparable without normalization.
+    * Scoring is set-intersection counting — the SQL-mirrorable
+    * simplification of the out-of-place rank metric — which, unlike the
+    * old stopword heuristic, discriminates on unseen words and
+    * morphology (e.g. "ção"/"ão " for pt, "sch"/"cht" for de, "ión" for
+    * es) rather than a handful of ambiguous function words ("de", "la"
+    * appear in four of these languages). */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", "ed ", " an", "and", "nd ", " of", "of ",
+      " in", "ing", "ng ", " to", "to ", "ion", "on ", "ent", " co", "er ",
+      "at ", "tio", " is", "is ", " be", " re", "es ", " wi", "ith", "th ",
+      " ha", "hat", "tha", " it", "it ", "as ", " he", "ere", " ar", "are", " no"),
+    "de" -> Seq("en ", "er ", "ch ", "cht", " de", "der", "ie ", "die", " di",
+      "und", " un", "nd ", "ein", " ei", "ich", "sch", " sc", "che", "den",
+      " ge", "gen", "ung", "ng ", "in ", " be", "ver", " ve", "das", " da",
+      "ten", "te ", "ber", " au", "auf", "eit", "hen", "ht ", "lic", "ist", " zu"),
+    "es" -> Seq(" de", "de ", "os ", "la ", " la", "el ", " el", "en ", " en",
+      "es ", " es", "as ", "ón ", "ión", "ció", "aci", "que", " qu", "ue ",
+      "nte", "con", " co", "ent", "ado", "do ", "ar ", "una", " un", "no ",
+      "ra ", "por", " po", "par", " pa", "sta", "est", " se", "or ", "a d", "e l"),
+    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "nt ", "la ", " la",
+      "et ", " et", "ion", "on ", "re ", " co", "e d", "e l", "que", " qu",
+      "ue ", "les", "des", " pa", "par", "tio", "eur", "our", " po", "pou",
+      "ur ", "dan", " da", "ans", "ne ", "une", " un", "er ", "it ", " au", "ait"),
+    "it" -> Seq(" di", "di ", "to ", "la ", " la", "che", " ch", "he ", "re ",
+      "no ", "o d", "e d", " co", "con", "one", "ion", "zio", "azi", "ne ",
+      "ato", "ell", "lla", " de", "del", "le ", "li ", "gli", " gl", " un",
+      "una", "per", " pe", "er ", "ri ", " in", "in ", "si ", "non", " no", "ità"),
+    "pt" -> Seq(" de", "de ", "os ", "o d", "as ", " a ", "ão ", "ção", "açã",
+      " co", "con", "es ", " es", "do ", " do", "da ", " da", "em ", " em",
+      "que", " qu", "ue ", "ent", "nte", "ara", " pa", "par", "ra ", "com",
+      "a d", "ade", "dad", "um ", " um", "is ", "or ", "res", "ais", " se", "s d"))
+
+  /** Letters of the six profiled languages; everything else separates
+    * words. Shared with the SQL oracle verbatim. */
+  val langLetterClass = "[^a-zàâäáãçèéêëìíîïñòóôöõùúûüß]+"
+
+  /** Lowercase, strip non-letters, pad with spaces so word-boundary
+    * trigrams (" th", "ng ") exist at the edges. */
+  def langNorm(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(text), langLetterClass, " "), lit(" "))
+
+  /** All character trigrams of the normalized text. `greatest(…, 1)`
+    * keeps `sequence` ascending on degenerate inputs (Spark's sequence
+    * DESCENDS when end < start; DuckDB's generate_series returns empty
+    * — the clamp plus substr's short-tail behavior makes both yield no
+    * profile hits). */
+  def langTrigrams(norm: Column): Column =
+    transform(sequence(lit(1), greatest(length(norm) - 2, lit(1))),
+      i => norm.substr(i, lit(3)))
+
+  /** Top function words per language — the second evidence channel. A
+    * function-word hit outweighs [[functionWordWeight]] trigram hits: on
+    * in-domain prose the channels agree, while on out-of-domain text
+    * (jargon, code-like word lists) whole-word matches are far more
+    * reliable than generic letter sequences like "le "/"er " that fire
+    * inside technical vocabulary. */
+  val functionWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por", "con", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une", "dans", "pour"),
+    "it" -> Seq("il", "la", "di", "che", "e", "per", "una", "del", "non", "gli"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "da", "do", "uma", "para", "não"))
+
+  val functionWordWeight = 10
+
+  /** Language-ID: arg-max of per-language evidence = trigram-profile hits
+    * + 10 × function-word hits, fixed precedence en > de > es > fr > it
+    * > pt on ties (a CASE chain any SQL oracle can mirror). One pass:
+    * trigrams and words materialized once per document, then six
+    * codegen'd set-membership counts per channel. */
+  def langId(docs: DataFrame): DataFrame = {
+    val langs = trigramProfiles.map(_._1)
+    val words = functionWords.toMap
+    val grams = docs.select(col("doc_id"),
+      langTrigrams(langNorm(col("text"))).as("_g"),
+      split(trim(langNorm(col("text"))), " ").as("_w"))
+    val scored = grams.select(col("doc_id") +: trigramProfiles.map {
+      case (lang, prof) =>
+        (size(filter(col("_g"), g => g.isInCollection(prof))) +
+          lit(functionWordWeight) *
+            size(filter(col("_w"), w => w.isInCollection(words(lang)))))
+          .as(s"s_$lang")
+    }: _*)
+    def wins(lang: String): Column = {
+      val rest = langs.dropWhile(_ != lang).drop(1)
+      rest.map(o => col(s"s_$lang") >= col(s"s_$o")).reduceOption(_ && _)
+        .getOrElse(lit(true))
+    }
+    scored.withColumn("lang_pred",
+      langs.init.foldLeft(when(lit(false), "")) { (c, lang) =>
+        c.when(wins(lang), lang)
+      }.otherwise(langs.last))
+  }
 
   /** Quality metrics per document; every ratio is a single division over
     * integer counts (bit-stable vs an oracle). */

@@ -109,6 +109,46 @@ object PipelineQueries {
 
   private val stopEn = "('the','a','of','to','and','in','is')"
 
+  /** The trigram-profile language-ID oracle, generated from the SAME
+    * profile data the Spark expression uses ([[TextAnalysis
+    * .trigramProfiles]]) so the two can never drift. Identical pipeline:
+    * lowercase → strip non-letters → space-pad → all char trigrams →
+    * per-language set-intersection count → precedence-ordered argmax. */
+  private val langIdOracle: String = {
+    val profiles = TextAnalysis.trigramProfiles
+    val langs = profiles.map(_._1)
+    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
+    val words = TextAnalysis.functionWords.toMap
+    val w = TextAnalysis.functionWordWeight
+    val scoreCols = profiles.map { case (lang, prof) =>
+      s"    len(list_filter(grams, x -> x IN ${inList(prof)})) + " +
+        s"$w * len(list_filter(words, x -> x IN ${inList(words(lang))})) AS s_$lang"
+    }.mkString(",\n")
+    val caseArms = langs.init.map { lang =>
+      val rest = langs.dropWhile(_ != lang).drop(1)
+      s"  WHEN ${rest.map(o => s"s_$lang >= s_$o").mkString(" AND ")} THEN '$lang'"
+    }.mkString("\n")
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    ' ' || regexp_replace(lower(text), '${TextAnalysis.langLetterClass}', ' ', 'g') || ' ' AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+       |      i -> substr(t, i, 3)) AS grams,
+       |    string_split(trim(t), ' ') AS words
+       |  FROM n),
+       |sc AS (
+       |  SELECT doc_id,
+       |$scoreCols
+       |  FROM g)
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE
+       |$caseArms
+       |  ELSE '${langs.last}' END AS lang_pred
+       |FROM sc""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, length(text) AS n_chars
@@ -255,20 +295,7 @@ object PipelineQueries {
          |        / len(string_split(text, ' ')), 6) AS avg_tok_len
          |FROM documents""".stripMargin,
 
-    "q_text_langid" ->
-      s"""WITH sc AS (
-         |  SELECT doc_id,
-         |    len(list_filter(string_split(text, ' '), t -> t IN $stopEn)) AS s_en,
-         |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','das','ist'))) AS s_de,
-         |    len(list_filter(string_split(text, ' '), t -> t IN ('el','la','y','de','es'))) AS s_es,
-         |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','de','est'))) AS s_fr
-         |  FROM documents)
-         |SELECT doc_id, s_en, s_de, s_es, s_fr,
-         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |       WHEN s_es >= s_fr THEN 'es'
-         |       ELSE 'fr' END AS lang_pred
-         |FROM sc""".stripMargin,
+    "q_text_langid" -> langIdOracle,
 
     "q_text_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

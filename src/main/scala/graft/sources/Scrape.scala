@@ -154,27 +154,185 @@ object Scrape {
       targetLabel: String = "",
       replacement: String = "$1")
 
+  /** `tls_config` subset (reference delegates to the Prometheus scrape
+    * manager's config,  scraping/scraper.go:66-100): PEM file paths only —
+    * the struct ships to executors as strings and the SSL machinery is
+    * built lazily inside the fetch closure. */
+  final case class TlsConfig(
+      caFile: Option[String] = None,
+      certFile: Option[String] = None,
+      keyFile: Option[String] = None,
+      insecureSkipVerify: Boolean = false)
+
+  /** `authorization`/`basic_auth` subset: bearer token (inline or file)
+    * or username/password. */
+  final case class AuthConfig(
+      bearerToken: Option[String] = None,
+      bearerTokenFile: Option[String] = None,
+      basicUsername: Option[String] = None,
+      basicPassword: Option[String] = None) {
+    /** The Authorization header value, if any auth is configured. */
+    def header: Option[String] =
+      bearerToken.map(t => s"Bearer $t")
+        .orElse(bearerTokenFile.map(f => "Bearer " + new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+          java.nio.charset.StandardCharsets.UTF_8).trim))
+        .orElse(basicUsername.map { u =>
+          val cred = s"$u:${basicPassword.getOrElse("")}"
+          "Basic " + java.util.Base64.getEncoder.encodeToString(
+            cred.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+  }
+
   final case class ScrapeJob(
       jobName: String,
       targets: Seq[String],
       intervalMs: Long = 60000L,
       relabel: Seq[RelabelRule] = Nil,
       scheme: String = "http",
-      timeoutMs: Long = 10000L)
+      timeoutMs: Long = 10000L,
+      auth: Option[AuthConfig] = None,
+      tls: Option[TlsConfig] = None,
+      fileSdFiles: Seq[String] = Nil)
 
-  /** Default HTTP fetcher for a job's scheme/timeout knobs: GET
-    * `scheme://target/metrics` with connect+read timeouts. Captures only
-    * primitives, so it serializes to executors for the distributed path. */
-  def httpFetch(scheme: String = "http", timeoutMs: Long = 10000L): String => String =
+  /** Default HTTP(S) fetcher for a job's knobs: GET
+    * `scheme://target/metrics` with connect+read timeouts, an
+    * Authorization header when auth is configured, and a custom trust /
+    * client-cert SSLContext when `tls` is. Captures only primitives and
+    * small case classes, so it serializes to executors for the
+    * distributed path; the SSLContext is rebuilt lazily per executor. */
+  def httpFetch(scheme: String = "http", timeoutMs: Long = 10000L,
+                auth: Option[AuthConfig] = None,
+                tls: Option[TlsConfig] = None): String => String = {
+    // resolved OUTSIDE the per-target closure body via lazy holder: one
+    // SSLContext per JVM per fetcher, not one per request
+    lazy val ssl = tls.map(buildSslContext)
     target => {
-      val conn = new java.net.URL(s"$scheme://$target/metrics")
-        .openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setConnectTimeout(timeoutMs.toInt)
-      conn.setReadTimeout(timeoutMs.toInt)
-      val in = conn.getInputStream
+      val conn = new java.net.URL(s"$scheme://$target/metrics").openConnection()
+      conn match {
+        case https: javax.net.ssl.HttpsURLConnection =>
+          ssl.foreach(ctx => https.setSSLSocketFactory(ctx.getSocketFactory))
+          if (tls.exists(_.insecureSkipVerify))
+            https.setHostnameVerifier((_, _) => true)
+        case _ => ()
+      }
+      val http = conn.asInstanceOf[java.net.HttpURLConnection]
+      http.setConnectTimeout(timeoutMs.toInt)
+      http.setReadTimeout(timeoutMs.toInt)
+      auth.flatMap(_.header).foreach(http.setRequestProperty("Authorization", _))
+      val in = http.getInputStream
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally { in.close(); conn.disconnect() }
+      finally { in.close(); http.disconnect() }
     }
+  }
+
+  /** The fetcher a job's own knobs imply — plug into [[scrapeTick]] /
+    * [[scrapeSink]] when no custom fetch is injected. */
+  def jobFetch(job: ScrapeJob): String => String =
+    httpFetch(job.scheme, job.timeoutMs, job.auth, job.tls)
+
+  /** Build an SSLContext from PEM files: `ca_file` replaces the default
+    * trust anchors, `cert_file`+`key_file` (PKCS#8 key) configure a
+    * client certificate (mutual TLS), `insecure_skip_verify` trusts
+    * everything. Pure JDK — CertificateFactory + KeyFactory — no
+    * dependencies. */
+  def buildSslContext(tls: TlsConfig): javax.net.ssl.SSLContext = {
+    import java.security.KeyStore
+    import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory, X509TrustManager}
+    val trustManagers: Array[javax.net.ssl.TrustManager] =
+      if (tls.insecureSkipVerify) Array(new X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      })
+      else tls.caFile match {
+        case Some(ca) =>
+          val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+          val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ca))
+          val certs = try cf.generateCertificates(in) finally in.close()
+          val ks = KeyStore.getInstance(KeyStore.getDefaultType)
+          ks.load(null, null)
+          val it = certs.iterator()
+          var i = 0
+          while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
+          val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+          tmf.init(ks)
+          tmf.getTrustManagers
+        case None => null // JDK default trust anchors
+      }
+    val keyManagers: Array[javax.net.ssl.KeyManager] =
+      (tls.certFile, tls.keyFile) match {
+        case (Some(cert), Some(key)) =>
+          val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+          val cin = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(cert))
+          val chain = try cf.generateCertificates(cin).toArray(
+            Array.empty[java.security.cert.Certificate]) finally cin.close()
+          val pem = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(key)), java.nio.charset.StandardCharsets.US_ASCII)
+          val der = java.util.Base64.getMimeDecoder.decode(
+            pem.replaceAll("-----[A-Z ]+-----", "").trim)
+          val spec = new java.security.spec.PKCS8EncodedKeySpec(der)
+          val pk = Seq("RSA", "EC", "DSA").view.flatMap { alg =>
+            try Some(java.security.KeyFactory.getInstance(alg).generatePrivate(spec))
+            catch { case _: java.security.spec.InvalidKeySpecException => None }
+          }.headOption.getOrElse(throw new IllegalArgumentException(
+            s"unsupported private key in $key (PKCS#8 RSA/EC/DSA expected)"))
+          val ks = KeyStore.getInstance(KeyStore.getDefaultType)
+          ks.load(null, null)
+          ks.setKeyEntry("client", pk, Array.empty[Char], chain)
+          val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+          kmf.init(ks, Array.empty[Char])
+          kmf.getKeyManagers
+        case _ => null
+      }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(keyManagers, trustManagers, null)
+    ctx
+  }
+
+  // ---- file-based service discovery (file_sd_configs) -------------------
+
+  /** One target group from a file_sd JSON file:
+    * `[{"targets": ["h:p", ...], "labels": {"k": "v", ...}}, ...]`. */
+  final case class FileSdGroup(targets: Seq[String], labels: Map[String, String])
+
+  /** Read a file_sd file NOW — [[resolveTargets]] re-reads on every tick,
+    * which IS Prometheus' reload semantics for file SD (change the file,
+    * the next scrape sees the new target set; no restart). A missing or
+    * malformed file contributes no targets (a broken SD file must not
+    * take down the whole job). */
+  def readFileSd(path: String): Seq[FileSdGroup] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      graft.api.MiniJson.parse(text) match {
+        case groups: List[_] => groups.flatMap {
+          case g: Map[_, _] =>
+            val m = g.asInstanceOf[Map[String, Any]]
+            val targets = m.get("targets") match {
+              case Some(ts: List[_]) => ts.collect { case s: String => s }
+              case _ => Nil
+            }
+            val labels = m.get("labels") match {
+              case Some(ls: Map[_, _]) => ls.asInstanceOf[Map[String, Any]]
+                .collect { case (k, v: String) => (k, v) }
+              case _ => Map.empty[String, String]
+            }
+            if (targets.isEmpty) Nil else Seq(FileSdGroup(targets, labels))
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** A job's target set at THIS instant: static_configs targets (no extra
+    * labels) plus every file_sd group's targets with the group's labels —
+    * file SD files re-read per call, so edits are picked up on the next
+    * tick. */
+  def resolveTargets(job: ScrapeJob): Seq[(String, Map[String, String])] =
+    job.targets.map((_, Map.empty[String, String])) ++
+      job.fileSdFiles.flatMap(readFileSd).flatMap(g =>
+        g.targets.map((_, g.labels)))
 
   /** Prometheus relabelling subset over a target's labelset. Regexes are
     * fully anchored (as in prometheus/relabel); `replace` expands $1..$9
@@ -223,15 +381,27 @@ object Scrape {
     * fetch closure must then be executor-serializable ([[httpFetch]] is). */
   def scrapeJob(spark: SparkSession, job: ScrapeJob,
                 fetch: String => String, tsMs: Long,
-                distributed: Boolean = false): DataFrame = {
-    val resolved: Seq[(String, Map[String, String])] = job.targets.flatMap { target =>
-      relabel(Map("job" -> job.jobName, "__address__" -> target), job.relabel) match {
-        case None => Nil
-        case Some(ls0) =>
-          val instance = ls0.getOrElse("instance", ls0.getOrElse("__address__", target))
-          Seq((target, ls0.filterNot(_._1.startsWith("__")) + ("instance" -> instance)))
+                distributed: Boolean = false): DataFrame =
+    scrapeResolved(spark, job, resolveTargets(job), fetch, tsMs, distributed)
+
+  /** Execute a scrape over an explicit (target, sd-labels) set — the
+    * scheduler filters the resolved set by interval before calling this. */
+  private def scrapeResolved(spark: SparkSession, job: ScrapeJob,
+                             targets: Seq[(String, Map[String, String])],
+                             fetch: String => String, tsMs: Long,
+                             distributed: Boolean): DataFrame = {
+    val resolved: Seq[(String, Map[String, String])] =
+      targets.flatMap { case (target, sdLabels) =>
+        // file-SD group labels join the initial labelset BEFORE relabelling
+        // (so rules can route on them), like the Prometheus SD pipeline
+        relabel(sdLabels ++ Map("job" -> job.jobName, "__address__" -> target),
+          job.relabel) match {
+          case None => Nil
+          case Some(ls0) =>
+            val instance = ls0.getOrElse("instance", ls0.getOrElse("__address__", target))
+            Seq((target, ls0.filterNot(_._1.startsWith("__")) + ("instance" -> instance)))
+        }
       }
-    }
     if (!distributed) {
       toPoints(spark, resolved.flatMap { case (target, targetLabels) =>
         parseExposition(fetch(target), tsMs)
@@ -264,17 +434,22 @@ object Scrape {
                  lastRun: Map[String, Long] = Map.empty,
                  distributed: Boolean = false)
       : (DataFrame, Map[String, Long]) = {
+    // file-SD files are re-read here, every tick — target-set changes land
+    // on the next interval with no restart (Prometheus file SD semantics)
     val due = jobs.map { job =>
-      job.copy(targets = job.targets.filter { t =>
+      (job, resolveTargets(job).filter { case (t, _) =>
         lastRun.get(s"${job.jobName}/$t").forall(nowMs - _ >= job.intervalMs)
       })
-    }.filter(_.targets.nonEmpty)
-    val dfs = due.map(scrapeJob(spark, _, fetch, nowMs, distributed))
+    }.filter(_._2.nonEmpty)
+    val dfs = due.map { case (job, targets) =>
+      scrapeResolved(spark, job, targets, fetch, nowMs, distributed)
+    }
     val points =
       if (dfs.isEmpty) toPoints(spark, Nil)
       else dfs.reduce(_ unionByName _)
-    val advanced = lastRun ++ due.flatMap(j =>
-      j.targets.map(t => s"${j.jobName}/$t" -> nowMs))
+    val advanced = lastRun ++ due.flatMap { case (job, targets) =>
+      targets.map { case (t, _) => s"${job.jobName}/$t" -> nowMs }
+    }
     (points, advanced)
   }
 
@@ -322,6 +497,11 @@ object Scrape {
     var jScheme = "http"; var jTimeout = 10000L
     var jTargets = scala.collection.mutable.ArrayBuffer[String]()
     var jRules = scala.collection.mutable.ArrayBuffer[RelabelRule]()
+    var jFileSd = scala.collection.mutable.ArrayBuffer[String]()
+    var jBearer: Option[String] = None; var jBearerFile: Option[String] = None
+    var jUser: Option[String] = None; var jPass: Option[String] = None
+    var jCa: Option[String] = None; var jCert: Option[String] = None
+    var jKey: Option[String] = None; var jSkipVerify = false
     var inJob = false
     var rFields = scala.collection.mutable.Map[String, String]()
     var inRule = false
@@ -337,10 +517,20 @@ object Scrape {
       rFields = scala.collection.mutable.Map(); inRule = false
     }
     def flushJob(): Unit = if (inJob) {
+      val auth =
+        if (jBearer.isEmpty && jBearerFile.isEmpty && jUser.isEmpty) None
+        else Some(AuthConfig(jBearer, jBearerFile, jUser, jPass))
+      val tls =
+        if (jCa.isEmpty && jCert.isEmpty && jKey.isEmpty && !jSkipVerify) None
+        else Some(TlsConfig(jCa, jCert, jKey, jSkipVerify))
       jobs += ScrapeJob(jName, jTargets.toSeq, jInterval, jRules.toSeq,
-        scheme = jScheme, timeoutMs = jTimeout)
+        scheme = jScheme, timeoutMs = jTimeout, auth = auth, tls = tls,
+        fileSdFiles = jFileSd.toSeq)
       jTargets = scala.collection.mutable.ArrayBuffer()
       jRules = scala.collection.mutable.ArrayBuffer()
+      jFileSd = scala.collection.mutable.ArrayBuffer()
+      jBearer = None; jBearerFile = None; jUser = None; jPass = None
+      jCa = None; jCert = None; jKey = None; jSkipVerify = false
       jInterval = 60000L; jScheme = "http"; jTimeout = 10000L; inJob = false
     }
 
@@ -348,7 +538,8 @@ object Scrape {
       "target_label", "replacement")
     lines.foreach { line =>
       val t = line.trim
-      if (t == "scrape_configs:" || t == "static_configs:" || t == "relabel_configs:") ()
+      if (t == "scrape_configs:" || t == "static_configs:" || t == "relabel_configs:" ||
+        t == "tls_config:" || t == "basic_auth:" || t == "file_sd_configs:") ()
       else if (t.startsWith("- job_name:")) {
         flushRule(); flushJob()
         inJob = true
@@ -356,6 +547,25 @@ object Scrape {
       } else if (t.startsWith("- targets:")) {
         flushRule()
         jTargets ++= parseFlowList(t.stripPrefix("- targets:").trim)
+      } else if (t.startsWith("- files:")) {
+        flushRule()
+        jFileSd ++= parseFlowList(t.stripPrefix("- files:").trim)
+      } else if (t.startsWith("bearer_token_file:") && inJob) {
+        flushRule(); jBearerFile = Some(unquote(t.stripPrefix("bearer_token_file:").trim))
+      } else if (t.startsWith("bearer_token:") && inJob) {
+        flushRule(); jBearer = Some(unquote(t.stripPrefix("bearer_token:").trim))
+      } else if (t.startsWith("username:") && inJob && !inRule) {
+        jUser = Some(unquote(t.stripPrefix("username:").trim))
+      } else if (t.startsWith("password:") && inJob && !inRule) {
+        jPass = Some(unquote(t.stripPrefix("password:").trim))
+      } else if (t.startsWith("ca_file:") && inJob) {
+        flushRule(); jCa = Some(unquote(t.stripPrefix("ca_file:").trim))
+      } else if (t.startsWith("cert_file:") && inJob) {
+        flushRule(); jCert = Some(unquote(t.stripPrefix("cert_file:").trim))
+      } else if (t.startsWith("key_file:") && inJob) {
+        flushRule(); jKey = Some(unquote(t.stripPrefix("key_file:").trim))
+      } else if (t.startsWith("insecure_skip_verify:") && inJob) {
+        flushRule(); jSkipVerify = t.stripPrefix("insecure_skip_verify:").trim == "true"
       } else if (t.startsWith("- ") &&
         relabelKeys.contains(t.drop(2).split(":", 2).head.trim)) {
         flushRule(); inRule = true

@@ -276,6 +276,67 @@ class EngineIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("series-dictionary path: binop and set-op exchanges carry no strings") {
+    val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("dict_binop").toString
+    PointsStore.append(pts, dir)
+    val t0 = 1704067200000L
+    val tick = t0 + 10 * 86400000L
+    val day = 86400000L
+    val stored = PointsStore.read(spark, dir, tick - day, tick)
+    val dict = PointsStore.readDict(spark, dir)
+    assert(dict.isDefined)
+
+    // correctness first: every binop family must agree with the
+    // label-carrying path, element for element
+    val queries = Seq(
+      "click / on(user) group_left click",
+      "click + on(user, item) click",
+      """click > 3""",
+      "click and on(user) click",
+      "click or on(user) click",
+      "click unless on(user, item) click{user=\"0\"}",
+      "sum by (user) (click / ignoring(item) group_left click)")
+    for (q <- queries) {
+      def res(d: Option[org.apache.spark.sql.DataFrame]) =
+        Engine.instantQuery(spark, stored, q, tick, lookbackMs = day, seriesDict = d)
+          // map entry order differs between the paths; compare sorted
+          .select(to_json(array_sort(map_entries(col("labels")))),
+            col("t"), round(col("value"), 9))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val withDict = res(dict)
+      assert(withDict == res(None), s"dict path diverges for: $q")
+      assert(withDict.nonEmpty, s"empty result for: $q")
+    }
+
+    // plan shape: with broadcast off, the (_msig, step) binop join
+    // exchanges — and the selector exchanges feeding them — must carry
+    // only primitives; the label strings ride only the result-sized
+    // dictionary-restore join
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("click / on(user) group_left click", "click and on(user) click")) {
+        val plan = Engine.instantQuery(spark, stored, q, tick,
+          lookbackMs = day, seriesDict = dict).queryExecution.executedPlan
+        val msigShuffles = plan.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("_msig") => e
+        }
+        assert(msigShuffles.nonEmpty, s"expected a (_msig, step) binop exchange for: $q")
+        msigShuffles.foreach { e =>
+          assert(!e.output.exists(_.dataType ==
+            org.apache.spark.sql.types.StringType),
+            s"label string crosses the binop exchange for $q: ${e.output.mkString(",")}")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("recording rule output persists and is queryable as a new series") {
     val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("store").toString

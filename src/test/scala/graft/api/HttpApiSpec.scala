@@ -84,6 +84,35 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote-read client federates: loopback read -> points relation -> PromQL") {
+    import graft.promql.{LabelMatcher, MatchOp}
+    val api = new HttpApi(spark, points)
+    val port = api.start(0)
+    try {
+      val client = RemoteRead.Client(s"http://127.0.0.1:$port/api/v1/read")
+      // the federated relation carries the remote store's samples
+      val fed = client.read(spark, 0L, 100000L,
+        Seq(LabelMatcher("__name__", MatchOp.Eq, "http_total")))
+      val got = fed.collect().map(r => (r.getAs[String]("name"),
+        r.getAs[Map[String, String]]("labels"), r.getAs[Long]("t"),
+        r.getAs[Double]("value"))).toSet
+      assert(got == Set(
+        ("http_total", Map("job" -> "api", "instance" -> "0"), 60000L, 10.0),
+        ("http_total", Map("job" -> "api", "instance" -> "1"), 60000L, 20.0)))
+      // and is directly evaluable: PromQL over the federated relation
+      // equals PromQL over the remote's own store
+      val overFed = graft.engine.Engine.instantQuery(spark, fed,
+        "sum(http_total)", 120000L).collect().map(_.getAs[Double]("value")).toSeq
+      val overLocal = graft.engine.Engine.instantQuery(spark, points,
+        "sum(http_total)", 120000L).collect().map(_.getAs[Double]("value")).toSeq
+      assert(overFed == overLocal && overFed == Seq(30.0))
+      // a failing remote surfaces as an IOException with the status
+      api.stop()
+      intercept[java.io.IOException](client.fetch(
+        RemoteRead.Query(0L, 1L, Seq(LabelMatcher("__name__", MatchOp.Eq, "x")))))
+    } finally api.stop()
+  }
+
   test("remote read enforces the sample limit before any driver collect") {
     import graft.promql.{LabelMatcher, MatchOp}
     val req = RemoteRead.encodeRequest(RemoteRead.Query(0L, 100000L, Seq(

@@ -110,6 +110,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1 == f2)
   }
 
+  test("trigram language-ID classifies multilingual fixtures") {
+    import spark.implicits._
+    // real prose in each profiled language — word-boundary trigrams and
+    // morphology ("sch"/"cht", "ión", "ção") must dominate, not a
+    // handful of shared function words ("de"/"la" appear in four)
+    val fixtures = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then it runs into the forest with the others", "en"),
+      (2L, "der schnelle braune fuchs springt über den faulen hund und läuft schnell durch den dunklen wald nach hause", "de"),
+      (3L, "la organización española quiere que los niños estudien la lección de ciencias por la tarde en una casa", "es"),
+      (4L, "le renard brun rapide saute par dessus le chien paresseux et il court dans la forêt pour trouver une maison", "fr"),
+      (5L, "la volpe marrone salta sopra il cane pigro e corre per la città verso gli alberi della regione con una organizzazione", "it"),
+      (6L, "a organização portuguesa quer que as crianças estudem a lição de ciências da tarde em uma casa da cidade", "pt"))
+    val docs = fixtures.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val pred = TextAnalysis.langId(docs)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    fixtures.foreach { case (id, text, expected) =>
+      assert(pred(id) == expected,
+        s"doc $id ('${text.take(30)}…') predicted ${pred(id)}, expected $expected")
+    }
+    // degenerate inputs must not crash the sequence/substr pipeline
+    val weird = Seq((7L, ""), (8L, "!!!"), (9L, "a"), (10L, "日本語のテキスト")).toDF("doc_id", "text")
+    assert(TextAnalysis.langId(weird).count() == 4)
+  }
+
   test("wav/bmp header parsers round-trip the synthesizers") {
     val w = Multimodal.parseWav(1, Multimodal.synthWav(2, 16000, 16, 37)).get
     assert(w.format == "wav" && w.width == 37 && w.height == 16000 && w.channels == 2)

@@ -193,6 +193,153 @@ class ScrapeSpec extends AnyFunSuite {
     assert(srcs == Set("host1:9100", "svc:8080"))
   }
 
+  // ---- TLS / auth / file SD --------------------------------------------
+
+  /** Self-signed HTTPS stub: keytool-generated PKCS12 keypair (SAN
+    * localhost), com.sun.net.httpserver.HttpsServer serving /metrics,
+    * exported PEM cert for the client's ca_file. */
+  private def withTlsServer(requireAuth: Option[String => Boolean] = None)
+      (f: (Int, String) => Unit): Unit = {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("tls")
+    val ks = s"$dir/server.p12"
+    val pem = s"$dir/ca.pem"
+    assert(Seq("keytool", "-genkeypair", "-alias", "srv", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "1", "-dname", "CN=localhost",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1",
+      "-keystore", ks, "-storetype", "PKCS12",
+      "-storepass", "changeit", "-keypass", "changeit").! == 0)
+    assert(Seq("keytool", "-exportcert", "-alias", "srv", "-rfc",
+      "-keystore", ks, "-storepass", "changeit", "-file", pem).! == 0)
+    val keyStore = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ks))
+    try keyStore.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(keyStore, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val server = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+    server.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val authOk = requireAuth.forall(check =>
+        check(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")))
+      val (code, body) = if (authOk) (200, "secure_up 1\n") else (401, "unauthorized\n")
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try f(server.getAddress.getPort, pem)
+    finally server.stop(0)
+  }
+
+  test("https scrape: ca_file-verified fetch succeeds, default trust refuses") {
+    withTlsServer() { (port, pem) =>
+      val tls = Scrape.TlsConfig(caFile = Some(pem))
+      val fetch = Scrape.httpFetch("https", 5000L, tls = Some(tls))
+      assert(fetch(s"localhost:$port") == "secure_up 1\n")
+      // without the CA the self-signed chain must be REJECTED — proves the
+      // ca_file path actually alters trust rather than being ignored
+      val bare = Scrape.httpFetch("https", 5000L)
+      intercept[javax.net.ssl.SSLHandshakeException](bare(s"localhost:$port"))
+      // insecure_skip_verify trusts it without any CA
+      val skip = Scrape.httpFetch("https", 5000L,
+        tls = Some(Scrape.TlsConfig(insecureSkipVerify = true)))
+      assert(skip(s"localhost:$port") == "secure_up 1\n")
+    }
+  }
+
+  test("bearer and basic auth headers reach the target; missing auth is 401") {
+    withTlsServer(requireAuth = Some(_ == "Bearer s3cret")) { (port, pem) =>
+      val tls = Some(Scrape.TlsConfig(caFile = Some(pem)))
+      val ok = Scrape.httpFetch("https", 5000L,
+        auth = Some(Scrape.AuthConfig(bearerToken = Some("s3cret"))), tls = tls)
+      assert(ok(s"localhost:$port") == "secure_up 1\n")
+      val noAuth = Scrape.httpFetch("https", 5000L, tls = tls)
+      intercept[java.io.IOException](noAuth(s"localhost:$port"))
+    }
+    val basicExpected = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("prom:pw".getBytes("UTF-8"))
+    withTlsServer(requireAuth = Some(_ == basicExpected)) { (port, pem) =>
+      val ok = Scrape.httpFetch("https", 5000L,
+        auth = Some(Scrape.AuthConfig(basicUsername = Some("prom"),
+          basicPassword = Some("pw"))),
+        tls = Some(Scrape.TlsConfig(caFile = Some(pem))))
+      assert(ok(s"localhost:$port") == "secure_up 1\n")
+    }
+  }
+
+  test("full https job: config parse -> jobFetch -> scrape with relabel") {
+    withTlsServer(requireAuth = Some(_ == "Bearer tok")) { (port, pem) =>
+      val cfg =
+        s"""scrape_configs:
+           |  - job_name: secure
+           |    scheme: https
+           |    bearer_token: tok
+           |    tls_config:
+           |      ca_file: $pem
+           |    static_configs:
+           |      - targets: ['localhost:$port']
+           |""".stripMargin
+      val jobs = Scrape.parseScrapeConfigs(cfg)
+      assert(jobs.head.auth.flatMap(_.bearerToken).contains("tok"))
+      assert(jobs.head.tls.flatMap(_.caFile).contains(pem))
+      val df = Scrape.scrapeJob(spark, jobs.head, Scrape.jobFetch(jobs.head), 1000L)
+      val rows = df.collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("name") == "secure_up")
+      assert(rows.head.getAs[Map[String, String]]("labels")("instance") ==
+        s"localhost:$port")
+    }
+  }
+
+  test("file_sd_configs: targets + labels resolve, file edits reload on the next tick") {
+    val sd = java.nio.file.Files.createTempFile("file_sd", ".json")
+    java.nio.file.Files.write(sd,
+      """[{"targets": ["a:1", "b:2"], "labels": {"env": "prod"}}]""".getBytes("UTF-8"))
+    val cfg =
+      s"""scrape_configs:
+         |  - job_name: sd
+         |    scrape_interval: 15s
+         |    file_sd_configs:
+         |      - files: ['$sd']
+         |""".stripMargin
+    val job = Scrape.parseScrapeConfigs(cfg).head
+    assert(job.fileSdFiles == Seq(sd.toString))
+
+    var fetched = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fetch(t: String): String = { fetched += t; "up 1\n" }
+    val t0 = 1704067200000L
+    val (p1, s1) = Scrape.scrapeTick(spark, Seq(job), fetch, t0)
+    val rows1 = p1.collect()
+    assert(fetched.toSet == Set("a:1", "b:2"))
+    // SD group labels land on every sample (joined before relabelling)
+    assert(rows1.forall(_.getAs[Map[String, String]]("labels")("env") == "prod"))
+
+    // rewrite the SD file: next due tick sees the NEW target set — no
+    // restart, no object rebuild (Prometheus file-SD reload semantics)
+    java.nio.file.Files.write(sd,
+      """[{"targets": ["c:3"], "labels": {"env": "staging"}}]""".getBytes("UTF-8"))
+    fetched.clear()
+    val (p2, _) = Scrape.scrapeTick(spark, Seq(job), fetch, t0 + 20000L, s1)
+    val rows2 = p2.collect()
+    assert(fetched.toSet == Set("c:3")) // a:1/b:2 gone, c:3 discovered
+    assert(rows2.forall(_.getAs[Map[String, String]]("labels")("env") == "staging"))
+
+    // interval scheduling applies to SD targets too: nothing due yet
+    fetched.clear()
+    val (p3, _) = Scrape.scrapeTick(spark, Seq(job), fetch, t0 + 25000L,
+      s1 ++ Map("sd/c:3" -> (t0 + 20000L)))
+    p3.count()
+    assert(fetched.isEmpty)
+    // a missing SD file contributes nothing instead of failing the job
+    java.nio.file.Files.delete(sd)
+    assert(Scrape.resolveTargets(job).isEmpty)
+  }
+
   test("distributed scrape matches the driver-side variant") {
     // bind the body to a local so the executor-shipped closure captures a
     // String, not the (non-serializable) spec instance
