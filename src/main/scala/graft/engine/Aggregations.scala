@@ -78,8 +78,44 @@ object Aggregations {
       .withColumn("sig", xxhash64(col("_glc")))
       .drop("_glc")
 
+  /** The grouping-subset canonical computed on a series-DICTIONARY row
+    * (its `_lc` column) rather than a sample row's labels map. */
+  private def groupedCanonicalOnDict(ae: AggregateExpr): Column = {
+    val labels = Labels.fromCanonical(col("_lc"))
+    if (ae.without) CanonicalLabels.dropColumn(labels, ae.grouping)
+    else CanonicalLabels.keepColumn(labels, ae.grouping)
+  }
+
+  /** DICTIONARY-PATH aggregation: the group key is a pure function of the
+    * series, so it is computed once per SERIES on the dictionary and
+    * joined onto the slim rows as an 8-byte hash — the aggregation
+    * exchange carries only primitives (the sample-row path hashes and
+    * carries the grouped canonical STRING as its group key). The output
+    * STAYS slim: rows are (sig = group hash, step, t, value) and the
+    * derived dictionary maps group hash → (null name, grouped canonical),
+    * group-count-sized — so chains like `sum by(x)(a) / sum by(x)(b)`
+    * never materialize a label until the root. */
+  private def slimGrouped(v: VectorVal, ae: AggregateExpr,
+                          pre: DataFrame => DataFrame,
+                          aggCols: Seq[Column]): VectorVal = {
+    val d = v.dict.get
+    val glc = groupedCanonicalOnDict(ae)
+    val gkey = d.select(col("sig"), xxhash64(glc).as("_gsig"))
+    val out = pre(v.raw).join(gkey, Seq("sig"))
+      .groupBy(col("_gsig"), col("step"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("_gsig").as("sig"), col("step"), col("step").as("t"), col("value"))
+    val dAgg = d.select(xxhash64(glc).as("sig"),
+      lit(null).cast("string").as("name"), glc.as("_lc"))
+      .dropDuplicates("sig")
+    VectorVal(out, Some(dAgg))
+  }
+
   private def simple(ae: AggregateExpr, v: VectorVal, aggCol: Column): VectorVal =
-    finish(grouped(v.df, groupedCanonical(ae), Seq(aggCol.as("value"))))
+    v.dict match {
+      case Some(_) => slimGrouped(v, ae, identity, Seq(aggCol.as("value")))
+      case None => finish(grouped(v.df, groupedCanonical(ae), Seq(aggCol.as("value"))))
+    }
 
   /** Attach a per-step scalar parameter column `_p` (constant-folded when
     * the parameter is a literal expression). */
@@ -93,8 +129,11 @@ object Aggregations {
 
   private def quantileAgg(ae: AggregateExpr, v: VectorVal, ctx: EvalContext): VectorVal = {
     val p = Compiler.eval(ae.param.get, ctx)
-    finish(grouped(withParam(v.df, p), groupedCanonical(ae),
-      Seq(QuantileAgg.column(col("value"), col("_p")).as("value"))))
+    val aggCols = Seq(QuantileAgg.column(col("value"), col("_p")).as("value"))
+    v.dict match {
+      case Some(_) => slimGrouped(v, ae, withParam(_, p), aggCols)
+      case None => finish(grouped(withParam(v.df, p), groupedCanonical(ae), aggCols))
+    }
   }
 
   /** topk/bottomk keep the ORIGINAL series labels; NaN sorts away from both
@@ -111,18 +150,35 @@ object Aggregations {
                else xxhash64(CanonicalLabels.keepColumn(col("labels"), ae.grouping))
     val tie = concat_ws("\u0000",
       coalesce(col("name"), lit("")), Points.canonical(col("labels")))
-    val winners = withParam(v.df, p)
-      .withColumn("_gsig", gsig)
+    // topk SELECTS rows (original series labels survive), so a slim
+    // operand stays slim end-to-end: the group hash and the tie-break
+    // string are per-series functions — on the dictionary path computed
+    // once per SERIES on the dict and joined in before the bounded-heap
+    // aggregate (the tie string rides only map-side; partials carry at
+    // most k entries per group, so the exchange stays output-sized) —
+    // and the winners join back to the SLIM rows.
+    val (src, vRows) = v.dict match {
+      case Some(d) =>
+        val labels = Labels.fromCanonical(col("_lc"))
+        val gl = if (ae.without) CanonicalLabels.dropColumn(labels, ae.grouping)
+                 else CanonicalLabels.keepColumn(labels, ae.grouping)
+        val aug = d.select(col("sig"), xxhash64(gl).as("_gsig"),
+          concat_ws("\u0000", coalesce(col("name"), lit("")), col("_lc")).as("_tie"))
+        (withParam(v.raw, p).join(aug, Seq("sig")), v.raw)
+      case None =>
+        (withParam(v.df, p).withColumn("_gsig", gsig).withColumn("_tie", tie), v.df)
+    }
+    val winners = src
       .groupBy(col("_gsig"), col("step"))
-      .agg(TopKAgg.column(ae.op == "topk", col("value"), tie, col("sig"),
+      .agg(TopKAgg.column(ae.op == "topk", col("value"), col("_tie"), col("sig"),
         col("_p").cast("double")).as("_sigs"))
       .select(col("_gsig"), col("step").as("_wstep"),
         posexplode(col("_sigs")).as(Seq("_rank", "_wsig")))
-    val out = v.df
+    val out = vRows
       .join(winners, col("sig") === col("_wsig") && col("step") === col("_wstep"))
       .orderBy(col("step"), col("_gsig"), col("_rank"))
       .drop("_gsig", "_rank", "_wsig", "_wstep")
-    VectorVal(out)
+    VectorVal(out, v.dict)
   }
 
   /** count_values("lbl", v): count of series per distinct sample value; the

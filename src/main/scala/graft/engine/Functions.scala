@@ -61,12 +61,9 @@ object Functions {
           m.df.join(broadcast(sdf.withColumnRenamed("value", "_q")), "step")
         case other => throw new IllegalArgumentException("quantile_over_time φ must be a scalar")
       }
-      val grouped = restoreSeries(m, withQ.groupBy(col("sig"), col("step"))
+      kernelVector(m, withQ.groupBy(col("sig"), col("step"))
         .agg(QuantileAgg.column(col("value"), col("_q")).as("value"),
-          seriesAggCols(m): _*))
-        .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
-          col("step"), col("step").as("t"), col("value"))
-      VectorVal(Labels.dropName(grouped))
+          seriesAggCols(m): _*), keepName = false)
     case "present_over_time" => overTime(args, ctx, first(lit(1.0)))
     case "absent_over_time" =>
       val m = evalMatrix(args(0), ctx)
@@ -245,26 +242,58 @@ object Functions {
     * the result-sized output. */
   /** Series-identity columns for a matrix aggregation: carried as cheap
     * `first` buffers normally; EMPTY on the dictionary path, where the
-    * exploded rows hold no strings and [[restoreSeries]] joins them back
-    * on the result-sized output. */
+    * exploded rows hold no strings and the output stays a SLIM
+    * [[VectorVal]] ([[kernelVector]]). */
   private def seriesAggCols(m: MatrixVal): Seq[Column] =
     if (m.dict.isDefined) Nil
     else Seq(first(col("name")).as("name"), first(col("_lc")).as("_lc"))
 
-  private def restoreSeries(m: MatrixVal, aggregated: DataFrame): DataFrame =
-    m.dict match {
-      case Some(d) => aggregated.join(d.select(col("sig"), col("name"), col("_lc")), Seq("sig"))
-      case None => aggregated
-    }
+  /** The series identity after the kernel's dropMetricName re-key (null
+    * name, unchanged labels) — [[Labels.dropName]]'s resig evaluated on a
+    * DICTIONARY row, so the slim output's sigs match what a full-path
+    * restore-then-dropName would have produced. */
+  private def droppedNameSig: Column =
+    graft.model.Points.sigOf(lit(null).cast("string"),
+      Labels.fromCanonical(col("_lc")))
+
+  /** Wrap a kernel's (sig, step, value) aggregate as a VectorVal. On the
+    * dictionary path the output STAYS SLIM — no label string ever touches
+    * the kernel result: when the kernel drops the metric name, the rows
+    * are re-keyed through a dictionary-derived (sig → dropped-name sig)
+    * mapping (a result-sized primitive join) and handed a DERIVED
+    * dictionary, so downstream aggregations/binops continue string-free
+    * and the labels materialize once, at the root. */
+  private def kernelVector(m: MatrixVal, aggregated: DataFrame,
+                           keepName: Boolean): VectorVal = m.dict match {
+    case Some(d) =>
+      if (keepName)
+        VectorVal(aggregated.select(col("sig"), col("step"),
+          col("step").as("t"), col("value")), Some(d))
+      else {
+        val out = aggregated
+          .join(d.select(col("sig"), droppedNameSig.as("_sig2")), Seq("sig"))
+          .select(col("_sig2").as("sig"), col("step"),
+            col("step").as("t"), col("value"))
+        // distinct: series differing only by metric name collapse to one
+        // dictionary row (their restored rows are identical, as on the
+        // full path where both carry null name + the same labels)
+        val d2 = d.select(droppedNameSig.as("sig"),
+          lit(null).cast("string").as("name"), col("_lc"))
+          .dropDuplicates("sig")
+        VectorVal(out, Some(d2))
+      }
+    case None =>
+      val out = aggregated.select(col("sig"), col("name"),
+        Labels.fromCanonical(col("_lc")).as("labels"),
+        col("step"), col("step").as("t"), col("value"))
+      if (keepName) VectorVal(out) else VectorVal(Labels.dropName(out))
+  }
 
   private def overTime(args: Seq[Expr], ctx: EvalContext, aggCol: Column,
                        keepName: Boolean = false): VectorVal = {
     val m = evalMatrix(args(0), ctx)
-    val out = restoreSeries(m, m.df.groupBy(col("sig"), col("step"))
-      .agg(aggCol.as("value"), seriesAggCols(m): _*))
-      .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
-        col("step"), col("step").as("t"), col("value"))
-    if (keepName) VectorVal(out) else VectorVal(Labels.dropName(out))
+    kernelVector(m, m.df.groupBy(col("sig"), col("step"))
+      .agg(aggCol.as("value"), seriesAggCols(m): _*), keepName)
   }
 
   /** Fold a SeriesAgg kernel per (series, step); the extrapolation family
@@ -301,15 +330,12 @@ object Functions {
     * ObjectHashAggregate (hash-based, any buffer type) — carrying the
     * canonical STRING through `first` costs far less than the map value
     * it replaces; the map is rebuilt on the result-sized output. */
-  private def rangeKernel(m: MatrixVal, df: DataFrame, valueCol: Column): VectorVal = {
-    val out = restoreSeries(m,
+  private def rangeKernel(m: MatrixVal, df: DataFrame, valueCol: Column): VectorVal =
+    kernelVector(m,
       df.groupBy(col("sig"), col("step"))
         .agg(valueCol.as("value"), seriesAggCols(m): _*)
-        .where(col("value").isNotNull))
-      .select(col("sig"), col("name"), Labels.fromCanonical(col("_lc")).as("labels"),
-        col("step"), col("step").as("t"), col("value"))
-    VectorVal(Labels.dropName(out))
-  }
+        .where(col("value").isNotNull),
+      keepName = false)
 
   private def math1(args: Seq[Expr], ctx: EvalContext, f: Column => Column): Value =
     Compiler.eval(args.headOption.getOrElse(NumberLiteral(0)), ctx) match {

@@ -337,6 +337,77 @@ class EngineIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("series-dictionary path: aggregations and kernel chains stay slim end-to-end") {
+    val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("dict_agg").toString
+    PointsStore.append(pts, dir)
+    val t0 = 1704067200000L
+    val tick = t0 + 10 * 86400000L
+    val day = 86400000L
+    val stored = PointsStore.read(spark, dir, tick - 2 * day, tick)
+    val dict = PointsStore.readDict(spark, dir)
+    assert(dict.isDefined)
+
+    // every aggregation family, kernels, and chained shapes must agree
+    // with the label-carrying path element for element
+    val queries = Seq(
+      "sum by (user) (click)",
+      "sum(click)",
+      "avg without (par) (click)",
+      "count(click)",
+      "stddev by (par) (click)",
+      "quantile by (par) (0.5, click)",
+      "topk(2, click)",
+      "bottomk by (par) (1, click)",
+      """count_values("v", click)""",
+      "min_over_time(click[2d])",
+      "last_over_time(click[2d])",
+      "sum by (user) (rate(click[2d]))",
+      // kernel -> agg -> binop: the whole chain slim on the dict path
+      "sum by (par) (rate(click[2d])) / sum by (par) (count_over_time(click[2d]))",
+      "topk(1, sum by (user) (increase(click[2d])))")
+    for (q <- queries) {
+      def res(d: Option[org.apache.spark.sql.DataFrame]) =
+        Engine.instantQuery(spark, stored, q, tick, lookbackMs = day, seriesDict = d)
+          .select(coalesce(col("name"), lit("")).as("n"),
+            to_json(array_sort(map_entries(col("labels")))).as("l"),
+            col("t"), round(col("value"), 9).as("v"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      val withDict = res(dict)
+      assert(withDict == res(None), s"dict path diverges for: $q")
+      assert(withDict.nonEmpty, s"empty result for: $q")
+    }
+
+    // plan shape: on the dict path, every DATA-PLANE exchange — anything
+    // partitioned per (series|group|match, step) — carries only
+    // primitives; label strings may ride only the series/group-sized
+    // dictionary side tables (partitioned by sig/_gsig alone)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("sum by (par) (rate(click[2d]))",
+        "sum by (par) (rate(click[2d])) / sum by (par) (count_over_time(click[2d]))")) {
+        val plan = Engine.instantQuery(spark, stored, q, tick,
+          lookbackMs = day, seriesDict = dict).queryExecution.executedPlan
+        val stepShuffles = plan.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("step") => e
+        }
+        assert(stepShuffles.nonEmpty, s"expected step-partitioned exchanges for: $q")
+        stepShuffles.foreach { e =>
+          assert(!e.output.exists(_.dataType ==
+            org.apache.spark.sql.types.StringType),
+            s"label string crosses a data-plane exchange for $q: ${e.output.mkString(",")}")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("recording rule output persists and is queryable as a new series") {
     val pts = Points.eventsPoints(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("store").toString
