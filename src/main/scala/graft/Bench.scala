@@ -107,6 +107,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // the range kernels are TypedImperativeAggregates → ObjectHashAggregate,
+      // which silently falls back to SORT-based aggregation after 128 keys
+      // per partition (Spark's default). Neutral at this store's scale
+      // (measured), but at fleet scale — millions of (series, step) groups
+      // per partition — the fallback sorts the exploded window rows on
+      // every rate-family query; the kernel buffers hold only a window's
+      // samples, so a high threshold is cheap insurance.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
