@@ -114,10 +114,39 @@ object Compiler {
       case Some(n) => ctx.points.where(col("name") === n)
       case None => ctx.points
     }
-    // dictionary-layout stores always persist `_lc`, so equality matchers
-    // can run on the canonical string and skip the labels map entirely
-    val useLc = ctx.seriesDict.isDefined && base.columns.contains("_lc")
-    base.where(matcherFilter(vs.matchers, useLc))
+    val dict = ctx.seriesDict.filter(_ => base.columns.contains("sig"))
+    val labelMatchers = vs.matchers.filterNot(_.name == "__name__")
+    dict match {
+      case Some(d) if labelMatchers.nonEmpty =>
+        // DICTIONARY-EVALUATED MATCHERS: a matcher is a pure function of
+        // the series, so evaluate the whole conjunction once per SERIES
+        // on the dictionary (equality via the exact `_lc` substring
+        // rewrite, regex via the rebuilt map) and semi-join the matching
+        // sigs onto the scan. The scan then reads NO string column at
+        // all — (sig, t, value) plus the pushed name equality — and the
+        // per-row predicate is an 8-byte hash probe instead of a string
+        // contains over every sample. Matcher cost scales with series
+        // count, not sample count. `__name__` matchers stay on the scan:
+        // the name equality prunes row groups there ((name,sig,t)
+        // clustering), and the dictionary side applies them too so the
+        // broadcast set is as small as both filters make it.
+        val named = vs.name match {
+          case Some(n) => d.where(col("name") === n)
+          case None => d
+        }
+        val matching = named
+          .withColumn("labels", Labels.fromCanonical(col("_lc")))
+          .where(matcherFilter(vs.matchers, useLc = true))
+          .select(col("sig"))
+        val nameFiltered = vs.matchers.filter(_.name == "__name__")
+          .foldLeft(base)((df, m) => df.where(matcherFilter(Seq(m))))
+        nameFiltered.join(broadcast(matching), Seq("sig"), "left_semi")
+      case Some(_) =>
+        // name-only selector: equality already pushed; nothing to join
+        base.where(matcherFilter(vs.matchers, useLc = base.columns.contains("_lc")))
+      case None =>
+        base.where(matcherFilter(vs.matchers))
+    }
   }
 
   /** Resolve the effective eval-time pin of a selector: `@` is an absolute

@@ -225,9 +225,11 @@ class EngineIntegrationSpec extends AnyFunSuite {
         s"label string crosses the selector exchange: ${e.output.mkString(",")}")
     }
 
-    // equality matchers rewrite to substring predicates on the persisted
-    // canonical string: results identical, and the scan never reads the
-    // labels MAP at all (ReadSchema carries _lc, not labels)
+    // label matchers are evaluated per SERIES on the dictionary and
+    // semi-joined onto the scan as sigs: results identical, and the
+    // POINTS scan reads neither the labels map nor the canonical string
+    // — only (sig, t, value) — while the matcher strings are read once,
+    // from the series-sized dictionary scan
     val someUser = Engine.instantQuery(spark, stored, "click", tick,
       lookbackMs = day).select(col("labels")("user")).head.getString(0)
     def matcherResults(d: Option[org.apache.spark.sql.DataFrame]) =
@@ -241,9 +243,14 @@ class EngineIntegrationSpec extends AnyFunSuite {
       lookbackMs = day, seriesDict = dict).queryExecution.executedPlan.toString
     val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(mPlan).toSeq
       .filterNot(_.contains("name:string,_lc:string")) // the dict's own scan
-    assert(readSchemas.exists(_.contains("_lc")), mPlan)
-    assert(!readSchemas.exists(_.contains("labels")),
-      s"labels map read on the slim matcher path: $readSchemas")
+    assert(readSchemas.nonEmpty, mPlan)
+    assert(!readSchemas.exists(s => s.contains("_lc") || s.contains("labels")),
+      s"label strings read from the points scan on the dict matcher path: $readSchemas")
+    // regex matchers ride the dictionary semi-join too
+    def reResults(d: Option[org.apache.spark.sql.DataFrame]) =
+      Engine.instantQuery(spark, stored, s"""click{user=~"$someUser|999"}""", tick,
+        lookbackMs = day, seriesDict = d).count()
+    assert(reResults(dict) == reResults(None) && reResults(dict) > 0)
     // negative and empty-value (absent-label) matchers survive the rewrite
     def negResults(d: Option[org.apache.spark.sql.DataFrame]) =
       Engine.instantQuery(spark, stored, """click{user!="0",missing=""}""", tick,
