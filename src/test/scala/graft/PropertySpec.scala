@@ -99,6 +99,72 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("slim dictionary path equals the full path on adversarial random stores") {
+    // END-TO-END property: random points with separator-bearing label
+    // values are written through the real store, then a battery of query
+    // shapes (matchers, aggregation, kernel chain, binop, set op, topk)
+    // must return IDENTICAL results with and without the series
+    // dictionary — the slim path (sig-only exchanges, dictionary-
+    // evaluated matchers, derived dictionaries) can never diverge from
+    // the label-carrying semantics, whatever bytes the labels hold.
+    import graft.sources.PointsStore
+    import graft.engine.Engine
+    val t0 = 1704067200000L
+    val sepChars = Gen.oneOf('\u0001', '\u0002', '\u0003', 'x', 'y', '=', ' ')
+    val advVal = Gen.listOfN(5, sepChars).map(_.mkString)
+    val keyGen = Gen.oneOf("ka", "kb", "kc")
+    val mapGen = Gen.mapOf(Gen.zip(keyGen, advVal)).map(_.take(3))
+    val maps = samples(mapGen, 150)
+    val rows = maps.zipWithIndex.map { case (m, i) =>
+      Row(if (i % 3 == 0) "m2" else "m1", m,
+        t0 + (i % 48) * 3600000L, (i % 7).toDouble)
+    }
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    val pts = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema))
+    val dir = java.nio.file.Files.createTempDirectory("prop_dict").toString
+    PointsStore.append(pts, dir)
+    PointsStore.compact(spark, dir)
+    val tick = t0 + 48 * 3600000L
+    val stored = PointsStore.read(spark, dir, t0, tick)
+    val dict = PointsStore.readDict(spark, dir)
+    assert(dict.isDefined)
+
+    // matcher values drawn from the data itself (quote/backslash-free so
+    // the PromQL text layer is not the thing under test here)
+    val someVal = maps.flatMap(_.get("ka")).headOption.getOrElse("")
+    val queries = Seq(
+      "m1",
+      s"""m1{ka="$someVal"}""",
+      s"""{__name__=~"m1|m2", ka!="$someVal"}""",
+      "sum by (ka) (m1)",
+      "avg without (kb) (m1)",
+      "topk(3, m1)",
+      "count_over_time(m1[1d])",
+      "sum by (kb) (last_over_time(m1[2d]))",
+      "m1 and on(ka) m2",
+      "m1 or m2",
+      "sum by (ka) (m1) / on(ka) sum by (ka) (m1)")
+    for (q <- queries) {
+      def res(d: Option[org.apache.spark.sql.DataFrame]) =
+        Engine.instantQuery(spark, stored, q, tick, lookbackMs = 49 * 3600000L,
+          seriesDict = d)
+          .select(coalesce(col("name"), lit("")),
+            to_json(array_sort(map_entries(col("labels")))),
+            col("t"), col("value"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            // NaN-safe: primitive NaN != NaN breaks tuple/set equality
+            java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      val withDict = res(dict)
+      val withoutDict = res(None)
+      assert(withDict == withoutDict,
+        s"slim path diverges for: $q\n  only-dict: ${(withDict -- withoutDict).take(4)}\n  only-full: ${(withoutDict -- withDict).take(4)}")
+    }
+  }
+
   test("substring equality matchers are exact on adversarial label names") {
     // a label NAME containing the entry separator must not false-positive
     // an unrelated matcher: with the shifted escape, raw \u0001 occurs
