@@ -205,6 +205,115 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected duplicate-pair edge list
+    * (`doc_a`, `doc_b` — the output shape of [[minHashLsh]],
+    * [[simHashPairs]], [[ngramJaccard]], or `Similarity.nearDupPairs`
+    * renamed): every document that appears in a pair is labeled with the
+    * SMALLEST doc_id reachable from it. This is the step a real training
+    * pipeline runs after candidate generation — near-dup pairs chain
+    * (A≈B, B≈C but A≉C), so survivors must be picked per transitive
+    * CLUSTER, not per pair.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14) — the
+    * published O(log n)-round MapReduce formulation, here as DataFrame
+    * ops so each round is two hash aggregations + two hash joins over
+    * 16-byte edge rows:
+    *
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    minimum neighborhood node — implemented as groupBy(u).min(v)
+    *    joined back onto the edge list (never a per-node neighbor
+    *    collect, so a 10M-degree hub costs one aggregation buffer, not
+    *    one array).
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    (and itself) to the neighborhood minimum.
+    *
+    * Rounds double the "steepness" of the component forest, so a
+    * 100TB-scale pair set converges in tens of rounds, not
+    * diameter-many label-propagation steps; a chain graph that would
+    * take k propagation rounds takes O(log k) star rounds. The driver
+    * loop only CONTROLS iteration — each round is fully distributed, the
+    * edge set never leaves the cluster, and `localCheckpoint` truncates
+    * the per-round lineage (swap for reliable `checkpoint` on a real
+    * cluster). The convergence check is an exact symmetric edge-set
+    * difference (edge-list-sized, shuffle-partitioned — no driver
+    * materialization).
+    *
+    * Output: (doc_id, cluster_id), one row per node in `pairs`, where
+    * cluster_id = min doc_id of the component. Reference behavior: the
+    * store has no clustering operator; this extends the dedup family the
+    * same way simHashPairs extends simHash. */
+  def components(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val aCol = pairs.columns(0)
+    val bCol = pairs.columns(1)
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def bidirect(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // neighborhood minimum per node, self included: min(Γ(u) ∪ {u})
+    def minNbr(b: DataFrame): DataFrame =
+      b.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = bidirect(e)
+      b.where(col("v") > col("u"))
+        .join(minNbr(b), Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val m = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+      o.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact set equality in ONE job: both difference directions unioned
+      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      edges = next
+      it += 1
+    }
+
+    // fixpoint edges form stars (node → component min); roots label
+    // themselves
+    val oriented = edges.select(greatest(col("u"), col("v")).as("doc_id"),
+      least(col("u"), col("v")).as("cluster_id"))
+    oriented
+      .union(oriented.select(col("cluster_id").as("doc_id"), col("cluster_id")))
+      .distinct()
+  }
+
+  /** Canonical-document selection: drop every clustered document except
+    * the cluster minimum, keep all unclustered documents. The anti-join's
+    * right side is node-count-sized (≪ corpus); AQE broadcasts it while
+    * it fits and co-partitions beyond that.
+    *
+    * Output: (doc_id, n_chars) of the surviving corpus. */
+  def keepOne(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = components(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).as("n_chars"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact token-set Jaccard ≥ `threshold` pairs via a shared-token join:
     * |A∩B| from the join, |A|/|B| from per-doc distinct counts — the only
     * float op is the final single division (bit-stable for any oracle).

@@ -25,6 +25,13 @@ object PipelineQueries {
       Dedup.ngramJaccard(docs(s, dir), 0.5, col("doc_id") < 100)),
     "q_dedup_emb_cos" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 0.4, col("vec_id") < 200)),
+    "q_dedup_cluster" -> ((s, dir) =>
+      Dedup.components(Dedup.ngramJaccard(docs(s, dir), 0.9, col("doc_id") < 500)
+        .select(col("doc_a"), col("doc_b")))),
+    "q_dedup_keep_one" -> ((s, dir) =>
+      Dedup.keepOne(docs(s, dir),
+        Dedup.ngramJaccard(docs(s, dir), 0.9, col("doc_id") < 500)
+          .select(col("doc_a"), col("doc_b")))),
     "q_sim_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), 3)
@@ -48,6 +55,26 @@ object PipelineQueries {
   )
 
   // ---- oracles ---------------------------------------------------------
+
+  /** Shared CTE chain for the clustering oracles: full-table token-set
+    * jaccard >= 0.9 pairs ([[Dedup.ngramJaccard]] semantics), bidirected
+    * into an `edges(a, b)` relation. */
+  private val clusterCtes =
+    """tokd AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE doc_id < 500),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY doc_id),
+      |it AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM tokd a JOIN tokd b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM it JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs)""".stripMargin
 
   private val dotTerms = (1 to 64)
     .map(i => s"CAST(qe[$i] AS DOUBLE) * CAST(ce[$i] AS DOUBLE)").mkString(" + ")
@@ -201,6 +228,27 @@ object PipelineQueries {
         |JOIN sz sa ON sa.doc_id = doc_a
         |JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    // transitive closure of the FULL-table jaccard>=0.9 pair graph:
+    // cluster_id = min reachable doc_id. The recursive reachability CTE is
+    // the oracle-side equivalent of the alternating-star fixpoint.
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "q_dedup_keep_one" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, length(text) AS n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)""".stripMargin,
 
     "q_dedup_emb_cos" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

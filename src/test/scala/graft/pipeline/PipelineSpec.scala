@@ -54,6 +54,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.where(col("hamming") > 2).count() == 0)
   }
 
+  test("components: chains collapse transitively, clusters stay separate") {
+    import spark.implicits._
+    // a 6-node chain (forces merging beyond one star round), a triangle,
+    // and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(cc(_) == 1L))
+    assert((10L to 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    assert(cc.size == 11)
+  }
+
+  test("components: edge order and direction don't matter; empty is empty") {
+    import spark.implicits._
+    val fwd = Seq((7L, 3L), (3L, 9L), (9L, 1L)).toDF("doc_a", "doc_b")
+    val rev = Seq((1L, 9L), (9L, 3L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val a = Dedup.components(fwd).as[(Long, Long)].collect().toSet
+    val b = Dedup.components(rev).as[(Long, Long)].collect().toSet
+    assert(a == b && a.forall(_._2 == 1L) && a.size == 4)
+    assert(Dedup.components(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .isEmpty)
+  }
+
+  test("keepOne keeps cluster minima plus unclustered docs") {
+    import spark.implicits._
+    val d = docs.limit(10)
+    val ids = d.select(col("doc_id").cast("long")).as[Long].collect().sorted
+    val pairs = Seq((ids(0), ids(1)), (ids(1), ids(2)), (ids(5), ids(6)))
+      .toDF("doc_a", "doc_b")
+    val kept = Dedup.keepOne(d, pairs).select("doc_id").as[Long].collect().toSet
+    val expected = ids.toSet -- Set(ids(1), ids(2), ids(6))
+    assert(kept == expected)
+  }
+
   test("brute-force topk: self excluded, cosine in [-1,1], k ranks") {
     val t = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), 3).collect()
     assert(t.length == 15)
