@@ -38,7 +38,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * spark, dir)`) — a dictionary snapshot pinned at
                       * construction would go stale as appends land, and the
                       * dict join would silently drop the new series. */
-                    seriesDict: () => Option[DataFrame] = () => None) {
+                    seriesDict: () => Option[DataFrame] = () => None,
+                    /** Remote-write ingest sink: when set, POST
+                      * /api/v1/write accepts Prometheus `remote_write`
+                      * (snappy+protobuf WriteRequest) and hands the decoded
+                      * points relation to this callback (typically
+                      * `df => PointsStore.append(df, dir)`). */
+                    writeSink: Option[DataFrame => Unit] = None) {
 
   private val Version = "0.3.0-graft"
   private val startedMs = System.currentTimeMillis()
@@ -91,6 +97,28 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
           ex.getResponseBody.write(msg)
       } finally ex.close()
     })
+    // POST /api/v1/write — Prometheus remote-write receiver: the standard
+    // push-ingest wire protocol (the reference ingests over its private
+    // gob TCP framing; remote write is the public equivalent). 204 on
+    // success, per the remote-write spec.
+    writeSink.foreach { sink =>
+      server.createContext("/api/v1/write", (ex: HttpExchange) => {
+        try {
+          if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
+            throw new IllegalArgumentException("POST required")
+          val series = RemoteRead.decodeWriteRequest(ex.getRequestBody.readAllBytes())
+          sink(RemoteRead.writeRequestToPoints(spark, series))
+          ex.sendResponseHeaders(204, -1)
+        } catch {
+          case e: Throwable =>
+            val msg = s"""{"status":"error","error":${Json.str(rootMsg(e))}}"""
+              .getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(400, msg.length)
+            ex.getResponseBody.write(msg)
+        } finally ex.close()
+      })
+    }
     rules.foreach { rm =>
       server.createContext("/api/v1/rules",
         (ex: HttpExchange) => handle(ex)(_ => RulesApi.listing(rm)))

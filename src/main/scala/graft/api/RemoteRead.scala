@@ -331,6 +331,61 @@ object RemoteRead {
     }
   }
 
+  // ---- remote WRITE (receiving side) ------------------------------------
+
+  /** Decode a snappy+protobuf prompb WriteRequest (field 1: repeated
+    * TimeSeries — the same TimeSeries message the read response carries)
+    * into (labels, samples) series. This is the RECEIVING half of
+    * Prometheus `remote_write`: a real Prometheus (or another instance of
+    * this engine) can push samples into the store over the standard wire
+    * protocol — the Spark-first equivalent of the reference's TCP ingress
+    * listener (src/internal/metric-store/metric_store.go:441-508), whose
+    * gob framing is private to its Go peers. */
+  def decodeWriteRequest(body: Array[Byte])
+      : Seq[(Map[String, String], Seq[(Double, Long)])] = {
+    val raw = org.xerial.snappy.Snappy.uncompress(body)
+    val r = new Reader(raw, 0, raw.length)
+    val series = Seq.newBuilder[(Map[String, String], Seq[(Double, Long)])]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      if (field == 1 && wire == 2) {
+        val (s, e) = r.lenDelimited()
+        series += decodeTimeSeries(raw, s, e)
+      } else r.skip(wire)
+    }
+    series.result()
+  }
+
+  /** Sending-side WriteRequest encoder (and the spec's request builder):
+    * the engine can also PUSH to any remote-write endpoint. */
+  def encodeWriteRequest(
+      series: Seq[(Seq[(String, String)], Seq[(Double, Long)])]): Array[Byte] = {
+    val w = new Writer
+    series.foreach { case (labels, samples) =>
+      w.message(1) { ts =>
+        labels.foreach { case (k, v) =>
+          ts.message(1) { l => l.str(1, k); l.str(2, v) }
+        }
+        samples.foreach { case (v, t) => ts.sampleMsg(2, v, t) }
+      }
+    }
+    org.xerial.snappy.Snappy.compress(w.bytes)
+  }
+
+  /** Decoded write series → the canonical points relation (`__name__`
+    * becomes the name column, remaining labels the map, sig computed) —
+    * ready for `PointsStore.append`. */
+  def writeRequestToPoints(spark: SparkSession,
+      series: Seq[(Map[String, String], Seq[(Double, Long)])]): DataFrame = {
+    import spark.implicits._
+    val rows = series.flatMap { case (labels, samples) =>
+      val name = labels.getOrElse("__name__", null)
+      val rest = labels - "__name__"
+      samples.map { case (v, t) => (name, rest, t, v) }
+    }
+    graft.model.Points.withSig(rows.toDF("name", "labels", "t", "value"))
+  }
+
   /** Client-side response decode (spec oracle): series → samples. */
   def decodeResponse(body: Array[Byte]): Seq[Seq[(Map[String, String], Seq[(Double, Long)])]] = {
     val raw = org.xerial.snappy.Snappy.uncompress(body)

@@ -113,6 +113,49 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote write: a pushed WriteRequest lands in the store and queries back") {
+    import graft.promql.{LabelMatcher, MatchOp}
+    val dir = java.nio.file.Files.createTempDirectory("rw-store").toString
+    // serve an EMPTY schema-shaped relation; writes flow into the store via
+    // the sink, reads re-resolve the store per query
+    val empty = points.limit(0)
+    def stored = graft.sources.PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+    val api = new HttpApi(spark, points,
+      writeSink = Some(df => graft.sources.PointsStore.append(df, dir)))
+    val port = api.start(0)
+    try {
+      val body = RemoteRead.encodeWriteRequest(Seq(
+        (Seq("__name__" -> "pushed_total", "job" -> "pusher", "shard" -> "a"),
+          Seq((4.0, 60000L), (6.0, 120000L))),
+        (Seq("__name__" -> "pushed_total", "job" -> "pusher", "shard" -> "b"),
+          Seq((1.5, 60000L)))))
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Content-Encoding", "snappy")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 204)
+      // the pushed samples are queryable through the engine over the store
+      val sum = graft.engine.Engine.instantQuery(spark, stored,
+        """sum(pushed_total{job="pusher"})""", 120000L)
+        .collect().map(_.getAs[Double]("value")).toSeq
+      assert(sum == Seq(7.5)) // 6.0 (shard a latest) + 1.5 (shard b, lookback)
+      // decode/encode round-trip agrees with what was sent
+      val decoded = RemoteRead.decodeWriteRequest(body)
+      assert(decoded.map(_._1("shard")).sorted == Seq("a", "b"))
+      assert(decoded.flatMap(_._2).map(_._1).sorted == Seq(1.5, 4.0, 6.0))
+      // malformed body → 400, not a crash
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(Array[Byte](1, 2, 3))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+      assert(empty.count() == 0) // the served relation itself was untouched
+    } finally api.stop()
+  }
+
   test("remote read enforces the sample limit before any driver collect") {
     import graft.promql.{LabelMatcher, MatchOp}
     val req = RemoteRead.encodeRequest(RemoteRead.Query(0L, 100000L, Seq(
