@@ -4,6 +4,7 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -153,6 +154,33 @@ class HttpApiSpec extends AnyFunSuite {
         HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() == 400)
       assert(empty.count() == 0) // the served relation itself was untouched
+    } finally api.stop()
+  }
+
+  test("remote write push: executor-side forwarding lands every sample") {
+    val dir = java.nio.file.Files.createTempDirectory("rwpush-store").toString
+    val api = new HttpApi(spark, points.limit(0),
+      writeSink = Some(df => graft.sources.PointsStore.append(df, dir)))
+    val port = api.start(0)
+    try {
+      val n = RemoteWrite.push(points, s"http://127.0.0.1:$port/api/v1/write",
+        maxSamplesPerRequest = 2) // force multiple chunked requests
+      assert(n == 3)
+      val stored = graft.sources.PointsStore.read(
+        spark, dir, Long.MinValue, Long.MaxValue)
+      val got = stored.select("name", "t", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = points.select("name", "t", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+      // labels survive the round trip (__name__ folded out of the map)
+      val up = stored.where(col("name") === "up").select("labels").head
+        .getAs[Map[String, String]](0)
+      assert(up == Map("job" -> "api"))
+      // a dead endpoint surfaces as a task failure, not silence
+      api.stop()
+      intercept[Exception](RemoteWrite.push(points,
+        s"http://127.0.0.1:$port/api/v1/write", timeoutMs = 1000))
     } finally api.stop()
   }
 
