@@ -193,7 +193,8 @@ object Scrape {
       timeoutMs: Long = 10000L,
       auth: Option[AuthConfig] = None,
       tls: Option[TlsConfig] = None,
-      fileSdFiles: Seq[String] = Nil)
+      fileSdFiles: Seq[String] = Nil,
+      httpSdUrls: Seq[String] = Nil)
 
   /** Default HTTP(S) fetcher for a job's knobs: GET
     * `scheme://target/metrics` with connect+read timeouts, an
@@ -305,6 +306,12 @@ object Scrape {
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      parseSdGroups(text)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Parse the target-group JSON both file SD and HTTP SD speak. */
+  private def parseSdGroups(text: String): Seq[FileSdGroup] =
+    try {
       graft.api.MiniJson.parse(text) match {
         case groups: List[_] => groups.flatMap {
           case g: Map[_, _] =>
@@ -325,14 +332,44 @@ object Scrape {
       }
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
+  /** HTTP-based service discovery (`http_sd_configs`, the generic
+    * Prometheus HTTP SD that vendor integrations are built on): GET the
+    * url, parse the SAME target-group JSON file SD uses. Re-fetched per
+    * tick like file SD; the job's auth/TLS knobs apply to the SD request
+    * too. A failing or malformed endpoint contributes no targets — SD
+    * outages must not take down the job. */
+  def readHttpSd(url: String, timeoutMs: Long = 10000L,
+                 auth: Option[AuthConfig] = None,
+                 tls: Option[TlsConfig] = None): Seq[FileSdGroup] =
+    try {
+      val conn = new java.net.URL(url).openConnection()
+      conn match {
+        case https: javax.net.ssl.HttpsURLConnection =>
+          tls.map(buildSslContext)
+            .foreach(c => https.setSSLSocketFactory(c.getSocketFactory))
+          if (tls.exists(_.insecureSkipVerify))
+            https.setHostnameVerifier((_, _) => true)
+        case _ => ()
+      }
+      val http = conn.asInstanceOf[java.net.HttpURLConnection]
+      http.setConnectTimeout(timeoutMs.toInt)
+      http.setReadTimeout(timeoutMs.toInt)
+      auth.flatMap(_.header).foreach(http.setRequestProperty("Authorization", _))
+      val in = http.getInputStream
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally { in.close(); http.disconnect() }
+      parseSdGroups(text)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   /** A job's target set at THIS instant: static_configs targets (no extra
-    * labels) plus every file_sd group's targets with the group's labels —
-    * file SD files re-read per call, so edits are picked up on the next
-    * tick. */
+    * labels) plus every file_sd / http_sd group's targets with the
+    * group's labels — SD sources re-read per call, so changes are picked
+    * up on the next tick. */
   def resolveTargets(job: ScrapeJob): Seq[(String, Map[String, String])] =
     job.targets.map((_, Map.empty[String, String])) ++
-      job.fileSdFiles.flatMap(readFileSd).flatMap(g =>
-        g.targets.map((_, g.labels)))
+      (job.fileSdFiles.flatMap(readFileSd) ++
+        job.httpSdUrls.flatMap(readHttpSd(_, job.timeoutMs, job.auth, job.tls)))
+        .flatMap(g => g.targets.map((_, g.labels)))
 
   /** Prometheus relabelling subset over a target's labelset. Regexes are
     * fully anchored (as in prometheus/relabel); `replace` expands $1..$9
@@ -498,6 +535,7 @@ object Scrape {
     var jTargets = scala.collection.mutable.ArrayBuffer[String]()
     var jRules = scala.collection.mutable.ArrayBuffer[RelabelRule]()
     var jFileSd = scala.collection.mutable.ArrayBuffer[String]()
+    var jHttpSd = scala.collection.mutable.ArrayBuffer[String]()
     var jBearer: Option[String] = None; var jBearerFile: Option[String] = None
     var jUser: Option[String] = None; var jPass: Option[String] = None
     var jCa: Option[String] = None; var jCert: Option[String] = None
@@ -525,10 +563,11 @@ object Scrape {
         else Some(TlsConfig(jCa, jCert, jKey, jSkipVerify))
       jobs += ScrapeJob(jName, jTargets.toSeq, jInterval, jRules.toSeq,
         scheme = jScheme, timeoutMs = jTimeout, auth = auth, tls = tls,
-        fileSdFiles = jFileSd.toSeq)
+        fileSdFiles = jFileSd.toSeq, httpSdUrls = jHttpSd.toSeq)
       jTargets = scala.collection.mutable.ArrayBuffer()
       jRules = scala.collection.mutable.ArrayBuffer()
       jFileSd = scala.collection.mutable.ArrayBuffer()
+      jHttpSd = scala.collection.mutable.ArrayBuffer()
       jBearer = None; jBearerFile = None; jUser = None; jPass = None
       jCa = None; jCert = None; jKey = None; jSkipVerify = false
       jInterval = 60000L; jScheme = "http"; jTimeout = 10000L; inJob = false
@@ -539,7 +578,8 @@ object Scrape {
     lines.foreach { line =>
       val t = line.trim
       if (t == "scrape_configs:" || t == "static_configs:" || t == "relabel_configs:" ||
-        t == "tls_config:" || t == "basic_auth:" || t == "file_sd_configs:") ()
+        t == "tls_config:" || t == "basic_auth:" || t == "file_sd_configs:" ||
+        t == "http_sd_configs:") ()
       else if (t.startsWith("- job_name:")) {
         flushRule(); flushJob()
         inJob = true
@@ -550,6 +590,9 @@ object Scrape {
       } else if (t.startsWith("- files:")) {
         flushRule()
         jFileSd ++= parseFlowList(t.stripPrefix("- files:").trim)
+      } else if (t.startsWith("- url:")) {
+        flushRule()
+        jHttpSd += unquote(t.stripPrefix("- url:").trim)
       } else if (t.startsWith("bearer_token_file:") && inJob) {
         flushRule(); jBearerFile = Some(unquote(t.stripPrefix("bearer_token_file:").trim))
       } else if (t.startsWith("bearer_token:") && inJob) {

@@ -340,6 +340,47 @@ class ScrapeSpec extends AnyFunSuite {
     assert(Scrape.resolveTargets(job).isEmpty)
   }
 
+  test("http_sd_configs: targets discovered over HTTP, SD changes apply next tick") {
+    // a live SD endpoint serving the standard target-group JSON
+    @volatile var sdBody = """[{"targets": ["x:1"], "labels": {"dc": "east"}}]"""
+    @volatile var sdStatus = 200
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/sd", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val out = sdBody.getBytes("UTF-8")
+      ex.sendResponseHeaders(sdStatus, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val cfg =
+        s"""scrape_configs:
+           |  - job_name: hsd
+           |    http_sd_configs:
+           |      - url: 'http://127.0.0.1:$port/sd'
+           |""".stripMargin
+      val job = Scrape.parseScrapeConfigs(cfg).head
+      assert(job.httpSdUrls == Seq(s"http://127.0.0.1:$port/sd"))
+      assert(Scrape.resolveTargets(job) == Seq(("x:1", Map("dc" -> "east"))))
+      // the SD endpoint's answer changes: the NEXT resolve sees it
+      sdBody = """[{"targets": ["y:2", "z:3"], "labels": {"dc": "west"}}]"""
+      assert(Scrape.resolveTargets(job).map(_._1) == Seq("y:2", "z:3"))
+      assert(Scrape.resolveTargets(job).forall(_._2("dc") == "west"))
+      // SD outage (500) or garbage: no targets, job not failed
+      sdStatus = 500
+      assert(Scrape.resolveTargets(job).isEmpty)
+      sdStatus = 200
+      sdBody = "not json"
+      assert(Scrape.resolveTargets(job).isEmpty)
+      // static + http SD compose
+      sdBody = """[{"targets": ["y:2"], "labels": {}}]"""
+      assert(Scrape.resolveTargets(job.copy(targets = Seq("s:0"))).map(_._1) ==
+        Seq("s:0", "y:2"))
+    } finally server.stop(0)
+  }
+
   test("distributed scrape matches the driver-side variant") {
     // bind the body to a local so the executor-shipped closure captures a
     // String, not the (non-serializable) spec instance
