@@ -66,6 +66,25 @@ object SparkEntry {
           col("t"), col("value"))
     }),
 
+    // §2.1 storage last-write-wins: an at-least-once resend with CHANGED
+    // values (the worst replay case) collapses at compaction to one
+    // sample per (series, t), newest write stamp winning — the guarantee
+    // Selectors.instant assumes and the reference's TSM engine enforces
+    // per (series, ts)
+    "q_store_lww" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lww_store").toString
+      val pts = Points.eventsPoints(s, dir).where(col("name") === "click")
+      graft.sources.PointsStore.append(pts, tmp)
+      // replayed subset with overriding values — the newer append must win
+      graft.sources.PointsStore.append(
+        pts.where(col("labels").getItem("par") === "1")
+          .withColumn("value", col("value") * 2 + 7), tmp)
+      graft.sources.PointsStore.compact(s, tmp)
+      graft.sources.PointsStore.read(s, tmp, Long.MinValue, Long.MaxValue)
+        .select(col("name"), col("labels").getItem("user").as("user"),
+          col("t"), col("value"))
+    }),
+
     // §2.2 range (matrix) selector: all samples in [step-2d, step] per step
     // (the matrix carries the canonical label string; rebuild the map)
     "q_sel_range" -> ((s, dir) => {
@@ -110,6 +129,15 @@ object SparkEntry {
          |)
          |SELECT name, "user", CAST($T_END AS BIGINT) AS t, value
          |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_store_lww" ->
+      """WITH p AS (
+        |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |         user_id % 3 AS par, epoch_us(ts) // 1000 AS t, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT name, "user", t,
+        |       CASE WHEN par = 1 THEN value * 2 + 7 ELSE value END AS value
+        |FROM p""".stripMargin,
 
     "q_sel_range" ->
       s"""WITH steps AS (
