@@ -85,6 +85,19 @@ object SparkEntry {
           col("t"), col("value"))
     }),
 
+    // §2.1 storage retention: expire drops whole UTC-day partitions older
+    // than the cutoff day (reference: retention enforcer deleting aged
+    // shards); with a midnight cutoff this is exactly t >= cutoff
+    "q_store_expire" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_exp_store").toString
+      graft.sources.PointsStore.append(
+        Points.eventsPoints(s, dir).where(col("name") === "click"), tmp)
+      graft.sources.PointsStore.expire(s, tmp, T0 + 10 * DAY)
+      graft.sources.PointsStore.read(s, tmp, Long.MinValue, Long.MaxValue)
+        .select(col("name"), col("labels").getItem("user").as("user"),
+          col("t"), col("value"))
+    }),
+
     // §2.2 range (matrix) selector: all samples in [step-2d, step] per step
     // (the matrix carries the canonical label string; rebuild the map)
     "q_sel_range" -> ((s, dir) => {
@@ -138,6 +151,12 @@ object SparkEntry {
         |SELECT name, "user", t,
         |       CASE WHEN par = 1 THEN value * 2 + 7 ELSE value END AS value
         |FROM p""".stripMargin,
+
+    "q_store_expire" ->
+      s"""SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |       epoch_us(ts) // 1000 AS t, value
+         |FROM events
+         |WHERE event_type = 'click' AND epoch_us(ts) // 1000 >= ${T0 + 10 * DAY}""".stripMargin,
 
     "q_sel_range" ->
       s"""WITH steps AS (
