@@ -73,7 +73,8 @@ object SparkEntry {
     // per (series, ts)
     "q_store_lww" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_lww_store").toString
-      val pts = Points.eventsPoints(s, dir).where(col("name") === "click")
+      val pts = Points.eventsPoints(s, dir)
+        .where(col("name") === "click" && col("t") < T0 + 7 * DAY)
       graft.sources.PointsStore.append(pts, tmp)
       // replayed subset with overriding values — the newer append must win
       graft.sources.PointsStore.append(
@@ -144,13 +145,13 @@ object SparkEntry {
          |FROM r WHERE rn = 1""".stripMargin,
 
     "q_store_lww" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |         user_id % 3 AS par, epoch_us(ts) // 1000 AS t, value
         |  FROM events WHERE event_type = 'click')
         |SELECT name, "user", t,
         |       CASE WHEN par = 1 THEN value * 2 + 7 ELSE value END AS value
-        |FROM p""".stripMargin,
+        |FROM p WHERE t < ${T0 + 7 * DAY}""".stripMargin,
 
     "q_store_expire" ->
       s"""SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",

@@ -328,7 +328,14 @@ object PointsStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
       .filter(s => onlyDay.forall(d => s.getPath.getName == s"date=$d"))
     val done = Seq.newBuilder[String]
-    days.foreach { st =>
+    // days are independent rewrite units (separate dirs, separate
+    // manifests): compact them CONCURRENTLY on a bounded pool — serial
+    // per-day rewrites would make compaction wall-clock scale with the
+    // store's day count (a year of retention = hundreds of small
+    // sequential Spark jobs), while concurrent days keep the cluster fed.
+    // Spark schedules jobs from multiple submitter threads natively; the
+    // uniquified generation ids keep output/manifest names collision-free.
+    def compactDay(st: org.apache.hadoop.fs.FileStatus): Option[String] = {
       val dayPath = st.getPath
       val now = System.currentTimeMillis()
       vacuum(fs, dayPath, now, graceMs)
@@ -361,8 +368,19 @@ object PointsStore {
             .repartition(nOut)
             .sortWithinPartitions(col("name"), col("sig"), col("t"))
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString))
-        done += dayPath.toString
-      }
+        Some(dayPath.toString)
+      } else None
+    }
+    if (days.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(days.length, 8))
+      try {
+        val futures = days.map(st => pool.submit(
+          new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = compactDay(st)
+          }))
+        futures.foreach(f => done ++= f.get())
+      } finally pool.shutdown()
     }
     // ---- fold the series-dictionary sidecar: rewrite the accumulated
     // per-batch dict files into ONE deduped file (same MVCC manifest flip),
