@@ -51,7 +51,8 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
-    "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir)))
+    "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
+    "q_mm_png_pixels" -> ((s, dir) => Multimodal.pngPixelStats(s, docs(s, dir)))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -313,6 +314,20 @@ object PipelineQueries {
         |SELECT f.doc_id, f.frame_off,
         |       CAST(ascii(substr(d.text, CAST(f.frame_off AS INT) + 1, 1)) AS BIGINT) AS frame_val
         |FROM f JOIN documents d ON f.doc_id = d.doc_id""".stripMargin,
+
+    // the engine synthesizes a deterministic PNG per doc and must decode
+    // it (inflate + unfilter all five scanline filters) to reproduce the
+    // pixel sum the oracle computes arithmetically
+    "q_mm_png_pixels" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 31 + 1 AS INT) AS width,
+        |  CAST((doc_id * 5) % 23 + 1 AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels,
+        |  CAST(list_sum(list_transform(
+        |    range(0, CAST((doc_id % 31 + 1) * ((doc_id * 5) % 23 + 1) *
+        |      (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS INT)),
+        |    i -> (i * 7 + doc_id) % 256)) AS BIGINT) AS pix_sum
+        |FROM documents""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

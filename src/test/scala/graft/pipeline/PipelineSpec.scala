@@ -172,6 +172,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.langId(weird).count() == 4)
   }
 
+  test("png codec: synth -> full decode round-trips pixels through all 5 filters") {
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val w = 13; val h = 11 // >= 5 rows: every filter type appears
+      val fill = (i: Int) => (i * 31 + ch * 7) % 256
+      val png = Multimodal.synthPng(w, h, ch, fill)
+      val Some((dw, dh, dch, px)) = Multimodal.decodePngPixels(png)
+      assert((dw, dh, dch) == (w, h, ch))
+      assert(px.zipWithIndex.forall { case (p, i) => (p & 0xff) == fill(i) })
+      // header-only parse agrees
+      val meta = Multimodal.parsePng(9L, png).get
+      assert(meta.format == "png" && meta.width == w &&
+        meta.height == h && meta.channels == ch)
+    }
+  }
+
+  test("png codec cross-validates against the JDK's independent ImageIO codec") {
+    // our ENCODER, JDK's decoder: ImageIO must reconstruct our pixels
+    val w = 17; val h = 9
+    val fill = (i: Int) => (i * 13 + 5) % 256
+    val ours = Multimodal.synthPng(w, h, 3, fill)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == fill(i) && ((rgb >> 8) & 0xff) == fill(i + 1) &&
+        (rgb & 0xff) == fill(i + 2))
+    }
+    // JDK's ENCODER, our decoder: we must reconstruct ImageIO's pixels
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      src.setRGB(x, y, (fill(i) << 16) | (fill(i + 1) << 8) | fill(i + 2))
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "png", buf))
+    val Some((dw, dh, dch, px)) = Multimodal.decodePngPixels(buf.toByteArray)
+    assert(dw == w && dh == h && dch == 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val i = (y * w + x) * 3
+      assert((px(i + c) & 0xff) == fill(i + c))
+    }
+  }
+
   test("wav/bmp header parsers round-trip the synthesizers") {
     val w = Multimodal.parseWav(1, Multimodal.synthWav(2, 16000, 16, 37)).get
     assert(w.format == "wav" && w.width == 37 && w.height == 16000 && w.channels == 2)
