@@ -262,6 +262,103 @@ object Multimodal {
     }).toDF("doc_id", "width", "height", "channels", "pix_sum")
   }
 
+  // ---- image resize + audio feature extraction (over REAL decodes) -----
+
+  /** Nearest-neighbor resize of a row-major interleaved pixel buffer —
+    * the standard thumbnail/normalize step of an image training
+    * pipeline. Source pixel for output (x, y) is
+    * (x*srcW/dstW, y*srcH/dstH), floor semantics. */
+  def resizeNearest(px: Array[Byte], w: Int, h: Int, ch: Int,
+                    dstW: Int, dstH: Int): Array[Byte] = {
+    val out = new Array[Byte](dstW * dstH * ch)
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * h / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        val sx = (x.toLong * w / dstW).toInt
+        var c = 0
+        while (c < ch) {
+          out((y * dstW + x) * ch + c) = px((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Image-resize gate: synthesize the q_mm_png_pixels PNG per doc, FULL
+    * decode, nearest-neighbor resize to 8x8, emit pixel stats the oracle
+    * reproduces from the source-index arithmetic — matches only if
+    * decode AND resize indexing are both exact. */
+  def pngResizeStats(spark: SparkSession, docs: DataFrame,
+                     dstW: Int = 8, dstH: Int = 8): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 31).toInt + 1
+      val h = ((id * 5) % 23).toInt + 1
+      val ch = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+      val png = synthPng(w, h, ch, i => ((i * 7 + id) % 256).toInt)
+      val (dw, dh, dch, px) = decodePngPixels(png).get
+      val small = resizeNearest(px, dw, dh, dch, dstW, dstH)
+      (id, dstW, dstH, dch, small.map(p => (p & 0xff).toLong).sum)
+    }).toDF("doc_id", "width", "height", "channels", "pix_sum")
+  }
+
+  /** Audio feature extraction over REAL decoded PCM: walk the WAV data
+    * chunk as little-endian 16-bit samples and compute frame count, mean
+    * absolute amplitude, and RMS — the normalize/filter features an
+    * audio pipeline gates on. Returns None for non-WAV / non-16-bit. */
+  def wavAudioStats(id: Long, b: Array[Byte]): Option[(Long, Long, Double, Double)] = {
+    val meta = parseWav(id, b).getOrElse(return None)
+    // locate the data chunk again (parseWav validated structure)
+    var off = 12
+    var dataOff = -1; var dataLen = 0; var bits = 0
+    while (off + 8 <= b.length) {
+      val id4 = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (id4 == "fmt ") bits = le16(b, off + 22)
+      if (id4 == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    if (bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    var sumAbs = 0.0; var sumSq = 0.0
+    var k = 0
+    while (k < n) {
+      val s = (le16(b, dataOff + 2 * k) << 16) >> 16 // sign-extend
+      sumAbs += math.abs(s.toDouble); sumSq += s.toDouble * s
+      k += 1
+    }
+    Some((meta.width.toLong, n.toLong,
+      if (n == 0) 0.0 else sumAbs / n,
+      if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+  }
+
+  /** Audio-feature gate over the deterministic WAV fixtures (same
+    * doc_id-derived shapes as [[decodeSynthetic]]): the oracle recomputes
+    * mean-abs/RMS from the fixture's byte arithmetic, so matching
+    * requires actually decoding the PCM. */
+  def wavFeatureStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .filter(_ % 2 == 0)
+      .mapPartitions(_.map { id =>
+        val wav = synthWav(
+          channels = if (id % 3 == 0) 2 else 1,
+          sampleRate = 8000 * (1 + (id % 3).toInt),
+          bitsPerSample = 16,
+          nFrames = (id % 50).toInt + 1)
+        // meanAbs/rms are bit-stable across engines: the sums are
+        // integer-valued doubles below 2^53 (exact in any accumulation
+        // order), and /n + sqrt are correctly-rounded IEEE ops
+        val (frames, samples, meanAbs, rms) = wavAudioStats(id, wav).get
+        (id, frames, samples, meanAbs, rms)
+      }).toDF("doc_id", "n_frames", "n_samples", "mean_abs", "rms")
+  }
+
   /** STUB fallback for formats without a parser here (JPEG/...): a
     * pure function of the payload so every engine agrees on the output. */
   private def decodeStub(b: MediaBlob): MediaMeta = {

@@ -52,7 +52,9 @@ object PipelineQueries {
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
-    "q_mm_png_pixels" -> ((s, dir) => Multimodal.pngPixelStats(s, docs(s, dir)))
+    "q_mm_png_pixels" -> ((s, dir) => Multimodal.pngPixelStats(s, docs(s, dir))),
+    "q_mm_resize" -> ((s, dir) => Multimodal.pngResizeStats(s, docs(s, dir))),
+    "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir)))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -328,6 +330,45 @@ object PipelineQueries {
         |      (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS INT)),
         |    i -> (i * 7 + doc_id) % 256)) AS BIGINT) AS pix_sum
         |FROM documents""".stripMargin,
+
+    // nearest-neighbor 8x8 resize of the decoded PNG: the oracle maps
+    // each output pixel back to its source index arithmetically
+    "q_mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+        |    CAST((doc_id * 5) % 23 + 1 AS BIGINT) AS h,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(ch AS INT) AS channels,
+        |  CAST(list_sum(list_transform(range(0, CAST(64 * ch AS INT)), i ->
+        |    (((((i // (8 * ch)) * h // 8) * w + (((i % (8 * ch)) // ch) * w // 8)) * ch
+        |      + (i % ch)) * 7 + doc_id) % 256
+        |  )) AS BIGINT) AS pix_sum
+        |FROM d""".stripMargin,
+
+    // real PCM feature extraction: the fixture's data byte j is j % 251,
+    // so sample k is (2k % 251) + 256 * ((2k+1) % 251), sign-extended —
+    // the oracle recomputes mean-abs/RMS from that arithmetic
+    "q_mm_audio_feats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 50 + 1 AS BIGINT) AS frames,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ch
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |s AS (
+        |  SELECT doc_id, frames, frames * ch AS n,
+        |    list_transform(range(0, CAST(frames * ch AS INT)), k ->
+        |      CASE WHEN (2*k) % 251 + 256 * ((2*k+1) % 251) >= 32768
+        |           THEN (2*k) % 251 + 256 * ((2*k+1) % 251) - 65536
+        |           ELSE (2*k) % 251 + 256 * ((2*k+1) % 251) END) AS samples
+        |  FROM d)
+        |SELECT doc_id, frames AS n_frames, n AS n_samples,
+        |  CAST(list_sum(list_transform(samples, x -> abs(x))) AS DOUBLE) / n AS mean_abs,
+        |  sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE) / n) AS rms
+        |FROM s""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

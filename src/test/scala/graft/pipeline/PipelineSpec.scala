@@ -217,6 +217,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: identity at same dims, correct source mapping on downscale") {
+    val w = 6; val h = 4; val ch = 3
+    val px = Array.tabulate(w * h * ch)(i => (i % 251).toByte)
+    assert(Multimodal.resizeNearest(px, w, h, ch, w, h).sameElements(px))
+    val half = Multimodal.resizeNearest(px, w, h, ch, 3, 2)
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until ch) {
+      val src = ((y * h / 2) * w + (x * w / 3)) * ch + c
+      assert((half((y * 3 + x) * ch + c) & 0xff) == (px(src) & 0xff))
+    }
+    // upscale replicates pixels (2x2 from 1x1)
+    val one = Array[Byte](10, 20, 30)
+    val up = Multimodal.resizeNearest(one, 1, 1, 3, 2, 2)
+    assert(up.grouped(3).forall(_.sameElements(one)))
+  }
+
+  test("wav audio stats decode real PCM: silence is zero, known ramp matches") {
+    // hand-build a WAV whose samples are known: synthWav's payload byte j
+    // is j % 251
+    val wav = Multimodal.synthWav(1, 8000, 16, 4)
+    val Some((frames, n, meanAbs, rms)) = Multimodal.wavAudioStats(7L, wav)
+    assert(frames == 4 && n == 4)
+    val samples = (0 until 4).map { k =>
+      val s = (2 * k) % 251 + 256 * ((2 * k + 1) % 251)
+      if (s >= 32768) s - 65536 else s
+    }
+    assert(meanAbs == samples.map(math.abs(_).toDouble).sum / 4)
+    assert(rms == math.sqrt(samples.map(s => s.toDouble * s).sum / 4))
+    // non-wav bytes -> None
+    assert(Multimodal.wavAudioStats(1L, Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("wav/bmp header parsers round-trip the synthesizers") {
     val w = Multimodal.parseWav(1, Multimodal.synthWav(2, 16000, 16, 37)).get
     assert(w.format == "wav" && w.width == 37 && w.height == 16000 && w.channels == 2)
