@@ -262,6 +262,37 @@ object Multimodal {
     }).toDF("doc_id", "width", "height", "channels", "pix_sum")
   }
 
+  /** JPEG header: walk the marker segments for the first SOF0/1/2 frame
+    * header (baseline/extended/progressive) and read precision, height,
+    * width, component count. Real parse of the entropy-coded container;
+    * full JPEG entropy decode is out of scope (no codec libs here). */
+  def parseJpeg(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone marker, no length
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / start-of-scan before any SOF
+      } else {
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > b.length) return None
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (len < 8) return None
+          val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+          val ncomp = b(off + 9) & 0xff
+          return if (w <= 0 || h <= 0 || ncomp == 0) None
+          else Some(MediaMeta(id, b.length.toLong, "jpeg", w, h, ncomp))
+        }
+        off += 2 + len
+      }
+    }
+    None
+  }
+
   // ---- image resize + audio feature extraction (over REAL decodes) -----
 
   /** Nearest-neighbor resize of a row-major interleaved pixel buffer —
@@ -366,12 +397,13 @@ object Multimodal {
     MediaMeta(b.doc_id, n, "raw", (n % 256).toInt + 1, ((n * 7) % 256).toInt + 1, 3)
   }
 
-  /** Sniff + decode: real WAV/BMP/PNG header parse, stub for anything
-    * else. */
+  /** Sniff + decode: real WAV/BMP/PNG/JPEG header parse, stub for
+    * anything else. */
   def decodeOne(b: MediaBlob): MediaMeta =
     parseWav(b.doc_id, b.bytes)
       .orElse(parseBmp(b.doc_id, b.bytes))
       .orElse(parsePng(b.doc_id, b.bytes))
+      .orElse(parseJpeg(b.doc_id, b.bytes))
       .getOrElse(decodeStub(b))
 
   /** Batch decode over partitions: the Dataset[MediaBlob] → Dataset

@@ -120,7 +120,8 @@ class EngineIntegrationSpec extends AnyFunSuite {
     // cartesian product, a nested-loop join, a SortAggregate fallback, or
     // an Expand — the shapes that stop scaling first at 100 TB
     Seq("q_dedup_minhash", "q_dedup_simhash_pairs", "q_alert_for_state",
-      "q_sim_lsh_ann", "q_fn_histogram_quantile").foreach { q =>
+      "q_sim_lsh_ann", "q_fn_histogram_quantile",
+      "q_dedup_ngram_jaccard").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -248,6 +248,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.wavAudioStats(1L, Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("jpeg header parser reads dims from a real ImageIO-encoded jpeg") {
+    val w = 21; val h = 14
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", buf))
+    val meta = Multimodal.parseJpeg(3L, buf.toByteArray).get
+    assert(meta.format == "jpeg" && meta.width == w &&
+      meta.height == h && meta.channels == 3)
+    // sniff order: decodeOne routes jpeg bytes to the jpeg parser
+    assert(Multimodal.decodeOne(
+      Multimodal.MediaBlob(3L, buf.toByteArray)).format == "jpeg")
+    // truncated / non-jpeg inputs fall through cleanly
+    assert(Multimodal.parseJpeg(1L, buf.toByteArray.take(3)).isEmpty)
+    assert(Multimodal.parseJpeg(1L, Array[Byte](0, 1, 2, 3)).isEmpty)
+  }
+
   test("wav/bmp header parsers round-trip the synthesizers") {
     val w = Multimodal.parseWav(1, Multimodal.synthWav(2, 16000, 16, 37)).get
     assert(w.format == "wav" && w.width == 37 && w.height == 16000 && w.channels == 2)
