@@ -165,6 +165,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("alternating-star components equal a union-find reference on random graphs") {
+    import spark.implicits._
+    // several random graph shapes: sparse, dense, chain-heavy
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(1000L + seed)
+      val n = 20 + rnd.nextInt(40)
+      val nEdges = seed match {
+        case s if s % 3 == 0 => n / 2 // forest-ish: many components
+        case s if s % 3 == 1 => n * 3 // dense
+        case _ => n // chains + cycles
+      }
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min member of each component
+      val members = parent.keys.toSeq.groupBy(find)
+      val want = members.flatMap { case (_, ms) =>
+        val label = ms.min; ms.map(_ -> label)
+      }.toMap
+      val got = graft.pipeline.Dedup.components(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed $seed: n=$n edges=${edges.length}")
+    }
+  }
+
   test("substring equality matchers are exact on adversarial label names") {
     // a label NAME containing the entry separator must not false-positive
     // an unrelated matcher: with the shifted escape, raw \u0001 occurs
