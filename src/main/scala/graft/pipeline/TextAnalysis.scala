@@ -59,11 +59,19 @@ object TextAnalysis {
     "pt" -> Seq(" de", "de ", "os ", "o d", "as ", " a ", "ão ", "ção", "açã",
       " co", "con", "es ", " es", "do ", " do", "da ", " da", "em ", " em",
       "que", " qu", "ue ", "ent", "nte", "ara", " pa", "par", "ra ", "com",
-      "a d", "ade", "dad", "um ", " um", "is ", "or ", "res", "ais", " se", "s d"))
+      "a d", "ade", "dad", "um ", " um", "is ", "or ", "res", "ais", " se", "s d"),
+    "nl" -> Seq(" de", "de ", "en ", "n d", " he", "het", "et ", " va", "van",
+      "an ", " ee", "een", " ge", "gen", "cht", " da", "dat", "at ", " in",
+      "in ", "ijk", "lij", "ver", " ve", "er ", "der", "aar", " aa", "oor",
+      " vo", "voo", "rde", "nde", "ing", "ng ", "te ", " te", "sch", " op", "op "),
+    "sv" -> Seq("en ", "et ", "ar ", "tt ", "att", " at", "och", " oc", "ch ",
+      "som", " so", "om ", "för", " fö", "ör ", "de ", "er ", "ing", "ng ",
+      "til", " ti", "ill", "ll ", "på ", " på", "av ", " av", "är ", " är",
+      "and", "nde", "den", " de", "har", " ha", "ter", " st", "sta", "lig", "ka "))
 
-  /** Letters of the six profiled languages; everything else separates
+  /** Letters of the eight profiled languages; everything else separates
     * words. Shared with the SQL oracle verbatim. */
-  val langLetterClass = "[^a-zàâäáãçèéêëìíîïñòóôöõùúûüß]+"
+  val langLetterClass = "[^a-zàâäáãåçèéêëìíîïñòóôöõùúûüß]+"
 
   /** Lowercase, strip non-letters, pad with spaces so word-boundary
     * trigrams (" th", "ng ") exist at the edges. */
@@ -91,14 +99,16 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por", "con", "una"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une", "dans", "pour"),
     "it" -> Seq("il", "la", "di", "che", "e", "per", "una", "del", "non", "gli"),
-    "pt" -> Seq("o", "a", "de", "que", "e", "da", "do", "uma", "para", "não"))
+    "pt" -> Seq("o", "a", "de", "que", "e", "da", "do", "uma", "para", "não"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "is", "op", "niet", "voor"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med"))
 
   val functionWordWeight = 10
 
   /** Language-ID: arg-max of per-language evidence = trigram-profile hits
     * + 10 × function-word hits, fixed precedence en > de > es > fr > it
-    * > pt on ties (a CASE chain any SQL oracle can mirror). One pass:
-    * trigrams and words materialized once per document, then six
+    * > pt > nl > sv on ties (a CASE chain any SQL oracle can mirror). One pass:
+    * trigrams and words materialized once per document, then per-language
     * codegen'd set-membership counts per channel. */
   def langId(docs: DataFrame): DataFrame = {
     val langs = trigramProfiles.map(_._1)

@@ -158,7 +158,9 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "la organización española quiere que los niños estudien la lección de ciencias por la tarde en una casa", "es"),
       (4L, "le renard brun rapide saute par dessus le chien paresseux et il court dans la forêt pour trouver une maison", "fr"),
       (5L, "la volpe marrone salta sopra il cane pigro e corre per la città verso gli alberi della regione con una organizzazione", "it"),
-      (6L, "a organização portuguesa quer que as crianças estudem a lição de ciências da tarde em uma casa da cidade", "pt"))
+      (6L, "a organização portuguesa quer que as crianças estudem a lição de ciências da tarde em uma casa da cidade", "pt"),
+      (11L, "de snelle bruine vos springt over de luie hond en het dier rent dan snel naar een mooi huis in het bos", "nl"),
+      (12L, "den snabba bruna räven hoppar över den lata hunden och springer sedan snabbt till ett hus i skogen för att vila", "sv"))
     val docs = fixtures.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
     val pred = TextAnalysis.langId(docs)
       .select("doc_id", "lang_pred").collect()
