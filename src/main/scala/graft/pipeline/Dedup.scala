@@ -281,11 +281,16 @@ object Dedup {
     }
 
     var it = 0
-    var converged = edges.isEmpty
+    var prevCount = edges.count()
+    var converged = prevCount == 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // exact set equality in ONE job: both difference directions unioned
-      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      // exact set equality, cheaply: both sets are distinct rows, so
+      // equal cardinality + one empty difference direction ⟹ equality;
+      // unequal counts skip the difference job entirely
+      val nextCount = next.count()
+      converged = nextCount == prevCount && next.exceptAll(edges).isEmpty
+      prevCount = nextCount
       edges = next
       it += 1
     }
