@@ -49,6 +49,9 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private val Version = "0.3.0-graft"
   private val startedMs = System.currentTimeMillis()
 
+  /** Remote-write request-body cap (compressed bytes). */
+  private val MaxWriteBodyBytes = 64 * 1024 * 1024
+
   /** Enforce the reference's query envelope when limits are configured:
     * timeout + concurrency slot around the driver-side action, with the
     * MaxSamples budget metered IN-SCAN by a TallySamples accumulator the
@@ -106,7 +109,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
         try {
           if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
             throw new IllegalArgumentException("POST required")
-          val series = RemoteRead.decodeWriteRequest(ex.getRequestBody.readAllBytes())
+          // bound the request like the reference bounds ingress frames
+          // (64 KiB there; senders chunk, so a sane cap loses nothing)
+          val body = ex.getRequestBody.readNBytes(MaxWriteBodyBytes + 1)
+          if (body.length > MaxWriteBodyBytes)
+            throw new IllegalArgumentException(
+              s"write body exceeds $MaxWriteBodyBytes bytes")
+          val series = RemoteRead.decodeWriteRequest(body)
           sink(RemoteRead.writeRequestToPoints(spark, series))
           ex.sendResponseHeaders(204, -1)
         } catch {

@@ -49,17 +49,18 @@ object RemoteWrite {
     http.setRequestProperty("Content-Encoding", "snappy")
     http.setRequestProperty("X-Prometheus-Remote-Write-Version", "0.1.0")
     authHeader.foreach(http.setRequestProperty("Authorization", _))
-    val os = http.getOutputStream
-    try os.write(body) finally os.close()
-    val code = http.getResponseCode
-    if (code < 200 || code >= 300) {
-      val err = Option(http.getErrorStream)
-        .map(s => try new String(s.readAllBytes(), "UTF-8") finally s.close())
-        .getOrElse("")
-      throw new java.io.IOException(s"remote write failed: HTTP $code $err")
-    }
-    Option(http.getInputStream).foreach(_.close())
-    http.disconnect()
+    try {
+      val os = http.getOutputStream
+      try os.write(body) finally os.close()
+      val code = http.getResponseCode
+      if (code < 200 || code >= 300) {
+        val err = Option(http.getErrorStream)
+          .map(s => try new String(s.readAllBytes(), "UTF-8") finally s.close())
+          .getOrElse("")
+        throw new java.io.IOException(s"remote write failed: HTTP $code $err")
+      }
+      Option(http.getInputStream).foreach(_.close())
+    } finally http.disconnect()
   }
 
   /** Push `points` (name, labels, t, value — the canonical relation) to

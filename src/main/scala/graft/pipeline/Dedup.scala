@@ -294,6 +294,12 @@ object Dedup {
       edges = next
       it += 1
     }
+    // star rounds converge in O(log n); exhausting maxIter means the
+    // input is beyond the configured budget — fail loudly rather than
+    // return a silently-wrong partial labeling
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge within $maxIter star rounds")
 
     // fixpoint edges form stars (node → component min); roots label
     // themselves
