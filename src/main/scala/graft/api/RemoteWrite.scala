@@ -99,4 +99,19 @@ object RemoteWrite {
       }
     sent.value
   }
+
+  /** Streaming egress: a `foreachBatch` sink that remote-writes every
+    * micro-batch — plug a rollup or scrape stream's output into another
+    * engine/Prometheus (`ds.writeStream.foreachBatch(RemoteWrite.sink(
+    * url))`). foreachBatch is at-least-once; a replayed batch re-sends
+    * the same (series, t, value) samples, which the receiving engine's
+    * last-write-wins store collapses — the same idempotence contract its
+    * own alerting sink relies on. */
+  def sink(url: String,
+           maxSamplesPerRequest: Int = 10000,
+           timeoutMs: Int = 30000,
+           auth: Option[graft.sources.Scrape.AuthConfig] = None,
+           tls: Option[graft.sources.Scrape.TlsConfig] = None)
+      : (DataFrame, Long) => Unit =
+    (df, _) => { push(df, url, maxSamplesPerRequest, timeoutMs, auth, tls); () }
 }

@@ -356,9 +356,10 @@ object Scrape {
       http.setReadTimeout(timeoutMs.toInt)
       auth.flatMap(_.header).foreach(http.setRequestProperty("Authorization", _))
       val in = http.getInputStream
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      // bounded read: a misbehaving SD endpoint must not OOM the driver
+      val bytes = try in.readNBytes(8 * 1024 * 1024)
         finally { in.close(); http.disconnect() }
-      parseSdGroups(text)
+      parseSdGroups(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
   /** A job's target set at THIS instant: static_configs targets (no extra

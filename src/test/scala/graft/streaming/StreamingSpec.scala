@@ -52,6 +52,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(labels("source_id") == "app-1")
   }
 
+  test("streaming remote-write egress: micro-batches land in a second engine's store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // receiver: a second engine instance exposing /api/v1/write over a store
+    val dir = Files.createTempDirectory("rw-egress").toString
+    val empty = graft.model.Points.withSig(
+      Seq.empty[(String, Map[String, String], Long, Double)]
+        .toDF("name", "labels", "t", "value"))
+    val api = new graft.api.HttpApi(spark, empty,
+      writeSink = Some(df => PointsStore.append(df, dir)))
+    val port = api.start(0)
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = mem.toDF().toDF("name", "t", "value")
+      .withColumn("labels", map(lit("job"), lit("egress")))
+    val q = graft.model.Points.withSig(pts).writeStream
+      .outputMode("append")
+      .foreachBatch(graft.api.RemoteWrite.sink(
+        s"http://127.0.0.1:$port/api/v1/write"))
+      .start()
+    try {
+      mem.addData(("egress_total", 1704067200000L, 1.0),
+        ("egress_total", 1704067260000L, 2.0))
+      q.processAllAvailable()
+      mem.addData(("egress_total", 1704067320000L, 4.0))
+      q.processAllAvailable()
+      val stored = PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+      assert(stored.count() == 3)
+      assert(stored.agg(org.apache.spark.sql.functions.sum("value"))
+        .head.getDouble(0) == 7.0)
+      assert(stored.select("labels").head
+        .getAs[Map[String, String]](0) == Map("job" -> "egress"))
+    } finally { q.stop(); api.stop() }
+  }
+
   test("end-to-end: streaming envelopes -> nozzle -> store append -> PromQL query") {
     // the full ingest path of the reference (envelope stream -> sanitize ->
     // shard append -> queryable), as readStream -> foreachBatch ->
