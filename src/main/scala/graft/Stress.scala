@@ -62,9 +62,11 @@ object Stress {
       println(f"STRESS $name%-22s $dt%7.2f s   rows=$n")
       (name, dt, n)
     }
+    val lshPairs = Dedup.minHashLsh(docs, 16, 4).cache()
     val results = Seq(
       timed("exact_dedup")(Dedup.exact(docs).where(col("n_dups") > 1).count()),
-      timed("minhash_lsh")(Dedup.minHashLsh(docs, 16, 4).count()),
+      timed("minhash_lsh")(lshPairs.count()),
+      timed("cluster_components")(Dedup.components(lshPairs).count()),
       timed("simhash_pairs")(Dedup.simHashPairs(docs, 2).count()),
       timed("lang_id")(TextAnalysis.langId(docs).count()),
       timed("ann_multiprobe")(Similarity.annTopK(emb, emb.where(col("vec_id") < 100),
