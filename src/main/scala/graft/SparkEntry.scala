@@ -86,6 +86,24 @@ object SparkEntry {
           col("t"), col("value"))
     }),
 
+    // §2.1 storage last-write-wins WITHOUT compaction: the same changed-
+    // value resend, but the store is read back before any compact runs —
+    // the read-time keep-newest-_seq guard alone must collapse the
+    // duplicates (the reference overwrites at write time, so a remote-write
+    // retry between compactions must not double-count there either)
+    "q_store_lww_nocompact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lww2_store").toString
+      val pts = Points.eventsPoints(s, dir)
+        .where(col("name") === "click" && col("t") < T0 + 7 * DAY)
+      graft.sources.PointsStore.append(pts, tmp)
+      graft.sources.PointsStore.append(
+        pts.where(col("labels").getItem("par") === "1")
+          .withColumn("value", col("value") * 2 + 7), tmp)
+      graft.sources.PointsStore.read(s, tmp, Long.MinValue, Long.MaxValue)
+        .select(col("name"), col("labels").getItem("user").as("user"),
+          col("t"), col("value"))
+    }),
+
     // §2.1 storage retention: expire drops whole UTC-day partitions older
     // than the cutoff day (reference: retention enforcer deleting aged
     // shards); with a midnight cutoff this is exactly t >= cutoff
@@ -145,6 +163,15 @@ object SparkEntry {
          |FROM r WHERE rn = 1""".stripMargin,
 
     "q_store_lww" ->
+      s"""WITH p AS (
+        |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |         user_id % 3 AS par, epoch_us(ts) // 1000 AS t, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT name, "user", t,
+        |       CASE WHEN par = 1 THEN value * 2 + 7 ELSE value END AS value
+        |FROM p WHERE t < ${T0 + 7 * DAY}""".stripMargin,
+
+    "q_store_lww_nocompact" ->
       s"""WITH p AS (
         |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |         user_id % 3 AS par, epoch_us(ts) // 1000 AS t, value

@@ -53,9 +53,12 @@ object PointsStore {
     * LAST-WRITE-WINS: a re-sent (series, t) point is overwritten, matching
     * the reference's TSM per-(series, ts) overwrite semantics
     * (influx_adapter.go:63-86 feeding tsm1). The write itself is a plain
-    * append — the winner is selected by [[compact]]'s (sig, t) keep-newest
-    * dedup using the `_seq` write stamp (and exactly-once sinks avoid the
-    * duplicate entirely via [[appendOnce]]). */
+    * append — the winner is selected by (sig, t) keep-newest-`_seq` dedup
+    * applied at BOTH read boundaries: [[compact]] (durable, collapses the
+    * copies on disk) and [[read]]'s [[lwwGuard]] (covers the window
+    * between compactions, so LWW holds from the moment the re-send
+    * lands). Exactly-once sinks avoid the duplicate entirely via
+    * [[appendOnce]]. */
   def append(points: DataFrame, path: String): Unit = {
     val withLc = graft.model.Points.withCanonical(points)
       .withColumn("date", to_date(timestamp_millis(col("t"))))
@@ -159,14 +162,42 @@ object PointsStore {
     * PartitionFilters a path-based read had (and the driver-side day
     * pruning in liveFiles already restricted the listing). */
   def read(spark: SparkSession, path: String,
-           startMs: Long, endMs: Long, slackMs: Long = 0L): DataFrame = {
+           startMs: Long, endMs: Long, slackMs: Long = 0L,
+           lww: Boolean = true): DataFrame = {
     val conds = Seq(
       if (startMs == Long.MinValue) None
       else Some(col("date") >= to_date(timestamp_millis(lit(startMs - slackMs)))),
       if (endMs == Long.MaxValue) None
       else Some(col("date") <= to_date(timestamp_millis(lit(endMs))))
     ).flatten
-    conds.foldLeft(readLive(spark, path, startMs, endMs, slackMs))(_.where(_)).drop("date")
+    val (base, mayDuplicate) = readLiveInfo(spark, path, startMs, endMs, slackMs)
+    val bounded = conds.foldLeft(base)(_.where(_))
+    (if (lww && mayDuplicate) lwwGuard(bounded) else bounded).drop("date")
+  }
+
+  /** Read-time last-write-wins guard: keep the newest-`_seq` row per
+    * (sig, t) — the SAME window-lag dedup [[compact]] applies, so a plain
+    * re-sent `append` (a remote-write retry whose first attempt actually
+    * landed — the documented at-least-once case of the /api/v1/write
+    * receiver) cannot double-count in rate/count_over_time BETWEEN
+    * compactions. The reference's TSM engine overwrites per (series, ts)
+    * at write time (influx_adapter.go:63-86); appends here are immutable
+    * parquet, so the overwrite is enforced at the two read boundaries
+    * instead: compaction (durable) and this guard (until then).
+    *
+    * Cost: one sig-partitioned shuffle — paid ONLY when the live file
+    * layout can actually hold duplicates ([[readLiveInfo]]); a compacted
+    * day (one generation, globally deduped) or a single-append-file day
+    * skips it entirely, so steady-state compacted stores read guard-free. */
+  private def lwwGuard(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order =
+      if (df.columns.contains("_seq")) Seq(col("t"), col("_seq").desc)
+      else Seq(col("t")) // pre-_seq layout: duplicates are identical copies
+    val w = Window.partitionBy(col("sig")).orderBy(order: _*)
+    df.withColumn("_prevT", lag(col("t"), 1).over(w))
+      .where(col("_prevT").isNull || col("_prevT") =!= col("t"))
+      .drop("_prevT")
   }
 
   // ---- manifest-gated file visibility ----------------------------------
@@ -250,10 +281,22 @@ object PointsStore {
     * column derivable so callers' date predicates still show as
     * PartitionFilters. */
   private def readLive(spark: SparkSession, path: String,
-                       startMs: Long, endMs: Long, slackMs: Long): DataFrame = {
+                       startMs: Long, endMs: Long, slackMs: Long): DataFrame =
+    readLiveInfo(spark, path, startMs, endMs, slackMs)._1
+
+  /** [[readLive]] plus the duplicate-possibility signal for the read-time
+    * LWW guard: a day's live set can hold (sig, t) duplicates only when it
+    * mixes at least one plain append file with any other file — all live
+    * `compacted-` files belong to ONE generation (the newest manifest
+    * +lists only its own rewrite's outputs) and that generation was
+    * globally deduped when written, while a lone append file has no peer
+    * to duplicate against. */
+  private def readLiveInfo(spark: SparkSession, path: String,
+                           startMs: Long, endMs: Long, slackMs: Long)
+      : (DataFrame, Boolean) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return spark.read.parquet(path) // preserve error
+    if (!fs.exists(root)) return (spark.read.parquet(path), false) // preserve error
     def dayOf(ms: Long): java.time.LocalDate =
       java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC).toLocalDate
     val lo = if (startMs == Long.MinValue) None else Some(dayOf(startMs - slackMs))
@@ -264,9 +307,14 @@ object PointsStore {
         val d = java.time.LocalDate.parse(s.getPath.getName.stripPrefix("date="))
         lo.forall(l => !d.isBefore(l)) && hi.forall(h => !d.isAfter(h))
       }
-    val files = days.flatMap(d => liveDayFiles(fs, d.getPath))
-    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
-    else spark.read.option("basePath", path).parquet(files: _*)
+    val perDay = days.map(d => liveDayFiles(fs, d.getPath))
+    val mayDuplicate = perDay.exists { dayFiles =>
+      dayFiles.length > 1 && dayFiles.exists(f =>
+        !new org.apache.hadoop.fs.Path(f).getName.startsWith(CompactedPrefix))
+    }
+    val files = perDay.flatten
+    if (files.isEmpty) (spark.read.parquet(path).where(lit(false)), false)
+    else (spark.read.option("basePath", path).parquet(files: _*), mayDuplicate)
   }
 
   /** Hot-label flattening: selected label keys are ALSO stored as physical
@@ -287,13 +335,18 @@ object PointsStore {
                     startMs: Long, endMs: Long,
                     hotFilters: Map[String, String],
                     slackMs: Long = 0L): DataFrame = {
-    val base = readLive(spark, path, startMs, endMs, slackMs)
+    val (base0, mayDuplicate) = readLiveInfo(spark, path, startMs, endMs, slackMs)
+    val base = base0
       .where(col("date") >= to_date(timestamp_millis(lit(startMs - slackMs))) &&
         col("date") <= to_date(timestamp_millis(lit(endMs))))
     val filtered = hotFilters.foldLeft(base) { case (df, (k, v)) =>
       df.where(col(s"lbl_$k") === v)
     }
-    filtered.drop("date").drop(filtered.columns.filter(_.startsWith("lbl_")): _*)
+    // LWW guard AFTER the label filters (fewer rows shuffled): a (sig, t)
+    // duplicate pair shares its labels, so both copies pass or fail the
+    // same equality filters and the per-pair winner is unchanged.
+    val guarded = if (mayDuplicate) lwwGuard(filtered) else filtered
+    guarded.drop("date").drop(guarded.columns.filter(_.startsWith("lbl_")): _*)
   }
 
   /** Compact one or all day partitions: streaming `foreachBatch` appends
@@ -318,7 +371,8 @@ object PointsStore {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               onlyDay: Option[String] = None,
-              graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
+              graceMs: Long = 15 * 60 * 1000L,
+              minFiles: Int = 2): Seq[String] = {
     // derive the FS from the store path, not the default FS — a store on
     // s3a:// with defaultFS=hdfs would otherwise rename on the wrong FS
     val root = new org.apache.hadoop.fs.Path(path)
@@ -341,7 +395,7 @@ object PointsStore {
       vacuum(fs, dayPath, now, graceMs)
       // ---- rewrite the current live set when it is fragmented
       val live = liveDayFiles(fs, dayPath)
-      if (live.length > 1) {
+      if (live.length >= math.max(2, minFiles)) {
         val liveBytes = live.map(f =>
           fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
         val nOut = math.max(1, (liveBytes / targetBytes).toInt)
@@ -379,7 +433,19 @@ object PointsStore {
           new java.util.concurrent.Callable[Option[String]] {
             def call(): Option[String] = compactDay(st)
           }))
-        futures.foreach(f => done ++= f.get())
+        // await EVERY day before deciding the outcome: a single failing day
+        // must not strand other days' rewrites mid-publish (each day is an
+        // independent MVCC unit — the completed ones are durable and
+        // correct), and the caller gets the ORIGINAL per-day exception, not
+        // the pool's ExecutionException wrapper.
+        val outcomes = futures.map(f =>
+          try Right(f.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Left(Option(e.getCause).getOrElse(e))
+          })
+        outcomes.foreach { case Right(d) => done ++= d; case Left(_) => () }
+        outcomes.collectFirst { case Left(e) => e }.foreach(throw _)
       } finally pool.shutdown()
     }
     // ---- fold the series-dictionary sidecar: rewrite the accumulated
@@ -392,7 +458,7 @@ object PointsStore {
       val now = System.currentTimeMillis()
       vacuum(fs, dictPath, now, graceMs)
       val live = liveDayFiles(fs, dictPath)
-      if (live.length > 1) {
+      if (live.length >= math.max(2, minFiles)) {
         publishRewrite(fs, dictPath, live, now, tmp =>
           dedupDict(spark.read.parquet(live: _*))
             .coalesce(1)
@@ -402,6 +468,46 @@ object PointsStore {
     }
     done.result()
   }
+
+  /** Automatic compaction policy: compact only when fragmentation crosses
+    * `maxLiveFiles` live files in some day partition (or the dict
+    * sidecar). File COUNT is the trigger — not bytes — because the
+    * documented fleet-scale bottleneck of foreachBatch ingest is the
+    * per-file task + footer cost of thousands of micro-batch files, and
+    * count is readable from the manifest listing without opening anything.
+    * Cheap when below threshold (one listing, no Spark job), so it is safe
+    * to call on EVERY micro-batch; [[sink]] does exactly that, which keeps
+    * per-day live-file count ≤ maxLiveFiles + batches-per-compaction
+    * operationally, with no operator-remembered cron. */
+  def maybeCompact(spark: SparkSession, path: String,
+                   maxLiveFiles: Int = 16,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val threshold = math.max(2, maxLiveFiles)
+    val fragmented = fs.listStatus(root).toSeq.exists { s =>
+      (s.isDirectory && s.getPath.getName.startsWith("date=") ||
+        s.isDirectory && s.getPath.getName == DictDir) &&
+        liveDayFiles(fs, s.getPath).length >= threshold
+    }
+    if (fragmented) compact(spark, path, targetBytes, None, graceMs, threshold)
+    else Nil
+  }
+
+  /** Ready-made `writeStream.foreachBatch` store sink: exactly-once append
+    * ([[appendOnce]]) plus the [[maybeCompact]] policy, so long-running
+    * streaming ingest keeps its small-file count bounded — and LWW
+    * convergence durable — without any manual compaction schedule. */
+  def sink(path: String, maxLiveFiles: Int = 16,
+           targetBytes: Long = 128L * 1024 * 1024,
+           graceMs: Long = 15 * 60 * 1000L): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      appendOnce(batch, path, batchId)
+      maybeCompact(batch.sparkSession, path, maxLiveFiles, targetBytes, graceMs)
+      ()
+    }
 
   /** Vacuum one manifest-managed dir: the previous generation's dead
     * files, superseded manifests, and never-published orphans, all past

@@ -269,7 +269,10 @@ class StreamingSpec extends AnyFunSuite {
     // the same 10 (series, t) points written twice, second write newer value
     PointsStore.append(pts(1.0), dir)
     PointsStore.append(pts(2.0), dir)
-    assert(PointsStore.read(spark, dir, day1, day1 + 60000L).count() == 20)
+    // both copies are on disk (lww=false shows compaction's input view);
+    // the default read already collapses them via the read-time guard
+    assert(PointsStore.read(spark, dir, day1, day1 + 60000L, lww = false).count() == 20)
+    assert(PointsStore.read(spark, dir, day1, day1 + 60000L).count() == 10)
     PointsStore.compact(spark, dir)
     val after = PointsStore.read(spark, dir, day1, day1 + 60000L)
       .select("t", "value").collect().map(r => (r.getLong(0), r.getDouble(1)))
@@ -282,6 +285,71 @@ class StreamingSpec extends AnyFunSuite {
     val cot = graft.engine.Engine.instantQuery(spark, stored,
       "sum(count_over_time(m[2m]))", day1 + 60000L)
     assert(cot.head.getAs[Double]("value") == 10.0)
+  }
+
+  test("last-write-wins without compaction: the read-time guard collapses a plain re-send") {
+    val dir = Files.createTempDirectory("lww_nc").toString
+    val day1 = 1704067200000L
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    def pts(v: Double) = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 10).map(i =>
+        Row("m", Map("s" -> (i % 2).toString), day1 + i * 1000L, v)), 2), schema))
+    // a remote-write retry whose first attempt landed: same (series, t)
+    // twice via plain append, NO compaction in between
+    PointsStore.append(pts(1.0), dir)
+    PointsStore.append(pts(2.0), dir)
+    val got = PointsStore.read(spark, dir, day1, day1 + 60000L)
+      .select("t", "value").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10, "read-time guard must collapse uncompacted duplicates")
+    assert(got.forall(_._2 == 2.0), "the newest write stamp must win")
+    // a range kernel over the UNCOMPACTED store counts each point once
+    val cot = graft.engine.Engine.instantQuery(spark,
+      PointsStore.read(spark, dir, day1, day1 + 60000L),
+      "sum(count_over_time(m[2m]))", day1 + 60000L)
+    assert(cot.head.getAs[Double]("value") == 10.0)
+    // lww=false exposes the raw rows (compaction's input view)
+    assert(PointsStore.read(spark, dir, day1, day1 + 60000L, lww = false).count() == 20)
+    // once compacted to a single generation, the guard is skipped: the
+    // steady-state read plans no window shuffle
+    PointsStore.compact(spark, dir)
+    PointsStore.compact(spark, dir, graceMs = 0L)
+    val steady = PointsStore.read(spark, dir, day1, day1 + 60000L)
+    assert(!steady.queryExecution.optimizedPlan.toString.contains("Window"),
+      "compacted single-generation read must skip the LWW guard")
+    assert(steady.count() == 10)
+  }
+
+  test("auto-compaction: a long streaming run keeps per-day live-file count bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("auto_compact").toString
+    val day1 = 1704067200000L
+    val mem = MemoryStream[(String, Long, Double)]
+    val pts = graft.model.Points.withSig(
+      mem.toDF().toDF("name", "t", "value")
+        .withColumn("labels", map(lit("job"), lit("ac"))))
+    // the ready-made store sink: exactly-once append + maybeCompact policy
+    val q = pts.writeStream.outputMode("append")
+      .foreachBatch(PointsStore.sink(dir, maxLiveFiles = 4)).start()
+    try {
+      (0 until 12).foreach { i =>
+        mem.addData(("ac_total", day1 + i * 1000L, i.toDouble))
+        q.processAllAvailable() // one micro-batch (= one append file) each
+      }
+    } finally q.stop()
+    val rd = PointsStore.read(spark, dir, day1, day1 + 60000L)
+    // 12 micro-batches wrote 12 append files; the policy compacted along
+    // the way, so the live set stays bounded by the threshold (+ appends
+    // since the last trigger), NOT by the batch count
+    assert(rd.inputFiles.length <= 5,
+      s"live files ${rd.inputFiles.length} must stay bounded, not grow per batch")
+    assert(rd.count() == 12)
+    val got = rd.select("t", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == (0 until 12).map(_.toDouble))
   }
 
   test("a replayed micro-batch appends exactly once (idempotent sink, stable rates)") {
@@ -308,7 +376,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(counted == once)
     assert(!PointsStore.appendOnce(batch, storeDir, 7L)) // marker committed
     assert(PointsStore.appendOnce(batch, storeDir, 8L))  // next batch writes
-    assert(counted == 2 * once)
+    // batch 8 carries the SAME (series, t) rows: the write landed (raw view
+    // holds both copies) but LWW semantics collapse it to one sample per
+    // (series, t) on every default read — no double counting
+    assert(PointsStore.read(spark, storeDir, t1, t1 + 600000L, lww = false)
+      .count() == 2 * once)
+    assert(counted == once)
   }
 
   test("series dictionary lifecycle: compact folds to one file, expire prunes dead sigs") {
