@@ -106,25 +106,40 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     // success, per the remote-write spec.
     writeSink.foreach { sink =>
       server.createContext("/api/v1/write", (ex: HttpExchange) => {
+        // status split per the remote-write spec: senders treat 4xx as
+        // non-retryable (the batch is DROPPED) and 5xx as retryable — so
+        // only request defects (method, size, decode) may 400, while any
+        // failure AFTER a well-formed request decodes (the sink / store
+        // append) must 500, or a transient Spark hiccup would silently
+        // lose data the at-least-once contract promises to keep.
+        def fail(code: Int, e: Throwable): Unit = {
+          val msg = s"""{"status":"error","error":${Json.str(rootMsg(e))}}"""
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(code, msg.length)
+          ex.getResponseBody.write(msg)
+        }
         try {
-          if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
-            throw new IllegalArgumentException("POST required")
-          // bound the request like the reference bounds ingress frames
-          // (64 KiB there; senders chunk, so a sane cap loses nothing)
-          val body = ex.getRequestBody.readNBytes(MaxWriteBodyBytes + 1)
-          if (body.length > MaxWriteBodyBytes)
-            throw new IllegalArgumentException(
-              s"write body exceeds $MaxWriteBodyBytes bytes")
-          val series = RemoteRead.decodeWriteRequest(body)
-          sink(RemoteRead.writeRequestToPoints(spark, series))
-          ex.sendResponseHeaders(204, -1)
-        } catch {
-          case e: Throwable =>
-            val msg = s"""{"status":"error","error":${Json.str(rootMsg(e))}}"""
-              .getBytes(StandardCharsets.UTF_8)
-            ex.getResponseHeaders.set("Content-Type", "application/json")
-            ex.sendResponseHeaders(400, msg.length)
-            ex.getResponseBody.write(msg)
+          val decoded =
+            try {
+              if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
+                throw new IllegalArgumentException("POST required")
+              // bound the request like the reference bounds ingress frames
+              // (64 KiB there; senders chunk, so a sane cap loses nothing)
+              val body = ex.getRequestBody.readNBytes(MaxWriteBodyBytes + 1)
+              if (body.length > MaxWriteBodyBytes)
+                throw new IllegalArgumentException(
+                  s"write body exceeds $MaxWriteBodyBytes bytes")
+              Right(RemoteRead.decodeWriteRequest(body))
+            } catch { case e: Throwable => Left(e) }
+          decoded match {
+            case Left(e) => fail(400, e)
+            case Right(series) =>
+              try {
+                sink(RemoteRead.writeRequestToPoints(spark, series))
+                ex.sendResponseHeaders(204, -1)
+              } catch { case e: Throwable => fail(500, e) }
+          }
         } finally ex.close()
       })
     }

@@ -37,6 +37,25 @@ object RemoteRead {
   /** Reference: api/prom_api.go:20 (remote read sample limit). */
   val SampleLimit: Long = 20000000L
 
+  /** Cap on a snappy frame's CLAIMED uncompressed length: the header is
+    * attacker-controlled on the unauthenticated write/read endpoints, and
+    * `Snappy.uncompress` allocates whatever it claims — a 100-byte crafted
+    * body could otherwise force a multi-GB allocation (the reference
+    * bounds ingress frames; HttpApi bounds the compressed body the same
+    * way). 256 MiB = 4x the 64 MiB compressed cap, beyond any legitimate
+    * sender's chunking. */
+  val MaxUncompressedBytes: Int = 256 * 1024 * 1024
+
+  /** Snappy decode that validates the claimed uncompressed length BEFORE
+    * allocating. Every wire-facing decode path goes through this. */
+  private[api] def boundedUncompress(body: Array[Byte]): Array[Byte] = {
+    val n = org.xerial.snappy.Snappy.uncompressedLength(body)
+    if (n > MaxUncompressedBytes)
+      throw new IllegalArgumentException(
+        s"snappy frame claims $n uncompressed bytes (cap $MaxUncompressedBytes)")
+    org.xerial.snappy.Snappy.uncompress(body)
+  }
+
   final case class Query(startMs: Long, endMs: Long, matchers: Seq[LabelMatcher])
 
   // ---- serving ----------------------------------------------------------
@@ -52,7 +71,7 @@ object RemoteRead {
     * at `sampleLimit` rows) is ever collected for encoding. */
   def handle(spark: SparkSession, points: DataFrame, body: Array[Byte],
              sampleLimit: Long = SampleLimit): Array[Byte] = {
-    val queries = decodeRequest(org.xerial.snappy.Snappy.uncompress(body))
+    val queries = decodeRequest(boundedUncompress(body))
     val results = queries.map { q =>
       val filtered = points
         .where(col("t") >= q.startMs && col("t") <= q.endMs)
@@ -64,11 +83,19 @@ object RemoteRead {
         case Some(n) => filtered.where(col("name") === n)
         case None => filtered
       }
+      // persisted across the limit count and the collect: ONE scan of the
+      // matching set per query, not two — the count materializes the
+      // (pushdown-filtered) blocks into executor storage and the collect
+      // reads them back, so the reject path still holds zero sample rows
+      // on the driver while the accept path pays the scan once
       val slim = named.select(col("name"), col("labels"), col("t"), col("value"))
-      // executor-side count: no sample reaches the driver on the reject path
-      if (slim.count() > sampleLimit)
-        throw new IllegalStateException("remote read exceeds sample limit")
-      val rows = slim.collect()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = try {
+        // executor-side count: no sample reaches the driver on the reject path
+        if (slim.count() > sampleLimit)
+          throw new IllegalStateException("remote read exceeds sample limit")
+        slim.collect()
+      } finally slim.unpersist(blocking = false)
       // one TimeSeries per (name, labels), samples time-ordered
       rows.groupBy(r => (Option(r.getAs[String]("name")),
           r.getAs[Map[String, String]]("labels")))
@@ -343,7 +370,7 @@ object RemoteRead {
     * gob framing is private to its Go peers. */
   def decodeWriteRequest(body: Array[Byte])
       : Seq[(Map[String, String], Seq[(Double, Long)])] = {
-    val raw = org.xerial.snappy.Snappy.uncompress(body)
+    val raw = boundedUncompress(body)
     val r = new Reader(raw, 0, raw.length)
     val series = Seq.newBuilder[(Map[String, String], Seq[(Double, Long)])]
     while (r.hasNext) {
@@ -388,7 +415,7 @@ object RemoteRead {
 
   /** Client-side response decode (spec oracle): series → samples. */
   def decodeResponse(body: Array[Byte]): Seq[Seq[(Map[String, String], Seq[(Double, Long)])]] = {
-    val raw = org.xerial.snappy.Snappy.uncompress(body)
+    val raw = boundedUncompress(body)
     val r = new Reader(raw, 0, raw.length)
     val results = Seq.newBuilder[Seq[(Map[String, String], Seq[(Double, Long)])]]
     while (r.hasNext) {

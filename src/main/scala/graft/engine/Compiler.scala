@@ -140,7 +140,13 @@ object Compiler {
           .select(col("sig"))
         val nameFiltered = vs.matchers.filter(_.name == "__name__")
           .foldLeft(base)((df, m) => df.where(matcherFilter(Seq(m))))
-        nameFiltered.join(broadcast(matching), Seq("sig"), "left_semi")
+        // no broadcast() hint: a compacted dict is file-sized-estimable and
+        // auto-broadcasts when small, while a weakly-selective matcher over
+        // millions of series (user=~".+") must NOT be forced driver-side —
+        // the planner (or AQE, from the matching set's runtime size) falls
+        // back to a shuffled left_semi, sig-partitioned and primitive-only,
+        // which is the safe shape at that scale
+        nameFiltered.join(matching, Seq("sig"), "left_semi")
       case Some(_) =>
         // name-only selector: equality already pushed; nothing to join
         base.where(matcherFilter(vs.matchers, useLc = base.columns.contains("_lc")))

@@ -350,12 +350,15 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id4 = tag(b, off)
       val sz = le32(b, off + 4)
-      if (id4 == "fmt ") bits = le16(b, off + 22)
+      if (id4 == "fmt " && off + 24 <= b.length) bits = le16(b, off + 22)
       if (id4 == "data") { dataOff = off + 8; dataLen = sz }
       off += 8 + sz + (sz & 1)
     }
     if (bits != 16 || dataOff < 0) return None
-    val n = dataLen / 2
+    // clamp to the blob: a data chunk whose declared size runs past the
+    // buffer (truncated upload) must yield the readable prefix, not an
+    // executor ArrayIndexOutOfBoundsException
+    val n = math.max(0, math.min(dataLen, b.length - dataOff)) / 2
     var sumAbs = 0.0; var sumSq = 0.0
     var k = 0
     while (k < n) {

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.model.Points
 
@@ -15,7 +15,10 @@ import graft.model.Points
   * [[scrapeTargets]] takes a pluggable fetcher (the test injects literal
   * bodies; production plugs an HTTP client).
   */
-object Scrape {
+// Serializable: executor-side closures (distributed fetch/parse) are
+// nested defs of this module, so lambdas formed from them capture the
+// module instance — which is stateless, so shipping it is free.
+object Scrape extends Serializable {
 
   final case class ScrapedPoint(name: String, labels: Map[String, String],
                                 t: Long, value: Double)
@@ -491,6 +494,150 @@ object Scrape {
     (points, advanced)
   }
 
+  /** Scheduler state for [[scrapeTickStale]]: the last-run schedule plus
+    * each target's last-successful-scrape series set — the driver-side
+    * analog of the Prometheus scrape cache, which is exactly what
+    * staleness tracking needs (engine.go:1910-1916 consumes the markers
+    * the scrape loop's cache emits). Sized by (due targets × their
+    * series), the same order as Prometheus's own per-target cache. */
+  final case class TickState(
+      lastRun: Map[String, Long] = Map.empty,
+      lastSeries: Map[String, Seq[(String, Map[String, String])]] = Map.empty)
+
+  /** [[scrapeTick]] with Prometheus staleness-marker semantics: when a
+    * series present at a target's previous scrape is absent at this one —
+    * the target stopped exposing it, the fetch FAILED, or the target left
+    * service discovery — a stale marker row (`stale = true`, value NaN)
+    * is appended at this tick's timestamp, so instant selectors knock the
+    * series out immediately instead of serving its last sample for a full
+    * lookback window. The engine already consumes the markers
+    * (Selectors.instant; corpus staleness suite) — this is the producer
+    * side the reference gets from the vendored Prometheus scrape loop.
+    *
+    * The returned points carry a `stale` boolean column (false on real
+    * samples): sinks deploying this tick write stores whose schema is
+    * stale-aware from the first batch. A failed fetch no longer aborts
+    * the tick — the target's series go stale and the schedule advances
+    * (Prometheus records the failure and keeps scraping). */
+  def scrapeTickStale(spark: SparkSession, jobs: Seq[ScrapeJob],
+                      fetch: String => String, nowMs: Long,
+                      state: TickState = TickState(),
+                      distributed: Boolean = false)
+      : (DataFrame, TickState) = {
+    import spark.implicits._
+    val resolvedAll = jobs.map(j => (j, resolveTargets(j)))
+    val due = resolvedAll.map { case (job, ts) =>
+      (job, ts.filter { case (t, _) =>
+        state.lastRun.get(s"${job.jobName}/$t").forall(nowMs - _ >= job.intervalMs)
+      })
+    }.filter(_._2.nonEmpty)
+    val tracked = due.map { case (job, targets) =>
+      scrapeResolvedTracked(spark, job, targets, fetch, nowMs, distributed)
+    }
+    // one materialization of the fetched batch (localCheckpoint truncates
+    // lineage into executor storage), so the series-cache collect below and
+    // the caller's append do NOT each re-fetch every target
+    val fetched =
+      if (tracked.isEmpty)
+        Seq.empty[(String, String, Map[String, String], Long, Double, Boolean)]
+          .toDF("__key", "name", "labels", "t", "value", "__ok")
+      else tracked.reduce(_ unionByName _).localCheckpoint(true)
+    // refresh the per-target series cache: distinct (key, series) of this
+    // tick's successful scrapes — series-count-sized, the Prometheus
+    // scrape-cache analog (NOT sample-sized; samples stay distributed)
+    val okRows = fetched.where(col("__ok") && col("name").isNotNull)
+    // dedup per series via the canonical label string (set ops/distinct
+    // are unsupported on MapType columns)
+    val seriesNow: Map[String, Seq[(String, Map[String, String])]] =
+      Points.withCanonical(okRows.select(col("__key"), col("name"), col("labels")))
+        .dropDuplicates("__key", "name", "_lc")
+        .select(col("__key"), col("name"), col("labels"))
+        .collect()
+        .map(r => (r.getString(0),
+          (r.getString(1), r.getMap[String, String](2).toMap)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val okKeys: Set[String] = fetched.where(col("__ok"))
+      .select(col("__key")).distinct().collect().map(_.getString(0)).toSet
+    val dueKeys: Set[String] = due.flatMap { case (job, ts) =>
+      ts.map { case (t, _) => s"${job.jobName}/$t" }
+    }.toSet
+    // keys whose previous series need the absent-series diff this tick:
+    //  - failed fetches (due but not ok): ALL previous series go stale
+    //  - successful scrapes: series missing from this exposition go stale
+    //  - targets gone from SD entirely (config/SD change): all go stale
+    val currentKeys: Set[String] = resolvedAll.flatMap { case (job, ts) =>
+      ts.map { case (t, _) => s"${job.jobName}/$t" }
+    }.toSet
+    val goneKeys = state.lastSeries.keySet -- currentKeys
+    val staleSeries: Seq[(String, Map[String, String])] =
+      ((dueKeys -- okKeys) ++ goneKeys).toSeq.sorted
+        .flatMap(k => state.lastSeries.getOrElse(k, Nil)) ++
+        okKeys.toSeq.sorted.flatMap { k =>
+          val now = seriesNow.getOrElse(k, Nil).toSet
+          state.lastSeries.getOrElse(k, Nil).filterNot(now.contains)
+        }
+    val points = finitePoints(
+      okRows.select(col("name"), col("labels"), col("t"), col("value")))
+      .withColumn("stale", lit(false))
+    val markers = Points.withSig(
+      staleSeries.map { case (n, ls) => (n, ls, nowMs, Double.NaN) }
+        .toDF("name", "labels", "t", "value"))
+      .withColumn("stale", lit(true))
+    val advanced = state.lastRun ++ dueKeys.map(_ -> nowMs)
+    // cache update: ok targets take this tick's series; failed DUE targets
+    // are cleared (their series were just marked stale — a later recovery
+    // re-adds them); gone targets drop out of the cache
+    val newSeries = (state.lastSeries -- goneKeys -- (dueKeys -- okKeys)) ++
+      okKeys.map(k => k -> seriesNow.getOrElse(k, Nil))
+    (points.unionByName(markers), TickState(advanced, newSeries))
+  }
+
+  /** Per-target tracked scrape for [[scrapeTickStale]]: same relabel +
+    * fetch + parse as [[scrapeResolved]], but each row carries its target
+    * key and fetch outcome, and a fetch failure yields a sentinel row
+    * instead of aborting the job (an empty-but-successful exposition
+    * yields an ok sentinel, so the series cache correctly empties). */
+  private def scrapeResolvedTracked(spark: SparkSession, job: ScrapeJob,
+                                    targets: Seq[(String, Map[String, String])],
+                                    fetch: String => String, tsMs: Long,
+                                    distributed: Boolean): DataFrame = {
+    import spark.implicits._
+    val jobName = job.jobName
+    val resolved: Seq[(String, Map[String, String])] =
+      targets.flatMap { case (target, sdLabels) =>
+        relabel(sdLabels ++ Map("job" -> jobName, "__address__" -> target),
+          job.relabel) match {
+          case None => Nil
+          case Some(ls0) =>
+            val instance = ls0.getOrElse("instance", ls0.getOrElse("__address__", target))
+            Seq((target, ls0.filterNot(_._1.startsWith("__")) + ("instance" -> instance)))
+        }
+      }
+    def rows(target: String, targetLabels: Map[String, String])
+        : Seq[(String, String, Map[String, String], Long, Double, Boolean)] = {
+      val key = s"$jobName/$target"
+      try {
+        val ps = parseExposition(fetch(target), tsMs)
+          .map(p => (key, p.name, p.labels ++ targetLabels, p.t, p.value, true))
+        if (ps.isEmpty) Seq((key, null, null, tsMs, 0.0, true)) else ps
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq((key, null, null, tsMs, 0.0, false))
+      }
+    }
+    val cols = Seq("__key", "name", "labels", "t", "value", "__ok")
+    if (!distributed || resolved.isEmpty)
+      resolved.flatMap((rows _).tupled).toDF(cols: _*)
+    else {
+      val slots = math.max(1,
+        math.min(resolved.size, spark.sparkContext.defaultParallelism))
+      spark.createDataset(resolved)
+        .repartition(slots)
+        .mapPartitions(_.flatMap((rows _).tupled))
+        .toDF(cols: _*)
+    }
+  }
+
   /** `writeStream.foreachBatch` deployment of the interval scheduler: feed
     * it a trigger stream carrying a `t` epoch-ms column (a rate source in
     * production, a MemoryStream in tests); each micro-batch ticks the
@@ -510,14 +657,18 @@ object Scrape {
   def scrapeSink(jobs: Seq[ScrapeJob], fetch: String => String,
                  storeDir: String,
                  distributed: Boolean = true): (DataFrame, Long) => Unit = {
-    var lastRun = Map.empty[String, Long]
+    // the stale-aware tick: a dead or vanished target's series get their
+    // stale markers on the next tick (Prometheus scrape-loop semantics)
+    // instead of lingering for a lookback window; the store's schema is
+    // stale-aware from the first batch
+    var state = TickState()
     (batch, _) => {
       val maxT = batch.agg(org.apache.spark.sql.functions.max(col("t"))).head.getAs[Any](0)
       if (maxT != null) {
         val nowMs = maxT.asInstanceOf[Long]
         val (points, advanced) =
-          scrapeTick(batch.sparkSession, jobs, fetch, nowMs, lastRun, distributed)
-        lastRun = advanced
+          scrapeTickStale(batch.sparkSession, jobs, fetch, nowMs, state, distributed)
+        state = advanced
         if (!points.isEmpty) PointsStore.append(points, storeDir)
       }
     }

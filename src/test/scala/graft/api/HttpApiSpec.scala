@@ -153,8 +153,58 @@ class HttpApiSpec extends AnyFunSuite {
           .POST(HttpRequest.BodyPublishers.ofByteArray(Array[Byte](1, 2, 3))).build(),
         HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() == 400)
+      // snappy bomb: a tiny body whose frame header CLAIMS 1 GiB
+      // uncompressed is rejected before any allocation → 400 (request
+      // defect, sender must not retry)
+      val bomb = Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte,
+        0x80.toByte, 0x04, 0x00, 0x00, 0x00)
+      val bombResp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(bomb)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bombResp.statusCode() == 400)
+      assert(bombResp.body().contains("uncompressed"))
       assert(empty.count() == 0) // the served relation itself was untouched
     } finally api.stop()
+  }
+
+  test("remote write: a sink failure is 500 (retryable), not 400 (dropped)") {
+    // per the remote-write spec senders DROP a batch on 4xx and retry on
+    // 5xx — a transient store failure answered 400 would silently lose
+    // data, breaking the receiver's at-least-once contract
+    val api = new HttpApi(spark, points.limit(0),
+      writeSink = Some(_ => throw new RuntimeException("store temporarily down")))
+    val port = api.start(0)
+    try {
+      val body = RemoteRead.encodeWriteRequest(Seq(
+        (Seq("__name__" -> "x_total"), Seq((1.0, 1000L)))))
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 500)
+      assert(resp.body().contains("store temporarily down"))
+    } finally api.stop()
+  }
+
+  test("remote read scans the matching set once (limit count + collect share it)") {
+    import graft.promql.{LabelMatcher, MatchOp}
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("rows_scanned")
+    // instrument the relation: every row produced by the source bumps the
+    // accumulator, so a count()+collect() double-scan would double it
+    val instrumented = points
+      .select("name", "labels", "t", "value")
+      .as[(String, Map[String, String], Long, Double)]
+      .map { r => acc.add(1); r }
+      .toDF("name", "labels", "t", "value")
+    val req = RemoteRead.encodeRequest(RemoteRead.Query(0L, 100000L, Seq(
+      LabelMatcher("job", MatchOp.Eq, "api"))))
+    val resp = RemoteRead.handle(spark, instrumented, req)
+    assert(RemoteRead.decodeResponse(resp).head.flatMap(_._2).length == 3)
+    assert(acc.value == points.count(),
+      s"matching set must be scanned once, saw ${acc.value} source rows")
   }
 
   test("remote write push: executor-side forwarding lands every sample") {

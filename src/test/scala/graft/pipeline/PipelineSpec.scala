@@ -248,6 +248,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(rms == math.sqrt(samples.map(s => s.toDouble * s).sum / 4))
     // non-wav bytes -> None
     assert(Multimodal.wavAudioStats(1L, Array[Byte](1, 2, 3)).isEmpty)
+    // a data chunk whose DECLARED size runs past the blob (truncated
+    // upload): stats come from the readable prefix, no executor
+    // ArrayIndexOutOfBoundsException
+    // 52-byte blob, data at offset 44: a claimed 48-byte data chunk passes
+    // parseWav's sz<=length check but runs 40 bytes past the end
+    val lying = Multimodal.synthWav(1, 8000, 16, 4)
+    lying(40) = 0x30; lying(41) = 0x00 // data size claims 48 bytes
+    val Some((_, nClamped, _, _)) = Multimodal.wavAudioStats(8L, lying)
+    assert(nClamped == 4) // the 8 real payload bytes = 4 samples
   }
 
   test("jpeg header parser reads dims from a real ImageIO-encoded jpeg") {

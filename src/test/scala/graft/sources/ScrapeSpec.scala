@@ -392,4 +392,59 @@ class ScrapeSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(dist == local && dist.nonEmpty)
   }
+
+  test("staleness markers: dead / vanished targets go stale at the next tick") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val cfg =
+      """scrape_configs:
+        |  - job_name: stale
+        |    scrape_interval: 15s
+        |    static_configs:
+        |      - targets: [a:1, b:1]
+        |""".stripMargin
+    val jobs = Scrape.parseScrapeConfigs(cfg)
+    val dir = java.nio.file.Files.createTempDirectory("stale_store").toString
+    val t0 = 1704067200000L
+    // tick 1: both targets answer; b exposes an extra series
+    def fetch1(t: String): String =
+      if (t == "b:1") "up 1\nextra_total 5\n" else "up 1\n"
+    val (p1, s1) = Scrape.scrapeTickStale(spark, jobs, fetch1, t0)
+    PointsStore.append(p1, dir)
+    assert(p1.where(col("stale")).count() == 0)
+    // tick 2: b is DEAD (fetch fails) -> both of its series get markers;
+    // a failed fetch no longer aborts the tick
+    def fetch2(t: String): String =
+      if (t == "b:1") throw new java.io.IOException("connection refused") else "up 1\n"
+    val (p2, s2) = Scrape.scrapeTickStale(spark, jobs, fetch2, t0 + 15000L, s1)
+    PointsStore.append(p2, dir)
+    assert(p2.where(col("stale")).count() == 2)
+    assert(p2.where(!col("stale")).count() == 1) // a's sample still lands
+    // the engine consumes the markers: an instant query one tick after the
+    // death sees only the live target — b would otherwise have been served
+    // for the full 5-minute lookback window
+    val pts = PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+    def instances(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(element_at(col("labels"), "instance")).collect().map(_.getString(0)).toSet
+    assert(instances(graft.engine.Engine.instantQuery(spark, pts, "up", t0)) ==
+      Set("a:1", "b:1"))
+    assert(instances(graft.engine.Engine.instantQuery(spark, pts, "up", t0 + 15000L)) ==
+      Set("a:1"))
+    // tick 3: b RECOVERS but now exposes only `up` — its sample returns
+    // and nothing new goes stale (the failed target's cache was cleared)
+    val (p3, s3) = Scrape.scrapeTickStale(spark, jobs, fetch1, t0 + 30000L, s2)
+    assert(p3.where(col("stale")).count() == 0)
+    // tick 4: b alive but `extra_total` vanishes from its exposition ->
+    // exactly that series gets a marker (per-series staleness, not
+    // per-target); then b is REMOVED from the config -> `up` goes stale
+    def fetch4(t: String): String = "up 1\n"
+    val (p4, s4) = Scrape.scrapeTickStale(spark, jobs, fetch4, t0 + 45000L, s3)
+    val stale4 = p4.where(col("stale")).select(col("name")).collect().map(_.getString(0))
+    assert(stale4.toSeq == Seq("extra_total"))
+    val jobsShrunk = Scrape.parseScrapeConfigs(cfg.replace(", b:1", ""))
+    val (p5, _) = Scrape.scrapeTickStale(spark, jobsShrunk, fetch4, t0 + 60000L, s4)
+    val stale5 = p5.where(col("stale"))
+      .select(col("name"), element_at(col("labels"), "instance")).collect()
+    assert(stale5.length == 1 && stale5.head.getString(0) == "up" &&
+      stale5.head.getString(1) == "b:1")
+  }
 }
