@@ -198,14 +198,20 @@ object Compiler {
     val dict = ctx.seriesDict.filter(_ => pts.columns.contains("sig"))
     vs.at match {
       case None =>
+        // fold kernels can re-derive the explode from the slim pre-explode
+        // samples with the shuffle moved before the window multiplication
+        def slimOf(g: StepGrid, shiftMs: Long): Option[SlimRange] =
+          dict.map(_ => SlimRange(Selectors.slimSamples(pts), g, ms.rangeMs,
+            shiftMs, ctx.sampleTally))
         if (vs.offsetMs == 0L) {
           MatrixVal(Selectors.range(pts, grid, ms.rangeMs, ctx.sampleTally, dict),
-            ms.rangeMs, dict = dict)
+            ms.rangeMs, dict = dict, slim = slimOf(grid, 0L))
         } else {
           val shifted = StepGrid(grid.startMs - vs.offsetMs, grid.endMs - vs.offsetMs, grid.stepMs)
           MatrixVal(Selectors.range(pts, shifted, ms.rangeMs, ctx.sampleTally, dict)
             .withColumn("step", col("step") + vs.offsetMs),
-            ms.rangeMs, windowEndMsOffset = vs.offsetMs, dict = dict)
+            ms.rangeMs, windowEndMsOffset = vs.offsetMs, dict = dict,
+            slim = slimOf(shifted, vs.offsetMs))
         }
       case Some(at) =>
         val ts = pinnedTs(at, grid) - vs.offsetMs

@@ -329,13 +329,32 @@ object Functions {
   /** The fold kernels are TypedImperativeAggregates, so the plan is an
     * ObjectHashAggregate (hash-based, any buffer type) — carrying the
     * canonical STRING through `first` costs far less than the map value
-    * it replaces; the map is rebuilt on the result-sized output. */
-  private def rangeKernel(m: MatrixVal, df: DataFrame, valueCol: Column): VectorVal =
+    * it replaces; the map is rebuilt on the result-sized output.
+    *
+    * When the matrix carries its slim PRE-EXPLODE source (dict-path
+    * selectors) and the kernel consumes the raw matrix, the input is
+    * re-derived as repartition(sig) → explode: sig-partitioning satisfies
+    * the (sig, step) grouping (subset clustering), so the aggregation runs
+    * exchange-free and the one shuffle carries one slim row per SAMPLE —
+    * not per-(series, step) fold buffers each serializing ~window/step
+    * copies of its samples through the wire. */
+  private def rangeKernel(m: MatrixVal, df: DataFrame, valueCol: Column): VectorVal = {
+    val input = m.slim match {
+      case Some(s) if df eq m.df =>
+        val exploded = Selectors.explodeToSteps(s.pre.repartition(col("sig")),
+          s.grid, s.windowMs, s.tally)
+        val shifted =
+          if (s.stepShiftMs == 0L) exploded
+          else exploded.withColumn("step", col("step") + s.stepShiftMs)
+        shifted.select(col("sig"), col("step"), col("t"), col("value"))
+      case _ => df
+    }
     kernelVector(m,
-      df.groupBy(col("sig"), col("step"))
+      input.groupBy(col("sig"), col("step"))
         .agg(valueCol.as("value"), seriesAggCols(m): _*)
         .where(col("value").isNotNull),
       keepName = false)
+  }
 
   private def math1(args: Seq[Expr], ctx: EvalContext, f: Column => Column): Value =
     Compiler.eval(args.headOption.getOrElse(NumberLiteral(0)), ctx) match {

@@ -150,6 +150,10 @@ object Selectors {
     * their result-sized output via [[Labels.fromCanonical]].
     *
     * Output: sig, name, _lc, step, t, value. */
+  /** The dict path's pre-explode input: slim (sig, t, value) samples. */
+  def slimSamples(points: DataFrame): DataFrame =
+    dropStale(points).select(col("sig"), col("t"), col("value"))
+
   def range(points: DataFrame, grid: StepGrid, rangeMs: Long,
             tally: Option[org.apache.spark.util.LongAccumulator] = None,
             seriesDict: Option[DataFrame] = None): DataFrame = seriesDict match {
@@ -158,9 +162,7 @@ object Selectors {
       // in the engine (samples × window/step) — carry only primitives;
       // the range kernels aggregate by (sig, step) and join (name, _lc)
       // back from the sidecar on their result-sized output.
-      explodeToSteps(
-        dropStale(points).select(col("sig"), col("t"), col("value")),
-        grid, rangeMs, tally)
+      explodeToSteps(slimSamples(points), grid, rangeMs, tally)
         .select(col("sig"), col("step"), col("t"), col("value"))
     case _ =>
       explodeToSteps(

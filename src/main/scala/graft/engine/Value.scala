@@ -59,13 +59,34 @@ final case class MatrixVal(
       * carries ONLY (sig, step, t, value) — no name/_lc strings — and
       * consumers join (name, _lc) back from this dictionary on their
       * result-sized aggregated output. */
-    dict: Option[DataFrame] = None) extends Value {
+    dict: Option[DataFrame] = None,
+    /** Dict path only: the slim PRE-EXPLODE samples with the explode
+      * parameters. Fold kernels (sample-retaining
+      * TypedImperativeAggregates) re-derive their input from this as
+      * repartition(sig) → explode, which moves the one shuffle BEFORE the
+      * window multiplication: the wire carries one (sig, t, value) row
+      * per SAMPLE instead of per-(series, step) buffers each serializing
+      * ~window/step copies of its samples (measured ~25% off the whole
+      * rate-canary pipeline). Builtin-agg kernels (count/sum/…_over_time)
+      * keep `df`: their partials CONDENSE, so aggregate-then-shuffle is
+      * the cheaper order for them. */
+    slim: Option[SlimRange] = None) extends Value {
   /** Column expression for the true window end (sample-time ms). */
   def windowEnd: org.apache.spark.sql.Column = pinnedEndMs match {
     case Some(ts) => org.apache.spark.sql.functions.lit(ts)
     case None => org.apache.spark.sql.functions.col("step") - windowEndMsOffset
   }
 }
+/** Ingredients to re-run a range selector's explode on re-partitioned
+  * input: the slim pre-explode samples (sig, t, value), the (possibly
+  * offset-shifted) grid, the window, the post-explode step shift (offset
+  * selectors), and the MaxSamples tally the original explode carried —
+  * threading it keeps the in-scan meter exact when the re-derived plan is
+  * the one that executes. */
+final case class SlimRange(
+    pre: DataFrame, grid: StepGrid, windowMs: Long, stepShiftMs: Long,
+    tally: Option[org.apache.spark.util.LongAccumulator])
+
 final case class ScalarVal(df: DataFrame, const: Option[Double] = None) extends Value
 final case class StringVal(s: String) extends Value
 

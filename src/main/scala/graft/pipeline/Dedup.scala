@@ -281,16 +281,20 @@ object Dedup {
     }
 
     var it = 0
-    var prevCount = edges.count()
-    var converged = prevCount == 0
+    var converged = edges.isEmpty
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // exact set equality, cheaply: both sets are distinct rows, so
-      // equal cardinality + one empty difference direction ⟹ equality;
-      // unequal counts skip the difference job entirely
-      val nextCount = next.count()
-      converged = nextCount == prevCount && next.exceptAll(edges).isEmpty
-      prevCount = nextCount
+      // convergence = the edge set is a STAR FOREST: smallStar orients
+      // every edge (bigger → smaller), so the set is a forest of stars
+      // exactly when no edge's target is itself a source — and a star
+      // forest is a fixpoint of both operators (Kiveris SoCC'14). One
+      // node-sized left_semi self-join detects it the ROUND THE FOREST
+      // FORMS — the previous count+exceptAll set-equality check needed a
+      // whole extra large/small round to observe "nothing changed", plus
+      // a set-difference job at the fixpoint.
+      converged = next.select(col("v"))
+        .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+        .isEmpty
       edges = next
       it += 1
     }

@@ -268,20 +268,28 @@ class EngineIntegrationSpec extends AnyFunSuite {
     val rateWith = rateResults(dict)
     assert(rateWith == rateResults(None) && rateWith.nonEmpty)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val rateShuffles = try {
+    val ratePlan = try {
       Engine.rangeQuery(spark, stored, "rate(click[2d])", tick, tick, 1000L,
-        lookbackMs = day, seriesDict = dict).queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec
-          if e.outputPartitioning.toString.contains("sig") &&
-             e.outputPartitioning.toString.contains("step") => e
-      }
+        lookbackMs = day, seriesDict = dict).queryExecution.executedPlan
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(rateShuffles.nonEmpty, "expected a (sig, step)-partitioned kernel exchange")
-    rateShuffles.foreach { e =>
-      assert(!e.output.exists(_.dataType ==
-        org.apache.spark.sql.types.StringType),
-        s"label string crosses the rate-kernel exchange: ${e.output.mkString(",")}")
+    val rateShuffles = ratePlan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("sig") => e
     }
+    // the kernel's shuffle happens BEFORE the window explode: the wire
+    // carries one slim (sig, t, value) row per sample — never the
+    // per-(series, step) fold buffers (each serializing ~window/step
+    // copies), and never a label string. (Other sig exchanges — the
+    // result-sized dictionary restore's first() buffers — may carry the
+    // canonical string by design.)
+    assert(!rateShuffles.exists(_.outputPartitioning.toString.contains("step")),
+      "fold-kernel exchange must be pre-explode (sig only, not (sig, step))")
+    val kernelShuffles = rateShuffles.filter(_.output.forall(a =>
+      a.dataType == org.apache.spark.sql.types.LongType ||
+        a.dataType == org.apache.spark.sql.types.DoubleType))
+    assert(kernelShuffles.nonEmpty,
+      s"expected the slim (sig, t, value) pre-explode kernel exchange; saw: " +
+        rateShuffles.map(_.output.mkString("[", ",", "]")).mkString(" "))
   }
 
   test("series-dictionary path: binop and set-op exchanges carry no strings") {
