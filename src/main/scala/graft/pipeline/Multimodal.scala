@@ -112,31 +112,52 @@ object Multimodal {
     else Some(MediaMeta(id, b.length.toLong, "png", w, h, ch))
   }
 
-  /** FULL PNG pixel decode for the 8-bit-depth, non-interlaced,
-    * non-palette cases (gray / gray+alpha / RGB / RGBA): concatenate the
-    * IDAT chunks, inflate (java.util.zip — no external codec), and undo
-    * the per-scanline filter (None/Sub/Up/Average/Paeth per the PNG
-    * spec). Returns (width, height, channels, rowMajorPixels). */
+  /** FULL PNG pixel decode, non-interlaced, all five color types:
+    * gray / gray+alpha / RGB / RGBA at depth 8 and 16 (16-bit samples
+    * reduce to their high byte — the standard 8-bit view), grayscale at
+    * depth 1/2/4 (scaled to full 8-bit range per the spec's sample
+    * scaling), and PALETTE (color type 3) at depth 1/2/4/8, expanded
+    * through PLTE to RGB. Concatenates the IDAT chunks, inflates
+    * (java.util.zip — no external codec), undoes the per-scanline filter
+    * (None/Sub/Up/Average/Paeth; `a`/`c` neighbors are `bpp` BYTES back,
+    * which for sub-byte and 16-bit layouts is not one pixel's channels).
+    * Returns (width, height, channels, rowMajorPixels) with 8-bit
+    * channels. */
   def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val meta = parsePng(0L, b).getOrElse(return None)
     val depth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (depth != 8 || colorType == 3 || interlace != 0) return None
-    val w = meta.width; val h = meta.height; val ch = meta.channels
-    // walk chunks, concatenating IDAT payloads
+    if (interlace != 0) return None
+    val paletted = colorType == 3
+    val valid = colorType match {
+      case 0 => Seq(1, 2, 4, 8, 16).contains(depth)
+      case 3 => Seq(1, 2, 4, 8).contains(depth)
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case _ => false
+    }
+    if (!valid) return None
+    val w = meta.width; val h = meta.height
+    // samples per pixel in the CODED stream (palette codes 1 index/pixel)
+    val spp = if (paletted) 1 else meta.channels
+    val ch = if (paletted) 3 else meta.channels // output channels
+    // walk chunks, concatenating IDAT payloads and capturing PLTE
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var off = 8
     var done = false
     while (!done && off + 8 <= b.length) {
       val len = be32(b, off)
       val typ = tag(b, off + 4)
       if (len < 0 || off + 12 + len > b.length) return None
+      if (typ == "PLTE") plte = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
       if (typ == "IDAT") idat.write(b, off + 8, len)
       if (typ == "IEND") done = true
       off += 12 + len // len + type + data + crc
     }
-    val stride = w * ch
+    if (paletted && (plte == null || plte.length % 3 != 0)) return None
+    val stride = (w * spp * depth + 7) / 8 // coded bytes per scanline
+    val bpp = math.max(1, spp * depth / 8) // filter neighbor distance
     val raw = new Array[Byte](h * (stride + 1))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -148,8 +169,8 @@ object Multimodal {
     }
     inf.end()
     if (got < raw.length) return None
-    // unfilter in place into the output array
-    val out = new Array[Byte](h * stride)
+    // unfilter scanlines (in the CODED byte domain)
+    val un = new Array[Byte](h * stride)
     var r = 0
     while (r < h) {
       val filter = raw(r * (stride + 1)) & 0xff
@@ -158,9 +179,9 @@ object Multimodal {
       var i = 0
       while (i < stride) {
         val x = raw(rowIn + i) & 0xff
-        val a = if (i >= ch) out(rowOut + i - ch) & 0xff else 0 // left
-        val up = if (r > 0) out(rowOut - stride + i) & 0xff else 0 // above
-        val c = if (r > 0 && i >= ch) out(rowOut - stride + i - ch) & 0xff else 0
+        val a = if (i >= bpp) un(rowOut + i - bpp) & 0xff else 0 // left
+        val up = if (r > 0) un(rowOut - stride + i) & 0xff else 0 // above
+        val c = if (r > 0 && i >= bpp) un(rowOut - stride + i - bpp) & 0xff else 0
         val recon = filter match {
           case 0 => x
           case 1 => x + a
@@ -172,8 +193,39 @@ object Multimodal {
             x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
           case _ => return None
         }
-        out(rowOut + i) = (recon & 0xff).toByte
+        un(rowOut + i) = (recon & 0xff).toByte
         i += 1
+      }
+      r += 1
+    }
+    // expand coded samples to 8-bit output channels
+    val out = new Array[Byte](h * w * ch)
+    // one coded sample value (0..2^depth-1) at pixel x, sample s of row r
+    def sampleAt(rowOut: Int, x: Int, s: Int): Int = depth match {
+      case 16 => un(rowOut + (x * spp + s) * 2) & 0xff // high byte
+      case 8 => un(rowOut + x * spp + s) & 0xff
+      case d => // 1/2/4-bit, MSB-first packing (spp == 1 for these)
+        val bitPos = x * d
+        (un(rowOut + (bitPos >> 3)) >> (8 - d - (bitPos & 7))) & ((1 << d) - 1)
+    }
+    val maxVal = (1 << math.min(depth, 8)) - 1
+    r = 0
+    while (r < h) {
+      val rowOut = r * stride
+      var x = 0
+      while (x < w) {
+        val o = (r * w + x) * ch
+        if (paletted) {
+          val idx = sampleAt(rowOut, x, 0)
+          if (idx * 3 + 2 >= plte.length) return None
+          out(o) = plte(idx * 3); out(o + 1) = plte(idx * 3 + 1); out(o + 2) = plte(idx * 3 + 2)
+        } else if (depth < 8) { // sub-byte grayscale: scale to 0..255
+          out(o) = (sampleAt(rowOut, x, 0) * 255 / maxVal).toByte
+        } else {
+          var s = 0
+          while (s < ch) { out(o + s) = sampleAt(rowOut, x, s).toByte; s += 1 }
+        }
+        x += 1
       }
       r += 1
     }
@@ -219,30 +271,124 @@ object Multimodal {
       }
       r += 1
     }
+    assemblePng(width, height, 8, colorType, filtered, None)
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Deflate the filtered scanlines and wrap the chunk sequence
+    * (IHDR [PLTE] IDAT IEND) with real CRCs. */
+  private def assemblePng(width: Int, height: Int, depth: Int, colorType: Int,
+                          filtered: Array[Byte],
+                          plte: Option[Array[Byte]]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(filtered); deflater.finish()
     val zBuf = new java.io.ByteArrayOutputStream()
     val tmp = new Array[Byte](8192)
     while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
     deflater.end()
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
-      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
-      bb.putInt(crc.getValue.toInt)
-      bb.array()
-    }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
-      .put(8.toByte).put(colorType.toByte)
+      .put(depth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
-    out.write(chunk("IHDR", ihdr))
-    out.write(chunk("IDAT", zBuf.toByteArray))
-    out.write(chunk("IEND", Array.emptyByteArray))
+    out.write(pngChunk("IHDR", ihdr))
+    plte.foreach(p => out.write(pngChunk("PLTE", p)))
+    out.write(pngChunk("IDAT", zBuf.toByteArray))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
     out.toByteArray
+  }
+
+  /** Paletted PNG fixture (color type 3, depth 1/2/4/8): palette entry
+    * byte j = (j*11+3)%256, pixel i's index = `idxOf(i)` (must fit the
+    * depth), indices packed MSB-first. Scanlines alternate filter
+    * None/Sub/Up — filtering operates in the CODED byte domain with
+    * bpp = 1, exactly what the decoder must undo for packed indices. */
+  def synthPngPalette(width: Int, height: Int, depth: Int,
+                      idxOf: Int => Int): Array[Byte] = {
+    require(Seq(1, 2, 4, 8).contains(depth), s"palette depth $depth")
+    val n = 1 << depth
+    val plte = Array.tabulate(n * 3)(j => ((j * 11 + 3) % 256).toByte)
+    val stride = (width * depth + 7) / 8
+    val coded = new Array[Byte](height * stride)
+    var r = 0
+    while (r < height) {
+      var x = 0
+      while (x < width) {
+        val idx = idxOf(r * width + x) & (n - 1)
+        val bitPos = x * depth
+        val byteAt = r * stride + (bitPos >> 3)
+        coded(byteAt) = (coded(byteAt) | (idx << (8 - depth - (bitPos & 7)))).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val filtered = filterScanlines(coded, height, stride, bpp = 1, nFilters = 3)
+    assemblePng(width, height, depth, 3, filtered, Some(plte))
+  }
+
+  /** 16-bit PNG fixture: big-endian sample s (linear over the image) =
+    * `sampleOf(s)` & 0xffff; scanline r filtered with filter r % 5 in the
+    * coded byte domain (bpp = channels*2 — the filter neighbors are one
+    * PIXEL back, two bytes per sample). */
+  def synthPng16(width: Int, height: Int, channels: Int,
+                 sampleOf: Int => Int): Array[Byte] = {
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case other => throw new IllegalArgumentException(s"channels $other")
+    }
+    val stride = width * channels * 2
+    val coded = new Array[Byte](height * stride)
+    var s = 0
+    while (s < height * width * channels) {
+      val v = sampleOf(s) & 0xffff
+      coded(s * 2) = (v >> 8).toByte
+      coded(s * 2 + 1) = (v & 0xff).toByte
+      s += 1
+    }
+    val filtered = filterScanlines(coded, height, stride, bpp = channels * 2, nFilters = 5)
+    assemblePng(width, height, 16, colorType, filtered, None)
+  }
+
+  /** Encoder-side scanline filtering (row r uses filter r % nFilters)
+    * over the coded byte domain with the given filter distance `bpp`. */
+  private def filterScanlines(coded: Array[Byte], height: Int, stride: Int,
+                              bpp: Int, nFilters: Int): Array[Byte] = {
+    val filtered = new Array[Byte](height * (stride + 1))
+    var r = 0
+    while (r < height) {
+      val f = r % nFilters
+      filtered(r * (stride + 1)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val x = coded(r * stride + i) & 0xff
+        val a = if (i >= bpp) coded(r * stride + i - bpp) & 0xff else 0
+        val up = if (r > 0) coded((r - 1) * stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) coded((r - 1) * stride + i - bpp) & 0xff else 0
+        val enc = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - up
+          case 3 => x - (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        filtered(r * (stride + 1) + 1 + i) = (enc & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    filtered
   }
 
   /** PNG real-decode gate: synthesize a deterministic PNG per doc_id
@@ -260,6 +406,35 @@ object Multimodal {
       val (dw, dh, dch, px) = decodePngPixels(png).get
       (id, dw, dh, dch, px.map(p => (p & 0xff).toLong).sum)
     }).toDF("doc_id", "width", "height", "channels", "pix_sum")
+  }
+
+  /** Palette + 16-bit PNG decode gate: even doc_ids become PALETTED
+    * fixtures (depth cycles 1/2/4/8, palette entry j = (j*11+3)%256,
+    * index i = (i+id)%2^depth) expanded to RGB; odd doc_ids become
+    * 16-BIT fixtures (gray or RGB, big-endian sample s =
+    * (s*257+id)%65536) reduced to the high byte. The oracle reproduces
+    * both sums arithmetically, so a hash match certifies bit-exact
+    * palette expansion, sub-byte unpacking, and 16-bit reduction through
+    * the full inflate + unfilter pipeline. */
+  def pngDepthStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+      if (id % 2 == 0) {
+        val w = (id % 13).toInt + 1
+        val h = (id % 7).toInt + 1
+        val depth = Seq(1, 2, 4, 8)(((id / 2) % 4).toInt)
+        val png = synthPngPalette(w, h, depth, i => ((i + id) % (1L << depth)).toInt)
+        val (dw, dh, dch, px) = decodePngPixels(png).get
+        (id, "palette", depth, dw, dh, dch, px.map(p => (p & 0xff).toLong).sum)
+      } else {
+        val w = (id % 11).toInt + 1
+        val h = (id % 5).toInt + 1
+        val ch = if (id % 4 == 1) 1 else 3
+        val png = synthPng16(w, h, ch, s => ((s * 257L + id) % 65536L).toInt)
+        val (dw, dh, dch, px) = decodePngPixels(png).get
+        (id, "depth16", 16, dw, dh, dch, px.map(p => (p & 0xff).toLong).sum)
+      }
+    }).toDF("doc_id", "kind", "depth", "width", "height", "channels", "pix_sum")
   }
 
   /** JPEG header: walk the marker segments for the first SOF0/1/2 frame

@@ -53,6 +53,7 @@ object PipelineQueries {
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
     "q_mm_png_pixels" -> ((s, dir) => Multimodal.pngPixelStats(s, docs(s, dir))),
+    "q_mm_png_depths" -> ((s, dir) => Multimodal.pngDepthStats(s, docs(s, dir))),
     "q_mm_resize" -> ((s, dir) => Multimodal.pngResizeStats(s, docs(s, dir))),
     "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir)))
   )
@@ -330,6 +331,35 @@ object PipelineQueries {
         |      (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS INT)),
         |    i -> (i * 7 + doc_id) % 256)) AS BIGINT) AS pix_sum
         |FROM documents""".stripMargin,
+
+    // palette (1/2/4/8-bit packed indices -> PLTE RGB) and 16-bit
+    // (high-byte reduction) decode variants: both pixel sums reproduced
+    // arithmetically, certifying the sub-byte unpack, palette expansion,
+    // and 16-bit sample walk through inflate + unfilter
+    "q_mm_png_depths" ->
+      """SELECT doc_id, 'palette' AS kind,
+        |  CAST(CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS INT) AS depth,
+        |  CAST(doc_id % 13 + 1 AS INT) AS width,
+        |  CAST(doc_id % 7 + 1 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(list_sum(list_transform(
+        |    range(0, CAST((doc_id % 13 + 1) * (doc_id % 7 + 1) AS INT)),
+        |    i -> ((((i + doc_id) % (1 << (CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))) * 3 + 0) * 11 + 3) % 256
+        |       + ((((i + doc_id) % (1 << (CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))) * 3 + 1) * 11 + 3) % 256
+        |       + ((((i + doc_id) % (1 << (CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END))) * 3 + 2) * 11 + 3) % 256
+        |  )) AS BIGINT) AS pix_sum
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'depth16' AS kind,
+        |  CAST(16 AS INT) AS depth,
+        |  CAST(doc_id % 11 + 1 AS INT) AS width,
+        |  CAST(doc_id % 5 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  CAST(list_sum(list_transform(
+        |    range(0, CAST((doc_id % 11 + 1) * (doc_id % 5 + 1) *
+        |      (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END) AS INT)),
+        |    s -> ((s * 257 + doc_id) % 65536) // 256)) AS BIGINT) AS pix_sum
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     // nearest-neighbor 8x8 resize of the decoded PNG: the oracle maps
     // each output pixel back to its source index arithmetically

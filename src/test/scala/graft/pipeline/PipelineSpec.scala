@@ -174,6 +174,81 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.langId(weird).count() == 4)
   }
 
+  test("langId held-out accuracy: 40 unseen sentences, >= 90% correct") {
+    import spark.implicits._
+    // five sentences per profiled language, none drawn from the profile
+    // corpus — pins model QUALITY, so a future profile edit that silently
+    // degrades classification fails here instead of in production
+    val held = Seq(
+      ("en", Seq(
+        "yesterday the children walked to school although the weather was cold and the streets were still wet",
+        "she opened the window because the morning light was beautiful and the birds were singing outside",
+        "our company will publish the report next week after the board has reviewed every chapter carefully",
+        "the old fisherman told us stories about the sea while we waited for the storm to pass",
+        "most people think that learning another language takes years of practice and a great deal of patience")),
+      ("de", Seq(
+        "gestern sind die kinder trotz des kalten wetters zur schule gelaufen und die straßen waren noch nass",
+        "sie öffnete das fenster weil das morgenlicht so schön war und die vögel draußen sangen",
+        "unsere firma wird den bericht nächste woche veröffentlichen nachdem der vorstand jedes kapitel geprüft hat",
+        "der alte fischer erzählte uns geschichten über das meer während wir auf das ende des sturms warteten",
+        "die meisten menschen glauben dass das erlernen einer fremden sprache viele jahre übung und geduld braucht")),
+      ("es", Seq(
+        "ayer los niños caminaron a la escuela aunque el tiempo estaba frío y las calles seguían mojadas",
+        "ella abrió la ventana porque la luz de la mañana era hermosa y los pájaros cantaban afuera",
+        "nuestra empresa publicará el informe la próxima semana después de que el consejo revise cada capítulo",
+        "el viejo pescador nos contó historias sobre el mar mientras esperábamos a que pasara la tormenta",
+        "la mayoría de la gente piensa que aprender otro idioma requiere años de práctica y mucha paciencia")),
+      ("fr", Seq(
+        "hier les enfants sont allés à l'école à pied bien que le temps soit froid et les rues encore mouillées",
+        "elle a ouvert la fenêtre parce que la lumière du matin était belle et que les oiseaux chantaient dehors",
+        "notre entreprise publiera le rapport la semaine prochaine après que le conseil aura relu chaque chapitre",
+        "le vieux pêcheur nous racontait des histoires de la mer pendant que nous attendions la fin de la tempête",
+        "la plupart des gens pensent qu'apprendre une autre langue demande des années de pratique et beaucoup de patience")),
+      ("it", Seq(
+        "ieri i bambini sono andati a scuola a piedi anche se il tempo era freddo e le strade erano ancora bagnate",
+        "lei ha aperto la finestra perché la luce del mattino era bellissima e gli uccelli cantavano fuori",
+        "la nostra azienda pubblicherà il rapporto la settimana prossima dopo che il consiglio avrà letto ogni capitolo",
+        "il vecchio pescatore ci raccontava storie del mare mentre aspettavamo che passasse la tempesta",
+        "la maggior parte delle persone pensa che imparare un'altra lingua richieda anni di pratica e molta pazienza")),
+      ("pt", Seq(
+        "ontem as crianças foram a pé para a escola embora o tempo estivesse frio e as ruas ainda molhadas",
+        "ela abriu a janela porque a luz da manhã estava linda e os pássaros cantavam lá fora",
+        "a nossa empresa publicará o relatório na próxima semana depois que o conselho rever cada capítulo",
+        "o velho pescador contava-nos histórias do mar enquanto esperávamos que a tempestade passasse",
+        "a maioria das pessoas acha que aprender outra língua exige anos de prática e muita paciência")),
+      ("nl", Seq(
+        "gisteren liepen de kinderen naar school hoewel het weer koud was en de straten nog nat waren",
+        "zij opende het raam omdat het ochtendlicht zo mooi was en de vogels buiten zongen",
+        "ons bedrijf zal het rapport volgende week publiceren nadat het bestuur elk hoofdstuk heeft gelezen",
+        "de oude visser vertelde ons verhalen over de zee terwijl wij wachtten tot de storm voorbij was",
+        "de meeste mensen denken dat het leren van een andere taal jaren oefening en veel geduld vraagt")),
+      ("sv", Seq(
+        "igår gick barnen till skolan fastän vädret var kallt och gatorna fortfarande var våta",
+        "hon öppnade fönstret eftersom morgonljuset var så vackert och fåglarna sjöng därute",
+        "vårt företag kommer att publicera rapporten nästa vecka efter att styrelsen har läst varje kapitel",
+        "den gamle fiskaren berättade historier om havet medan vi väntade på att stormen skulle dra förbi",
+        "de flesta människor tror att det tar många års övning och mycket tålamod att lära sig ett nytt språk")))
+    val rows = held.zipWithIndex.flatMap { case ((lang, ss), li) =>
+      ss.zipWithIndex.map { case (s, si) => ((li * 10 + si).toLong, s, lang) }
+    }
+    val docs = rows.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val pred = TextAnalysis.langId(docs)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val correct = rows.count { case (id, _, lang) => pred(id) == lang }
+    val acc = correct.toDouble / rows.size
+    assert(acc >= 0.9, {
+      val misses = rows.filter { case (id, _, lang) => pred(id) != lang }
+        .map { case (id, t, lang) => s"$lang->${pred(id)}: ${t.take(40)}…" }
+      s"held-out accuracy $acc below 0.9; misses:\n${misses.mkString("\n")}"
+    })
+    // every language individually gets a majority of its sentences right
+    held.foreach { case (lang, ss) =>
+      val ok = rows.count { case (id, _, l) => l == lang && pred(id) == lang }
+      assert(ok >= 3, s"$lang: only $ok/5 held-out sentences correct")
+    }
+  }
+
   test("png codec: synth -> full decode round-trips pixels through all 5 filters") {
     for (ch <- Seq(1, 2, 3, 4)) {
       val w = 13; val h = 11 // >= 5 rows: every filter type appears
@@ -217,6 +292,49 @@ class PipelineSpec extends AnyFunSuite {
       val i = (y * w + x) * 3
       assert((px(i + c) & 0xff) == fill(i + c))
     }
+  }
+
+  test("png codec: palette (1/2/4/8-bit) and 16-bit depths decode pixel-exact") {
+    // palette: packed sub-byte indices expand through PLTE to RGB
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val w = 13; val h = 6 // w chosen so sub-byte rows have partial bytes
+      val n = 1 << depth
+      val idx = (i: Int) => (i * 3 + 1) % n
+      val png = Multimodal.synthPngPalette(w, h, depth, idx)
+      val Some((dw, dh, dch, px)) = Multimodal.decodePngPixels(png)
+      assert(dw == w && dh == h && dch == 3, s"depth $depth")
+      for (i <- 0 until w * h; c <- 0 until 3)
+        assert((px(i * 3 + c) & 0xff) == ((idx(i) * 3 + c) * 11 + 3) % 256,
+          s"palette depth $depth pixel $i ch $c")
+      // cross-check: ImageIO decodes the same paletted stream identically
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == (px(i * 3) & 0xff) &&
+          ((rgb >> 8) & 0xff) == (px(i * 3 + 1) & 0xff) &&
+          (rgb & 0xff) == (px(i * 3 + 2) & 0xff), s"ImageIO diverges at depth $depth")
+      }
+    }
+    // 16-bit: all five filters at bpp = 2*ch, samples reduce to high byte
+    for (ch <- Seq(1, 3)) {
+      val w = 9; val h = 7
+      val sample = (s: Int) => (s * 2654 + 77) % 65536
+      val png = Multimodal.synthPng16(w, h, ch, sample)
+      val Some((dw, dh, dch, px)) = Multimodal.decodePngPixels(png)
+      assert(dw == w && dh == h && dch == ch)
+      for (s <- 0 until w * h * ch)
+        assert((px(s) & 0xff) == sample(s) / 256, s"16-bit ch=$ch sample $s")
+      // cross-check: ImageIO's 16-bit raster, scaled to 8-bit, agrees
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert(raster.getSample(x, y, c) >> 8 == (px((y * w + x) * ch + c) & 0xff),
+          s"ImageIO diverges at 16-bit ch=$ch")
+    }
+    // malformed palette stream: index past PLTE -> clean None, not a crash
+    assert(Multimodal.decodePngPixels(
+      Multimodal.synthPng(3, 3, 3, _ => 0).patch(25, Array(3.toByte), 1)).isEmpty)
   }
 
   test("resize: identity at same dims, correct source mapping on downscale") {
