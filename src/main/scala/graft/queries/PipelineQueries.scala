@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Jpeg, Multimodal, Similarity, TextAnalysis}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -55,7 +55,9 @@ object PipelineQueries {
     "q_mm_png_pixels" -> ((s, dir) => Multimodal.pngPixelStats(s, docs(s, dir))),
     "q_mm_png_depths" -> ((s, dir) => Multimodal.pngDepthStats(s, docs(s, dir))),
     "q_mm_resize" -> ((s, dir) => Multimodal.pngResizeStats(s, docs(s, dir))),
-    "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir)))
+    "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir))),
+    "q_mm_jpeg_coefs" -> ((s, dir) => Jpeg.jpegCoefStats(s, docs(s, dir))),
+    "q_mm_jpeg_pixels" -> ((s, dir) => Jpeg.jpegPixelStats(s, docs(s, dir)))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -179,6 +181,28 @@ object PipelineQueries {
        |  ELSE '${langs.last}' END AS lang_pred
        |FROM sc""".stripMargin
   }
+
+  /** Per-block dequantized-coefficient-sum term of the JPEG coef gate for
+    * component c: the DC/AC value formulas and quant-table entries are
+    * generated from the SAME Scala functions the fixture encoder uses
+    * ([[Jpeg.gateDc]]/[[Jpeg.gateAc]]/[[Jpeg.gateQLum]]), so the two sides
+    * can never drift. */
+  private def jpegCoefTerm(c: Int, q: Int => Int): String = {
+    val acTerms = Jpeg.CoefKs.map { k =>
+      s"((b + ${3 * k + 7 * c} + doc_id) % 11 - 5) * ${q(k)}"
+    }.mkString(" + ")
+    s"((b*5 + ${c * 11} + doc_id) % 21 - 10) * ${q(0)} + $acTerms"
+  }
+
+  /** r+g+b of one flat DC-only JPEG block through the decoder's exact
+    * fixed-point YCbCr→RGB (floor of the 2^16-scaled products — division
+    * by a power of two is exact in doubles, so DuckDB's floor reproduces
+    * Math.floorDiv bit-for-bit). */
+  private def jpegRgbSum(yv: String, cbd: String, crd: String): String =
+    s"(3 * ($yv)" +
+      s" + floor((91881 * ($crd) + 32768) / 65536.0)" +
+      s" - floor((22554 * ($cbd) + 46802 * ($crd) + 32768) / 65536.0)" +
+      s" + floor((116130 * ($cbd) + 32768) / 65536.0))"
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -399,6 +423,71 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(samples, x -> abs(x))) AS DOUBLE) / n AS mean_abs,
         |  sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE) / n) AS rms
         |FROM s""".stripMargin,
+
+    // lossless-layer JPEG gate: the engine must round-trip doc_id-derived
+    // quantized coefficients through a REAL baseline stream (markers,
+    // canonical Huffman, DC prediction, ZRL runs, restart markers on
+    // id%5==0, dequant) — the oracle reproduces the dequantized sum
+    // arithmetically with the quant-table literals baked in
+    "q_mm_jpeg_coefs" ->
+      s"""SELECT doc_id,
+         |  CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
+         |  CAST(8 * ((doc_id // 2) % 2 + 1) AS INT) AS height,
+         |  CAST(1 AS INT) AS ncomp,
+         |  CAST(list_sum(list_transform(
+         |    range(0, CAST((doc_id % 3 + 1) * ((doc_id // 2) % 2 + 1) AS INT)),
+         |    b -> ${jpegCoefTerm(0, Jpeg.gateQLum)})) AS BIGINT) AS coef_sum
+         |FROM documents WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT doc_id,
+         |  CAST(16 * ((doc_id // 2) % 2 + 1) AS INT) AS width,
+         |  CAST(16 * ((doc_id // 3) % 2 + 1) AS INT) AS height,
+         |  CAST(3 AS INT) AS ncomp,
+         |  CAST(
+         |    list_sum(list_transform(
+         |      range(0, CAST(4 * ((doc_id // 2) % 2 + 1) * ((doc_id // 3) % 2 + 1) AS INT)),
+         |      b -> ${jpegCoefTerm(0, Jpeg.gateQLum)})) +
+         |    list_sum(list_transform(
+         |      range(0, CAST(((doc_id // 2) % 2 + 1) * ((doc_id // 3) % 2 + 1) AS INT)),
+         |      b -> (${jpegCoefTerm(1, Jpeg.gateQChr)}) + (${jpegCoefTerm(2, Jpeg.gateQChr)})))
+         |  AS BIGINT) AS coef_sum
+         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    // pixel-layer JPEG gate: DC-only fixtures (quant 16 → every block
+    // decodes to an exactly-predictable flat value) through the FULL
+    // decode — gray, 4:4:4, and 4:2:0 with box upsample; Y block i of MCU
+    // m in encode order is i = m*4+s so chroma indexes i//4
+    "q_mm_jpeg_pixels" ->
+      s"""SELECT doc_id,
+         |  CAST(8 * ((doc_id // 3) % 3 + 1) AS INT) AS width,
+         |  CAST(8 * ((doc_id // 3) % 2 + 1) AS INT) AS height,
+         |  CAST(1 AS INT) AS channels,
+         |  CAST(list_sum(list_transform(
+         |    range(0, CAST(((doc_id // 3) % 3 + 1) * ((doc_id // 3) % 2 + 1) AS INT)),
+         |    b -> 64 * (128 + 2 * ((b*5 + doc_id) % 32 - 16)))) AS BIGINT) AS pix_sum
+         |FROM documents WHERE doc_id % 3 = 0
+         |UNION ALL
+         |SELECT doc_id,
+         |  CAST(8 * (doc_id % 2 + 1) AS INT) AS width,
+         |  CAST(8 * ((doc_id // 2) % 2 + 1) AS INT) AS height,
+         |  CAST(3 AS INT) AS channels,
+         |  CAST(list_sum(list_transform(
+         |    range(0, CAST((doc_id % 2 + 1) * ((doc_id // 2) % 2 + 1) AS INT)),
+         |    b -> 64 * ${jpegRgbSum("128 + 2 * ((b*5 + doc_id) % 32 - 16)",
+                "2 * ((b*7 + doc_id) % 24 - 12)", "2 * ((b*11 + doc_id) % 24 - 12)")}
+         |  )) AS BIGINT) AS pix_sum
+         |FROM documents WHERE doc_id % 3 = 1
+         |UNION ALL
+         |SELECT doc_id,
+         |  CAST(16 * (doc_id % 2 + 1) AS INT) AS width,
+         |  CAST(16 * ((doc_id // 2) % 2 + 1) AS INT) AS height,
+         |  CAST(3 AS INT) AS channels,
+         |  CAST(list_sum(list_transform(
+         |    range(0, CAST(4 * (doc_id % 2 + 1) * ((doc_id // 2) % 2 + 1) AS INT)),
+         |    i -> 64 * ${jpegRgbSum("128 + 2 * ((i*5 + doc_id) % 32 - 16)",
+                "2 * (((i//4)*7 + doc_id) % 24 - 12)", "2 * (((i//4)*11 + doc_id) % 24 - 12)")}
+         |  )) AS BIGINT) AS pix_sum
+         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
