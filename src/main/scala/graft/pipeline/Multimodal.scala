@@ -112,23 +112,32 @@ object Multimodal {
     else Some(MediaMeta(id, b.length.toLong, "png", w, h, ch))
   }
 
-  /** FULL PNG pixel decode, non-interlaced, all five color types:
-    * gray / gray+alpha / RGB / RGBA at depth 8 and 16 (16-bit samples
-    * reduce to their high byte — the standard 8-bit view), grayscale at
-    * depth 1/2/4 (scaled to full 8-bit range per the spec's sample
-    * scaling), and PALETTE (color type 3) at depth 1/2/4/8, expanded
-    * through PLTE to RGB. Concatenates the IDAT chunks, inflates
+  /** Adam7 pass origins/steps: (xStart, yStart, xStep, yStep) per the
+    * PNG spec's interlace pattern; a non-interlaced image is the single
+    * trivial pass (0,0,1,1). */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** FULL PNG pixel decode, all five color types and BOTH interlace
+    * methods: gray / gray+alpha / RGB / RGBA at depth 8 and 16 (16-bit
+    * samples reduce to their high byte — the standard 8-bit view),
+    * grayscale at depth 1/2/4 (scaled to full 8-bit range per the spec's
+    * sample scaling), and PALETTE (color type 3) at depth 1/2/4/8,
+    * expanded through PLTE to RGB. Concatenates the IDAT chunks, inflates
     * (java.util.zip — no external codec), undoes the per-scanline filter
     * (None/Sub/Up/Average/Paeth; `a`/`c` neighbors are `bpp` BYTES back,
     * which for sub-byte and 16-bit layouts is not one pixel's channels).
-    * Returns (width, height, channels, rowMajorPixels) with 8-bit
-    * channels. */
+    * Adam7 streams carry each of the 7 reduced images as an independent
+    * run of filtered scanlines (empty passes contribute nothing); their
+    * samples scatter to (xs + px*xstep, ys + py*ystep). Returns (width,
+    * height, channels, rowMajorPixels) with 8-bit channels. */
   def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val meta = parsePng(0L, b).getOrElse(return None)
     val depth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (interlace != 0) return None
+    if (interlace > 1) return None
     val paletted = colorType == 3
     val valid = colorType match {
       case 0 => Seq(1, 2, 4, 8, 16).contains(depth)
@@ -156,9 +165,17 @@ object Multimodal {
       off += 12 + len // len + type + data + crc
     }
     if (paletted && (plte == null || plte.length % 3 != 0)) return None
-    val stride = (w * spp * depth + 7) / 8 // coded bytes per scanline
+    val passes = (if (interlace == 0) Array((0, 0, 1, 1)) else Adam7)
+      .map { case (xs, ys, xstep, ystep) =>
+        (xs, ys, xstep, ystep,
+          if (w > xs) (w - xs + xstep - 1) / xstep else 0, // pass width
+          if (h > ys) (h - ys + ystep - 1) / ystep else 0) // pass height
+      }
+      .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
     val bpp = math.max(1, spp * depth / 8) // filter neighbor distance
-    val raw = new Array[Byte](h * (stride + 1))
+    def strideOf(pw: Int) = (pw * spp * depth + 7) / 8 // coded bytes/scanline
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph * (strideOf(pw) + 1) }.sum
+    val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -169,65 +186,71 @@ object Multimodal {
     }
     inf.end()
     if (got < raw.length) return None
-    // unfilter scanlines (in the CODED byte domain)
-    val un = new Array[Byte](h * stride)
-    var r = 0
-    while (r < h) {
-      val filter = raw(r * (stride + 1)) & 0xff
-      val rowIn = r * (stride + 1) + 1
-      val rowOut = r * stride
-      var i = 0
-      while (i < stride) {
-        val x = raw(rowIn + i) & 0xff
-        val a = if (i >= bpp) un(rowOut + i - bpp) & 0xff else 0 // left
-        val up = if (r > 0) un(rowOut - stride + i) & 0xff else 0 // above
-        val c = if (r > 0 && i >= bpp) un(rowOut - stride + i - bpp) & 0xff else 0
-        val recon = filter match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + up
-          case 3 => x + (a + up) / 2
-          case 4 => // Paeth predictor
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-          case _ => return None
-        }
-        un(rowOut + i) = (recon & 0xff).toByte
-        i += 1
-      }
-      r += 1
-    }
-    // expand coded samples to 8-bit output channels
     val out = new Array[Byte](h * w * ch)
-    // one coded sample value (0..2^depth-1) at pixel x, sample s of row r
-    def sampleAt(rowOut: Int, x: Int, s: Int): Int = depth match {
-      case 16 => un(rowOut + (x * spp + s) * 2) & 0xff // high byte
-      case 8 => un(rowOut + x * spp + s) & 0xff
-      case d => // 1/2/4-bit, MSB-first packing (spp == 1 for these)
-        val bitPos = x * d
-        (un(rowOut + (bitPos >> 3)) >> (8 - d - (bitPos & 7))) & ((1 << d) - 1)
-    }
     val maxVal = (1 << math.min(depth, 8)) - 1
-    r = 0
-    while (r < h) {
-      val rowOut = r * stride
-      var x = 0
-      while (x < w) {
-        val o = (r * w + x) * ch
-        if (paletted) {
-          val idx = sampleAt(rowOut, x, 0)
-          if (idx * 3 + 2 >= plte.length) return None
-          out(o) = plte(idx * 3); out(o + 1) = plte(idx * 3 + 1); out(o + 2) = plte(idx * 3 + 2)
-        } else if (depth < 8) { // sub-byte grayscale: scale to 0..255
-          out(o) = (sampleAt(rowOut, x, 0) * 255 / maxVal).toByte
-        } else {
-          var s = 0
-          while (s < ch) { out(o + s) = sampleAt(rowOut, x, s).toByte; s += 1 }
+    var rawOff = 0
+    passes.foreach { case (xs, ys, xstep, ystep, pw, ph) =>
+      val stride = strideOf(pw)
+      // unfilter this pass's scanlines (in the CODED byte domain)
+      val un = new Array[Byte](ph * stride)
+      var r = 0
+      while (r < ph) {
+        val filter = raw(rawOff + r * (stride + 1)) & 0xff
+        val rowIn = rawOff + r * (stride + 1) + 1
+        val rowOut = r * stride
+        var i = 0
+        while (i < stride) {
+          val x = raw(rowIn + i) & 0xff
+          val a = if (i >= bpp) un(rowOut + i - bpp) & 0xff else 0 // left
+          val up = if (r > 0) un(rowOut - stride + i) & 0xff else 0 // above
+          val c = if (r > 0 && i >= bpp) un(rowOut - stride + i - bpp) & 0xff else 0
+          val recon = filter match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + up
+            case 3 => x + (a + up) / 2
+            case 4 => // Paeth predictor
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+            case _ => return None
+          }
+          un(rowOut + i) = (recon & 0xff).toByte
+          i += 1
         }
-        x += 1
+        r += 1
       }
-      r += 1
+      rawOff += ph * (stride + 1)
+      // one coded sample value (0..2^depth-1) at pass pixel x, sample s
+      def sampleAt(rowOut: Int, x: Int, s: Int): Int = depth match {
+        case 16 => un(rowOut + (x * spp + s) * 2) & 0xff // high byte
+        case 8 => un(rowOut + x * spp + s) & 0xff
+        case d => // 1/2/4-bit, MSB-first packing (spp == 1 for these)
+          val bitPos = x * d
+          (un(rowOut + (bitPos >> 3)) >> (8 - d - (bitPos & 7))) & ((1 << d) - 1)
+      }
+      // scatter pass pixels to their interlace positions
+      r = 0
+      while (r < ph) {
+        val rowOut = r * stride
+        val oy = ys + r * ystep
+        var x = 0
+        while (x < pw) {
+          val o = (oy * w + (xs + x * xstep)) * ch
+          if (paletted) {
+            val idx = sampleAt(rowOut, x, 0)
+            if (idx * 3 + 2 >= plte.length) return None
+            out(o) = plte(idx * 3); out(o + 1) = plte(idx * 3 + 1); out(o + 2) = plte(idx * 3 + 2)
+          } else if (depth < 8) { // sub-byte grayscale: scale to 0..255
+            out(o) = (sampleAt(rowOut, x, 0) * 255 / maxVal).toByte
+          } else {
+            var s = 0
+            while (s < ch) { out(o + s) = sampleAt(rowOut, x, s).toByte; s += 1 }
+          }
+          x += 1
+        }
+        r += 1
+      }
     }
     Some((w, h, ch, out))
   }
@@ -274,6 +297,63 @@ object Multimodal {
     assemblePng(width, height, 8, colorType, filtered, None)
   }
 
+  /** Adam7-INTERLACED PNG fixture, 8-bit gray/gray+alpha/RGB/RGBA:
+    * pixel i of the FULL image = `fill(i)` (same layout as [[synthPng]],
+    * so the two encodings of one image decode identically). Each of the
+    * 7 reduced images is extracted, its scanlines filtered with filter
+    * r % 5 (per-pass neighbor state, exactly what the decoder must
+    * undo), and the passes are concatenated into one deflate stream. */
+  def synthPngAdam7(width: Int, height: Int, channels: Int,
+                    fill: Int => Int): Array[Byte] = {
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case other => throw new IllegalArgumentException(s"channels $other")
+    }
+    val stride = width * channels
+    val px = Array.tabulate(height * stride)(i => (fill(i) & 0xff).toByte)
+    val all = new java.io.ByteArrayOutputStream()
+    Adam7.foreach { case (xs, ys, xstep, ystep) =>
+      val pw = if (width > xs) (width - xs + xstep - 1) / xstep else 0
+      val ph = if (height > ys) (height - ys + ystep - 1) / ystep else 0
+      if (pw > 0 && ph > 0) {
+        val pStride = pw * channels
+        val coded = new Array[Byte](ph * pStride)
+        var r = 0
+        while (r < ph) {
+          var x = 0
+          while (x < pw) {
+            var c = 0
+            while (c < channels) {
+              coded(r * pStride + x * channels + c) =
+                px((ys + r * ystep) * stride + (xs + x * xstep) * channels + c)
+              c += 1
+            }
+            x += 1
+          }
+          r += 1
+        }
+        all.write(filterScanlines(coded, ph, pStride, bpp = channels, nFilters = 5))
+      }
+    }
+    assemblePng(width, height, 8, colorType, all.toByteArray, None, interlace = 1)
+  }
+
+  /** Interlace gate: the SAME doc_id-derived image as [[pngPixelStats]]
+    * but encoded Adam7 — the decoder must reassemble all 7 reduced
+    * images (per-pass unfilter + scatter) to reproduce the identical
+    * arithmetic pixel sum. */
+  def pngInterlacedStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 31).toInt + 1
+      val h = ((id * 5) % 23).toInt + 1
+      val ch = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+      val png = synthPngAdam7(w, h, ch, i => ((i * 7 + id) % 256).toInt)
+      val (dw, dh, dch, px) = decodePngPixels(png).get
+      (id, dw, dh, dch, px.map(p => (p & 0xff).toLong).sum)
+    }).toDF("doc_id", "width", "height", "channels", "pix_sum")
+  }
+
   private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(12 + data.length)
     bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
@@ -287,7 +367,8 @@ object Multimodal {
     * (IHDR [PLTE] IDAT IEND) with real CRCs. */
   private def assemblePng(width: Int, height: Int, depth: Int, colorType: Int,
                           filtered: Array[Byte],
-                          plte: Option[Array[Byte]]): Array[Byte] = {
+                          plte: Option[Array[Byte]],
+                          interlace: Int = 0): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(filtered); deflater.finish()
     val zBuf = new java.io.ByteArrayOutputStream()
@@ -297,7 +378,7 @@ object Multimodal {
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
       .put(depth.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
     out.write(pngChunk("IHDR", ihdr))

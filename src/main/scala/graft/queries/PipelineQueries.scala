@@ -54,6 +54,7 @@ object PipelineQueries {
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
     "q_mm_png_pixels" -> ((s, dir) => Multimodal.pngPixelStats(s, docs(s, dir))),
     "q_mm_png_depths" -> ((s, dir) => Multimodal.pngDepthStats(s, docs(s, dir))),
+    "q_mm_png_interlaced" -> ((s, dir) => Multimodal.pngInterlacedStats(s, docs(s, dir))),
     "q_mm_resize" -> ((s, dir) => Multimodal.pngResizeStats(s, docs(s, dir))),
     "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir))),
     "q_mm_jpeg_coefs" -> ((s, dir) => Jpeg.jpegCoefStats(s, docs(s, dir))),
@@ -346,6 +347,22 @@ object PipelineQueries {
     // it (inflate + unfilter all five scanline filters) to reproduce the
     // pixel sum the oracle computes arithmetically
     "q_mm_png_pixels" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 31 + 1 AS INT) AS width,
+        |  CAST((doc_id * 5) % 23 + 1 AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels,
+        |  CAST(list_sum(list_transform(
+        |    range(0, CAST((doc_id % 31 + 1) * ((doc_id * 5) % 23 + 1) *
+        |      (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS INT)),
+        |    i -> (i * 7 + doc_id) % 256)) AS BIGINT) AS pix_sum
+        |FROM documents""".stripMargin,
+
+    // the same doc_id-derived image as q_mm_png_pixels but Adam7
+    // INTERLACED: the pixel sum is identical arithmetic — matching it
+    // requires reassembling all 7 reduced images (per-pass unfilter +
+    // position scatter), including the empty/partial passes small dims
+    // produce
+    "q_mm_png_interlaced" ->
       """SELECT doc_id,
         |  CAST(doc_id % 31 + 1 AS INT) AS width,
         |  CAST((doc_id * 5) % 23 + 1 AS INT) AS height,

@@ -337,6 +337,61 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.synthPng(3, 3, 3, _ => 0).patch(25, Array(3.toByte), 1)).isEmpty)
   }
 
+  test("png codec: Adam7 interlaced streams decode identical to non-interlaced") {
+    // sizes that produce full, partial, and EMPTY interlace passes
+    for ((w, h) <- Seq((1, 1), (3, 2), (8, 8), (17, 9), (31, 23)); ch <- Seq(1, 3, 4)) {
+      val fill = (i: Int) => (i * 7 + w * ch) % 256
+      val straight = Multimodal.decodePngPixels(Multimodal.synthPng(w, h, ch, fill)).get
+      val inter = Multimodal.decodePngPixels(Multimodal.synthPngAdam7(w, h, ch, fill)).get
+      assert(inter._1 == w && inter._2 == h && inter._3 == ch, s"$w x $h ch=$ch")
+      assert(inter._4.sameElements(straight._4), s"$w x $h ch=$ch pixels diverge")
+      // ImageIO (independent codec) decodes our interlaced stream identically
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.synthPngAdam7(w, h, ch, fill)))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"$w x $h ch=$ch")
+      if (ch >= 3) {
+        for (y <- 0 until h; x <- 0 until w) {
+          val o = (y * w + x) * ch
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xff) == (inter._4(o) & 0xff) &&
+            ((rgb >> 8) & 0xff) == (inter._4(o + 1) & 0xff) &&
+            (rgb & 0xff) == (inter._4(o + 2) & 0xff), s"ImageIO diverges $w x $h ch=$ch ($x,$y)")
+          if (ch == 4)
+            assert(((rgb >> 24) & 0xff) == (inter._4(o + 3) & 0xff), s"alpha $w x $h ($x,$y)")
+        }
+      } else {
+        for (y <- 0 until h; x <- 0 until w)
+          assert(img.getRaster.getSample(x, y, 0) == (inter._4(y * w + x) & 0xff),
+            s"ImageIO diverges gray $w x $h ($x,$y)")
+      }
+    }
+    // foreign interlaced stream: ImageIO's ENCODER in Adam7 mode, our decoder
+    val w = 21; val h = 13
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, ((x * 11 + 3) << 16) | ((y * 17 + 5) << 8) | ((x + y) * 7 % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = buf.toByteArray
+    assert((bytes(28) & 0xff) == 1, "ImageIO did not write an interlaced stream")
+    val Some((dw, dh, dch, px)) = Multimodal.decodePngPixels(bytes)
+    assert(dw == w && dh == h && dch == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = src.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((px(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (px(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (px(o + 2) & 0xff) == (rgb & 0xff), s"foreign interlaced ($x,$y)")
+    }
+  }
+
   test("resize: identity at same dims, correct source mapping on downscale") {
     val w = 6; val h = 4; val ch = 3
     val px = Array.tabulate(w * h * ch)(i => (i % 251).toByte)
