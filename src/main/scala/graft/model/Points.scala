@@ -60,17 +60,35 @@ object Points {
     if (df.columns.contains("_lc")) df
     else df.withColumn("_lc", canonical(col("labels")))
 
+  /** Epoch-nanosecond view of the testdata `ts` column across every type
+    * the parquet reader may surface for it: LongType nanoseconds
+    * (TIMESTAMP(NANOS) with `spark.sql.legacy.parquet.nanosAsLong=true`),
+    * TimestampType microseconds, and TimestampNTZType (Spark 4 infers NTZ
+    * for timezone-less parquet timestamps by default). The NTZ wall-clock
+    * is interpreted in the session timezone; every graft entry point pins
+    * `spark.sql.session.timeZone=UTC`, so the cast is exact. Integer
+    * arithmetic only — epoch nanos exceed 2^53 and would lose precision
+    * through a double division. */
+  def eventTsNanos(events: DataFrame): Column = events.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts")
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      expr("unix_micros(cast(ts as timestamp)) * 1000")
+    case _ => expr("unix_micros(ts) * 1000")
+  }
+
+  /** Epoch-millisecond view of the testdata `ts` column (same dispatch as
+    * [[eventTsNanos]]). */
+  def eventTsMillis(events: DataFrame): Column = events.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      expr("unix_micros(cast(ts as timestamp)) div 1000")
+    case _ => expr("unix_micros(ts) div 1000")
+  }
+
   /** The driver testdata `events` table viewed as metric points:
-    * name = event_type, labels = {user: user_id}, t = epoch ms, value.
-    * The parquet `ts` is TIMESTAMP(NANOS): with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as LongType
-    * nanoseconds, otherwise (if a future reader maps it to TimestampType)
-    * as a microsecond timestamp — handle both. */
+    * name = event_type, labels = {user: user_id}, t = epoch ms, value. */
   def fromEvents(events: DataFrame): DataFrame = {
-    val tMs = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => expr("unix_micros(ts) div 1000")
-    }
+    val tMs = eventTsMillis(events)
     withSig(
       events.select(
         col("event_type").as("name"),

@@ -26,10 +26,7 @@ object IngestQueries {
     * key starting with a digit exercises label-key sanitization. */
   private def envelopes(s: SparkSession, dir: String): DataFrame = {
     val ev = s.read.parquet(s"$dir/events.parquet")
-    val tsNs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => col("ts")
-      case _ => expr("unix_micros(ts) * 1000")
-    }
+    val tsNs = graft.model.Points.eventTsNanos(ev)
     ev.select(
       col("event_type").as("source_id"),
       tsNs.as("timestamp"),
@@ -57,10 +54,7 @@ object IngestQueries {
 
     "q_scrape_parse" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val tMs = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-        case _ => expr("unix_micros(ts) div 1000")
-      }
+      val tMs = graft.model.Points.eventTsMillis(ev)
       val rows = ev.where(col("user_id") < 5)
         .select(col("event_type"), col("user_id"), tMs.as("t"), col("value"))
         .orderBy(col("t"), col("user_id"), col("event_type"), col("value"))

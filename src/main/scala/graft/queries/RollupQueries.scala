@@ -18,10 +18,7 @@ object RollupQueries {
   /** events → timer-envelope relation (timestamp/start/stop in ns). */
   private def timers(s: SparkSession, dir: String): DataFrame = {
     val ev = s.read.parquet(s"$dir/events.parquet")
-    val tsNs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => col("ts")
-      case _ => expr("unix_micros(ts) * 1000")
-    }
+    val tsNs = graft.model.Points.eventTsNanos(ev)
     ev.select(
       col("event_type").as("source_id"),
       tsNs.as("timestamp"),
