@@ -79,25 +79,39 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     server.createContext("/api/v1/labels", (ex: HttpExchange) => handle(ex)(labels))
     server.createContext("/api/v1/label/", (ex: HttpExchange) => handle(ex)(labelValues))
     server.createContext("/api/v1/series", (ex: HttpExchange) => handle(ex)(series))
-    // POST /api/v1/read — Prometheus remote-read (snappy+protobuf, SAMPLES
-    // mode): a real Prometheus can federate from this engine
-    // (reference serves it via vendored web/api/v1/api.go:392)
+    // POST /api/v1/read — Prometheus remote-read (snappy+protobuf): SAMPLES
+    // mode by default; clients that negotiate STREAMED_XOR_CHUNKS (prompb
+    // accepted_response_types) get the paged chunked response instead —
+    // bounded server memory, no sample-limit materialization (reference
+    // serves both via vendored web/api/v1/api.go:392)
     server.createContext("/api/v1/read", (ex: HttpExchange) => {
+      var streaming = false // once frames flow, a failure can only abort the connection
       try {
         if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
           throw new IllegalArgumentException("POST required")
-        val out = RemoteRead.handle(spark, points, ex.getRequestBody.readAllBytes())
-        ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-        ex.getResponseHeaders.set("Content-Encoding", "snappy")
-        ex.sendResponseHeaders(200, out.length)
-        ex.getResponseBody.write(out)
+        val body = ex.getRequestBody.readAllBytes()
+        if (RemoteRead.wantsStreamed(body)) { // throws on malformed body: 422 below
+          ex.getResponseHeaders.set("Content-Type",
+            "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+          ex.sendResponseHeaders(200, 0) // chunked transfer, frames flushed as produced
+          streaming = true
+          RemoteRead.handleStreamed(spark, points, body, ex.getResponseBody)
+        } else {
+          val out = RemoteRead.handle(spark, points, body)
+          ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+          ex.getResponseHeaders.set("Content-Encoding", "snappy")
+          ex.sendResponseHeaders(200, out.length)
+          ex.getResponseBody.write(out)
+        }
       } catch {
-        case e: Throwable =>
+        case e: Throwable if !streaming =>
           val msg = s"""{"status":"error","error":${Json.str(rootMsg(e))}}"""
             .getBytes(StandardCharsets.UTF_8)
           ex.getResponseHeaders.set("Content-Type", "application/json")
           ex.sendResponseHeaders(422, msg.length)
           ex.getResponseBody.write(msg)
+        case _: Throwable => () // mid-stream: close() truncates the frame
+          // stream; the client's CRC/EOF check surfaces the abort
       } finally ex.close()
     })
     // POST /api/v1/write — Prometheus remote-write receiver: the standard

@@ -111,6 +111,220 @@ object RemoteRead {
     org.xerial.snappy.Snappy.compress(encodeResponse(results))
   }
 
+  // ---- streamed serving (STREAMED_XOR_CHUNKS) ---------------------------
+
+  /** prompb ReadRequest.ResponseType values. */
+  val ResponseTypeSamples: Int = 0
+  val ResponseTypeStreamedXorChunks: Int = 1
+
+  /** The ResponseTypes a ReadRequest accepts (prompb field 3; handles both
+    * packed — the proto3 default — and unpacked encodings). */
+  private[api] def acceptedTypes(raw: Array[Byte]): Set[Long] = {
+    val r = new Reader(raw, 0, raw.length)
+    val types = Set.newBuilder[Long]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      (field, wire) match {
+        case (3, 0) => types += r.varint()
+        case (3, 2) =>
+          val (s, e) = r.lenDelimited()
+          val pr = new Reader(raw, s, e)
+          while (pr.hasNext) types += pr.varint()
+        case _ => r.skip(wire)
+      }
+    }
+    types.result()
+  }
+
+  /** True when the (snappy-compressed) ReadRequest negotiates the
+    * streamed-chunks response — throws on a malformed body, so callers can
+    * still answer 4xx before committing response headers. */
+  def wantsStreamed(body: Array[Byte]): Boolean =
+    acceptedTypes(boundedUncompress(body))
+      .contains(ResponseTypeStreamedXorChunks.toLong)
+
+  /** Serve a remote read in STREAMED_XOR_CHUNKS mode — the protocol's
+    * paged response (prompb.ChunkedReadResponse frames, each a
+    * uvarint-length + CRC32C + message record; Prometheus
+    * storage/remote/chunked.go) with samples Gorilla-XOR-encoded per
+    * chunk ([[XorChunk]]).
+    *
+    * Scale shape: this path never materializes a result set. The matching
+    * points are globally sorted (sig, t) executor-side and consumed with
+    * `toLocalIterator` — the driver holds one partition fetch, the
+    * current chunk (≤ samplesPerChunk samples) and one frame buffer
+    * (≤ maxFrameBytes) at a time, so a federated bulk read is bounded by
+    * the frame budget instead of the SAMPLES-mode sample limit. A series
+    * larger than the frame budget is split across frames (allowed by the
+    * protocol; clients concatenate by label set). */
+  def handleStreamed(spark: SparkSession, points: DataFrame, body: Array[Byte],
+                     out: java.io.OutputStream,
+                     maxFrameBytes: Int = 1 << 20,
+                     samplesPerChunk: Int = XorChunk.SamplesPerChunk): Unit = {
+    val queries = decodeRequest(boundedUncompress(body))
+    queries.zipWithIndex.foreach { case (q, qi) =>
+      val filtered = points
+        .where(col("t") >= q.startMs && col("t") <= q.endMs)
+        .where(graft.engine.Compiler.matcherFilter(q.matchers))
+      val named = q.matchers.collectFirst {
+        case LabelMatcher("__name__", MatchOp.Eq, v) => v
+      } match {
+        case Some(n) => filtered.where(col("name") === n)
+        case None => filtered
+      }
+      val sorted = graft.model.Points
+        .withSig(named.select(col("name"), col("labels"), col("t"), col("value")))
+        .select(col("sig"), col("name"), col("labels"), col("t"), col("value"))
+        .sort(col("sig"), col("t"))
+
+      val frame = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var frameBytes = 0
+      def flushFrame(): Unit = if (frame.nonEmpty) {
+        val w = new Writer
+        frame.foreach(cs => w.bytesField(1, cs))
+        w.int64(2, qi.toLong)
+        XorChunk.writeFrame(out, w.bytes)
+        out.flush()
+        frame.clear(); frameBytes = 0
+      }
+
+      var curSig = 0L
+      var curHas = false
+      var curLabels: Seq[(String, String)] = Nil
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+      var chunkBytes = 0
+
+      def emitSeries(): Unit = if (chunks.nonEmpty) {
+        val cs = encodeChunkedSeries(curLabels, chunks.toSeq)
+        frame += cs; frameBytes += cs.length
+        chunks.clear(); chunkBytes = 0
+        if (frameBytes >= maxFrameBytes) flushFrame()
+      }
+      def sealChunk(): Unit = if (samples.nonEmpty) {
+        val data = XorChunk.encode(samples.toSeq)
+        chunks += ((samples.head._1, samples.last._1, data))
+        chunkBytes += data.length
+        samples.clear()
+        if (chunkBytes >= maxFrameBytes) emitSeries() // split long series
+      }
+
+      val it = sorted.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val sig = r.getAs[Long]("sig")
+        if (!curHas || sig != curSig) {
+          sealChunk(); emitSeries()
+          curSig = sig; curHas = true
+          val name = Option(r.getAs[String]("name")).filter(_.nonEmpty)
+          val rest = Option(r.getAs[Map[String, String]]("labels"))
+            .getOrElse(Map.empty[String, String])
+          curLabels = (name.map(n => Map("__name__" -> n)).getOrElse(Map.empty) ++ rest)
+            .toSeq.sortBy(_._1)
+        }
+        samples += ((r.getAs[Long]("t"), r.getAs[Double]("value")))
+        if (samples.length >= samplesPerChunk) sealChunk()
+      }
+      sealChunk(); emitSeries(); flushFrame()
+    }
+  }
+
+  /** prompb.ChunkedSeries body: labels (field 1) + XOR chunks (field 2,
+    * each Chunk{min_time,max_time,type=XOR(1),data}). */
+  private def encodeChunkedSeries(labels: Seq[(String, String)],
+                                  chunks: Seq[(Long, Long, Array[Byte])]): Array[Byte] = {
+    val w = new Writer
+    labels.foreach { case (k, v) =>
+      w.message(1) { l => l.str(1, k); l.str(2, v) }
+    }
+    chunks.foreach { case (minT, maxT, data) =>
+      w.message(2) { c =>
+        c.int64(1, minT)
+        c.int64(2, maxT)
+        c.int64(3, 1L) // Chunk.Encoding XOR
+        c.bytesField(4, data)
+      }
+    }
+    w.bytes
+  }
+
+  /** Client-side decode of a full streamed response body: per query index,
+    * series in first-appearance order with chunk samples concatenated
+    * (a series split across frames/entries is merged by label set). */
+  def decodeChunkedResponse(in: java.io.InputStream)
+      : Map[Long, Seq[(Map[String, String], Seq[(Double, Long)])]] = {
+    import scala.collection.mutable
+    val perQuery = mutable.LinkedHashMap
+      .empty[Long, mutable.LinkedHashMap[Map[String, String], mutable.ArrayBuffer[(Double, Long)]]]
+    XorChunk.readFrames(in).foreach { payload =>
+      val r = new Reader(payload, 0, payload.length)
+      var qi = 0L
+      val series = mutable.ArrayBuffer.empty[(Map[String, String], Seq[(Double, Long)])]
+      while (r.hasNext) {
+        val (field, wire) = r.tag()
+        (field, wire) match {
+          case (1, 2) =>
+            val (s, e) = r.lenDelimited()
+            series += decodeChunkedSeriesMsg(payload, s, e)
+          case (2, 0) => qi = r.varint()
+          case _ => r.skip(wire)
+        }
+      }
+      val bucket = perQuery.getOrElseUpdate(qi, mutable.LinkedHashMap.empty)
+      series.foreach { case (labels, samples) =>
+        bucket.getOrElseUpdate(labels, mutable.ArrayBuffer.empty) ++= samples
+      }
+    }
+    perQuery.map { case (qi, m) =>
+      qi -> m.map { case (l, s) => (l, s.toSeq) }.toSeq
+    }.toMap
+  }
+
+  private def decodeChunkedSeriesMsg(buf: Array[Byte], from: Int, to: Int)
+      : (Map[String, String], Seq[(Double, Long)]) = {
+    val r = new Reader(buf, from, to)
+    val labels = Map.newBuilder[String, String]
+    val samples = Seq.newBuilder[(Double, Long)]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      (field, wire) match {
+        case (1, 2) =>
+          val (s, e) = r.lenDelimited()
+          val lr = new Reader(buf, s, e)
+          var k = ""; var v = ""
+          while (lr.hasNext) {
+            val (f2, w2) = lr.tag()
+            (f2, w2) match {
+              case (1, 2) => k = lr.str()
+              case (2, 2) => v = lr.str()
+              case _ => lr.skip(w2)
+            }
+          }
+          labels += (k -> v)
+        case (2, 2) =>
+          val (s, e) = r.lenDelimited()
+          val cr = new Reader(buf, s, e)
+          var enc = 0L
+          var data: Array[Byte] = Array.emptyByteArray
+          while (cr.hasNext) {
+            val (f2, w2) = cr.tag()
+            (f2, w2) match {
+              case (3, 0) => enc = cr.varint()
+              case (4, 2) =>
+                val (ds, de) = cr.lenDelimited()
+                data = java.util.Arrays.copyOfRange(buf, ds, de)
+              case _ => cr.skip(w2)
+            }
+          }
+          if (enc != 1L)
+            throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
+          XorChunk.decode(data).foreach { case (t, v) => samples += ((v, t)) }
+        case _ => r.skip(wire)
+      }
+    }
+    (labels.result(), samples.result())
+  }
+
   // ---- protobuf wire helpers --------------------------------------------
 
   private final class Writer {
@@ -138,6 +352,10 @@ object RemoteRead {
       val w = new Writer
       body(w)
       val b = w.bytes
+      tag(field, 2); varint(b.length); out.write(b, 0, b.length)
+    }
+    /** Pre-encoded submessage / bytes field. */
+    def bytesField(field: Int, b: Array[Byte]): Unit = {
       tag(field, 2); varint(b.length); out.write(b, 0, b.length)
     }
     /** doubles must always be written (field presence carries the sample),
@@ -261,8 +479,10 @@ object RemoteRead {
   }
 
   /** Client-side encoder (and the spec's request builder): a ReadRequest
-    * for one query. */
-  def encodeRequest(q: Query): Array[Byte] = {
+    * for one query. `accepted` lists the ResponseTypes the caller can
+    * consume (prompb field 3, packed varints) — empty means the proto3
+    * default, SAMPLES only. */
+  def encodeRequest(q: Query, accepted: Seq[Int] = Nil): Array[Byte] = {
     val w = new Writer
     w.message(1) { qw =>
       qw.int64(1, q.startMs)
@@ -279,6 +499,11 @@ object RemoteRead {
           mw.str(3, m.value)
         }
       }
+    }
+    if (accepted.nonEmpty) {
+      val pw = new Writer
+      accepted.foreach(t => pw.varint(t.toLong))
+      w.bytesField(3, pw.bytes) // packed repeated enum (proto3 default)
     }
     org.xerial.snappy.Snappy.compress(w.bytes)
   }
@@ -305,9 +530,17 @@ object RemoteRead {
       auth: Option[graft.sources.Scrape.AuthConfig] = None,
       tls: Option[graft.sources.Scrape.TlsConfig] = None) {
 
-    /** Raw protocol round-trip: one Query, decoded series. */
-    def fetch(q: Query): Seq[(Map[String, String], Seq[(Double, Long)])] = {
-      val body = encodeRequest(q)
+    /** Raw protocol round-trip: one Query, decoded series. With
+      * `streamed`, negotiates STREAMED_XOR_CHUNKS and decodes the chunked
+      * frames directly off the response stream (falling back to SAMPLES
+      * decode when the server answers in SAMPLES mode — negotiation is
+      * advisory, exactly as in the Prometheus client). */
+    def fetch(q: Query, streamed: Boolean = false)
+        : Seq[(Map[String, String], Seq[(Double, Long)])] = {
+      val body =
+        if (streamed)
+          encodeRequest(q, Seq(ResponseTypeStreamedXorChunks, ResponseTypeSamples))
+        else encodeRequest(q)
       val conn = new java.net.URL(url).openConnection()
       conn match {
         case https: javax.net.ssl.HttpsURLConnection =>
@@ -337,8 +570,12 @@ object RemoteRead {
           s"remote read failed: HTTP ${http.getResponseCode} $err")
       }
       val in = http.getInputStream
-      val resp = try in.readAllBytes() finally { in.close(); http.disconnect() }
-      decodeResponse(resp).headOption.getOrElse(Nil)
+      try {
+        val ctype = Option(http.getContentType).getOrElse("")
+        if (ctype.contains("x-streamed-protobuf"))
+          decodeChunkedResponse(in).getOrElse(0L, Nil)
+        else decodeResponse(in.readAllBytes()).headOption.getOrElse(Nil)
+      } finally { in.close(); http.disconnect() }
     }
 
     /** The remote series as a canonical points relation — feed to
@@ -346,9 +583,9 @@ object RemoteRead {
       * .PointsStore]]. `__name__` becomes the name column; remaining
       * labels the map. */
     def read(spark: SparkSession, startMs: Long, endMs: Long,
-             matchers: Seq[LabelMatcher]): DataFrame = {
+             matchers: Seq[LabelMatcher], streamed: Boolean = false): DataFrame = {
       import spark.implicits._
-      val rows = fetch(Query(startMs, endMs, matchers)).flatMap {
+      val rows = fetch(Query(startMs, endMs, matchers), streamed).flatMap {
         case (labels, samples) =>
           val name = labels.getOrElse("__name__", null)
           val rest = labels - "__name__"

@@ -328,4 +328,74 @@ class HttpApiSpec extends AnyFunSuite {
       assert(ok.contains(""""status":"success""""))
     } finally api.stop()
   }
+
+  test("remote read: STREAMED_XOR_CHUNKS negotiation over HTTP equals SAMPLES") {
+    import graft.promql.{LabelMatcher, MatchOp}
+    val api = new HttpApi(spark, points)
+    val port = api.start(0)
+    try {
+      val q = RemoteRead.Query(0L, 100000L,
+        Seq(LabelMatcher("__name__", MatchOp.Eq, "http_total")))
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/read"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Content-Encoding", "snappy")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(RemoteRead.encodeRequest(
+            q, Seq(RemoteRead.ResponseTypeStreamedXorChunks,
+              RemoteRead.ResponseTypeSamples)))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .contains("x-streamed-protobuf"))
+      val streamed = RemoteRead.decodeChunkedResponse(
+        new java.io.ByteArrayInputStream(resp.body())).getOrElse(0L, Nil).toMap
+
+      // same request WITHOUT the accepted type falls back to SAMPLES mode
+      val sresp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/read"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(
+            RemoteRead.encodeRequest(q))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val samples = RemoteRead.decodeResponse(sresp.body()).head.toMap
+      assert(streamed == samples && streamed.nonEmpty)
+
+      // the consuming client negotiates and federates identically
+      val fed = RemoteRead.Client(s"http://127.0.0.1:$port/api/v1/read")
+        .read(spark, 0L, 100000L, q.matchers, streamed = true)
+      val got = fed.collect().map(r => (r.getAs[String]("name"),
+        r.getAs[Map[String, String]]("labels"), r.getAs[Long]("t"),
+        r.getAs[Double]("value"))).toSet
+      assert(got == Set(
+        ("http_total", Map("job" -> "api", "instance" -> "0"), 60000L, 10.0),
+        ("http_total", Map("job" -> "api", "instance" -> "1"), 60000L, 20.0)))
+    } finally api.stop()
+  }
+
+  test("streamed remote read pages: long series split across chunks and frames") {
+    import graft.promql.{LabelMatcher, MatchOp}
+    // 500-sample series + a second series: tiny frame/chunk budgets force
+    // multi-chunk, multi-frame output the client must reassemble in order
+    val rows = (0 until 500).map(i =>
+      Row("m", Map("series" -> "a"), 1000L * i, math.sin(i / 7.0) * 100)) ++
+      (0 until 40).map(i => Row("m", Map("series" -> "b"), 1000L * i, i.toDouble))
+    val big = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema))
+    val body = RemoteRead.encodeRequest(RemoteRead.Query(0L, 1000000L,
+      Seq(LabelMatcher("__name__", MatchOp.Eq, "m"))))
+    val out = new java.io.ByteArrayOutputStream()
+    RemoteRead.handleStreamed(spark, big, body, out,
+      maxFrameBytes = 256, samplesPerChunk = 60)
+    val frames = XorChunk.readFrames(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    assert(frames.length > 1, "tiny frame budget must produce multiple frames")
+    val decoded = RemoteRead.decodeChunkedResponse(
+      new java.io.ByteArrayInputStream(out.toByteArray)).getOrElse(0L, Nil).toMap
+    assert(decoded.keySet == Set(
+      Map("__name__" -> "m", "series" -> "a"), Map("__name__" -> "m", "series" -> "b")))
+    assert(decoded(Map("__name__" -> "m", "series" -> "a")) ==
+      (0 until 500).map(i => (math.sin(i / 7.0) * 100, 1000L * i)))
+    assert(decoded(Map("__name__" -> "m", "series" -> "b")) ==
+      (0 until 40).map(i => (i.toDouble, 1000L * i)))
+  }
 }
