@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Jpeg, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -58,7 +58,8 @@ object PipelineQueries {
     "q_mm_resize" -> ((s, dir) => Multimodal.pngResizeStats(s, docs(s, dir))),
     "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir))),
     "q_mm_jpeg_coefs" -> ((s, dir) => Jpeg.jpegCoefStats(s, docs(s, dir))),
-    "q_mm_jpeg_pixels" -> ((s, dir) => Jpeg.jpegPixelStats(s, docs(s, dir)))
+    "q_mm_jpeg_pixels" -> ((s, dir) => Jpeg.jpegPixelStats(s, docs(s, dir))),
+    "q_mm_video_frames" -> ((s, dir) => Video.videoFrameStats(s, docs(s, dir)))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -505,6 +506,33 @@ object PipelineQueries {
                 "2 * (((i//4)*7 + doc_id) % 24 - 12)", "2 * (((i//4)*11 + doc_id) % 24 - 12)")}
          |  )) AS BIGINT) AS pix_sum
          |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // video gate: MJPEG-in-AVI container parse + every-2nd-frame sampling
+    // + per-frame JPEG decode; the fixture's frames are gray DC-only
+    // (quant 16 → flat blocks), frame f shifting the DC ramp by 3*f, so
+    // the oracle reproduces each sampled frame's pixel sum arithmetically
+    "q_mm_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 7 + 2 AS BIGINT) AS nf,
+        |    CAST(8 * (doc_id % 2 + 1) AS BIGINT) AS w,
+        |    CAST(8 * ((doc_id // 2) % 2 + 1) AS BIGINT) AS h,
+        |    CAST(33333 + (doc_id % 5) * 1000 AS BIGINT) AS uspf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, nf, w, h, uspf,
+        |    unnest(range(0, CAST(nf AS INT), 2)) AS fi
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(fi AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(list_sum(list_transform(range(0, CAST((w // 8) * (h // 8) AS INT)),
+        |    b -> 64 * (128 + 2 * ((b * 5 + doc_id + 3 * fi) % 32 - 16))
+        |  )) AS BIGINT) AS pix_sum,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(uspf AS INT) AS us_per_frame
+        |FROM f""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
