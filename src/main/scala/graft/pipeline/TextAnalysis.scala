@@ -167,4 +167,53 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       when(n >= 5, array_min(shingles)).otherwise(md5(col("text"))).as("fingerprint"))
   }
+
+  /** BM25 ranking (Robertson/Sparck Jones; the Lucene-style
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf) of the corpus against a
+    * bag of query terms — relevance-ranked retrieval / quality-weighted
+    * sampling over a training corpus.
+    *
+    * Scale shape: the exploded token stream is pruned to the query terms
+    * BEFORE its groupBy shuffle, so tf is |matching tokens|-sized, never
+    * corpus-sized; df and the (N, avgdl) corpus stats are one-row/tiny
+    * aggregates broadcast onto the tf stream; the final ordering sorts
+    * only docs that matched ≥1 term, and ranks are assigned after the
+    * top-N cut. Per-term contributions are accumulated in FIXED query
+    * order (one conditional sum per term), so the double addition order
+    * is deterministic and an external oracle reproduces it exactly. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topN: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val dl = docs.select(col("doc_id"), size(toks(col("text"))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .where(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("c",
+        col("idf") * col("tf") * (lit(k1) + lit(1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = contrib.groupBy("doc_id").agg(
+      sum(when(col("tok") === queryTerms.head, col("c"))).as("_s0"),
+      queryTerms.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, col("c"))).as(s"_s${i + 1}")
+      }: _*)
+    val score = queryTerms.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val top = perTerm.withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+    // rank assignment runs on the ≤ topN cut, not the corpus
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), round(col("score"), 6).as("score"), col("rank"))
+  }
 }

@@ -49,6 +49,8 @@ object PipelineQueries {
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "q_text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), Seq("scan", "join", "window"))),
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
@@ -573,6 +575,47 @@ object PipelineQueries {
         |      i -> md5(array_to_string(w[i:i+4], ' '))))
         |  ELSE md5(text) END AS fingerprint
         |FROM t""".stripMargin,
+
+    // BM25 over query terms (scan, join, window), k1=1.2 b=0.75: every
+    // constant is combined with the same literal-by-literal IEEE ops as
+    // the engine (1.2 + 1.0, never 2.2) and per-term contributions are
+    // summed in fixed query order, so the doubles match bit-for-bit
+    // before the shared round(6)
+    "q_text_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE tok IN ('scan', 'join', 'window')
+        |  GROUP BY doc_id, tok),
+        |dfx AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    ln((s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0) * tf.tf * (1.2 + 1.0) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+        |  FROM tf
+        |  JOIN dfx USING (tok)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats s),
+        |per AS (
+        |  SELECT doc_id,
+        |    sum(c) FILTER (WHERE tok = 'scan') AS s0,
+        |    sum(c) FILTER (WHERE tok = 'join') AS s1,
+        |    sum(c) FILTER (WHERE tok = 'window') AS s2
+        |  FROM contrib GROUP BY doc_id),
+        |sc AS (
+        |  SELECT doc_id,
+        |    coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score
+        |  FROM per),
+        |r AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT doc_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 20""".stripMargin,
 
     "q_mm_decode" ->
       """SELECT doc_id,

@@ -472,4 +472,26 @@ class PipelineSpec extends AnyFunSuite {
     val fr = Multimodal.sampleFrames(spark, docs, everyK = 64)
     assert(fr.count() > 0)
   }
+
+  test("bm25: ranks term-dense short docs first, ignores non-matching docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "spark spark spark"),              // tf=3, short -> top for 'spark'
+      (1L, "spark is a framework and spark is fast and more words here"),
+      (2L, "nothing relevant at all whatsoever"),
+      (3L, "framework"),                      // rarer term: higher idf
+      (4L, "words words words words words words")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(corpus, Seq("spark", "framework"), topN = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getInt(2)))
+    // only docs containing >= 1 query term appear, ranks are 1..n
+    assert(r.map(_._1).toSet == Set(0L, 1L, 3L))
+    assert(r.map(_._3).toSeq == (1 to 3))
+    // scores strictly positive and ordered with the rank
+    assert(r.forall(_._2 > 0))
+    assert(r.sortBy(_._3).map(_._2).reverse.sorted.sameElements(
+      r.sortBy(_._3).map(_._2).reverse))
+    val byDoc = r.map(x => x._1 -> x._2).toMap
+    assert(byDoc(0L) > byDoc(1L), "term-dense short doc outranks long doc")
+    assert(byDoc(1L) > byDoc(3L), "matching both terms beats one short match")
+  }
 }
