@@ -171,6 +171,79 @@ object Similarity {
       (Integer.parseInt(hex, 16) - 128) / 128.0
     }
 
+  // ---- product quantization (Jegou/Douze/Schmid, TPAMI 2011) -----------
+
+  /** Deterministic fixed PQ codebooks for the oracle gate, the
+    * [[fixedCentroids]] construction per subspace: subspace `mm`,
+    * centroid `j`, component `d` = (md5Byte("pq:mm:j:d") - 128) / 128 —
+    * exactly representable doubles whose decimal rendering re-parses
+    * identically in any SQL engine. */
+  def fixedCodebooks(m: Int, ks: Int, subDims: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, ks, subDims) { (mm, j, d) =>
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"pq:$mm:$j:$d").substring(0, 2)
+      (Integer.parseInt(hex, 16) - 128) / 128.0
+    }
+
+  /** Product-quantize the corpus: each vector becomes M small codes (one
+    * argmin per `subDims`-wide subspace against that subspace's
+    * codebook). Narrow and fully codegen'd — the [[NearestCells]] kernel
+    * runs per subspace slice, the codebooks ride the stage binary. At
+    * fleet scale this is the memory story for ANN: a 64-dim float vector
+    * (256 B) compresses to M bytes of codes (64x at M=4), so a billion
+    * vectors' codes fit where raw embeddings cannot. */
+  def pqEncode(corpus: DataFrame,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val subDims = codebooks(0)(0).length
+    val e = asDouble(col("embedding"))
+    corpus.select(col("vec_id"),
+      array(codebooks.indices.map { mm =>
+        NearestCells.cell(slice(e, mm * subDims + 1, subDims), codebooks(mm))
+      }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds its
+    * M x Ks lookup table of exact subspace distances ONCE, then every
+    * candidate is scored by M table probes on its codes — the scan reads
+    * 4-byte codes, never raw embeddings, and the query side (LUT
+    * included) broadcasts. Output (qid, cid, adist, rank), nearest
+    * first; distances are approximate by construction (that is PQ), so
+    * the gate pins the exact table arithmetic rather than recall. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val ks = codebooks(0).length
+    val subDims = codebooks(0)(0).length
+    val coded = pqEncode(corpus, codebooks)
+      .select(col("vec_id").as("cid"), col("codes"))
+    // per-query LUT columns d_mm_j: fixed left-fold term order so an
+    // external oracle reproduces the doubles bit-for-bit
+    def subDist(mm: Int, j: Int): Column =
+      (0 until subDims).map { d =>
+        val c = codebooks(mm)(j)(d)
+        val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
+        x * x
+      }.reduceLeft(_ + _)
+    val q = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .select(col("qid") +:
+        (for (mm <- 0 until m; j <- 0 until ks)
+          yield subDist(mm, j).as(s"d_${mm}_$j")): _*)
+    def termFor(mm: Int): Column = {
+      val code = element_at(col("codes"), mm + 1)
+      (0 until ks - 1).foldRight(col(s"d_${mm}_${ks - 1}")) { (j, acc) =>
+        when(code === j, col(s"d_${mm}_$j")).otherwise(acc)
+      }
+    }
+    val scored = broadcast(q).join(coded, col("qid") =!= col("cid"))
+      .withColumn("adist", (0 until m).map(termFor).reduceLeft(_ + _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to a
     * vec_id prefix for the exact gate query (the scale path feeds LSH
     * buckets instead of the full cross join). */

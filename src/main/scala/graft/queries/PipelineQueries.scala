@@ -45,6 +45,14 @@ object PipelineQueries {
       Similarity.ivfProbe(e, e.where(col("vec_id") < 10), 3,
         Similarity.fixedCentroids(8, 64), nProbe = 3)
     }),
+    // ADC over PQ codes is definitionally a linear scan of the (tiny)
+    // code column with the bounded query LUT broadcast — the nested-loop
+    // here is intended, exactly like the q_sim_topk baseline
+    "q_sim_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e, e.where(col("vec_id") < 10), 3,
+        Similarity.fixedCodebooks(4, 8, 16))
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -122,6 +130,33 @@ object PipelineQueries {
       val wins = (0 until 8).filter(_ != i).map(j => s"d$i <= d$j").mkString(" AND ")
       s"WHEN $wins THEN $i"
     }.mkString("CASE ", " ", " ELSE 7 END")
+
+  // PQ oracle pieces: 4 subspaces x 8 centroids x 16 dims, the
+  // fixedCodebooks values baked in as exactly-representable literals
+  private lazy val pqCb = Similarity.fixedCodebooks(4, 8, 16)
+
+  /** Squared distance of v's subspace `mm` slice to codebook entry `j`,
+    * with the engine's exact left-fold term order. */
+  private def pqSubDistSql(v: String, mm: Int, j: Int): String =
+    (0 until 16).map { d =>
+      val c = pqCb(mm)(j)(d)
+      val idx = mm * 16 + d + 1
+      s"(CAST($v[$idx] AS DOUBLE) - ($c)) * (CAST($v[$idx] AS DOUBLE) - ($c))"
+    }.mkString(" + ")
+
+  /** Argmin over subspace mm's 8 distance columns (stable low-index
+    * tie-break, mirroring NearestCells). */
+  private def pqArgminSql(mm: Int): String =
+    (0 until 7).map { i =>
+      val wins = (0 until 8).filter(_ != i)
+        .map(j => s"d_${mm}_$i <= d_${mm}_$j").mkString(" AND ")
+      s"WHEN $wins THEN $i"
+    }.mkString("CASE ", " ", " ELSE 7 END")
+
+  /** ADC probe for subspace mm: the engine's when-chain as CASE. */
+  private def pqAdcTermSql(mm: Int): String =
+    (0 until 7).map(j => s"WHEN c$mm = $j THEN q.d_${mm}_$j")
+      .mkString("CASE ", " ", s" ELSE q.d_${mm}_7 END")
 
   private val minhashSigsSql = (0 until 16)
     .map(i => s"min(md5('$i' || '|' || tok)) AS sig$i").mkString(", ")
@@ -337,6 +372,31 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
          |      FROM scored)
          |SELECT qid, cid, round(cos, 6) AS cos, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // PQ/ADC: per-vector subspace distances to the fixed codebooks,
+    // argmin codes, and the query-LUT CASE probes — every double
+    // combined in the engine's exact order
+    "q_sim_pq" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id,
+         |         ${(for (mm <- 0 until 4; j <- 0 until 8)
+                yield s"(${pqSubDistSql("embedding", mm, j)}) AS d_${mm}_$j")
+                .mkString(",\n         ")}
+         |  FROM embeddings),
+         |coded AS (
+         |  SELECT vec_id AS cid,
+         |         ${(0 until 4).map(mm => s"(${pqArgminSql(mm)}) AS c$mm")
+                .mkString(",\n         ")}
+         |  FROM dist),
+         |q AS (SELECT * FROM dist WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, coded.cid,
+         |         ${(0 until 4).map(mm => s"(${pqAdcTermSql(mm)})")
+                .mkString(" + ")} AS adist
+         |  FROM q JOIN coded ON q.vec_id <> coded.cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, round(adist, 6) AS adist, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "q_mm_frames" ->
       """WITH f AS (

@@ -473,6 +473,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(fr.count() > 0)
   }
 
+  test("pq: codes bounded and deterministic; a duplicate vector ranks first") {
+    import spark.implicits._
+    val cb = Similarity.fixedCodebooks(4, 8, 16)
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = (0L until 30L).map(id => (id, vec()))
+    // vec 100 duplicates vec 0: ADC must rank it as vec 0's nearest —
+    // identical codes minimize every LUT probe term
+    val corpus = (base :+ (100L, base.head._2)).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(corpus, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    assert(codes(0L) == codes(100L), "identical vectors get identical codes")
+    val again = Similarity.pqEncode(corpus, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == again, "encoding is deterministic")
+    val top = Similarity.pqTopK(corpus, corpus.where(col("vec_id") === 0L), 3, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(top.map(_._4).toSeq == (1 to 3))
+    assert(top.head._2 == 100L, "the duplicate vector is the nearest candidate")
+    assert(top.forall(_._2 != 0L), "self is excluded")
+  }
+
   test("bm25: ranks term-dense short docs first, ignores non-matching docs") {
     import spark.implicits._
     val corpus = Seq(
