@@ -258,4 +258,34 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): within each cluster of
+    * the embedding space, drop every vector that has a semantic
+    * near-duplicate (cosine ≥ `threshold`) with a smaller id — the
+    * deterministic keep-lowest representative rule. The `label` column
+    * is the cluster assignment (in production the k-means step;
+    * [[NearestCells]] / [[fixedCentroids]] provide it when the corpus
+    * arrives unclustered).
+    *
+    * Shape — the reason SemDeDup scales where all-pairs cosine cannot:
+    * the self-join is an EQUI-join on the cluster id, so each shuffle
+    * partition holds one cluster's members and the quadratic cosine work
+    * is per-cluster (k clusters of n/k vectors ⇒ n²/k comparisons, with
+    * k in the tens of thousands at corpus scale), never corpus-wide.
+    * The drop set is vector-count-bounded and anti-joined back — no
+    * driver materialization anywhere. */
+  def semDeDup(corpus: DataFrame, threshold: Double): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("e"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = e.select(col("label").as("_lb"), col("vec_id").as("vec_b"),
+      col("e").as("eb"))
+    val dropped = a
+      .join(b, col("label") === col("_lb") && col("vec_a") < col("vec_b"))
+      .where(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
 }

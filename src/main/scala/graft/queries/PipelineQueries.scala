@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Curation, Dedup, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -59,6 +59,11 @@ object PipelineQueries {
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "q_text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), Seq("scan", "join", "window"))),
+    "q_text_repetition" -> ((s, dir) => Curation.repetition(docs(s, dir))),
+    "q_text_scrub" -> ((s, dir) => Curation.scrub(docs(s, dir))),
+    "q_pipe_source_cap" -> ((s, dir) => Curation.sourceCap(docs(s, dir), 5)),
+    "q_pipe_split" -> ((s, dir) => Curation.hashSplit(docs(s, dir))),
+    "q_sim_semdedup" -> ((s, dir) => Similarity.semDeDup(emb(s, dir), 0.3)),
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
@@ -676,6 +681,75 @@ object PipelineQueries {
         |  FROM sc)
         |SELECT doc_id, round(score, 6) AS score, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 20""".stripMargin,
+
+    // both gram widths are rebuilt by the same list-comprehension shape
+    // the engine uses (positions 1..len-(n-1), space-joined slices); the
+    // fractions are integer-count divisions, exact in both engines
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, 2 AS n,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |    unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM t),
+        |c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id,
+        |        max(CASE WHEN n = 2 THEN cnt END) AS m2,
+        |        sum(CASE WHEN n = 2 THEN cnt END) AS t2,
+        |        sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS d3,
+        |        sum(CASE WHEN n = 3 THEN cnt END) AS t3
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id,
+        |  round(CAST(m2 AS DOUBLE) / t2, 6) AS top_bigram_frac,
+        |  round(CAST(coalesce(d3, 0) AS DOUBLE) / t3, 6) AS dup_trigram_frac
+        |FROM a""".stripMargin,
+
+    // scrub patterns restricted to the regex subset Java and RE2 agree
+    // on; replacement order URL -> email -> id, counts on pre-scrub text
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+', 0)) AS n_urls,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{9,}', 0)) AS n_ids,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{9,}', '<ID>', 'g')) AS scrub_sig
+        |FROM documents""".stripMargin,
+
+    "q_pipe_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+        |      AS rank_in_source
+        |  FROM documents)
+        |SELECT doc_id, source, rank_in_source FROM r WHERE rank_in_source <= 5""".stripMargin,
+
+    "q_pipe_split" ->
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // within-label pairs only (the SemDeDup cluster restriction); cosine
+    // terms in the same left-associated order as the engine's fold
+    "q_sim_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         a.embedding AS qe, b.embedding AS ce
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |dropped AS (
+         |  SELECT DISTINCT vb FROM pairs
+         |  WHERE ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) >= 0.3)
+         |SELECT vec_id, label FROM e
+         |WHERE vec_id NOT IN (SELECT vb FROM dropped)""".stripMargin,
 
     "q_mm_decode" ->
       """SELECT doc_id,

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("repetition: hand-computed fractions on crafted docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),   // bigrams: "a b"x3 "b a"x2 -> top 3/5;
+                             // trigrams: "a b a"x2 "b a b"x2 -> dup 4/4
+      (2L, "w x y z"),       // all distinct: top 1/3, dup 0/2
+      (3L, "solo")           // no grams -> no output row (matches oracle)
+    ).toDF("doc_id", "text")
+    val r = Curation.repetition(d).collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L) == ((0.6, 1.0)))
+    assert(r(2L) == ((math.rint(1.0 / 3 * 1e6) / 1e6, 0.0)))
+  }
+
+  test("scrub: urls, emails and id runs are redacted in order, counted pre-scrub") {
+    import spark.implicits._
+    val text = "mail bob@example.com or see https://x.test/a?id=1 acct 1234567890 end"
+    val d = Seq((1L, text), (2L, "clean text no pii")).toDF("doc_id", "text")
+    val out = Curation.scrub(d).collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 ==
+      md5Hex("mail <EMAIL> or see <URL> acct <ID> end"))
+    assert(out(2L) == ((0, 0, 0, md5Hex("clean text no pii"))))
+  }
+
+  test("scrub over the corpus is deterministic and keeps every doc") {
+    val out = Curation.scrub(docs)
+    assert(out.count() == docs.count())
+    assert(out.collect().sortBy(_.getLong(0)).sameElements(
+      Curation.scrub(docs).collect().sortBy(_.getLong(0))))
+  }
+
+  test("sourceCap keeps the K smallest doc_ids per source with dense ranks") {
+    val k = 2
+    val capped = Curation.sourceCap(docs, k)
+    val bySource = capped.collect().groupBy(_.getString(1))
+    val expected = docs.select("doc_id", "source").collect()
+      .groupBy(_.getString(1)).map { case (s, rs) =>
+        s -> rs.map(_.getLong(0)).sorted.take(k).toSeq
+      }
+    assert(bySource.keySet == expected.keySet)
+    bySource.foreach { case (s, rows) =>
+      assert(rows.map(_.getLong(0)).sorted.toSeq == expected(s))
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("hashSplit is deterministic, content-addressed, and covers every doc") {
+    val a = Curation.hashSplit(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val b = Curation.hashSplit(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(a == b)
+    assert(a.size == docs.count())
+    // matches a from-first-principles recomputation of the bucket rule
+    a.foreach { case (id, (bucket, split)) =>
+      val expB = md5Hex(id.toString).substring(0, 2)
+      assert(bucket == expB)
+      val expS = if (expB < "e6") "train" else if (expB < "f3") "val" else "test"
+      assert(split == expS)
+    }
+    // train must dominate (~90% of buckets)
+    val n = a.size.toDouble
+    assert(a.values.count(_._2 == "train") / n > 0.7)
+  }
+
+  test("semDeDup drops higher-id near-dups within a label, never across labels") {
+    import spark.implicits._
+    val e1 = Array(1f, 0f, 0f)
+    val e2 = Array(0.9f, 0.1f, 0f) // cos(e1,e2) ~ 0.993
+    val e3 = Array(0f, 1f, 0f)     // orthogonal to e1
+    val d = Seq(
+      (10L, 0, e1), (11L, 0, e2), (12L, 0, e3),
+      (13L, 1, e1) // duplicate of 10 but in another cluster: survives
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.semDeDup(d, 0.95).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out == Set((10L, 0), (12L, 0), (13L, 1)))
+  }
+}
