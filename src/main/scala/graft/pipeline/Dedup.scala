@@ -246,11 +246,12 @@ object Dedup {
   def components(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val aCol = pairs.columns(0)
     val bCol = pairs.columns(1)
+    // no up-front distinct/checkpoint: the first smallStar dedups, and
+    // min-based neighborhood aggregation is duplicate-insensitive — one
+    // fewer shuffle and one fewer materialization before round 1
     var edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
 
     def bidirect(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -266,12 +267,16 @@ object Dedup {
         .join(minNbr(b), Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
+      // no distinct here: smallStar's orientation step dedups first thing,
+      // so this would be a pure extra shuffle every round
     }
 
     def smallStar(e: DataFrame): DataFrame = {
+      // orientation is NOT deduped: min() is duplicate-insensitive and
+      // the closing distinct canonicalizes the output — deduping here
+      // would be a third shuffle per round for nothing
       val o = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v")).distinct()
+        least(col("u"), col("v")).as("v"))
       val m = o.groupBy(col("u")).agg(min(col("v")).as("m"))
       o.join(m, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -281,7 +286,10 @@ object Dedup {
     }
 
     var it = 0
-    var converged = edges.isEmpty
+    // no up-front emptiness probe (it would execute the whole pair-gen
+    // lineage once just to look): an empty input converges on round 1 —
+    // empty rounds are near-free
+    var converged = false
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // convergence = the edge set is a STAR FOREST: smallStar orients
@@ -335,18 +343,22 @@ object Dedup {
     * At scale this runs on LSH candidates; `docFilter` bounds the gate. */
   def ngramJaccard(docs: DataFrame, threshold: Double,
                    docFilter: Column = lit(true)): DataFrame = {
+    // per-doc set dedup is LOCAL (array_distinct) and the set size rides
+    // the exploded token stream, so the whole query is three shuffles —
+    // the two join sides keyed by token and the pair aggregation — with
+    // no (doc_id, tok) distinct shuffle and no per-side size joins. The
+    // sizes are group keys of the pair aggregation (functionally
+    // determined by the pair), keeping it a codegen'd HashAggregate.
     val tok = docs.where(docFilter)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .distinct()
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = tok.select(col("doc_id").as("doc_a"), col("tok"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("sz"),
+        explode(col("toks")).as("tok"))
+    val inter = tok.select(col("doc_id").as("doc_a"), col("sz").as("sza"), col("tok"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("sz").as("szb"), col("tok")), "tok")
       .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .where(col("jaccard") >= threshold)
