@@ -197,7 +197,9 @@ object Scrape extends Serializable {
       auth: Option[AuthConfig] = None,
       tls: Option[TlsConfig] = None,
       fileSdFiles: Seq[String] = Nil,
-      httpSdUrls: Seq[String] = Nil)
+      httpSdUrls: Seq[String] = Nil,
+      dnsSd: Seq[DnsSdConfig] = Nil,
+      consulSd: Seq[ConsulSdConfig] = Nil)
 
   /** Default HTTP(S) fetcher for a job's knobs: GET
     * `scheme://target/metrics` with connect+read timeouts, an
@@ -365,14 +367,155 @@ object Scrape extends Serializable {
       parseSdGroups(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
+  // ---- DNS service discovery (dns_sd_configs) ---------------------------
+
+  /** `dns_sd_configs` entry: SRV records carry their own host+port; A /
+    * AAAA records need the configured `port`. */
+  final case class DnsSdConfig(names: Seq[String], recordType: String = "SRV",
+                               port: Int = 0)
+
+  /** One DNS lookup: (name, recordType) → (host, port) records, port 0
+    * for address records. Injectable so SD behavior is testable without
+    * a live resolver; [[jdkDnsLookup]] is the production default. */
+  type DnsLookup = (String, String) => Seq[(String, Int)]
+
+  /** Production resolver, pure JDK: SRV via the JNDI DNS provider
+    * (`com.sun.jndi.dns`), A/AAAA via `InetAddress.getAllByName`
+    * filtered to the requested family. */
+  val jdkDnsLookup: DnsLookup = (name, recordType) => recordType match {
+    case "SRV" =>
+      val env = new java.util.Hashtable[String, String]()
+      env.put(javax.naming.Context.INITIAL_CONTEXT_FACTORY,
+        "com.sun.jndi.dns.DnsContextFactory")
+      env.put(javax.naming.Context.PROVIDER_URL, "dns:")
+      val ctx = new javax.naming.directory.InitialDirContext(env)
+      try {
+        val attr = ctx.getAttributes(name, Array("SRV")).get("SRV")
+        if (attr == null) Nil
+        else (0 until attr.size()).flatMap { i =>
+          // RDATA text: "priority weight port target"
+          attr.get(i).toString.trim.split("\\s+") match {
+            case Array(_, _, p, t) =>
+              scala.util.Try((t.stripSuffix("."), p.toInt)).toOption
+            case _ => None
+          }
+        }
+      } finally ctx.close()
+    case rt =>
+      java.net.InetAddress.getAllByName(name).toSeq.filter {
+        case _: java.net.Inet4Address => rt == "A"
+        case _: java.net.Inet6Address => rt == "AAAA"
+        case _ => false
+      }.map(a => (a.getHostAddress, 0))
+  }
+
+  /** Resolve one `dns_sd_configs` entry NOW (per tick, like every other
+    * SD source). SRV targets use the record's host:port and carry
+    * `__meta_dns_srv_record_target`/`__meta_dns_srv_record_port`;
+    * A/AAAA targets use the configured port. Every target carries
+    * `__meta_dns_name`. A failing lookup contributes no targets. */
+  def readDnsSd(cfg: DnsSdConfig,
+                lookup: DnsLookup = jdkDnsLookup): Seq[FileSdGroup] =
+    cfg.names.flatMap { name =>
+      val records = try lookup(name, cfg.recordType)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      records.flatMap { case (host, port) =>
+        if (cfg.recordType == "SRV")
+          Some(FileSdGroup(Seq(s"$host:$port"), Map(
+            "__meta_dns_name" -> name,
+            "__meta_dns_srv_record_target" -> host,
+            "__meta_dns_srv_record_port" -> port.toString)))
+        else if (cfg.port > 0)
+          Some(FileSdGroup(Seq(s"$host:${cfg.port}"),
+            Map("__meta_dns_name" -> name)))
+        else None // address records without a configured port are unusable
+      }
+    }
+
+  // ---- Consul service discovery (consul_sd_configs) ---------------------
+
+  /** `consul_sd_configs` entry: catalog server, service names to watch,
+    * optional ACL token and datacenter. */
+  final case class ConsulSdConfig(server: String, services: Seq[String],
+                                  scheme: String = "http",
+                                  token: Option[String] = None,
+                                  datacenter: Option[String] = None)
+
+  /** Resolve one `consul_sd_configs` entry NOW against the Consul
+    * catalog HTTP API (`GET /v1/catalog/service/<name>`; the public,
+    * stable discovery surface every Consul version speaks). Targets are
+    * `ServiceAddress:ServicePort` (falling back to the node `Address`),
+    * with `__meta_consul_service`/`__meta_consul_node`/
+    * `__meta_consul_dc`/`__meta_consul_tags` labels (tags
+    * comma-wrapped, as Prometheus exposes them for regex matching).
+    * Failing or malformed catalog responses contribute no targets. */
+  def readConsulSd(cfg: ConsulSdConfig, timeoutMs: Long = 10000L,
+                   tls: Option[TlsConfig] = None): Seq[FileSdGroup] =
+    cfg.services.flatMap { svc =>
+      try {
+        val dc = cfg.datacenter.map(d => s"?dc=$d").getOrElse("")
+        val url = s"${cfg.scheme}://${cfg.server}/v1/catalog/service/$svc$dc"
+        val conn = new java.net.URL(url).openConnection()
+        conn match {
+          case https: javax.net.ssl.HttpsURLConnection =>
+            tls.map(buildSslContext)
+              .foreach(c => https.setSSLSocketFactory(c.getSocketFactory))
+            if (tls.exists(_.insecureSkipVerify))
+              https.setHostnameVerifier((_, _) => true)
+          case _ => ()
+        }
+        val http = conn.asInstanceOf[java.net.HttpURLConnection]
+        http.setConnectTimeout(timeoutMs.toInt)
+        http.setReadTimeout(timeoutMs.toInt)
+        cfg.token.foreach(http.setRequestProperty("X-Consul-Token", _))
+        val in = http.getInputStream
+        val bytes = try in.readNBytes(8 * 1024 * 1024)
+          finally { in.close(); http.disconnect() }
+        graft.api.MiniJson.parse(
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) match {
+          case entries: List[_] => entries.flatMap {
+            case e: Map[_, _] =>
+              val m = e.asInstanceOf[Map[String, Any]]
+              def str(k: String) = m.get(k).collect { case s: String => s }
+              val port = m.get("ServicePort") match {
+                case Some(d: Double) => d.toInt
+                case Some(i: Int) => i
+                case _ => 0
+              }
+              val host = str("ServiceAddress").filter(_.nonEmpty)
+                .orElse(str("Address")).getOrElse("")
+              if (host.isEmpty || port <= 0) Nil
+              else {
+                val tags = m.get("ServiceTags") match {
+                  case Some(ts: List[_]) => ts.collect { case s: String => s }
+                  case _ => Nil
+                }
+                Seq(FileSdGroup(Seq(s"$host:$port"),
+                  Map("__meta_consul_service" -> svc) ++
+                    str("Node").map("__meta_consul_node" -> _) ++
+                    str("Datacenter").map("__meta_consul_dc" -> _) ++
+                    (if (tags.isEmpty) Map.empty[String, String]
+                     else Map("__meta_consul_tags" ->
+                       tags.mkString(",", ",", ",")))))
+              }
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+
   /** A job's target set at THIS instant: static_configs targets (no extra
-    * labels) plus every file_sd / http_sd group's targets with the
-    * group's labels — SD sources re-read per call, so changes are picked
-    * up on the next tick. */
-  def resolveTargets(job: ScrapeJob): Seq[(String, Map[String, String])] =
+    * labels) plus every file_sd / http_sd / dns_sd / consul_sd group's
+    * targets with the group's labels — SD sources re-read per call, so
+    * changes are picked up on the next tick. */
+  def resolveTargets(job: ScrapeJob,
+                     dnsLookup: DnsLookup = jdkDnsLookup): Seq[(String, Map[String, String])] =
     job.targets.map((_, Map.empty[String, String])) ++
       (job.fileSdFiles.flatMap(readFileSd) ++
-        job.httpSdUrls.flatMap(readHttpSd(_, job.timeoutMs, job.auth, job.tls)))
+        job.httpSdUrls.flatMap(readHttpSd(_, job.timeoutMs, job.auth, job.tls)) ++
+        job.dnsSd.flatMap(readDnsSd(_, dnsLookup)) ++
+        job.consulSd.flatMap(readConsulSd(_, job.timeoutMs, job.tls)))
         .flatMap(g => g.targets.map((_, g.labels)))
 
   /** Prometheus relabelling subset over a target's labelset. Regexes are
@@ -688,6 +831,11 @@ object Scrape extends Serializable {
     var jRules = scala.collection.mutable.ArrayBuffer[RelabelRule]()
     var jFileSd = scala.collection.mutable.ArrayBuffer[String]()
     var jHttpSd = scala.collection.mutable.ArrayBuffer[String]()
+    var jDns = scala.collection.mutable.ArrayBuffer[DnsSdConfig]()
+    var jConsul = scala.collection.mutable.ArrayBuffer[ConsulSdConfig]()
+    // which *_sd_configs section subsequent scalar keys belong to — the
+    // flat (indentation-free) parser's stand-in for YAML nesting
+    var sdMode = ""
     var jBearer: Option[String] = None; var jBearerFile: Option[String] = None
     var jUser: Option[String] = None; var jPass: Option[String] = None
     var jCa: Option[String] = None; var jCert: Option[String] = None
@@ -715,11 +863,15 @@ object Scrape extends Serializable {
         else Some(TlsConfig(jCa, jCert, jKey, jSkipVerify))
       jobs += ScrapeJob(jName, jTargets.toSeq, jInterval, jRules.toSeq,
         scheme = jScheme, timeoutMs = jTimeout, auth = auth, tls = tls,
-        fileSdFiles = jFileSd.toSeq, httpSdUrls = jHttpSd.toSeq)
+        fileSdFiles = jFileSd.toSeq, httpSdUrls = jHttpSd.toSeq,
+        dnsSd = jDns.toSeq, consulSd = jConsul.toSeq)
       jTargets = scala.collection.mutable.ArrayBuffer()
       jRules = scala.collection.mutable.ArrayBuffer()
       jFileSd = scala.collection.mutable.ArrayBuffer()
       jHttpSd = scala.collection.mutable.ArrayBuffer()
+      jDns = scala.collection.mutable.ArrayBuffer()
+      jConsul = scala.collection.mutable.ArrayBuffer()
+      sdMode = ""
       jBearer = None; jBearerFile = None; jUser = None; jPass = None
       jCa = None; jCert = None; jKey = None; jSkipVerify = false
       jInterval = 60000L; jScheme = "http"; jTimeout = 10000L; inJob = false
@@ -731,7 +883,9 @@ object Scrape extends Serializable {
       val t = line.trim
       if (t == "scrape_configs:" || t == "static_configs:" || t == "relabel_configs:" ||
         t == "tls_config:" || t == "basic_auth:" || t == "file_sd_configs:" ||
-        t == "http_sd_configs:") ()
+        t == "http_sd_configs:") sdMode = ""
+      else if (t == "dns_sd_configs:") sdMode = "dns"
+      else if (t == "consul_sd_configs:") sdMode = "consul"
       else if (t.startsWith("- job_name:")) {
         flushRule(); flushJob()
         inJob = true
@@ -745,6 +899,30 @@ object Scrape extends Serializable {
       } else if (t.startsWith("- url:")) {
         flushRule()
         jHttpSd += unquote(t.stripPrefix("- url:").trim)
+      } else if (t.startsWith("- names:") && sdMode == "dns") {
+        flushRule()
+        jDns += DnsSdConfig(parseFlowList(t.stripPrefix("- names:").trim))
+      } else if (t.startsWith("type:") && sdMode == "dns" && jDns.nonEmpty) {
+        jDns(jDns.length - 1) =
+          jDns.last.copy(recordType = unquote(t.stripPrefix("type:").trim))
+      } else if (t.startsWith("port:") && sdMode == "dns" && jDns.nonEmpty) {
+        jDns(jDns.length - 1) =
+          jDns.last.copy(port = unquote(t.stripPrefix("port:").trim).toInt)
+      } else if (t.startsWith("- server:") && sdMode == "consul") {
+        flushRule()
+        jConsul += ConsulSdConfig(unquote(t.stripPrefix("- server:").trim), Nil)
+      } else if (t.startsWith("services:") && sdMode == "consul" && jConsul.nonEmpty) {
+        jConsul(jConsul.length - 1) = jConsul.last.copy(
+          services = parseFlowList(t.stripPrefix("services:").trim))
+      } else if (t.startsWith("token:") && sdMode == "consul" && jConsul.nonEmpty) {
+        jConsul(jConsul.length - 1) = jConsul.last.copy(
+          token = Some(unquote(t.stripPrefix("token:").trim)))
+      } else if (t.startsWith("datacenter:") && sdMode == "consul" && jConsul.nonEmpty) {
+        jConsul(jConsul.length - 1) = jConsul.last.copy(
+          datacenter = Some(unquote(t.stripPrefix("datacenter:").trim)))
+      } else if (t.startsWith("scheme:") && sdMode == "consul" && jConsul.nonEmpty) {
+        jConsul(jConsul.length - 1) = jConsul.last.copy(
+          scheme = unquote(t.stripPrefix("scheme:").trim))
       } else if (t.startsWith("bearer_token_file:") && inJob) {
         flushRule(); jBearerFile = Some(unquote(t.stripPrefix("bearer_token_file:").trim))
       } else if (t.startsWith("bearer_token:") && inJob) {

@@ -447,4 +447,99 @@ class ScrapeSpec extends AnyFunSuite {
     assert(stale5.length == 1 && stale5.head.getString(0) == "up" &&
       stale5.head.getString(1) == "b:1")
   }
+
+  test("dns_sd_configs: SRV and A records resolve to targets with meta labels") {
+    // injectable resolver: SD semantics tested without a live DNS server
+    val lookup: Scrape.DnsLookup = {
+      case ("_web._tcp.example.org", "SRV") => Seq(("w1.example.org", 8080), ("w2.example.org", 8081))
+      case ("db.example.org", "A") => Seq(("10.0.0.5", 0), ("10.0.0.6", 0))
+      case ("boom.example.org", _) => throw new RuntimeException("resolver down")
+      case _ => Nil
+    }
+    val srv = Scrape.readDnsSd(
+      Scrape.DnsSdConfig(Seq("_web._tcp.example.org")), lookup)
+    assert(srv.flatMap(_.targets) == Seq("w1.example.org:8080", "w2.example.org:8081"))
+    assert(srv.head.labels("__meta_dns_name") == "_web._tcp.example.org")
+    assert(srv.head.labels("__meta_dns_srv_record_target") == "w1.example.org")
+    assert(srv.head.labels("__meta_dns_srv_record_port") == "8080")
+    // A records use the configured port; without one they are unusable
+    val a = Scrape.readDnsSd(
+      Scrape.DnsSdConfig(Seq("db.example.org"), "A", port = 9100), lookup)
+    assert(a.flatMap(_.targets) == Seq("10.0.0.5:9100", "10.0.0.6:9100"))
+    assert(a.forall(_.labels == Map("__meta_dns_name" -> "db.example.org")))
+    assert(Scrape.readDnsSd(
+      Scrape.DnsSdConfig(Seq("db.example.org"), "A"), lookup).isEmpty)
+    // a failing lookup contributes no targets instead of failing the job
+    assert(Scrape.readDnsSd(
+      Scrape.DnsSdConfig(Seq("boom.example.org"), "SRV"), lookup).isEmpty)
+    // config parse + resolveTargets composition
+    val cfg =
+      """scrape_configs:
+        |  - job_name: dns
+        |    dns_sd_configs:
+        |      - names: [db.example.org]
+        |        type: A
+        |        port: 9100
+        |""".stripMargin
+    val job = Scrape.parseScrapeConfigs(cfg).head
+    assert(job.dnsSd == Seq(Scrape.DnsSdConfig(Seq("db.example.org"), "A", 9100)))
+    assert(Scrape.resolveTargets(job, lookup).map(_._1) ==
+      Seq("10.0.0.5:9100", "10.0.0.6:9100"))
+  }
+
+  test("consul_sd_configs: catalog API targets, token header, outage tolerance") {
+    @volatile var seenToken: Option[String] = None
+    @volatile var status = 200
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/v1/catalog/service/web",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        seenToken = Option(ex.getRequestHeaders.getFirst("X-Consul-Token"))
+        val out =
+          """[{"Node": "n1", "Address": "10.1.1.1", "Datacenter": "dc1",
+            |  "ServiceAddress": "10.1.1.2", "ServicePort": 8500,
+            |  "ServiceTags": ["prod", "http"]},
+            | {"Node": "n2", "Address": "10.1.1.3", "Datacenter": "dc1",
+            |  "ServiceAddress": "", "ServicePort": 8501, "ServiceTags": []}]"""
+            .stripMargin.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
+    server.start()
+    val consul = s"127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val cfg = Scrape.ConsulSdConfig(consul, Seq("web"), token = Some("s3cr3t"))
+      val groups = Scrape.readConsulSd(cfg)
+      // ServiceAddress preferred, node Address as fallback
+      assert(groups.flatMap(_.targets) == Seq("10.1.1.2:8500", "10.1.1.3:8501"))
+      assert(seenToken.contains("s3cr3t"))
+      assert(groups.head.labels == Map(
+        "__meta_consul_service" -> "web", "__meta_consul_node" -> "n1",
+        "__meta_consul_dc" -> "dc1", "__meta_consul_tags" -> ",prod,http,"))
+      assert(groups(1).labels.get("__meta_consul_tags").isEmpty)
+      // catalog outage: no targets, no exception
+      status = 500
+      assert(Scrape.readConsulSd(cfg).isEmpty)
+      status = 200
+      // unknown service: connection refused path exercised via bad port
+      assert(Scrape.readConsulSd(
+        Scrape.ConsulSdConfig("127.0.0.1:1", Seq("web"))).isEmpty)
+      // config parse + resolveTargets composition
+      val yaml =
+        s"""scrape_configs:
+           |  - job_name: consul
+           |    consul_sd_configs:
+           |      - server: '$consul'
+           |        services: [web]
+           |        token: s3cr3t
+           |        datacenter: dc1
+           |""".stripMargin
+      val job = Scrape.parseScrapeConfigs(yaml).head
+      assert(job.consulSd == Seq(Scrape.ConsulSdConfig(
+        consul, Seq("web"), token = Some("s3cr3t"), datacenter = Some("dc1"))))
+      assert(Scrape.resolveTargets(job).map(_._1) ==
+        Seq("10.1.1.2:8500", "10.1.1.3:8501"))
+    } finally server.stop(0)
+  }
 }
