@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curation, Dedup, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Curation, Dedup, Gif, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -74,7 +74,8 @@ object PipelineQueries {
     "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir))),
     "q_mm_jpeg_coefs" -> ((s, dir) => Jpeg.jpegCoefStats(s, docs(s, dir))),
     "q_mm_jpeg_pixels" -> ((s, dir) => Jpeg.jpegPixelStats(s, docs(s, dir))),
-    "q_mm_video_frames" -> ((s, dir) => Video.videoFrameStats(s, docs(s, dir)))
+    "q_mm_video_frames" -> ((s, dir) => Video.videoFrameStats(s, docs(s, dir))),
+    "q_mm_gif_pixels" -> ((s, dir) => Gif.gifPixelStats(s, docs(s, dir)))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -414,6 +415,22 @@ object PipelineQueries {
     // the engine synthesizes a deterministic PNG per doc and must decode
     // it (inflate + unfilter all five scanline filters) to reproduce the
     // pixel sum the oracle computes arithmetically
+    // GIF real-decode gate: palette + LZW + (odd ids) interlace must all
+    // be exact to reproduce the closed-form RGB sum; pixel i's palette
+    // index is (i*11 + id) % 256, palette entry j = ((j*7+1)%256,
+    // (j*13+5)%256, (j*29+11)%256) — Gif.paletteByte verbatim
+    "q_mm_gif_pixels" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 29 + 1 AS INT) AS width,
+        |  CAST((doc_id * 3) % 19 + 1 AS INT) AS height,
+        |  CAST(list_sum(list_transform(
+        |    list_transform(
+        |      range(0, CAST((doc_id % 29 + 1) * ((doc_id * 3) % 19 + 1) AS INT)),
+        |      i -> (i * 11 + doc_id) % 256),
+        |    j -> (j * 7 + 1) % 256 + (j * 13 + 5) % 256 + (j * 29 + 11) % 256))
+        |    AS BIGINT) AS pix_sum
+        |FROM documents""".stripMargin,
+
     "q_mm_png_pixels" ->
       """SELECT doc_id,
         |  CAST(doc_id % 31 + 1 AS INT) AS width,
