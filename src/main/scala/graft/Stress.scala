@@ -54,7 +54,7 @@ object Stress {
     println(s"corpus: ${docs.count()} docs, ${emb.count()} embeddings, " +
       s"${docs.select(explode(split(col("text"), " "))).distinct().count()} distinct tokens")
 
-    import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+    import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
     def timed(name: String)(f: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
       val n = f
@@ -72,7 +72,19 @@ object Stress {
       timed("ann_multiprobe")(Similarity.annTopK(emb, emb.where(col("vec_id") < 100),
         10, bits = 8, probes = 4).count()),
       timed("ivf_topk")(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100),
-        10, k = 32, nProbe = 4, trainLimit = 20000).count()))
+        10, k = 32, nProbe = 4, trainLimit = 20000).count()),
+      // curation family: sourceCap runs against a SKEWED domain mix (20%
+      // of the corpus in one source — the window's worst case), semDeDup
+      // against 100 clusters of ~nDocs/1000 vectors each
+      timed("repetition")(Curation.repetition(docs).count()),
+      timed("scrub")(Curation.scrub(docs).count()),
+      timed("source_cap")(Curation.sourceCap(
+        docs.withColumn("source", concat(lit("s"),
+          when(col("doc_id") % 5 === 0, lit(0)).otherwise(col("doc_id") % 997))),
+        10).count()),
+      timed("hash_split")(Curation.hashSplit(docs).count()),
+      timed("semdedup")(Similarity.semDeDup(
+        emb.withColumn("label", (col("vec_id") % 100).cast("int")), 0.9).count()))
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"docs":$nDocs}""")
     spark.stop()

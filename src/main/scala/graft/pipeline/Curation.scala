@@ -27,6 +27,27 @@ object Curation {
       .otherwise(array())
   }
 
+  /** Run-length statistics of a SORTED string array: (longest run,
+    * total positions inside runs of length ≥ 2) — i.e. the count of the
+    * most frequent element and the number of elements that occur more
+    * than once. One `aggregate` fold, per-row local. */
+  private def runStats(sorted: org.apache.spark.sql.Column) = {
+    val zero = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("maxRun"), lit(0L).as("dup"))
+    aggregate(sorted, zero, (acc, x) => {
+      val same = acc.getField("prev").isNotNull && acc.getField("prev") === x
+      val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("maxRun"), run).as("maxRun"),
+        // a run contributes its length once it reaches 2: +2 on the
+        // 1→2 transition, +1 on every further extension
+        (acc.getField("dup") +
+          when(same && acc.getField("run") === 1, lit(2L))
+            .when(same, lit(1L)).otherwise(lit(0L))).as("dup"))
+    }, acc => struct(acc.getField("maxRun").as("maxRun"),
+      acc.getField("dup").as("dup")))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
     * `top_bigram_frac` — the fraction of word-bigram positions taken by
     * the single most frequent bigram — and `dup_trigram_frac` — the
@@ -35,27 +56,26 @@ object Curation {
     * looping text that exact and MinHash dedup both miss (the duplicate
     * is WITHIN the document).
     *
-    * Shape: both gram widths ride ONE exploded stream (tagged by n) into
-    * one (doc_id, n, gram) count with map-side partial aggregation, then
-    * a doc_id-keyed rollup — two hash aggregates sharing a shuffle
-    * chain, nothing quadratic, no per-doc state beyond the gram counts. */
+    * Shape: the statistic is PER-DOCUMENT, so it is computed per
+    * document — sort each doc's gram array locally and fold run lengths
+    * in one `aggregate` pass. ZERO shuffles and nothing leaves the row:
+    * the exploded (doc_id, gram) → groupBy alternative ships every gram
+    * string through an exchange (40M strings for a 100k-doc stress
+    * corpus, ~25× slower measured); this form is embarrassingly
+    * parallel at any corpus size. Docs with no bigrams are dropped
+    * (parity with a grouped formulation — no gram rows, no output);
+    * a bigram-only doc reports a null trigram fraction. */
   def repetition(docs: DataFrame): DataFrame = {
-    val tagged = docs.select(col("doc_id"),
-      explode(concat(
-        transform(grams(2), g => struct(lit(2).as("n"), g.as("g"))),
-        transform(grams(3), g => struct(lit(3).as("n"), g.as("g"))))).as("t"))
-    val counts = tagged
-      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("cnt"))
-    counts.groupBy("doc_id").agg(
-      max(when(col("n") === 2, col("cnt"))).as("m2"),
-      sum(when(col("n") === 2, col("cnt"))).as("t2"),
-      sum(when(col("n") === 3 && col("cnt") > 1, col("cnt"))).as("d3"),
-      sum(when(col("n") === 3, col("cnt"))).as("t3"))
+    val s2 = runStats(array_sort(grams(2)))
+    val s3 = runStats(array_sort(grams(3)))
+    docs.select(col("doc_id"),
+        size(grams(2)).cast("long").as("t2"), s2.as("s2"),
+        size(grams(3)).cast("long").as("t3"), s3.as("s3"))
+      .where(col("t2") > 0)
       .select(col("doc_id"),
-        round(col("m2").cast("double") / col("t2"), 6).as("top_bigram_frac"),
-        round(coalesce(col("d3"), lit(0L)).cast("double") / col("t3"), 6)
-          .as("dup_trigram_frac"))
+        round(col("s2.maxRun").cast("double") / col("t2"), 6).as("top_bigram_frac"),
+        when(col("t3") > 0,
+          round(col("s3.dup").cast("double") / col("t3"), 6)).as("dup_trigram_frac"))
   }
 
   /** Scrub patterns, ordered: each is (regex, replacement token). The
@@ -106,6 +126,56 @@ object Curation {
         row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
       .where(col("rank_in_source") <= k)
       .select(col("doc_id"), col("source"), col("rank_in_source"))
+
+  /** Benchmark-contamination detection (the n-gram-overlap decontamination
+    * step every serious training pipeline runs against its eval sets,
+    * e.g. GPT-3 appendix C / PaLM §7): a train document is contaminated
+    * when any of its word n-grams appears in the eval corpus. Reports
+    * the hit count per train doc.
+    *
+    * Shape: the eval side is benchmark-sized (≪ train), so its distinct
+    * gram set BROADCASTS; the train side is one explode + broadcast
+    * left_semi + doc-keyed count with map-side partials — a single
+    * shuffle of doc_id-keyed integer partials, never gram strings. At
+    * 100 TB the train gram stream never materializes: the semi-join
+    * filters it to eval-matching positions (benchmark-sized output). */
+  def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
+    val evalGrams = evalDocs.select(explode(grams(n)).as("g")).distinct()
+    val hits = train.select(col("doc_id"), explode(grams(n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Corpus-frequency quality stats per document: the mean corpus
+    * frequency of its tokens (boilerplate scores high), the rarest
+    * token's frequency, and the hapax ratio (share of tokens occurring
+    * exactly once corpus-wide — OCR noise / mojibake scores high). The
+    * integer-exact stand-in for LM-perplexity filtering (CCNet-style):
+    * every statistic is an integer sum or single division, so results
+    * are bit-stable under any execution order — a float log-prob sum
+    * would depend on reduction order.
+    *
+    * Shape: token counts are a vocabulary-sized aggregate joined back
+    * onto the exploded stream (AQE broadcasts while it fits), then one
+    * doc-keyed integer rollup. Linear, two shuffles, no strings in the
+    * second exchange. */
+  def tokenFrequencyStats(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    tok.join(counts, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("m"), sum("cnt").as("s"),
+        min("cnt").as("min_freq"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("doc_id"),
+        round(col("s").cast("double") / col("m"), 6).as("mean_freq"),
+        col("min_freq"),
+        round(col("hapax").cast("double") / col("m"), 6).as("hapax_ratio"))
+  }
 
   /** Deterministic content-addressed train/val/test split: the first
     * two hex chars of md5(doc_id) pick one of 256 buckets; buckets

@@ -64,6 +64,9 @@ object PipelineQueries {
     "q_pipe_source_cap" -> ((s, dir) => Curation.sourceCap(docs(s, dir), 5)),
     "q_pipe_split" -> ((s, dir) => Curation.hashSplit(docs(s, dir))),
     "q_sim_semdedup" -> ((s, dir) => Similarity.semDeDup(emb(s, dir), 0.3)),
+    "q_pipe_contamination" -> ((s, dir) => Curation.contamination(
+      docs(s, dir), docs(s, dir).where(col("doc_id") % 97 === 0), 5)),
+    "q_text_tok_freq" -> ((s, dir) => Curation.tokenFrequencyStats(docs(s, dir))),
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
@@ -738,6 +741,32 @@ object PipelineQueries {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '[0-9]{9,}', '<ID>', 'g')) AS scrub_sig
         |FROM documents""".stripMargin,
+
+    // eval set = every 97th doc (drawn from the corpus, so overlaps are
+    // guaranteed); 5-gram positions of train docs matched against the
+    // eval set's distinct grams
+    "q_pipe_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+        |  FROM t),
+        |eg AS (SELECT DISTINCT g FROM tg WHERE doc_id % 97 = 0),
+        |hits AS (SELECT tg.doc_id, count(*) AS n_hits FROM tg JOIN eg USING (g) GROUP BY 1)
+        |SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin,
+
+    "q_text_tok_freq" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |j AS (SELECT doc_id, cnt FROM tok JOIN c USING (tok)),
+        |a AS (SELECT doc_id, count(*) AS m, sum(cnt) AS s, min(cnt) AS min_freq,
+        |        sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax
+        |      FROM j GROUP BY 1)
+        |SELECT doc_id, round(CAST(s AS DOUBLE) / m, 6) AS mean_freq, min_freq,
+        |  round(CAST(hapax AS DOUBLE) / m, 6) AS hapax_ratio
+        |FROM a""".stripMargin,
 
     "q_pipe_source_cap" ->
       """WITH r AS (

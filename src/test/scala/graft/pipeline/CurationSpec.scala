@@ -87,6 +87,34 @@ class CurationSpec extends AnyFunSuite {
     assert(a.values.count(_._2 == "train") / n > 0.7)
   }
 
+  test("contamination counts eval n-gram hits per train doc") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e f g"),   // contains eval 5-grams at pos 1..3
+      (2L, "a b c d x y z"),   // no full 5-gram overlap
+      (3L, "q r s t u v w")    // disjoint
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = Curation.contamination(train, eval, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // doc 1's 5-grams: "a b c d e", "b c d e f", "c d e f g" — all in eval
+    assert(out(1L) == ((3L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+  }
+
+  test("tokenFrequencyStats: integer-exact corpus frequencies") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x x y"),  // x occurs 3 corpus-wide, y 2: mean (3+3+2)/3, min 2, hapax 0
+      (2L, "x y z")   // mean (3+2+1)/3 = 2, min 1, hapax 1/3
+    ).toDF("doc_id", "text")
+    val out = Curation.tokenFrequencyStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((math.rint(8.0 / 3 * 1e6) / 1e6, 2L, 0.0)))
+    assert(out(2L) == ((2.0, 1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+  }
+
   test("semDeDup drops higher-id near-dups within a label, never across labels") {
     import spark.implicits._
     val e1 = Array(1f, 0f, 0f)
