@@ -62,29 +62,36 @@ object Stress {
       println(f"STRESS $name%-22s $dt%7.2f s   rows=$n")
       (name, dt, n)
     }
+    // force EVERY output column: a bare count() lets Catalyst prune the
+    // computed columns out of the plan entirely, timing a shell of the
+    // operator (a 1M-doc langId "ran" in 0.3s that way). Hashing the
+    // full row into a sum makes the timed number the real work.
+    def force(df: DataFrame): Long =
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(count(lit(1)), sum(col("h"))).head().getLong(0)
     val lshPairs = Dedup.minHashLsh(docs, 16, 4).cache()
     val results = Seq(
-      timed("exact_dedup")(Dedup.exact(docs).where(col("n_dups") > 1).count()),
+      timed("exact_dedup")(force(Dedup.exact(docs).where(col("n_dups") > 1))),
       timed("minhash_lsh")(lshPairs.count()),
-      timed("cluster_components")(Dedup.components(lshPairs).count()),
-      timed("simhash_pairs")(Dedup.simHashPairs(docs, 2).count()),
-      timed("lang_id")(TextAnalysis.langId(docs).count()),
-      timed("ann_multiprobe")(Similarity.annTopK(emb, emb.where(col("vec_id") < 100),
-        10, bits = 8, probes = 4).count()),
-      timed("ivf_topk")(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100),
-        10, k = 32, nProbe = 4, trainLimit = 20000).count()),
+      timed("cluster_components")(force(Dedup.components(lshPairs))),
+      timed("simhash_pairs")(force(Dedup.simHashPairs(docs, 2))),
+      timed("lang_id")(force(TextAnalysis.langId(docs))),
+      timed("ann_multiprobe")(force(Similarity.annTopK(emb,
+        emb.where(col("vec_id") < 100), 10, bits = 8, probes = 4))),
+      timed("ivf_topk")(force(Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100),
+        10, k = 32, nProbe = 4, trainLimit = 20000))),
       // curation family: sourceCap runs against a SKEWED domain mix (20%
       // of the corpus in one source — the window's worst case), semDeDup
       // against 100 clusters of ~nDocs/1000 vectors each
-      timed("repetition")(Curation.repetition(docs).count()),
-      timed("scrub")(Curation.scrub(docs).count()),
-      timed("source_cap")(Curation.sourceCap(
+      timed("repetition")(force(Curation.repetition(docs))),
+      timed("scrub")(force(Curation.scrub(docs))),
+      timed("source_cap")(force(Curation.sourceCap(
         docs.withColumn("source", concat(lit("s"),
           when(col("doc_id") % 5 === 0, lit(0)).otherwise(col("doc_id") % 997))),
-        10).count()),
-      timed("hash_split")(Curation.hashSplit(docs).count()),
-      timed("semdedup")(Similarity.semDeDup(
-        emb.withColumn("label", (col("vec_id") % 100).cast("int")), 0.9).count()))
+        10))),
+      timed("hash_split")(force(Curation.hashSplit(docs))),
+      timed("semdedup")(force(Similarity.semDeDup(
+        emb.withColumn("label", (col("vec_id") % 100).cast("int")), 0.9))))
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"docs":$nDocs}""")
     spark.stop()

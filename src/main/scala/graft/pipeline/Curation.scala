@@ -27,27 +27,6 @@ object Curation {
       .otherwise(array())
   }
 
-  /** Run-length statistics of a SORTED string array: (longest run,
-    * total positions inside runs of length ≥ 2) — i.e. the count of the
-    * most frequent element and the number of elements that occur more
-    * than once. One `aggregate` fold, per-row local. */
-  private def runStats(sorted: org.apache.spark.sql.Column) = {
-    val zero = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-      lit(0L).as("maxRun"), lit(0L).as("dup"))
-    aggregate(sorted, zero, (acc, x) => {
-      val same = acc.getField("prev").isNotNull && acc.getField("prev") === x
-      val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
-      struct(x.as("prev"), run.as("run"),
-        greatest(acc.getField("maxRun"), run).as("maxRun"),
-        // a run contributes its length once it reaches 2: +2 on the
-        // 1→2 transition, +1 on every further extension
-        (acc.getField("dup") +
-          when(same && acc.getField("run") === 1, lit(2L))
-            .when(same, lit(1L)).otherwise(lit(0L))).as("dup"))
-    }, acc => struct(acc.getField("maxRun").as("maxRun"),
-      acc.getField("dup").as("dup")))
-  }
-
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
     * `top_bigram_frac` — the fraction of word-bigram positions taken by
     * the single most frequent bigram — and `dup_trigram_frac` — the
@@ -57,25 +36,26 @@ object Curation {
     * is WITHIN the document).
     *
     * Shape: the statistic is PER-DOCUMENT, so it is computed per
-    * document — sort each doc's gram array locally and fold run lengths
-    * in one `aggregate` pass. ZERO shuffles and nothing leaves the row:
-    * the exploded (doc_id, gram) → groupBy alternative ships every gram
-    * string through an exchange (40M strings for a 100k-doc stress
-    * corpus, ~25× slower measured); this form is embarrassingly
-    * parallel at any corpus size. Docs with no bigrams are dropped
-    * (parity with a grouped formulation — no gram rows, no output);
-    * a bigram-only doc reports a null trigram fraction. */
+    * document by the native [[GramStats]] kernel — one hash-count pass
+    * over the token array per gram width. ZERO shuffles, no gram-string
+    * columns in the plan: the exploded (doc_id, gram) → groupBy
+    * alternative ships every gram string through an exchange (400M
+    * strings for the 1M-doc stress corpus), and an `aggregate`-HOF fold
+    * pays interpreted lambdas per position (~690 s at that scale vs
+    * seconds for the kernel). Docs with no bigrams are dropped (parity
+    * with a grouped formulation — no gram rows, no output); a
+    * bigram-only doc reports a null trigram fraction. */
   def repetition(docs: DataFrame): DataFrame = {
-    val s2 = runStats(array_sort(grams(2)))
-    val s3 = runStats(array_sort(grams(3)))
-    docs.select(col("doc_id"),
-        size(grams(2)).cast("long").as("t2"), s2.as("s2"),
-        size(grams(3)).cast("long").as("t3"), s3.as("s3"))
-      .where(col("t2") > 0)
+    val t = toks
+    docs.select(col("doc_id"), GramStats.column(t, 2).as("s2"),
+        GramStats.column(t, 3).as("s3"))
+      .where(element_at(col("s2"), 1) > 0)
       .select(col("doc_id"),
-        round(col("s2.maxRun").cast("double") / col("t2"), 6).as("top_bigram_frac"),
-        when(col("t3") > 0,
-          round(col("s3.dup").cast("double") / col("t3"), 6)).as("dup_trigram_frac"))
+        round(element_at(col("s2"), 2).cast("double") /
+          element_at(col("s2"), 1), 6).as("top_bigram_frac"),
+        when(element_at(col("s3"), 1) > 0,
+          round(element_at(col("s3"), 3).cast("double") /
+            element_at(col("s3"), 1), 6)).as("dup_trigram_frac"))
   }
 
   /** Scrub patterns, ordered: each is (regex, replacement token). The

@@ -24,8 +24,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity with fixed association dot / (norm(a) * norm(b)). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity with fixed association dot / (norm(a) * norm(b)).
+    * Evaluated by the native [[CosineSim]] codegen expression — same IEEE
+    * operation order as the HOF formulation `dot(a, b) / (norm(a) *
+    * norm(b))`, one static call per row instead of three interpreted
+    * folds (the all-pairs verify shapes are cosine-bound). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(CosineSim(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
