@@ -125,7 +125,8 @@ object SparkEntry {
         .withColumn("labels", graft.engine.Labels.fromCanonical(col("_lc"))))
     })
   ) ++ graft.queries.PromqlQueries.queries ++ graft.queries.PipelineQueries.queries ++
-    graft.queries.RollupQueries.queries ++ graft.queries.IngestQueries.queries
+    graft.queries.RollupQueries.queries ++ graft.queries.IngestQueries.queries ++
+    graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -197,5 +198,6 @@ object SparkEntry {
          |SELECT p.name, p."user", steps.step, p.t, p.value
          |FROM steps JOIN p ON p.t >= steps.step - ${2 * DAY} AND p.t <= steps.step""".stripMargin
   ) ++ graft.queries.PromqlQueries.oracle ++ graft.queries.PipelineQueries.oracle ++
-    graft.queries.RollupQueries.oracle ++ graft.queries.IngestQueries.oracle
+    graft.queries.RollupQueries.oracle ++ graft.queries.IngestQueries.oracle ++
+    graft.queries.EventQueries.oracle
 }

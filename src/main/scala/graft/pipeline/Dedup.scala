@@ -364,4 +364,65 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Exact substring-level (span) deduplication, the token-n-gram variant
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): an n-token gram occurring more
+    * than once ANYWHERE in the corpus marks every token it covers as
+    * duplicated; covered tokens are removed, keeping the rest of the
+    * document (where exact/MinHash dedup would keep or drop it whole).
+    *
+    * Returns one row per doc: token count, duplicated-gram position
+    * count, covered-token count, and the md5 of the cleaned (covered
+    * tokens removed) text — null-free, integer/hash-exact for oracles.
+    *
+    * Scale shape: gram explode (linear, ×n bytes) → one hash aggregation
+    * on the gram for corpus counts → join back on the same gram key (one
+    * shuffle pair, co-partitioned) → per-doc coverage explode (×n rows,
+    * bounded) → per-doc aggregations. The paper's suffix array is the
+    * in-core trick for arbitrary-length matches; fixed-n gram marking is
+    * the standard distributed relaxation (covers every duplicated
+    * substring of length ≥ n) and nothing here is quadratic or
+    * driver-side.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    // (doc, pos, gram): pos is 1-based, grams = positions 1..len-n+1
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    // greatest(..., 1): a doc shorter than n tokens emits its whole text
+    // as one (short) gram — Spark's sequence(1, 0) would run DESCENDING
+    val grams = toks.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, greatest(size(w) - ${n - 1}, 1)), " +
+          s"i -> array_join(slice(w, i, $n), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("g"))
+    // corpus-wide gram counts; duplicated = total multiplicity >= 2
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("g")
+    val dupPos = grams.join(dupG, "g").select("doc_id", "pos")
+    // token j is covered iff some duplicated gram at pos i spans it
+    // (i <= j <= i + n - 1): explode each dup position to its n tokens
+    val covered = dupPos
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("j"))
+      .distinct()
+    val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tok"))
+    val cleaned = tokRows.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(struct(col("j"), col("tok"))))
+        .getField("tok"), " ").as("clean"))
+    val perDoc = toks.select(col("doc_id"), size(col("w")).as("n_tokens"))
+    val dupStats = dupPos.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    // count only REAL covered tokens (a dup gram near the end covers
+    // positions past the last token; the token semi-join drops them)
+    val covStats = tokRows.join(covered, Seq("doc_id", "j"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    perDoc
+      .join(dupStats, Seq("doc_id"), "left")
+      .join(covStats, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_sig"))
+  }
 }

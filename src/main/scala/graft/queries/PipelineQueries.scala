@@ -25,6 +25,7 @@ object PipelineQueries {
       Dedup.ngramJaccard(docs(s, dir), 0.5, col("doc_id") < 100)),
     "q_dedup_emb_cos" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 0.4, col("vec_id") < 200)),
+    "q_dedup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir), 8)),
     "q_dedup_cluster" -> ((s, dir) =>
       Dedup.components(Dedup.ngramJaccard(docs(s, dir), 0.9, col("doc_id") < 500)
         .select(col("doc_a"), col("doc_b")))),
@@ -304,6 +305,46 @@ object PipelineQueries {
         |JOIN sz sa ON sa.doc_id = doc_a
         |JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    // substring-level dedup (Lee et al. 2022, token-8-gram relaxation):
+    // gram md5s with corpus multiplicity >= 2 mark their covered token
+    // positions; covered tokens are removed and the cleaned text hashed.
+    // Every intermediate is integer/hash-exact, so the two engines agree
+    // bit-for-bit with no rounding.
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(w) - 7, 1)),
+        |    i -> struct_pack(pos := i, gm := md5(array_to_string(w[i:i+7], ' '))))) AS u
+        |  FROM t),
+        |gp AS (SELECT doc_id, u.pos AS pos, u.gm AS gm FROM g0),
+        |c AS (SELECT gm FROM gp GROUP BY gm HAVING count(*) >= 2),
+        |d AS (SELECT gp.doc_id, gp.pos FROM gp JOIN c USING (gm)),
+        |cov0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 8), k -> pos + k)) AS j
+        |  FROM d),
+        |cov AS (SELECT DISTINCT doc_id, j FROM cov0),
+        |tr0 AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |    i -> struct_pack(j := i, tok := w[i]))) AS u
+        |  FROM t),
+        |tr AS (SELECT doc_id, u.j AS j, u.tok AS tok FROM tr0),
+        |cl AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean
+        |  FROM tr ANTI JOIN cov USING (doc_id, j) GROUP BY 1),
+        |cv AS (
+        |  SELECT doc_id, count(*) AS n_covered
+        |  FROM tr SEMI JOIN cov USING (doc_id, j) GROUP BY 1),
+        |ds AS (SELECT doc_id, count(*) AS n_dup_grams FROM d GROUP BY 1)
+        |SELECT t.doc_id, len(w) AS n_tokens,
+        |  coalesce(ds.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(cv.n_covered, 0) AS n_covered,
+        |  md5(coalesce(cl.clean, '')) AS clean_sig
+        |FROM t
+        |LEFT JOIN ds USING (doc_id)
+        |LEFT JOIN cv USING (doc_id)
+        |LEFT JOIN cl USING (doc_id)""".stripMargin,
 
     // transitive closure of the FULL-table jaccard>=0.9 pair graph:
     // cluster_id = min reachable doc_id. The recursive reachability CTE is
