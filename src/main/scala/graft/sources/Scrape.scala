@@ -199,7 +199,8 @@ object Scrape extends Serializable {
       fileSdFiles: Seq[String] = Nil,
       httpSdUrls: Seq[String] = Nil,
       dnsSd: Seq[DnsSdConfig] = Nil,
-      consulSd: Seq[ConsulSdConfig] = Nil)
+      consulSd: Seq[ConsulSdConfig] = Nil,
+      kubernetesSd: Seq[KubernetesSdConfig] = Nil)
 
   /** Default HTTP(S) fetcher for a job's knobs: GET
     * `scheme://target/metrics` with connect+read timeouts, an
@@ -505,17 +506,217 @@ object Scrape extends Serializable {
       } catch { case scala.util.control.NonFatal(_) => Nil }
     }
 
+  // ---- Kubernetes service discovery (kubernetes_sd_configs) -------------
+
+  /** `kubernetes_sd_configs` entry: API-server address, discovery role
+    * (`pod` | `endpoints` | `service` | `node`), optional namespace pin
+    * (empty = all namespaces) and bearer token (inline or file — the
+    * in-cluster serviceaccount path is the usual file). */
+  final case class KubernetesSdConfig(
+      apiServer: String,
+      role: String = "pod",
+      namespaces: Seq[String] = Nil,
+      scheme: String = "https",
+      token: Option[String] = None,
+      tokenFile: Option[String] = None)
+
+  /** Prometheus label-name sanitization for k8s label/annotation keys. */
+  private def k8sLabelKey(s: String): String =
+    s.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+
+  /** One bounded GET against an SD HTTP API; None on any failure (a dead
+    * SD source contributes no targets, like every other SD here). */
+  private def sdHttpGet(url: String, timeoutMs: Long,
+                        headers: Map[String, String],
+                        tls: Option[TlsConfig]): Option[String] =
+    try {
+      val conn = new java.net.URL(url).openConnection()
+      conn match {
+        case https: javax.net.ssl.HttpsURLConnection =>
+          tls.map(buildSslContext)
+            .foreach(c => https.setSSLSocketFactory(c.getSocketFactory))
+          if (tls.exists(_.insecureSkipVerify))
+            https.setHostnameVerifier((_, _) => true)
+        case _ => ()
+      }
+      val http = conn.asInstanceOf[java.net.HttpURLConnection]
+      http.setConnectTimeout(timeoutMs.toInt)
+      http.setReadTimeout(timeoutMs.toInt)
+      headers.foreach { case (k, v) => http.setRequestProperty(k, v) }
+      val in = http.getInputStream
+      val bytes = try in.readNBytes(16 * 1024 * 1024)
+        finally { in.close(); http.disconnect() }
+      Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // MiniJson accessors for the k8s object walks
+  private def jMap(a: Any): Map[String, Any] = a match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+  private def jList(a: Any): List[Any] = a match {
+    case l: List[_] => l
+    case _ => Nil
+  }
+  private def jStr(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).collect { case s: String => s }
+  private def jInt(m: Map[String, Any], k: String): Option[Int] =
+    m.get(k).collect { case d: Double => d.toInt; case i: Int => i }
+  /** metadata.labels / metadata.annotations → `__meta_kubernetes_<kind>_label_x`. */
+  private def k8sMetaLabels(meta: Map[String, Any], kind: String): Map[String, String] =
+    jMap(meta.getOrElse("labels", Map.empty)).collect { case (k, v: String) =>
+      s"__meta_kubernetes_${kind}_label_${k8sLabelKey(k)}" -> v
+    } ++
+      jMap(meta.getOrElse("annotations", Map.empty)).collect { case (k, v: String) =>
+        s"__meta_kubernetes_${kind}_annotation_${k8sLabelKey(k)}" -> v
+      }
+
+  /** Resolve one `kubernetes_sd_configs` entry NOW against the public
+    * Kubernetes REST API (`GET /api/v1/[namespaces/<ns>/]pods|endpoints|
+    * services`, `/api/v1/nodes`) and project targets + `__meta_kubernetes_*`
+    * labels per the documented Prometheus role semantics:
+    *
+    *  - `pod`: one target per declared container port (`podIP:port`; a pod
+    *    with no declared ports contributes the bare pod IP for relabelling
+    *    to fix up), with namespace/name/IP/phase/ready/node and pod
+    *    label/annotation meta labels.
+    *  - `endpoints`: one target per subset address × port, ready and
+    *    not-ready (`__meta_kubernetes_endpoint_ready`), with the backing
+    *    pod's name when the address targetRef is a Pod.
+    *  - `service`: one target per service port on the cluster IP.
+    *  - `node`: one target per node at the kubelet daemon port (InternalIP
+    *    preferred, first address otherwise), with node meta labels.
+    *
+    * Failing or malformed API responses contribute no targets; the watch
+    * API is deliberately not used — per-tick LIST is the same
+    * convergence model as every other SD source here. */
+  def readKubernetesSd(cfg: KubernetesSdConfig, timeoutMs: Long = 10000L,
+                       tls: Option[TlsConfig] = None): Seq[FileSdGroup] = {
+    val auth = AuthConfig(bearerToken = cfg.token, bearerTokenFile = cfg.tokenFile)
+    val headers = auth.header.map("Authorization" -> _).toMap
+    def fetch(path: String): List[Any] =
+      sdHttpGet(s"${cfg.scheme}://${cfg.apiServer}$path", timeoutMs, headers, tls)
+        .map(s => jList(jMap(graft.api.MiniJson.parse(s)).getOrElse("items", Nil)))
+        .getOrElse(Nil)
+    def listNamespaced(kind: String): List[Any] =
+      if (cfg.namespaces.isEmpty) fetch(s"/api/v1/$kind")
+      else cfg.namespaces.toList.flatMap(ns => fetch(s"/api/v1/namespaces/$ns/$kind"))
+
+    cfg.role match {
+      case "pod" =>
+        listNamespaced("pods").flatMap { p =>
+          val pod = jMap(p)
+          val meta = jMap(pod.getOrElse("metadata", Map.empty))
+          val spec = jMap(pod.getOrElse("spec", Map.empty))
+          val status = jMap(pod.getOrElse("status", Map.empty))
+          jStr(status, "podIP").toSeq.flatMap { ip =>
+            val ready = jList(status.getOrElse("conditions", Nil)).exists { c =>
+              jStr(jMap(c), "type").contains("Ready") &&
+                jStr(jMap(c), "status").contains("True")
+            }
+            val base = Map(
+              "__meta_kubernetes_namespace" -> jStr(meta, "namespace").getOrElse(""),
+              "__meta_kubernetes_pod_name" -> jStr(meta, "name").getOrElse(""),
+              "__meta_kubernetes_pod_ip" -> ip,
+              "__meta_kubernetes_pod_ready" -> (if (ready) "true" else "false"),
+              "__meta_kubernetes_pod_phase" -> jStr(status, "phase").getOrElse("")) ++
+              jStr(spec, "nodeName").map("__meta_kubernetes_pod_node_name" -> _) ++
+              k8sMetaLabels(meta, "pod")
+            val ports = for {
+              c <- jList(spec.getOrElse("containers", Nil))
+              cm = jMap(c)
+              port <- jList(cm.getOrElse("ports", Nil))
+              pm = jMap(port)
+              num <- jInt(pm, "containerPort")
+            } yield FileSdGroup(Seq(s"$ip:$num"), base ++
+              jStr(cm, "name").map("__meta_kubernetes_pod_container_name" -> _) ++
+              jStr(pm, "name").map("__meta_kubernetes_pod_container_port_name" -> _) +
+              ("__meta_kubernetes_pod_container_port_number" -> num.toString))
+            if (ports.nonEmpty) ports else Seq(FileSdGroup(Seq(ip), base))
+          }
+        }
+      case "endpoints" =>
+        listNamespaced("endpoints").flatMap { e =>
+          val ep = jMap(e)
+          val meta = jMap(ep.getOrElse("metadata", Map.empty))
+          val base = Map(
+            "__meta_kubernetes_namespace" -> jStr(meta, "namespace").getOrElse(""),
+            "__meta_kubernetes_endpoints_name" -> jStr(meta, "name").getOrElse(""))
+          for {
+            subset <- jList(ep.getOrElse("subsets", Nil))
+            sm = jMap(subset)
+            (addrKey, ready) <- Seq("addresses" -> "true", "notReadyAddresses" -> "false")
+            addr <- jList(sm.getOrElse(addrKey, Nil))
+            am = jMap(addr)
+            ip <- jStr(am, "ip").toSeq
+            port <- jList(sm.getOrElse("ports", Nil))
+            pm = jMap(port)
+            num <- jInt(pm, "port").toSeq
+          } yield {
+            val ref = jMap(am.getOrElse("targetRef", Map.empty))
+            FileSdGroup(Seq(s"$ip:$num"), base ++
+              jStr(pm, "name").map("__meta_kubernetes_endpoint_port_name" -> _) ++
+              jStr(pm, "protocol").map("__meta_kubernetes_endpoint_port_protocol" -> _) ++
+              (if (jStr(ref, "kind").contains("Pod"))
+                jStr(ref, "name").map("__meta_kubernetes_pod_name" -> _)
+              else None) +
+              ("__meta_kubernetes_endpoint_ready" -> ready))
+          }
+        }
+      case "service" =>
+        listNamespaced("services").flatMap { s =>
+          val svc = jMap(s)
+          val meta = jMap(svc.getOrElse("metadata", Map.empty))
+          val spec = jMap(svc.getOrElse("spec", Map.empty))
+          jStr(spec, "clusterIP").filter(ip => ip.nonEmpty && ip != "None").toSeq
+            .flatMap { ip =>
+              val base = Map(
+                "__meta_kubernetes_namespace" -> jStr(meta, "namespace").getOrElse(""),
+                "__meta_kubernetes_service_name" -> jStr(meta, "name").getOrElse(""),
+                "__meta_kubernetes_service_cluster_ip" -> ip) ++
+                k8sMetaLabels(meta, "service")
+              jList(spec.getOrElse("ports", Nil)).flatMap { port =>
+                val pm = jMap(port)
+                jInt(pm, "port").map { num =>
+                  FileSdGroup(Seq(s"$ip:$num"), base ++
+                    jStr(pm, "name").map("__meta_kubernetes_service_port_name" -> _) ++
+                    jStr(pm, "protocol").map("__meta_kubernetes_service_port_protocol" -> _))
+                }
+              }
+            }
+        }
+      case "node" =>
+        fetch("/api/v1/nodes").flatMap { n =>
+          val node = jMap(n)
+          val meta = jMap(node.getOrElse("metadata", Map.empty))
+          val status = jMap(node.getOrElse("status", Map.empty))
+          val addrs = jList(status.getOrElse("addresses", Nil)).map(jMap)
+          val addr = addrs.find(a => jStr(a, "type").contains("InternalIP"))
+            .orElse(addrs.headOption).flatMap(jStr(_, "address"))
+          val port = jInt(jMap(jMap(status.getOrElse("daemonEndpoints", Map.empty))
+            .getOrElse("kubeletEndpoint", Map.empty)), "Port").getOrElse(10250)
+          addr.map { ip =>
+            FileSdGroup(Seq(s"$ip:$port"),
+              Map("__meta_kubernetes_node_name" -> jStr(meta, "name").getOrElse("")) ++
+                k8sMetaLabels(meta, "node"))
+          }
+        }
+      case _ => Nil
+    }
+  }
+
   /** A job's target set at THIS instant: static_configs targets (no extra
-    * labels) plus every file_sd / http_sd / dns_sd / consul_sd group's
-    * targets with the group's labels — SD sources re-read per call, so
-    * changes are picked up on the next tick. */
+    * labels) plus every file_sd / http_sd / dns_sd / consul_sd /
+    * kubernetes_sd group's targets with the group's labels — SD sources
+    * re-read per call, so changes are picked up on the next tick. */
   def resolveTargets(job: ScrapeJob,
                      dnsLookup: DnsLookup = jdkDnsLookup): Seq[(String, Map[String, String])] =
     job.targets.map((_, Map.empty[String, String])) ++
       (job.fileSdFiles.flatMap(readFileSd) ++
         job.httpSdUrls.flatMap(readHttpSd(_, job.timeoutMs, job.auth, job.tls)) ++
         job.dnsSd.flatMap(readDnsSd(_, dnsLookup)) ++
-        job.consulSd.flatMap(readConsulSd(_, job.timeoutMs, job.tls)))
+        job.consulSd.flatMap(readConsulSd(_, job.timeoutMs, job.tls)) ++
+        job.kubernetesSd.flatMap(readKubernetesSd(_, job.timeoutMs, job.tls)))
         .flatMap(g => g.targets.map((_, g.labels)))
 
   /** Prometheus relabelling subset over a target's labelset. Regexes are
@@ -833,6 +1034,7 @@ object Scrape extends Serializable {
     var jHttpSd = scala.collection.mutable.ArrayBuffer[String]()
     var jDns = scala.collection.mutable.ArrayBuffer[DnsSdConfig]()
     var jConsul = scala.collection.mutable.ArrayBuffer[ConsulSdConfig]()
+    var jK8s = scala.collection.mutable.ArrayBuffer[KubernetesSdConfig]()
     // which *_sd_configs section subsequent scalar keys belong to — the
     // flat (indentation-free) parser's stand-in for YAML nesting
     var sdMode = ""
@@ -864,13 +1066,15 @@ object Scrape extends Serializable {
       jobs += ScrapeJob(jName, jTargets.toSeq, jInterval, jRules.toSeq,
         scheme = jScheme, timeoutMs = jTimeout, auth = auth, tls = tls,
         fileSdFiles = jFileSd.toSeq, httpSdUrls = jHttpSd.toSeq,
-        dnsSd = jDns.toSeq, consulSd = jConsul.toSeq)
+        dnsSd = jDns.toSeq, consulSd = jConsul.toSeq,
+        kubernetesSd = jK8s.toSeq)
       jTargets = scala.collection.mutable.ArrayBuffer()
       jRules = scala.collection.mutable.ArrayBuffer()
       jFileSd = scala.collection.mutable.ArrayBuffer()
       jHttpSd = scala.collection.mutable.ArrayBuffer()
       jDns = scala.collection.mutable.ArrayBuffer()
       jConsul = scala.collection.mutable.ArrayBuffer()
+      jK8s = scala.collection.mutable.ArrayBuffer()
       sdMode = ""
       jBearer = None; jBearerFile = None; jUser = None; jPass = None
       jCa = None; jCert = None; jKey = None; jSkipVerify = false
@@ -886,6 +1090,7 @@ object Scrape extends Serializable {
         t == "http_sd_configs:") sdMode = ""
       else if (t == "dns_sd_configs:") sdMode = "dns"
       else if (t == "consul_sd_configs:") sdMode = "consul"
+      else if (t == "kubernetes_sd_configs:") sdMode = "k8s"
       else if (t.startsWith("- job_name:")) {
         flushRule(); flushJob()
         inJob = true
@@ -908,6 +1113,24 @@ object Scrape extends Serializable {
       } else if (t.startsWith("port:") && sdMode == "dns" && jDns.nonEmpty) {
         jDns(jDns.length - 1) =
           jDns.last.copy(port = unquote(t.stripPrefix("port:").trim).toInt)
+      } else if (t.startsWith("- api_server:") && sdMode == "k8s") {
+        flushRule()
+        jK8s += KubernetesSdConfig(unquote(t.stripPrefix("- api_server:").trim))
+      } else if (t.startsWith("role:") && sdMode == "k8s" && jK8s.nonEmpty) {
+        jK8s(jK8s.length - 1) =
+          jK8s.last.copy(role = unquote(t.stripPrefix("role:").trim))
+      } else if (t.startsWith("namespaces:") && sdMode == "k8s" && jK8s.nonEmpty) {
+        jK8s(jK8s.length - 1) = jK8s.last.copy(
+          namespaces = parseFlowList(t.stripPrefix("namespaces:").trim))
+      } else if (t.startsWith("scheme:") && sdMode == "k8s" && jK8s.nonEmpty) {
+        jK8s(jK8s.length - 1) =
+          jK8s.last.copy(scheme = unquote(t.stripPrefix("scheme:").trim))
+      } else if (t.startsWith("bearer_token_file:") && sdMode == "k8s" && jK8s.nonEmpty) {
+        jK8s(jK8s.length - 1) = jK8s.last.copy(
+          tokenFile = Some(unquote(t.stripPrefix("bearer_token_file:").trim)))
+      } else if (t.startsWith("bearer_token:") && sdMode == "k8s" && jK8s.nonEmpty) {
+        jK8s(jK8s.length - 1) = jK8s.last.copy(
+          token = Some(unquote(t.stripPrefix("bearer_token:").trim)))
       } else if (t.startsWith("- server:") && sdMode == "consul") {
         flushRule()
         jConsul += ConsulSdConfig(unquote(t.stripPrefix("- server:").trim), Nil)

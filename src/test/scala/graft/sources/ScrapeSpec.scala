@@ -542,4 +542,128 @@ class ScrapeSpec extends AnyFunSuite {
         Seq("10.1.1.2:8500", "10.1.1.3:8501"))
     } finally server.stop(0)
   }
+
+  test("kubernetes_sd_configs: pod/endpoints/service/node roles, auth, outage") {
+    @volatile var seenAuth: Option[String] = None
+    @volatile var status = 200
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    def ctx(path: String, body: String): Unit =
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        seenAuth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        val out = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, out.length)
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
+    ctx("/api/v1/pods",
+      """{"kind": "PodList", "items": [
+        | {"metadata": {"name": "web-0", "namespace": "prod",
+        |   "labels": {"app": "web", "tier.kind": "fe"},
+        |   "annotations": {"scrape/port": "9100"}},
+        |  "spec": {"nodeName": "n1", "containers": [
+        |    {"name": "app", "ports": [
+        |      {"name": "metrics", "containerPort": 9100, "protocol": "TCP"},
+        |      {"containerPort": 8080}]}]},
+        |  "status": {"podIP": "10.2.0.1", "phase": "Running",
+        |   "conditions": [{"type": "Ready", "status": "True"}]}},
+        | {"metadata": {"name": "bare-0", "namespace": "prod"},
+        |  "spec": {"containers": [{"name": "noports"}]},
+        |  "status": {"podIP": "10.2.0.2", "phase": "Pending", "conditions": []}},
+        | {"metadata": {"name": "hostnet", "namespace": "prod"},
+        |  "spec": {}, "status": {}}]}""".stripMargin)
+    ctx("/api/v1/namespaces/edge/pods",
+      """{"items": [{"metadata": {"name": "edge-0", "namespace": "edge"},
+        | "spec": {"containers": [{"name": "e", "ports": [{"containerPort": 7000}]}]},
+        | "status": {"podIP": "10.3.0.1", "phase": "Running",
+        |  "conditions": [{"type": "Ready", "status": "False"}]}}]}""".stripMargin)
+    ctx("/api/v1/endpoints",
+      """{"items": [{"metadata": {"name": "web", "namespace": "prod"},
+        | "subsets": [{
+        |   "addresses": [{"ip": "10.2.0.1",
+        |     "targetRef": {"kind": "Pod", "name": "web-0"}}],
+        |   "notReadyAddresses": [{"ip": "10.2.0.9"}],
+        |   "ports": [{"name": "metrics", "port": 9100, "protocol": "TCP"}]}]}]}"""
+        .stripMargin)
+    ctx("/api/v1/services",
+      """{"items": [
+        | {"metadata": {"name": "web", "namespace": "prod", "labels": {"app": "web"}},
+        |  "spec": {"clusterIP": "10.96.0.10",
+        |    "ports": [{"name": "http", "port": 80, "protocol": "TCP"}]}},
+        | {"metadata": {"name": "headless", "namespace": "prod"},
+        |  "spec": {"clusterIP": "None", "ports": [{"port": 80}]}}]}""".stripMargin)
+    ctx("/api/v1/nodes",
+      """{"items": [{"metadata": {"name": "n1", "labels": {"zone": "a"}},
+        | "status": {"addresses": [
+        |    {"type": "Hostname", "address": "n1.local"},
+        |    {"type": "InternalIP", "address": "192.168.0.1"}],
+        |  "daemonEndpoints": {"kubeletEndpoint": {"Port": 10250}}}}]}""".stripMargin)
+    server.start()
+    val api = s"127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val pods = Scrape.readKubernetesSd(Scrape.KubernetesSdConfig(
+        api, "pod", scheme = "http", token = Some("tok-1")))
+      // declared ports -> one target each; portless pod -> bare IP; no podIP -> skipped
+      assert(pods.flatMap(_.targets) == Seq("10.2.0.1:9100", "10.2.0.1:8080", "10.2.0.2"))
+      assert(seenAuth.contains("Bearer tok-1"))
+      val l = pods.head.labels
+      assert(l("__meta_kubernetes_namespace") == "prod")
+      assert(l("__meta_kubernetes_pod_name") == "web-0")
+      assert(l("__meta_kubernetes_pod_ready") == "true")
+      assert(l("__meta_kubernetes_pod_phase") == "Running")
+      assert(l("__meta_kubernetes_pod_node_name") == "n1")
+      assert(l("__meta_kubernetes_pod_container_name") == "app")
+      assert(l("__meta_kubernetes_pod_container_port_name") == "metrics")
+      assert(l("__meta_kubernetes_pod_container_port_number") == "9100")
+      // label/annotation keys sanitized
+      assert(l("__meta_kubernetes_pod_label_app") == "web")
+      assert(l("__meta_kubernetes_pod_label_tier_kind") == "fe")
+      assert(l("__meta_kubernetes_pod_annotation_scrape_port") == "9100")
+      assert(pods(2).labels("__meta_kubernetes_pod_ready") == "false")
+      // namespace pin hits the namespaced path only
+      val ns = Scrape.readKubernetesSd(Scrape.KubernetesSdConfig(
+        api, "pod", namespaces = Seq("edge"), scheme = "http"))
+      assert(ns.flatMap(_.targets) == Seq("10.3.0.1:7000"))
+      // endpoints role: ready and not-ready addresses, pod backref
+      val eps = Scrape.readKubernetesSd(Scrape.KubernetesSdConfig(
+        api, "endpoints", scheme = "http"))
+      assert(eps.flatMap(_.targets) == Seq("10.2.0.1:9100", "10.2.0.9:9100"))
+      assert(eps.head.labels("__meta_kubernetes_endpoint_ready") == "true")
+      assert(eps.head.labels("__meta_kubernetes_pod_name") == "web-0")
+      assert(eps(1).labels("__meta_kubernetes_endpoint_ready") == "false")
+      assert(eps(1).labels.get("__meta_kubernetes_pod_name").isEmpty)
+      // service role: cluster IP targets, headless services skipped
+      val svcs = Scrape.readKubernetesSd(Scrape.KubernetesSdConfig(
+        api, "service", scheme = "http"))
+      assert(svcs.flatMap(_.targets) == Seq("10.96.0.10:80"))
+      assert(svcs.head.labels("__meta_kubernetes_service_name") == "web")
+      assert(svcs.head.labels("__meta_kubernetes_service_port_name") == "http")
+      // node role: InternalIP preferred over Hostname, kubelet port
+      val nodes = Scrape.readKubernetesSd(Scrape.KubernetesSdConfig(
+        api, "node", scheme = "http"))
+      assert(nodes.flatMap(_.targets) == Seq("192.168.0.1:10250"))
+      assert(nodes.head.labels("__meta_kubernetes_node_label_zone") == "a")
+      // API outage: no targets, no exception
+      status = 500
+      assert(Scrape.readKubernetesSd(Scrape.KubernetesSdConfig(
+        api, "pod", scheme = "http")).isEmpty)
+      status = 200
+      // YAML parse + resolveTargets composition
+      val yaml =
+        s"""scrape_configs:
+           |  - job_name: k8s
+           |    kubernetes_sd_configs:
+           |      - api_server: '$api'
+           |        role: endpoints
+           |        scheme: http
+           |        bearer_token: tok-2
+           |""".stripMargin
+      val job = Scrape.parseScrapeConfigs(yaml).head
+      assert(job.kubernetesSd == Seq(Scrape.KubernetesSdConfig(
+        api, "endpoints", scheme = "http", token = Some("tok-2"))))
+      assert(Scrape.resolveTargets(job).map(_._1) ==
+        Seq("10.2.0.1:9100", "10.2.0.9:9100"))
+      assert(seenAuth.contains("Bearer tok-2"))
+    } finally server.stop(0)
+  }
 }
