@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Frequency-domain audio features over PCM columns: an in-place radix-2
+  * FFT (Cooley–Tukey, the standard published algorithm), non-overlapping
+  * rectangular-window framing, and per-frame dominant-frequency (peak
+  * spectral bin) extraction — the backbone of audio fingerprinting,
+  * voice-activity detection, and spectrogram featurization in a training
+  * pipeline.
+  *
+  * Everything here is a narrow per-document map (decode bytes → frames →
+  * FFT → integer bin) with no shuffle at all; at 100 TB the work
+  * distributes as one pass over the blob column.
+  *
+  * The gate ([[wavSpectrogramStats]]) synthesizes square-wave WAVs whose
+  * samples are pure integer arithmetic, decodes them through the REAL
+  * RIFF walk, and reports each frame's peak bin. The DuckDB oracle
+  * recomputes the same answer with a direct O(n²) DFT — a different
+  * algorithm whose floating-point rounding differs in the last ulps, so
+  * agreement on the integer argmax certifies the FFT (a square wave's
+  * fundamental carries ≥9× the power of its strongest harmonic; ulp noise
+  * cannot flip the winner).
+  */
+object Audio {
+
+  /** In-place iterative radix-2 FFT (decimation in time, bit-reversal
+    * permutation then butterflies). `re.length` must be a power of two. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, s"fft size $n not a power of 2")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+          val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Power spectrum |X[b]|² for b = 0..n/2 of a real frame. */
+  def powerSpectrum(frame: Array[Double]): Array[Double] = {
+    val re = frame.clone()
+    val im = new Array[Double](frame.length)
+    fft(re, im)
+    Array.tabulate(frame.length / 2 + 1)(b => re(b) * re(b) + im(b) * im(b))
+  }
+
+  /** Dominant non-DC bin of a frame: argmax of |X[b]|² over 1..n/2,
+    * lowest bin on ties. */
+  def peakBin(frame: Array[Double]): Int = {
+    val p = powerSpectrum(frame)
+    var best = 1
+    var b = 2
+    while (b < p.length) {
+      if (p(b) > p(best)) best = b
+      b += 1
+    }
+    best
+  }
+
+  /** Frame `samples` into non-overlapping `frameLen` windows (dropping
+    * the trailing partial frame, the standard STFT convention) and emit
+    * each frame's peak bin. */
+  def spectrogramPeaks(samples: Array[Double], frameLen: Int): Seq[(Int, Int)] =
+    (0 until samples.length / frameLen).map { f =>
+      (f, peakBin(samples.slice(f * frameLen, (f + 1) * frameLen)))
+    }
+
+  /** 16-bit LE PCM samples from a WAV blob's data chunk (RIFF walk,
+    * truncation-clamped like [[Multimodal.wavAudioStats]]). */
+  def wavSamples(b: Array[Byte]): Option[Array[Double]] = {
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'))
+      return None
+    def le16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32(off: Int) = le16(off) | (le16(off + 2) << 16)
+    var off = 12
+    var dataOff = -1; var dataLen = 0; var bits = 0
+    while (off + 8 <= b.length) {
+      val id4 = new String(b, off, 4, "US-ASCII")
+      val sz = le32(off + 4)
+      if (id4 == "fmt " && off + 24 <= b.length) bits = le16(off + 22)
+      if (id4 == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    if (bits != 16 || dataOff < 0) return None
+    val n = math.max(0, math.min(dataLen, b.length - dataOff)) / 2
+    Some(Array.tabulate(n)(k => ((le16(dataOff + 2 * k) << 16) >> 16).toDouble))
+  }
+
+  /** Gate frame length (64 samples → 33 power bins). */
+  val GateFrameLen = 64
+
+  /** Fixture samples for the gate: two 64-sample frames per doc, frame f
+    * a ±1000 square wave at integer bin `(doc_id + f) % 15 + 1` —
+    * integer-exact, so the SQL oracle regenerates them verbatim. */
+  def gateSample(id: Long, frame: Int, k: Int): Int = {
+    val f = ((id + frame) % 15).toInt + 1
+    if ((k * f) % GateFrameLen < GateFrameLen / 2) 1000 else -1000
+  }
+
+  /** Spectrogram gate: synthesize the square-wave WAV, decode it through
+    * the real RIFF/PCM walk, frame + FFT, report each frame's peak bin. */
+  def wavSpectrogramStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val samples = Array.tabulate(2 * GateFrameLen) { g =>
+          gateSample(id, g / GateFrameLen, g % GateFrameLen).toShort
+        }
+        val wav = synthWavPcm(samples, sampleRate = 8000)
+        val pcm = wavSamples(wav).get
+        spectrogramPeaks(pcm, GateFrameLen).map { case (f, bin) =>
+          (id, f, bin)
+        }
+      }.toDF("doc_id", "frame_idx", "peak_bin")
+  }
+
+  /** Canonical 44-byte-header mono 16-bit PCM WAV around explicit
+    * samples (the payload-controlled sibling of [[Multimodal.synthWav]]). */
+  def synthWavPcm(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)
+      .putShort(1.toShort).putInt(sampleRate)
+      .putInt(sampleRate * 2)
+      .putShort(2.toShort)
+      .putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+}

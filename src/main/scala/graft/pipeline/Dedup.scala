@@ -178,18 +178,29 @@ object Dedup {
     * truly degenerate (near-identical) clusters, which exact dedup handles
     * upstream. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 2,
+                   maxBucket: Int = 1000): DataFrame =
+    hammingPairs(simHash(docs), "simhash", maxHamming, maxBucket)
+
+  /** Hamming-distance ≤ `maxHamming` pairs over ANY 64-bit signature
+    * relation (`doc_id`, `sigCol`) — simhash, image aHash/dHash, audio
+    * fingerprints — via pigeonhole banding: split the word into
+    * maxHamming+1 bands; two words within distance d agree on ≥ 1 band
+    * (exact recall), so only band-bucket collisions are ever paired.
+    * Buckets above `maxBucket` are capped (the same BoundedCollect
+    * guard as MinHash LSH), keeping a degenerate constant-signature
+    * corpus from going quadratic. */
+  def hammingPairs(sigs: DataFrame, sigCol: String, maxHamming: Int = 2,
                    maxBucket: Int = 1000): DataFrame = {
     val nBands = maxHamming + 1
     val bounds = (0 to nBands).map(i => i * 64 / nBands)
-    val sigs = simHash(docs)
     val bandCols = (0 until nBands).map { b =>
       val lo = bounds(b)
       val width = bounds(b + 1) - bounds(b)
       val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
+        shiftright(col(sigCol), lo).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    val banded = sigs.select(col("doc_id"), col(sigCol).as("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
     val buckets = banded.groupBy(col("band"), col("bv"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curation, Dedup, Gif, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Audio, Curation, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -76,6 +76,10 @@ object PipelineQueries {
     "q_mm_png_interlaced" -> ((s, dir) => Multimodal.pngInterlacedStats(s, docs(s, dir))),
     "q_mm_resize" -> ((s, dir) => Multimodal.pngResizeStats(s, docs(s, dir))),
     "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir))),
+    "q_mm_spectrogram" -> ((s, dir) => Audio.wavSpectrogramStats(s, docs(s, dir))),
+    "q_img_ahash" -> ((s, dir) => Images.aHashStats(s, docs(s, dir))),
+    "q_img_ahash_pairs" -> ((s, dir) => Images.aHashPairs(s, docs(s, dir), 8)),
+    "q_mm_resize_bilinear" -> ((s, dir) => Images.pngBilinearStats(s, docs(s, dir))),
     "q_mm_jpeg_coefs" -> ((s, dir) => Jpeg.jpegCoefStats(s, docs(s, dir))),
     "q_mm_jpeg_pixels" -> ((s, dir) => Jpeg.jpegPixelStats(s, docs(s, dir))),
     "q_mm_video_frames" -> ((s, dir) => Video.videoFrameStats(s, docs(s, dir))),
@@ -252,6 +256,49 @@ object PipelineQueries {
       s" + floor((91881 * ($crd) + 32768) / 65536.0)" +
       s" - floor((22554 * ($cbd) + 46802 * ($crd) + 32768) / 65536.0)" +
       s" + floor((116130 * ($cbd) + 32768) / 65536.0))"
+
+  /** Shared CTE chain computing each doc's aHash arithmetically: the
+    * nearest-resize cell value mapping from the q_mm_resize oracle,
+    * channel-summed per cell, thresholded as 64·g > total. */
+  private val ahashCte: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+      |    CAST((doc_id * 5) % 23 + 1 AS BIGINT) AS h,
+      |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS ch
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, 64), j -> struct_pack(j := j,
+      |      g := list_sum(list_transform(range(0, CAST(ch AS INT)), c ->
+      |        (((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * ch + c) * 7 + doc_id) % 256))))) AS u
+      |  FROM d),
+      |g AS (SELECT doc_id, u.j AS j, u.g AS g FROM g0),
+      |t AS (SELECT doc_id, j, g, sum(g) OVER (PARTITION BY doc_id) AS total FROM g),
+      |ah AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN 64 * g > total THEN
+      |      (CASE WHEN j = 63 THEN (-9223372036854775808)::BIGINT
+      |            ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END)
+      |    ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM t GROUP BY doc_id)""".stripMargin
+
+  // ---- bilinear-resize oracle pieces: the full blend expression for
+  // output flat index i, generated so the engine and oracle share one
+  // source of truth for the kernel ----
+  private val biSy = "least(greatest(((i // (8*ch)) + 0.5) * h / 8.0 - 0.5, 0.0), CAST(h - 1 AS DOUBLE))"
+  private val biSx = "least(greatest((((i % (8*ch)) // ch) + 0.5) * w / 8.0 - 0.5, 0.0), CAST(w - 1 AS DOUBLE))"
+  private val biY0 = s"CAST(floor($biSy) AS BIGINT)"
+  private val biX0 = s"CAST(floor($biSx) AS BIGINT)"
+  private val biY1 = s"least($biY0 + 1, h - 1)"
+  private val biX1 = s"least($biX0 + 1, w - 1)"
+  private val biFy = s"($biSy - floor($biSy))"
+  private val biFx = s"($biSx - floor($biSx))"
+  private def biP(yy: String, xx: String): String =
+    s"CAST((((($yy) * w + ($xx)) * ch + (i % ch)) * 7 + doc_id) % 256 AS DOUBLE)"
+  private val biV =
+    s"((1 - $biFy) * ((1 - $biFx) * ${biP(biY0, biX0)} + $biFx * ${biP(biY0, biX1)})" +
+      s" + $biFy * ((1 - $biFx) * ${biP(biY1, biX0)} + $biFx * ${biP(biY1, biX1)}))"
+  private val biByte = s"CAST(floor($biV + 0.5) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -569,6 +616,69 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(samples, x -> abs(x))) AS DOUBLE) / n AS mean_abs,
         |  sqrt(CAST(list_sum(list_transform(samples, x -> x * x)) AS DOUBLE) / n) AS rms
         |FROM s""".stripMargin,
+
+    // FFT spectrogram gate: the engine decodes a square-wave WAV and takes
+    // each 64-sample frame's peak power bin via radix-2 FFT; the oracle
+    // recomputes the SAME integer answer with a direct O(n²) DFT — two
+    // algorithms whose float rounding differs, agreeing on the argmax
+    // because the square wave's fundamental carries ≥9× any harmonic
+    "q_mm_spectrogram" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest([0, 1]) AS frame_idx FROM documents),
+        |sp AS (
+        |  SELECT doc_id, frame_idx, ((doc_id + frame_idx) % 15 + 1) AS f
+        |  FROM fr),
+        |p AS (
+        |  SELECT doc_id, frame_idx,
+        |    unnest(list_transform(range(1, 33), b -> struct_pack(bin := b,
+        |      pw := power(list_sum(list_transform(range(0, 64), k ->
+        |              (CASE WHEN (k * f) % 64 < 32 THEN 1000 ELSE -1000 END)
+        |                * cos(2 * pi() * b * k / 64.0))), 2)
+        |          + power(list_sum(list_transform(range(0, 64), k ->
+        |              (CASE WHEN (k * f) % 64 < 32 THEN 1000 ELSE -1000 END)
+        |                * sin(2 * pi() * b * k / 64.0))), 2)))) AS u
+        |  FROM sp),
+        |r AS (
+        |  SELECT doc_id, frame_idx, u.bin AS bin,
+        |    row_number() OVER (PARTITION BY doc_id, frame_idx
+        |      ORDER BY u.pw DESC, u.bin) AS rn
+        |  FROM p)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(bin AS INT) AS peak_bin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // aHash: nearest-resize to 8x8 (the q_mm_resize index mapping), cell
+    // gray = channel sum, bit j set iff 64*g_j > total (integer-exact,
+    // no division); bit 63 via the MinValue literal like simhash
+    "q_img_ahash" -> s"WITH $ahashCte SELECT doc_id, ahash FROM ah",
+
+    // brute-force Hamming oracle over the same arithmetic hashes — the
+    // engine's pigeonhole banding must reach the identical pair set
+    "q_img_ahash_pairs" ->
+      s"""WITH $ahashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.ahash, b.ahash)) AS hamming
+         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 8""".stripMargin,
+
+    // bilinear 8x8 resize: half-pixel-center mapping, edge clamp,
+    // round-half-up. At this geometry every intermediate is a dyadic
+    // rational exactly representable in a double (see Images scaladoc),
+    // so BOTH engines compute the identical bytes with zero rounding —
+    // the oracle spells out the full blend per output pixel
+    "q_mm_resize_bilinear" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+         |    CAST((doc_id * 5) % 23 + 1 AS BIGINT) AS h,
+         |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS ch
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+         |  CAST(ch AS INT) AS channels,
+         |  CAST(list_sum(list_transform(range(0, CAST(64 * ch AS INT)), i ->
+         |    $biByte)) AS BIGINT) AS pix_sum
+         |FROM d""".stripMargin,
 
     // lossless-layer JPEG gate: the engine must round-trip doc_id-derived
     // quantized coefficients through a REAL baseline stream (markers,

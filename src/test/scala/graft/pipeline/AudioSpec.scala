@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AudioSpec extends AnyFunSuite {
+
+  /** Direct O(n²) DFT, the independent reference implementation. */
+  private def dft(x: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    for (b <- 0 until n; k <- 0 until n) {
+      val ang = -2.0 * math.Pi * b * k / n
+      re(b) += x(k) * math.cos(ang)
+      im(b) += x(k) * math.sin(ang)
+    }
+    (re, im)
+  }
+
+  test("fft matches the direct DFT on deterministic data") {
+    val n = 128
+    // full-period deterministic pseudo-signal (no RNG: reproducible)
+    val x = Array.tabulate(n)(k => math.sin(0.7 * k) + 0.3 * math.cos(2.1 * k))
+    val re = x.clone(); val im = new Array[Double](n)
+    Audio.fft(re, im)
+    val (dr, di) = dft(x)
+    val scale = x.map(math.abs).sum
+    for (b <- 0 until n) {
+      assert(math.abs(re(b) - dr(b)) < 1e-9 * scale, s"re bin $b")
+      assert(math.abs(im(b) - di(b)) < 1e-9 * scale, s"im bin $b")
+    }
+  }
+
+  test("pure tone at bin f peaks at f with amplitude n/2") {
+    val n = 64
+    for (f <- Seq(1, 5, 17, 31)) {
+      val x = Array.tabulate(n)(k => math.cos(2.0 * math.Pi * f * k / n))
+      assert(Audio.peakBin(x) == f)
+      val p = Audio.powerSpectrum(x)
+      // |X[f]| = n/2 for a unit cosine exactly on a bin
+      assert(math.abs(math.sqrt(p(f)) - n / 2.0) < 1e-9)
+    }
+  }
+
+  test("wav pcm round-trip and framing") {
+    val samples = Array.tabulate[Short](130)(k => (k * 17 % 251 - 125).toShort)
+    val wav = Audio.synthWavPcm(samples, 8000)
+    val got = Audio.wavSamples(wav).get
+    assert(got.length == 130)
+    assert(got.zip(samples).forall { case (g, s) => g == s.toDouble })
+    // 130 samples at frame 64 -> 2 full frames, partial tail dropped
+    assert(Audio.spectrogramPeaks(got, 64).map(_._1) == Seq(0, 1))
+    // truncated blob: readable prefix, no throw
+    assert(Audio.wavSamples(wav.take(50)).get.length == 3)
+    assert(Audio.wavSamples(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("square-wave fixture peaks at its fundamental for every gate freq") {
+    for (id <- 0L until 30L; frame <- 0 until 2) {
+      val x = Array.tabulate(Audio.GateFrameLen)(k =>
+        Audio.gateSample(id, frame, k).toDouble)
+      val expected = ((id + frame) % 15).toInt + 1
+      assert(Audio.peakBin(x) == expected, s"id=$id frame=$frame")
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ImagesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bilinear: identity geometry returns the source bytes") {
+    val px = Array.tabulate(5 * 4 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    assert(Images.bilinearResize(px, 5, 4, 3, 5, 4).toSeq == px.toSeq)
+  }
+
+  test("bilinear: constant image stays constant at any geometry") {
+    val px = Array.fill(31 * 23 * 3)(123.toByte)
+    val out = Images.bilinearResize(px, 31, 23, 3, 8, 8)
+    assert(out.forall(_ == 123.toByte))
+  }
+
+  test("bilinear: 2x upsample of a 2x1 gradient interpolates midpoints") {
+    // source pixels 0 and 100; half-pixel centers at x=0..3 map to
+    // sx = -0.25, 0.25, 0.75, 1.25 -> clamped blend 0, 25, 75, 100
+    val out = Images.bilinearResize(Array[Byte](0, 100), 2, 1, 1, 4, 1)
+    assert(out.map(_ & 0xff).toSeq == Seq(0, 25, 75, 100))
+  }
+
+  test("aHash: constant image hashes to zero, checker has exactly half bits") {
+    val flat = Array.fill(8 * 8)(77.toByte)
+    assert(Images.aHashOf(flat, 8, 8, 1) == 0L)
+    val checker = Array.tabulate(8 * 8)(i =>
+      (if ((i % 8 + i / 8) % 2 == 0) 200 else 10).toByte)
+    assert(java.lang.Long.bitCount(Images.aHashOf(checker, 8, 8, 1)) == 32)
+  }
+
+  test("aHash pairs: identical fixture images collide at hamming 0") {
+    import spark.implicits._
+    // two disjoint id ranges with the same id%31/%23/%3 geometry & fill
+    // would differ (fill depends on id); instead hash the same image twice
+    val px = Array.tabulate(16 * 16)(i => ((i * 7) % 256).toByte)
+    val h1 = Images.aHashOf(px, 16, 16, 1)
+    val sigs = Seq((1L, h1), (2L, h1), (3L, ~h1)).toDF("doc_id", "ahash")
+    val pairs = Dedup.hammingPairs(sigs, "ahash", maxHamming = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 0L)))
+  }
+}
