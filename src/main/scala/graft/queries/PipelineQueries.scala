@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Audio, Curation, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Audio, Bpe, Curation, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -68,6 +68,11 @@ object PipelineQueries {
     "q_pipe_contamination" -> ((s, dir) => Curation.contamination(
       docs(s, dir), docs(s, dir).where(col("doc_id") % 97 === 0), 5)),
     "q_text_tok_freq" -> ((s, dir) => Curation.tokenFrequencyStats(docs(s, dir))),
+    "q_text_bpe_pairs" -> ((s, dir) => Bpe.topPairs(docs(s, dir), 50)),
+    "q_text_bpe_encode" -> ((s, dir) =>
+      Bpe.encode(docs(s, dir), Bpe.demoMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(array_join(col("tokens"), " ")).as("tok_sig"))),
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
@@ -300,7 +305,61 @@ object PipelineQueries {
       s" + $biFy * ((1 - $biFx) * ${biP(biY1, biX0)} + $biFx * ${biP(biY1, biX1)}))"
   private val biByte = s"CAST(floor($biV + 0.5) AS BIGINT)"
 
+  /** The BPE-encode oracle's symbol-stream rewrite: each demo merge
+    * (a, b) in rank order as a ` a b ` → ` ab ` string replace on the
+    * space-joined symbol stream, iterated 8× so consecutive occurrences
+    * sharing a boundary space all merge (left-to-right non-overlapping
+    * replace halves the remaining run per pass; 8 passes cover any word
+    * to 256 symbols). Generated from [[Bpe.demoMerges]] so engine and
+    * oracle share one merge table. */
+  private val bpeEncodeExpr: String = {
+    val init = "' ' || array_to_string(list_transform(" +
+      "generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') || ' '"
+    Bpe.demoMerges.foldLeft(init) { (acc, m) =>
+      (1 to 8).foldLeft(acc)((a, _) =>
+        s"replace($a, ' ${m.a} ${m.b} ', ' ${m.a}${m.b} ')")
+    }
+  }
+
   val oracle: Map[String, String] = Map(
+    // distributed BPE training's per-round aggregation: first-round
+    // adjacent char-pair counts over the word-frequency table, top 50 by
+    // the training tie-break (count desc, then pair)
+    "q_text_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |p0 AS (
+        |  SELECT cnt, unnest(list_transform(generate_series(1, greatest(length(w) - 1, 1)),
+        |    i -> struct_pack(a := substr(w, i, 1), b := substr(w, i + 1, 1)))) AS u
+        |  FROM wc),
+        |p AS (SELECT u.a AS a, u.b AS b, cnt FROM p0 WHERE u.b <> '')
+        |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY a, b
+        |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+
+    // rank-based BPE encode vs the rewrite-system formulation: applying
+    // the fixed merges in rank order as boundary-aware string rewrites is
+    // provably the same function as the engine's lowest-rank-first loop;
+    // md5 of the token stream certifies every token boundary
+    "q_text_bpe_encode" ->
+      s"""WITH t AS (SELECT doc_id, text FROM documents),
+         |w0 AS (
+         |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(string_split(text, ' '))),
+         |      p -> struct_pack(pos := p, w := string_split(text, ' ')[p]))) AS u
+         |    FROM t)
+         |  WHERE length(u.w) > 0),
+         |e AS (SELECT doc_id, pos, trim($bpeEncodeExpr) AS toks FROM w0),
+         |a AS (
+         |  SELECT doc_id, CAST(sum(len(string_split(toks, ' '))) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(toks, ' ' ORDER BY pos)) AS tok_sig
+         |  FROM e GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.tok_sig, md5('')) AS tok_sig
+         |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, length(text) AS n_chars
         |FROM documents GROUP BY text""".stripMargin,
