@@ -417,20 +417,22 @@ object Dedup {
       .distinct()
     val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
       .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tok"))
-    val cleaned = tokRows.join(covered, Seq("doc_id", "j"), "left_anti")
+    // ONE flagged join + ONE aggregation computes both the covered-token
+    // count (real tokens only — a dup gram near the end covers positions
+    // past the last token, which the token join drops) and the cleaned
+    // text (uncovered tokens in order)
+    val docAgg = tokRows
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "j"), "left")
       .groupBy("doc_id")
-      .agg(array_join(array_sort(collect_list(struct(col("j"), col("tok"))))
-        .getField("tok"), " ").as("clean"))
+      .agg(sum(coalesce(col("cov"), lit(0))).as("n_covered"),
+        array_join(array_sort(collect_list(
+          when(col("cov").isNull, struct(col("j"), col("tok")))))
+          .getField("tok"), " ").as("clean"))
     val perDoc = toks.select(col("doc_id"), size(col("w")).as("n_tokens"))
     val dupStats = dupPos.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
-    // count only REAL covered tokens (a dup gram near the end covers
-    // positions past the last token; the token semi-join drops them)
-    val covStats = tokRows.join(covered, Seq("doc_id", "j"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
     perDoc
       .join(dupStats, Seq("doc_id"), "left")
-      .join(covStats, Seq("doc_id"), "left")
-      .join(cleaned, Seq("doc_id"), "left")
+      .join(docAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),

@@ -121,7 +121,12 @@ class EngineIntegrationSpec extends AnyFunSuite {
     // an Expand — the shapes that stop scaling first at 100 TB
     Seq("q_dedup_minhash", "q_dedup_simhash_pairs", "q_alert_for_state",
       "q_sim_lsh_ann", "q_fn_histogram_quantile",
-      "q_dedup_ngram_jaccard").foreach { q =>
+      "q_dedup_ngram_jaccard",
+      // round-7 additions: span dedup (gram join), event analytics
+      // (single user shuffle / step joins), image hamming banding, BPE
+      // training aggregation
+      "q_dedup_spans", "q_evt_sessionize", "q_evt_funnel", "q_evt_retention",
+      "q_img_ahash_pairs", "q_text_bpe_pairs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
