@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Audio, Bpe, Curation, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Audio, Bpe, CountMin, Curation, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -69,6 +69,7 @@ object PipelineQueries {
       docs(s, dir), docs(s, dir).where(col("doc_id") % 97 === 0), 5)),
     "q_text_tok_freq" -> ((s, dir) => Curation.tokenFrequencyStats(docs(s, dir))),
     "q_text_bpe_pairs" -> ((s, dir) => Bpe.topPairs(docs(s, dir), 50)),
+    "q_text_cmsketch" -> ((s, dir) => CountMin.estimate(docs(s, dir), cmProbes)),
     "q_text_bpe_encode" -> ((s, dir) =>
       Bpe.encode(docs(s, dir), Bpe.demoMerges)
         .select(col("doc_id"), col("n_tokens"),
@@ -305,6 +306,17 @@ object PipelineQueries {
       s" + $biFy * ((1 - $biFx) * ${biP(biY1, biX0)} + $biFx * ${biP(biY1, biX1)}))"
   private val biByte = s"CAST(floor($biV + 0.5) AS BIGINT)"
 
+  /** Count-Min probe tokens: frequent, mid, and absent. */
+  private val cmProbes = Seq("the", "scan", "join", "window", "data",
+    "query", "of", "and", "spark", "zzz_absent_token")
+
+  /** First-5-hex-chars-of-md5 → integer, the oracle's twin of
+    * CountMin.bucketOf's 20-bit parse (nibble positional sum). */
+  private def cmHex5(h: String): String =
+    (1 to 5).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (5 - i))}")
+      .mkString("(", " + ", ")")
+
   /** The BPE-encode oracle's symbol-stream rewrite: each demo merge
     * (a, b) in rank order as a ` a b ` → ` ab ` string replace on the
     * space-joined symbol stream, iterated 8× so consecutive occurrences
@@ -337,6 +349,29 @@ object PipelineQueries {
         |p AS (SELECT u.a AS a, u.b AS b, cnt FROM p0 WHERE u.b <> '')
         |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY a, b
         |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+
+    // Count-Min sketch: every (row, bucket) counter and every probe's
+    // min-over-rows estimate rebuilt from the same md5-derived bucket
+    // hashing — bit-exact, including collision inflation and absent-token
+    // floors of 0
+    "q_text_cmsketch" ->
+      s"""WITH tk AS (
+         |  SELECT tok FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         |e AS (
+         |  SELECT d, ${cmHex5("md5(CAST(d AS VARCHAR) || '|' || tok)")} % 1024 AS bucket
+         |  FROM tk CROSS JOIN dd),
+         |c AS (SELECT d, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+         |pr AS (SELECT unnest([${cmProbes.map(t => s"'$t'").mkString(", ")}]) AS tok),
+         |pb AS (
+         |  SELECT tok, d, ${cmHex5("md5(CAST(d AS VARCHAR) || '|' || tok)")} % 1024 AS bucket
+         |  FROM pr CROSS JOIN dd),
+         |j AS (
+         |  SELECT pb.tok, pb.d, coalesce(c.cnt, 0) AS cnt
+         |  FROM pb LEFT JOIN c USING (d, bucket))
+         |SELECT tok, CAST(min(cnt) AS BIGINT) AS est FROM j GROUP BY tok""".stripMargin,
 
     // rank-based BPE encode vs the rewrite-system formulation: applying
     // the fixed merges in rank order as boundary-aware string rewrites is
