@@ -54,7 +54,20 @@ object Stress {
     println(s"corpus: ${docs.count()} docs, ${emb.count()} embeddings, " +
       s"${docs.select(explode(split(col("text"), " "))).distinct().count()} distinct tokens")
 
-    import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
+    // synthetic event stream for the analytics operators: ~10 events per
+    // doc across nDocs/10 users over 30 days (hash-derived, no RNG)
+    val users = math.max(nDocs / 10, 100L)
+    val events = spark.range(nDocs * 10).select(
+      col("id").as("event_id"),
+      pmod(abs(xxhash64(col("id"))), lit(users)).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("error"), lit("signup")),
+        (pmod(abs(xxhash64(col("id"), lit(1))), lit(5)) + 1).cast("int")).as("event_type"),
+      timestamp_millis(lit(1704067200000L) +
+        pmod(abs(xxhash64(col("id"), lit(2))), lit(30L * 86400000L))).as("ts"),
+      (col("id") % 100).cast("double").as("value")).cache()
+
+    import graft.pipeline.{Audio, Bpe, CountMin, Curation, Dedup, Events, Images, Similarity, TextAnalysis}
     def timed(name: String)(f: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
       val n = f
@@ -91,7 +104,18 @@ object Stress {
         10))),
       timed("hash_split")(force(Curation.hashSplit(docs))),
       timed("semdedup")(force(Similarity.semDeDup(
-        emb.withColumn("label", (col("vec_id") % 100).cast("int")), 0.9))))
+        emb.withColumn("label", (col("vec_id") % 100).cast("int")), 0.9))),
+      // round-7 additions
+      timed("dup_spans")(force(Dedup.dupSpans(docs, 8))),
+      timed("bpe_encode")(force(Bpe.encode(docs, Bpe.demoMerges))),
+      timed("cmsketch")(force(CountMin.estimate(docs,
+        Seq("t1", "t100", "t5000", "t49000", "zzz_absent")))),
+      timed("ahash")(force(Images.aHashStats(spark, docs))),
+      timed("spectrogram")(force(Audio.wavSpectrogramStats(spark, docs))),
+      timed("sessionize")(force(Events.sessionize(events))),
+      timed("funnel")(force(Events.funnel(events,
+        Seq("view", "click", "purchase")))),
+      timed("retention")(force(Events.retention(events))))
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"docs":$nDocs}""")
     spark.stop()

@@ -405,37 +405,30 @@ object Dedup {
         posexplode(expr(s"transform(sequence(1, greatest(size(w) - ${n - 1}, 1)), " +
           s"i -> array_join(slice(w, i, $n), ' '))")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("g"))
-    // corpus-wide gram counts; duplicated = total multiplicity >= 2
+    // corpus-wide gram counts; duplicated = total multiplicity >= 2. The
+    // aggregation and the join-back hash-partition on the same gram key,
+    // so Spark reuses one exchange for both sides.
     val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select("g")
     val dupPos = grams.join(dupG, "g").select("doc_id", "pos")
-    // token j is covered iff some duplicated gram at pos i spans it
-    // (i <= j <= i + n - 1): explode each dup position to its n tokens
-    val covered = dupPos
+    // bring each doc's duplicated positions home as ONE array (bounded by
+    // the doc's own gram count) and compute coverage LOCALLY: token j is
+    // covered iff some dup position p spans it (p <= j <= p + n - 1).
+    // This keeps the shuffles dup-position-sized — no ×n covered-token
+    // explode, no corpus-wide distinct, no token-stream join.
+    val dupAgg = dupPos.groupBy("doc_id")
+      .agg(sort_array(collect_list("pos")).as("dps"))
+    toks.join(dupAgg, Seq("doc_id"), "left")
+      .withColumn("dps", coalesce(col("dps"), expr("cast(array() as array<int>)")))
+      .withColumn("cleanArr", expr(
+        s"""transform(
+           |  filter(sequence(1, size(w)),
+           |         j -> NOT exists(dps, p -> p <= j AND j <= p + ${n - 1})),
+           |  j -> w[j - 1])""".stripMargin))
       .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("j"))
-      .distinct()
-    val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
-      .select(col("doc_id"), (col("pos") + 1).as("j"), col("col").as("tok"))
-    // ONE flagged join + ONE aggregation computes both the covered-token
-    // count (real tokens only — a dup gram near the end covers positions
-    // past the last token, which the token join drops) and the cleaned
-    // text (uncovered tokens in order)
-    val docAgg = tokRows
-      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "j"), "left")
-      .groupBy("doc_id")
-      .agg(sum(coalesce(col("cov"), lit(0))).as("n_covered"),
-        array_join(array_sort(collect_list(
-          when(col("cov").isNull, struct(col("j"), col("tok")))))
-          .getField("tok"), " ").as("clean"))
-    val perDoc = toks.select(col("doc_id"), size(col("w")).as("n_tokens"))
-    val dupStats = dupPos.groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
-    perDoc
-      .join(dupStats, Seq("doc_id"), "left")
-      .join(docAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-        md5(coalesce(col("clean"), lit(""))).as("clean_sig"))
+        size(col("w")).as("n_tokens"),
+        size(col("dps")).cast("long").as("n_dup_grams"),
+        (size(col("w")) - size(col("cleanArr"))).cast("long").as("n_covered"),
+        md5(array_join(col("cleanArr"), " ")).as("clean_sig"))
   }
 }
