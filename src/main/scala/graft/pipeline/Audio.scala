@@ -148,6 +148,49 @@ object Audio {
       }.toDF("doc_id", "frame_idx", "peak_bin")
   }
 
+  /** Linear PCM resampler, half-sample-center convention with edge
+    * clamp (the 1-D sibling of Images.bilinearResize): output sample x
+    * blends the two nearest input samples at sx = (x+0.5)·n/m − 0.5,
+    * round-half-up back to integers. */
+  def resampleLinear(samples: Array[Double], outLen: Int): Array[Double] = {
+    val n = samples.length
+    val out = new Array[Double](outLen)
+    var x = 0
+    while (x < outLen) {
+      val sxRaw = (x + 0.5) * n / outLen - 0.5
+      val sx = math.min(math.max(sxRaw, 0.0), (n - 1).toDouble)
+      val i0 = sx.toInt
+      val i1 = math.min(i0 + 1, n - 1)
+      val f = sx - i0
+      out(x) = math.floor((1 - f) * samples(i0) + f * samples(i1) + 0.5)
+      x += 1
+    }
+    out
+  }
+
+  /** Resample gate: decode the q_mm_audio_feats WAV fixture family and
+    * 2× upsample — at ratio ½ every blend weight is a quarter (dyadic),
+    * so both engines compute identical integers; the oracle spells the
+    * interpolation out over the closed-form PCM samples. */
+  def wavResampleStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .filter(_ % 2 == 0)
+      .mapPartitions(_.map { id =>
+        val wav = Multimodal.synthWav(
+          channels = if (id % 3 == 0) 2 else 1,
+          sampleRate = 8000 * (1 + (id % 3).toInt),
+          bitsPerSample = 16,
+          nFrames = (id % 50).toInt + 1)
+        val pcm = wavSamples(wav).get
+        val up = resampleLinear(pcm, pcm.length * 2)
+        var s = 0L
+        var i = 0
+        while (i < up.length) { s += (i + 1).toLong * up(i).toLong; i += 1 }
+        (id, pcm.length.toLong, up.length.toLong, s)
+      }).toDF("doc_id", "n_in", "n_out", "wsum")
+  }
+
   /** Canonical 44-byte-header mono 16-bit PCM WAV around explicit
     * samples (the payload-controlled sibling of [[Multimodal.synthWav]]). */
   def synthWavPcm(samples: Array[Short], sampleRate: Int): Array[Byte] = {

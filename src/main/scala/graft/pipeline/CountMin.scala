@@ -37,15 +37,20 @@ object CountMin {
     pmod(conv(substring(md5(concat(lit(s"$d|"), tok)), 1, 5), 16, 10)
       .cast("long"), lit(Width))
 
-  /** Build the sketch: (d, bucket, cnt), at most Depth×Width rows. */
+  /** Build the sketch: (d, bucket, cnt), at most Depth×Width rows.
+    * The corpus-sized work is ONE token-count aggregation (map-side
+    * combined); the ×Depth explode and md5 bucket hashing run on the
+    * VOCAB-sized count table, not the token stream — at 200M token
+    * occurrences that is 4×50k hashed rows instead of 800M. */
   def sketch(docs: DataFrame): DataFrame = {
-    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val tokCnt = docs.select(explode(split(col("text"), " ")).as("tok"))
       .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("tc"))
     val rows = (0 until Depth).map(d =>
       struct(lit(d).as("d"), bucketCol(d, col("tok")).as("bucket")))
-    toks.select(explode(array(rows: _*)).as("db"))
+    tokCnt.select(col("tc"), explode(array(rows: _*)).as("db"))
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("tc").as("cnt"))
   }
 
   /** Point-estimate the probes' frequencies: min over rows of the

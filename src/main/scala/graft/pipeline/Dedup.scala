@@ -401,34 +401,38 @@ object Dedup {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
     // greatest(..., 1): a doc shorter than n tokens emits its whole text
     // as one (short) gram — Spark's sequence(1, 0) would run DESCENDING
+    // gram identity = the GramHashes native kernel: per-token FNV hashes
+    // combined per window into a 128-bit (g1, g2) pair — no gram strings
+    // are ever materialized, the explode carries 20 bytes/row, and the
+    // whole stream stays inside codegen (the HOF + md5 formulation
+    // walked interpreted lambdas per position — the dominant cost of
+    // the 200M-gram corpus pass)
     val grams = toks.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, greatest(size(w) - ${n - 1}, 1)), " +
-          s"i -> array_join(slice(w, i, $n), ' '))")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), md5(col("col")).as("g"))
+        explode(GramHashes.column(col("w"), n)).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"),
+        col("u.g1").as("g1"), col("u.g2").as("g2"))
     // corpus-wide gram counts; duplicated = total multiplicity >= 2. The
     // aggregation and the join-back hash-partition on the same gram key,
     // so Spark reuses one exchange for both sides.
-    val dupG = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 2).select("g")
-    val dupPos = grams.join(dupG, "g").select("doc_id", "pos")
+    val dupG = grams.groupBy("g1", "g2").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("g1", "g2")
+    val dupPos = grams.join(dupG, Seq("g1", "g2")).select("doc_id", "pos")
     // bring each doc's duplicated positions home as ONE array (bounded by
-    // the doc's own gram count) and compute coverage LOCALLY: token j is
-    // covered iff some dup position p spans it (p <= j <= p + n - 1).
-    // This keeps the shuffles dup-position-sized — no ×n covered-token
-    // explode, no corpus-wide distinct, no token-stream join.
+    // the doc's own gram count) and compute coverage LOCALLY with the
+    // SpanCover kernel: one two-pointer sweep marks covered tokens and
+    // builds the cleaned text (the `exists`-per-token HOF was
+    // O(len × |dups|) of interpreted lambdas — quadratic for fully-
+    // duplicated docs). Shuffles stay dup-position-sized — no ×n
+    // covered-token explode, no corpus-wide distinct, no token join.
     val dupAgg = dupPos.groupBy("doc_id")
       .agg(sort_array(collect_list("pos")).as("dps"))
     toks.join(dupAgg, Seq("doc_id"), "left")
       .withColumn("dps", coalesce(col("dps"), expr("cast(array() as array<int>)")))
-      .withColumn("cleanArr", expr(
-        s"""transform(
-           |  filter(sequence(1, size(w)),
-           |         j -> NOT exists(dps, p -> p <= j AND j <= p + ${n - 1})),
-           |  j -> w[j - 1])""".stripMargin))
+      .withColumn("cov", SpanCover.column(col("w"), col("dps"), n))
       .select(col("doc_id"),
         size(col("w")).as("n_tokens"),
         size(col("dps")).cast("long").as("n_dup_grams"),
-        (size(col("w")) - size(col("cleanArr"))).cast("long").as("n_covered"),
-        md5(array_join(col("cleanArr"), " ")).as("clean_sig"))
+        col("cov.n_covered").as("n_covered"),
+        md5(col("cov.clean")).as("clean_sig"))
   }
 }

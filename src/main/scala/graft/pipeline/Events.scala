@@ -82,6 +82,65 @@ object Events {
     joined.select((col("user_id") +: reached.as("reached") +: tCols): _*)
   }
 
+  /** Open per-user session state for the streaming sessionizer. */
+  final case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Streaming sessionization with CUSTOM state (`flatMapGroupsWithState`
+    * + event-time timeout): emits each session exactly once, WHEN IT
+    * CLOSES — i.e. when the event-time watermark passes the session's
+    * last event + gap. The built-in `session_window` aggregation covers
+    * the windowed-aggregate form; this state formulation is for the
+    * shapes it can't express (eager emission on close, custom session
+    * payloads, side effects per closed session).
+    *
+    * Input: a STREAMING frame with `user_id: Long` and `t: Long` (epoch
+    * ms). Out-of-order events are handled within the watermark: late rows
+    * inside the gap extend the open session backwards/forwards; rows
+    * older than the watermark are dropped by Spark upstream.
+    *
+    * Output: (user_id, start_ms, end_ms, n_events), append-mode.
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id").cast("long"), col("t").cast("long"),
+        timestamp_millis(col("t")).as("ts2"))
+      .withWatermark("ts2", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((user, s.start, s.end, s.n))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end > gapMs =>
+                  closed += ((user, s.start, s.end, s.n))
+                  cur = Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  cur = Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+        })
+      .toDF("user_id", "start_ms", "end_ms", "n_events")
+  }
+
   /** Daily cohort retention: cohort = epoch-day of the user's first event;
     * one row per (cohort_day, offset_days) with the count of distinct
     * users from that cohort active that day.

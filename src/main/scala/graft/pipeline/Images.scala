@@ -98,6 +98,67 @@ object Images {
                  maxHamming: Int = 2): DataFrame =
     Dedup.hammingPairs(aHashStats(spark, docs), "ahash", maxHamming)
 
+  /** Horizontal mirror: out(y, x, c) = in(y, w−1−x, c). */
+  def flipH(px: Array[Byte], w: Int, h: Int, ch: Int): Array[Byte] = {
+    val out = new Array[Byte](px.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          out((y * w + x) * ch + c) = px((y * w + (w - 1 - x)) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 90° clockwise rotation: output is h×w; out(x', y') = in(y', h−1−x'). */
+  def rotate90cw(px: Array[Byte], w: Int, h: Int, ch: Int): Array[Byte] = {
+    val out = new Array[Byte](px.length)
+    var y2 = 0
+    while (y2 < w) { // output rows
+      var x2 = 0
+      while (x2 < h) { // output cols
+        var c = 0
+        while (c < ch) {
+          out((y2 * h + x2) * ch + c) = px(((h - 1 - x2) * w + y2) * ch + c)
+          c += 1
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** Flip/rotate gate: POSITION-WEIGHTED sums (Σ (i+1)·byteᵢ) of the
+    * mirrored and rotated decodes — a plain pixel sum is permutation-
+    * invariant and would certify nothing about the geometry; the
+    * weighted sum pins every byte to its destination index. */
+  def flipRotateStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 31).toInt + 1
+      val h = ((id * 5) % 23).toInt + 1
+      val ch = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+      val png = Multimodal.synthPng(w, h, ch, i => ((i * 7 + id) % 256).toInt)
+      val (dw, dh, dch, px) = Multimodal.decodePngPixels(png).get
+      def wsum(a: Array[Byte]) = {
+        var s = 0L
+        var i = 0
+        while (i < a.length) { s += (i + 1).toLong * (a(i) & 0xff); i += 1 }
+        s
+      }
+      (id, dw, dh, dch,
+        wsum(flipH(px, dw, dh, dch)), wsum(rotate90cw(px, dw, dh, dch)))
+    }).toDF("doc_id", "width", "height", "channels", "flip_wsum", "rot_wsum")
+  }
+
   /** Bilinear-resize gate: the same PNG fixture family reduced to 8×8
     * with the bilinear kernel; the oracle reproduces the blend exactly
     * (all dyadic arithmetic — see the object scaladoc). */

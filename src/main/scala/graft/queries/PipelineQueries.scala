@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Audio, Bpe, CountMin, Curation, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -70,6 +70,7 @@ object PipelineQueries {
     "q_text_tok_freq" -> ((s, dir) => Curation.tokenFrequencyStats(docs(s, dir))),
     "q_text_bpe_pairs" -> ((s, dir) => Bpe.topPairs(docs(s, dir), 50)),
     "q_text_cmsketch" -> ((s, dir) => CountMin.estimate(docs(s, dir), cmProbes)),
+    "q_text_charlm" -> ((s, dir) => CharLm.score(docs(s, dir))),
     "q_text_bpe_encode" -> ((s, dir) =>
       Bpe.encode(docs(s, dir), Bpe.demoMerges)
         .select(col("doc_id"), col("n_tokens"),
@@ -83,9 +84,11 @@ object PipelineQueries {
     "q_mm_resize" -> ((s, dir) => Multimodal.pngResizeStats(s, docs(s, dir))),
     "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir))),
     "q_mm_spectrogram" -> ((s, dir) => Audio.wavSpectrogramStats(s, docs(s, dir))),
+    "q_mm_resample" -> ((s, dir) => Audio.wavResampleStats(s, docs(s, dir))),
     "q_img_ahash" -> ((s, dir) => Images.aHashStats(s, docs(s, dir))),
     "q_img_ahash_pairs" -> ((s, dir) => Images.aHashPairs(s, docs(s, dir), 8)),
     "q_mm_resize_bilinear" -> ((s, dir) => Images.pngBilinearStats(s, docs(s, dir))),
+    "q_mm_flip_rotate" -> ((s, dir) => Images.flipRotateStats(s, docs(s, dir))),
     "q_mm_jpeg_coefs" -> ((s, dir) => Jpeg.jpegCoefStats(s, docs(s, dir))),
     "q_mm_jpeg_pixels" -> ((s, dir) => Jpeg.jpegPixelStats(s, docs(s, dir))),
     "q_mm_video_frames" -> ((s, dir) => Video.videoFrameStats(s, docs(s, dir))),
@@ -333,7 +336,37 @@ object PipelineQueries {
     }
   }
 
+  // ---- linear-resample oracle pieces (1-D sibling of the bilinear
+  // blend): generated once, referenced in the q_mm_resample SQL ----
+  private val rsSx =
+    "least(greatest((x + 0.5) * n / (2.0 * n) - 0.5, 0.0), CAST(n - 1 AS DOUBLE))"
+  private val rsF = s"($rsSx - floor($rsSx))"
+  private val rsI0 = s"(CAST(floor($rsSx) AS INT) + 1)" // 1-based list index
+  private val rsI1 = s"least($rsI0 + 1, CAST(n AS INT))"
+  private val rsV = s"((1 - $rsF) * sm[$rsI0] + $rsF * sm[$rsI1])"
+
   val oracle: Map[String, String] = Map(
+    // 2x linear upsample of the real decoded PCM: every blend weight is
+    // a quarter (dyadic — exact in doubles in both engines); the
+    // position-weighted sum pins each output sample to its index
+    "q_mm_resample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id % 50 + 1 AS BIGINT) *
+         |      (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END) AS n
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |s AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, CAST(n AS INT)), k ->
+         |      CASE WHEN (2*k) % 251 + 256 * ((2*k+1) % 251) >= 32768
+         |           THEN (2*k) % 251 + 256 * ((2*k+1) % 251) - 65536
+         |           ELSE (2*k) % 251 + 256 * ((2*k+1) % 251) END) AS sm
+         |  FROM d)
+         |SELECT doc_id, n AS n_in, 2 * n AS n_out,
+         |  CAST(list_sum(list_transform(range(0, CAST(2 * n AS INT)), x ->
+         |    (x + 1) * CAST(floor($rsV + 0.5) AS BIGINT))) AS BIGINT) AS wsum
+         |FROM s""".stripMargin,
+
     // distributed BPE training's per-round aggregation: first-round
     // adjacent char-pair counts over the word-frequency table, top 50 by
     // the training tie-break (count desc, then pair)
@@ -349,6 +382,34 @@ object PipelineQueries {
         |p AS (SELECT u.a AS a, u.b AS b, cnt FROM p0 WHERE u.b <> '')
         |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY a, b
         |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+
+    // char-trigram LM perplexity scoring: both count tables, the add-one
+    // conditional, and the per-doc mean log-prob rebuilt in SQL. The
+    // count ratios are identical exact rationals in both engines, ln is
+    // within 1 ulp, and the ~50-term sums keep the error ~1e-13 — far
+    // inside the shared round(6)
+    "q_text_charlm" ->
+      """WITH tr0 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(length(text) - 2, 1)),
+        |    i -> substr(text, i, 3))) AS tri
+        |  FROM documents),
+        |tr AS (SELECT doc_id, tri, substr(tri, 1, 2) AS bi FROM tr0
+        |       WHERE length(tri) = 3),
+        |c3 AS (SELECT tri, count(*) AS c3 FROM tr GROUP BY tri),
+        |c2 AS (SELECT bi, count(*) AS c2 FROM tr GROUP BY bi),
+        |ch AS (SELECT DISTINCT unnest(list_transform(
+        |    generate_series(1, length(text)), i -> substr(text, i, 1))) AS c
+        |  FROM documents),
+        |v AS (SELECT count(*) AS v FROM ch),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_trigrams,
+        |    sum(ln(CAST(c3.c3 + 1 AS DOUBLE) / CAST(c2.c2 + v.v AS DOUBLE))) AS s
+        |  FROM tr JOIN c3 USING (tri) JOIN c2 USING (bi) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_trigrams, 0) AS n_trigrams,
+        |  round(coalesce(s.s / s.n_trigrams, 0.0), 6) AS avg_logprob
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
 
     // Count-Min sketch: every (row, bucket) counter and every probe's
     // min-over-rows estimate rebuilt from the same md5-derived bucket
@@ -740,6 +801,27 @@ object PipelineQueries {
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |  CAST(bin AS INT) AS peak_bin
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // flip/rotate geometry: position-WEIGHTED sums over the mirrored and
+    // 90°-rotated decodes — the weights pin every byte to its destination
+    // index, so any geometry error breaks the match
+    "q_mm_flip_rotate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+        |    CAST((doc_id * 5) % 23 + 1 AS BIGINT) AS h,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(ch AS INT) AS channels,
+        |  CAST(list_sum(list_transform(range(0, CAST(w * h * ch AS INT)), i ->
+        |    (i + 1) * (((((i // (w * ch)) * w + (w - 1 - ((i % (w * ch)) // ch))) * ch
+        |      + (i % ch)) * 7 + doc_id) % 256))) AS BIGINT) AS flip_wsum,
+        |  CAST(list_sum(list_transform(range(0, CAST(w * h * ch AS INT)), i ->
+        |    (i + 1) * (((((h - 1 - ((i % (h * ch)) // ch)) * w + (i // (h * ch))) * ch
+        |      + (i % ch)) * 7 + doc_id) % 256))) AS BIGINT) AS rot_wsum
+        |FROM d""".stripMargin,
 
     // aHash: nearest-resize to 8x8 (the q_mm_resize index mapping), cell
     // gray = channel sum, bit j set iff 64*g_j > total (integer-exact,

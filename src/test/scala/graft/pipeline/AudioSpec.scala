@@ -63,4 +63,12 @@ class AudioSpec extends AnyFunSuite {
       assert(Audio.peakBin(x) == expected, s"id=$id frame=$frame")
     }
   }
+
+  test("resampleLinear: identity at ratio 1, exact midpoints at 2x") {
+    val x = Array(0.0, 100.0, -50.0)
+    assert(Audio.resampleLinear(x, 3).toSeq == x.toSeq)
+    // 2x: out = s0, .75*s0+.25*s1, .25*s0+.75*s1, ... edge-clamped
+    val up = Audio.resampleLinear(Array(0.0, 100.0), 4)
+    assert(up.toSeq == Seq(0.0, 25.0, 75.0, 100.0))
+  }
 }

@@ -72,6 +72,32 @@ class EventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStream: custom state emits each session once, on close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, t_ms)
+    val q = Events.sessionizeStream(in.toDF().toDF("user_id", "t"), gapMs = 10000L)
+      .writeStream.format("memory").queryName("sessions_fmgws")
+      .outputMode("append").start()
+    def rows() = spark.table("sessions_fmgws")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // open a session for user 1 (two events, out of order within batch)
+      in.addData((1L, 2000L), (1L, 1000L))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // still open — nothing emitted yet
+      // an event far past the gap closes it EAGERLY (append mode), and
+      // opens a new one
+      in.addData((1L, 100000L))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1000L, 2000L, 2L)))
+      // watermark moves past the second session's gap via another user
+      in.addData((2L, 300000L))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1000L, 2000L, 2L), (1L, 100000L, 100000L, 1L)))
+    } finally q.stop()
+  }
+
   test("funnel: reached is monotone and step times are ordered") {
     val f = Events.funnel(events, Seq("view", "click", "purchase")).cache()
     import spark.implicits._

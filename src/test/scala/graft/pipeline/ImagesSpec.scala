@@ -50,4 +50,30 @@ class ImagesSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 2L, 0L)))
   }
+
+  test("flipH/rotate90 invert correctly and preserve multisets") {
+    val px = Array.tabulate(5 * 3 * 2)(i => ((i * 31 + 7) % 256).toByte)
+    // double flip = identity; four rotations = identity
+    assert(Images.flipH(Images.flipH(px, 5, 3, 2), 5, 3, 2).toSeq == px.toSeq)
+    val r1 = Images.rotate90cw(px, 5, 3, 2)      // 3x5 out
+    val r2 = Images.rotate90cw(r1, 3, 5, 2)      // 5x3
+    val r3 = Images.rotate90cw(r2, 5, 3, 2)
+    val r4 = Images.rotate90cw(r3, 3, 5, 2)
+    assert(r4.toSeq == px.toSeq)
+    assert(r1.sorted.toSeq == px.sorted.toSeq)
+    // top-left pixel of src lands at top-right of the rotated image
+    val w = 5; val h = 3; val ch = 2
+    assert(r1((0 * h + (h - 1)) * ch) == px(0))
+  }
+
+  test("charlm: repetitive text scores higher than alien text") {
+    import spark.implicits._
+    val docs = (Seq.fill(8)("the cat sat on the mat") :+ "zq xv jj qq wk")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val s = CharLm.score(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the repeated sentence's trigrams dominate the corpus counts
+    assert(s(0L) > s(8L))
+    assert(CharLm.score(docs).where(col("n_trigrams") === 0).count() == 0)
+  }
 }
