@@ -148,6 +148,59 @@ object Audio {
       }.toDF("doc_id", "frame_idx", "peak_bin")
   }
 
+  /** Mel scale (O'Shaughnessy 1987): mel = 2595·log₁₀(1 + f/700). */
+  def hzToMel(f: Double): Double = 2595.0 * math.log10(1.0 + f / 700.0)
+  def melToHz(m: Double): Double = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+  /** Triangular mel filterbank over `nBins` linear power bins (0..n/2 of
+    * an `2·(nBins−1)`-point FFT at `sampleRate`): `nMels` filters with
+    * centers equally spaced on the mel scale, each row normalized to the
+    * standard unit-peak triangle. */
+  def melFilterbank(nBins: Int, nMels: Int, sampleRate: Int): Array[Array[Double]] = {
+    val nFft = 2 * (nBins - 1)
+    val fMax = sampleRate / 2.0
+    val mels = Array.tabulate(nMels + 2)(i => hzToMel(fMax) * i / (nMels + 1))
+    val binF = Array.tabulate(nBins)(b => b.toDouble * sampleRate / nFft)
+    Array.tabulate(nMels) { m =>
+      val (lo, c, hi) = (melToHz(mels(m)), melToHz(mels(m + 1)), melToHz(mels(m + 2)))
+      Array.tabulate(nBins) { b =>
+        val f = binF(b)
+        if (f <= lo || f >= hi) 0.0
+        else if (f <= c) (f - lo) / (c - lo)
+        else (hi - f) / (hi - c)
+      }
+    }
+  }
+
+  /** Orthonormal DCT-II of `x` (the MFCC decorrelation transform). */
+  def dct2(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    Array.tabulate(n) { k =>
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x(i) * math.cos(math.Pi * k * (2 * i + 1) / (2.0 * n))
+        i += 1
+      }
+      s * (if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n))
+    }
+  }
+
+  /** MFCCs of one frame: power spectrum → mel energies → ln (floored at
+    * 1e-10 against empty filters) → DCT-II, first `nCoef` kept. */
+  def mfccFrame(frame: Array[Double], nMels: Int, nCoef: Int,
+                sampleRate: Int): Array[Double] = {
+    val p = powerSpectrum(frame)
+    val fb = melFilterbank(p.length, nMels, sampleRate)
+    val logMel = Array.tabulate(nMels) { m =>
+      var e = 0.0
+      var b = 0
+      while (b < p.length) { e += fb(m)(b) * p(b); b += 1 }
+      math.log(math.max(e, 1e-10))
+    }
+    dct2(logMel).take(nCoef)
+  }
+
   /** Linear PCM resampler, half-sample-center convention with edge
     * clamp (the 1-D sibling of Images.bilinearResize): output sample x
     * blends the two nearest input samples at sx = (x+0.5)·n/m − 0.5,

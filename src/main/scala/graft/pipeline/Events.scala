@@ -82,6 +82,19 @@ object Events {
     joined.select((col("user_id") +: reached.as("reached") +: tCols): _*)
   }
 
+  /** Event-type transition matrix (first-order path analysis): counts of
+    * consecutive (from → to) event pairs per user timeline — the Markov
+    * view funnels summarize. Same single user-keyed shuffle as
+    * [[sessionize]]; the matrix itself is |types|²-sized. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    withT(events)
+      .withColumn("next", lead("event_type", 1).over(w))
+      .where(col("next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Open per-user session state for the streaming sessionizer. */
   final case class OpenSession(start: Long, end: Long, n: Long)
 

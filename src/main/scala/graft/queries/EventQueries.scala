@@ -18,7 +18,8 @@ object EventQueries {
     "q_evt_sessionize" -> ((s, dir) => Events.sessionize(ev(s, dir))),
     "q_evt_funnel" -> ((s, dir) =>
       Events.funnel(ev(s, dir), Seq("view", "click", "purchase"))),
-    "q_evt_retention" -> ((s, dir) => Events.retention(ev(s, dir)))
+    "q_evt_retention" -> ((s, dir) => Events.retention(ev(s, dir))),
+    "q_evt_transitions" -> ((s, dir) => Events.transitions(ev(s, dir)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -54,6 +55,20 @@ object EventQueries {
         |    + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS reached,
         |  t1, coalesce(t2, -1) AS t2, coalesce(t3, -1) AS t3
         |FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)""".stripMargin,
+
+    // first-order event-type transition counts along each user timeline
+    "q_evt_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000 AS t
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS to_type
+        |  FROM e)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM l WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_evt_retention" ->
       """WITH d AS (

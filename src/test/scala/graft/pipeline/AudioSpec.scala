@@ -71,4 +71,43 @@ class AudioSpec extends AnyFunSuite {
     val up = Audio.resampleLinear(Array(0.0, 100.0), 4)
     assert(up.toSeq == Seq(0.0, 25.0, 75.0, 100.0))
   }
+
+  test("mel filterbank: triangles cover the band, peak at 1, edges at 0") {
+    val fb = Audio.melFilterbank(33, 10, 8000)
+    assert(fb.length == 10 && fb.forall(_.length == 33))
+    // each filter is nonnegative with a unit-height interior peak
+    fb.foreach { f =>
+      assert(f.forall(v => v >= 0.0 && v <= 1.0 + 1e-12))
+      assert(f.max > 0.5) // triangle peaks near 1 at some bin
+    }
+    // every interior bin is inside at least one filter's support
+    for (b <- 1 until 32) {
+      assert(fb.exists(f => f(b) > 0.0), s"bin $b uncovered")
+    }
+  }
+
+  test("dct2 is orthonormal: constant maps to c0 only, energy preserved") {
+    val const = Array.fill(10)(2.5)
+    val c = Audio.dct2(const)
+    assert(math.abs(c(0) - 2.5 * math.sqrt(10.0)) < 1e-12)
+    assert(c.drop(1).forall(v => math.abs(v) < 1e-12))
+    // Parseval: ||DCT(x)|| = ||x|| for the orthonormal scaling
+    val x = Array.tabulate(10)(i => math.sin(1.3 * i))
+    val y = Audio.dct2(x)
+    assert(math.abs(x.map(v => v * v).sum - y.map(v => v * v).sum) < 1e-9)
+  }
+
+  test("mfcc: deterministic, tone-dependent, c0 tracks energy") {
+    val tone = Array.tabulate(64)(k => 1000.0 * math.cos(2 * math.Pi * 5 * k / 64))
+    val loud = tone.map(_ * 4)
+    val a = Audio.mfccFrame(tone, 10, 5, 8000)
+    val b = Audio.mfccFrame(tone, 10, 5, 8000)
+    assert(a.toSeq == b.toSeq)
+    // scaling the signal raises c0 (mean log energy), shape stays close
+    val l = Audio.mfccFrame(loud, 10, 5, 8000)
+    assert(l(0) > a(0))
+    val other = Audio.mfccFrame(
+      Array.tabulate(64)(k => 1000.0 * math.cos(2 * math.Pi * 13 * k / 64)), 10, 5, 8000)
+    assert(a.zip(other).exists { case (x, y) => math.abs(x - y) > 1.0 })
+  }
 }

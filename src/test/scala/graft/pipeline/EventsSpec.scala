@@ -118,4 +118,14 @@ class EventsSpec extends AnyFunSuite {
     assert(day0 == events.select("user_id").distinct().count())
     assert(r.where($"offset_days" < 0).count() == 0)
   }
+
+  test("transitions: per-user chains sum to n_events - 1") {
+    val t = Events.transitions(events)
+    import spark.implicits._
+    val total = t.agg(sum("n")).head.getLong(0)
+    val expected = events.groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).head.getLong(0)
+    assert(total == expected)
+    assert(t.where($"n" <= 0).count() == 0)
+  }
 }
