@@ -171,4 +171,48 @@ object Curation {
       when(bucket < "e6", "train").when(bucket < "f3", "val")
         .otherwise("test").as("split"))
   }
+
+  /** Markup-strip chain, in order: drop script/style blocks (dotall,
+    * case-insensitive, non-greedy), drop tags, decode the common
+    * entities, collapse whitespace runs, trim. Restricted to the regex
+    * subset Java and RE2 interpret identically (inline (?is) flags,
+    * lazy quantifiers — both engines agree), like [[scrubPatterns]]. */
+  private[pipeline] val markupBlockRe = "(?is)<(script|style)\\b.*?</(script|style)\\s*>"
+  private[pipeline] val markupTagRe = "(?s)<[^>]+>"
+
+  /** HTML/markup text extraction — the C4/CommonCrawl-style step that
+    * turns crawled markup into training text: script/style blocks and
+    * tags removed, common entities decoded, whitespace normalized.
+    * Emits the tag count (pre-strip), cleaned length, and the cleaned
+    * text's md5. Pure column expressions, codegen'd, shuffle-free. */
+  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val noBlocks = regexp_replace(col(textCol), markupBlockRe, " ")
+    val noTags = regexp_replace(noBlocks, markupTagRe, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST so &amp;lt; decodes once
+    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(markupTagRe), lit(0)))
+        .as("n_tags"),
+      length(clean).as("n_chars_clean"),
+      md5(clean).as("clean_sig"))
+  }
+
+  /** Per-source deterministic sampling — the mixture-weighting step that
+    * up/down-samples sources to a target recipe: doc kept iff its
+    * content-addressed 16-bit hash bucket falls under the source's
+    * fraction. Stable under re-runs and corpus growth (same property as
+    * [[hashSplit]]); unknown sources default to `defaultFraction`. */
+  def stratifiedSample(docs: DataFrame, fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (c, (src, f)) => when(col("source") === src, lit(f)).otherwise(c)
+    }
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .where(col("bucket") < frac * 65536.0)
+  }
 }

@@ -64,6 +64,15 @@ object PipelineQueries {
     "q_text_scrub" -> ((s, dir) => Curation.scrub(docs(s, dir))),
     "q_pipe_source_cap" -> ((s, dir) => Curation.sourceCap(docs(s, dir), 5)),
     "q_pipe_split" -> ((s, dir) => Curation.hashSplit(docs(s, dir))),
+    // deterministic HTML wrap (script/STYLE blocks, tags, entities) so
+    // the strip chain has real markup to remove on every doc
+    "q_pipe_strip" -> ((s, dir) => Curation.stripMarkup(
+      docs(s, dir).select(col("doc_id"), concat(
+        lit("<div class=\"d"), col("doc_id"),
+        lit("\"><SCRIPT>var a=1<2;</SCRIPT><STYLE type=\"x\">p{}</STYLE><p>Start "),
+        col("text"), lit(" &amp; <b>end</b></p></div>")).as("text")))),
+    "q_pipe_stratified" -> ((s, dir) => Curation.stratifiedSample(
+      docs(s, dir), Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0), 0.75)),
     "q_sim_semdedup" -> ((s, dir) => Similarity.semDeDup(emb(s, dir), 0.3)),
     "q_pipe_contamination" -> ((s, dir) => Curation.contamination(
       docs(s, dir), docs(s, dir).where(col("doc_id") % 97 === 0), 5)),
@@ -1102,6 +1111,45 @@ object PipelineQueries {
         |      AS rank_in_source
         |  FROM documents)
         |SELECT doc_id, source, rank_in_source FROM r WHERE rank_in_source <= 5""".stripMargin,
+
+    // markup strip: same regex chain (inline (?is)/(?s) flags — the
+    // subset Java and RE2 agree on), same entity order, over the same
+    // deterministic HTML wrap both engines build from doc_id + text
+    "q_pipe_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<div class="d' || doc_id ||
+        |    '"><SCRIPT>var a=1<2;</SCRIPT><STYLE type="x">p{}</STYLE><p>Start '
+        |      || text || ' &amp; <b>end</b></p></div>' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t,
+        |  regexp_replace(t, '(?is)<(script|style)\b.*?</(script|style)\s*>', ' ', 'g') AS a
+        |  FROM h),
+        |s2 AS (SELECT doc_id, t, regexp_replace(a, '(?s)<[^>]+>', ' ', 'g') AS b FROM s1),
+        |s3 AS (SELECT doc_id, t,
+        |  replace(replace(replace(replace(replace(replace(b,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS c
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, t, trim(regexp_replace(c, '\s+', ' ', 'g')) AS clean FROM s3)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '(?s)<[^>]+>', 0)) AS n_tags,
+        |  length(clean) AS n_chars_clean,
+        |  md5(clean) AS clean_sig
+        |FROM s4""".stripMargin,
+
+    // stratified sampling: the 16-bit md5 bucket and per-source fraction
+    // thresholds reproduced exactly (integer bucket < fraction * 65536)
+    "q_pipe_stratified" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    CAST(${(1 to 4).map(i =>
+                s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (4 - i))}")
+                .mkString("(", " + ", ")")} AS BIGINT) AS bucket
+         |  FROM documents)
+         |SELECT doc_id, source, bucket FROM b
+         |WHERE bucket < (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+         |  WHEN 'src2' THEN 0.0 ELSE 0.75 END) * 65536.0""".stripMargin,
 
     "q_pipe_split" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,

@@ -128,4 +128,32 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(out == Set((10L, 0), (12L, 0), (13L, 1)))
   }
+
+  test("stripMarkup extracts the text a browser would render") {
+    import spark.implicits._
+    val html = "<html><HEAD><STYLE>b{color:red}</STYLE></HEAD><body>" +
+      "<script type=\"t\">if (1 < 2) { x(); }</script>" +
+      "<p class=\"a\">Hello   &amp;&nbsp;wor&lt;ld</p>\n<br/>bye</body></html>"
+    val docs = Seq((1L, html)).toDF("doc_id", "text")
+    val r = Curation.stripMarkup(docs).collect().head
+    val expected = "Hello & wor<ld bye"
+    assert(r.getAs[String]("clean_sig") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+    assert(r.getAs[Int]("n_chars_clean") == expected.length)
+  }
+
+  test("stratifiedSample: fraction 0 drops all, 1 keeps all, deterministic") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"src${i % 2}", "t")).toDF("doc_id", "source", "text")
+    val out = Curation.stratifiedSample(docs, Map("src0" -> 0.0, "src1" -> 1.0))
+    val kept = out.collect().map(_.getLong(0)).toSet
+    assert(kept.forall(_ % 2 == 1) && kept.size == 100)
+    // rerun identical (content-addressed, no RNG)
+    assert(Curation.stratifiedSample(docs, Map("src0" -> 0.0, "src1" -> 1.0))
+      .collect().map(_.getLong(0)).toSet == kept)
+    // a 0.5 fraction keeps roughly half (hash-uniform, fixed corpus)
+    val half = Curation.stratifiedSample(docs, Map(), 0.5).count()
+    assert(half > 60 && half < 140)
+  }
 }
