@@ -63,8 +63,10 @@ object CountMin {
     val probeRows = for (tok <- probes; d <- 0 until Depth)
       yield (tok, d, bucketOf(d, tok))
     val pb = probeRows.toDF("tok", "d", "bucket")
-    // probe side is literally |probes|×Depth rows — broadcast it
-    sk.join(broadcast(pb), Seq("d", "bucket"), "right")
+    // the sketch is ≤ Depth×Width rows — broadcast it as the build side
+    // of a probe-preserving left join (a right-outer with the broadcast
+    // on the preserved side would silently fall back to a shuffle)
+    pb.join(broadcast(sk), Seq("d", "bucket"), "left")
       .groupBy("tok")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
