@@ -99,25 +99,14 @@ object Audio {
       (f, peakBin(samples.slice(f * frameLen, (f + 1) * frameLen)))
     }
 
-  /** 16-bit LE PCM samples from a WAV blob's data chunk (RIFF walk,
-    * truncation-clamped like [[Multimodal.wavAudioStats]]). */
+  /** 16-bit LE PCM samples from a WAV blob's data chunk — the shared
+    * validated RIFF walk ([[Multimodal.pcm16DataChunk]]: truncation
+    * clamped, malformed chunk sizes rejected instead of looping). */
   def wavSamples(b: Array[Byte]): Option[Array[Double]] = {
-    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'))
-      return None
     def le16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-    def le32(off: Int) = le16(off) | (le16(off + 2) << 16)
-    var off = 12
-    var dataOff = -1; var dataLen = 0; var bits = 0
-    while (off + 8 <= b.length) {
-      val id4 = new String(b, off, 4, "US-ASCII")
-      val sz = le32(off + 4)
-      if (id4 == "fmt " && off + 24 <= b.length) bits = le16(off + 22)
-      if (id4 == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz + (sz & 1)
+    Multimodal.pcm16DataChunk(b).map { case (dataOff, clamped) =>
+      Array.tabulate(clamped / 2)(k => ((le16(dataOff + 2 * k) << 16) >> 16).toDouble)
     }
-    if (bits != 16 || dataOff < 0) return None
-    val n = math.max(0, math.min(dataLen, b.length - dataOff)) / 2
-    Some(Array.tabulate(n)(k => ((le16(dataOff + 2 * k) << 16) >> 16).toDouble))
   }
 
   /** Gate frame length (64 samples → 33 power bins). */
@@ -156,7 +145,18 @@ object Audio {
     * an `2·(nBins−1)`-point FFT at `sampleRate`): `nMels` filters with
     * centers equally spaced on the mel scale, each row normalized to the
     * standard unit-peak triangle. */
-  def melFilterbank(nBins: Int, nMels: Int, sampleRate: Int): Array[Array[Double]] = {
+  def melFilterbank(nBins: Int, nMels: Int, sampleRate: Int): Array[Array[Double]] =
+    fbCache.computeIfAbsent((nBins, nMels, sampleRate),
+      _ => buildMelFilterbank(nBins, nMels, sampleRate))
+
+  // one filterbank per parameter triple per JVM: mfccFrame runs per
+  // FRAME at corpus scale, and rebuilding the matrix each call would
+  // dominate the featurization cost
+  private val fbCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def buildMelFilterbank(nBins: Int, nMels: Int,
+                                 sampleRate: Int): Array[Array[Double]] = {
     val nFft = 2 * (nBins - 1)
     val fMax = sampleRate / 2.0
     val mels = Array.tabulate(nMels + 2)(i => hzToMel(fMax) * i / (nMels + 1))

@@ -85,10 +85,14 @@ object Bpe {
       else {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         merges += Merge(k, a, b)
+        val prev = vocab
         vocab = vocab.as[(Seq[String], Long)]
           .map { case (syms, c) => (mergeOnce(syms, a, b), c) }
           .toDF("syms", "cnt")
           .localCheckpoint(true) // vocab-sized; truncates the round lineage
+        // release the previous round's checkpoint blocks — without this,
+        // cached vocab copies accumulate linearly in nMerges
+        prev.unpersist()
         k += 1
       }
     }

@@ -107,19 +107,23 @@ object Events {
     * payloads, side effects per closed session).
     *
     * Input: a STREAMING frame with `user_id: Long` and `t: Long` (epoch
-    * ms). Out-of-order events are handled within the watermark: late rows
-    * inside the gap extend the open session backwards/forwards; rows
-    * older than the watermark are dropped by Spark upstream.
+    * ms). Out-of-order events are handled within the configured
+    * `latenessMs` watermark delay: late rows inside the gap extend the
+    * open session backwards/forwards; rows older than the watermark are
+    * dropped by Spark upstream (with the default delay of 0, only
+    * within-batch disorder is absorbed — raise it to tolerate
+    * cross-batch lateness, at the cost of sessions closing later).
     *
     * Output: (user_id, start_ms, end_ms, n_events), append-mode.
     */
-  def sessionizeStream(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+  def sessionizeStream(events: DataFrame, gapMs: Long = DefaultGapMs,
+                       latenessMs: Long = 0L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.select(col("user_id").cast("long"), col("t").cast("long"),
         timestamp_millis(col("t")).as("ts2"))
-      .withWatermark("ts2", "0 seconds")
+      .withWatermark("ts2", s"$latenessMs milliseconds")
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

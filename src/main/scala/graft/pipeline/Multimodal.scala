@@ -600,21 +600,8 @@ object Multimodal {
     * audio pipeline gates on. Returns None for non-WAV / non-16-bit. */
   def wavAudioStats(id: Long, b: Array[Byte]): Option[(Long, Long, Double, Double)] = {
     val meta = parseWav(id, b).getOrElse(return None)
-    // locate the data chunk again (parseWav validated structure)
-    var off = 12
-    var dataOff = -1; var dataLen = 0; var bits = 0
-    while (off + 8 <= b.length) {
-      val id4 = tag(b, off)
-      val sz = le32(b, off + 4)
-      if (id4 == "fmt " && off + 24 <= b.length) bits = le16(b, off + 22)
-      if (id4 == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz + (sz & 1)
-    }
-    if (bits != 16 || dataOff < 0) return None
-    // clamp to the blob: a data chunk whose declared size runs past the
-    // buffer (truncated upload) must yield the readable prefix, not an
-    // executor ArrayIndexOutOfBoundsException
-    val n = math.max(0, math.min(dataLen, b.length - dataOff)) / 2
+    val (dataOff, clamped) = pcm16DataChunk(b).getOrElse(return None)
+    val n = clamped / 2
     var sumAbs = 0.0; var sumSq = 0.0
     var k = 0
     while (k < n) {
@@ -647,6 +634,34 @@ object Multimodal {
         val (frames, samples, meanAbs, rms) = wavAudioStats(id, wav).get
         (id, frames, samples, meanAbs, rms)
       }).toDF("doc_id", "n_frames", "n_samples", "mean_abs", "rms")
+  }
+
+  /** Locate a WAV blob's 16-bit PCM data chunk: (dataOff, byte length
+    * CLAMPED to the blob — a declared size past the buffer, e.g. a
+    * truncated upload, yields the readable prefix). None for non-RIFF,
+    * non-16-bit, or malformed blobs: a negative or blob-exceeding chunk
+    * size would otherwise loop forever / walk backwards / overflow the
+    * offset on an executor. Shared by [[wavAudioStats]] and
+    * [[Audio.wavSamples]]. */
+  private[pipeline] def pcm16DataChunk(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    var off = 12
+    var dataOff = -1; var dataLen = 0; var bits = 0
+    var ok = true
+    while (ok && off + 8 <= b.length) {
+      val id4 = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0) return None // malformed: would loop or walk backwards
+      if (id4 == "fmt " && off + 24 <= b.length) bits = le16(b, off + 22)
+      if (id4 == "data") { dataOff = off + 8; dataLen = sz }
+      // advance in long space: a huge declared size must end the walk
+      // (truncation, clamped below), never wrap the int offset
+      val next = off.toLong + 8L + sz + (sz & 1)
+      if (next > b.length) ok = false else off = next.toInt
+    }
+    if (bits != 16 || dataOff < 0) None
+    else Some((dataOff, math.max(0, math.min(dataLen, b.length - dataOff))))
   }
 
   /** STUB fallback for formats without a parser here (JPEG/...): a

@@ -337,6 +337,12 @@ object PipelineQueries {
     * to 256 symbols). Generated from [[Bpe.demoMerges]] so engine and
     * oracle share one merge table. */
   private val bpeEncodeExpr: String = {
+    // the rewrite formulation is equivalent to the greedy encode loop
+    // ONLY for merges with a != b: a self-pair like (a,a) self-overlaps,
+    // and non-overlapping replace picks different occurrences than the
+    // left-to-right greedy merge ("aaaaa" -> [aa,a,aa] vs [aa,aa,a])
+    require(Bpe.demoMerges.forall(m => m.a != m.b),
+      "bpe encode oracle requires non-self-overlapping merges")
     val init = "' ' || array_to_string(list_transform(" +
       "generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') || ' '"
     Bpe.demoMerges.foldLeft(init) { (acc, m) =>

@@ -456,24 +456,10 @@ object Scrape extends Serializable {
       try {
         val dc = cfg.datacenter.map(d => s"?dc=$d").getOrElse("")
         val url = s"${cfg.scheme}://${cfg.server}/v1/catalog/service/$svc$dc"
-        val conn = new java.net.URL(url).openConnection()
-        conn match {
-          case https: javax.net.ssl.HttpsURLConnection =>
-            tls.map(buildSslContext)
-              .foreach(c => https.setSSLSocketFactory(c.getSocketFactory))
-            if (tls.exists(_.insecureSkipVerify))
-              https.setHostnameVerifier((_, _) => true)
-          case _ => ()
-        }
-        val http = conn.asInstanceOf[java.net.HttpURLConnection]
-        http.setConnectTimeout(timeoutMs.toInt)
-        http.setReadTimeout(timeoutMs.toInt)
-        cfg.token.foreach(http.setRequestProperty("X-Consul-Token", _))
-        val in = http.getInputStream
-        val bytes = try in.readNBytes(8 * 1024 * 1024)
-          finally { in.close(); http.disconnect() }
-        graft.api.MiniJson.parse(
-          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) match {
+        val body = sdHttpGet(url, timeoutMs,
+          cfg.token.map("X-Consul-Token" -> _).toMap, tls,
+          maxBytes = 8 * 1024 * 1024)
+        body.map(graft.api.MiniJson.parse).getOrElse(Nil) match {
           case entries: List[_] => entries.flatMap {
             case e: Map[_, _] =>
               val m = e.asInstanceOf[Map[String, Any]]
@@ -525,11 +511,18 @@ object Scrape extends Serializable {
     s.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
 
   /** One bounded GET against an SD HTTP API; None on any failure (a dead
-    * SD source contributes no targets, like every other SD here). */
+    * SD source contributes no targets, like every other SD here).
+    * `headers` is BY NAME so header construction that itself touches the
+    * world (e.g. reading a bearer_token_file) fails inside the same
+    * boundary. `maxBytes` defaults generously — a k8s LIST of a few
+    * thousand pods easily passes 16 MB, and a silent truncation would
+    * read as an empty cluster. */
   private def sdHttpGet(url: String, timeoutMs: Long,
-                        headers: Map[String, String],
-                        tls: Option[TlsConfig]): Option[String] =
+                        headers: => Map[String, String],
+                        tls: Option[TlsConfig],
+                        maxBytes: Int = 64 * 1024 * 1024): Option[String] =
     try {
+      val hdrs = headers
       val conn = new java.net.URL(url).openConnection()
       conn match {
         case https: javax.net.ssl.HttpsURLConnection =>
@@ -542,9 +535,9 @@ object Scrape extends Serializable {
       val http = conn.asInstanceOf[java.net.HttpURLConnection]
       http.setConnectTimeout(timeoutMs.toInt)
       http.setReadTimeout(timeoutMs.toInt)
-      headers.foreach { case (k, v) => http.setRequestProperty(k, v) }
+      hdrs.foreach { case (k, v) => http.setRequestProperty(k, v) }
       val in = http.getInputStream
-      val bytes = try in.readNBytes(16 * 1024 * 1024)
+      val bytes = try in.readNBytes(maxBytes)
         finally { in.close(); http.disconnect() }
       Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -593,7 +586,9 @@ object Scrape extends Serializable {
   def readKubernetesSd(cfg: KubernetesSdConfig, timeoutMs: Long = 10000L,
                        tls: Option[TlsConfig] = None): Seq[FileSdGroup] = {
     val auth = AuthConfig(bearerToken = cfg.token, bearerTokenFile = cfg.tokenFile)
-    val headers = auth.header.map("Authorization" -> _).toMap
+    // by-name into sdHttpGet: a missing bearer_token_file fails INSIDE
+    // the no-targets boundary instead of crashing the whole scrape tick
+    def headers = auth.header.map("Authorization" -> _).toMap
     def fetch(path: String): List[Any] =
       sdHttpGet(s"${cfg.scheme}://${cfg.apiServer}$path", timeoutMs, headers, tls)
         .map(s => jList(jMap(graft.api.MiniJson.parse(s)).getOrElse("items", Nil)))
