@@ -90,14 +90,22 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
         if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
           throw new IllegalArgumentException("POST required")
         val body = ex.getRequestBody.readAllBytes()
-        if (RemoteRead.wantsStreamed(body)) { // throws on malformed body: 422 below
-          ex.getResponseHeaders.set("Content-Type",
-            "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
-          ex.sendResponseHeaders(200, 0) // chunked transfer, frames flushed as produced
-          streaming = true
-          RemoteRead.handleStreamed(spark, points, body, ex.getResponseBody)
+        // decompress ONCE (claimed-length bounded); both the negotiation
+        // check and the handler work from the raw bytes
+        val raw = RemoteRead.uncompress(body) // throws on malformed body: 422 below
+        if (RemoteRead.wantsStreamedRaw(raw)) {
+          // headers commit in onReady — AFTER request decode and query
+          // analysis/planning — so a bad matcher still answers 422
+          // instead of a cleanly-terminated empty 200 stream
+          RemoteRead.handleStreamedRaw(spark, points, raw, ex.getResponseBody,
+            onReady = () => {
+              ex.getResponseHeaders.set("Content-Type",
+                "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+              ex.sendResponseHeaders(200, 0) // chunked; frames flushed as produced
+              streaming = true
+            })
         } else {
-          val out = RemoteRead.handle(spark, points, body)
+          val out = RemoteRead.handleRaw(spark, points, raw)
           ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
           ex.getResponseHeaders.set("Content-Encoding", "snappy")
           ex.sendResponseHeaders(200, out.length)

@@ -70,8 +70,13 @@ object RemoteRead {
     * (src/internal/api/prom_api.go:20). Only an under-limit set (bounded
     * at `sampleLimit` rows) is ever collected for encoding. */
   def handle(spark: SparkSession, points: DataFrame, body: Array[Byte],
-             sampleLimit: Long = SampleLimit): Array[Byte] = {
-    val queries = decodeRequest(boundedUncompress(body))
+             sampleLimit: Long = SampleLimit): Array[Byte] =
+    handleRaw(spark, points, boundedUncompress(body), sampleLimit)
+
+  /** [[handle]] over an already-uncompressed body. */
+  def handleRaw(spark: SparkSession, points: DataFrame, raw: Array[Byte],
+                sampleLimit: Long = SampleLimit): Array[Byte] = {
+    val queries = decodeRequest(raw)
     val results = queries.map { q =>
       val filtered = points
         .where(col("t") >= q.startMs && col("t") <= q.endMs)
@@ -140,8 +145,16 @@ object RemoteRead {
     * streamed-chunks response — throws on a malformed body, so callers can
     * still answer 4xx before committing response headers. */
   def wantsStreamed(body: Array[Byte]): Boolean =
-    acceptedTypes(boundedUncompress(body))
-      .contains(ResponseTypeStreamedXorChunks.toLong)
+    wantsStreamedRaw(boundedUncompress(body))
+
+  /** [[wantsStreamed]] over an ALREADY-uncompressed body — lets the HTTP
+    * handler decompress once instead of once per question asked. */
+  def wantsStreamedRaw(raw: Array[Byte]): Boolean =
+    acceptedTypes(raw).contains(ResponseTypeStreamedXorChunks.toLong)
+
+  /** Public bounded decompression (claimed-length-capped) for callers
+    * that coordinate several passes over one request body. */
+  def uncompress(body: Array[Byte]): Array[Byte] = boundedUncompress(body)
 
   /** Serve a remote read in STREAMED_XOR_CHUNKS mode — the protocol's
     * paged response (prompb.ChunkedReadResponse frames, each a
@@ -160,9 +173,22 @@ object RemoteRead {
   def handleStreamed(spark: SparkSession, points: DataFrame, body: Array[Byte],
                      out: java.io.OutputStream,
                      maxFrameBytes: Int = 1 << 20,
-                     samplesPerChunk: Int = XorChunk.SamplesPerChunk): Unit = {
-    val queries = decodeRequest(boundedUncompress(body))
-    queries.zipWithIndex.foreach { case (q, qi) =>
+                     samplesPerChunk: Int = XorChunk.SamplesPerChunk): Unit =
+    handleStreamedRaw(spark, points, boundedUncompress(body), out,
+      maxFrameBytes, samplesPerChunk)
+
+  /** [[handleStreamed]] over an already-uncompressed body. */
+  def handleStreamedRaw(spark: SparkSession, points: DataFrame, raw: Array[Byte],
+                        out: java.io.OutputStream,
+                        maxFrameBytes: Int = 1 << 20,
+                        samplesPerChunk: Int = XorChunk.SamplesPerChunk,
+                        onReady: () => Unit = () => ()): Unit = {
+    val queries = decodeRequest(raw)
+    // build and ANALYZE every query's plan before `onReady` (which the
+    // HTTP handler uses to commit the 200): a matcher/compile error after
+    // headers would otherwise end the chunked stream cleanly at a frame
+    // boundary — indistinguishable from "no matching series"
+    val planned = queries.zipWithIndex.map { case (q, qi) =>
       val filtered = points
         .where(col("t") >= q.startMs && col("t") <= q.endMs)
         .where(graft.engine.Compiler.matcherFilter(q.matchers))
@@ -176,7 +202,11 @@ object RemoteRead {
         .withSig(named.select(col("name"), col("labels"), col("t"), col("value")))
         .select(col("sig"), col("name"), col("labels"), col("t"), col("value"))
         .sort(col("sig"), col("t"))
-
+      sorted.queryExecution.executedPlan // force analysis + physical planning
+      (sorted, qi)
+    }
+    onReady()
+    planned.foreach { case (sorted, qi) =>
       val frame = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var frameBytes = 0
       def flushFrame(): Unit = if (frame.nonEmpty) {

@@ -211,6 +211,12 @@ object XorChunk {
             leading = r.readBits(5).toInt
             var sig = r.readBits(6).toInt
             if (sig == 0) sig = 64
+            // leading + sig > 64 makes trailing negative and the shift
+            // below wrap (Java shifts are mod 64) — malformed input must
+            // raise like every other truncation, not decode to garbage
+            if (leading + sig > 64)
+              throw new IllegalArgumentException(
+                s"xor chunk: leading=$leading + significant=$sig exceeds 64")
             trailing = 64 - leading - sig
           }
           val mbits = 64 - leading - trailing

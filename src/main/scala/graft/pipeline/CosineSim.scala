@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ArrayDoubleBinaryInputs
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** `cosine_sim(a, b)`: cosine similarity of two ARRAY<DOUBLE> columns as
@@ -19,8 +20,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * accumulate left-to-right from 0.0 — the same IEEE operation order as
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — and the result is
   * `dot / (sqrt(aa) * sqrt(bb))`, term for term. */
+// ArrayDoubleBinaryInputs: analysis-time enforcement — getDouble over an
+// array<float>'s packed 4-byte elements would silently reinterpret
+// garbage, so an uncast embedding column must fail ANALYSIS, not results
 final case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayDoubleBinaryInputs {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"

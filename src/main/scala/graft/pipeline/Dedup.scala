@@ -305,15 +305,19 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // convergence = the edge set is a STAR FOREST: smallStar orients
       // every edge (bigger → smaller), so the set is a forest of stars
-      // exactly when no edge's target is itself a source — and a star
-      // forest is a fixpoint of both operators (Kiveris SoCC'14). One
-      // node-sized left_semi self-join detects it the ROUND THE FOREST
-      // FORMS — the previous count+exceptAll set-equality check needed a
-      // whole extra large/small round to observe "nothing changed", plus
-      // a set-difference job at the fixpoint.
-      converged = next.select(col("v"))
-        .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
-        .isEmpty
+      // exactly when (a) every source has a SINGLE target AND (b) no
+      // target is itself a source — and a star forest is a fixpoint of
+      // both operators (Kiveris SoCC'14). Check (a) is NOT redundant: a
+      // node with two out-edges to different roots (e.g. {(2,0),(2,1)})
+      // passes (b) alone but still needs a merge round — declaring
+      // convergence there splits components and emits conflicting
+      // labels for the shared source. (a) is one cheap node-sized
+      // aggregation and short-circuits (b)'s self-join pre-convergence.
+      converged = next.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .where(col("d") > 1).isEmpty &&
+        next.select(col("v"))
+          .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+          .isEmpty
       edges = next
       it += 1
     }

@@ -173,6 +173,10 @@ object Jpeg {
             while (p < segEnd) {
               val pq = (b(p) & 0xf0) >> 4; val tq = b(p) & 0x0f
               if (tq > 3 || pq > 1) fail()
+              // entry must fit INSIDE the declared segment (like DHT's
+              // guard): a short DQT length would otherwise read the next
+              // segment's bytes as quant values — garbage pixels, no error
+              if (p + (if (pq == 0) 65 else 129) > segEnd) fail()
               val t = new Array[Int](64)
               var k = 0
               if (pq == 0) { while (k < 64) { t(k) = b(p + 1 + k) & 0xff; k += 1 }; p += 65 }

@@ -885,10 +885,18 @@ object Scrape extends Serializable {
     // tick's successful scrapes — series-count-sized, the Prometheus
     // scrape-cache analog (NOT sample-sized; samples stay distributed)
     val okRows = fetched.where(col("__ok") && col("name").isNotNull)
+    // the cache must see exactly what the STORE sees: a series whose
+    // samples this tick are all NaN/Inf is dropped by finitePoints below,
+    // so caching it would (a) suppress the stale marker a series that
+    // flipped to NaN-only deserves and (b) later emit markers for series
+    // that never reached the store
+    val finiteOk = okRows.where(!col("value").isNaN &&
+      col("value") =!= Double.PositiveInfinity &&
+      col("value") =!= Double.NegativeInfinity)
     // dedup per series via the canonical label string (set ops/distinct
     // are unsupported on MapType columns)
     val seriesNow: Map[String, Seq[(String, Map[String, String])]] =
-      Points.withCanonical(okRows.select(col("__key"), col("name"), col("labels")))
+      Points.withCanonical(finiteOk.select(col("__key"), col("name"), col("labels")))
         .dropDuplicates("__key", "name", "_lc")
         .select(col("__key"), col("name"), col("labels"))
         .collect()
@@ -1078,14 +1086,22 @@ object Scrape extends Serializable {
 
     val relabelKeys = Set("action", "source_labels", "separator", "regex",
       "target_label", "replacement")
+    var sdIndent = -1
     lines.foreach { line =>
       val t = line.trim
+      // an SD block ends when indentation returns to (or above) its
+      // header's level — without this, a job-level scalar placed AFTER
+      // the SD block (maps are unordered in YAML) would be misread as an
+      // SD-entry key (e.g. `scheme:` binding to the consul entry instead
+      // of the job)
+      if (sdMode.nonEmpty && t.nonEmpty &&
+        line.takeWhile(_ == ' ').length <= sdIndent) sdMode = ""
       if (t == "scrape_configs:" || t == "static_configs:" || t == "relabel_configs:" ||
         t == "tls_config:" || t == "basic_auth:" || t == "file_sd_configs:" ||
         t == "http_sd_configs:") sdMode = ""
-      else if (t == "dns_sd_configs:") sdMode = "dns"
-      else if (t == "consul_sd_configs:") sdMode = "consul"
-      else if (t == "kubernetes_sd_configs:") sdMode = "k8s"
+      else if (t == "dns_sd_configs:") { sdMode = "dns"; sdIndent = line.takeWhile(_ == ' ').length }
+      else if (t == "consul_sd_configs:") { sdMode = "consul"; sdIndent = line.takeWhile(_ == ' ').length }
+      else if (t == "kubernetes_sd_configs:") { sdMode = "k8s"; sdIndent = line.takeWhile(_ == ' ').length }
       else if (t.startsWith("- job_name:")) {
         flushRule(); flushJob()
         inJob = true

@@ -69,6 +69,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(cc.size == 11)
   }
 
+  test("components: multi-root intermediate states are not mistaken for convergence") {
+    import spark.implicits._
+    // regression: after one large/small round this graph reaches a state
+    // where some node holds out-edges to TWO different roots (e.g.
+    // {(2,0),(2,1)}) while no target is a source — a forest check that
+    // only looks at target∩source declares convergence there, splitting
+    // the single true component and emitting conflicting labels
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 7L), (6L, 9L), (7L, 4L), (7L, 5L),
+      (7L, 9L), (9L, 4L), (10L, 0L), (10L, 3L), (10L, 6L), (10L, 8L)
+    ).toDF("doc_a", "doc_b")
+    val rows = Dedup.components(pairs).as[(Long, Long)].collect()
+    // one row per node, every node labeled with the global min (0)
+    assert(rows.length == rows.map(_._1).distinct.length, "duplicate doc labels")
+    assert(rows.map(_._1).sorted.toSeq == (0L to 10L),
+      s"nodes ${rows.map(_._1).sorted.toSeq}")
+    assert(rows.forall(_._2 == 0L), s"labels ${rows.toSeq.sorted}")
+  }
+
   test("components: edge order and direction don't matter; empty is empty") {
     import spark.implicits._
     val fwd = Seq((7L, 3L), (3L, 9L), (9L, 1L)).toDF("doc_a", "doc_b")

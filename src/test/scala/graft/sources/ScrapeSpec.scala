@@ -666,4 +666,24 @@ class ScrapeSpec extends AnyFunSuite {
       assert(seenAuth.contains("Bearer tok-2"))
     } finally server.stop(0)
   }
+
+  test("yaml: job-level keys after an SD block bind to the job, not the SD entry") {
+    // maps are unordered in YAML — scheme/timeout may legally follow the
+    // SD block; indentation decides ownership
+    val yaml =
+      """scrape_configs:
+        |  - job_name: k
+        |    consul_sd_configs:
+        |      - server: 'c:8500'
+        |        services: [web]
+        |    scheme: https
+        |    scrape_timeout: 7s
+        |""".stripMargin
+    val job = Scrape.parseScrapeConfigs(yaml).head
+    assert(job.scheme == "https")
+    assert(job.timeoutMs == 7000L)
+    // the consul entry keeps ITS default scheme — the trailing job-level
+    // line must not be misattributed to it
+    assert(job.consulSd == Seq(Scrape.ConsulSdConfig("c:8500", Seq("web"))))
+  }
 }
