@@ -172,6 +172,29 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Model-based quality scoring: a fixed-weight logistic classifier
+    * over the interpretable quality features (the shape of fastText/
+    * linear quality filters in published pipelines — the WEIGHTS here
+    * are illustrative constants, the operator is the scoring plumbing):
+    * score = σ(w·x) over [stop_ratio, punct_ratio, ln(n_tokens),
+    * avg_tok_len]. Pure column arithmetic, shuffle-free; every feature
+    * is an exact rational, so engines agree to well under the shared
+    * round(6). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t =>
+      t.isin("the", "a", "of", "to", "and", "in", "is"))).cast("double") / nTok
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") /
+      length(col("text"))
+    val avgTokLen = (length(col("text")) - (nTok - 1)) / nTok
+    val z = lit(-1.0) + lit(4.0) * stopRatio - lit(8.0) * punctRatio +
+      lit(0.35) * log(nTok) - lit(0.15) * avgTokLen
+    docs.select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+  }
+
   /** Markup-strip chain, in order: drop script/style blocks (dotall,
     * case-insensitive, non-greedy), drop tags, decode the common
     * entities, collapse whitespace runs, trim. Restricted to the regex

@@ -380,6 +380,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Edit-distance verification over CANDIDATE pairs (the post-LSH exact
+    * check when Jaccard's bag-of-tokens view is too loose — character
+    * edits catch reorderings token sets miss): Levenshtein distance and
+    * its normalized ratio for each (doc_a, doc_b) in `pairs`. The join
+    * brings two documents together per CANDIDATE (bounded), never
+    * corpus×corpus; the DP itself is Spark's codegen'd `levenshtein`. */
+  def editDistancePairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"),
+        round(levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6).as("edit_ratio"))
+
   /** Exact substring-level (span) deduplication, the token-n-gram variant
     * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
     * Models Better", arXiv:2107.06499): an n-token gram occurring more

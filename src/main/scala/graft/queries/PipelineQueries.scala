@@ -73,6 +73,9 @@ object PipelineQueries {
         col("text"), lit(" &amp; <b>end</b></p></div>")).as("text")))),
     "q_pipe_stratified" -> ((s, dir) => Curation.stratifiedSample(
       docs(s, dir), Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0), 0.75)),
+    "q_text_quality_score" -> ((s, dir) => Curation.qualityScore(docs(s, dir))),
+    "q_dedup_editdist" -> ((s, dir) => Dedup.editDistancePairs(docs(s, dir),
+      Dedup.ngramJaccard(docs(s, dir), 0.5, col("doc_id") < 100))),
     "q_sim_semdedup" -> ((s, dir) => Similarity.semDeDup(emb(s, dir), 0.3)),
     "q_pipe_contamination" -> ((s, dir) => Curation.contamination(
       docs(s, dir), docs(s, dir).where(col("doc_id") % 97 === 0), 5)),
@@ -1117,6 +1120,48 @@ object PipelineQueries {
         |      AS rank_in_source
         |  FROM documents)
         |SELECT doc_id, source, rank_in_source FROM r WHERE rank_in_source <= 5""".stripMargin,
+
+    // fixed-weight logistic quality classifier: exact-rational features
+    // into exp/ln (within 1 ulp in both engines), absorbed by round(6)
+    "q_text_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS avg_tok_len
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-1.0 + 4.0 * stop_ratio - 8.0 * punct_ratio
+        |    + 0.35 * ln(n_tok) - 0.15 * avg_tok_len))), 6) AS quality_score
+        |FROM f""".stripMargin,
+
+    // Levenshtein verification over the bounded jaccard candidates: both
+    // engines implement the classic DP, so distances are integer-equal
+    "q_dedup_editdist" ->
+      """WITH tokd AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 100),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tokd GROUP BY doc_id),
+        |it AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM tokd a JOIN tokd b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM it
+        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
+        |SELECT p.doc_a, p.doc_b,
+        |  levenshtein(da.text, db.text) AS edit_dist,
+        |  round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        |    / greatest(length(da.text), length(db.text)), 6) AS edit_ratio
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b""".stripMargin,
 
     // markup strip: same regex chain (inline (?is)/(?s) flags — the
     // subset Java and RE2 agree on), same entity order, over the same

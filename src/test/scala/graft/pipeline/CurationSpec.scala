@@ -156,4 +156,28 @@ class CurationSpec extends AnyFunSuite {
     val half = Curation.stratifiedSample(docs, Map(), 0.5).count()
     assert(half > 60 && half < 140)
   }
+
+  test("qualityScore: bounded, clean prose beats punctuation soup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is on the mat and a dog is in the house"),
+      (2L, "$$@@!! ## %% ^^ && ** (( )) {{ }} ;; :: @@ !!")
+    ).toDF("doc_id", "text")
+    val s = Curation.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s(1L) > s(2L))
+  }
+
+  test("editDistancePairs: zero for twins, symmetric bounded ratio") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b x d"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editDistancePairs(docs, pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    assert(out((1L, 2L)) == ((0, 0.0)))
+    assert(out((1L, 3L))._1 == 1)
+    assert(out((1L, 3L))._2 > 0.0 && out((1L, 3L))._2 <= 1.0)
+  }
 }
