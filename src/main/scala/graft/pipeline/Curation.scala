@@ -195,6 +195,32 @@ object Curation {
       round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
   }
 
+  /** Deterministic training-order shuffle: a content-addressed total
+    * order (xxhash64 of id + seed) that is stable across runs and
+    * cluster sizes — the "shuffle the corpus before sharding" step,
+    * without RNG state. */
+  def deterministicShuffle(docs: DataFrame, seed: Long = 0L,
+                           idCol: String = "doc_id"): DataFrame =
+    docs.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+
+  /** Write the curated corpus as bounded training shards: deterministic
+    * shuffle → range partition on the shuffle key (shards are contiguous
+    * hash ranges, so re-runs produce the SAME shard assignment) →
+    * parquet with `maxRecordsPerFile` bounding every file. Returns the
+    * shard count. The writer is Spark's own committer — atomic rename
+    * semantics, executor-parallel, no driver materialization. */
+  def writeShards(docs: DataFrame, dir: String, nShards: Int,
+                  maxRecordsPerShard: Int, seed: Long = 0L): Int = {
+    val keyed = docs.withColumn("_ord", xxhash64(col("doc_id"), lit(seed)))
+    keyed
+      .repartitionByRange(nShards, col("_ord"))
+      .sortWithinPartitions(col("_ord"))
+      .drop("_ord")
+      .write.option("maxRecordsPerFile", maxRecordsPerShard.toLong)
+      .mode("overwrite").parquet(dir)
+    nShards
+  }
+
   /** Markup-strip chain, in order: drop script/style blocks (dotall,
     * case-insensitive, non-greedy), drop tags, decode the common
     * entities, collapse whitespace runs, trim. Restricted to the regex

@@ -180,4 +180,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out((1L, 3L))._1 == 1)
     assert(out((1L, 3L))._2 > 0.0 && out((1L, 3L))._2 <= 1.0)
   }
+
+  test("writeShards: bounded files, deterministic order, lossless") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"text $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.writeShards(docs, dir, nShards = 4, maxRecordsPerShard = 100)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // every file respects the record bound; nothing lost or duplicated
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 100, f.getName)
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    assert(back.select("doc_id").distinct().count() == 500)
+    // deterministic shuffle: same seed -> same order
+    val o1 = Curation.deterministicShuffle(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val o2 = Curation.deterministicShuffle(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(o1 == o2 && o1 != o1.sorted)
+  }
 }
