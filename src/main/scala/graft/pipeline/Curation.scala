@@ -221,6 +221,107 @@ object Curation {
     nShards
   }
 
+  /** Pack the corpus into fixed-token-budget training sequences — the
+    * concat-then-chunk step every LM pipeline runs before writing
+    * pretraining shards: documents laid out in the deterministic
+    * content-addressed order ([[deterministicShuffle]]'s md5 variant so
+    * the oracle can replay it), token positions accumulated, and each
+    * document assigned to the sequence containing its FIRST token
+    * (`seq_id = floor(start / tokensPerSeq)`).
+    *
+    * Shape: a global ordered prefix-sum, computed scalably in two
+    * passes — the classic distributed scan. Pass 1 aggregates per-bucket
+    * token totals (buckets = first two md5 hex chars, 256 ordered
+    * groups; bucket count is a constant, so the totals row set is
+    * node-sized at ANY corpus scale) and turns them into bucket start
+    * offsets; pass 2 is a within-bucket window cumsum plus the
+    * broadcast offset. No global single-partition window, no driver
+    * materialization beyond the 256-row offset table. At 100 TB widen
+    * the bucket prefix to 4 hex chars (65 536 groups) so each sort
+    * partition stays executor-sized; the arithmetic is unchanged. */
+  def packSequences(docs: DataFrame, tokensPerSeq: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("_ord"),
+        size(toks).cast("long").as("n_tok"))
+      .withColumn("_b", substring(col("_ord"), 1, 2))
+    val totals = base.groupBy("_b").agg(sum("n_tok").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+    }
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("_b", "_off")
+    val w = Window.partitionBy(col("_b")).orderBy(col("_ord"), col("doc_id"))
+    base.join(broadcast(offDf), "_b")
+      .withColumn("_cum", sum("n_tok").over(w) + col("_off"))
+      .select(col("doc_id"), col("n_tok"),
+        floor((col("_cum") - col("n_tok")).cast("double") / tokensPerSeq)
+          .cast("long").as("seq_id"))
+  }
+
+  /** Temperature-based mixture weighting (the multilingual-pretraining
+    * exponent-smoothing recipe, e.g. mBERT / XLM-R: sample source s with
+    * probability ∝ n_s^α, α < 1 flattening the source distribution).
+    * Emits, per source: document count, the α-smoothed target share
+    * q_s = n_s^α / Σ n_t^α, and the per-document keep fraction that
+    * realizes the recipe with the smallest source kept whole —
+    * f_s = (n_s / n_min)^(α−1) (≤ 1 for α ≤ 1 since n_s ≥ n_min).
+    * Feed `keep_frac` into [[stratifiedSample]] to materialize the mix
+    * deterministically.
+    *
+    * Shape: one source-keyed count, then source-count-sized arithmetic
+    * against a broadcast 1-row scalar frame — no second pass over the
+    * corpus, no driver action. */
+  def temperatureMix(docs: DataFrame, alpha: Double): DataFrame = {
+    val n = docs.groupBy("source").agg(count(lit(1)).cast("double").as("n"))
+    val scalars = n.agg(sum(pow(col("n"), lit(alpha))).as("denom"),
+      min(col("n")).as("n_min"))
+    n.crossJoin(broadcast(scalars))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        round(pow(col("n"), lit(alpha)) / col("denom"), 6).as("target_share"),
+        round(pow(col("n") / col("n_min"), lit(alpha - 1.0)), 6).as("keep_frac"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the unigram
+    * variant): per raw document, the mean log-likelihood ratio of its
+    * tokens under the TARGET domain's unigram model vs the RAW corpus's,
+    * with add-one smoothing over the union vocabulary. Documents whose
+    * token distribution resembles the target domain score high; sample
+    * proportionally to realize target-like data selection at corpus
+    * scale.
+    *
+    * Shape: two vocabulary-sized count tables; the raw token stream
+    * joins them token-keyed (AQE broadcasts while the vocab fits, falls
+    * back to a co-partitioned shuffle join at 100 TB — same shape as
+    * [[tokenFrequencyStats]]); the three model scalars (token totals,
+    * vocab size) ride a broadcast 1-row frame. One doc-keyed rollup of
+    * primitive partials closes it. Mean (not sum) log-ratio so the
+    * score is length-invariant, like [[CharLm]]. */
+  def importanceWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val rawTok = raw.select(col("doc_id"), explode(toks).as("tok"))
+    val tgtTok = target.select(explode(toks).as("tok"))
+    val cr = rawTok.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val ct = tgtTok.groupBy("tok").agg(count(lit(1)).as("ct"))
+    val scalars = rawTok.agg(count(lit(1)).as("n_r"))
+      .crossJoin(tgtTok.agg(count(lit(1)).as("n_t")))
+      .crossJoin(cr.select("tok").unionByName(ct.select("tok")).distinct()
+        .agg(count(lit(1)).as("v")))
+    val term =
+      log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+        (col("n_t") + col("v")).cast("double")) -
+      log((col("cr") + 1).cast("double") /
+        (col("n_r") + col("v")).cast("double"))
+    rawTok.join(cr, "tok")
+      .join(ct, Seq("tok"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(term).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("s") / col("n_tok"), 6).as("dsir_logratio"))
+  }
+
   /** Markup-strip chain, in order: drop script/style blocks (dotall,
     * case-insensitive, non-greedy), drop tags, decode the common
     * entities, collapse whitespace runs, trim. Restricted to the regex

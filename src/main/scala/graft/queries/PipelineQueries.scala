@@ -87,6 +87,10 @@ object PipelineQueries {
       Bpe.encode(docs(s, dir), Bpe.demoMerges)
         .select(col("doc_id"), col("n_tokens"),
           md5(array_join(col("tokens"), " ")).as("tok_sig"))),
+    "q_pipe_pack" -> ((s, dir) => Curation.packSequences(docs(s, dir), 256L)),
+    "q_pipe_temperature" -> ((s, dir) => Curation.temperatureMix(docs(s, dir), 0.5)),
+    "q_pipe_dsir" -> ((s, dir) => Curation.importanceWeights(
+      docs(s, dir), docs(s, dir).where(col("doc_id") % 53 === 0))),
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
@@ -1208,6 +1212,59 @@ object PipelineQueries {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    // concat-then-chunk packing: the same md5 total order and global
+    // prefix sum (two-pass bucketed scan = one window over a unique
+    // order — no ties, so ROWS/RANGE framing agree), floor-divided into
+    // 256-token sequences
+    "q_pipe_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY ord, doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(floor((cum - n_tok) / 256.0) AS BIGINT) AS seq_id
+        |FROM c""".stripMargin,
+
+    // temperature mixture: n^alpha shares and (n/n_min)^(alpha-1) keep
+    // fractions; pow within 1 ulp in both engines, absorbed by round(6)
+    "q_pipe_temperature" ->
+      """WITH n AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |d AS (SELECT sum(pow(n, 0.5)) AS denom, min(n) AS n_min FROM n)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  round(pow(n, 0.5) / denom, 6) AS target_share,
+        |  round(pow(n / n_min, -0.5), 6) AS keep_frac
+        |FROM n CROSS JOIN d""".stripMargin,
+
+    // DSIR unigram importance weights: add-one-smoothed log-likelihood
+    // ratio under target (doc_id % 53 = 0) vs raw unigram models, mean
+    // per doc; ln within 1 ulp, absorbed by round(6)
+    "q_pipe_dsir" ->
+      """WITH rawtok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tgttok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |  WHERE doc_id % 53 = 0),
+        |cr AS (SELECT tok, count(*) AS cr FROM rawtok GROUP BY tok),
+        |ct AS (SELECT tok, count(*) AS ct FROM tgttok GROUP BY tok),
+        |s AS (
+        |  SELECT (SELECT count(*) FROM rawtok) AS n_r,
+        |    (SELECT count(*) FROM tgttok) AS n_t,
+        |    (SELECT count(DISTINCT tok) FROM
+        |      (SELECT tok FROM cr UNION SELECT tok FROM ct)) AS v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round(sum(
+        |    ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (s.n_t + s.v)) -
+        |    ln(CAST(cr.cr + 1 AS DOUBLE) / (s.n_r + s.v))
+        |  ) / count(*), 6) AS dsir_logratio
+        |FROM rawtok JOIN cr USING (tok) LEFT JOIN ct USING (tok) CROSS JOIN s
+        |GROUP BY doc_id""".stripMargin,
 
     // within-label pairs only (the SemDeDup cluster restriction); cosine
     // terms in the same left-associated order as the engine's fold

@@ -181,6 +181,52 @@ class CurationSpec extends AnyFunSuite {
     assert(out((1L, 3L))._2 > 0.0 && out((1L, 3L))._2 <= 1.0)
   }
 
+  test("packSequences: greedy concat-chunk assignment matches a local replay") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, ("w " * (i % 17 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, 64L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // local replay: same md5 order, same running start positions
+    val md5hex = (l: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(l.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cum = 0L
+    val expected = (0L until 200L).map(i => (md5hex(i), i, i % 17 + 1))
+      .sortBy(t => (t._1, t._2))
+      .map { case (_, id, n) => val start = cum; cum += n; id -> (n, start / 64L) }
+      .toMap
+    assert(out == expected)
+    // every token accounted for exactly once
+    assert(out.values.map(_._1).sum == cum)
+  }
+
+  test("temperatureMix: alpha=1 keeps everything, alpha=0 equalizes") {
+    import spark.implicits._
+    val docs = ((0 until 80).map(i => (i.toLong, "t", "big")) ++
+      (0 until 20).map(i => (100L + i, "t", "small")))
+      .toDF("doc_id", "text", "source")
+    val a1 = Curation.temperatureMix(docs, 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(a1("big") == (0.8, 1.0) && a1("small") == (0.2, 1.0))
+    val a0 = Curation.temperatureMix(docs, 0.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // alpha=0: uniform target shares; keep fraction n_min/n_s
+    assert(a0("big") == (0.5, 0.25) && a0("small") == (0.5, 1.0))
+  }
+
+  test("importanceWeights: target-like docs outscore off-domain docs") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val w = Curation.importanceWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+    // off-domain doc shares no target token: every term has ct=0
+    assert(w(2L) < 0.0)
+  }
+
   test("writeShards: bounded files, deterministic order, lossless") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"text $i", s"src${i % 3}"))
