@@ -40,6 +40,27 @@ object Dedup {
         first(length(col("text"))).as("n_chars"))
       .select(col("keep_id"), col("n_dups"), col("n_chars"))
 
+  /** Streaming exact dedup — the continuous-ingest counterpart of
+    * [[exact]] for a crawl feed: each arriving document keyed by its md5
+    * content hash, duplicates dropped with
+    * `dropDuplicatesWithinWatermark`, so dedup state is BOUNDED — a
+    * signature is evicted once the event-time watermark passes its
+    * arrival + `lateness`. (Plain streaming `dropDuplicates` grows state
+    * forever on an unbounded corpus; the windowed form is the only shape
+    * that survives a never-ending stream. A duplicate arriving after its
+    * original's eviction is re-emitted — downstream batch [[exact]] over
+    * the stored corpus remains the exactness backstop, the stream dedup
+    * is the volume knob that keeps the hot path duplicate-free.)
+    *
+    * Input: a STREAMING frame with `text` and an event-time timestamp
+    * column `tsCol`. Output: the input rows minus within-watermark
+    * duplicates, plus the `content_sig` used for the match. */
+  def exactStream(docs: DataFrame, tsCol: String,
+                  lateness: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_sig", md5(col("text")))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("content_sig")
+
   /** Per-doc MinHash signature columns over pre-hashed token columns:
     * sig_i = min(h_i). */
   private def minhashSigs(numHashes: Int): Seq[Column] =

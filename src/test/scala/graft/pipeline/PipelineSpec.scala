@@ -536,4 +536,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc(0L) > byDoc(1L), "term-dense short doc outranks long doc")
     assert(byDoc(1L) > byDoc(3L), "matching both terms beats one short match")
   }
+  test("exactStream drops within-watermark duplicates, keeps distinct docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)] // (doc_id, t_ms, text)
+    val q = Dedup.exactStream(
+        in.toDF().toDF("doc_id", "t", "text")
+          .withColumn("ts2", timestamp_millis(col("t"))),
+        "ts2", lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def ids() = spark.table("dedup_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      // batch 1: two distinct texts + an in-batch duplicate
+      in.addData((1L, 1000L, "alpha beta"), (2L, 2000L, "gamma"),
+        (3L, 3000L, "alpha beta"))
+      q.processAllAvailable()
+      val first = ids()
+      assert(first.contains(2L) && (first & Set(1L, 3L)).size == 1)
+      // batch 2: a cross-batch duplicate inside the watermark is dropped,
+      // a new text passes
+      in.addData((4L, 4000L, "gamma"), (5L, 5000L, "delta"))
+      q.processAllAvailable()
+      assert(ids() == first + 5L)
+    } finally q.stop()
+  }
 }
