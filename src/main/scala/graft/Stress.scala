@@ -68,12 +68,17 @@ object Stress {
       (col("id") % 100).cast("double").as("value")).cache()
 
     import graft.pipeline.{Audio, Bpe, CountMin, Curation, Dedup, Events, Images, Similarity, TextAnalysis}
+    // STRESS_ONLY=a,b restricts the probe set for targeted re-measurement
+    val only = sys.env.get("STRESS_ONLY").map(_.split(",").toSet)
     def timed(name: String)(f: => Long): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"STRESS $name%-22s $dt%7.2f s   rows=$n")
-      (name, dt, n)
+      if (!only.forall(_.contains(name))) (name, 0.0, -1L)
+      else {
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"STRESS $name%-22s $dt%7.2f s   rows=$n")
+        (name, dt, n)
+      }
     }
     // force EVERY output column: a bare count() lets Catalyst prune the
     // computed columns out of the plan entirely, timing a shell of the
@@ -112,12 +117,23 @@ object Stress {
         Seq("t1", "t100", "t5000", "t49000", "zzz_absent")))),
       timed("ahash")(force(Images.aHashStats(spark, docs))),
       timed("spectrogram")(force(Audio.wavSpectrogramStats(spark, docs))),
+      // late round-7 additions: the global-prefix-sum packer, the
+      // source-keyed mixture weights (same skewed source mix as
+      // source_cap), and DSIR weights vs a ~0.5% target slice
+      timed("pack_sequences")(force(Curation.packSequences(docs, 4096L))),
+      timed("temperature_mix")(force(Curation.temperatureMix(
+        docs.withColumn("source", concat(lit("s"),
+          when(col("doc_id") % 5 === 0, lit(0)).otherwise(col("doc_id") % 997))),
+        0.5))),
+      timed("dsir_weights")(force(Curation.importanceWeights(docs,
+        docs.where(col("doc_id") % 199 === 0)))),
       timed("sessionize")(force(Events.sessionize(events))),
       timed("funnel")(force(Events.funnel(events,
         Seq("view", "click", "purchase")))),
       timed("retention")(force(Events.retention(events))))
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"stress_total","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"docs":$nDocs}""")
+    val ran = results.filter(_._3 >= 0)
+    val qs = ran.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress_total","value":${ran.map(_._2).sum},"unit":"sec","queries":$qs,"docs":$nDocs}""")
     spark.stop()
   }
 }
