@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,10 +75,16 @@ object Curation {
     * PRE-scrub text per pattern in the same order the replacements run.
     * Pure `regexp_replace`/`regexp_extract_all` column expressions —
     * codegen'd, linear in text length, shuffle-free. */
-  def scrub(docs: DataFrame): DataFrame = {
-    val scrubbed = scrubPatterns.foldLeft(col("text")) {
-      case (c, (re, tok)) => regexp_replace(c, re, tok)
+  /** The scrub transform as a reusable column expression (used by
+    * [[scrub]] for the gate's counts+sig shape and by
+    * [[CurationPipeline]] for the actual text rewrite). */
+  private[pipeline] def scrubExpr(c: Column): Column =
+    scrubPatterns.foldLeft(c) {
+      case (acc, (re, tok)) => regexp_replace(acc, re, tok)
     }
+
+  def scrub(docs: DataFrame): DataFrame = {
+    val scrubbed = scrubExpr(col("text"))
     def hits(re: String) = size(regexp_extract_all(col("text"), lit(re), lit(0)))
     docs.select(
       col("doc_id"),
@@ -338,14 +344,21 @@ object Curation {
     * tags removed, common entities decoded, whitespace normalized.
     * Emits the tag count (pre-strip), cleaned length, and the cleaned
     * text's md5. Pure column expressions, codegen'd, shuffle-free. */
-  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val noBlocks = regexp_replace(col(textCol), markupBlockRe, " ")
+  /** The markup-strip transform as a reusable column expression (used by
+    * [[stripMarkup]] for the gate's counts+sig shape and by
+    * [[CurationPipeline]] for the actual text rewrite). */
+  private[pipeline] def cleanExpr(c: Column): Column = {
+    val noBlocks = regexp_replace(c, markupBlockRe, " ")
     val noTags = regexp_replace(noBlocks, markupTagRe, " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
       "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST so &amp;lt; decodes once
-    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
-    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    ).foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val clean = cleanExpr(col(textCol))
     docs.select(col("doc_id"),
       size(regexp_extract_all(col(textCol), lit(markupTagRe), lit(0)))
         .as("n_tags"),

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed end-to-end curation run — raw crawl to training shards —
+  * chaining the individually-gated operators in the order published
+  * pipelines use them (C4 / Gopher / RefinedWeb shape):
+  *
+  *   1. markup strip       ([[Curation.cleanExpr]] — C4 text extraction)
+  *   2. PII scrub          ([[Curation.scrubExpr]])
+  *   3. language filter    ([[TextAnalysis.langId]])
+  *   4. quality filter     ([[Curation.qualityScore]] ≥ threshold)
+  *   5. repetition filter  ([[Curation.repetition]] Gopher bounds)
+  *   6. exact dedup        (content-hash keep-smallest, [[Dedup.exact]]
+  *      semantics)
+  *   7. sequence packing   ([[Curation.packSequences]])
+  *   8. shard write        ([[Curation.writeShards]])
+  *
+  * Stages 1-2 are shuffle-free column rewrites fused into one projection;
+  * 3-5 are per-doc signals (langId and qualityScore are codegen'd column
+  * expressions; repetition is the [[GramStats]] kernel) — the whole
+  * filter chain runs in a single stage over the corpus scan. Dedup adds
+  * the one content-hash shuffle, packing its bucketed prefix sum. Every
+  * stage is deterministic (content-addressed, no RNG), so re-running the
+  * pipeline over the same corpus reproduces the same shards byte-for-byte
+  * — the property that makes a 100 TB curation run resumable and
+  * auditable.
+  */
+object CurationPipeline {
+
+  /** Pipeline thresholds; defaults follow the published pipelines'
+    * ballpark (Gopher repetition bounds, mid quality cut). */
+  final case class Config(
+    langs: Set[String] = Set("en"),
+    minQuality: Double = 0.3,
+    maxTopBigramFrac: Double = 0.30,
+    maxDupTrigramFrac: Double = 0.30,
+    tokensPerSeq: Long = 1024L,
+    nShards: Int = 16,
+    maxRecordsPerShard: Int = 1 << 20)
+
+  /** Stages 1-6: returns the curated corpus — (doc_id, text, lang,
+    * quality_score) with markup stripped, PII scrubbed, off-language /
+    * low-quality / repetitive / duplicate docs removed. Lazily composed:
+    * nothing runs until an action, and Catalyst fuses the filter chain
+    * into the scan. */
+  def curate(raw: DataFrame, cfg: Config = Config()): DataFrame = {
+    val cleaned = raw.withColumn("text",
+      Curation.scrubExpr(Curation.cleanExpr(col("text"))))
+      .where(length(col("text")) > 0)
+    // left join repetition: a doc too short to HAVE bigrams carries no
+    // repetition evidence — it must pass this filter, not vanish
+    val signals = TextAnalysis.langId(cleaned).select("doc_id", "lang_pred")
+      .join(Curation.qualityScore(cleaned), "doc_id")
+      .join(Curation.repetition(cleaned), Seq("doc_id"), "left")
+    val kept = cleaned.join(signals, "doc_id")
+      .where(col("lang_pred").isin(cfg.langs.toSeq: _*) &&
+        col("quality_score") >= cfg.minQuality &&
+        (col("top_bigram_frac").isNull ||
+          col("top_bigram_frac") <= cfg.maxTopBigramFrac) &&
+        (col("dup_trigram_frac").isNull ||
+          col("dup_trigram_frac") <= cfg.maxDupTrigramFrac))
+    // exact dedup, keep-smallest: one content-hash window (16-byte key),
+    // never a self-join
+    kept
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("_rk") === 1).drop("_rk")
+      .select(col("doc_id"), col("text"), col("lang_pred").as("lang"),
+        col("quality_score"))
+  }
+
+  /** The full run (stages 1-8): curate, assign sequences, write bounded
+    * parquet shards, and return the per-stage funnel — (stage, n_docs)
+    * in pipeline order — so a curation run reports what each filter
+    * removed. The funnel costs one extra pass per stage boundary
+    * (driver-sized output); skip it in production by calling [[curate]]
+    * + [[Curation.writeShards]] directly. */
+  def run(raw: DataFrame, dir: String, cfg: Config = Config()): DataFrame = {
+    val spark = raw.sparkSession
+    val curated = curate(raw, cfg).cache()
+    val packed = curated.join(
+      Curation.packSequences(curated, cfg.tokensPerSeq), Seq("doc_id"))
+    Curation.writeShards(packed, dir, cfg.nShards, cfg.maxRecordsPerShard)
+    val funnel = Seq(
+      "raw" -> raw.count(),
+      "curated" -> curated.count(),
+      "shards_written" -> spark.read.parquet(dir).count())
+    curated.unpersist()
+    spark.createDataFrame(funnel).toDF("stage", "n_docs")
+  }
+}
