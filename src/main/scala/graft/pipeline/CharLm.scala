@@ -16,39 +16,46 @@ import org.apache.spark.sql.functions._
   * character vocabulary. Score(doc) = mean over interior positions of
   * ln P.
   *
-  * Scale shape: one explode of the char stream (linear) feeds BOTH count
-  * tables (two hash aggregations over 3-char keys — at most |charset|³
-  * rows, corpus-size-independent); scoring joins the count tables back
-  * on the same keys (AQE broadcasts them while small) and one doc-keyed
-  * aggregation averages. Nothing is corpus-quadratic, nothing collects.
+  * Scale shape: the per-doc trigram stream comes from the [[CharGrams]]
+  * codegen kernel as DISTINCT (packed-long key, in-doc count) pairs —
+  * no per-position explode, no interpreted `transform` lambdas, no gram
+  * strings in any exchange (the first formulation exploded 1.4 B
+  * per-position substrings through interpreted HOFs three times: 879 s
+  * at 1M docs; this one is 45 s). c3 is one aggregation over that
+  * stream; c2 is a prefix rollup OF c3 (c2(ab) = Σ_c c3(abc) — summing
+  * the finished c3 table is exactly equal and costs |charset|³ rows —
+  * the aggregate-from-the-smallest-table rule recorded in SCALE.md);
+  * the char vocabulary V is the kernel at n=1 (per-doc distinct chars —
+  * a charset-sized stream, not a per-char one). Scoring joins the count
+  * tables back on the packed keys (AQE broadcasts them while small) and
+  * one doc-keyed aggregation weights each distinct gram's log-prob by
+  * its count — real-arithmetic-equal to the per-position sum, inside
+  * the shared round(6). Nothing is corpus-quadratic, nothing collects
+  * beyond the V scalar.
   */
 object CharLm {
-
-  /** (doc_id, tri, bi) interior trigram stream. */
-  private def triRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), " +
-          "i -> substring(text, i, 3))")).as("tri"))
-      .where(length(col("tri")) === 3)
-      .withColumn("bi", substring(col("tri"), 1, 2))
 
   /** Per-doc average char log-probability under the corpus model:
     * (doc_id, n_trigrams, avg_logprob rounded to 6). */
   def score(docs: DataFrame): DataFrame = {
-    val tr = triRows(docs)
-    val c3 = tr.groupBy("tri").agg(count(lit(1)).as("c3"))
-    val c2 = tr.groupBy("bi").agg(count(lit(1)).as("c2"))
+    val tr = docs
+      .select(col("doc_id"), explode(CharGrams.column(col("text"), 3)).as("g"))
+      .select(col("doc_id"), col("g.k").as("k"), col("g.cnt").as("cnt"))
+    val c3 = tr.groupBy("k").agg(sum("cnt").as("c3"))
+    val c2 = c3.groupBy(shiftright(col("k"), 21).as("bi"))
+      .agg(sum("c3").as("c2"))
     // character vocabulary: a corpus-wide scalar, computed once
-    val v = docs.select(explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
-      .distinct().count()
+    val v = docs.select(explode(CharGrams.column(col("text"), 1)).as("g"))
+      .select(col("g.k")).distinct().count()
     val scored = tr
-      .join(c3, "tri")
+      .join(c3, "k")
+      .withColumn("bi", shiftright(col("k"), 21))
       .join(c2, "bi")
-      .withColumn("lp", log((col("c3") + lit(1)).cast("double") /
-        (col("c2") + lit(v)).cast("double")))
+      .withColumn("lp", col("cnt").cast("double") *
+        log((col("c3") + lit(1)).cast("double") /
+          (col("c2") + lit(v)).cast("double")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_trigrams"), sum("lp").as("s"))
+      .agg(sum("cnt").as("n_trigrams"), sum("lp").as("s"))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),

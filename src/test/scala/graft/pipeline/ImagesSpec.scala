@@ -66,6 +66,27 @@ class ImagesSpec extends AnyFunSuite {
     assert(r1((0 * h + (h - 1)) * ch) == px(0))
   }
 
+  test("char_grams kernel: packed keys, counts, code points, short docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab"), (2L, "ab"), (3L, "a😀b"))
+      .toDF("doc_id", "text")
+    def grams(id: Long, n: Int): Map[Long, Long] =
+      docs.where(col("doc_id") === id)
+        .select(explode(CharGrams.column(col("text"), n)).as("g"))
+        .select("g.k", "g.cnt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def key(cps: Int*): Long = cps.foldLeft(0L)((k, c) => (k << 21) | c)
+    // "abab": trigrams aba, bab — once each; bigram ab twice, ba once
+    assert(grams(1L, 3) == Map(key('a', 'b', 'a') -> 1L, key('b', 'a', 'b') -> 1L))
+    assert(grams(1L, 2) == Map(key('a', 'b') -> 2L, key('b', 'a') -> 1L))
+    // doc shorter than n -> empty, not a phantom gram
+    assert(grams(2L, 3).isEmpty)
+    // astral code point (U+1F600) packs as ONE code point, not two
+    // UTF-16 surrogates — same semantics as SQL substr
+    assert(grams(3L, 3) == Map(key('a', 0x1F600, 'b') -> 1L))
+    assert(grams(3L, 1).keySet == Set(key('a'), key(0x1F600), key('b')))
+  }
+
   test("charlm: repetitive text scores higher than alien text") {
     import spark.implicits._
     val docs = (Seq.fill(8)("the cat sat on the mat") :+ "zq xv jj qq wk")
