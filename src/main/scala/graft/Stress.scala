@@ -128,6 +128,9 @@ object Stress {
       timed("dsir_weights")(force(Curation.importanceWeights(docs,
         docs.where(col("doc_id") % 199 === 0)))),
       timed("charlm")(force(CharLm.score(docs))),
+      timed("fingerprint")(force(TextAnalysis.fingerprint(docs))),
+      timed("contamination")(force(Curation.contamination(docs,
+        docs.where(col("doc_id") % 997 === 0), 8))),
       timed("sessionize")(force(Events.sessionize(events))),
       timed("funnel")(force(Events.funnel(events,
         Seq("view", "click", "purchase")))),

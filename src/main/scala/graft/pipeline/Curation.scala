@@ -16,17 +16,6 @@ object Curation {
 
   private def toks = split(col("text"), " ")
 
-  /** Word n-grams of `text` as an array column; empty when the document
-    * has fewer than n tokens (guarded — Spark's `sequence(1, 0)` would
-    * DESCEND, not return empty). */
-  private def grams(n: Int) = {
-    val t = toks
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array())
-  }
-
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
     * `top_bigram_frac` — the fraction of word-bigram positions taken by
     * the single most frequent bigram — and `dup_trigram_frac` — the
@@ -122,13 +111,25 @@ object Curation {
     * Shape: the eval side is benchmark-sized (≪ train), so its distinct
     * gram set BROADCASTS; the train side is one explode + broadcast
     * left_semi + doc-keyed count with map-side partials — a single
-    * shuffle of doc_id-keyed integer partials, never gram strings. At
-    * 100 TB the train gram stream never materializes: the semi-join
-    * filters it to eval-matching positions (benchmark-sized output). */
+    * shuffle of doc_id-keyed integer partials, never gram strings. Gram
+    * identity comes from the [[GramHashes]] kernel on BOTH sides
+    * (128-bit sequence-sensitive window hashes — equal grams match,
+    * unequal collide at ~2⁻¹²⁸, the same trade [[Dedup.dupSpans]]
+    * documents): the HOF `transform`+`concat_ws` gram strings cost an
+    * interpreted lambda per position and 130 s at 1M docs; the kernel
+    * pass is 16.8 s with identical gate results. Docs with fewer than n
+    * tokens have NO n-grams (the kernel's short-doc whole-window row is
+    * filtered, preserving the gram-stream convention). At 100 TB the
+    * train gram stream never materializes: the semi-join filters it to
+    * eval-matching positions (benchmark-sized output). */
   def contamination(train: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
-    val evalGrams = evalDocs.select(explode(grams(n)).as("g")).distinct()
-    val hits = train.select(col("doc_id"), explode(grams(n)).as("g"))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+    def gramIds(df: DataFrame) = df
+      .where(size(toks) >= n)
+      .select(col("doc_id"), explode(GramHashes.column(toks, n)).as("g"))
+      .select(col("doc_id"), col("g.g1").as("g1"), col("g.g2").as("g2"))
+    val evalGrams = gramIds(evalDocs).select("g1", "g2").distinct()
+    val hits = gramIds(train)
+      .join(broadcast(evalGrams), Seq("g1", "g2"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     train.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")

@@ -78,15 +78,6 @@ object TextAnalysis {
   def langNorm(text: Column): Column =
     concat(lit(" "), regexp_replace(lower(text), langLetterClass, " "), lit(" "))
 
-  /** All character trigrams of the normalized text. `greatest(…, 1)`
-    * keeps `sequence` ascending on degenerate inputs (Spark's sequence
-    * DESCENDS when end < start; DuckDB's generate_series returns empty
-    * — the clamp plus substr's short-tail behavior makes both yield no
-    * profile hits). */
-  def langTrigrams(norm: Column): Column =
-    transform(sequence(lit(1), greatest(length(norm) - 2, lit(1))),
-      i => norm.substr(i, lit(3)))
-
   /** Top function words per language — the second evidence channel. A
     * function-word hit outweighs [[functionWordWeight]] trigram hits: on
     * in-domain prose the channels agree, while on out-of-domain text
@@ -155,15 +146,17 @@ object TextAnalysis {
 
   /** Document fingerprint: minimum md5 over the document's word 5-shingles
     * (rolling window), falling back to md5(text) for short docs. Equal
-    * fingerprints are strong near-dup candidates at fleet scale. */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    val n = size(t)
-    val shingles = transform(sequence(lit(1), n - 4),
-      i => md5(concat_ws(" ", slice(t, i, lit(5)))))
+    * fingerprints are strong near-dup candidates at fleet scale.
+    *
+    * Computed by the [[ShingleMin]] codegen kernel — one digest pass per
+    * window, no shingle strings or per-window hex in the plan (the HOF
+    * `array_min(transform(..., md5(concat_ws(slice(...)))))` walked
+    * interpreted lambdas per window: 126 s at 1M docs, kernel 2.9 s;
+    * fingerprints identical bit-for-bit). */
+  def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      when(n >= 5, array_min(shingles)).otherwise(md5(col("text"))).as("fingerprint"))
-  }
+      coalesce(ShingleMin.column(toks(col("text")), 5), md5(col("text")))
+        .as("fingerprint"))
 
   /** BM25 ranking (Robertson/Sparck Jones; the Lucene-style
     * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf) of the corpus against a

@@ -158,6 +158,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(ann.subsetOf(bf))
   }
 
+  test("shingle_min kernel equals the per-window md5 minimum; short docs fall back") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shingles = "a b c d e f g".split(" ").sliding(5).map(_.mkString(" ")).toSeq
+    assert(out(1L) == shingles.map(md5hex).min)
+    assert(out(2L) == md5hex("x y z")) // < 5 tokens -> whole-text md5
+  }
+
   test("text analysis: counts positive, langid total, fingerprint deterministic") {
     assert(TextAnalysis.tokenCounts(docs).where(col("n_ws_tokens") <= 0).count() == 0)
     assert(TextAnalysis.langId(docs).count() == docs.count())
