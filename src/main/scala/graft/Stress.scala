@@ -129,6 +129,7 @@ object Stress {
         docs.where(col("doc_id") % 199 === 0)))),
       timed("charlm")(force(CharLm.score(docs))),
       timed("fingerprint")(force(TextAnalysis.fingerprint(docs))),
+      timed("bpe_pairs")(force(Bpe.topPairs(docs, 50))),
       timed("contamination")(force(Curation.contamination(docs,
         docs.where(col("doc_id") % 997 === 0), 8))),
       timed("sessionize")(force(Events.sessionize(events))),

@@ -18,12 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
   /** Cosine similarity with fixed association dot / (norm(a) * norm(b)).
     * Evaluated by the native [[CosineSim]] codegen expression — same IEEE
     * operation order as the HOF formulation `dot(a, b) / (norm(a) *
