@@ -34,17 +34,27 @@ object Curation {
     * seconds for the kernel). Docs with no bigrams are dropped (parity
     * with a grouped formulation — no gram rows, no output); a
     * bigram-only doc reports a null trigram fraction. */
+  /** top_bigram_frac from a width-2 [[GramStats]] array; null when the
+    * doc has no bigrams. Shared by [[repetition]] and the composed
+    * pipeline's single-projection signal stage. */
+  private[pipeline] def topBigramFracExpr(s2: Column): Column =
+    when(element_at(s2, 1) > 0,
+      round(element_at(s2, 2).cast("double") / element_at(s2, 1), 6))
+
+  /** dup_trigram_frac from a width-3 [[GramStats]] array; null when the
+    * doc has no trigrams. */
+  private[pipeline] def dupTrigramFracExpr(s3: Column): Column =
+    when(element_at(s3, 1) > 0,
+      round(element_at(s3, 3).cast("double") / element_at(s3, 1), 6))
+
   def repetition(docs: DataFrame): DataFrame = {
     val t = toks
     docs.select(col("doc_id"), GramStats.column(t, 2).as("s2"),
         GramStats.column(t, 3).as("s3"))
       .where(element_at(col("s2"), 1) > 0)
       .select(col("doc_id"),
-        round(element_at(col("s2"), 2).cast("double") /
-          element_at(col("s2"), 1), 6).as("top_bigram_frac"),
-        when(element_at(col("s3"), 1) > 0,
-          round(element_at(col("s3"), 3).cast("double") /
-            element_at(col("s3"), 1), 6)).as("dup_trigram_frac"))
+        topBigramFracExpr(col("s2")).as("top_bigram_frac"),
+        dupTrigramFracExpr(col("s3")).as("dup_trigram_frac"))
   }
 
   /** Scrub patterns, ordered: each is (regex, replacement token). The
@@ -187,7 +197,9 @@ object Curation {
     * avg_tok_len]. Pure column arithmetic, shuffle-free; every feature
     * is an exact rational, so engines agree to well under the shared
     * round(6). */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** The logistic quality score as a reusable column expression (used by
+    * [[qualityScore]] and the composed pipeline's signal stage). */
+  private[pipeline] def qualityScoreExpr: Column = {
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("double")
     val stopRatio = size(filter(toks, t =>
@@ -198,9 +210,11 @@ object Curation {
     val avgTokLen = (length(col("text")) - (nTok - 1)) / nTok
     val z = lit(-1.0) + lit(4.0) * stopRatio - lit(8.0) * punctRatio +
       lit(0.35) * log(nTok) - lit(0.15) * avgTokLen
-    docs.select(col("doc_id"),
-      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityScoreExpr.as("quality_score"))
 
   /** Deterministic training-order shuffle: a content-addressed total
     * order (xxhash64 of id + seed) that is stable across runs and

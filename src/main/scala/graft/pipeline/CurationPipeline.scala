@@ -42,19 +42,23 @@ object CurationPipeline {
 
   /** Stages 1-6: returns the curated corpus — (doc_id, text, lang,
     * quality_score) with markup stripped, PII scrubbed, off-language /
-    * low-quality / repetitive / duplicate docs removed. Lazily composed:
-    * nothing runs until an action, and Catalyst fuses the filter chain
-    * into the scan. */
+    * low-quality / repetitive / duplicate docs removed. Every signal is
+    * a per-doc COLUMN expression (the kernels + logistic score), stacked
+    * in one projection — no joins between signal frames, so stages 1-5
+    * really are a single stage over the corpus scan; a doc too short to
+    * HAVE bigrams carries null repetition fractions and passes those
+    * filters rather than vanishing. */
   def curate(raw: DataFrame, cfg: Config = Config()): DataFrame = {
     val cleaned = raw.withColumn("text",
       Curation.scrubExpr(Curation.cleanExpr(col("text"))))
       .where(length(col("text")) > 0)
-    // left join repetition: a doc too short to HAVE bigrams carries no
-    // repetition evidence — it must pass this filter, not vanish
-    val signals = TextAnalysis.langId(cleaned).select("doc_id", "lang_pred")
-      .join(Curation.qualityScore(cleaned), "doc_id")
-      .join(Curation.repetition(cleaned), Seq("doc_id"), "left")
-    val kept = cleaned.join(signals, "doc_id")
+    val t = split(col("text"), " ")
+    val kept = TextAnalysis.withLangPred(cleaned)
+      .withColumn("quality_score", Curation.qualityScoreExpr)
+      .withColumn("top_bigram_frac",
+        Curation.topBigramFracExpr(GramStats.column(t, 2)))
+      .withColumn("dup_trigram_frac",
+        Curation.dupTrigramFracExpr(GramStats.column(t, 3)))
       .where(col("lang_pred").isin(cfg.langs.toSeq: _*) &&
         col("quality_score") >= cfg.minQuality &&
         (col("top_bigram_frac").isNull ||

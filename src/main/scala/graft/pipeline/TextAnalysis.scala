@@ -111,15 +111,36 @@ object TextAnalysis {
       .select(col("doc_id") +: langs.zipWithIndex.map { case (lang, i) =>
         element_at(col("_e"), i + 1).as(s"s_$lang")
       }: _*)
+    scored.withColumn("lang_pred", langPredFrom(lang => col(s"s_$lang")))
+  }
+
+  /** The arg-max CASE chain over per-language scores, parameterized by
+    * how a language's score column is obtained — shared by [[langId]]
+    * (named s_* columns) and [[withLangPred]] (element_at on the raw
+    * evidence array). */
+  private def langPredFrom(score: String => Column): Column = {
+    val langs = trigramProfiles.map(_._1)
     def wins(lang: String): Column = {
       val rest = langs.dropWhile(_ != lang).drop(1)
-      rest.map(o => col(s"s_$lang") >= col(s"s_$o")).reduceOption(_ && _)
+      rest.map(o => score(lang) >= score(o)).reduceOption(_ && _)
         .getOrElse(lit(true))
     }
-    scored.withColumn("lang_pred",
-      langs.init.foldLeft(when(lit(false), "")) { (c, lang) =>
-        c.when(wins(lang), lang)
-      }.otherwise(langs.last))
+    langs.init.foldLeft(when(lit(false), "")) { (c, lang) =>
+      c.when(wins(lang), lang)
+    }.otherwise(langs.last)
+  }
+
+  /** Composable form of [[langId]]: ADDS `lang_pred` to `df` as pure
+    * column expressions over one [[LangEvidence]] kernel pass — no
+    * joins, no column pruning of the caller's frame — so a pipeline can
+    * stack it with other per-doc signals in a single projection stage
+    * ([[CurationPipeline.curate]]). Same arg-max, same precedence. */
+  def withLangPred(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val langs = trigramProfiles.map(_._1)
+    df.withColumn("_e", LangEvidence.column(langNorm(col(textCol))))
+      .withColumn("lang_pred",
+        langPredFrom(lang => element_at(col("_e"), langs.indexOf(lang) + 1)))
+      .drop("_e")
   }
 
   /** Quality metrics per document; every ratio is a single division over

@@ -5,17 +5,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  // built THROUGH the extension (the spark.sql.extensions deployment
-  // path). Extensions apply at SparkSession CONSTRUCTION, so clear any
-  // session another suite left active first — getOrCreate would hand
-  // back that session and silently skip injection.
+  // built THROUGH the extension. `withExtensions` exercises the same
+  // injection path as `spark.sql.extensions=graft.GraftExtensions`
+  // (Builder.applyExtensions), but also works when an earlier suite
+  // already started the SparkContext — spark.sql.extensions is a STATIC
+  // conf, silently ignored on a reused context, so the config form
+  // cannot be suite-order-robust in one JVM.
   private lazy val spark: SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
