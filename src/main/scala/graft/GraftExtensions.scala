@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
-import graft.pipeline.{CosineSim, GramHashes, GramStats, LangEvidence, NibbleSpread, SpanCover}
+import graft.pipeline.{CharGrams, CosineSim, GramHashes, GramStats, LangEvidence, NibbleSpread, ShingleMin, SpanCover}
 
 /** SQL surface for the native kernels: makes every scalar Catalyst
   * expression this library ships callable from plain `spark.sql`, the
@@ -22,6 +22,8 @@ import graft.pipeline.{CosineSim, GramHashes, GramStats, LangEvidence, NibbleSpr
   *   - `gram_hashes(tokens, n)`      — 128-bit window hashes
   *   - `span_cover(tokens, dups, n)` — covered-token count + cleaned text
   *   - `nibble_spread(hex)`          — 64-bit sig → 16 pigeonhole lanes
+  *   - `char_grams(text, n)`         — distinct char n-grams (key, count)
+  *   - `shingle_min(tokens, n)`      — min md5 over word n-shingles
   *
   * The `n` arguments must be integer LITERALS (they parameterize the
   * generated code, exactly like the Scala API's `Int` parameters).
@@ -49,6 +51,15 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.GraftExtensions", null, name, usage, "")
 
+  // kernels walk their inputs with fixed accessors (getUTF8String over an
+  // int-backed array would reinterpret buffer words as (offset, length)
+  // pairs — silent garbage), so every SQL argument is cast to the
+  // kernel's input type here: wrong-typed calls get Cast's defined
+  // conversion or analysis error instead of undefined reads
+  private def asTokens(e: Expression): Expression =
+    Cast(e, ArrayType(StringType))
+  private def asString(e: Expression): Expression = Cast(e, StringType)
+
   /** (identifier, info, builder) triples in the shape
     * `SparkSessionExtensions.injectFunction` consumes. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -58,25 +69,31 @@ object GraftExtensions {
       args => { arity("cosine_sim", 2, args); CosineSim(args(0), args(1)) }),
     (FunctionIdentifier("lang_evidence"),
       info("lang_evidence", "lang_evidence(norm) - per-language trigram+function-word evidence over langNorm'd text"),
-      args => { arity("lang_evidence", 1, args); LangEvidence(args(0)) }),
+      args => { arity("lang_evidence", 1, args); LangEvidence(asString(args(0))) }),
     (FunctionIdentifier("gram_stats"),
       info("gram_stats", "gram_stats(tokens, n) - [n-gram positions, top gram count, duplicated positions]"),
       args => { arity("gram_stats", 2, args)
-        GramStats(args(0), intLit(args(1), "gram_stats")) }),
+        GramStats(asTokens(args(0)), intLit(args(1), "gram_stats")) }),
     (FunctionIdentifier("gram_hashes"),
       info("gram_hashes", "gram_hashes(tokens, n) - 128-bit hash per n-token window"),
       args => { arity("gram_hashes", 2, args)
-        GramHashes(args(0), intLit(args(1), "gram_hashes")) }),
+        GramHashes(asTokens(args(0)), intLit(args(1), "gram_hashes")) }),
     (FunctionIdentifier("span_cover"),
       info("span_cover", "span_cover(tokens, dup_positions, n) - (covered token count, cleaned text); positions are 1-based ascending gram starts"),
       args => { arity("span_cover", 3, args)
-        // the kernel walks int positions; SQL integer literals default to
-        // whatever width the parser picked, so cast for the SQL caller
-        SpanCover(args(0), Cast(args(1), ArrayType(IntegerType)),
+        SpanCover(asTokens(args(0)), Cast(args(1), ArrayType(IntegerType)),
           intLit(args(2), "span_cover")) }),
     (FunctionIdentifier("nibble_spread"),
       info("nibble_spread", "nibble_spread(hex16) - 16 pigeonhole band lanes of a 64-bit hex signature"),
-      args => { arity("nibble_spread", 1, args); NibbleSpread(args(0)) }))
+      args => { arity("nibble_spread", 1, args); NibbleSpread(asString(args(0))) }),
+    (FunctionIdentifier("char_grams"),
+      info("char_grams", "char_grams(text, n) - distinct char n-grams as (packed code-point key, count); n in 1..3"),
+      args => { arity("char_grams", 2, args)
+        CharGrams(asString(args(0)), intLit(args(1), "char_grams")) }),
+    (FunctionIdentifier("shingle_min"),
+      info("shingle_min", "shingle_min(tokens, n) - min md5 over word n-shingles; null below n tokens"),
+      args => { arity("shingle_min", 2, args)
+        ShingleMin(asTokens(args(0)), intLit(args(1), "shingle_min")) }))
 
   /** Register into an already-running session (same builders the
     * extension injects at session build). */

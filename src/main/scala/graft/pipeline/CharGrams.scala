@@ -61,7 +61,11 @@ object CharGrams {
       i += 1
       ci += Character.charCount(cp)
     }
-    val counts = new java.util.HashMap[java.lang.Long, Array[Long]](total * 2)
+    // capacity bounded by the charset (distinct grams ≤ |charset|ⁿ, a few
+    // hundred in practice) — sizing by document length would allocate a
+    // GB-scale table for one pathological 50 MB crawl page
+    val counts = new java.util.HashMap[java.lang.Long, Array[Long]](
+      math.min(total * 2L, 1L << 12).toInt)
     i = 0
     while (i < total) {
       var key = 0L

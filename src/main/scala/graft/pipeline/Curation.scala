@@ -224,20 +224,34 @@ object Curation {
                            idCol: String = "doc_id"): DataFrame =
     docs.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
 
-  /** Write the curated corpus as bounded training shards: deterministic
-    * shuffle → range partition on the shuffle key (shards are contiguous
-    * hash ranges, so re-runs produce the SAME shard assignment) →
-    * parquet with `maxRecordsPerFile` bounding every file. Returns the
-    * shard count. The writer is Spark's own committer — atomic rename
-    * semantics, executor-parallel, no driver materialization. */
+  /** Write the corpus as bounded training shards in the SAME
+    * content-addressed md5 total order [[packSequences]] packs in, so a
+    * sequence's documents are contiguous in the written layout. Shard
+    * assignment is a FIXED arithmetic split of the 16-bit md5 bucket
+    * space (`shard = b16·nShards / 65536`) — contiguous ranges with no
+    * runtime boundary sampling, so the assignment is byte-deterministic
+    * across re-runs, partition layouts, and cluster sizes
+    * (`repartitionByRange` would sample boundaries from the input RDD
+    * and shift them when the upstream split changes). Shards land as
+    * `shard=N/` parquet directories with `maxRecordsPerFile` bounding
+    * every file; the writer is Spark's own committer — atomic rename
+    * semantics, executor-parallel, no driver materialization. Returns
+    * the shard count. */
   def writeShards(docs: DataFrame, dir: String, nShards: Int,
-                  maxRecordsPerShard: Int, seed: Long = 0L): Int = {
-    val keyed = docs.withColumn("_ord", xxhash64(col("doc_id"), lit(seed)))
+                  maxRecordsPerShard: Int): Int = {
+    require(nShards > 0 && nShards <= 65536, "nShards must be in 1..65536")
+    val ord = md5(col("doc_id").cast("string"))
+    val b16 = conv(substring(ord, 1, 4), 16, 10).cast("long")
+    val keyed = docs
+      .withColumn("_ord", ord)
+      .withColumn("shard",
+        least(floor(b16 * nShards / 65536.0), lit(nShards - 1)).cast("int"))
     keyed
-      .repartitionByRange(nShards, col("_ord"))
-      .sortWithinPartitions(col("_ord"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("_ord"))
       .drop("_ord")
-      .write.option("maxRecordsPerFile", maxRecordsPerShard.toLong)
+      .write.partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerShard.toLong)
       .mode("overwrite").parquet(dir)
     nShards
   }
@@ -331,19 +345,27 @@ object Curation {
     val model = rawTok.groupBy("tok").agg(count(lit(1)).as("cr"))
       .join(tgtTok.groupBy("tok").agg(count(lit(1)).as("ct")),
         Seq("tok"), "full_outer")
-    val scalars = model.agg(sum("cr").as("n_r"), sum("ct").as("n_t"),
-      count(lit(1)).as("v"))
+    // coalesce the totals: sum() over an empty/all-null side is NULL,
+    // and a NULL n_t would silently poison every score
+    val scalars = model.agg(coalesce(sum("cr"), lit(0L)).as("n_r"),
+      coalesce(sum("ct"), lit(0L)).as("n_t"), count(lit(1)).as("v"))
     val term =
       log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
         (col("n_t") + col("v")).cast("double")) -
       log((col("cr") + 1).cast("double") /
         (col("n_r") + col("v")).cast("double"))
-    rawTok.join(model, "tok")
+    val scored = rawTok.join(model, "tok")
       .crossJoin(broadcast(scalars))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum(term).as("s"))
-      .select(col("doc_id"), col("n_tok"),
-        round(col("s") / col("n_tok"), 6).as("dsir_logratio"))
+    // left-join back so a null/empty-text doc reports (0, 0.0) instead
+    // of vanishing — same convention as CharLm.score
+    raw.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        round(coalesce(col("s") / col("n_tok"), lit(0.0)), 6)
+          .as("dsir_logratio"))
   }
 
   /** Markup-strip chain, in order: drop script/style blocks (dotall,

@@ -77,11 +77,16 @@ object CurationPipeline {
   }
 
   /** The full run (stages 1-8): curate, assign sequences, write bounded
-    * parquet shards, and return the per-stage funnel — (stage, n_docs)
-    * in pipeline order — so a curation run reports what each filter
-    * removed. The funnel costs one extra pass per stage boundary
-    * (driver-sized output); skip it in production by calling [[curate]]
-    * + [[Curation.writeShards]] directly. */
+    * parquet shards (same md5 order as the packing, so a sequence's
+    * documents are contiguous in the written layout), and return the
+    * document count at each pipeline boundary — (stage, n_docs) rows
+    * `raw` / `curated` / `shards_written`, all DOCUMENT counts (the
+    * filter stages share one projection, so the intermediate per-filter
+    * populations never materialize; compute them with the individual
+    * signal operators when debugging a specific filter). The boundary
+    * counts cost one extra pass each (driver-sized output); skip them in
+    * production by calling [[curate]] + [[Curation.writeShards]]
+    * directly. */
   def run(raw: DataFrame, dir: String, cfg: Config = Config()): DataFrame = {
     val spark = raw.sparkSession
     val curated = curate(raw, cfg).cache()

@@ -137,10 +137,13 @@ object TextAnalysis {
     * ([[CurationPipeline.curate]]). Same arg-max, same precedence. */
   def withLangPred(df: DataFrame, textCol: String = "text"): DataFrame = {
     val langs = trigramProfiles.map(_._1)
-    df.withColumn("_e", LangEvidence.column(langNorm(col(textCol))))
+    // namespaced temp column so a caller's column can't be clobbered
+    val tmp = "_graft_lang_evidence"
+    require(!df.columns.contains(tmp), s"input already has a $tmp column")
+    df.withColumn(tmp, LangEvidence.column(langNorm(col(textCol))))
       .withColumn("lang_pred",
-        langPredFrom(lang => element_at(col("_e"), langs.indexOf(lang) + 1)))
-      .drop("_e")
+        langPredFrom(lang => element_at(col(tmp), langs.indexOf(lang) + 1)))
+      .drop(tmp)
   }
 
   /** Quality metrics per document; every ratio is a single division over

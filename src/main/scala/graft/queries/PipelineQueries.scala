@@ -1257,14 +1257,18 @@ object PipelineQueries {
         |  SELECT (SELECT count(*) FROM rawtok) AS n_r,
         |    (SELECT count(*) FROM tgttok) AS n_t,
         |    (SELECT count(DISTINCT tok) FROM
-        |      (SELECT tok FROM cr UNION SELECT tok FROM ct)) AS v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-        |  round(sum(
-        |    ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (s.n_t + s.v)) -
-        |    ln(CAST(cr.cr + 1 AS DOUBLE) / (s.n_r + s.v))
-        |  ) / count(*), 6) AS dsir_logratio
-        |FROM rawtok JOIN cr USING (tok) LEFT JOIN ct USING (tok) CROSS JOIN s
-        |GROUP BY doc_id""".stripMargin,
+        |      (SELECT tok FROM cr UNION SELECT tok FROM ct)) AS v),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    round(sum(
+        |      ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (s.n_t + s.v)) -
+        |      ln(CAST(cr.cr + 1 AS DOUBLE) / (s.n_r + s.v))
+        |    ) / count(*), 6) AS dsir_logratio
+        |  FROM rawtok JOIN cr USING (tok) LEFT JOIN ct USING (tok) CROSS JOIN s
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
+        |  coalesce(sc.dsir_logratio, 0.0) AS dsir_logratio
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // within-label pairs only (the SemDeDup cluster restriction); cosine
     // terms in the same left-associated order as the engine's fold

@@ -227,14 +227,16 @@ class CurationSpec extends AnyFunSuite {
     assert(w(2L) < 0.0)
   }
 
-  test("writeShards: bounded files, deterministic order, lossless") {
+  test("writeShards: bounded files, deterministic md5-range shards, lossless") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"text $i", s"src${i % 3}"))
       .toDF("doc_id", "text", "source")
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     Curation.writeShards(docs, dir, nShards = 4, maxRecordsPerShard = 100)
-    val files = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val files = walk(new java.io.File(dir))
     // every file respects the record bound; nothing lost or duplicated
     assert(files.nonEmpty)
     files.foreach { f =>
@@ -243,6 +245,21 @@ class CurationSpec extends AnyFunSuite {
     val back = spark.read.parquet(dir)
     assert(back.count() == 500)
     assert(back.select("doc_id").distinct().count() == 500)
+    // shard assignment is FIXED md5 arithmetic — identical across runs
+    // AND input partition layouts (no runtime boundary sampling)
+    val a1 = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Curation.writeShards(docs.repartition(13), dir2, 4, 100)
+    val a2 = spark.read.parquet(dir2).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2 && a1.values.toSet.size > 1)
+    // shard ranges align with the packing order: doc order by md5 maps
+    // to non-decreasing shard ids
+    val md5hex = (l: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(l.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byOrd = a1.toSeq.sortBy { case (id, _) => md5hex(id) }.map(_._2)
+    assert(byOrd == byOrd.sorted)
     // deterministic shuffle: same seed -> same order
     val o1 = Curation.deterministicShuffle(docs).select("doc_id")
       .collect().map(_.getLong(0)).toSeq
