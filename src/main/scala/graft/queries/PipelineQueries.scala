@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, CurationPipeline, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -87,6 +87,17 @@ object PipelineQueries {
       Bpe.encode(docs(s, dir), Bpe.demoMerges)
         .select(col("doc_id"), col("n_tokens"),
           md5(array_join(col("tokens"), " ")).as("tok_sig"))),
+    // the COMPOSED pipeline (strip → scrub → langId → quality →
+    // repetition → dedup) gated end-to-end over the same deterministic
+    // HTML wrap as q_pipe_strip; permissive thresholds so every filter
+    // is exercised while a meaningful subset survives
+    "q_pipe_curate" -> ((s, dir) => CurationPipeline.curate(
+      docs(s, dir).select(col("doc_id"), concat(
+        lit("<div class=\"d"), col("doc_id"),
+        lit("\"><SCRIPT>var a=1<2;</SCRIPT><STYLE type=\"x\">p{}</STYLE><p>Start "),
+        col("text"), lit(" &amp; <b>end</b></p></div>")).as("text")),
+      CurationPipeline.Config(langs = Set("en"), minQuality = 0.2,
+        maxTopBigramFrac = 0.5, maxDupTrigramFrac = 0.9))),
     "q_pipe_pack" -> ((s, dir) => Curation.packSequences(docs(s, dir), 256L)),
     "q_pipe_temperature" -> ((s, dir) => Curation.temperatureMix(docs(s, dir), 0.5)),
     "q_pipe_dsir" -> ((s, dir) => Curation.importanceWeights(
@@ -225,7 +236,11 @@ object PipelineQueries {
     * .trigramProfiles]]) so the two can never drift. Identical pipeline:
     * lowercase → strip non-letters → space-pad → all char trigrams →
     * per-language set-intersection count → precedence-ordered argmax. */
-  private val langIdOracle: String = {
+  /** langId oracle over any (doc_id, text) relation — a full
+    * WITH…SELECT, made source-parametric so the composed-pipeline gate
+    * can splice it over its cleaned CTE (DuckDB accepts nested WITH in a
+    * CTE body). */
+  private def langIdSql(from: String): String = {
     val profiles = TextAnalysis.trigramProfiles
     val langs = profiles.map(_._1)
     def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
@@ -242,7 +257,7 @@ object PipelineQueries {
     s"""WITH n AS (
        |  SELECT doc_id,
        |    ' ' || regexp_replace(lower(text), '${TextAnalysis.langLetterClass}', ' ', 'g') || ' ' AS t
-       |  FROM documents),
+       |  FROM $from),
        |g AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(1, greatest(length(t) - 2, 1)),
@@ -259,6 +274,8 @@ object PipelineQueries {
        |  ELSE '${langs.last}' END AS lang_pred
        |FROM sc""".stripMargin
   }
+
+  private val langIdOracle: String = langIdSql("documents")
 
   /** Per-block dequantized-coefficient-sum term of the JPEG coef gate for
     * component c: the DC/AC value formulas and quant-table entries are
@@ -1212,6 +1229,75 @@ object PipelineQueries {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    // the composed pipeline, assembled from the SAME oracle fragments
+    // the per-operator gates use (strip chain of q_pipe_strip, scrub of
+    // q_text_scrub, langIdSql, quality of q_text_quality_score,
+    // repetition of q_text_repetition) over the shared HTML wrap, then
+    // keep-smallest dedup — so a drift in ANY stage of the composition
+    // breaks this gate even if the per-operator gates still pass
+    "q_pipe_curate" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<div class="d' || doc_id ||
+         |    '"><SCRIPT>var a=1<2;</SCRIPT><STYLE type="x">p{}</STYLE><p>Start '
+         |      || text || ' &amp; <b>end</b></p></div>' AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |  regexp_replace(t, '(?is)<(script|style)\\b.*?</(script|style)\\s*>', ' ', 'g') AS a
+         |  FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(a, '(?s)<[^>]+>', ' ', 'g') AS b FROM s1),
+         |s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(b,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS c FROM s2),
+         |s4 AS (SELECT doc_id, trim(regexp_replace(c, '\\s+', ' ', 'g')) AS clean FROM s3),
+         |base AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(clean,
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{9,}', '<ID>', 'g') AS text
+         |  FROM s4
+         |  WHERE length(regexp_replace(regexp_replace(regexp_replace(clean,
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{9,}', '<ID>', 'g')) > 0),
+         |lng AS (${langIdSql("base")}),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-1.0
+         |      + 4.0 * (CAST(len(list_filter(string_split(text, ' '),
+         |          x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')))
+         |      - 8.0 * (CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / length(text))
+         |      + 0.35 * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |      - 0.15 * (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |        / len(string_split(text, ' ')))))), 6) AS quality_score
+         |  FROM base),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+         |gg AS (
+         |  SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1])) AS g FROM tw
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n, unnest(list_transform(generate_series(1, len(w) - 2),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM tw),
+         |cc AS (SELECT doc_id, n, g, count(*) AS cnt FROM gg GROUP BY 1, 2, 3),
+         |rep AS (SELECT doc_id,
+         |    round(CAST(max(CASE WHEN n = 2 THEN cnt END) AS DOUBLE)
+         |      / sum(CASE WHEN n = 2 THEN cnt END), 6) AS top_bigram_frac,
+         |    round(CAST(coalesce(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END), 0) AS DOUBLE)
+         |      / sum(CASE WHEN n = 3 THEN cnt END), 6) AS dup_trigram_frac
+         |  FROM cc GROUP BY 1),
+         |kept AS (
+         |  SELECT b.doc_id, b.text, l.lang_pred, q.quality_score
+         |  FROM base b JOIN lng l USING (doc_id) JOIN q USING (doc_id)
+         |  LEFT JOIN rep r USING (doc_id)
+         |  WHERE l.lang_pred = 'en' AND q.quality_score >= 0.2
+         |    AND (r.top_bigram_frac IS NULL OR r.top_bigram_frac <= 0.5)
+         |    AND (r.dup_trigram_frac IS NULL OR r.dup_trigram_frac <= 0.9)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |  FROM kept)
+         |SELECT doc_id, text, lang_pred AS lang, quality_score FROM rk WHERE rk = 1""".stripMargin,
 
     // concat-then-chunk packing: the same md5 total order and global
     // prefix sum (two-pass bucketed scan = one window over a unique
