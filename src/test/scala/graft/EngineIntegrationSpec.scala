@@ -140,6 +140,23 @@ class EngineIntegrationSpec extends AnyFunSuite {
     // the brute-force cosine baseline is the ONE intended nested-loop:
     // its broadcast side is the bounded query set, by design
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
+    // the composed curation pipeline's advertised shape: the entire
+    // signal+filter chain is ONE projection stage over the scan — the
+    // only exchange in the whole plan is the dedup window's content-hash
+    // shuffle (a join-based signal stage would add doc_id exchanges)
+    // AQE wraps exchanges in query stages, hiding them from collect —
+    // inspect the non-adaptive physical plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val cur = try SparkEntry.queries("q_pipe_curate")(spark, dir)
+      .queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val exchanges = cur.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"q_pipe_curate should shuffle exactly once (dedup window), got ${exchanges.size}")
+    assert(!cur.toString.contains("SortMergeJoin") &&
+      !cur.toString.contains("BroadcastHashJoin"),
+      "q_pipe_curate's signal stage must not join signal frames")
   }
 
   test("store-backed canary bench plans prune partitions and push filters") {
