@@ -48,12 +48,15 @@ object CurationPipeline {
     * really are a single stage over the corpus scan; a doc too short to
     * HAVE bigrams carries null repetition fractions and passes those
     * filters rather than vanishing. */
-  def curate(raw: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** Stages 1-5 as one projection+filter over any (doc_id, text, …)
+    * frame — pure column expressions, so the SAME code runs on a batch
+    * corpus and a live Structured Streaming crawl feed. */
+  private def signalFilter(raw: DataFrame, cfg: Config): DataFrame = {
     val cleaned = raw.withColumn("text",
       Curation.scrubExpr(Curation.cleanExpr(col("text"))))
       .where(length(col("text")) > 0)
     val t = split(col("text"), " ")
-    val kept = TextAnalysis.withLangPred(cleaned)
+    TextAnalysis.withLangPred(cleaned)
       .withColumn("quality_score", Curation.qualityScoreExpr)
       .withColumn("top_bigram_frac",
         Curation.topBigramFracExpr(GramStats.column(t, 2)))
@@ -65,16 +68,36 @@ object CurationPipeline {
           col("top_bigram_frac") <= cfg.maxTopBigramFrac) &&
         (col("dup_trigram_frac").isNull ||
           col("dup_trigram_frac") <= cfg.maxDupTrigramFrac))
+  }
+
+  def curate(raw: DataFrame, cfg: Config = Config()): DataFrame =
     // exact dedup, keep-smallest: one content-hash window (16-byte key),
     // never a self-join
-    kept
+    signalFilter(raw, cfg)
       .withColumn("_rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .where(col("_rk") === 1).drop("_rk")
       .select(col("doc_id"), col("text"), col("lang_pred").as("lang"),
         col("quality_score"))
-  }
+
+  /** The streaming curation pipeline: the SAME signal+filter chain as
+    * [[curate]] (shared code — the stage is pure projections, legal in
+    * Structured Streaming), with the batch keep-smallest window replaced
+    * by [[Dedup.exactStream]]'s watermark-bounded content-hash dedup.
+    * Semantics delta vs batch, by necessity: the stream keeps the FIRST
+    * ARRIVAL of each distinct text (a stream cannot know a smaller
+    * doc_id is coming), and a duplicate arriving after its original's
+    * state eviction is re-emitted — run batch [[curate]] over the stored
+    * corpus as the exactness backstop.
+    *
+    * Input: a STREAMING frame with doc_id, text, and event-time column
+    * `tsCol`. Output: curated append stream. */
+  def curateStream(raw: DataFrame, tsCol: String, cfg: Config = Config(),
+                   lateness: String = "10 minutes"): DataFrame =
+    Dedup.exactStream(signalFilter(raw, cfg), tsCol, lateness)
+      .select(col("doc_id"), col("text"), col("lang_pred").as("lang"),
+        col("quality_score"))
 
   /** The full run (stages 1-8): curate, assign sequences, write bounded
     * parquet shards (same md5 order as the packing, so a sequence's

@@ -36,6 +36,38 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getString(2) == "en"))
   }
 
+  test("curateStream applies the same filters on a live stream, dedups by content") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batchKept = CurationPipeline.curate(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[(Long, Long, String)] // (doc_id, t_ms, text)
+    val rows = corpus.collect().map(r => (r.getLong(0), 1000L * r.getLong(0),
+      r.getString(1)))
+    val q = CurationPipeline.curateStream(
+        in.toDF().toDF("doc_id", "t", "text")
+          .withColumn("ts2", org.apache.spark.sql.functions
+            .timestamp_millis(org.apache.spark.sql.functions.col("t"))),
+        "ts2", lateness = "1 hour")
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream")
+        .collect().map(_.getLong(0)).toSet
+      // same filters; dedup keeps ONE of each duplicate pair (first
+      // arrival, not necessarily the smaller id like batch)
+      assert(streamed.size == batchKept.size)
+      assert(streamed.forall(id => batchKept.contains(id) ||
+        (Set(1L, 3L).contains(id) && (batchKept & Set(1L, 3L)).nonEmpty)))
+      val lang = spark.table("curate_stream").select("lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(lang == Set("en"))
+    } finally q.stop()
+  }
+
   test("run writes deterministic bounded shards and reports the funnel") {
     val d1 = java.nio.file.Files.createTempDirectory("cur1").toString
     val d2 = java.nio.file.Files.createTempDirectory("cur2").toString
