@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
-import graft.pipeline.{CharGrams, CosineSim, GramHashes, GramStats, LangEvidence, NibbleSpread, ShingleMin, SpanCover}
+import graft.pipeline.{CharGrams, CosineSim, GramFrac, GramHashes, GramStats, LangEvidence, LangPred, NibbleSpread, QualityScore, ShingleMin, SpanCover}
 
 /** SQL surface for the native kernels: makes every scalar Catalyst
   * expression this library ships callable from plain `spark.sql`, the
@@ -24,6 +24,9 @@ import graft.pipeline.{CharGrams, CosineSim, GramHashes, GramStats, LangEvidence
   *   - `nibble_spread(hex)`          — 64-bit sig → 16 pigeonhole lanes
   *   - `char_grams(text, n)`         — distinct char n-grams (key, count)
   *   - `shingle_min(tokens, n)`      — min md5 over word n-shingles
+  *   - `lang_pred(norm)`             — winning language, first-wins ties
+  *   - `quality_score(text)`         — fixed-weight logistic quality
+  *   - `gram_frac(tokens, n, dup)`   — repetition fraction
   *
   * The `n` arguments must be integer LITERALS (they parameterize the
   * generated code, exactly like the Scala API's `Int` parameters).
@@ -42,6 +45,12 @@ object GraftExtensions {
     case Literal(v: Byte, _) => v.toInt
     case _ => throw new IllegalArgumentException(
       s"$fn: the gram width must be an integer literal, got $e")
+  }
+
+  private def boolLit(e: Expression, fn: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: the mode flag must be a boolean literal, got $e")
   }
 
   private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
@@ -93,7 +102,18 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_min"),
       info("shingle_min", "shingle_min(tokens, n) - min md5 over word n-shingles; null below n tokens"),
       args => { arity("shingle_min", 2, args)
-        ShingleMin(asTokens(args(0)), intLit(args(1), "shingle_min")) }))
+        ShingleMin(asTokens(args(0)), intLit(args(1), "shingle_min")) }),
+    (FunctionIdentifier("lang_pred"),
+      info("lang_pred", "lang_pred(norm) - winning language of lang_evidence, first-wins ties"),
+      args => { arity("lang_pred", 1, args); LangPred(asString(args(0))) }),
+    (FunctionIdentifier("quality_score"),
+      info("quality_score", "quality_score(text) - fixed-weight logistic quality score"),
+      args => { arity("quality_score", 1, args); QualityScore(asString(args(0))) }),
+    (FunctionIdentifier("gram_frac"),
+      info("gram_frac", "gram_frac(tokens, n, dup) - top-gram share (dup=false) or duplicated-position share (dup=true); null without n-grams"),
+      args => { arity("gram_frac", 3, args)
+        GramFrac(asTokens(args(0)), intLit(args(1), "gram_frac"),
+          boolLit(args(2), "gram_frac")) }))
 
   /** Register into an already-running session (same builders the
     * extension injects at session build). */

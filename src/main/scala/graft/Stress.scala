@@ -67,7 +67,7 @@ object Stress {
         pmod(abs(xxhash64(col("id"), lit(2))), lit(30L * 86400000L))).as("ts"),
       (col("id") % 100).cast("double").as("value")).cache()
 
-    import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, Dedup, Events, Images, Similarity, TextAnalysis}
+    import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, CurationPipeline, Dedup, Events, Images, Similarity, TextAnalysis}
     // STRESS_ONLY=a,b restricts the probe set for targeted re-measurement
     val only = sys.env.get("STRESS_ONLY").map(_.split(",").toSet)
     def timed(name: String)(f: => Long): (String, Double, Long) = {
@@ -128,6 +128,9 @@ object Stress {
       timed("dsir_weights")(force(Curation.importanceWeights(docs,
         docs.where(col("doc_id") % 199 === 0)))),
       timed("charlm")(force(CharLm.score(docs))),
+      timed("curate_pipeline")(force(CurationPipeline.curate(docs,
+        CurationPipeline.Config(langs = Set("en"), minQuality = 0.0,
+          maxTopBigramFrac = 1.0, maxDupTrigramFrac = 1.0)))),
       timed("fingerprint")(force(TextAnalysis.fingerprint(docs))),
       timed("bpe_pairs")(force(Bpe.topPairs(docs, 50))),
       timed("contamination")(force(Curation.contamination(docs,

@@ -16,6 +16,13 @@ object Curation {
 
   private def toks = split(col("text"), " ")
 
+  /** The shared content-addressed 16-bit bucket: first 4 hex chars of
+    * md5(id) as an integer in [0, 65536). One definition so
+    * [[stratifiedSample]] thresholds and [[writeShards]] shard ranges
+    * can never drift apart. */
+  private def md5Bucket16(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
     * `top_bigram_frac` — the fraction of word-bigram positions taken by
     * the single most frequent bigram — and `dup_trigram_frac` — the
@@ -34,27 +41,24 @@ object Curation {
     * seconds for the kernel). Docs with no bigrams are dropped (parity
     * with a grouped formulation — no gram rows, no output); a
     * bigram-only doc reports a null trigram fraction. */
-  /** top_bigram_frac from a width-2 [[GramStats]] array; null when the
-    * doc has no bigrams. Shared by [[repetition]] and the composed
-    * pipeline's single-projection signal stage. */
-  private[pipeline] def topBigramFracExpr(s2: Column): Column =
-    when(element_at(s2, 1) > 0,
-      round(element_at(s2, 2).cast("double") / element_at(s2, 1), 6))
+  /** top_bigram_frac over a token-array column — ONE [[GramFrac]] kernel
+    * reference (null when the doc has no bigrams), so a pushed-down
+    * filter referencing it costs one gram pass. Shared by [[repetition]]
+    * and the composed pipeline's signal stage. */
+  private[pipeline] def topBigramFracExpr(t: Column): Column =
+    round(GramFrac.column(t, 2, dup = false), 6)
 
-  /** dup_trigram_frac from a width-3 [[GramStats]] array; null when the
-    * doc has no trigrams. */
-  private[pipeline] def dupTrigramFracExpr(s3: Column): Column =
-    when(element_at(s3, 1) > 0,
-      round(element_at(s3, 3).cast("double") / element_at(s3, 1), 6))
+  /** dup_trigram_frac over a token-array column; null when the doc has
+    * no trigrams. */
+  private[pipeline] def dupTrigramFracExpr(t: Column): Column =
+    round(GramFrac.column(t, 3, dup = true), 6)
 
   def repetition(docs: DataFrame): DataFrame = {
     val t = toks
-    docs.select(col("doc_id"), GramStats.column(t, 2).as("s2"),
-        GramStats.column(t, 3).as("s3"))
-      .where(element_at(col("s2"), 1) > 0)
-      .select(col("doc_id"),
-        topBigramFracExpr(col("s2")).as("top_bigram_frac"),
-        dupTrigramFracExpr(col("s3")).as("dup_trigram_frac"))
+    docs.select(col("doc_id"),
+        topBigramFracExpr(t).as("top_bigram_frac"),
+        dupTrigramFracExpr(t).as("dup_trigram_frac"))
+      .where(col("top_bigram_frac").isNotNull)
   }
 
   /** Scrub patterns, ordered: each is (regex, replacement token). The
@@ -77,7 +81,7 @@ object Curation {
   /** The scrub transform as a reusable column expression (used by
     * [[scrub]] for the gate's counts+sig shape and by
     * [[CurationPipeline]] for the actual text rewrite). */
-  private[pipeline] def scrubExpr(c: Column): Column =
+  def scrubExpr(c: Column): Column =
     scrubPatterns.foldLeft(c) {
       case (acc, (re, tok)) => regexp_replace(acc, re, tok)
     }
@@ -198,20 +202,13 @@ object Curation {
     * is an exact rational, so engines agree to well under the shared
     * round(6). */
   /** The logistic quality score as a reusable column expression (used by
-    * [[qualityScore]] and the composed pipeline's signal stage). */
-  private[pipeline] def qualityScoreExpr: Column = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks).cast("double")
-    val stopRatio = size(filter(toks, t =>
-      t.isin("the", "a", "of", "to", "and", "in", "is"))).cast("double") / nTok
-    val punctRatio = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") /
-      length(col("text"))
-    val avgTokLen = (length(col("text")) - (nTok - 1)) / nTok
-    val z = lit(-1.0) + lit(4.0) * stopRatio - lit(8.0) * punctRatio +
-      lit(0.35) * log(nTok) - lit(0.15) * avgTokLen
-    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
-  }
+    * [[qualityScore]] and the composed pipeline's signal stage).
+    * Evaluated by the [[QualityScore]] kernel: the HOF-filter stopword
+    * count cost an interpreted lambda per token (122 s alone at 1M×200-
+    * token docs); the kernel is one walk per document with bit-identical
+    * arithmetic. */
+  private[pipeline] def qualityScoreExpr: Column =
+    round(QualityScore.column(col("text")), 6)
 
   def qualityScore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), qualityScoreExpr.as("quality_score"))
@@ -240,14 +237,17 @@ object Curation {
   def writeShards(docs: DataFrame, dir: String, nShards: Int,
                   maxRecordsPerShard: Int): Int = {
     require(nShards > 0 && nShards <= 65536, "nShards must be in 1..65536")
-    val ord = md5(col("doc_id").cast("string"))
-    val b16 = conv(substring(ord, 1, 4), 16, 10).cast("long")
+    val b16 = md5Bucket16(col("doc_id"))
     val keyed = docs
-      .withColumn("_ord", ord)
+      .withColumn("_ord", md5(col("doc_id").cast("string")))
       .withColumn("shard",
         least(floor(b16 * nShards / 65536.0), lit(nShards - 1)).cast("int"))
     keyed
-      .repartition(nShards, col("shard"))
+      // range-partition for TASK balance only: hash(shard) % n leaves
+      // ~1/3 of write tasks empty at nShards=16; shard DIRECTORY
+      // assignment stays byte-deterministic — it comes from the fixed
+      // `shard` column, not from where a task ran
+      .repartitionByRange(nShards, col("shard"), col("_ord"))
       .sortWithinPartitions(col("shard"), col("_ord"))
       .drop("_ord")
       .write.partitionBy("shard")
@@ -384,7 +384,7 @@ object Curation {
   /** The markup-strip transform as a reusable column expression (used by
     * [[stripMarkup]] for the gate's counts+sig shape and by
     * [[CurationPipeline]] for the actual text rewrite). */
-  private[pipeline] def cleanExpr(c: Column): Column = {
+  def cleanExpr(c: Column): Column = {
     val noBlocks = regexp_replace(c, markupBlockRe, " ")
     val noTags = regexp_replace(noBlocks, markupTagRe, " ")
     val decoded = Seq(
@@ -410,8 +410,7 @@ object Curation {
     * [[hashSplit]]); unknown sources default to `defaultFraction`. */
   def stratifiedSample(docs: DataFrame, fractions: Map[String, Double],
                        defaultFraction: Double = 1.0): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("long")
+    val bucket = md5Bucket16(col("doc_id"))
     val frac = fractions.foldLeft(lit(defaultFraction)) {
       case (c, (src, f)) => when(col("source") === src, lit(f)).otherwise(c)
     }

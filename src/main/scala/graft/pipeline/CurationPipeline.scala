@@ -48,56 +48,63 @@ object CurationPipeline {
     * really are a single stage over the corpus scan; a doc too short to
     * HAVE bigrams carries null repetition fractions and passes those
     * filters rather than vanishing. */
-  /** Stages 1-5 as one projection+filter over any (doc_id, text, …)
-    * frame — pure column expressions, so the SAME code runs on a batch
-    * corpus and a live Structured Streaming crawl feed. */
-  private def signalFilter(raw: DataFrame, cfg: Config): DataFrame = {
-    val cleaned = raw.withColumn("text",
+  /** Stages 1-2: markup strip + PII scrub as one text rewrite. */
+  private def cleaned(raw: DataFrame): DataFrame =
+    raw.withColumn("text",
       Curation.scrubExpr(Curation.cleanExpr(col("text"))))
       .where(length(col("text")) > 0)
+
+  /** Stages 3-5 + output shape, over an already-deduped frame: signals
+    * as column expressions, each referenced ONCE in the filter
+    * (`coalesce(frac, 0) <= bound` instead of an isNull disjunct — a
+    * null fraction means "no evidence", which passes; the single
+    * reference keeps alias inlining from duplicating the kernel), then
+    * the final projection. Pure projections — legal in Structured
+    * Streaming, shared by [[curate]] and [[curateStream]]. */
+  private def signalSelect(docs: DataFrame, cfg: Config): DataFrame = {
     val t = split(col("text"), " ")
-    TextAnalysis.withLangPred(cleaned)
+    TextAnalysis.withLangPred(docs)
       .withColumn("quality_score", Curation.qualityScoreExpr)
-      .withColumn("top_bigram_frac",
-        Curation.topBigramFracExpr(GramStats.column(t, 2)))
-      .withColumn("dup_trigram_frac",
-        Curation.dupTrigramFracExpr(GramStats.column(t, 3)))
+      .withColumn("top_bigram_frac", Curation.topBigramFracExpr(t))
+      .withColumn("dup_trigram_frac", Curation.dupTrigramFracExpr(t))
       .where(col("lang_pred").isin(cfg.langs.toSeq: _*) &&
         col("quality_score") >= cfg.minQuality &&
-        (col("top_bigram_frac").isNull ||
-          col("top_bigram_frac") <= cfg.maxTopBigramFrac) &&
-        (col("dup_trigram_frac").isNull ||
-          col("dup_trigram_frac") <= cfg.maxDupTrigramFrac))
+        coalesce(col("top_bigram_frac"), lit(0.0)) <= cfg.maxTopBigramFrac &&
+        coalesce(col("dup_trigram_frac"), lit(0.0)) <= cfg.maxDupTrigramFrac)
+      .select(col("doc_id"), col("text"), col("lang_pred").as("lang"),
+        col("quality_score"))
   }
 
   def curate(raw: DataFrame, cfg: Config = Config()): DataFrame =
-    // exact dedup, keep-smallest: one content-hash window (16-byte key),
-    // never a self-join
-    signalFilter(raw, cfg)
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .where(col("_rk") === 1).drop("_rk")
-      .select(col("doc_id"), col("text"), col("lang_pred").as("lang"),
-        col("quality_score"))
+    // dedup FIRST (exact-text duplicates have identical signals, so
+    // dedup-then-filter equals filter-then-dedup — and the Window is a
+    // pushdown barrier: the signal filter cannot be inlined below it,
+    // so the text-clean chain runs once per row below the exchange and
+    // each signal kernel once per reference above it, on the smaller
+    // deduped row set). Keep-smallest via one content-hash window
+    // (16-byte key), never a self-join.
+    signalSelect(
+      cleaned(raw)
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("_rk") === 1).drop("_rk"),
+      cfg)
 
-  /** The streaming curation pipeline: the SAME signal+filter chain as
-    * [[curate]] (shared code — the stage is pure projections, legal in
-    * Structured Streaming), with the batch keep-smallest window replaced
-    * by [[Dedup.exactStream]]'s watermark-bounded content-hash dedup.
-    * Semantics delta vs batch, by necessity: the stream keeps the FIRST
-    * ARRIVAL of each distinct text (a stream cannot know a smaller
-    * doc_id is coming), and a duplicate arriving after its original's
-    * state eviction is re-emitted — run batch [[curate]] over the stored
-    * corpus as the exactness backstop.
+  /** The streaming curation pipeline: the SAME clean + signal + filter
+    * chain as [[curate]] (shared code), with the batch keep-smallest
+    * window replaced by [[Dedup.exactStream]]'s watermark-bounded
+    * content-hash dedup. Semantics delta vs batch, by necessity: the
+    * stream keeps the FIRST ARRIVAL of each distinct text (a stream
+    * cannot know a smaller doc_id is coming), and a duplicate arriving
+    * after its original's state eviction is re-emitted — run batch
+    * [[curate]] over the stored corpus as the exactness backstop.
     *
     * Input: a STREAMING frame with doc_id, text, and event-time column
     * `tsCol`. Output: curated append stream. */
   def curateStream(raw: DataFrame, tsCol: String, cfg: Config = Config(),
                    lateness: String = "10 minutes"): DataFrame =
-    Dedup.exactStream(signalFilter(raw, cfg), tsCol, lateness)
-      .select(col("doc_id"), col("text"), col("lang_pred").as("lang"),
-        col("quality_score"))
+    signalSelect(Dedup.exactStream(cleaned(raw), tsCol, lateness), cfg)
 
   /** The full run (stages 1-8): curate, assign sequences, write bounded
     * parquet shards (same md5 order as the packing, so a sequence's

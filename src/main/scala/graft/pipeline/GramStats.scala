@@ -71,6 +71,55 @@ object GramStats {
     new GenericArrayData(Array(total.toLong, maxCount, dup))
   }
 
+  /** Ratio kernel behind [[GramFrac]]: stats once, one division; null
+    * (boxed) when the doc has no n-grams. */
+  def frac(tokens: ArrayData, n: Int, dup: Boolean): java.lang.Double = {
+    val s = stats(tokens, n)
+    val total = s.getLong(0)
+    if (total == 0L) null
+    else java.lang.Double.valueOf(
+      (if (dup) s.getLong(2) else s.getLong(1)).toDouble / total)
+  }
+
   def column(tokens: Column, n: Int): Column =
     ColumnBridge.column(GramStats(ColumnBridge.expression(tokens), n))
+}
+
+/** `gram_frac(tokens, n, dup)`: a repetition fraction directly —
+  * top-gram share (`dup = false`) or duplicated-position share
+  * (`dup = true`) — so ONE reference in a filter costs one gram pass.
+  * The array-returning [[GramStats]] form needs 3 `element_at`
+  * references per fraction, and alias inlining into a pushed-down
+  * filter turns each reference into its own kernel evaluation (6 gram
+  * passes per row in the composed curation filter). Null when the doc
+  * has no n-grams. */
+final case class GramFrac(child: Expression, n: Int, dup: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gram_frac"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val r = GramStats.frac(input.asInstanceOf[ArrayData], n, dup)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("frac")
+      s"""
+        java.lang.Double $tmp = graft.pipeline.GramStats.frac($c, $n, $dup);
+        ${ev.isNull} = $tmp == null;
+        ${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramFrac =
+    copy(child = newChild)
+}
+
+object GramFrac {
+  def column(tokens: Column, n: Int, dup: Boolean): Column =
+    ColumnBridge.column(GramFrac(ColumnBridge.expression(tokens), n, dup))
 }

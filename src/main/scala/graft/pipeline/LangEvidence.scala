@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `lang_evidence(norm)`: per-language identification evidence for a
@@ -36,6 +36,38 @@ final case class LangEvidence(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): LangEvidence =
     copy(child = newChild)
+}
+
+/** `lang_pred(norm)`: the winning language of [[LangEvidence]] directly —
+  * argmax with first-wins ties (the profile precedence order, identical
+  * to [[TextAnalysis.langId]]'s CASE chain), in ONE kernel call.
+  *
+  * Why it exists: an argmax CASE chain over an ALIASED evidence array is
+  * torn apart by predicate pushdown — the alias is inlined into every
+  * pushed filter conjunct, and FilterExec's codegen does no
+  * subexpression elimination, so a `lang_pred isin (...)` filter built
+  * from the chain re-evaluated the evidence kernel (and the whole
+  * text-cleaning chain feeding it) up to 56 times PER ROW in the
+  * composed-curation plan. Any number of references to this expression
+  * cost one evidence pass each. */
+final case class LangPred(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_pred"
+
+  protected override def nullSafeEval(input: Any): Any =
+    LangEvidence.pred(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.LangEvidence.pred($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangPred =
+    copy(child = newChild)
+}
+
+object LangPred {
+  def column(norm: Column): Column =
+    ColumnBridge.column(LangPred(ColumnBridge.expression(norm)))
 }
 
 object LangEvidence {
@@ -118,6 +150,23 @@ object LangEvidence {
       j += 1
     }
     new GenericArrayData(scores)
+  }
+
+  private val langNames: Array[UTF8String] =
+    TextAnalysis.trigramProfiles.map(p => UTF8String.fromString(p._1)).toArray
+
+  /** Argmax of [[evidence]], first-wins ties — the kernel behind
+    * [[LangPred]]. Strict `>` keeps the EARLIEST maximum, which equals
+    * the CASE chain's "first language ≥ all later ones". */
+  def pred(norm: UTF8String): UTF8String = {
+    val e = evidence(norm)
+    var best = 0
+    var l = 1
+    while (l < nLangs) {
+      if (e.getLong(l) > e.getLong(best)) best = l
+      l += 1
+    }
+    langNames(best)
   }
 
   def column(norm: Column): Column =

@@ -130,21 +130,16 @@ object TextAnalysis {
     }.otherwise(langs.last)
   }
 
-  /** Composable form of [[langId]]: ADDS `lang_pred` to `df` as pure
-    * column expressions over one [[LangEvidence]] kernel pass — no
-    * joins, no column pruning of the caller's frame — so a pipeline can
-    * stack it with other per-doc signals in a single projection stage
-    * ([[CurationPipeline.curate]]). Same arg-max, same precedence. */
-  def withLangPred(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val langs = trigramProfiles.map(_._1)
-    // namespaced temp column so a caller's column can't be clobbered
-    val tmp = "_graft_lang_evidence"
-    require(!df.columns.contains(tmp), s"input already has a $tmp column")
-    df.withColumn(tmp, LangEvidence.column(langNorm(col(textCol))))
-      .withColumn("lang_pred",
-        langPredFrom(lang => element_at(col(tmp), langs.indexOf(lang) + 1)))
-      .drop(tmp)
-  }
+  /** Composable form of [[langId]]: ADDS `lang_pred` to `df` via the
+    * [[LangPred]] kernel — ONE expression, no temp columns, no joins —
+    * so a pipeline can stack it with other per-doc signals in a single
+    * projection stage, and a pushed-down filter referencing it costs
+    * one evidence pass per reference (the CASE-chain form exploded to
+    * 56 kernel copies per row under alias inlining —
+    * [[CurationPipeline.curate]]'s plan). Same arg-max, same
+    * precedence. */
+  def withLangPred(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("lang_pred", LangPred.column(langNorm(col(textCol))))
 
   /** Quality metrics per document; every ratio is a single division over
     * integer counts (bit-stable vs an oracle). */

@@ -58,6 +58,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("2 arguments"))
   }
 
+  test("late-round kernels are registered and behave") {
+    val lp = spark.sql("SELECT lang_pred(' the cat and the dog ') AS l")
+      .head.getString(0)
+    assert(lp == "en")
+    val qs = spark.sql("SELECT quality_score('the cat sat on the mat') AS q")
+      .head.getDouble(0)
+    assert(qs > 0.0 && qs < 1.0)
+    val gf = spark.sql(
+      "SELECT round(gram_frac(array('a','b','a','b'), 2, false), 6) AS f")
+      .head.getDouble(0)
+    assert(gf == math.round(2.0 / 3.0 * 1e6) / 1e6)
+    assert(spark.sql("SELECT gram_frac(array('x'), 2, true) AS f")
+      .head.isNullAt(0))
+  }
+
+  test("the spark.sql.extensions config path can construct the class reflectively") {
+    // the config deployment ('--conf spark.sql.extensions=...') requires
+    // Spark to reflectively instantiate a public no-arg class and apply
+    // it as SparkSessionExtensions => Unit — pin both properties so a
+    // refactor can't silently break config-based deployments that this
+    // suite (which uses withExtensions for suite-order robustness)
+    // would not exercise
+    val inst = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+    assert(inst.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
   test("register() adds the functions to an existing plain session") {
     val plain = spark.newSession()
     GraftExtensions.register(plain)
