@@ -55,10 +55,12 @@ object Curation {
 
   def repetition(docs: DataFrame): DataFrame = {
     val t = toks
-    docs.select(col("doc_id"),
+    // size >= 2 is exactly "has bigrams" — an isNotNull filter on the
+    // frac alias would inline a third full gram pass per row
+    docs.where(size(t) >= 2)
+      .select(col("doc_id"),
         topBigramFracExpr(t).as("top_bigram_frac"),
         dupTrigramFracExpr(t).as("dup_trigram_frac"))
-      .where(col("top_bigram_frac").isNotNull)
   }
 
   /** Scrub patterns, ordered: each is (regex, replacement token). The
@@ -243,11 +245,15 @@ object Curation {
       .withColumn("shard",
         least(floor(b16 * nShards / 65536.0), lit(nShards - 1)).cast("int"))
     keyed
-      // range-partition for TASK balance only: hash(shard) % n leaves
-      // ~1/3 of write tasks empty at nShards=16; shard DIRECTORY
-      // assignment stays byte-deterministic — it comes from the fixed
-      // `shard` column, not from where a task ran
-      .repartitionByRange(nShards, col("shard"), col("_ord"))
+      // range-partition on the shard id ALONE: RangePartitioner sends
+      // equal keys to one partition regardless of its sampled
+      // boundaries, so every shard is written by exactly one task and
+      // the in-dir file layout is deterministic (sort + maxRecordsPerFile
+      // over a fixed row order). Including `_ord` in the range key would
+      // let a sampled boundary split a shard across tasks and vary the
+      // file boundaries run-to-run; hash repartition would leave ~1/e of
+      // tasks empty from hash collisions on the small id domain.
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("_ord"))
       .drop("_ord")
       .write.partitionBy("shard")

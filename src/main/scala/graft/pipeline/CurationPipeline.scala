@@ -61,7 +61,7 @@ object CurationPipeline {
     * reference keeps alias inlining from duplicating the kernel), then
     * the final projection. Pure projections — legal in Structured
     * Streaming, shared by [[curate]] and [[curateStream]]. */
-  private def signalSelect(docs: DataFrame, cfg: Config): DataFrame = {
+  private def signalFilter(docs: DataFrame, cfg: Config): DataFrame = {
     val t = split(col("text"), " ")
     TextAnalysis.withLangPred(docs)
       .withColumn("quality_score", Curation.qualityScoreExpr)
@@ -71,9 +71,14 @@ object CurationPipeline {
         col("quality_score") >= cfg.minQuality &&
         coalesce(col("top_bigram_frac"), lit(0.0)) <= cfg.maxTopBigramFrac &&
         coalesce(col("dup_trigram_frac"), lit(0.0)) <= cfg.maxDupTrigramFrac)
-      .select(col("doc_id"), col("text"), col("lang_pred").as("lang"),
-        col("quality_score"))
   }
+
+  private def outputShape(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"), col("lang_pred").as("lang"),
+      col("quality_score"))
+
+  private def signalSelect(docs: DataFrame, cfg: Config): DataFrame =
+    outputShape(signalFilter(docs, cfg))
 
   def curate(raw: DataFrame, cfg: Config = Config()): DataFrame =
     // dedup FIRST (exact-text duplicates have identical signals, so
@@ -104,7 +109,15 @@ object CurationPipeline {
     * `tsCol`. Output: curated append stream. */
   def curateStream(raw: DataFrame, tsCol: String, cfg: Config = Config(),
                    lateness: String = "10 minutes"): DataFrame =
-    signalSelect(Dedup.exactStream(cleaned(raw), tsCol, lateness), cfg)
+    // filter BEFORE the stateful dedup: state and shuffle then hold only
+    // filter survivors, not every distinct off-language/junk text on the
+    // feed (at crawl scale the state store is the scarce resource; the
+    // single-reference kernels make the pre-barrier filter's inlined
+    // re-evaluations a bounded CPU cost, not a correctness or memory
+    // one). Batch curate orders the other way because its window
+    // exchange doubles as the pushdown barrier.
+    outputShape(
+      Dedup.exactStream(signalFilter(cleaned(raw), cfg), tsCol, lateness))
 
   /** The full run (stages 1-8): curate, assign sequences, write bounded
     * parquet shards (same md5 order as the packing, so a sequence's

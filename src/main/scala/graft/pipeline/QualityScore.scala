@@ -26,11 +26,22 @@ final case class QualityScore(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quality_score"
 
-  protected override def nullSafeEval(input: Any): Any =
-    QualityScore.score(input.asInstanceOf[UTF8String])
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val r = QualityScore.score(input.asInstanceOf[UTF8String])
+    if (r == null) null else r.doubleValue()
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.pipeline.QualityScore.score($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("qs")
+      s"""
+        java.lang.Double $tmp = graft.pipeline.QualityScore.score($c);
+        ${ev.isNull} = $tmp == null;
+        ${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): QualityScore =
     copy(child = newChild)
@@ -38,8 +49,9 @@ final case class QualityScore(child: Expression) extends UnaryExpression {
 
 object QualityScore {
 
-  private val stops: Array[String] =
-    Array("the", "a", "of", "to", "and", "in", "is")
+  // the SAME list TextAnalysis.quality's stop_ratio uses — one source of
+  // truth so the two features can never drift
+  private val stops: Array[String] = TextAnalysis.stopwords("en").toArray
 
   private def isStop(s: String, from: Int, until: Int): Boolean = {
     val len = until - from
@@ -52,9 +64,14 @@ object QualityScore {
     false
   }
 
-  /** Static runtime kernel shared by interpreted and generated code. */
-  def score(text: UTF8String): Double = {
+  /** Static runtime kernel shared by interpreted and generated code.
+    * Null (boxed) for empty text — the expression form's punct_ratio
+    * divided by length 0, which Spark's non-ANSI Divide turns into NULL
+    * (NaN here would sort ABOVE every real score and sail through
+    * `>= minQuality` filters). */
+  def score(text: UTF8String): java.lang.Double = {
     val s = text.toString
+    if (s.isEmpty) return null
     // tokens of split(text, " ", -1): spaces + 1, empties included
     var nTok = 1L
     var nStop = 0L
@@ -89,7 +106,7 @@ object QualityScore {
     // same left-associated order as the expression form — bit-identical
     val z = -1.0 + 4.0 * stopRatio - 8.0 * punctRatio +
       0.35 * math.log(nTokD) - 0.15 * avgTokLen
-    1.0 / (1.0 + math.exp(-z))
+    java.lang.Double.valueOf(1.0 / (1.0 + math.exp(-z)))
   }
 
   def column(text: Column): Column =

@@ -17,7 +17,7 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  private[pipeline] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "es" -> Seq("el", "la", "y", "de", "es"),
@@ -139,7 +139,12 @@ object TextAnalysis {
     * [[CurationPipeline.curate]]'s plan). Same arg-max, same
     * precedence. */
   def withLangPred(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("lang_pred", LangPred.column(langNorm(col(textCol))))
+    // coalesce for null-text parity with langId: its CASE chain falls
+    // through `otherwise` to the last language on null input, while the
+    // kernel null-propagates
+    df.withColumn("lang_pred",
+      coalesce(LangPred.column(langNorm(col(textCol))),
+        lit(trigramProfiles.last._1)))
 
   /** Quality metrics per document; every ratio is a single division over
     * integer counts (bit-stable vs an oracle). */
