@@ -374,6 +374,24 @@ object Curation {
           .as("dsir_logratio"))
   }
 
+  /** Audit manifest of a [[writeShards]] tree: per shard, the file
+    * count, document count, and an ORDER-INDEPENDENT content signature
+    * (bit-XOR of per-row 64-bit hashes over every column) — the record a
+    * 100 TB curation run keeps to prove a re-run reproduced the same
+    * shards without byte-comparing them. One scan, shard-keyed
+    * aggregation, shard-count-sized output. */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    val dataCols = df.columns.filter(_ != "shard").sorted.map(col)
+    df.withColumn("_file", input_file_name())
+      .withColumn("_h", xxhash64(struct(dataCols: _*)))
+      .groupBy("shard")
+      .agg(countDistinct(col("_file")).as("n_files"),
+        count(lit(1)).as("n_docs"),
+        bit_xor(col("_h")).as("content_sig"))
+  }
+
   /** Markup-strip chain, in order: drop script/style blocks (dotall,
     * case-insensitive, non-greedy), drop tags, decode the common
     * entities, collapse whitespace runs, trim. Restricted to the regex

@@ -254,6 +254,15 @@ class CurationSpec extends AnyFunSuite {
     val a2 = spark.read.parquet(dir2).select("doc_id", "shard").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a1 == a2 && a1.values.toSet.size > 1)
+    // the FILE layout is deterministic too (equal range keys stay in one
+    // task; files split on a fixed row order): per-shard file counts,
+    // doc counts, and order-independent content signatures agree across
+    // the two differently-partitioned runs
+    def manifest(d: String) = Curation.shardManifest(spark, d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val m1 = manifest(dir)
+    assert(m1 == manifest(dir2) && m1.values.map(_._2).sum == 500)
     // shard ranges align with the packing order: doc order by md5 maps
     // to non-decreasing shard ids
     val md5hex = (l: Long) => java.security.MessageDigest.getInstance("MD5")
