@@ -54,13 +54,17 @@ object CurationPipeline {
       Curation.scrubExpr(Curation.cleanExpr(col("text"))))
       .where(length(col("text")) > 0)
 
-  /** Stages 3-5 + output shape, over an already-deduped frame: signals
-    * as column expressions, each referenced ONCE in the filter
-    * (`coalesce(frac, 0) <= bound` instead of an isNull disjunct — a
-    * null fraction means "no evidence", which passes; the single
-    * reference keeps alias inlining from duplicating the kernel), then
-    * the final projection. Pure projections — legal in Structured
-    * Streaming, shared by [[curate]] and [[curateStream]]. */
+  /** Stages 3-5: the signal columns + threshold filter, each signal
+    * referenced ONCE in the filter (`coalesce(frac, 0) <= bound`
+    * instead of an isNull disjunct — a null fraction means "no
+    * evidence", which passes; the single reference keeps alias inlining
+    * from duplicating the kernel). Keeps ALL input columns (the
+    * streaming caller needs its event-time column downstream) — the
+    * narrow projection is [[outputShape]]. Runs post-dedup in batch
+    * (the window is its pushdown barrier) and PRE-dedup in streaming
+    * (so dedup state holds only survivors); both orders give the same
+    * survivors because exact duplicates share every signal. Pure
+    * projections — legal in Structured Streaming. */
   private def signalFilter(docs: DataFrame, cfg: Config): DataFrame = {
     val t = split(col("text"), " ")
     TextAnalysis.withLangPred(docs)

@@ -100,10 +100,8 @@ final case class GramFrac(child: Expression, n: Int, dup: Boolean)
   override def nullable: Boolean = true
   override def prettyName: String = "gram_frac"
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val r = GramStats.frac(input.asInstanceOf[ArrayData], n, dup)
-    if (r == null) null else r.doubleValue()
-  }
+  protected override def nullSafeEval(input: Any): Any =
+    GramStats.frac(input.asInstanceOf[ArrayData], n, dup)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {

@@ -28,10 +28,8 @@ final case class QualityScore(child: Expression) extends UnaryExpression {
 
   override def nullable: Boolean = true
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val r = QualityScore.score(input.asInstanceOf[UTF8String])
-    if (r == null) null else r.doubleValue()
-  }
+  protected override def nullSafeEval(input: Any): Any =
+    QualityScore.score(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {

@@ -76,7 +76,7 @@ class KernelParitySpec extends AnyFunSuite {
     val t = split(col("text"), " ")
     val nTok = size(t).cast("double")
     val stopRatio = size(filter(t, x =>
-      x.isin("the", "a", "of", "to", "and", "in", "is"))).cast("double") / nTok
+      x.isInCollection(TextAnalysis.stopwords("en")))).cast("double") / nTok
     val punctRatio = (length(col("text")) -
       length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("double") /
       length(col("text"))
