@@ -374,6 +374,36 @@ object Curation {
           .as("dsir_logratio"))
   }
 
+  /** Sliding-window document chunking — the embedding/RAG preparation
+    * step ([[packSequences]]' sibling: packing concatenates ACROSS
+    * documents into disjoint budgets; chunking splits WITHIN a document
+    * into overlapping windows so no retrieval context straddles a chunk
+    * boundary unseen). Chunk i covers tokens `[i·stride, i·stride +
+    * chunkTokens)`; the last chunk is short rather than padded; a doc
+    * shorter than one window yields exactly one chunk.
+    *
+    * Shape: per-doc `explode(sequence(...))` then ONE slice+join per
+    * output row — all codegen'd collection expressions, no interpreted
+    * lambdas, no shuffle; output rows ≈ n_tok/stride per doc, linear at
+    * any corpus size. */
+  def chunk(docs: DataFrame, chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      "need 0 < strideTokens <= chunkTokens")
+    val t = toks
+    val n = size(t).cast("long")
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      floor((n - chunkTokens + (strideTokens - 1)).cast("double") / strideTokens)
+        .cast("long") + 1L)
+    docs.select(col("doc_id"), t.as("_t"), n.as("_n"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("_t"),
+          (col("chunk_idx") * strideTokens + 1L).cast("int"),
+          lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          col("_n") - col("chunk_idx") * strideTokens).as("n_tok"))
+  }
+
   /** Audit manifest of a [[writeShards]] tree: per shard, the file
     * count, document count, and an ORDER-INDEPENDENT content signature
     * (bit-XOR of per-row 64-bit hashes over every column) — the record a

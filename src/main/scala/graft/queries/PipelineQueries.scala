@@ -98,6 +98,7 @@ object PipelineQueries {
         col("text"), lit(" &amp; <b>end</b></p></div>")).as("text")),
       CurationPipeline.Config(langs = Set("en"), minQuality = 0.2,
         maxTopBigramFrac = 0.5, maxDupTrigramFrac = 0.9))),
+    "q_pipe_chunk" -> ((s, dir) => Curation.chunk(docs(s, dir), 64, 32)),
     "q_pipe_pack" -> ((s, dir) => Curation.packSequences(docs(s, dir), 256L)),
     "q_pipe_temperature" -> ((s, dir) => Curation.temperatureMix(docs(s, dir), 0.5)),
     "q_pipe_dsir" -> ((s, dir) => Curation.importanceWeights(
@@ -1298,6 +1299,25 @@ object PipelineQueries {
          |rk AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
          |  FROM kept)
          |SELECT doc_id, text, lang_pred AS lang, quality_score FROM rk WHERE rk = 1""".stripMargin,
+
+    // sliding-window chunking: same window arithmetic (ceil-div chunk
+    // count, 1-based clamped slices), 64-token windows at stride 32
+    "q_pipe_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 64 THEN 0
+        |           ELSE CAST(floor((n - 64 + 31) / 32.0) AS BIGINT) END)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(w[chunk_idx * 32 + 1 : chunk_idx * 32 + 64], ' ')
+        |    AS chunk_text,
+        |  least(64, n - chunk_idx * 32) AS n_tok
+        |FROM c""".stripMargin,
 
     // concat-then-chunk packing: the same md5 total order and global
     // prefix sum (two-pass bucketed scan = one window over a unique

@@ -227,6 +227,31 @@ class CurationSpec extends AnyFunSuite {
     assert(w(2L) < 0.0)
   }
 
+  test("chunk: overlapping windows cover every token, short docs yield one chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, (1 to 9).map(i => s"x$i").mkString(" ")))  // exact multiple boundary
+      .toDF("doc_id", "text")
+    val out = Curation.chunk(docs, chunkTokens = 4, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: windows at 0,2,4,6 -> 4 chunks; last is short (w9 w10)
+    assert(byDoc(1L).map(_._3).toSeq == Seq("w1 w2 w3 w4", "w3 w4 w5 w6",
+      "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(byDoc(1L).map(_._4).toSeq == Seq(4L, 4L, 4L, 4L))
+    // doc 2: one whole-doc chunk
+    assert(byDoc(2L).map(t => (t._3, t._4)).toSeq == Seq(("a b c", 3L)))
+    // doc 3 (9 tokens): windows at 0,2,4 cover 1..8, final window at 6
+    // ends at 9? ceil((9-4)/2)+1 = 4 chunks, last = x7 x8 x9
+    assert(byDoc(3L).map(_._3).toSeq == Seq("x1 x2 x3 x4", "x3 x4 x5 x6",
+      "x5 x6 x7 x8", "x7 x8 x9"))
+    assert(byDoc(3L).last._4 == 3L)
+    // every token of every doc appears in at least one chunk
+    assert(byDoc(1L).flatMap(_._3.split(" ")).toSet.size == 10)
+  }
+
   test("writeShards: bounded files, deterministic md5-range shards, lossless") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"text $i", s"src${i % 3}"))
