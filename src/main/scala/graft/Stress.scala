@@ -131,6 +131,7 @@ object Stress {
       timed("curate_pipeline")(force(CurationPipeline.curate(docs,
         CurationPipeline.Config(langs = Set("en"), minQuality = 0.0,
           maxTopBigramFrac = 1.0, maxDupTrigramFrac = 1.0)))),
+      timed("chunk_windows")(force(Curation.chunk(docs, 64, 32))),
       timed("fingerprint")(force(TextAnalysis.fingerprint(docs))),
       timed("bpe_pairs")(force(Bpe.topPairs(docs, 50))),
       timed("contamination")(force(Curation.contamination(docs,
