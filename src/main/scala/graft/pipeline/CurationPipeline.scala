@@ -84,6 +84,36 @@ object CurationPipeline {
   private def signalSelect(docs: DataFrame, cfg: Config): DataFrame =
     outputShape(signalFilter(docs, cfg))
 
+  /** Single-pass filter audit: attributes every RAW document to the
+    * first pipeline stage that would drop it — `empty` / `off_language`
+    * / `low_quality` / `repetitive` / `pass` — and returns (stage,
+    * n_docs) counts. This is the per-filter diagnosis [[run]]'s boundary
+    * counts cannot give (the production filter chain is one fused
+    * predicate, so intermediate populations never materialize), at the
+    * cost of ONE corpus pass: all signals evaluate in a single
+    * projection (ProjectExec's codegen does common-subexpression
+    * elimination, so the shared cleaned-text chain computes once per
+    * row), then a 5-row aggregation. Dedup is not attributed here — it
+    * is corpus-relative, not per-doc; its drop count is
+    * `pass − |curate|`. */
+  def audit(raw: DataFrame, cfg: Config = Config()): DataFrame = {
+    val ct = Curation.scrubExpr(Curation.cleanExpr(col("text")))
+    val t = split(ct, " ")
+    val langOk = coalesce(LangPred.column(TextAnalysis.langNorm(ct)),
+      lit(TextAnalysis.trigramProfiles.last._1))
+      .isin(cfg.langs.toSeq: _*)
+    val stage = when(length(ct) === 0, "empty")
+      .when(!langOk, "off_language")
+      .when(round(QualityScore.column(ct), 6) < cfg.minQuality, "low_quality")
+      .when(coalesce(Curation.topBigramFracExpr(t), lit(0.0)) >
+          cfg.maxTopBigramFrac ||
+        coalesce(Curation.dupTrigramFracExpr(t), lit(0.0)) >
+          cfg.maxDupTrigramFrac, "repetitive")
+      .otherwise("pass")
+    raw.select(stage.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+  }
+
   def curate(raw: DataFrame, cfg: Config = Config()): DataFrame =
     // dedup FIRST (exact-text duplicates have identical signals, so
     // dedup-then-filter equals filter-then-dedup — and the Window is a

@@ -98,6 +98,15 @@ object PipelineQueries {
         col("text"), lit(" &amp; <b>end</b></p></div>")).as("text")),
       CurationPipeline.Config(langs = Set("en"), minQuality = 0.2,
         maxTopBigramFrac = 0.5, maxDupTrigramFrac = 0.9))),
+    // the audit companion to q_pipe_curate: same wrap, same thresholds,
+    // per-stage drop attribution in one pass
+    "q_pipe_audit" -> ((s, dir) => CurationPipeline.audit(
+      docs(s, dir).select(col("doc_id"), concat(
+        lit("<div class=\"d"), col("doc_id"),
+        lit("\"><SCRIPT>var a=1<2;</SCRIPT><STYLE type=\"x\">p{}</STYLE><p>Start "),
+        col("text"), lit(" &amp; <b>end</b></p></div>")).as("text")),
+      CurationPipeline.Config(langs = Set("en"), minQuality = 0.5,
+        maxTopBigramFrac = 0.04, maxDupTrigramFrac = 0.9))),
     "q_pipe_chunk" -> ((s, dir) => Curation.chunk(docs(s, dir), 64, 32)),
     "q_pipe_pack" -> ((s, dir) => Curation.packSequences(docs(s, dir), 256L)),
     "q_pipe_temperature" -> ((s, dir) => Curation.temperatureMix(docs(s, dir), 0.5)),
@@ -1237,6 +1246,73 @@ object PipelineQueries {
     // repetition of q_text_repetition) over the shared HTML wrap, then
     // keep-smallest dedup — so a drift in ANY stage of the composition
     // breaks this gate even if the per-operator gates still pass
+    // the audit: same chain, but EVERY raw doc classified by the first
+    // stage that would drop it (CASE precedence = the pipeline's filter
+    // order), then a per-stage count
+    "q_pipe_audit" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<div class="d' || doc_id ||
+         |    '"><SCRIPT>var a=1<2;</SCRIPT><STYLE type="x">p{}</STYLE><p>Start '
+         |      || text || ' &amp; <b>end</b></p></div>' AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |  regexp_replace(t, '(?is)<(script|style)\\b.*?</(script|style)\\s*>', ' ', 'g') AS a
+         |  FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(a, '(?s)<[^>]+>', ' ', 'g') AS b FROM s1),
+         |s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(b,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS c FROM s2),
+         |s4 AS (SELECT doc_id, trim(regexp_replace(c, '\\s+', ' ', 'g')) AS clean FROM s3),
+         |scr AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(clean,
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{9,}', '<ID>', 'g') AS text
+         |  FROM s4),
+         |base AS (SELECT doc_id, text FROM scr WHERE length(text) > 0),
+         |lng AS (${langIdSql("base")}),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-1.0
+         |      + 4.0 * (CAST(len(list_filter(string_split(text, ' '),
+         |          x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')))
+         |      - 8.0 * (CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / length(text))
+         |      + 0.35 * ln(CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |      - 0.15 * (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         |        / len(string_split(text, ' ')))))), 6) AS quality_score
+         |  FROM base),
+         |tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+         |gg AS (
+         |  SELECT doc_id, 2 AS n, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1])) AS g FROM tw
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n, unnest(list_transform(generate_series(1, len(w) - 2),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM tw),
+         |cc AS (SELECT doc_id, n, g, count(*) AS cnt FROM gg GROUP BY 1, 2, 3),
+         |rep AS (SELECT doc_id,
+         |    round(CAST(max(CASE WHEN n = 2 THEN cnt END) AS DOUBLE)
+         |      / sum(CASE WHEN n = 2 THEN cnt END), 6) AS top_bigram_frac,
+         |    round(CAST(coalesce(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END), 0) AS DOUBLE)
+         |      / sum(CASE WHEN n = 3 THEN cnt END), 6) AS dup_trigram_frac
+         |  FROM cc GROUP BY 1),
+         |staged AS (
+         |  SELECT s.doc_id,
+         |    CASE WHEN length(s.text) = 0 THEN 'empty'
+         |         WHEN l.lang_pred <> 'en' THEN 'off_language'
+         |         WHEN q.quality_score < 0.5 THEN 'low_quality'
+         |         WHEN coalesce(r.top_bigram_frac, 0) > 0.04
+         |           OR coalesce(r.dup_trigram_frac, 0) > 0.9 THEN 'repetitive'
+         |         ELSE 'pass' END AS stage
+         |  FROM scr s
+         |  LEFT JOIN lng l USING (doc_id)
+         |  LEFT JOIN q USING (doc_id)
+         |  LEFT JOIN rep r USING (doc_id))
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM staged GROUP BY stage""".stripMargin,
+
     "q_pipe_curate" ->
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -36,6 +36,23 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getString(2) == "en"))
   }
 
+  test("audit attributes each doc to the first dropping stage; counts sum to raw") {
+    val a = CurationPipeline.audit(corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // corpus: docs 1,2 pass; 3 is 1's dup (passes the SIGNAL stages —
+    // dedup is corpus-relative, not audited); 4 German; 5 repetition
+    // bomb; 6 punctuation soup (quality)
+    assert(a("pass") == 3 && a("off_language") == 1)
+    assert(a.getOrElse("repetitive", 0L) + a.getOrElse("low_quality", 0L) == 2)
+    assert(a.values.sum == 6)
+    // the empty arm: markup-only docs clean to nothing
+    import spark.implicits._
+    val e = CurationPipeline.audit(
+      Seq((9L, "<p><b></b></p>")).toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e == Map("empty" -> 1L))
+  }
+
   test("curateStream applies the same filters on a live stream, dedups by content") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
