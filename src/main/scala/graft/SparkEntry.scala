@@ -104,6 +104,26 @@ object SparkEntry {
           col("t"), col("value"))
     }),
 
+    // §2.1 storage last-write-wins WITHIN one append batch: the batch
+    // itself carries a changed duplicate for every (series, t) it re-sends
+    // (a self-duplicating sender — the reference's TSM cache keeps the
+    // batch's LAST write per (series, ts)); read back with no compaction,
+    // the per-row `_sub` stamp must pick the later row of the SAME batch
+    "q_store_lww_batchdup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lww3_store").toString
+      val pts = Points.eventsPoints(s, dir)
+        .where(col("name") === "click" && col("t") < T0 + 7 * DAY)
+      // union puts the changed copies in LATER partitions of the one batch
+      // (higher monotonically_increasing_id ⇒ higher _sub ⇒ they win)
+      val batch = pts.unionByName(
+        pts.where(col("labels").getItem("par") === "1")
+          .withColumn("value", col("value") * 2 + 7))
+      graft.sources.PointsStore.append(batch, tmp)
+      graft.sources.PointsStore.read(s, tmp, Long.MinValue, Long.MaxValue)
+        .select(col("name"), col("labels").getItem("user").as("user"),
+          col("t"), col("value"))
+    }),
+
     // §2.1 storage retention: expire drops whole UTC-day partitions older
     // than the cutoff day (reference: retention enforcer deleting aged
     // shards); with a midnight cutoff this is exactly t >= cutoff
@@ -173,6 +193,15 @@ object SparkEntry {
         |FROM p WHERE t < ${T0 + 7 * DAY}""".stripMargin,
 
     "q_store_lww_nocompact" ->
+      s"""WITH p AS (
+        |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+        |         user_id % 3 AS par, epoch_us(ts) // 1000 AS t, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT name, "user", t,
+        |       CASE WHEN par = 1 THEN value * 2 + 7 ELSE value END AS value
+        |FROM p WHERE t < ${T0 + 7 * DAY}""".stripMargin,
+
+    "q_store_lww_batchdup" ->
       s"""WITH p AS (
         |  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
         |         user_id % 3 AS par, epoch_us(ts) // 1000 AS t, value

@@ -113,6 +113,9 @@ object Stress {
       // round-7 additions
       timed("dup_spans")(force(Dedup.dupSpans(docs, 8))),
       timed("bpe_encode")(force(Bpe.encode(docs, Bpe.demoMerges))),
+      // round-8: training at a production-shaped merge count — ONE corpus
+      // aggregation, then the vocab-sized word table trains locally
+      timed("bpe_train_1k")(Bpe.train(docs, nMerges = 1024).length.toLong),
       timed("cmsketch")(force(CountMin.estimate(docs,
         Seq("t1", "t100", "t5000", "t49000", "zzz_absent")))),
       timed("ahash")(force(Images.aHashStats(spark, docs))),

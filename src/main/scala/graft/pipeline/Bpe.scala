@@ -69,8 +69,149 @@ object Bpe {
 
   /** Train `nMerges` merges over the corpus. Deterministic: the winning
     * pair each round is max count, ties broken lexicographically on
-    * (a, b). Stops early when no pair repeats (`minCount`). */
-  def train(docs: DataFrame, nMerges: Int, minCount: Long = 2): Seq[Merge] = {
+    * (a, b). Stops early when no pair repeats (`minCount`).
+    *
+    * Execution shape: the corpus is touched by exactly ONE aggregation
+    * (the word-frequency table). When that table's distinct-word count
+    * fits `maxLocalWords` (it is vocab-sized — millions of rows even at
+    * 100 TB, not corpus-sized), it is collected and the merge loop runs
+    * LOCALLY with incremental pair statistics — a real 32k-merge vocab
+    * trains in seconds instead of scheduling 2 Spark jobs per merge
+    * (~64k jobs). The distributed per-round loop remains as the overflow
+    * path for word tables past the bound, producing the identical merge
+    * sequence (BpeSpec proves parity). */
+  def train(docs: DataFrame, nMerges: Int, minCount: Long = 2,
+            maxLocalWords: Long = 4000000L): Seq[Merge] = {
+    val wc = wordCounts(docs)
+    // limit(bound+1) bounds what the driver ever holds; the extra row only
+    // signals overflow (its contents are never used)
+    val head = wc.select(col("w"), col("cnt"))
+      .limit(math.min(maxLocalWords, Int.MaxValue - 8L).toInt + 1).collect()
+    if (head.length <= maxLocalWords) {
+      val words = head.map(r => (r.getString(0), r.getLong(1)))
+      trainLocal(words, nMerges, minCount)
+    } else trainDistributed(docs, nMerges, minCount)
+  }
+
+  /** UTF-8 byte-order comparison (= code-point order) — Spark's
+    * UTF8String sorts strings by their UTF-8 bytes, while Java's
+    * String.compareTo sorts by UTF-16 code units; they disagree for
+    * supplementary characters vs U+E000..U+FFFF. The local tie-break must
+    * match the distributed `orderBy`. */
+  private[pipeline] def utf8Lt(x: String, y: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return cx < cy
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    x.length - i < y.length - j
+  }
+
+  /** Exact sequential BPE over a collected (word, count) table with
+    * incremental pair statistics (the classic in-memory trainer shape:
+    * only words CONTAINING the merged pair are rewritten each round, and
+    * the candidate max is kept in a lazy heap whose stale entries are
+    * repaired on pop). Merge-for-merge identical to [[trainDistributed]];
+    * O(affected-word symbols) per round instead of two Spark jobs. */
+  private[pipeline] def trainLocal(words: Array[(String, Long)], nMerges: Int,
+                                   minCount: Long): Seq[Merge] = {
+    type Pair = (String, String)
+    val syms = words.map { case (w, _) =>
+      val b = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b
+    }
+    val cnt = words.map(_._2)
+    val stats = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val index = scala.collection.mutable.HashMap.empty[Pair, scala.collection.mutable.HashSet[Int]]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val next = stats.getOrElse(p, 0L) + sign * cnt(wi)
+        if (next == 0L) stats.remove(p) else stats(p) = next
+        if (sign > 0) index.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += wi
+        i += 1
+      }
+      if (sign < 0) {
+        i = 0
+        while (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          index.get(p).foreach { set => set -= wi; if (set.isEmpty) index.remove(p) }
+          i += 1
+        }
+      }
+    }
+    var wi = 0
+    while (wi < syms.length) { addPairs(wi, 1L); wi += 1 }
+    // lazy max-heap: (count desc, a asc, b asc); entries go stale when a
+    // pair's count drops — a popped entry is validated against `stats` and
+    // re-pushed with the live count on mismatch
+    val heapOrd = new java.util.Comparator[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int =
+        if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+        else if (x._2 != y._2) { if (utf8Lt(x._2, y._2)) -1 else 1 }
+        else if (x._3 != y._3) { if (utf8Lt(x._3, y._3)) -1 else 1 }
+        else 0
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](math.max(stats.size, 16), heapOrd)
+    stats.foreach { case ((a, b), c) => heap.add((c, a, b)) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var k = 0
+    var done = false
+    while (k < nMerges && !done) {
+      var winner: Pair = null
+      while (winner == null && !done && !heap.isEmpty) {
+        val (c, a, b) = heap.poll()
+        stats.get((a, b)) match {
+          case Some(live) if live == c => if (c >= minCount) winner = (a, b) else done = true
+          case Some(live) => heap.add((live, a, b)) // stale; repair lazily
+          case None => () // pair vanished entirely
+        }
+      }
+      if (winner == null) done = true
+      else {
+        val (a, b) = winner
+        merges += Merge(k, a, b)
+        val affected = index.get((a, b)).map(_.toArray).getOrElse(Array.empty[Int])
+        affected.foreach { w =>
+          addPairs(w, -1L)
+          val merged = mergeOnce(syms(w).toSeq, a, b)
+          syms(w).clear()
+          syms(w) ++= merged
+          addPairs(w, 1L)
+          // push the NEW pairs (and repaired neighbors); stale entries for
+          // decremented pairs are handled on pop
+          val s = syms(w)
+          var i = 0
+          while (i + 1 < s.length) {
+            val p = (s(i), s(i + 1))
+            stats.get(p).foreach(c => heap.add((c, s(i), s(i + 1))))
+            i += 1
+          }
+        }
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed per-round loop — the overflow path when the word
+    * table exceeds the driver bound. Two jobs per merge over vocab-sized
+    * data; merge-for-merge identical to [[trainLocal]]. */
+  private[pipeline] def trainDistributed(docs: DataFrame, nMerges: Int,
+                                         minCount: Long = 2): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = charVocab(docs).localCheckpoint(true)

@@ -85,6 +85,14 @@ object PointsStore {
       .write.mode(SaveMode.Append).parquet(s"$path/$DictDir")
     withLc
       .withColumn("_seq", lit(nextSeq()))
+      // `_sub`: per-row monotonic order WITHIN the batch (partition-major,
+      // then row order — monotonically_increasing_id). When one append
+      // itself carries two samples for the same (series, t) — a
+      // self-duplicating sender — the (t, _seq desc, _sub desc) dedup in
+      // [[lwwGuard]]/[[compact]] keeps the batch's LAST row, matching the
+      // reference's TSM cache keep-last-write within one WritePoints call.
+      // Computed BEFORE the cluster sort so the stamp follows the row.
+      .withColumn("_sub", monotonically_increasing_id())
       .sortWithinPartitions(col("date"), col("name"), col("sig"), col("t"))
       .write
       .partitionBy("date")
@@ -191,14 +199,22 @@ object PointsStore {
     * skips it entirely, so steady-state compacted stores read guard-free. */
   private def lwwGuard(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val order =
-      if (df.columns.contains("_seq")) Seq(col("t"), col("_seq").desc)
-      else Seq(col("t")) // pre-_seq layout: duplicates are identical copies
-    val w = Window.partitionBy(col("sig")).orderBy(order: _*)
+    val w = Window.partitionBy(col("sig")).orderBy(lwwOrder(df.columns): _*)
     df.withColumn("_prevT", lag(col("t"), 1).over(w))
       .where(col("_prevT").isNull || col("_prevT") =!= col("t"))
       .drop("_prevT")
   }
+
+  /** The LWW dedup sort: newest write wins per (sig, t) — batch stamp
+    * `_seq` first, then the within-batch row stamp `_sub` (desc puts
+    * non-null after-null, so files from a pre-`_sub` layout read alongside
+    * new ones still order correctly: cross-batch pairs are decided by
+    * `_seq` alone, and within-batch pairs always carry `_sub`). Absent
+    * columns (older store layouts) simply drop out of the ordering. */
+  private def lwwOrder(columns: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    Seq(Some(col("t")),
+      if (columns.contains("_seq")) Some(col("_seq").desc) else None,
+      if (columns.contains("_sub")) Some(col("_sub").desc) else None).flatten
 
   // ---- manifest-gated file visibility ----------------------------------
   //
@@ -286,11 +302,13 @@ object PointsStore {
 
   /** [[readLive]] plus the duplicate-possibility signal for the read-time
     * LWW guard: a day's live set can hold (sig, t) duplicates only when it
-    * mixes at least one plain append file with any other file — all live
-    * `compacted-` files belong to ONE generation (the newest manifest
-    * +lists only its own rewrite's outputs) and that generation was
-    * globally deduped when written, while a lone append file has no peer
-    * to duplicate against. */
+    * contains at least one plain append file — all live `compacted-` files
+    * belong to ONE generation (the newest manifest +lists only its own
+    * rewrite's outputs) and that generation was globally deduped when
+    * written. A LONE append file still counts: one batch can itself carry
+    * two samples for a (series, t) (a self-duplicating sender), resolved
+    * by the `_sub` within-batch stamp — so only fully-compacted days read
+    * guard-free, which is the steady state. */
   private def readLiveInfo(spark: SparkSession, path: String,
                            startMs: Long, endMs: Long, slackMs: Long)
       : (DataFrame, Boolean) = {
@@ -308,10 +326,8 @@ object PointsStore {
         lo.forall(l => !d.isBefore(l)) && hi.forall(h => !d.isAfter(h))
       }
     val perDay = days.map(d => liveDayFiles(fs, d.getPath))
-    val mayDuplicate = perDay.exists { dayFiles =>
-      dayFiles.length > 1 && dayFiles.exists(f =>
-        !new org.apache.hadoop.fs.Path(f).getName.startsWith(CompactedPrefix))
-    }
+    val mayDuplicate = perDay.exists(_.exists(f =>
+      !new org.apache.hadoop.fs.Path(f).getName.startsWith(CompactedPrefix)))
     val files = perDay.flatten
     if (files.isEmpty) (spark.read.parquet(path).where(lit(false)), false)
     else (spark.read.option("basePath", path).parquet(files: _*), mayDuplicate)
@@ -409,10 +425,7 @@ object PointsStore {
         // (sig)-clustered, (t, _seq desc)-ordered rows: the first row of
         // each t run is the newest write; one shuffle, series-parallel.
         import org.apache.spark.sql.expressions.Window
-        val order =
-          if (raw.columns.contains("_seq")) Seq(col("t"), col("_seq").desc)
-          else Seq(col("t")) // pre-_seq layout: duplicates are identical copies
-        val w = Window.partitionBy(col("sig")).orderBy(order: _*)
+        val w = Window.partitionBy(col("sig")).orderBy(lwwOrder(raw.columns): _*)
         val deduped = raw
           .withColumn("_prevT", lag(col("t"), 1).over(w))
           .where(col("_prevT").isNull || col("_prevT") =!= col("t"))

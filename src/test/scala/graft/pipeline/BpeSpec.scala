@@ -29,6 +29,29 @@ class BpeSpec extends AnyFunSuite {
     assert(m2 == Seq(Bpe.Merge(0, "l", "o"), Bpe.Merge(1, "lo", "w")))
   }
 
+  test("train: local and distributed paths produce identical merge sequences") {
+    val corpora = Seq(
+      docsOf("low low lowest newer newest wide wider widest"),
+      docsOf("ab ab ab", "abc abd abe", "ba ba"),
+      docsOf("the cat sat on the mat", "the bat and the rat", "a cab a cab"),
+      // tie on counts where UTF-8 (code-point) order disagrees with Java's
+      // UTF-16 order: U+FFFF sorts BELOW U+1F600 in code points but above
+      // it in UTF-16 code units — the local tie-break must match Spark's
+      docsOf("😀a 😀a ￿a ￿a"))
+    corpora.foreach { docs =>
+      val dist = Bpe.trainDistributed(docs, nMerges = 20)
+      assert(Bpe.train(docs, nMerges = 20) == dist) // local path (word table fits)
+      assert(Bpe.train(docs, nMerges = 20, maxLocalWords = 0) == dist) // forced overflow
+    }
+  }
+
+  test("trainLocal handles repeated-pair words and heap staleness") {
+    // 'aaaa' x3: (a,a)=9 -> merge 1 (a,a); then 'aa','aa' pairs (aa,aa)=3
+    // -> merge 2 (aa,aa); staleness: (a,a) entries must not resurface
+    val m = Bpe.trainLocal(Array(("aaaa", 3L)), nMerges = 5, minCount = 2)
+    assert(m == Seq(Bpe.Merge(0, "a", "a"), Bpe.Merge(1, "aa", "aa")))
+  }
+
   test("mergeOnce is greedy left-to-right (aaa with (a,a) -> aa,a)") {
     assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.mergeOnce(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
