@@ -3,11 +3,28 @@ package graft.api
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer, HttpsConfigurator, HttpsParameters, HttpsServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Engine
+
+object HttpApi {
+  /** Transport security for the served API (reference: the engine's own
+    * listeners are mutual-TLS — metric_store.go:318-411 builds the egress
+    * server from a CA + server pair and requires client certs; ingest
+    * rides the same mTLS transport). PEM file paths, pure-JDK loading —
+    * the same machinery the scrape connector uses client-side
+    * ([[graft.sources.Scrape.buildSslContext]]).
+    *
+    *  - `certFile`/`keyFile`: the listener's identity (PKCS#8 key).
+    *  - `clientCaFile`: when set, clients MUST present a certificate
+    *    signed by this CA (mutual TLS, the reference's default posture);
+    *    when None, the transport is server-authenticated TLS only.
+    */
+  final case class ServerTls(certFile: String, keyFile: String,
+                             clientCaFile: Option[String] = None)
+}
 
 /** Prometheus HTTP API v1 surface over the engine (reference:
   * src/internal/api/prom_api.go:74-108 routing the vendored
@@ -44,7 +61,16 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * (snappy+protobuf WriteRequest) and hands the decoded
                       * points relation to this callback (typically
                       * `df => PointsStore.append(df, dir)`). */
-                    writeSink: Option[DataFrame => Unit] = None) {
+                    writeSink: Option[DataFrame => Unit] = None,
+                    /** When set, [[start]] serves HTTPS with this identity
+                      * (and requires client certs if a client CA is
+                      * given). */
+                    tls: Option[HttpApi.ServerTls] = None,
+                    /** When set, EVERY route requires
+                      * `Authorization: Bearer <token>` — in particular the
+                      * push-ingest /api/v1/write endpoint is no longer an
+                      * unauthenticated writer. Constant-time compare. */
+                    bearerToken: Option[String] = None) {
 
   private val Version = "0.3.0-graft"
   private val startedMs = System.currentTimeMillis()
@@ -72,19 +98,64 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
 
   private var server: HttpServer = _
 
+  /** Register a route behind the bearer gate: when a token is configured,
+    * every route answers 401 without the exact `Authorization: Bearer`
+    * header (constant-time compare — no prefix-timing oracle on the
+    * token), with a `WWW-Authenticate` challenge per RFC 6750. */
+  private def register(path: String, h: HttpHandler): Unit =
+    server.createContext(path, (ex: HttpExchange) =>
+      if (authorized(ex)) h.handle(ex)
+      else {
+        val msg = """{"status":"error","error":"unauthorized"}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+        ex.sendResponseHeaders(401, msg.length)
+        ex.getResponseBody.write(msg)
+        ex.close()
+      })
+
+  private def authorized(ex: HttpExchange): Boolean = bearerToken match {
+    case None => true
+    case Some(tok) =>
+      Option(ex.getRequestHeaders.getFirst("Authorization")).exists(h =>
+        java.security.MessageDigest.isEqual(
+          h.getBytes(StandardCharsets.UTF_8),
+          s"Bearer $tok".getBytes(StandardCharsets.UTF_8)))
+  }
+
   def start(port: Int): Int = {
-    server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/api/v1/query_range", (ex: HttpExchange) => handle(ex)(queryRange))
-    server.createContext("/api/v1/query", (ex: HttpExchange) => handle(ex)(instant))
-    server.createContext("/api/v1/labels", (ex: HttpExchange) => handle(ex)(labels))
-    server.createContext("/api/v1/label/", (ex: HttpExchange) => handle(ex)(labelValues))
-    server.createContext("/api/v1/series", (ex: HttpExchange) => handle(ex)(series))
+    server = tls match {
+      case Some(t) =>
+        val https = HttpsServer.create(new InetSocketAddress(port), 0)
+        // server identity + (optional) client CA from PEM via the scrape
+        // connector's pure-JDK loader: caFile there = the trust anchors
+        // used to validate the PEER, which server-side means client certs
+        val ctx = graft.sources.Scrape.buildSslContext(
+          graft.sources.Scrape.TlsConfig(
+            caFile = t.clientCaFile,
+            certFile = Some(t.certFile), keyFile = Some(t.keyFile)))
+        https.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+          override def configure(p: HttpsParameters): Unit = {
+            val sp = ctx.getDefaultSSLParameters
+            if (t.clientCaFile.isDefined) sp.setNeedClientAuth(true)
+            p.setSSLParameters(sp)
+          }
+        })
+        https
+      case None => HttpServer.create(new InetSocketAddress(port), 0)
+    }
+    register("/api/v1/query_range", (ex: HttpExchange) => handle(ex)(queryRange))
+    register("/api/v1/query", (ex: HttpExchange) => handle(ex)(instant))
+    register("/api/v1/labels", (ex: HttpExchange) => handle(ex)(labels))
+    register("/api/v1/label/", (ex: HttpExchange) => handle(ex)(labelValues))
+    register("/api/v1/series", (ex: HttpExchange) => handle(ex)(series))
     // POST /api/v1/read — Prometheus remote-read (snappy+protobuf): SAMPLES
     // mode by default; clients that negotiate STREAMED_XOR_CHUNKS (prompb
     // accepted_response_types) get the paged chunked response instead —
     // bounded server memory, no sample-limit materialization (reference
     // serves both via vendored web/api/v1/api.go:392)
-    server.createContext("/api/v1/read", (ex: HttpExchange) => {
+    register("/api/v1/read", (ex: HttpExchange) => {
       var streaming = false // once frames flow, a failure can only abort the connection
       try {
         if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
@@ -127,7 +198,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     // gob TCP framing; remote write is the public equivalent). 204 on
     // success, per the remote-write spec.
     writeSink.foreach { sink =>
-      server.createContext("/api/v1/write", (ex: HttpExchange) => {
+      register("/api/v1/write", (ex: HttpExchange) => {
         // status split per the remote-write spec: senders treat 4xx as
         // non-retryable (the batch is DROPPED) and 5xx as retryable — so
         // only request defects (method, size, decode) may 400, while any
@@ -166,28 +237,28 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       })
     }
     rules.foreach { rm =>
-      server.createContext("/api/v1/rules",
+      register("/api/v1/rules",
         (ex: HttpExchange) => handle(ex)(_ => RulesApi.listing(rm)))
-      server.createContext("/api/v1/alerts",
+      register("/api/v1/alerts",
         (ex: HttpExchange) => handle(ex)(_ => RulesApi.alerts(rm)))
-      server.createContext("/api/v1/alertmanagers",
+      register("/api/v1/alertmanagers",
         (ex: HttpExchange) => handle(ex)(_ => RulesApi.alertmanagers(rm)))
-      server.createContext("/rules/manager",
+      register("/rules/manager",
         (ex: HttpExchange) => handleCode(ex)(e => RulesApi.route(rm, e)))
     }
     // status/metadata surface the vendored web/api/v1 registers — the
     // reference returns mostly-empty values too (nil retrievers, empty
     // config); dashboards probe these before issuing queries
-    server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) => handle(ex)(_ =>
+    register("/api/v1/status/buildinfo", (ex: HttpExchange) => handle(ex)(_ =>
       s"""{"status":"success","data":{"version":"$Version","revision":"","branch":"",""" +
         s""""buildUser":"","buildDate":"","goVersion":"spark-${spark.version}"}}"""))
-    server.createContext("/api/v1/status/runtimeinfo", (ex: HttpExchange) => handle(ex)(_ =>
+    register("/api/v1/status/runtimeinfo", (ex: HttpExchange) => handle(ex)(_ =>
       s"""{"status":"success","data":{"startTime":"${java.time.Instant.ofEpochMilli(startedMs)}",""" +
         s""""CWD":"","reloadConfigSuccess":true,"lastConfigTime":"${java.time.Instant.ofEpochMilli(startedMs)}",""" +
         """"corruptionCount":0,"goroutineCount":0,"GOMAXPROCS":0,"GOGC":"","GODEBUG":"","storageRetention":""}}"""))
-    server.createContext("/api/v1/metadata", (ex: HttpExchange) => handle(ex)(_ =>
+    register("/api/v1/metadata", (ex: HttpExchange) => handle(ex)(_ =>
       """{"status":"success","data":{}}"""))
-    server.createContext("/api/v1/targets", (ex: HttpExchange) => handle(ex)(_ => {
+    register("/api/v1/targets", (ex: HttpExchange) => handle(ex)(_ => {
       val active = scrapeTargets().map { case (job, target) =>
         s"""{"discoveredLabels":{"__address__":${Json.str(target)},"job":${Json.str(job)}},""" +
           s""""labels":{"instance":${Json.str(target)},"job":${Json.str(job)}},""" +
@@ -199,7 +270,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     // POST /~/reload — the reference's config-reload hook
     // (src/internal/api/reload_api.go): invoke the supplied reload
     // callback (rule files, scrape configs) and answer 200
-    server.createContext("/~/reload", (ex: HttpExchange) => handleCode(ex) { e =>
+    register("/~/reload", (ex: HttpExchange) => handleCode(ex) { e =>
       if (e.getRequestMethod.equalsIgnoreCase("POST")) { reloadConfig(); (200, "{}") }
       else (405, s"""{"status":"error","error":"POST required"}""")
     })

@@ -241,6 +241,64 @@ object Guards {
   def activeQueries: Seq[ActiveQuery] =
     active.values().toArray(Array.empty[ActiveQuery]).toSeq.sortBy(_.startedMs)
 
+  // ---- crash-surviving active-query log ---------------------------------
+
+  @volatile private var queryLogDir: Option[java.nio.file.Path] = None
+
+  /** Persist the active-query registry across crashes — the reference
+    * mmaps an active-query log precisely so a post-mortem can name the
+    * queries a wedged/killed process was executing (vendored
+    * promql/query_logger.go, wired metric_store.go:295-316). Spark-side
+    * the persistence unit is one tiny `<dir>/<group>.json` file per
+    * admitted query, written on admission and deleted on completion: the
+    * files present after a crash are EXACTLY the queries in flight (no
+    * compaction, no partial-line torn writes — the mmap ring's job done
+    * by the filesystem's atomic create/delete).
+    *
+    * Returns the leftover entries of a previous process (the crash
+    * evidence), clearing them so the next crash reads unambiguously —
+    * the reference logs and truncates on restart the same way. */
+  def enableQueryLog(dir: String): Seq[ActiveQuery] = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    val leftovers = readQueryLog(p)
+    leftovers.foreach(q =>
+      java.nio.file.Files.deleteIfExists(p.resolve(s"${q.group}.json")))
+    queryLogDir = Some(p)
+    leftovers
+  }
+
+  def disableQueryLog(): Unit = queryLogDir = None
+
+  /** Decode the entries currently in a query-log dir (without clearing). */
+  def readQueryLog(dir: java.nio.file.Path): Seq[ActiveQuery] = {
+    val files = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".json"))
+    files.toSeq.flatMap { f =>
+      try {
+        val m = graft.api.MiniJson.parse(java.nio.file.Files.readString(f.toPath))
+          .asInstanceOf[Map[String, Any]]
+        Some(ActiveQuery(m("group").toString,
+          m("startedMs") match { case d: Double => d.toLong; case n: Number => n.longValue(); case s => s.toString.toDouble.toLong },
+          m("description").toString))
+      } catch { case _: Throwable => None } // torn/foreign file: skip
+    }.sortBy(_.startedMs)
+  }
+
+  private def logAdmission(q: ActiveQuery): Unit = queryLogDir.foreach { dir =>
+    try java.nio.file.Files.writeString(dir.resolve(s"${q.group}.json"),
+      graft.api.MiniJson.objOf(Seq(
+        "group" -> graft.api.MiniJson.str(q.group),
+        "description" -> graft.api.MiniJson.str(q.description),
+        "startedMs" -> q.startedMs.toString)))
+    catch { case _: java.io.IOException => () } // forensics must not fail queries
+  }
+
+  private def logCompletion(group: String): Unit = queryLogDir.foreach { dir =>
+    try java.nio.file.Files.deleteIfExists(dir.resolve(s"$group.json"))
+    catch { case _: java.io.IOException => () }
+  }
+
   /** Outcome of one exact-confirmation attempt. */
   private sealed trait Confirm
   private case object ConfirmedOver extends Confirm
@@ -278,7 +336,9 @@ object Guards {
     sem.acquire()
     val group = s"graft-query-${System.nanoTime()}"
     val confirmGroup = s"$group-confirm"
-    active.put(group, ActiveQuery(group, System.currentTimeMillis(), description))
+    val aq = ActiveQuery(group, System.currentTimeMillis(), description)
+    active.put(group, aq)
+    logAdmission(aq)
     val sc = spark.sparkContext
     try {
       @volatile var timedOut = false
@@ -389,6 +449,7 @@ object Guards {
       }
     } finally {
       active.remove(group)
+      logCompletion(group)
       sem.release()
     }
   }

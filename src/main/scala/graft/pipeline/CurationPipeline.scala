@@ -102,7 +102,11 @@ object CurationPipeline {
     val langOk = coalesce(LangPred.column(TextAnalysis.langNorm(ct)),
       lit(TextAnalysis.trigramProfiles.last._1))
       .isin(cfg.langs.toSeq: _*)
-    val stage = when(length(ct) === 0, "empty")
+    // null text folds into `empty` EXPLICITLY: curate() drops it at the
+    // length>0 filter (length(NULL) is NULL, so the where rejects), while
+    // the lang coalesce below would otherwise misfile it as the fallback
+    // profile's language — the two paths must agree on every input
+    val stage = when(col("text").isNull || length(ct) === 0, "empty")
       .when(!langOk, "off_language")
       .when(round(QualityScore.column(ct), 6) < cfg.minQuality, "low_quality")
       .when(coalesce(Curation.topBigramFracExpr(t), lit(0.0)) >

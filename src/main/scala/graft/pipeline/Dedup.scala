@@ -202,17 +202,57 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame =
     hammingPairs(simHash(docs), "simhash", maxHamming, maxBucket)
 
+  /** Dropped-bucket counters for [[hammingPairs]] — read `.buckets.value`
+    * / `.docs.value` after the action. */
+  final case class DropStats(buckets: org.apache.spark.util.LongAccumulator,
+                             docs: org.apache.spark.util.LongAccumulator)
+
+  def newDropStats(spark: org.apache.spark.sql.SparkSession): DropStats = DropStats(
+    spark.sparkContext.longAccumulator("graft.hamming.droppedBuckets"),
+    spark.sparkContext.longAccumulator("graft.hamming.droppedDocs"))
+
   /** Hamming-distance ≤ `maxHamming` pairs over ANY 64-bit signature
     * relation (`doc_id`, `sigCol`) — simhash, image aHash/dHash, audio
     * fingerprints — via pigeonhole banding: split the word into
-    * maxHamming+1 bands; two words within distance d agree on ≥ 1 band
-    * (exact recall), so only band-bucket collisions are ever paired.
-    * Buckets above `maxBucket` are capped (the same BoundedCollect
-    * guard as MinHash LSH), keeping a degenerate constant-signature
-    * corpus from going quadratic. */
+    * maxHamming+1 bands; two words within distance d agree exactly on
+    * ≥ 1 band, so only band-bucket collisions are ever paired. Buckets
+    * above the cap are dropped (the same BoundedCollect guard as MinHash
+    * LSH), keeping a degenerate constant-signature corpus from going
+    * quadratic.
+    *
+    * RECALL IS EXACT ONLY WHILE NO BUCKET EXCEEDS THE CAP. The narrowest
+    * band has w = 64/(maxHamming+1) bits, so a band has 2^w bucket
+    * values and the EXPECTED bucket is n/2^w docs. At maxHamming=2
+    * (w=21) the cap fires only on truly degenerate near-identical
+    * clusters, which exact dedup removes upstream. At maxHamming=8 the
+    * bands are 7 bits — 128 values — and ordinary buckets reach any
+    * fixed cap once n ≈ cap×128; dropped buckets then cost real recall,
+    * not just degenerate pairs. Two mitigations are built in:
+    *
+    *  - the effective cap AUTO-SCALES with band width:
+    *    `maxBucket × 2^(14−w)` (clamped to 2^14 entries ≈ 256 KB of
+    *    buffer, ≤ ~134M verify pairs per full bucket) — so mh=8 keeps
+    *    exact recall to ~2M docs instead of ~128k, at the verify cost a
+    *    narrow-band configuration inherently implies;
+    *  - pass `drops` ([[Dedup.newDropStats]]) to COUNT dropped
+    *    buckets/docs in the same pass (accumulators, read after the
+    *    action): recall loss is measured, never silent. Accumulator
+    *    caveats apply (stage retries can overcount; the collect buffer
+    *    holds cap+1 entries, so dropped-doc counts are a LOWER bound).
+    *
+    * Past that scale a 64-bit signature with d≤8 needs a different
+    * candidate structure (wider signatures, or multi-index per-band
+    * probing à la Norouzi et al. 2012) — raising the cap further buys
+    * recall at quadratic per-bucket verify cost. */
   def hammingPairs(sigs: DataFrame, sigCol: String, maxHamming: Int = 2,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000,
+                   drops: Option[DropStats] = None): DataFrame = {
     val nBands = maxHamming + 1
+    val minWidth = 64 / nBands
+    val cap =
+      if (minWidth >= 14) maxBucket
+      else math.max(maxBucket, // an explicit larger cap is always honored
+        math.min(maxBucket.toLong << (14 - minWidth), 1L << 14).toInt)
     val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val bandCols = (0 until nBands).map { b =>
       val lo = bounds(b)
@@ -224,9 +264,20 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), col(sigCol).as("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val buckets = banded.groupBy(col("band"), col("bv"))
-      .agg(BoundedCollect.pairs(col("doc_id"), col("simhash"), maxBucket).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val collected = banded.groupBy(col("band"), col("bv"))
+      .agg(BoundedCollect.pairs(col("doc_id"), col("simhash"), cap).as("ids"))
+    // drop accounting rides the cap FILTER itself ([[DropTally]]): the
+    // tally fires in the aggregation stage's own task, so it reports even
+    // when every bucket is dropped and AQE collapses the (then-empty)
+    // downstream — the case a Dataset.observe metric node gets optimized
+    // away in
+    val overCap = drops match {
+      case Some(ds) => org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        DropTally(org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          size(col("ids"))), cap, ds.buckets, ds.docs))
+      case None => size(col("ids")) > cap
+    }
+    val buckets = collected.where(size(col("ids")) > 1 && !overCap)
     buckets
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))

@@ -109,8 +109,10 @@ object Events {
     * Input: a STREAMING frame with `user_id: Long` and `t: Long` (epoch
     * ms). Out-of-order events are handled within the configured
     * `latenessMs` watermark delay: late rows inside the gap extend the
-    * open session backwards/forwards; rows older than the watermark are
-    * dropped by Spark upstream (with the default delay of 0, only
+    * open session backwards/forwards, while a late row more than the gap
+    * BEFORE the open session closes immediately as its own session (the
+    * batch semantics for that timeline); rows older than the watermark
+    * are dropped by Spark upstream (with the default delay of 0, only
     * within-batch disorder is absorbed — raise it to tolerate
     * cross-batch lateness, at the cost of sessions closing later).
     *
@@ -134,25 +136,31 @@ object Events {
             state.remove()
             Iterator((user, s.start, s.end, s.n))
           } else {
-            val ts = rows.map(_._2).toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end > gapMs =>
-                  closed += ((user, s.start, s.end, s.n))
-                  cur = Some(OpenSession(t, t, 1))
-                case Some(s) =>
-                  cur = Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
-                case None =>
-                  cur = Some(OpenSession(t, t, 1))
+            // interval merge over (open-state interval + batch events),
+            // sorted by start: adjacent intervals with gap <= gapMs fuse.
+            // This matches batch sessionize for every arrival order the
+            // watermark admits — in particular a late event more than
+            // gapMs BEFORE the open session's start becomes its own
+            // session instead of stretching the open one backwards (the
+            // old merge branch only split on t - end > gapMs).
+            val ivs = (state.getOption.map(s => (s.start, s.end, s.n)).toList ++
+              rows.map(r => (r._2, r._2, 1L))).sortBy(v => (v._1, v._2))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            ivs.foreach { case (s0, e0, n0) =>
+              merged.lastOption match {
+                case Some((s1, e1, n1)) if s0 - e1 <= gapMs =>
+                  merged(merged.length - 1) = (s1, math.max(e1, e0), n1 + n0)
+                case _ => merged += ((s0, e0, n0))
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.iterator
+            // the latest interval stays open (more events may extend it);
+            // every earlier one is already further than a gap behind it,
+            // hence closed — emitted now, exactly once
+            val open = merged.last
+            state.update(OpenSession(open._1, open._2, open._3))
+            state.setTimeoutTimestamp(open._2 + gapMs)
+            merged.dropRight(1).iterator
+              .map { case (s0, e0, n0) => (user, s0, e0, n0) }
           }
         })
       .toDF("user_id", "start_ms", "end_ms", "n_events")

@@ -68,6 +68,12 @@ object GramHashes {
   /** Static runtime kernel shared by interpreted and generated code. */
   def hashes(tokens: ArrayData, n: Int): GenericArrayData = {
     val m = tokens.numElements()
+    // empty input emits NO grams: with the max(1, …) convention alone an
+    // empty array would emit the constant (Seed1, Seed2) gram at pos 1,
+    // making any two empty-array docs read as sharing a duplicated gram.
+    // Unreachable via split() (which yields [""]) but reachable through
+    // the SQL-registered function with array() input.
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
     val total = math.max(1, m - (n - 1))
     val h1 = new Array[Long](m)
     val h2 = new Array[Long](m)

@@ -30,10 +30,35 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Default cap on the QUERY side of the top-k operators. These APIs are
+    * built around a bounded query set — brute force joins it against every
+    * corpus row, ANN multiplies it by `probes`, PQ broadcasts it WITH its
+    * M×Ks LUT columns — so a caller passing a corpus-sized frame as
+    * `queries` would not get a slow plan, it would get a broadcast OOM (or
+    * an accidental all-pairs scan). 100k × (64-dim double + LUT) ≈ low
+    * hundreds of MB broadcast: the safe ceiling for default executor
+    * memory. Raise it deliberately via the `maxQueryRows` parameter. */
+  val DefaultMaxQueryRows: Long = 100000L
+
+  /** Fail FAST (one bounded `limit(max+1)` count — never a full count of
+    * an unboundedly large frame) when the query side exceeds the cap. */
+  private def requireBounded(queries: DataFrame, maxRows: Long, op: String): DataFrame = {
+    val probe = math.min(maxRows, Int.MaxValue - 8L).toInt
+    val n = queries.limit(probe + 1).count()
+    require(n <= maxRows,
+      s"Similarity.$op: query set exceeds maxQueryRows=$maxRows (the query " +
+        "side is broadcast / candidate-multiplied by construction; a " +
+        "corpus-sized query frame would OOM, not just run slow). Swap the " +
+        "sides, batch the queries, or raise maxQueryRows deliberately.")
+    queries
+  }
+
   /** Exact top-k neighbours for each query vector (queries: (vec_id,
     * embedding)). Output: (qid, cid, cos, rank). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    val q = requireBounded(queries, maxQueryRows, "bruteForceTopK")
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
     val c = corpus.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
@@ -77,11 +102,12 @@ object Similarity {
     * stay in exactly one bucket, so candidates never duplicate), and
     * recall rises without re-hashing or densifying the corpus. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 8, dims: Int = 64, probes: Int = 1): DataFrame = {
+              bits: Int = 8, dims: Int = 64, probes: Int = 1,
+              maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     val c = lshBuckets(corpus, bits, dims)
       .select(col("bucket"), col("vec_id").as("cid"), col("e").as("ce"))
-    val qb = queries.select(col("vec_id").as("qid"),
-      asDouble(col("embedding")).as("qe"))
+    val qb = requireBounded(queries, maxQueryRows, "annTopK")
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("bucket", lshBucket(col("qe"), bits, dims))
     val own = qb.select(col("bucket"), col("qid"), col("qe"))
     val q =
@@ -124,7 +150,9 @@ object Similarity {
     * corpus growth when k scales with sqrt(N). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
               k: Int = 16, nProbe: Int = 4, iters: Int = 5,
-              trainLimit: Int = 100000): DataFrame = {
+              trainLimit: Int = 100000,
+              maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    requireBounded(queries, maxQueryRows, "ivfTopK") // before paying training
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     // --- train coarse quantizer (driver holds k × dims doubles only) ---
     val sample = c.orderBy(col("vec_id")).limit(trainLimit)
@@ -139,18 +167,20 @@ object Similarity {
       centroids = centroids.indices
         .map(i => next.getOrElse(i, centroids(i))).toArray
     }
-    ivfProbe(corpus, queries, topK, centroids, nProbe)
+    ivfProbe(corpus, queries, topK, centroids, nProbe, maxQueryRows)
   }
 
   /** Assignment + probe against a GIVEN coarse quantizer: one broadcast
     * pass assigns cells, queries explode to their `nProbe` nearest cells,
     * and exact cosine runs inside the joined cells only. */
   def ivfProbe(corpus: DataFrame, queries: DataFrame, topK: Int,
-               centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+               centroids: Array[Array[Double]], nProbe: Int,
+               maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val cells = c.withColumn("cell", NearestCells.cell(col("e"), centroids))
       .select(col("cell"), col("vec_id").as("cid"), col("e").as("ce"))
-    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+    val q = requireBounded(queries, maxQueryRows, "ivfProbe")
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
     val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
@@ -211,7 +241,8 @@ object Similarity {
     * first; distances are approximate by construction (that is PQ), so
     * the gate pins the exact table arithmetic rather than recall. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+             codebooks: Array[Array[Array[Double]]],
+             maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     val m = codebooks.length
     val ks = codebooks(0).length
     val subDims = codebooks(0)(0).length
@@ -225,7 +256,7 @@ object Similarity {
         val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
         x * x
       }.reduceLeft(_ + _)
-    val q = queries
+    val q = requireBounded(queries, maxQueryRows, "pqTopK")
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .select(col("qid") +:
         (for (mm <- 0 until m; j <- 0 until ks)

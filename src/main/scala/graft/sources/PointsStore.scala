@@ -83,21 +83,58 @@ object PointsStore {
     withLc.groupBy(col("sig"), col("name"), col("_lc"))
       .agg(max(col("date")).as("lastDay"))
       .write.mode(SaveMode.Append).parquet(s"$path/$DictDir")
-    withLc
+    // `_sub`: per-row monotonic order WITHIN the batch (partition-major,
+    // then row order — monotonically_increasing_id), computed BEFORE the
+    // cluster sort so the stamp follows the row. When one append itself
+    // carries two samples for the same (series, t) — a self-duplicating
+    // sender — the batch's LAST row must win, matching the reference's
+    // TSM cache keep-last-write within one WritePoints call. Duplicates
+    // WITHIN a task partition are dropped right here, shuffle-free
+    // ([[dropWithinPartitionDups]] rides the cluster sort the write
+    // already pays — the relational analog of the TSM cache overwrite);
+    // duplicates ACROSS batch partitions land in different files of the
+    // day, where [[readLiveInfo]]'s multi-file signal arms [[lwwGuard]]
+    // and (t, _seq desc, _sub desc) picks the later row.
+    val stamped = withLc
       .withColumn("_seq", lit(nextSeq()))
-      // `_sub`: per-row monotonic order WITHIN the batch (partition-major,
-      // then row order — monotonically_increasing_id). When one append
-      // itself carries two samples for the same (series, t) — a
-      // self-duplicating sender — the (t, _seq desc, _sub desc) dedup in
-      // [[lwwGuard]]/[[compact]] keeps the batch's LAST row, matching the
-      // reference's TSM cache keep-last-write within one WritePoints call.
-      // Computed BEFORE the cluster sort so the stamp follows the row.
       .withColumn("_sub", monotonically_increasing_id())
-      .sortWithinPartitions(col("date"), col("name"), col("sig"), col("t"))
+      .sortWithinPartitions(col("date"), col("name"), col("sig"), col("t"),
+        col("_sub"))
+    dropWithinPartitionDups(stamped)
       .write
       .partitionBy("date")
       .mode(SaveMode.Append)
       .parquet(path)
+  }
+
+  /** Keep the LAST row of each within-partition (date, sig, t) run — the
+    * input is already clustered (date, name, sig, t, _sub), so duplicates
+    * are adjacent and one forward-looking linear pass suffices: no
+    * shuffle, no window, order (hence parquet row-group clustering)
+    * preserved. */
+  private def dropWithinPartitionDups(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val di = schema.fieldIndex("date")
+    val si = schema.fieldIndex("sig")
+    val ti = schema.fieldIndex("t")
+    df.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private var pending: org.apache.spark.sql.Row = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = pending != null
+        def next(): org.apache.spark.sql.Row = {
+          var cur = pending
+          var nxt: org.apache.spark.sql.Row = if (it.hasNext) it.next() else null
+          // skip forward over duplicates of (date, sig, t): later _sub wins
+          while (nxt != null && cur.get(di) == nxt.get(di) &&
+            cur.getLong(si) == nxt.getLong(si) && cur.getLong(ti) == nxt.getLong(ti)) {
+            cur = nxt
+            nxt = if (it.hasNext) it.next() else null
+          }
+          pending = nxt
+          cur
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Exactly-once [[append]] for at-least-once replay contexts (a
@@ -302,13 +339,17 @@ object PointsStore {
 
   /** [[readLive]] plus the duplicate-possibility signal for the read-time
     * LWW guard: a day's live set can hold (sig, t) duplicates only when it
-    * contains at least one plain append file — all live `compacted-` files
-    * belong to ONE generation (the newest manifest +lists only its own
-    * rewrite's outputs) and that generation was globally deduped when
-    * written. A LONE append file still counts: one batch can itself carry
-    * two samples for a (series, t) (a self-duplicating sender), resolved
-    * by the `_sub` within-batch stamp — so only fully-compacted days read
-    * guard-free, which is the steady state. */
+    * mixes at least one plain append file with any other file — all live
+    * `compacted-` files belong to ONE generation (the newest manifest
+    * +lists only its own rewrite's outputs) and that generation was
+    * globally deduped when written, while a lone append file cannot hold
+    * duplicates either: one file is one batch task partition, and
+    * [[append]] drops within-partition (sig, t) duplicates at write time
+    * (a self-duplicating batch's cross-partition copies land in separate
+    * files, tripping the multi-file signal). Keeping the lone-file fast
+    * path matters at fleet scale: the guard's sig window is a pushdown
+    * barrier, and fresh single-batch stores must still push selector
+    * equality into the scan. */
   private def readLiveInfo(spark: SparkSession, path: String,
                            startMs: Long, endMs: Long, slackMs: Long)
       : (DataFrame, Boolean) = {
@@ -326,8 +367,10 @@ object PointsStore {
         lo.forall(l => !d.isBefore(l)) && hi.forall(h => !d.isAfter(h))
       }
     val perDay = days.map(d => liveDayFiles(fs, d.getPath))
-    val mayDuplicate = perDay.exists(_.exists(f =>
-      !new org.apache.hadoop.fs.Path(f).getName.startsWith(CompactedPrefix)))
+    val mayDuplicate = perDay.exists { dayFiles =>
+      dayFiles.length > 1 && dayFiles.exists(f =>
+        !new org.apache.hadoop.fs.Path(f).getName.startsWith(CompactedPrefix))
+    }
     val files = perDay.flatten
     if (files.isEmpty) (spark.read.parquet(path).where(lit(false)), false)
     else (spark.read.option("basePath", path).parquet(files: _*), mayDuplicate)

@@ -148,6 +148,33 @@ class GuardsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("timed out"))
   }
 
+  test("active-query log survives a crash and names the in-flight query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qlog")
+    try {
+      // a fresh log has no crash evidence
+      assert(Guards.enableQueryLog(dir.toString).isEmpty)
+      // DURING a guarded run, the admission entry is durably on disk with
+      // the query's description (what a post-crash inspection would read)
+      val seen = Guards.run(spark, QueryLimits(timeoutMs = 30000),
+        "rate(crash_witness[5m])") {
+        Guards.readQueryLog(dir).map(_.description)
+      }
+      assert(seen == Seq("rate(crash_witness[5m])"))
+      // completion clears it: a clean shutdown leaves no evidence
+      assert(Guards.readQueryLog(dir).isEmpty)
+      // simulate the crash: the process died mid-query, so its admission
+      // file was never deleted — plant exactly what logAdmission writes
+      java.nio.file.Files.writeString(dir.resolve("graft-query-777.json"),
+        """{"group":"graft-query-777","description":"sum(m) by (i)","startedMs":123456}""")
+      // "restart": re-enabling the log surfaces the leftover query by name
+      // and truncates, like the reference's query_logger on startup
+      val crashed = Guards.enableQueryLog(dir.toString)
+      assert(crashed.map(q => (q.group, q.description, q.startedMs)) ==
+        Seq(("graft-query-777", "sum(m) by (i)", 123456L)))
+      assert(Guards.enableQueryLog(dir.toString).isEmpty) // cleared
+    } finally Guards.disableQueryLog()
+  }
+
   test("fast queries pass through the guard and release their slot") {
     val out = Guards.run(spark, QueryLimits(timeoutMs = 30000, maxConcurrent = 1)) {
       spark.range(10).count()

@@ -51,6 +51,15 @@ class CurationPipelineSpec extends AnyFunSuite {
       Seq((9L, "<p><b></b></p>")).toDF("doc_id", "text"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(e == Map("empty" -> 1L))
+    // NULL text: audit files it under 'empty' — the same verdict curate()
+    // reaches by dropping it at the length>0 filter (not 'off_language'
+    // via the lang coalesce, not 'pass')
+    val nulls = Seq((10L, Option.empty[String]), (11L, Option(en1)))
+      .toDF("doc_id", "text")
+    val na = CurationPipeline.audit(nulls)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(na.getOrElse("empty", 0L) == 1L && na.values.sum == 2)
+    assert(CurationPipeline.curate(nulls).collect().map(_.getLong(0)).toSeq == Seq(11L))
   }
 
   test("curateStream applies the same filters on a live stream, dedups by content") {

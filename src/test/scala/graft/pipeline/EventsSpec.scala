@@ -98,6 +98,39 @@ class EventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStream: a late event beyond the gap BEFORE the open session splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    // generous lateness so the cross-batch late row is admitted
+    val q = Events.sessionizeStream(in.toDF().toDF("user_id", "t"),
+      gapMs = 10000L, latenessMs = 500000L)
+      .writeStream.format("memory").queryName("sessions_late_split")
+      .outputMode("append").start()
+    def rows() = spark.table("sessions_late_split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      in.addData((1L, 200000L))
+      q.processAllAvailable()
+      // late event 100s BEFORE the open session's start — far beyond the
+      // 10s gap: it must become its own (immediately closed) session, NOT
+      // stretch the open session's start back to 100000
+      in.addData((1L, 100000L))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 100000L, 100000L, 1L)))
+      // and the open session still closes with its ORIGINAL start
+      in.addData((2L, 900000L)) // watermark mover
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 100000L, 100000L, 1L), (1L, 200000L, 200000L, 1L)))
+      // within-gap late rows still extend backwards (unchanged semantics):
+      in.addData((3L, 500000L), (3L, 495000L))
+      q.processAllAvailable()
+      in.addData((2L, 2000000L)) // watermark mover closes user 3
+      q.processAllAvailable()
+      assert(rows().contains((3L, 495000L, 500000L, 2L)))
+    } finally q.stop()
+  }
+
   test("funnel: reached is monotone and step times are ordered") {
     val f = Events.funnel(events, Seq("view", "click", "purchase")).cache()
     import spark.implicits._

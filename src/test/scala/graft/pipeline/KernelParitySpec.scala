@@ -72,6 +72,17 @@ class KernelParitySpec extends AnyFunSuite {
     assert(gen.map(_.toString).toSeq == interp.map(_.toString).toSeq)
   }
 
+  test("GramHashes: an empty token array emits NO grams") {
+    // reachable via the SQL-registered gram_hashes(array(), n) — two
+    // empty docs must not read as sharing a constant duplicated gram
+    val row = spark.range(1)
+      .select(GramHashes.column(array(), 8).as("gh"),
+        GramHashes.column(array(lit("x")), 8).as("one"))
+      .head()
+    assert(row.getSeq[Any](0).isEmpty)
+    assert(row.getSeq[Any](1).length == 1) // short doc: whole-doc window
+  }
+
   test("QualityScore kernel is bit-identical to the expression formula") {
     val t = split(col("text"), " ")
     val nTok = size(t).cast("double")

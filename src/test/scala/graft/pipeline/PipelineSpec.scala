@@ -54,6 +54,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.where(col("hamming") > 2).count() == 0)
   }
 
+  test("hammingPairs: capped buckets are counted, narrow bands auto-scale the cap") {
+    import spark.implicits._
+    // degenerate constant-signature corpus: one bucket per band, all over
+    // an explicit cap of 100 -> every bucket dropped, and the drop is
+    // OBSERVED in the same job, never silent
+    val same = (0L until 150L).map(i => (i, 42L)).toDF("doc_id", "sig")
+    val ds = Dedup.newDropStats(spark)
+    val pairs = Dedup.hammingPairs(same, "sig", maxHamming = 2,
+      maxBucket = 100, drops = Some(ds)).collect()
+    assert(pairs.isEmpty)
+    assert(ds.buckets.value == 3L) // one over-cap bucket per band
+    assert(ds.docs.value >= 3 * 101L) // lower bound: buffer holds cap+1
+    // maxHamming=8 -> 7-bit bands (128 values): pre-scaling, ANY 1100-doc
+    // bucket silently exceeded the default cap of 1000 and recall
+    // collapsed; the width-scaled cap keeps it, so a known hamming-1 pair
+    // in a 1100-doc single-bucket band survives with zero drops
+    val wide = (0L until 1100L).map(i => (i, i << 8)).toDF("doc_id", "sig")
+    val ds2 = Dedup.newDropStats(spark)
+    val found = Dedup.hammingPairs(wide, "sig", maxHamming = 8, drops = Some(ds2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 1L))) // sigs 0 and 256: hamming 1
+    assert(ds2.buckets.value == 0L)
+  }
+
   test("components: chains collapse transitively, clusters stay separate") {
     import spark.implicits._
     // a 6-node chain (forces merging beyond one star round), a triangle,
@@ -115,6 +139,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(t.length == 15)
     assert(t.forall(r => r.getLong(0) != r.getLong(1)))
     assert(t.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
+  test("query-side cap fails loudly instead of broadcasting a corpus") {
+    // the query side of every top-k operator is broadcast / candidate-
+    // multiplied by construction: passing a corpus-sized frame must throw
+    // the bound error up front, not OOM mid-broadcast
+    val cap = 3L
+    Seq[(String, org.apache.spark.sql.DataFrame => Any)](
+      ("bruteForceTopK", q => Similarity.bruteForceTopK(emb, q, 2, maxQueryRows = cap)),
+      ("annTopK", q => Similarity.annTopK(emb, q, 2, maxQueryRows = cap)),
+      ("ivfTopK", q => Similarity.ivfTopK(emb, q, 2, k = 4, maxQueryRows = cap)),
+      ("pqTopK", q => Similarity.pqTopK(emb, q, 2,
+        Similarity.fixedCodebooks(4, 4, 16), maxQueryRows = cap))
+    ).foreach { case (op, f) =>
+      val e = intercept[IllegalArgumentException] { f(emb) } // corpus AS queries
+      assert(e.getMessage.contains("maxQueryRows") && e.getMessage.contains(op), op)
+      // a bounded query set passes the same gate (plans build lazily;
+      // force one to prove the happy path executes)
+      f(emb.where(col("vec_id") < cap))
+        .asInstanceOf[org.apache.spark.sql.DataFrame].limit(1).collect()
+    }
   }
 
   test("ivf ann: deterministic, self-excluded, decent recall vs brute force") {
