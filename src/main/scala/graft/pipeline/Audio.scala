@@ -187,18 +187,54 @@ object Audio {
   }
 
   /** MFCCs of one frame: power spectrum → mel energies → ln (floored at
-    * 1e-10 against empty filters) → DCT-II, first `nCoef` kept. */
+    * `floor`, default 1e-10, against empty filters) → DCT-II, first
+    * `nCoef` kept. The gate passes floor=1.0: the square-wave fixture's
+    * true harmonic powers are ≥ ~1e5 while FFT-vs-direct-DFT cancellation
+    * residue in silent bins is ≤ ~1e-3, so the floor snaps residue-only
+    * filters to ln(1)=0 IDENTICALLY in both engines — the same
+    * robust-quantity trick q_mm_spectrogram plays with the integer
+    * argmax. */
   def mfccFrame(frame: Array[Double], nMels: Int, nCoef: Int,
-                sampleRate: Int): Array[Double] = {
+                sampleRate: Int, floor: Double = 1e-10): Array[Double] = {
     val p = powerSpectrum(frame)
     val fb = melFilterbank(p.length, nMels, sampleRate)
     val logMel = Array.tabulate(nMels) { m =>
       var e = 0.0
       var b = 0
       while (b < p.length) { e += fb(m)(b) * p(b); b += 1 }
-      math.log(math.max(e, 1e-10))
+      math.log(math.max(e, floor))
     }
     dct2(logMel).take(nCoef)
+  }
+
+  /** MFCC gate geometry: the spectrogram fixture frames (64 samples, 33
+    * bins at 8 kHz), 10 mel filters, first 4 coefficients. */
+  val GateMels = 10
+  val GateCoefs = 4
+  val GateSampleRate = 8000
+  val GateMfccFloor = 1.0
+
+  /** MFCC gate: synthesize the SAME square-wave WAV family as
+    * [[wavSpectrogramStats]], decode through the real RIFF walk, and run
+    * the full power-spectrum → mel filterbank → ln → DCT-II chain. One
+    * row per (doc, frame, coefficient), rounded to 6 decimals — the
+    * oracle recomputes it from a direct DFT with the filterbank and DCT
+    * matrices baked as literals generated from THESE Scala arrays. */
+  def wavMfccStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val samples = Array.tabulate(2 * GateFrameLen) { g =>
+          gateSample(id, g / GateFrameLen, g % GateFrameLen).toShort
+        }
+        val pcm = wavSamples(synthWavPcm(samples, GateSampleRate)).get
+        (0 until pcm.length / GateFrameLen).flatMap { f =>
+          val frame = pcm.slice(f * GateFrameLen, (f + 1) * GateFrameLen)
+          mfccFrame(frame, GateMels, GateCoefs, GateSampleRate, GateMfccFloor)
+            .zipWithIndex.map { case (v, k) => (id, f, k, v) }
+        }
+      }.toDF("doc_id", "frame_idx", "coef_idx", "mfcc")
+      .withColumn("mfcc", round(col("mfcc"), 6))
   }
 
   /** Linear PCM resampler, half-sample-center convention with edge

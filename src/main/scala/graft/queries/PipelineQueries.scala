@@ -83,10 +83,20 @@ object PipelineQueries {
     "q_text_bpe_pairs" -> ((s, dir) => Bpe.topPairs(docs(s, dir), 50)),
     "q_text_cmsketch" -> ((s, dir) => CountMin.estimate(docs(s, dir), cmProbes)),
     "q_text_charlm" -> ((s, dir) => CharLm.score(docs(s, dir))),
-    "q_text_bpe_encode" -> ((s, dir) =>
+    "q_text_bpe_encode" -> ((s, dir) => {
+      // fixture guard: the oracle's fixed replace-pass count only covers
+      // words to BpeOracleMaxWordLen symbols — check the bound so a
+      // corpus violating it fails HERE, not as a spurious gate mismatch
+      // (the engine's rank loop itself has no such bound)
+      val maxWord = docs(s, dir).agg(max(expr(
+        "array_max(transform(split(text, ' '), w -> length(w)))")).as("m"))
+        .head().getAs[Int]("m")
+      require(maxWord <= BpeOracleMaxWordLen,
+        s"bpe encode oracle covers words to $BpeOracleMaxWordLen symbols; corpus has $maxWord")
       Bpe.encode(docs(s, dir), Bpe.demoMerges)
         .select(col("doc_id"), col("n_tokens"),
-          md5(array_join(col("tokens"), " ")).as("tok_sig"))),
+          md5(array_join(col("tokens"), " ")).as("tok_sig"))
+    }),
     // the COMPOSED pipeline (strip → scrub → langId → quality →
     // repetition → dedup) gated end-to-end over the same deterministic
     // HTML wrap as q_pipe_strip; permissive thresholds so every filter
@@ -121,6 +131,7 @@ object PipelineQueries {
     "q_mm_resize" -> ((s, dir) => Multimodal.pngResizeStats(s, docs(s, dir))),
     "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir))),
     "q_mm_spectrogram" -> ((s, dir) => Audio.wavSpectrogramStats(s, docs(s, dir))),
+    "q_mm_mfcc" -> ((s, dir) => Audio.wavMfccStats(s, docs(s, dir))),
     "q_mm_resample" -> ((s, dir) => Audio.wavResampleStats(s, docs(s, dir))),
     "q_img_ahash" -> ((s, dir) => Images.aHashStats(s, docs(s, dir))),
     "q_img_ahash_pairs" -> ((s, dir) => Images.aHashPairs(s, docs(s, dir), 8)),
@@ -367,9 +378,13 @@ object PipelineQueries {
     * (a, b) in rank order as a ` a b ` → ` ab ` string replace on the
     * space-joined symbol stream, iterated 8× so consecutive occurrences
     * sharing a boundary space all merge (left-to-right non-overlapping
-    * replace halves the remaining run per pass; 8 passes cover any word
-    * to 256 symbols). Generated from [[Bpe.demoMerges]] so engine and
-    * oracle share one merge table. */
+    * replace halves the remaining run per pass, so ceil(log2(maxWordLen))
+    * passes suffice; 8 covers any word to 2^8 = 256 symbols — more passes
+    * would trip DuckDB's 128-deep expression binder across the 12 merges —
+    * and the gate query REQUIRES that fixture bound up front, so an
+    * over-long word fails loudly instead of under-merging the oracle into
+    * a spurious hash mismatch). Generated from [[Bpe.demoMerges]] so
+    * engine and oracle share one merge table. */
   private val bpeEncodeExpr: String = {
     // the rewrite formulation is equivalent to the greedy encode loop
     // ONLY for merges with a != b: a self-pair like (a,a) self-overlaps,
@@ -385,6 +400,9 @@ object PipelineQueries {
     }
   }
 
+  /** The word-length bound [[bpeEncodeExpr]]'s 8 replace passes cover. */
+  private val BpeOracleMaxWordLen = 1 << 8
+
   // ---- linear-resample oracle pieces (1-D sibling of the bilinear
   // blend): generated once, referenced in the q_mm_resample SQL ----
   private val rsSx =
@@ -394,7 +412,66 @@ object PipelineQueries {
   private val rsI1 = s"least($rsI0 + 1, CAST(n AS INT))"
   private val rsV = s"((1 - $rsF) * sm[$rsI0] + $rsF * sm[$rsI1])"
 
+  /** q_mm_mfcc oracle: direct-DFT power spectrum (the q_mm_spectrogram
+    * formulation), then mel energies and DCT-II with both matrices BAKED
+    * as literals generated from the SAME Scala arrays the engine uses —
+    * shortest-repr double literals re-parse to identical bits, so the two
+    * sides share the matrices exactly and differ only in last-ulp
+    * spectrum noise, absorbed by the gate floor (silent filters snap to
+    * ln(floor) on both sides — Audio.mfccFrame scaladoc) and the 6-decimal
+    * rounding. */
+  private val mfccOracle: String = {
+    val nBins = Audio.GateFrameLen / 2 + 1 // 33
+    val fb = Audio.melFilterbank(nBins, Audio.GateMels, Audio.GateSampleRate)
+    def melExpr(m: Int): String = {
+      // ascending-bin term order mirrors the engine's accumulation loop
+      // (zero-weight bins add exact 0.0 there — dropping them is bit-safe)
+      val terms = (0 until nBins).collect {
+        case b if fb(m)(b) != 0.0 => s"${fb(m)(b)} * p[${b + 1}]"
+      }
+      if (terms.isEmpty) "0.0" else terms.mkString(" + ")
+    }
+    val lmCols = (0 until Audio.GateMels).map(m =>
+      s"ln(greatest(${melExpr(m)}, ${Audio.GateMfccFloor})) AS lm$m")
+      .mkString(",\n    ")
+    def dctExpr(k: Int): String = {
+      val terms = (0 until Audio.GateMels).map { m =>
+        val c = math.cos(math.Pi * k * (2 * m + 1) / (2.0 * Audio.GateMels))
+        s"$c * lm$m"
+      }.mkString(" + ")
+      val norm = if (k == 0) math.sqrt(1.0 / Audio.GateMels)
+                 else math.sqrt(2.0 / Audio.GateMels)
+      s"($terms) * $norm"
+    }
+    val coefArms = (0 until Audio.GateCoefs)
+      .map(k => s"struct_pack(k := $k, v := ${dctExpr(k)})").mkString(",\n      ")
+    s"""WITH fr AS (SELECT doc_id, unnest([0, 1]) AS frame_idx FROM documents),
+       |sp AS (SELECT doc_id, frame_idx, ((doc_id + frame_idx) % 15 + 1) AS f FROM fr),
+       |pw AS (
+       |  SELECT doc_id, frame_idx,
+       |    list_transform(range(0, 33), b ->
+       |      power(list_sum(list_transform(range(0, 64), k ->
+       |        (CASE WHEN (k * f) % 64 < 32 THEN 1000 ELSE -1000 END)
+       |          * cos(2 * pi() * b * k / 64.0))), 2)
+       |      + power(list_sum(list_transform(range(0, 64), k ->
+       |        (CASE WHEN (k * f) % 64 < 32 THEN 1000 ELSE -1000 END)
+       |          * sin(2 * pi() * b * k / 64.0))), 2)) AS p
+       |  FROM sp),
+       |lm AS (
+       |  SELECT doc_id, frame_idx,
+       |    $lmCols
+       |  FROM pw),
+       |c AS (
+       |  SELECT doc_id, frame_idx, unnest([
+       |      $coefArms]) AS u
+       |  FROM lm)
+       |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(u.k AS INT) AS coef_idx, round(u.v, 6) AS mfcc
+       |FROM c""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_mm_mfcc" -> mfccOracle,
     // 2x linear upsample of the real decoded PCM: every blend weight is
     // a quarter (dyadic — exact in doubles in both engines); the
     // position-weighted sum pins each output sample to its index
@@ -1300,7 +1377,7 @@ object PipelineQueries {
          |  FROM cc GROUP BY 1),
          |staged AS (
          |  SELECT s.doc_id,
-         |    CASE WHEN length(s.text) = 0 THEN 'empty'
+         |    CASE WHEN s.text IS NULL OR length(s.text) = 0 THEN 'empty'
          |         WHEN l.lang_pred <> 'en' THEN 'off_language'
          |         WHEN q.quality_score < 0.5 THEN 'low_quality'
          |         WHEN coalesce(r.top_bigram_frac, 0) > 0.04
