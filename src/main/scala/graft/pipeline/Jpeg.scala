@@ -3,19 +3,23 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Baseline-sequential JPEG codec, pure JDK (ITU-T T.81 baseline DCT):
-  * a REAL decoder — marker walk (SOI/APPn/DQT/SOF0/DHT/DRI/SOS/EOI),
-  * canonical Huffman tables built from the in-stream DHT segments,
-  * byte-stuffed entropy decode with restart markers, DC prediction,
-  * zigzag dequantization, double-precision IDCT, generic (h,v)
-  * box upsampling, and fixed-point YCbCr→RGB — plus a spec-conformant
-  * ENCODER used to synthesize deterministic fixtures (any conformant
-  * decoder, e.g. the JDK's ImageIO, accepts its output).
+/** JPEG codec, pure JDK (ITU-T T.81): a REAL decoder for BOTH
+  * baseline-sequential (SOF0/1) and progressive (SOF2) DCT streams —
+  * marker walk (SOI/APPn/DQT/SOF/DHT/DRI/SOS/EOI), canonical Huffman
+  * tables built from the in-stream DHT segments, byte-stuffed entropy
+  * decode with restart markers, DC prediction, and for progressive the
+  * full multi-scan path: spectral selection (Ss..Se bands), successive
+  * approximation (Ah/Al first + refinement scans, T.81 G.1.2), EOB-run
+  * coding, and non-interleaved per-component scan geometry. Shared
+  * back half: zigzag dequantization, double-precision IDCT, generic
+  * (h,v) box upsampling, fixed-point YCbCr→RGB — plus spec-conformant
+  * ENCODERS (baseline + progressive) used to synthesize deterministic
+  * fixtures (any conformant decoder, e.g. the JDK's ImageIO, accepts
+  * their output; JpegSpec cross-checks both directions).
   *
-  * Progressive (SOF2) and arithmetic-coded streams return None —
-  * baseline covers the overwhelming share of training-corpus JPEGs and
-  * the header parser ([[Multimodal.parseJpeg]]) still yields dimensions
-  * for the rest.
+  * Arithmetic-coded streams return None — T.81's arithmetic option is
+  * patent-historied and vanishingly rare in web corpora; the header
+  * parser ([[Multimodal.parseJpeg]]) still yields dimensions for them.
   *
   * Determinism contract (what the oracle gates certify):
   *  - entropy coding is lossless, so decoded quantized coefficients are
@@ -80,6 +84,9 @@ object Jpeg {
         (b(pos + 1) & 0xff) != 0xd0 + m) fail()
       pos += 2
     }
+    /** Offset just past the consumed entropy bytes (partial-bit padding
+      * discarded) — where the next marker begins. */
+    def alignedPos: Int = pos
   }
 
   /** amplitude decode: T.81 F.12 EXTEND */
@@ -156,13 +163,23 @@ object Jpeg {
     var compIds: Array[Int] = null
     var compH: Array[Int] = null; var compV: Array[Int] = null
     var compTq: Array[Int] = null
+    // progressive state: QUANTIZED zigzag-order coefficients per
+    // component per MCU-padded block, accumulated across scans and
+    // dequantized at EOI
+    var progressive = false
+    var coefStore: Array[Array[Array[Int]]] = null
     var off = 2
-    while (off + 4 <= b.length) {
+    while (off + 2 <= b.length) { // EOI is the final 2 bytes
       if ((b(off) & 0xff) != 0xff) fail()
       val marker = b(off + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { off += 2 }
-      else if (marker == 0xd9) fail() // EOI before SOS
+      else if (marker == 0xd9) { // EOI
+        if (progressive && coefStore != null)
+          return finishProgressive(w, h, compH, compV, compTq, qt, coefStore)
+        fail() // EOI before any SOS
+      }
       else {
+        if (off + 4 > b.length) fail()
         val len = be16(b, off + 2)
         if (len < 2 || off + 2 + len > b.length) fail()
         val seg = off + 4 // first payload byte
@@ -198,8 +215,9 @@ object Jpeg {
             }
           case 0xdd => // DRI
             restartInterval = be16(b, seg)
-          case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential shares the layout)
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline-shaped, SOF2 progressive
             if ((b(seg) & 0xff) != 8) fail() // precision
+            progressive = marker == 0xc2
             h = be16(b, seg + 1); w = be16(b, seg + 3)
             val nc = b(seg + 5) & 0xff
             if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) fail()
@@ -214,8 +232,37 @@ object Jpeg {
               if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4) fail()
               c += 1
             }
-          case 0xc2 => fail() // progressive: out of scope
-          case 0xda => // SOS: scan header then entropy data to EOI
+          case 0xda if progressive => // SOS: one of several progressive scans
+            if (compIds == null) fail()
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > compIds.length) fail()
+            val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+            val order = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = b(seg + 1 + 2 * i) & 0xff
+              val tt = b(seg + 2 + 2 * i) & 0xff
+              val ci = compIds.indexOf(cid)
+              if (ci < 0) fail()
+              order(i) = ci
+              scanDc(i) = (tt >> 4) & 0xf; scanAc(i) = tt & 0xf
+              i += 1
+            }
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val ah = (ahal >> 4) & 0xf; val al = ahal & 0xf
+            if (coefStore == null) {
+              val hmax = compH.max; val vmax = compV.max
+              val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              coefStore = Array.tabulate(compIds.length)(c =>
+                Array.fill(mcusX * compH(c) * mcusY * compV(c))(new Array[Int](64)))
+            }
+            off = decodeProgressiveScan(b, segEnd, w, h, order, compH, compV,
+              scanDc, scanAc, ss, se, ah, al, coefStore, dcTabs, acTabs,
+              restartInterval)
+          case 0xda => // baseline SOS: the single scan, entropy data to EOI
             if (compIds == null) fail()
             val ns = b(seg) & 0xff
             if (ns != compIds.length) fail() // baseline: single interleaved scan
@@ -238,10 +285,195 @@ object Jpeg {
               scanDc, scanAc, qt, dcTabs, acTabs, restartInterval)
           case _ => () // APPn / COM / others: skip
         }
-        off = segEnd
+        if (marker != 0xda || !progressive) off = segEnd
       }
     }
     fail()
+  }
+
+  /** Dequantize + reorder the accumulated progressive coefficients into
+    * the same Frame shape the baseline scan produces. */
+  private def finishProgressive(w: Int, h: Int, compH: Array[Int],
+                                compV: Array[Int], compTq: Array[Int],
+                                qt: Array[Array[Int]],
+                                coefs: Array[Array[Array[Int]]]): Frame = {
+    val hmax = compH.max; val vmax = compV.max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planes = Array.tabulate(coefs.length) { c =>
+      val q = qt(compTq(c))
+      if (q == null) fail()
+      val blocks = coefs(c).map { z =>
+        val nat = new Array[Int](64)
+        var k = 0
+        while (k < 64) { nat(ZigZag(k)) = z(k) * q(k); k += 1 }
+        nat
+      }
+      Plane(compH(c), compV(c), mcusX * compH(c), mcusY * compV(c), blocks)
+    }
+    Frame(w, h, planes)
+  }
+
+  /** Decode ONE progressive scan (T.81 G.1.2): DC first/refinement scans
+    * (interleaved or single-component), AC first/refinement scans (always
+    * single-component, spectral band Ss..Se, EOB-run coded), updating the
+    * quantized zigzag coefficient store in place. Returns the byte offset
+    * just past this scan's entropy data (the next marker). */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int, w: Int, h: Int,
+                                    order: Array[Int], compH: Array[Int],
+                                    compV: Array[Int], scanDc: Array[Int],
+                                    scanAc: Array[Int], ss: Int, se: Int,
+                                    ah: Int, al: Int,
+                                    coefs: Array[Array[Array[Int]]],
+                                    dcTabs: Array[HuffTable],
+                                    acTabs: Array[HuffTable],
+                                    restartInterval: Int): Int = {
+    if (ss < 0 || se > 63 || ss > se || al > 13) fail()
+    val isDc = ss == 0
+    if (isDc && se != 0) fail() // DC scans carry only the DC band
+    if (!isDc && order.length != 1) fail() // AC scans are non-interleaved
+    val hmax = compH.max; val vmax = compV.max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val r = new BitReader(b, start)
+    val pred = new Array[Int](order.length)
+    var eobrun = 0
+    var restartCount = 0
+    var unit = 0 // MCU index (interleaved) or block index (non-interleaved)
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        r.expectRestart(restartCount % 8)
+        restartCount += 1
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+
+    def decodeDcBlock(s: Int, z: Array[Int]): Unit =
+      if (ah == 0) { // first scan: Huffman diff, scaled by the point transform
+        val dcTab = dcTabs(scanDc(s))
+        if (dcTab == null) fail()
+        val t = dcTab.decode(r)
+        if (t > 15) fail()
+        pred(s) += extend(r.receive(t), t)
+        z(0) = pred(s) << al
+      } else { // refinement: one raw bit per block
+        if (r.nextBit() == 1) z(0) |= 1 << al
+      }
+
+    def decodeAcFirst(z: Array[Int]): Unit =
+      if (eobrun > 0) eobrun -= 1
+      else {
+        val acTab = acTabs(scanAc(0))
+        if (acTab == null) fail()
+        var k = ss
+        while (k <= se) {
+          val rs = acTab.decode(r)
+          val run = (rs >> 4) & 0xf; val size = rs & 0xf
+          if (size == 0) {
+            if (run < 15) { // EOBn: this block done, run covers 2^run-1 more
+              eobrun = (1 << run) - 1
+              if (run > 0) eobrun += r.receive(run)
+              k = se + 1
+            } else k += 16 // ZRL
+          } else {
+            k += run
+            if (k > se) fail()
+            z(k) = extend(r.receive(size), size) << al
+            k += 1
+          }
+        }
+      }
+
+    /** AC refinement (G.1.2.3, the libjpeg formulation): correction bits
+      * for already-nonzero coefficients ride inline as the band is swept;
+      * zero-history runs count only zero coefficients. */
+    def decodeAcRefine(z: Array[Int]): Unit = {
+      val p1 = 1 << al
+      val acTab = acTabs(scanAc(0))
+      if (acTab == null) fail()
+      var k = ss
+      def refineAt(k0: Int): Unit =
+        if (r.nextBit() == 1 && (z(k0) & p1) == 0)
+          z(k0) += (if (z(k0) >= 0) p1 else -p1)
+      if (eobrun == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = acTab.decode(r)
+          var run = (rs >> 4) & 0xf
+          val size = rs & 0xf
+          var newVal = 0
+          if (size == 0) {
+            if (run < 15) { // EOBn: sweep the rest with correction bits only
+              eobrun = 1 << run
+              if (run > 0) eobrun += r.receive(run)
+              done = true
+            } // run == 15: ZRL — skip 16 zero-history coefs in the sweep
+          } else {
+            if (size != 1) fail() // refinement sends magnitude-1 births only
+            newVal = if (r.nextBit() == 1) p1 else -p1
+          }
+          if (!done) {
+            var placed = false
+            while (!placed && k <= se) {
+              if (z(k) != 0) refineAt(k)
+              else {
+                if (run == 0) { if (newVal != 0) z(k) = newVal; placed = true }
+                else run -= 1
+              }
+              k += 1
+            }
+            if (!placed && newVal != 0) fail() // band ended before the birth
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) { if (z(k) != 0) refineAt(k); k += 1 }
+        eobrun -= 1
+      }
+    }
+
+    if (isDc && order.length > 1) { // interleaved DC scan over the MCU grid
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      val total = mcusX * mcusY
+      while (unit < total) {
+        maybeRestart()
+        val my = unit / mcusX; val mx = unit % mcusX
+        var s = 0
+        while (s < order.length) {
+          val c = order(s)
+          val bw = mcusX * compH(c)
+          var bv = 0
+          while (bv < compV(c)) {
+            var bh = 0
+            while (bh < compH(c)) {
+              decodeDcBlock(s,
+                coefs(c)((my * compV(c) + bv) * bw + (mx * compH(c) + bh)))
+              bh += 1
+            }
+            bv += 1
+          }
+          s += 1
+        }
+        unit += 1
+      }
+    } else { // non-interleaved: the component's REAL block grid (A.2.2)
+      val c = order(0)
+      val compPixW = (w * compH(c) + hmax - 1) / hmax
+      val compPixH = (h * compV(c) + vmax - 1) / vmax
+      val blocksW = (compPixW + 7) / 8
+      val blocksH = (compPixH + 7) / 8
+      val bw = mcusX * compH(c) // padded plane stride
+      val total = blocksW * blocksH
+      while (unit < total) {
+        maybeRestart()
+        val z = coefs(c)((unit / blocksW) * bw + unit % blocksW)
+        if (isDc) decodeDcBlock(0, z)
+        else if (ah == 0) decodeAcFirst(z)
+        else decodeAcRefine(z)
+        unit += 1
+      }
+    }
+    r.alignedPos
   }
 
   /** Entropy-decode the single interleaved baseline scan into dequantized
@@ -584,6 +816,233 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Synthesize a PROGRESSIVE (SOF2) JFIF stream carrying the given
+    * quantized coefficients, via the classic successive-approximation
+    * scan script:
+    *
+    *   1. DC first        (all components interleaved, Ah=0 Al=1)
+    *   2. DC refinement   (Ah=1 Al=0 — one raw bit per block)
+    *   3. per component:  AC first, band 1..5,  Al=1 (spectral selection)
+    *   4. per component:  AC first, band 6..63, Al=1
+    *   5. per component:  AC refinement, band 1..63, Ah=1→Al=0
+    *
+    * Unlike [[synthJpeg]], `coef(comp, blockIdx, zigzagK)` addresses
+    * blocks by PLANE-RASTER index over the MCU-padded grid (the same
+    * layout [[Frame]] exposes), since different scans traverse blocks in
+    * different orders. `restartInterval` > 0 emits DRI once; per T.81 it
+    * then applies to EVERY scan (MCUs for the interleaved DC scan, blocks
+    * for the non-interleaved ones). */
+  def synthProgressiveJpeg(w: Int, h: Int, gray: Boolean, sub420: Boolean,
+                           qLum: Array[Int], qChr: Array[Int],
+                           coef: (Int, Int, Int) => Int,
+                           restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && qLum.length == 64 && (gray || qChr.length == 64))
+    val nc = if (gray) 1 else 3
+    val hs = if (gray) Array(1) else if (sub420) Array(2, 1, 1) else Array(1, 1, 1)
+    val vs = hs
+    val hmax = hs.max; val vmax = vs.max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component padded plane geometry (the coef addressing space) and
+    // the REAL block grid AC scans traverse (T.81 A.2.2)
+    val bwPad = Array.tabulate(nc)(c => mcusX * hs(c))
+    val blocksW = Array.tabulate(nc)(c => ((w * hs(c) + hmax - 1) / hmax + 7) / 8)
+    val blocksH = Array.tabulate(nc)(c => ((h * vs(c) + vmax - 1) / vmax + 7) / 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(out, 0xdb, (0.toByte +: qLum.map(_.toByte)).toArray)
+    if (!gray) seg(out, 0xdb, (1.toByte +: qChr.map(_.toByte)).toArray)
+    val sof = java.nio.ByteBuffer.allocate(6 + 3 * nc)
+    sof.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(nc.toByte)
+    var c = 0
+    while (c < nc) {
+      sof.put((c + 1).toByte).put(((hs(c) << 4) | vs(c)).toByte)
+        .put((if (c == 0) 0 else 1).toByte)
+      c += 1
+    }
+    seg(out, 0xc2, sof.array()) // SOF2: progressive
+    seg(out, 0xc4, (0x00.toByte +: (EncDcCounts.map(_.toByte) ++ EncDcSymbols.map(_.toByte))).toArray)
+    seg(out, 0xc4, (0x10.toByte +: (EncAcCounts.map(_.toByte) ++ EncAcSymbols.map(_.toByte))).toArray)
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array(((restartInterval >> 8) & 0xff).toByte, (restartInterval & 0xff).toByte))
+
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val p = java.nio.ByteBuffer.allocate(4 + 2 * comps.length)
+      p.put(comps.length.toByte)
+      comps.foreach(ci => p.put((ci + 1).toByte).put(0x00.toByte))
+      p.put(ss.toByte).put(se.toByte).put(((ah << 4) | al).toByte)
+      seg(out, 0xda, p.array())
+    }
+    def restartIfDue(bw: BitWriter, unit: Int, counter: Array[Int]): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        bw.flushAlign()
+        out.write(0xff); out.write(0xd0 + (counter(0) % 8))
+        counter(0) += 1
+        counter(1) = 1 // signal: DC preds reset
+      }
+
+    // ---- scan 1: DC first (interleaved), point transform Al=1 ----------
+    sos(0 until nc, 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](nc)
+      val counter = Array(0, 0)
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        restartIfDue(bw, mcu, counter)
+        if (counter(1) == 1) { java.util.Arrays.fill(pred, 0); counter(1) = 0 }
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        c = 0
+        while (c < nc) {
+          var bv = 0
+          while (bv < vs(c)) {
+            var bh = 0
+            while (bh < hs(c)) {
+              val idx = (my * vs(c) + bv) * bwPad(c) + (mx * hs(c) + bh)
+              val v = coef(c, idx, 0) >> 1 // arithmetic: floor toward -inf
+              val diff = v - pred(c); pred(c) = v
+              val s = bitSize(diff)
+              val (dcCode, dcLen) = EncDcCodes(s)
+              bw.put(dcCode, dcLen)
+              if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+              bh += 1
+            }
+            bv += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      bw.flushAlign()
+    }
+
+    // ---- scan 2: DC refinement — raw bit 0 of each DC, same order ------
+    sos(0 until nc, 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      val counter = Array(0, 0)
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        restartIfDue(bw, mcu, counter)
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        c = 0
+        while (c < nc) {
+          var bv = 0
+          while (bv < vs(c)) {
+            var bh = 0
+            while (bh < hs(c)) {
+              val idx = (my * vs(c) + bv) * bwPad(c) + (mx * hs(c) + bh)
+              bw.put(coef(c, idx, 0) & 1, 1)
+              bh += 1
+            }
+            bv += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      bw.flushAlign()
+    }
+
+    // ---- scans 3-4: AC first per component, two spectral bands, Al=1 ---
+    def acFirstScan(comp: Int, bandLo: Int, bandHi: Int): Unit = {
+      sos(Seq(comp), bandLo, bandHi, 0, 1)
+      val bw = new BitWriter(out)
+      val counter = Array(0, 0)
+      var blk = 0
+      val total = blocksW(comp) * blocksH(comp)
+      while (blk < total) {
+        restartIfDue(bw, blk, counter)
+        val idx = (blk / blocksW(comp)) * bwPad(comp) + blk % blocksW(comp)
+        def v(k: Int): Int = {
+          val x = coef(comp, idx, k)
+          if (x >= 0) x >> 1 else -((-x) >> 1) // magnitude shift (G.1.2.2)
+        }
+        var lastNz = bandLo - 1
+        var k = bandLo
+        while (k <= bandHi) { if (v(k) != 0) lastNz = k; k += 1 }
+        if (lastNz < bandLo) { val (e, el) = EncAcCodes(0x00); bw.put(e, el) }
+        else {
+          var run = 0
+          k = bandLo
+          while (k <= lastNz) {
+            val x = v(k)
+            if (x == 0) run += 1
+            else {
+              while (run > 15) { val (z, zl) = EncAcCodes(0xf0); bw.put(z, zl); run -= 16 }
+              val sz = bitSize(x)
+              require(sz <= 10, s"AC amplitude $x out of the encoder's size range")
+              val (code, len) = EncAcCodes((run << 4) | sz)
+              bw.put(code, len)
+              bw.put(if (x >= 0) x else x + (1 << sz) - 1, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (lastNz < bandHi) { val (e, el) = EncAcCodes(0x00); bw.put(e, el) }
+        }
+        blk += 1
+      }
+      bw.flushAlign()
+    }
+    c = 0
+    while (c < nc) { acFirstScan(c, 1, 5); c += 1 }
+    c = 0
+    while (c < nc) { acFirstScan(c, 6, 63); c += 1 }
+
+    // ---- scan 5: AC refinement per component, Ah=1 → Al=0 ---------------
+    // emission mirrors the decoder's sweep exactly: history-coefficient
+    // correction bits ride inline in k order; ZRL spans flush only the
+    // bits their 16 skipped zeros cover
+    def acRefineScan(comp: Int): Unit = {
+      sos(Seq(comp), 1, 63, 1, 0)
+      val bw = new BitWriter(out)
+      val counter = Array(0, 0)
+      var blk = 0
+      val total = blocksW(comp) * blocksH(comp)
+      while (blk < total) {
+        restartIfDue(bw, blk, counter)
+        val idx = (blk / blocksW(comp)) * bwPad(comp) + blk % blocksW(comp)
+        def x(k: Int): Int = coef(comp, idx, k)
+        def hist(k: Int): Boolean = math.abs(x(k)) >= 2
+        val births = (1 to 63).filter(k => math.abs(x(k)) == 1)
+        var k = 1
+        births.foreach { p =>
+          var zeros = 0
+          var j = k
+          while (j < p) { if (x(j) == 0) zeros += 1; j += 1 }
+          while (zeros >= 16) { // ZRL: decoder consumes exactly 16 zeros,
+            // reading history bits encountered on the way
+            val (z, zl) = EncAcCodes(0xf0); bw.put(z, zl)
+            var cnt = 0
+            while (cnt < 16) {
+              if (x(k) == 0) cnt += 1
+              else if (hist(k)) bw.put(math.abs(x(k)) & 1, 1)
+              k += 1
+            }
+            zeros -= 16
+          }
+          val (code, len) = EncAcCodes((zeros << 4) | 1)
+          bw.put(code, len)
+          bw.put(if (x(p) > 0) 1 else 0, 1) // sign of the birth
+          while (k < p) { if (hist(k)) bw.put(math.abs(x(k)) & 1, 1); k += 1 }
+          k = p + 1
+        }
+        if (k <= 63) { // trailing zeros / histories: EOB0 then their bits
+          val (e, el) = EncAcCodes(0x00); bw.put(e, el)
+          while (k <= 63) { if (hist(k)) bw.put(math.abs(x(k)) & 1, 1); k += 1 }
+        }
+        blk += 1
+      }
+      bw.flushAlign()
+    }
+    c = 0
+    while (c < nc) { acRefineScan(c); c += 1 }
+
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- oracle gates ----------------------------------------------------
 
   /** zigzag positions carrying nonzero ACs in the coef gate (the 20→40
@@ -616,6 +1075,35 @@ object Jpeg {
         else if (CoefKs.contains(k)) gateAc(c, b, k, id)
         else 0
       val bytes = synthJpeg(w, h, gray, sub420 = !gray, qL, qC, cf, ri)
+      val fr = decodeFrame(bytes).get
+      (id, fr.width, fr.height, fr.planes.length, fr.coefSum)
+    }).toDF("doc_id", "width", "height", "ncomp", "coef_sum")
+  }
+
+  /** Progressive lossless-layer gate: the SAME doc_id-derived coefficient
+    * family and dims as [[jpegCoefStats]], carried over a multi-scan SOF2
+    * stream (DC first + refinement, two AC spectral bands, AC refinement
+    * with correction bits, restarts every 5th id). The decoded
+    * dequantized coefficient sum is the same arithmetic (block indexing
+    * differs — plane raster vs encode order — but a sum is
+    * index-invariant), so the one oracle certifies the entire progressive
+    * entropy path: successive approximation, EOB runs, spectral bands,
+    * refinement births, ZRL-in-refinement. */
+  def jpegProgressiveStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qL = Array.tabulate(64)(gateQLum)
+    val qC = Array.tabulate(64)(gateQChr)
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+      val gray = id % 2 == 0
+      val (w, h) =
+        if (gray) (8 * ((id % 3).toInt + 1), 8 * (((id / 2) % 2).toInt + 1))
+        else (16 * (((id / 2) % 2).toInt + 1), 16 * (((id / 3) % 2).toInt + 1))
+      val ri = if (id % 5 == 0) 2 else 0
+      def cf(c: Int, b: Int, k: Int): Int =
+        if (k == 0) gateDc(c, b, id)
+        else if (CoefKs.contains(k)) gateAc(c, b, k, id)
+        else 0
+      val bytes = synthProgressiveJpeg(w, h, gray, sub420 = !gray, qL, qC, cf, ri)
       val fr = decodeFrame(bytes).get
       (id, fr.width, fr.height, fr.planes.length, fr.coefSum)
     }).toDF("doc_id", "width", "height", "ncomp", "coef_sum")

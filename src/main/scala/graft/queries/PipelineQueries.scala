@@ -138,6 +138,7 @@ object PipelineQueries {
     "q_mm_resize_bilinear" -> ((s, dir) => Images.pngBilinearStats(s, docs(s, dir))),
     "q_mm_flip_rotate" -> ((s, dir) => Images.flipRotateStats(s, docs(s, dir))),
     "q_mm_jpeg_coefs" -> ((s, dir) => Jpeg.jpegCoefStats(s, docs(s, dir))),
+    "q_mm_jpeg_progressive" -> ((s, dir) => Jpeg.jpegProgressiveStats(s, docs(s, dir))),
     "q_mm_jpeg_pixels" -> ((s, dir) => Jpeg.jpegPixelStats(s, docs(s, dir))),
     "q_mm_video_frames" -> ((s, dir) => Video.videoFrameStats(s, docs(s, dir))),
     "q_mm_gif_pixels" -> ((s, dir) => Gif.gifPixelStats(s, docs(s, dir)))
@@ -469,6 +470,34 @@ object PipelineQueries {
        |  CAST(u.k AS INT) AS coef_idx, round(u.v, 6) AS mfcc
        |FROM c""".stripMargin
   }
+
+  /** Shared lossless-layer JPEG oracle: the dequantized coefficient sum
+    * reproduced arithmetically from the gate's coefficient formulas —
+    * used by BOTH q_mm_jpeg_coefs (baseline stream) and
+    * q_mm_jpeg_progressive (multi-scan SOF2 stream). */
+  private lazy val jpegCoefOracleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
+       |  CAST(8 * ((doc_id // 2) % 2 + 1) AS INT) AS height,
+       |  CAST(1 AS INT) AS ncomp,
+       |  CAST(list_sum(list_transform(
+       |    range(0, CAST((doc_id % 3 + 1) * ((doc_id // 2) % 2 + 1) AS INT)),
+       |    b -> ${jpegCoefTerm(0, Jpeg.gateQLum)})) AS BIGINT) AS coef_sum
+       |FROM documents WHERE doc_id % 2 = 0
+       |UNION ALL
+       |SELECT doc_id,
+       |  CAST(16 * ((doc_id // 2) % 2 + 1) AS INT) AS width,
+       |  CAST(16 * ((doc_id // 3) % 2 + 1) AS INT) AS height,
+       |  CAST(3 AS INT) AS ncomp,
+       |  CAST(
+       |    list_sum(list_transform(
+       |      range(0, CAST(4 * ((doc_id // 2) % 2 + 1) * ((doc_id // 3) % 2 + 1) AS INT)),
+       |      b -> ${jpegCoefTerm(0, Jpeg.gateQLum)})) +
+       |    list_sum(list_transform(
+       |      range(0, CAST(((doc_id // 2) % 2 + 1) * ((doc_id // 3) % 2 + 1) AS INT)),
+       |      b -> (${jpegCoefTerm(1, Jpeg.gateQChr)}) + (${jpegCoefTerm(2, Jpeg.gateQChr)})))
+       |  AS BIGINT) AS coef_sum
+       |FROM documents WHERE doc_id % 2 = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_mm_mfcc" -> mfccOracle,
@@ -987,29 +1016,12 @@ object PipelineQueries {
     // canonical Huffman, DC prediction, ZRL runs, restart markers on
     // id%5==0, dequant) — the oracle reproduces the dequantized sum
     // arithmetically with the quant-table literals baked in
-    "q_mm_jpeg_coefs" ->
-      s"""SELECT doc_id,
-         |  CAST(8 * (doc_id % 3 + 1) AS INT) AS width,
-         |  CAST(8 * ((doc_id // 2) % 2 + 1) AS INT) AS height,
-         |  CAST(1 AS INT) AS ncomp,
-         |  CAST(list_sum(list_transform(
-         |    range(0, CAST((doc_id % 3 + 1) * ((doc_id // 2) % 2 + 1) AS INT)),
-         |    b -> ${jpegCoefTerm(0, Jpeg.gateQLum)})) AS BIGINT) AS coef_sum
-         |FROM documents WHERE doc_id % 2 = 0
-         |UNION ALL
-         |SELECT doc_id,
-         |  CAST(16 * ((doc_id // 2) % 2 + 1) AS INT) AS width,
-         |  CAST(16 * ((doc_id // 3) % 2 + 1) AS INT) AS height,
-         |  CAST(3 AS INT) AS ncomp,
-         |  CAST(
-         |    list_sum(list_transform(
-         |      range(0, CAST(4 * ((doc_id // 2) % 2 + 1) * ((doc_id // 3) % 2 + 1) AS INT)),
-         |      b -> ${jpegCoefTerm(0, Jpeg.gateQLum)})) +
-         |    list_sum(list_transform(
-         |      range(0, CAST(((doc_id // 2) % 2 + 1) * ((doc_id // 3) % 2 + 1) AS INT)),
-         |      b -> (${jpegCoefTerm(1, Jpeg.gateQChr)}) + (${jpegCoefTerm(2, Jpeg.gateQChr)})))
-         |  AS BIGINT) AS coef_sum
-         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    "q_mm_jpeg_coefs" -> jpegCoefOracleSql,
+
+    // same fixture family through the PROGRESSIVE wire encoding: the
+    // coefficient sum is indexing-invariant, so the one arithmetic oracle
+    // certifies both entropy paths
+    "q_mm_jpeg_progressive" -> jpegCoefOracleSql,
 
     // pixel-layer JPEG gate: DC-only fixtures (quant 16 → every block
     // decodes to an exactly-predictable flat value) through the FULL
