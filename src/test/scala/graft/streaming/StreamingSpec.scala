@@ -640,4 +640,67 @@ class StreamingSpec extends AnyFunSuite {
     val (s3, f3) = Rules.alertingTick(spark, pts(low), rule, s2, t1 + 240000L)
     assert(s3.count() == 0 && f3.count() == 0)
   }
+
+  test("soak: curateStream -> exactStream -> auto-compacting store sink, 100+ micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("curate_soak").toString
+    val t0 = 1704067200000L
+    val nBatches = 110
+    val mem = MemoryStream[(Long, String, Long)] // (doc_id, text, t_ms)
+    val raw = mem.toDF().toDF("doc_id", "text", "t")
+      .withColumn("ts", timestamp_millis(col("t")))
+    // the composed streaming pipeline under sustained load: strip/scrub +
+    // lang/quality signal filter (stateless) -> watermark-bounded exact
+    // dedup (stateful) -> per-batch quality-metric points into the
+    // exactly-once auto-compacting store sink
+    val curated = graft.pipeline.CurationPipeline.curateStream(raw, "ts",
+      graft.pipeline.CurationPipeline.Config(langs = Set("en"), minQuality = 0.0,
+        maxTopBigramFrac = 1.0, maxDupTrigramFrac = 1.0))
+    val q = curated.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pts = graft.model.Points.withSig(batch.select(
+          lit("doc_quality").as("name"),
+          map(lit("lang"), col("lang")).as("labels"),
+          // event time re-derived from the id scheme (outputShape drops ts)
+          (lit(t0) + (col("doc_id") / 10).cast("long") * 60000L).as("t"),
+          col("quality_score").as("value")))
+        PointsStore.sink(dir, maxLiveFiles = 4)(pts, id)
+      }.start()
+    def uniq(i: Int) =
+      s"batch $i carries its own fresh prose about topic number $i with " +
+        s"plenty of ordinary english words to keep the quality score sane"
+    try {
+      (0 until nBatches).foreach { i =>
+        val t = t0 + i * 60000L // event time advances 1 min per batch
+        val rows = Seq(
+          (i * 10L, uniq(i), t),       // fresh keeper
+          (i * 10L + 1, uniq(i), t),   // within-batch duplicate: dropped
+          (i * 10L + 2, "der schnelle braune fuchs springt über den faulen hund im dunklen wald", t) // off-language: filtered BEFORE state
+        ) ++ (if (i > 0) Seq((i * 10L + 3, uniq(i - 1), t)) else Nil) // cross-batch dup inside watermark: dropped
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      // ---- bounded STATE: the dedup store holds only in-watermark
+      // survivor signatures (~10 min / 1 min-per-batch ≈ 11 live, double-
+      // buffered by the operator) — NOT one row per distinct text ever seen
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      assert(stateRows <= 60,
+        s"dedup state $stateRows rows — should be watermark-bounded, not corpus-bounded")
+      // ---- bounded FILES: 110 micro-batch appends, auto-compacted along
+      // the way; the single-day live set stays near the trigger threshold
+      val rd = PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+      assert(rd.inputFiles.length <= 8,
+        s"live files ${rd.inputFiles.length} must stay bounded across $nBatches batches")
+      // ---- correctness under load: exactly one survivor per unique text
+      // (off-language filtered, within-batch and cross-batch dups dropped),
+      // each landing exactly once despite replay-capable appends
+      val got = rd.select(col("labels").getItem("lang"), col("value")).collect()
+      assert(got.length == nBatches, s"expected $nBatches survivors, got ${got.length}")
+      assert(got.forall(_.getString(0) == "en"))
+      assert(rd.select(countDistinct(col("t"))).head().getLong(0) == nBatches)
+    } finally q.stop()
+  }
 }
