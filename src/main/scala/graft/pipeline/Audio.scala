@@ -280,6 +280,111 @@ object Audio {
       }).toDF("doc_id", "n_in", "n_out", "wsum")
   }
 
+  // ---- G.711 companded telephony PCM (ITU-T G.711: µ-law / A-law) -----
+  // the 8-bit formats the speech slice of a web/audio corpus actually
+  // arrives in; pure integer expansion, so the oracle reproduces it
+
+  /** Expand one µ-law byte: complement, then ((mant·8 + 0x84) << exp) −
+    * 0x84, negative when the (complemented) sign bit is set. */
+  def muLawToPcm(u0: Int): Int = {
+    val u = ~u0 & 0xff
+    val mag = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Expand one A-law byte: xor 0x55; segment 0 is linear, higher
+    * segments shift — and the SIGN convention is µ-law's opposite (set
+    * bit ⇒ positive). */
+  def aLawToPcm(a0: Int): Int = {
+    val a = a0 ^ 0x55
+    val exp = (a >> 4) & 7
+    val mant = a & 0x0f
+    val mag = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Locate a WAV data chunk of ANY of the supported sample codings:
+    * returns (dataOff, clampedLen, audioFormat) for format 1 (16-bit
+    * PCM), 6 (A-law, 8-bit) or 7 (µ-law, 8-bit); same malformed-chunk
+    * guards as the PCM16 walk. */
+  def wavDataChunkAny(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    def le16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32(off: Int) = le16(off) | (le16(off + 2) << 16)
+    var off = 12
+    var dataOff = -1; var dataLen = 0; var bits = 0; var fmt = 0
+    var ok = true
+    while (ok && off + 8 <= b.length) {
+      val id4 = new String(b, off, 4, "US-ASCII")
+      val sz = le32(off + 4)
+      if (sz < 0) return None
+      if (id4 == "fmt " && off + 24 <= b.length) {
+        fmt = le16(off + 8)
+        bits = le16(off + 22)
+      }
+      if (id4 == "data") { dataOff = off + 8; dataLen = sz }
+      val next = off.toLong + 8L + sz + (sz & 1)
+      if (next > b.length) ok = false else off = next.toInt
+    }
+    val supported = (fmt == 1 && bits == 16) ||
+      ((fmt == 6 || fmt == 7) && bits == 8)
+    if (!supported || dataOff < 0) None
+    else Some((dataOff, math.max(0, math.min(dataLen, b.length - dataOff)), fmt))
+  }
+
+  /** Linear samples from a WAV of any supported coding: 16-bit PCM reads
+    * as-is; µ-law / A-law bytes expand through the G.711 tables — the
+    * output feeds the same FFT/MFCC/resample operators untouched. */
+  def wavSamplesAny(b: Array[Byte]): Option[Array[Double]] =
+    wavDataChunkAny(b).map { case (dataOff, len, fmt) =>
+      fmt match {
+        case 1 =>
+          def le16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+          Array.tabulate(len / 2)(k => ((le16(dataOff + 2 * k) << 16) >> 16).toDouble)
+        case 7 => Array.tabulate(len)(k => muLawToPcm(b(dataOff + k) & 0xff).toDouble)
+        case _ => Array.tabulate(len)(k => aLawToPcm(b(dataOff + k) & 0xff).toDouble)
+      }
+    }
+
+  /** Mono 8-bit companded WAV around explicit G.711 bytes (`fmt` 6 or
+    * 7). */
+  def synthWavG711(fmt: Int, payload: Array[Byte], sampleRate: Int): Array[Byte] = {
+    require(fmt == 6 || fmt == 7)
+    val bb = java.nio.ByteBuffer.allocate(44 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmt.toShort)
+      .putShort(1.toShort).putInt(sampleRate)
+      .putInt(sampleRate) // byte rate: 1 byte/sample mono
+      .putShort(1.toShort)
+      .putShort(8.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(payload.length)
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** G.711 gate: µ-law WAVs for even ids, A-law for odd, payload byte
+    * k = (k·31 + doc_id) mod 256 (sweeps every segment and both signs),
+    * decoded through the real RIFF walk + expansion; the position-
+    * weighted sum pins every byte's linear value. */
+  def wavG711Stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 40).toInt + 1
+        val payload = Array.tabulate(n)(k => ((k * 31 + id) % 256).toByte)
+        val fmt = if (id % 2 == 0) 7 else 6
+        val pcm = wavSamplesAny(synthWavG711(fmt, payload, 8000)).get
+        var s = 0L
+        var k = 0
+        while (k < pcm.length) { s += (k + 1).toLong * pcm(k).toLong; k += 1 }
+        (id, pcm.length.toLong, s)
+      }).toDF("doc_id", "n_samples", "wsum")
+  }
+
   /** Canonical 44-byte-header mono 16-bit PCM WAV around explicit
     * samples (the payload-controlled sibling of [[Multimodal.synthWav]]). */
   def synthWavPcm(samples: Array[Short], sampleRate: Int): Array[Byte] = {

@@ -132,6 +132,7 @@ object PipelineQueries {
     "q_mm_audio_feats" -> ((s, dir) => Multimodal.wavFeatureStats(s, docs(s, dir))),
     "q_mm_spectrogram" -> ((s, dir) => Audio.wavSpectrogramStats(s, docs(s, dir))),
     "q_mm_mfcc" -> ((s, dir) => Audio.wavMfccStats(s, docs(s, dir))),
+    "q_mm_g711" -> ((s, dir) => Audio.wavG711Stats(s, docs(s, dir))),
     "q_mm_resample" -> ((s, dir) => Audio.wavResampleStats(s, docs(s, dir))),
     "q_img_ahash" -> ((s, dir) => Images.aHashStats(s, docs(s, dir))),
     "q_img_ahash_pairs" -> ((s, dir) => Images.aHashPairs(s, docs(s, dir), 8)),
@@ -141,7 +142,22 @@ object PipelineQueries {
     "q_mm_jpeg_progressive" -> ((s, dir) => Jpeg.jpegProgressiveStats(s, docs(s, dir))),
     "q_mm_jpeg_pixels" -> ((s, dir) => Jpeg.jpegPixelStats(s, docs(s, dir))),
     "q_mm_video_frames" -> ((s, dir) => Video.videoFrameStats(s, docs(s, dir))),
-    "q_mm_gif_pixels" -> ((s, dir) => Gif.gifPixelStats(s, docs(s, dir)))
+    "q_mm_gif_pixels" -> ((s, dir) => Gif.gifPixelStats(s, docs(s, dir))),
+    // WebDataset tar shards: pack the documents table into 16 ustar
+    // shards, read them back through the binaryFile source, and assemble
+    // per-key samples — the oracle reproduces every sample's sizes and
+    // content hash from the original table, certifying the whole
+    // write→store→parse→group chain byte-exactly
+    "q_mm_tar_samples" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wds").toString
+      graft.sources.TarShards.writeShards(docs(s, dir), tmp, nShards = 16)
+      graft.sources.TarShards.samples(graft.sources.TarShards.readShards(s, tmp))
+        .select(col("key").cast("long").as("doc_id"),
+          size(map_keys(col("exts"))).cast("long").as("n_files"),
+          length(element_at(col("exts"), "txt")).cast("long").as("txt_len"),
+          element_at(col("exts"), "meta").cast("string").cast("long").as("meta_len"),
+          md5(element_at(col("exts"), "txt")).as("txt_md5"))
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -501,6 +517,36 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q_mm_mfcc" -> mfccOracle,
+
+    // G.711 expansion as pure integer arithmetic: µ-law = complement,
+    // ((mant·8+132) << exp) − 132, sign-bit negative; A-law = xor 0x55,
+    // segment-0 linear else shifted, sign-bit POSITIVE (the two tables'
+    // famously opposite sign conventions — the gate would catch a swap)
+    "q_mm_g711" -> {
+      val u = "(255 - (k * 31 + doc_id) % 256)"
+      val uMag = s"((((($u % 16) * 8) + 132) << (($u // 16) % 8)) - 132)"
+      val a = s"xor((k * 31 + doc_id) % 256, 85)"
+      val aMag = s"(CASE WHEN ($a // 16) % 8 = 0 THEN ($a % 16) * 16 + 8 " +
+        s"ELSE (($a % 16) * 16 + 264) << ((($a // 16) % 8) - 1) END)"
+      s"""SELECT doc_id, CAST(doc_id % 40 + 1 AS BIGINT) AS n_samples,
+         |  CAST(list_sum(list_transform(range(0, CAST(doc_id % 40 + 1 AS INT)), k ->
+         |    (k + 1) * (CASE WHEN $u >= 128 THEN -$uMag ELSE $uMag END)))
+         |  AS BIGINT) AS wsum
+         |FROM documents WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT doc_id, CAST(doc_id % 40 + 1 AS BIGINT) AS n_samples,
+         |  CAST(list_sum(list_transform(range(0, CAST(doc_id % 40 + 1 AS INT)), k ->
+         |    (k + 1) * (CASE WHEN $a >= 128 THEN $aMag ELSE -$aMag END)))
+         |  AS BIGINT) AS wsum
+         |FROM documents WHERE doc_id % 2 = 1""".stripMargin
+    },
+
+    "q_mm_tar_samples" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_files,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS txt_len,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS meta_len,
+        |  md5(text) AS txt_md5
+        |FROM documents""".stripMargin,
     // 2x linear upsample of the real decoded PCM: every blend weight is
     // a quarter (dyadic — exact in doubles in both engines); the
     // position-weighted sum pins each output sample to its index

@@ -72,6 +72,45 @@ class AudioSpec extends AnyFunSuite {
     assert(up.toSeq == Seq(0.0, 25.0, 75.0, 100.0))
   }
 
+  test("G.711: known anchor values and full-table parity with the JDK codec") {
+    // published anchors: µ-law 0x00 is the negative extreme −32124,
+    // 0xFF decodes to 0; A-law 0x55 is −8 and 0xD5 +8 (opposite sign bit)
+    assert(Audio.muLawToPcm(0x00) == -32124)
+    assert(Audio.muLawToPcm(0x80) == 32124)
+    assert(Audio.muLawToPcm(0xff) == 0)
+    assert(Audio.aLawToPcm(0x55) == -8)
+    assert(Audio.aLawToPcm(0xd5) == 8)
+    // full 256-value cross-check against javax.sound's independent G.711
+    // implementation (convert each companded byte to 16-bit linear)
+    import javax.sound.sampled._
+    def jdkDecode(enc: AudioFormat.Encoding, byte: Int): Int = {
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(Array(byte.toByte)), src, 1)
+      val out = AudioSystem.getAudioInputStream(dst, in)
+      val bb = out.readAllBytes()
+      ((bb(0) & 0xff) | (bb(1) << 8)).toShort.toInt
+    }
+    (0 until 256).foreach { v =>
+      assert(jdkDecode(AudioFormat.Encoding.ULAW, v) == Audio.muLawToPcm(v), s"ulaw $v")
+      assert(jdkDecode(AudioFormat.Encoding.ALAW, v) == Audio.aLawToPcm(v), s"alaw $v")
+    }
+  }
+
+  test("G.711 WAVs decode through the RIFF walk; PCM16 still reads") {
+    val mu = Audio.synthWavG711(7, Array.tabulate(10)(k => (k * 31).toByte), 8000)
+    val muPcm = Audio.wavSamplesAny(mu).get
+    assert(muPcm.length == 10)
+    assert(muPcm(0) == Audio.muLawToPcm(0).toDouble)
+    val al = Audio.synthWavG711(6, Array.tabulate(7)(k => (k * 13 + 5).toByte), 8000)
+    assert(Audio.wavSamplesAny(al).get.length == 7)
+    assert(Audio.wavSamplesAny(al).get.head == Audio.aLawToPcm(5).toDouble)
+    // 16-bit PCM takes the format-1 path, identical to wavSamples
+    val pcm = Audio.synthWavPcm(Array[Short](100, -200, 300), 8000)
+    assert(Audio.wavSamplesAny(pcm).get.toSeq == Audio.wavSamples(pcm).get.toSeq)
+  }
+
   test("mel filterbank: triangles cover the band, peak at 1, edges at 0") {
     val fb = Audio.melFilterbank(33, 10, 8000)
     assert(fb.length == 10 && fb.forall(_.length == 33))
