@@ -213,6 +213,12 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
           ex.getResponseBody.write(msg)
         }
         try {
+          // protocol negotiation per the remote-write 2.0 spec: the v2
+          // content type selects the symbol-table Request; anything else
+          // decodes as the 1.0 WriteRequest
+          val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .exists(_.replace(" ", "").toLowerCase
+              .contains("proto=io.prometheus.write.v2.request"))
           val decoded =
             try {
               if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
@@ -223,13 +229,25 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
               if (body.length > MaxWriteBodyBytes)
                 throw new IllegalArgumentException(
                   s"write body exceeds $MaxWriteBodyBytes bytes")
-              Right(RemoteRead.decodeWriteRequest(body))
+              Right(
+                if (isV2) RemoteRead.decodeWriteRequestV2(body)
+                else RemoteRead.decodeWriteRequest(body))
             } catch { case e: Throwable => Left(e) }
           decoded match {
             case Left(e) => fail(400, e)
             case Right(series) =>
               try {
                 sink(RemoteRead.writeRequestToPoints(spark, series))
+                if (isV2) {
+                  // 2.0 REQUIRES written-counts headers on success
+                  val n = series.map(_._2.length.toLong).sum
+                  ex.getResponseHeaders.set(
+                    "X-Prometheus-Remote-Write-Samples-Written", n.toString)
+                  ex.getResponseHeaders.set(
+                    "X-Prometheus-Remote-Write-Histograms-Written", "0")
+                  ex.getResponseHeaders.set(
+                    "X-Prometheus-Remote-Write-Exemplars-Written", "0")
+                }
                 ex.sendResponseHeaders(204, -1)
               } catch { case e: Throwable => fail(500, e) }
           }

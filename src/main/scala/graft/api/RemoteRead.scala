@@ -666,6 +666,98 @@ object RemoteRead {
     org.xerial.snappy.Snappy.compress(w.bytes)
   }
 
+  // ---- Remote-Write 2.0 (io.prometheus.write.v2.Request) ---------------
+  // the symbol-table revision of the push protocol (Prometheus
+  // remote-write 2.0 spec): label strings are interned once in
+  // `symbols` (field 4, symbols[0] REQUIRED empty) and every series
+  // carries packed uint32 ref PAIRS (field 1) into it — on a fleet the
+  // wire savings are the point, label keys/values repeat massively.
+  // Histograms/exemplars/metadata fields are skipped on decode (the
+  // store is float-samples, matching the reference's appender).
+
+  /** Decode a snappy+protobuf v2 Request into (labels, samples) series —
+    * the same shape the v1 decoder yields, so the sink path is shared. */
+  def decodeWriteRequestV2(body: Array[Byte])
+      : Seq[(Map[String, String], Seq[(Double, Long)])] = {
+    val raw = boundedUncompress(body)
+    val r = new Reader(raw, 0, raw.length)
+    val symbols = Seq.newBuilder[String]
+    val tsSpans = Seq.newBuilder[(Int, Int)]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      (field, wire) match {
+        case (4, 2) => symbols += r.str()
+        case (5, 2) => tsSpans += r.lenDelimited()
+        case _ => r.skip(wire)
+      }
+    }
+    val sym = symbols.result().toIndexedSeq
+    require(sym.nonEmpty && sym.head.isEmpty,
+      "remote write 2.0: symbols[0] must be the empty string")
+    tsSpans.result().map { case (s, e) =>
+      val tr = new Reader(raw, s, e)
+      val refs = Seq.newBuilder[Int]
+      val samples = Seq.newBuilder[(Double, Long)]
+      while (tr.hasNext) {
+        val (f, w) = tr.tag()
+        (f, w) match {
+          case (1, 2) => // packed label refs
+            val (ps, pe) = tr.lenDelimited()
+            val pr = new Reader(raw, ps, pe)
+            while (pr.hasNext) refs += pr.varint().toInt
+          case (1, 0) => refs += tr.varint().toInt // unpacked tolerance
+          case (2, 2) =>
+            val (ss, se) = tr.lenDelimited()
+            val sr = new Reader(raw, ss, se)
+            var v = 0.0; var t = 0L
+            while (sr.hasNext) {
+              val (sf, sw) = sr.tag()
+              (sf, sw) match {
+                case (1, 1) => v = java.lang.Double.longBitsToDouble(sr.fixed64())
+                case (2, 0) => t = sr.varint()
+                case _ => sr.skip(sw)
+              }
+            }
+            samples += ((v, t))
+          case _ => tr.skip(w)
+        }
+      }
+      val rs = refs.result()
+      require(rs.length % 2 == 0, "remote write 2.0: odd labels_refs count")
+      val labels = rs.grouped(2).map { case Seq(k, v) => sym(k) -> sym(v) }.toMap
+      (labels, samples.result())
+    }
+  }
+
+  /** Sending-side v2 encoder: builds the symbol table (deterministic
+    * first-use order, symbols[0] = ""), packs label refs. */
+  def encodeWriteRequestV2(
+      series: Seq[(Seq[(String, String)], Seq[(Double, Long)])]): Array[Byte] = {
+    val index = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+    def ref(s: String): Int = index.getOrElseUpdate(s, index.size)
+    // intern in order BEFORE writing (symbols field precedes timeseries
+    // in our layout; proto decoders accept any field order)
+    val refd = series.map { case (labels, samples) =>
+      (labels.flatMap { case (k, v) => Seq(ref(k), ref(v)) }, samples)
+    }
+    val w = new Writer
+    // Writer.str writes unconditionally (length-0 payload), so the
+    // required empty symbols[0] lands on the wire
+    index.keys.foreach(w.str(4, _))
+    refd.foreach { case (refs, samples) =>
+      w.message(5) { ts =>
+        val pw = new Writer
+        refs.foreach(r0 => pw.varint(r0.toLong))
+        ts.bytesField(1, pw.bytes)
+        samples.foreach { case (v, t) => ts.sampleMsg(2, v, t) }
+      }
+    }
+    org.xerial.snappy.Snappy.compress(w.bytes)
+  }
+
+  /** The v2 content type (the spec's negotiation key). */
+  val WriteV2ContentType = "application/x-protobuf;proto=io.prometheus.write.v2.Request"
+
   /** Decoded write series → the canonical points relation (`__name__`
     * becomes the name column, remaining labels the map, sig computed) —
     * ready for `PointsStore.append`. */

@@ -30,7 +30,9 @@ object RemoteWrite {
     * so the executor-side lambda captures only config strings. */
   private def post(url: String, body: Array[Byte], timeoutMs: Int,
                    authHeader: Option[String],
-                   tls: Option[graft.sources.Scrape.TlsConfig]): Unit = {
+                   tls: Option[graft.sources.Scrape.TlsConfig],
+                   contentType: String = "application/x-protobuf",
+                   version: String = "0.1.0"): Unit = {
     val conn = new java.net.URL(url).openConnection()
     conn match {
       case https: javax.net.ssl.HttpsURLConnection =>
@@ -45,9 +47,9 @@ object RemoteWrite {
     http.setDoOutput(true)
     http.setConnectTimeout(timeoutMs)
     http.setReadTimeout(timeoutMs)
-    http.setRequestProperty("Content-Type", "application/x-protobuf")
+    http.setRequestProperty("Content-Type", contentType)
     http.setRequestProperty("Content-Encoding", "snappy")
-    http.setRequestProperty("X-Prometheus-Remote-Write-Version", "0.1.0")
+    http.setRequestProperty("X-Prometheus-Remote-Write-Version", version)
     authHeader.foreach(http.setRequestProperty("Authorization", _))
     try {
       val os = http.getOutputStream
@@ -70,7 +72,15 @@ object RemoteWrite {
            maxSamplesPerRequest: Int = 10000,
            timeoutMs: Int = 30000,
            auth: Option[graft.sources.Scrape.AuthConfig] = None,
-           tls: Option[graft.sources.Scrape.TlsConfig] = None): Long = {
+           tls: Option[graft.sources.Scrape.TlsConfig] = None,
+           /** "1.0" (prompb.WriteRequest) or "2.0" — the symbol-table
+             * io.prometheus.write.v2.Request, negotiated by content
+             * type per the remote-write 2.0 spec. Same at-least-once
+             * semantics; v2 interns label strings once per request, the
+             * wire win at fleet label cardinality. */
+           protocol: String = "1.0"): Long = {
+    require(protocol == "1.0" || protocol == "2.0", s"protocol $protocol")
+    val v2 = protocol == "2.0"
     val sent = points.sparkSession.sparkContext.longAccumulator("remoteWriteSamples")
     val authHeader = auth.flatMap(_.header)
     points
@@ -92,8 +102,12 @@ object RemoteWrite {
               (labels.toSeq.sortBy(_._1),
                 ss.sortBy(_._2).map { case (_, t, v) => (v, t) })
             }
-          post(url, RemoteRead.encodeWriteRequest(series), timeoutMs,
-            authHeader, tls)
+          if (v2)
+            post(url, RemoteRead.encodeWriteRequestV2(series), timeoutMs,
+              authHeader, tls, RemoteRead.WriteV2ContentType, "2.0.0")
+          else
+            post(url, RemoteRead.encodeWriteRequest(series), timeoutMs,
+              authHeader, tls)
           sent.add(chunk.length)
         }
       }

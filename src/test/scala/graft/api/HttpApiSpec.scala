@@ -168,6 +168,60 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote write 2.0: symbol-table requests negotiate, land, and answer written-counts") {
+    val dir = java.nio.file.Files.createTempDirectory("rw2-store").toString
+    def stored = graft.sources.PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+    val api = new HttpApi(spark, points,
+      writeSink = Some(df => graft.sources.PointsStore.append(df, dir)))
+    val port = api.start(0)
+    try {
+      // codec round-trip: v2 encode -> v2 decode is the identity, with
+      // the REQUIRED empty symbols[0] on the wire
+      val series = Seq(
+        (Seq("__name__" -> "v2_total", "job" -> "pusher", "shard" -> "a"),
+          Seq((4.0, 60000L), (6.0, 120000L))),
+        (Seq("__name__" -> "v2_total", "job" -> "pusher", "shard" -> "b"),
+          Seq((1.5, 60000L))))
+      val body = RemoteRead.encodeWriteRequestV2(series)
+      val decoded = RemoteRead.decodeWriteRequestV2(body)
+      assert(decoded.map(_._1) == series.map(_._1.toMap))
+      assert(decoded.map(_._2) == series.map(_._2))
+      // negotiated POST: the v2 content type selects the v2 decoder and
+      // the response carries the 2.0 written-counts headers
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .header("Content-Type", RemoteRead.WriteV2ContentType)
+          .header("Content-Encoding", "snappy")
+          .header("X-Prometheus-Remote-Write-Version", "2.0.0")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 204)
+      assert(resp.headers()
+        .firstValue("X-Prometheus-Remote-Write-Samples-Written").orElse("") == "3")
+      val sum = graft.engine.Engine.instantQuery(spark, stored,
+        """sum(v2_total{job="pusher"})""", 120000L)
+        .collect().map(_.getAs[Double]("value")).toSeq
+      assert(sum == Seq(7.5))
+      // executor-side push with protocol negotiation, same store
+      val n = RemoteWrite.push(points, s"http://127.0.0.1:$port/api/v1/write",
+        protocol = "2.0")
+      assert(n == 3)
+      assert(stored.where(col("name") === "http_total").count() == 2)
+      // a symbols table missing the required empty head is rejected:
+      // hand-built request whose first symbol is "k" —
+      // field 4 tag=(4<<3)|2=0x22, len 1, 'k'
+      val noEmpty = org.xerial.snappy.Snappy.compress(
+        Array[Byte](0x22, 1, 'k'.toByte))
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .header("Content-Type", RemoteRead.WriteV2ContentType)
+          .POST(HttpRequest.BodyPublishers.ofByteArray(noEmpty)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+    } finally api.stop()
+  }
+
   test("remote write: a sink failure is 500 (retryable), not 400 (dropped)") {
     // per the remote-write spec senders DROP a batch on 4xx and retry on
     // 5xx — a transient store failure answered 400 would silently lose
