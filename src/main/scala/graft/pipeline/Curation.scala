@@ -471,4 +471,35 @@ object Curation {
     docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
       .where(col("bucket") < frac * 65536.0)
   }
+
+  /** LINE-level boilerplate dedup (the RefinedWeb/C4 move the
+    * document-level passes can't make): a newline-delimited line
+    * occurring in ≥ `minDocs` DISTINCT documents is boilerplate — nav
+    * bars, cookie banners, footers — and is removed from EVERY document;
+    * documents stripped to nothing vanish. Within-document repetition
+    * alone never triggers the drop (the count is per distinct doc).
+    *
+    * Shape at corpus scale: one line-keyed count aggregation over 16-byte
+    * (hash, doc_id) rows, the boilerplate hash set anti-joined back (AQE
+    * broadcasts it — boilerplate is small by definition), and one
+    * doc-keyed reassembly; three bounded shuffles, no corpus re-pass.
+    * Line identity is the 64-bit xxhash of the line (the content-
+    * addressing trade used corpus-wide). */
+  def dedupLines(docs: DataFrame, minDocs: Long = 2): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .groupBy(xxhash64(col("line")).as("_h"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .where(col("n") >= minDocs)
+      .select(col("_h"))
+    lines
+      .join(boiler, xxhash64(col("line")) === col("_h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text"),
+        count(lit(1)).as("n_lines"))
+  }
 }

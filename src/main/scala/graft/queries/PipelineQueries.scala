@@ -118,6 +118,15 @@ object PipelineQueries {
       CurationPipeline.Config(langs = Set("en"), minQuality = 0.5,
         maxTopBigramFrac = 0.04, maxDupTrigramFrac = 0.9))),
     "q_pipe_chunk" -> ((s, dir) => Curation.chunk(docs(s, dir), 64, 32)),
+    // line-level boilerplate dedup (RefinedWeb/C4): every doc wrapped in
+    // a shared header/cookie line + a per-(doc_id%7) footer — the shared
+    // lines cross the distinct-doc threshold and vanish from every doc,
+    // the unique body line survives
+    "q_pipe_dedup_lines" -> ((s, dir) => Curation.dedupLines(
+      docs(s, dir).select(col("doc_id"), concat(
+        lit("SITE NAV HEADER\n"), col("text"),
+        lit("\nFOOTER-"), pmod(col("doc_id"), lit(7)),
+        lit("\nACCEPT COOKIES BANNER")).as("text")))),
     "q_pipe_pack" -> ((s, dir) => Curation.packSequences(docs(s, dir), 256L)),
     "q_pipe_temperature" -> ((s, dir) => Curation.temperatureMix(docs(s, dir), 0.5)),
     "q_pipe_dsir" -> ((s, dir) => Curation.importanceWeights(
@@ -517,6 +526,25 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q_mm_mfcc" -> mfccOracle,
+
+    "q_pipe_dedup_lines" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    'SITE NAV HEADER' || chr(10) || text || chr(10) ||
+        |    'FOOTER-' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |    'ACCEPT COOKIES BANNER' AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(string_split(t, chr(10)))),
+        |      p -> struct_pack(pos := p, line := string_split(t, chr(10))[p]))) AS u
+        |    FROM w)),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS n FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN f USING (line) WHERE f.n < 2)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     // G.711 expansion as pure integer arithmetic: µ-law = complement,
     // ((mant·8+132) << exp) − 132, sign-bit negative; A-law = xor 0x55,

@@ -64,6 +64,20 @@ object RollupQueries {
         QueryKit.START, QueryKit.T_END, DAY, lookbackMs = 1L)
       out.select(col("t"), round(col("value"), 6).as("value"))
     }),
+    // recording-rule BACKFILL: the whole historical grid as ONE range
+    // query (promtool create-blocks-from rules), renamed+labeled like
+    // the live tick — 5 daily steps of the same rule q_rule_recording
+    // ticks once
+    "q_rule_backfill" -> ((s, dir) => {
+      val out = Rules.backfill(s, graft.model.Points.eventsPoints(s, dir),
+        Rules.RecordingRule("par:click:sum", "sum by (par) (click)",
+          Map("rule_group" -> "g1")),
+        QueryKit.T0 + 10 * DAY, QueryKit.T0 + 14 * DAY, DAY, lookbackMs = DAY)
+      out.select(col("name"), col("labels").getItem("par").as("par"),
+        col("labels").getItem("rule_group").as("rule_group"),
+        col("t"), round(col("value"), 6).as("value"))
+    }),
+
     "q_rule_recording" -> ((s, dir) => {
       val out = Rules.recordingTick(s, graft.model.Points.eventsPoints(s, dir),
         Rules.RecordingRule("par:click:sum", "sum by (par) (click)",
@@ -119,6 +133,16 @@ object RollupQueries {
          |    WHEN rank <= c150 THEN 100 + (150 - 100) * ((rank - c100) / (c150 - c100))
          |    ELSE 150 END, 6) AS value
          |FROM r WHERE cinf > 0""".stripMargin,
+
+    "q_rule_backfill" -> {
+      QueryKit.withClauses(QueryKit.pSql,
+        QueryKit.stepsSql(QueryKit.T0 + 10 * DAY, QueryKit.T0 + 14 * DAY, DAY),
+        QueryKit.instSql(DAY, "p.name = 'click'")) +
+        s"""
+           |SELECT 'par:click:sum' AS name, par, 'g1' AS rule_group,
+           |       step AS t, round(sum(value), 6) AS value
+           |FROM inst GROUP BY par, step""".stripMargin
+    },
 
     "q_rule_recording" -> {
       val at = QueryKit.T0 + 10 * DAY

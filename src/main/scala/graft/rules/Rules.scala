@@ -36,6 +36,28 @@ object Rules {
     Points.withSig(withLabels.select(col("name"), col("labels"), col("t"), col("value")))
   }
 
+  /** Backfill a recording rule over a HISTORICAL range — promtool's
+    * `tsdb create-blocks-from rules`, Spark-first: the whole
+    * [startMs, endMs] grid evaluates as ONE range query (a single
+    * declarative plan; a driver loop of per-step [[recordingTick]]s at a
+    * year of 1-minute steps would schedule ~500k jobs), then renames and
+    * labels exactly like the live tick. Each recorded point's timestamp
+    * is its evaluation step. Result is appendable points — feed to
+    * `PointsStore.append` to materialize the rule's history. */
+  def backfill(spark: SparkSession, points: DataFrame, rule: RecordingRule,
+               startMs: Long, endMs: Long, stepMs: Long,
+               lookbackMs: Long = 300000L): DataFrame = {
+    val res = Engine.rangeQuery(spark, points, rule.expr, startMs, endMs,
+      stepMs, lookbackMs)
+    val ts = if (res.columns.contains("step")) col("step") else col("t")
+    val withLabels = rule.labels.foldLeft(
+      res.withColumn("name", lit(rule.record))) { case (df, (k, v)) =>
+      df.withColumn("labels", graft.engine.Labels.set(col("labels"), k, lit(v)))
+    }
+    Points.withSig(withLabels.select(col("name"), col("labels"),
+      ts.as("t"), col("value")))
+  }
+
   /** Alert state: one row per active (pending or firing) series.
     * Schema: sig LONG, labels MAP, since LONG (first tick the condition
     * held), value DOUBLE (latest). */

@@ -301,4 +301,23 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(o1 == o2 && o1 != o1.sorted)
   }
+
+  test("dedupLines: cross-doc boilerplate drops, within-doc repetition survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "COOKIE\nunique one\nunique one\nCOOKIE"), // within-doc repeats: kept
+      (2L, "COOKIE\nunique two"),
+      (3L, "COOKIE")                                  // all boilerplate: vanishes
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // COOKIE appears in 3 distinct docs -> boilerplate everywhere; the
+    // duplicated "unique one" lines live in ONE doc only -> both kept,
+    // in original order
+    assert(out == Map(
+      1L -> ("unique one\nunique one", 2L),
+      2L -> ("unique two", 1L)))
+    // threshold is distinct-doc count: minDocs=4 keeps everything
+    assert(Curation.dedupLines(docs, minDocs = 4).count() == 3)
+  }
 }

@@ -618,6 +618,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[Long]("since") == t1)
   }
 
+  test("recording backfill equals the per-step tick union (one plan, not a loop)") {
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+      StructField("t", LongType), StructField("value", DoubleType)))
+    val t1 = 1704067200000L
+    val rows = for (k <- 0 until 6; u <- Seq("a", "b"))
+      yield Row("m", Map("u" -> u), t1 + k * 60000L, (k + 1 + u.length).toDouble)
+    val pts = graft.model.Points.withSig(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema))
+    val rule = Rules.RecordingRule("u:m:sum", "sum by (u) (m)", Map("rg" -> "g"))
+    val steps = Seq(t1 + 120000L, t1 + 180000L, t1 + 240000L)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"), col("labels").getItem("u"),
+        col("labels").getItem("rg"), col("t"), col("value"))
+      .collect().map(_.toString).sorted.toSeq
+    val ticked = steps.map(ts =>
+      Rules.recordingTick(spark, pts, rule, ts, lookbackMs = 60000L))
+      .reduce(_ unionByName _)
+    val filled = Rules.backfill(spark, pts, rule,
+      steps.head, steps.last, 60000L, lookbackMs = 60000L)
+    assert(shape(filled) == shape(ticked))
+    assert(filled.count() == 6) // 3 steps x 2 series, appendable points
+  }
+
   test("alerting rule: pending -> firing with for:, resolves on absence") {
     val schema = StructType(Seq(
       StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
