@@ -126,7 +126,10 @@ class EngineIntegrationSpec extends AnyFunSuite {
       // (single user shuffle / step joins), image hamming banding, BPE
       // training aggregation
       "q_dedup_spans", "q_evt_sessionize", "q_evt_funnel", "q_evt_retention",
-      "q_img_ahash_pairs", "q_text_bpe_pairs").foreach { q =>
+      "q_img_ahash_pairs", "q_text_bpe_pairs",
+      // round-8 additions: line-frequency dedup (count + anti-join +
+      // reassembly), rule backfill (whole-grid range query)
+      "q_pipe_dedup_lines", "q_rule_backfill").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
