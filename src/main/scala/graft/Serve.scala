@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.HttpApi
+import graft.sources.PointsStore
+
+/** The runnable SERVER entry point — what the reference ships as its
+  * `metric-store` binary (src/cmd/metric-store/main.go: build config from
+  * env, start the store + API, block): serve the full /api/v1 surface
+  * over a live parquet points store, with ingestion (remote-write
+  * receiver), background compaction + retention, the reference's query
+  * guards, the crash-surviving active-query log, and optional TLS/bearer
+  * transport security.
+  *
+  * Usage:
+  *   sbt "runMain graft.Serve --store /data/points --port 8080"
+  * Flags (all but --store optional):
+  *   --port N                 listen port (default 8080)
+  *   --lookback-ms N          instant-selector lookback (default 300000)
+  *   --retention-ms N         drop day partitions older than now-N on the
+  *                            maintenance tick (default: keep forever)
+  *   --maintenance-ms N       compaction/retention tick (default 600000)
+  *   --tls-cert F --tls-key F serve HTTPS from PEM files
+  *   --client-ca F            require client certificates (mutual TLS)
+  *   --bearer-token-file F    require `Authorization: Bearer <token>`
+  *
+  * The served points relation and series dictionary are PROVIDERS —
+  * re-resolved per request — so queries see every append and every
+  * compaction flip immediately (a captured DataFrame would snapshot the
+  * file listing at startup).
+  */
+object Serve {
+
+  final case class Config(
+      storeDir: String,
+      port: Int = 8080,
+      lookbackMs: Long = 300000L,
+      retentionMs: Option[Long] = None,
+      maintenanceMs: Long = 600000L,
+      tls: Option[HttpApi.ServerTls] = None,
+      bearerToken: Option[String] = None)
+
+  final case class Handle(api: HttpApi, port: Int,
+                          maintenance: java.util.concurrent.ScheduledExecutorService) {
+    def stop(): Unit = { maintenance.shutdownNow(); api.stop() }
+  }
+
+  /** Start the server; returns a handle (the spec's surface — `main`
+    * blocks on it). */
+  def start(spark: SparkSession, cfg: Config): Handle = {
+    // crash forensics: leftover entries name the queries a previous
+    // process died executing (reference query_logger semantics)
+    val leftovers = graft.engine.Guards.enableQueryLog(
+      s"${cfg.storeDir}/_querylog")
+    leftovers.foreach(q => System.err.println(
+      s"[serve] crashed while executing: ${q.description} (started ${q.startedMs})"))
+    val api = new HttpApi(spark,
+      points = PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue),
+      lookbackMs = cfg.lookbackMs,
+      limits = Some(graft.engine.Guards.QueryLimits()),
+      seriesDict = () => PointsStore.readDict(spark, cfg.storeDir),
+      writeSink = Some(df => PointsStore.append(df, cfg.storeDir)),
+      tls = cfg.tls,
+      bearerToken = cfg.bearerToken,
+      pointsProvider = Some(() =>
+        PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)))
+    val boundPort = api.start(cfg.port)
+    // maintenance tick: fragmentation-triggered compaction (cheap no-op
+    // below threshold) + retention drops — the reference's background
+    // compactor/retention enforcer
+    val sched = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "graft-serve-maintenance"); t.setDaemon(true); t })
+    sched.scheduleWithFixedDelay(() => {
+      try {
+        PointsStore.maybeCompact(spark, cfg.storeDir)
+        cfg.retentionMs.foreach(r =>
+          PointsStore.expire(spark, cfg.storeDir, System.currentTimeMillis() - r))
+      } catch { case e: Throwable =>
+        System.err.println(s"[serve] maintenance tick failed: ${e.getMessage}")
+      }
+    }, cfg.maintenanceMs, cfg.maintenanceMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    Handle(api, boundPort, sched)
+  }
+
+  private def parse(args: Array[String]): Config = {
+    var cfg = Config(storeDir = null)
+    var cert: Option[String] = None
+    var key: Option[String] = None
+    var ca: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--store" => cfg = cfg.copy(storeDir = args(i + 1)); i += 2
+        case "--port" => cfg = cfg.copy(port = args(i + 1).toInt); i += 2
+        case "--lookback-ms" => cfg = cfg.copy(lookbackMs = args(i + 1).toLong); i += 2
+        case "--retention-ms" => cfg = cfg.copy(retentionMs = Some(args(i + 1).toLong)); i += 2
+        case "--maintenance-ms" => cfg = cfg.copy(maintenanceMs = args(i + 1).toLong); i += 2
+        case "--tls-cert" => cert = Some(args(i + 1)); i += 2
+        case "--tls-key" => key = Some(args(i + 1)); i += 2
+        case "--client-ca" => ca = Some(args(i + 1)); i += 2
+        case "--bearer-token-file" =>
+          cfg = cfg.copy(bearerToken = Some(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(i + 1))),
+            java.nio.charset.StandardCharsets.UTF_8).trim))
+          i += 2
+        case other => throw new IllegalArgumentException(s"unknown flag $other")
+      }
+    }
+    require(cfg.storeDir != null, "--store is required")
+    (cert, key) match {
+      case (Some(c), Some(k)) => cfg.copy(tls = Some(HttpApi.ServerTls(c, k, ca)))
+      case (None, None) => cfg
+      case _ => throw new IllegalArgumentException("--tls-cert and --tls-key go together")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val handle = start(spark, cfg)
+    println(s"""{"serving":"${if (cfg.tls.isDefined) "https" else "http"}","port":${handle.port},"store":"${cfg.storeDir}"}""")
+    // block until killed; the shutdown hook stops cleanly
+    sys.addShutdownHook { handle.stop(); spark.stop() }
+    Thread.currentThread().join()
+  }
+}

@@ -70,7 +70,18 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * `Authorization: Bearer <token>` — in particular the
                       * push-ingest /api/v1/write endpoint is no longer an
                       * unauthenticated writer. Constant-time compare. */
-                    bearerToken: Option[String] = None) {
+                    bearerToken: Option[String] = None,
+                    /** When set, OVERRIDES `points`: the relation is
+                      * re-resolved per request. A fixed DataFrame snapshots
+                      * its file listing at construction — a long-running
+                      * server over a live store (appends + compactions
+                      * landing) must re-plan, exactly like [[seriesDict]].
+                      * (e.g. `() => PointsStore.read(spark, dir,
+                      * Long.MinValue, Long.MaxValue)`) */
+                    pointsProvider: Option[() => DataFrame] = None) {
+
+  /** The served relation for one request. */
+  private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
 
   private val Version = "0.3.0-graft"
   private val startedMs = System.currentTimeMillis()
@@ -91,7 +102,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     limits match {
       case Some(l) =>
         val tally = graft.engine.Guards.newTally(spark)
-        val confirm = () => graft.engine.Guards.exactSampleCount(points, q, grid, lookbackMs)
+        val confirm = () => graft.engine.Guards.exactSampleCount(pts, q, grid, lookbackMs)
         graft.engine.Guards.run(spark, l, q, Some(tally), Some(confirm))(body(Some(tally)))
       case None => body(None)
     }
@@ -168,7 +179,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
           // headers commit in onReady — AFTER request decode and query
           // analysis/planning — so a bad matcher still answers 422
           // instead of a cleanly-terminated empty 200 stream
-          RemoteRead.handleStreamedRaw(spark, points, raw, ex.getResponseBody,
+          RemoteRead.handleStreamedRaw(spark, pts, raw, ex.getResponseBody,
             onReady = () => {
               ex.getResponseHeaders.set("Content-Type",
                 "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
@@ -176,7 +187,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
               streaming = true
             })
         } else {
-          val out = RemoteRead.handleRaw(spark, points, raw)
+          val out = RemoteRead.handleRaw(spark, pts, raw)
           ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
           ex.getResponseHeaders.set("Content-Encoding", "snappy")
           ex.sendResponseHeaders(200, out.length)
@@ -358,7 +369,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
 
   private def instantBody(p: Map[String, String], ts: Long,
                           tally: Option[org.apache.spark.util.LongAccumulator]): String = {
-    val out = Engine.instantQuery(spark, points, p("query"), ts, lookbackMs,
+    val out = Engine.instantQuery(spark, pts, p("query"), ts, lookbackMs,
       sampleTally = tally, seriesDict = seriesDict())
     if (out.columns.contains("step")) {
       // a bare range selector (`m[5m]`) evaluates to a Matrix even via the
@@ -398,7 +409,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def queryRangeBody(p: Map[String, String], start: Long, end: Long,
                              step: Long,
                              tally: Option[org.apache.spark.util.LongAccumulator]): String = {
-    val out = Engine.rangeQuery(spark, points, p("query"), start, end, step, lookbackMs,
+    val out = Engine.rangeQuery(spark, pts, p("query"), start, end, step, lookbackMs,
       sampleTally = tally, seriesDict = seriesDict())
     val rows = out.collect()
     if (out.columns.contains("labels")) {
@@ -415,9 +426,9 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     * store). */
   private def labelScope(p: Map[String, String]) = {
     val bounded = (p.get("start"), p.get("end")) match {
-      case (None, None) => points
+      case (None, None) => pts
       case (s, e) =>
-        points.where(
+        pts.where(
           col("t") >= ms(s.getOrElse("0")) &&
             col("t") <= ms(e.getOrElse((System.currentTimeMillis() / 1000.0).toString)))
     }
@@ -465,7 +476,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       case vs: graft.promql.VectorSelector => vs
       case _ => throw new IllegalArgumentException("match[] must be a selector")
     }
-    val filtered = points
+    val filtered = pts
       .where(col("t") >= start && col("t") <= end)
       .where(graft.engine.Compiler.matcherFilter(parsed.matchers))
     val named = parsed.name match {
