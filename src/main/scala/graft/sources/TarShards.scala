@@ -71,12 +71,25 @@ object TarShards {
     out.toByteArray
   }
 
-  /** Parse an ustar archive into (name, payload) entries. Tolerates GNU
-    * and pax archives by SKIPPING their metadata pseudo-entries (long-name
-    * 'L'/'K', pax 'x'/'g') and directory entries; a malformed header
-    * aborts the walk (returning the entries parsed so far would hide
-    * corruption — callers get None). */
-  def readTar(b: Array[Byte]): Option[Seq[(String, Array[Byte])]] = {
+  /** Transparent gzip: `.tar.gz` shards (the other common WebDataset
+    * on-disk form) inflate before the walk; plain tars pass through. */
+  private def gunzipIfNeeded(b: Array[Byte]): Array[Byte] =
+    if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try in.readAllBytes() finally in.close()
+    } else b
+
+  /** Parse an ustar archive (gzip-transparent) into (name, payload)
+    * entries. Tolerates GNU and pax archives by SKIPPING their metadata
+    * pseudo-entries (long-name 'L'/'K', pax 'x'/'g') and directory
+    * entries; a malformed header — bad checksum included — or a
+    * truncated archive (no end-of-archive blocks) aborts the walk
+    * (returning the entries parsed so far would hide corruption —
+    * callers get None). */
+  def readTar(raw: Array[Byte]): Option[Seq[(String, Array[Byte])]] = {
+    val b = try gunzipIfNeeded(raw)
+            catch { case _: java.io.IOException => return None }
     val out = Seq.newBuilder[(String, Array[Byte])]
     var off = 0
     def octalAt(o: Int, w: Int): Long = {
@@ -233,8 +246,9 @@ object TarShards {
     * `shard-NNNNN.tar` name. Uses Spark's binaryFile source, so shards
     * split across executors one file per row. */
   def readShards(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar").load(dir)
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar*").load(dir)
       .select(
-        regexp_extract(col("path"), "shard-(\\d+)\\.tar$", 1).cast("long").as("shard_id"),
+        regexp_extract(col("path"), "shard-(\\d+)\\.tar(\\.gz)?$", 1)
+          .cast("long").as("shard_id"),
         col("content").as("tar"))
 }

@@ -68,6 +68,21 @@ class TarShardsSpec extends AnyFunSuite {
     assert(TarShards.readTar(gnu).get.toMap.keySet == Set("x.txt", "y.json"))
   }
 
+  test("gzip-transparent: .tar.gz shards parse identically") {
+    val entries = Seq("00000005.txt" -> "gz payload".getBytes("UTF-8"))
+    val tar = TarShards.writeTar(entries)
+    val gz = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(buf)
+      out.write(tar); out.close()
+      buf.toByteArray
+    }
+    assert(TarShards.readTar(gz).get.map(_._1) == Seq("00000005.txt"))
+    assert(new String(TarShards.readTar(gz).get.head._2, "UTF-8") == "gz payload")
+    // a truncated gzip stream is corrupt, not partial
+    assert(TarShards.readTar(gz.take(gz.length - 3)).isEmpty)
+  }
+
   test("corrupt archives return None, never partial silently") {
     val tar = TarShards.writeTar(Seq("a.txt" -> "abc".getBytes))
     assert(TarShards.readTar(tar.take(600)).isEmpty) // truncated payload区
