@@ -139,6 +139,17 @@ object Stress {
       timed("bpe_pairs")(force(Bpe.topPairs(docs, 50))),
       timed("contamination")(force(Curation.contamination(docs,
         docs.where(col("doc_id") % 997 === 0), 8))),
+      // round-8: line-level boilerplate dedup (the 5% duplicated docs ARE
+      // the repeated lines here) and the WebDataset shard round-trip
+      timed("dedup_lines")(force(Curation.dedupLines(docs))),
+      timed("tar_shards")({
+        val dir = java.nio.file.Files.createTempDirectory("stress_wds").toString
+        graft.sources.TarShards.writeShards(docs, dir, nShards = 64)
+        force(graft.sources.TarShards.samples(
+          graft.sources.TarShards.readShards(spark, dir))
+          .select(col("shard_id"), col("key"),
+            length(element_at(col("exts"), "txt")).as("n")))
+      }),
       timed("sessionize")(force(Events.sessionize(events))),
       timed("funnel")(force(Events.funnel(events,
         Seq("view", "click", "purchase")))),
