@@ -57,17 +57,25 @@ object TarShards {
     b
   }
 
+  /** Write one entry (header + payload + block padding) to a stream. */
+  private def writeEntry(out: java.io.OutputStream, name: String,
+                         payload: Array[Byte]): Unit = {
+    out.write(header(name, payload.length.toLong))
+    out.write(payload)
+    val pad = (BlockSize - payload.length % BlockSize) % BlockSize
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** The end-of-archive marker (two zero blocks). */
+  private def writeTrailer(out: java.io.OutputStream): Unit =
+    out.write(new Array[Byte](2 * BlockSize))
+
   /** Serialize (name, payload) entries into one ustar archive (entry
     * order preserved; two zero blocks terminate). Byte-deterministic. */
   def writeTar(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    entries.foreach { case (name, payload) =>
-      out.write(header(name, payload.length.toLong))
-      out.write(payload)
-      val pad = (BlockSize - payload.length % BlockSize) % BlockSize
-      out.write(new Array[Byte](pad))
-    }
-    out.write(new Array[Byte](2 * BlockSize))
+    entries.foreach { case (name, payload) => writeEntry(out, name, payload) }
+    writeTrailer(out)
     out.toByteArray
   }
 
@@ -222,22 +230,32 @@ object TarShards {
       .select(col("shard"), col("doc_id"), col("text"))
       .as[(Long, Long, String)]
       .foreachPartition { (it: Iterator[(Long, Long, String)]) =>
-        val groups = it.toSeq.groupBy(_._1)
-        if (groups.nonEmpty) {
-          val fs = new org.apache.hadoop.fs.Path(dir)
-            .getFileSystem(serConf.value)
-          groups.foreach { case (shard, rows) =>
-            val entries = rows.sortBy(_._2).flatMap { case (_, id, text) =>
-              val bytes = Option(text).getOrElse("").getBytes("UTF-8")
-              Seq(f"$id%08d.txt" -> bytes,
-                f"$id%08d.meta" -> bytes.length.toString.getBytes("US-ASCII"))
-            }
-            val tar = writeTar(entries)
-            val out = fs.create(new org.apache.hadoop.fs.Path(dir,
-              f"shard-$shard%05d.tar"), true)
-            try out.write(tar) finally out.close()
-          }
+        // STREAMING writer: rows arrive (shard, doc_id)-sorted, so each
+        // shard's entries go straight to its FS stream as they come —
+        // no partition materialization, no whole-tar buffer (a 1 GB
+        // shard costs one 512-byte header buffer, not 1 GB of heap)
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var out: java.io.OutputStream = null
+        var curShard = -1L
+        def closeShard(): Unit = if (out != null) {
+          writeTrailer(out); out.close(); out = null
         }
+        try {
+          it.foreach { case (shard, id, text) =>
+            if (shard != curShard) {
+              closeShard()
+              if (fs == null)
+                fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(serConf.value)
+              out = fs.create(new org.apache.hadoop.fs.Path(dir,
+                f"shard-$shard%05d.tar"), true)
+              curShard = shard
+            }
+            val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+            writeEntry(out, f"$id%08d.txt", bytes)
+            writeEntry(out, f"$id%08d.meta",
+              bytes.length.toString.getBytes("US-ASCII"))
+          }
+        } finally closeShard()
       }
   }
 
