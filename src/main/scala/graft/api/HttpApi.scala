@@ -156,6 +156,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
         https
       case None => HttpServer.create(new InetSocketAddress(port), 0)
     }
+    // without an executor the JDK server SERIALIZES requests on its
+    // dispatch thread — the reference serves concurrently and bounds
+    // query concurrency with its 20-slot tracker, which is exactly what
+    // Guards.QueryLimits does here; Spark is thread-safe for concurrent
+    // driver-side actions
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     register("/api/v1/query_range", (ex: HttpExchange) => handle(ex)(queryRange))
     register("/api/v1/query", (ex: HttpExchange) => handle(ex)(instant))
     register("/api/v1/labels", (ex: HttpExchange) => handle(ex)(labels))
