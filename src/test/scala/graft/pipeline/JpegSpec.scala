@@ -320,7 +320,9 @@ class JpegSpec extends AnyFunSuite {
               a.blocks.zip(b.blocks).forall { case (x, y) => x.sameElements(y) }
             }, s"len $n decoded differently")
       }
-    // progressive marker (SOF2) is rejected, not misdecoded
+    // a BASELINE stream whose SOF marker is flipped to SOF2 is invalid
+    // AS progressive (its single scan spans Ss=0..Se=63 — a progressive
+    // DC scan must carry only the DC band): rejected, not misdecoded
     val prog = good.clone()
     val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
       (prog(i + 1) & 0xff) == 0xc0).get
