@@ -45,6 +45,27 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("train parity holds on seeded-random corpora (12 trials)") {
+    // breadth beyond the fixed corpora: small alphabets force heavy merge
+    // chains, self-pairs, and count ties — the lazy heap's staleness
+    // repair and UTF-8 tie-break must agree with the distributed argmax
+    // on every round
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 12).foreach { trial =>
+      val alphabet = "abcde".take(2 + rnd.nextInt(3))
+      val docs = (0 until 1 + rnd.nextInt(4)).map { d =>
+        val words = (0 until 3 + rnd.nextInt(10)).map(_ =>
+          (0 until 1 + rnd.nextInt(8)).map(_ =>
+            alphabet(rnd.nextInt(alphabet.length))).mkString)
+        (d.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val nm = 1 + rnd.nextInt(25)
+      assert(Bpe.train(docs, nMerges = nm) == Bpe.trainDistributed(docs, nMerges = nm),
+        s"trial $trial nMerges=$nm")
+    }
+  }
+
   test("trainLocal handles repeated-pair words and heap staleness") {
     // 'aaaa' x3: (a,a)=9 -> merge 1 (a,a); then 'aa','aa' pairs (aa,aa)=3
     // -> merge 2 (aa,aa); staleness: (a,a) entries must not resurface

@@ -302,6 +302,38 @@ class JpegSpec extends AnyFunSuite {
     assert(sumD.toDouble / (w * h * 3) <= 2.0, s"foreign color mean delta ${sumD.toDouble / (w * h * 3)}")
   }
 
+  test("progressive: seeded-random coefficient patterns round-trip exactly (30 geometries)") {
+    // breadth beyond the fixed fixture: dense random mixes of ±1 births,
+    // odd magnitudes (refinement bits) and random zero runs, across
+    // gray / 4:4:4 / 4:2:0 and restart intervals — every dequantized
+    // coefficient must survive the multi-scan wire bit-exactly
+    val rnd = new scala.util.Random(7)
+    var checked = 0L
+    (0 until 30).foreach { trial =>
+      val gray = rnd.nextBoolean()
+      val sub = !gray && rnd.nextBoolean()
+      val unit = if (sub) 16 else 8
+      val w = unit * (1 + rnd.nextInt(3))
+      val h = unit * (1 + rnd.nextInt(3))
+      val ri = if (rnd.nextBoolean()) 1 + rnd.nextInt(3) else 0
+      val seed = rnd.nextInt(1 << 20)
+      def cf(c: Int, b: Int, k: Int): Int = {
+        val x = c * 131 + b * 31 + k * 7 + seed
+        if (x % 10 < 5) 0 else ((x / 10) % 21) - 10
+      }
+      val bytes = Jpeg.synthProgressiveJpeg(w, h, gray, sub, qLum, qChr, cf, ri)
+      val fr = Jpeg.decodeFrame(bytes)
+        .getOrElse(fail(s"trial $trial failed to decode (g=$gray s=$sub $w x $h ri=$ri)"))
+      for (c <- fr.planes.indices; idx <- fr.planes(c).blocks.indices; k <- 0 until 64) {
+        val q = if (c == 0) qLum else qChr
+        assert(fr.planes(c).blocks(idx)(Jpeg.ZigZag(k)) == cf(c, idx, k) * q(k),
+          s"trial $trial comp $c block $idx zigzag $k")
+        checked += 1
+      }
+    }
+    assert(checked > 10000L) // the sweep actually covered real volume
+  }
+
   test("malformed and unsupported streams return None, never throw") {
     val good = Jpeg.synthJpeg(16, 16, gray = true, sub420 = false,
       qLum, qChr, coefOf(1) _)
