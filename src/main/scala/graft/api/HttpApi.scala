@@ -294,6 +294,14 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
         """"corruptionCount":0,"goroutineCount":0,"GOMAXPROCS":0,"GOGC":"","GODEBUG":"","storageRetention":""}}"""))
     register("/api/v1/metadata", (ex: HttpExchange) => handle(ex)(_ =>
       """{"status":"success","data":{}}"""))
+    // GET /api/v1/status/tsdb — the vendored API's cardinality statistics
+    // (web/api/v1/api.go:390,1504-1560): head stats + top-N series counts
+    // by metric name / label-name value counts / label-pair series counts
+    // / label value bytes. Relational analog over the served store: stats
+    // derive from the DISTINCT series (one sig-keyed aggregation), and
+    // every list is limit-bounded before collect. chunkCount is 0 — there
+    // are no TSM chunks in a parquet store.
+    register("/api/v1/status/tsdb", (ex: HttpExchange) => handle(ex)(tsdbStatus))
     register("/api/v1/targets", (ex: HttpExchange) => handle(ex)(_ => {
       val active = scrapeTargets().map { case (job, target) =>
         s"""{"discoveredLabels":{"__address__":${Json.str(target)},"job":${Json.str(job)}},""" +
@@ -472,6 +480,49 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
         scoped.select(element_at(col("labels"), label).as("v"))
           .where(col("v").isNotNull).distinct().collect().map(_.getString(0))
     s"""{"status":"success","data":${Json.arr(vals.sorted.toSeq)}}"""
+  }
+
+  private def tsdbStatus(ex: HttpExchange): String = {
+    val limit = params(ex).get("limit").map(_.toInt).getOrElse(10)
+    require(limit >= 1, "limit must be a positive number")
+    val p = pts
+    // one series-level relation drives every statistic; the label-pair
+    // explode includes __name__ (a label in the reference's index)
+    val series = p.groupBy(col("sig"))
+      .agg(first(col("name")).as("name"), first(col("labels")).as("labels"))
+    val pairs = series
+      .select(col("sig"), explode(col("labels")).as(Seq("k", "v")))
+      .unionByName(series.where(col("name").isNotNull)
+        .select(col("sig"), lit("__name__").as("k"), col("name").as("v")))
+    val head = p.agg(
+      countDistinct(col("sig")).as("n"),
+      min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+    val nPairs = pairs.select(countDistinct(struct(col("k"), col("v")))).head().getLong(0)
+    def stats(df: DataFrame): String = df.limit(limit).collect().map(r =>
+      s"""{"name":${Json.str(r.getString(0))},"value":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+    val byMetric = stats(series.where(col("name").isNotNull)
+      .groupBy(col("name")).agg(countDistinct(col("sig")).as("value"))
+      .orderBy(col("value").desc, col("name")))
+    val valuesByLabel = stats(pairs.groupBy(col("k"))
+      .agg(countDistinct(col("v")).as("value"))
+      .orderBy(col("value").desc, col("k")))
+    val bytesByLabel = stats(pairs.select(col("k"), col("v")).distinct()
+      .groupBy(col("k")).agg(sum(length(col("v"))).cast("long").as("value"))
+      .orderBy(col("value").desc, col("k")))
+    val byPair = stats(pairs
+      .select(concat(col("k"), lit("="), col("v")).as("pair"), col("sig"))
+      .groupBy(col("pair")).agg(countDistinct(col("sig")).as("value"))
+      .orderBy(col("value").desc, col("pair")))
+    val (lo, hi) =
+      if (head.isNullAt(1)) (0L, 0L)
+      else (head.getLong(1), head.getLong(2))
+    s"""{"status":"success","data":{"headStats":{"numSeries":${head.getLong(0)},""" +
+      s""""chunkCount":0,"minTime":$lo,"maxTime":$hi,"numLabelPairs":$nPairs},""" +
+      s""""seriesCountByMetricName":$byMetric,""" +
+      s""""labelValueCountByLabelName":$valuesByLabel,""" +
+      s""""memoryInBytesByLabelName":$bytesByLabel,""" +
+      s""""seriesCountByLabelValuePair":$byPair}}"""
   }
 
   private def series(ex: HttpExchange): String = {

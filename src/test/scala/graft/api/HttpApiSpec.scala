@@ -353,6 +353,28 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("status/tsdb: cardinality statistics over the served store") {
+    val api = new HttpApi(spark, points)
+    val port = api.start(0)
+    try {
+      val body = get(port, "/api/v1/status/tsdb")
+      // fixture: 3 series (2x http_total + up), t all 60000, label pairs:
+      // __name__ x2 values, job=api on all, instance on two
+      assert(body.contains("\"numSeries\":3"), body)
+      assert(body.contains("\"minTime\":60000") && body.contains("\"maxTime\":60000"))
+      // __name__=http_total covers 2 series; job=api covers 3
+      assert(body.contains("{\"name\":\"job=api\",\"value\":3}"))
+      assert(body.contains("{\"name\":\"__name__=http_total\",\"value\":2}"))
+      // label with the most values ranks first in valueCountByLabelName
+      assert(body.indexOf("\"labelValueCountByLabelName\"") <
+        body.indexOf("\"memoryInBytesByLabelName\""))
+      // limit is honored and validated
+      val limited = get(port, "/api/v1/status/tsdb?limit=1")
+      assert(limited.count(_ == '{') < body.count(_ == '{'))
+      assert(get(port, "/api/v1/status/tsdb?limit=0").contains("error"))
+    } finally api.stop()
+  }
+
   test("label APIs honor start/end and match[] scoping") {
     val api = new HttpApi(spark, points)
     val port = api.start(0)
