@@ -334,8 +334,9 @@ object Audio {
   }
 
   /** Linear samples from a WAV of any supported coding: 16-bit PCM reads
-    * as-is; µ-law / A-law bytes expand through the G.711 tables — the
-    * output feeds the same FFT/MFCC/resample operators untouched. */
+    * as-is; µ-law / A-law bytes expand through the G.711 tables; IMA
+    * ADPCM blocks decode through the state machine — the output feeds
+    * the same FFT/MFCC/resample operators untouched. */
   def wavSamplesAny(b: Array[Byte]): Option[Array[Double]] =
     wavDataChunkAny(b).map { case (dataOff, len, fmt) =>
       fmt match {
@@ -345,7 +346,136 @@ object Audio {
         case 7 => Array.tabulate(len)(k => muLawToPcm(b(dataOff + k) & 0xff).toDouble)
         case _ => Array.tabulate(len)(k => aLawToPcm(b(dataOff + k) & 0xff).toDouble)
       }
+    }.orElse(imaAdpcmSamples(b))
+
+  // ---- IMA/DVI ADPCM (WAV format 0x11) ---------------------------------
+  // the 4-bit block-structured speech coding (IMA "DVI4" — the published
+  // step/index tables); pure integer state machine, so a recursive-CTE
+  // oracle replays it exactly
+
+  val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8,
+    -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One ADPCM step: (predictor, index) × nibble → next state. */
+  def imaStep(pred: Int, index: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p = if ((nibble & 8) != 0) pred - diff else pred + diff
+    (math.max(-32768, math.min(32767, p)),
+      math.max(0, math.min(88, index + ImaIndexTable(nibble))))
+  }
+
+  /** Decode a mono IMA-ADPCM WAV data chunk: each `blockAlign`-byte block
+    * opens with (predictor int16 LE, index u8, reserved) — the predictor
+    * IS the block's first sample — followed by nibbles, LOW nibble first,
+    * (blockAlign−4)·2 per block; a trailing partial block yields its
+    * decodable prefix. */
+  def imaAdpcmSamples(b: Array[Byte]): Option[Array[Double]] = {
+    if (b.length < 12 ||
+      !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    def le16(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def le32(off: Int) = le16(off) | (le16(off + 2) << 16)
+    var off = 12
+    var dataOff = -1; var dataLen = 0; var fmt = 0; var blockAlign = 0
+    var channels = 0
+    var ok = true
+    while (ok && off + 8 <= b.length) {
+      val id4 = new String(b, off, 4, "US-ASCII")
+      val sz = le32(off + 4)
+      if (sz < 0) return None
+      if (id4 == "fmt " && off + 24 <= b.length) {
+        fmt = le16(off + 8)
+        channels = le16(off + 10)
+        blockAlign = le16(off + 20)
+      }
+      if (id4 == "data") { dataOff = off + 8; dataLen = sz }
+      val next = off.toLong + 8L + sz + (sz & 1)
+      if (next > b.length) ok = false else off = next.toInt
     }
+    if (fmt != 0x11 || channels != 1 || blockAlign < 5 || dataOff < 0) return None
+    val len = math.max(0, math.min(dataLen, b.length - dataOff))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var blk = dataOff
+    while (blk + 4 <= dataOff + len) {
+      var pred = (le16(blk) << 16) >> 16 // sign-extend
+      var idx = b(blk + 2) & 0xff
+      if (idx > 88) return None
+      out += pred.toDouble
+      val end = math.min(blk + blockAlign, dataOff + len)
+      var p = blk + 4
+      while (p < end) {
+        val byte = b(p) & 0xff
+        var half = 0
+        while (half < 2) {
+          val (np, ni) = imaStep(pred, idx, if (half == 0) byte & 0xf else byte >> 4)
+          pred = np; idx = ni
+          out += pred.toDouble
+          half += 1
+        }
+        p += 1
+      }
+      blk += blockAlign
+    }
+    Some(out.toArray)
+  }
+
+  /** Mono IMA-ADPCM WAV around an explicit nibble stream (one block):
+    * fixture synthesizer for the gate. `nibbles.length` must be even
+    * (nibbles pack two per byte). */
+  def synthWavImaAdpcm(pred0: Int, idx0: Int, nibbles: Array[Int],
+                       sampleRate: Int): Array[Byte] = {
+    require(nibbles.length % 2 == 0 && idx0 >= 0 && idx0 <= 88)
+    val blockAlign = 4 + nibbles.length / 2
+    val bb = java.nio.ByteBuffer.allocate(44 + blockAlign)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + blockAlign)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(0x11.toShort)
+      .putShort(1.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / (nibbles.length + 1))
+      .putShort(blockAlign.toShort)
+      .putShort(4.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    bb.putShort(pred0.toShort).put(idx0.toByte).put(0.toByte)
+    nibbles.grouped(2).foreach { case Array(lo, hi) =>
+      bb.put(((hi << 4) | (lo & 0xf)).toByte)
+    }
+    bb.array()
+  }
+
+  /** ADPCM gate: one doc_id-derived block per doc (nibble k =
+    * (k·7 + id) mod 16 — sweeps signs, magnitudes and index moves;
+    * initial predictor/index also id-derived), decoded through the real
+    * RIFF walk + state machine; the position-weighted sum pins every
+    * decoded sample. */
+  def wavAdpcmStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 2 * ((id % 25).toInt + 1)
+        val nibbles = Array.tabulate(n)(k => ((k * 7 + id) % 16).toInt)
+        val pred0 = ((id * 131) % 4096).toInt - 2048
+        val idx0 = (id % 89).toInt
+        val pcm = imaAdpcmSamples(synthWavImaAdpcm(pred0, idx0, nibbles, 8000)).get
+        var s = 0L
+        var k = 0
+        while (k < pcm.length) { s += (k + 1).toLong * pcm(k).toLong; k += 1 }
+        (id, pcm.length.toLong, s)
+      }).toDF("doc_id", "n_samples", "wsum")
+  }
 
   /** Mono 8-bit companded WAV around explicit G.711 bytes (`fmt` 6 or
     * 7). */

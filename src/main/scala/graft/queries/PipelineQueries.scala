@@ -142,6 +142,7 @@ object PipelineQueries {
     "q_mm_spectrogram" -> ((s, dir) => Audio.wavSpectrogramStats(s, docs(s, dir))),
     "q_mm_mfcc" -> ((s, dir) => Audio.wavMfccStats(s, docs(s, dir))),
     "q_mm_g711" -> ((s, dir) => Audio.wavG711Stats(s, docs(s, dir))),
+    "q_mm_adpcm" -> ((s, dir) => Audio.wavAdpcmStats(s, docs(s, dir))),
     "q_mm_resample" -> ((s, dir) => Audio.wavResampleStats(s, docs(s, dir))),
     "q_img_ahash" -> ((s, dir) => Images.aHashStats(s, docs(s, dir))),
     "q_img_ahash_pairs" -> ((s, dir) => Images.aHashPairs(s, docs(s, dir), 8)),
@@ -545,6 +546,43 @@ object PipelineQueries {
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // IMA ADPCM replayed by a RECURSIVE CTE: the decoder is a sequential
+    // integer state machine (predictor, index) × nibble, so the oracle
+    // carries the state through the recursion with the step/index tables
+    // baked as list literals from the same Scala arrays
+    "q_mm_adpcm" -> {
+      val steps = Audio.ImaStepTable.mkString("[", ", ", "]")
+      val idxTab = Audio.ImaIndexTable.mkString("[", ", ", "]")
+      s"""WITH RECURSIVE cfg AS (
+         |  SELECT doc_id,
+         |    CAST(2 * (doc_id % 25 + 1) AS INT) AS n,
+         |    CAST((doc_id * 131) % 4096 - 2048 AS INT) AS pred0,
+         |    CAST(doc_id % 89 AS INT) AS idx0
+         |  FROM documents),
+         |dec AS (
+         |  SELECT doc_id, 0 AS k, pred0 AS pred, idx0 AS idx,
+         |    CAST(pred0 AS BIGINT) AS wsum, n FROM cfg
+         |  UNION ALL
+         |  SELECT doc_id, k + 1, pred2, idx2, wsum + (k + 2) * pred2, n
+         |  FROM (
+         |    SELECT doc_id, k, n, wsum,
+         |      greatest(-32768, least(32767,
+         |        CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END)) AS pred2,
+         |      greatest(0, least(88, idx + ($idxTab)[nib + 1])) AS idx2
+         |    FROM (
+         |      SELECT doc_id, k, n, wsum, pred, idx, nib,
+         |        (stp // 8) + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END
+         |          + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+         |          + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END AS diff
+         |      FROM (
+         |        SELECT *, CAST((k * 7 + doc_id) % 16 AS INT) AS nib,
+         |          ($steps)[idx + 1] AS stp
+         |        FROM dec WHERE k < n))))
+         |SELECT doc_id, CAST(n + 1 AS BIGINT) AS n_samples,
+         |  CAST(wsum AS BIGINT) AS wsum
+         |FROM dec WHERE k = n""".stripMargin
+    },
 
     // G.711 expansion as pure integer arithmetic: µ-law = complement,
     // ((mant·8+132) << exp) − 132, sign-bit negative; A-law = xor 0x55,

@@ -111,6 +111,28 @@ class AudioSpec extends AnyFunSuite {
     assert(Audio.wavSamplesAny(pcm).get.toSeq == Audio.wavSamples(pcm).get.toSeq)
   }
 
+  test("IMA ADPCM: hand-checked steps, clamping, and WAV round-trip") {
+    // step table entry 0 is 7: nibble 7 (all magnitude bits) gives
+    // diff = 0 + 1 + 3 + 7 = 11, index moves +8
+    assert(Audio.imaStep(0, 0, 7) == ((11, 8)))
+    // sign bit subtracts; index clamps at 0
+    assert(Audio.imaStep(0, 0, 15) == ((-11, 8)))
+    assert(Audio.imaStep(0, 0, 0) == ((0, 0)))
+    // predictor clamps at the 16-bit rails, index at 88
+    assert(Audio.imaStep(32760, 88, 7)._1 == 32767)
+    assert(Audio.imaStep(-32760, 88, 15)._1 == -32768)
+    assert(Audio.imaStep(0, 88, 4)._2 == 88)
+    // WAV round-trip equals a direct fold of the state machine
+    val nibbles = Array.tabulate(20)(k => (k * 5 + 3) % 16)
+    val wav = Audio.synthWavImaAdpcm(pred0 = -1234, idx0 = 30, nibbles, 8000)
+    val pcm = Audio.wavSamplesAny(wav).get
+    var pred = -1234; var idx = 30
+    val expect = -1234.0 +: nibbles.map { nb =>
+      val (p, i) = Audio.imaStep(pred, idx, nb); pred = p; idx = i; p.toDouble
+    }
+    assert(pcm.toSeq == expect.toSeq)
+  }
+
   test("mel filterbank: triangles cover the band, peak at 1, edges at 0") {
     val fb = Audio.melFilterbank(33, 10, 8000)
     assert(fb.length == 10 && fb.forall(_.length == 33))
