@@ -158,6 +158,33 @@ object PipelineQueries {
     // per-key samples — the oracle reproduces every sample's sizes and
     // content hash from the original table, certifying the whole
     // write→store→parse→group chain byte-exactly
+    // WARC round-trip: pack the documents into 16 archives (odd ids in
+    // the Common-Crawl concatenated-gzip form) as HTTP response records,
+    // then extract bodies through the real record walk + HTTP strip — the
+    // oracle reproduces status/size/hash from the original table
+    "q_mm_warc" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = docs(s, dir)
+        .select((col("doc_id") % 16).as("wid"), col("doc_id").cast("long"), col("text"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (wid, it) =>
+          val recs = it.toSeq.sortBy(_._2).map { case (_, id, text) =>
+            (Seq("WARC-Type" -> "response",
+              "WARC-Target-URI" -> s"https://example.invalid/doc/$id",
+              "Content-Type" -> "application/http; msgtype=response"),
+              (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + text)
+                .getBytes("UTF-8"))
+          }
+          (wid, graft.sources.Warc.writeWarc(recs, gzipPerRecord = wid % 2 == 1))
+        }.toDF("warc_id", "warc")
+      graft.sources.Warc.httpResponseBodies(warcs).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("status").cast("long").as("status"),
+        length(col("body")).cast("long").as("body_len"),
+        md5(col("body")).as("body_md5"))
+    }),
+
     "q_mm_tar_samples" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_wds").toString
       graft.sources.TarShards.writeShards(docs(s, dir), tmp, nShards = 16)
@@ -606,6 +633,12 @@ object PipelineQueries {
          |  AS BIGINT) AS wsum
          |FROM documents WHERE doc_id % 2 = 1""".stripMargin
     },
+
+    "q_mm_warc" ->
+      """SELECT doc_id, CAST(200 AS BIGINT) AS status,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents""".stripMargin,
 
     "q_mm_tar_samples" ->
       """SELECT doc_id, CAST(2 AS BIGINT) AS n_files,
