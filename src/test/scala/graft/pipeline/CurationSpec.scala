@@ -319,5 +319,11 @@ class CurationSpec extends AnyFunSuite {
       2L -> ("unique two", 1L)))
     // threshold is distinct-doc count: minDocs=4 keeps everything
     assert(Curation.dedupLines(docs, minDocs = 4).count() == 3)
+    // the broadcast rewrite (default) and the relational-reassembly
+    // overflow path (forced via maxBoilerplate = 0) produce IDENTICAL rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Curation.dedupLines(docs)) ==
+      rows(Curation.dedupLines(docs, maxBoilerplate = 0)))
   }
 }
