@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, CurationPipeline, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, TextAnalysis, Video}
+import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, CurationPipeline, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, Sketches, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -194,7 +194,24 @@ object PipelineQueries {
           length(element_at(col("exts"), "txt")).cast("long").as("txt_len"),
           element_at(col("exts"), "meta").cast("string").cast("long").as("meta_len"),
           md5(element_at(col("exts"), "txt")).as("txt_md5"))
-    })
+    }),
+
+    // HyperLogLog: per-source distinct-token estimates from the 1024-
+    // register relation; register table, exact integer Z and the final
+    // estimate are all rebuilt by the oracle from the same md5 bits
+    "q_text_hll" -> ((s, dir) => Sketches.hllEstimate(
+      docs(s, dir).select(col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0),
+      col("tok"), Seq("source"))),
+
+    // Bloom filter: corpus token membership probed with the Count-Min
+    // probe set (frequent + absent tokens); every set bit and every
+    // probe verdict reproduced from the same nibble arithmetic
+    "q_text_bloom" -> ((s, dir) => Sketches.bloomProbe(
+      docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0),
+      col("tok"), cmProbes))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -421,12 +438,17 @@ object PipelineQueries {
   private val cmProbes = Seq("the", "scan", "join", "window", "data",
     "query", "of", "and", "spark", "zzz_absent_token")
 
+  /** First-n-hex-chars-of-md5 → integer (nibble positional sum), the
+    * oracle's twin of the engine's `conv(substring(md5(..), 1, n), 16, 10)`
+    * parses. n ≤ 15 keeps the sum inside a positive BIGINT. */
+  private def hexN(h: String, n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (n - i))}")
+      .mkString("(", " + ", ")")
+
   /** First-5-hex-chars-of-md5 → integer, the oracle's twin of
     * CountMin.bucketOf's 20-bit parse (nibble positional sum). */
-  private def cmHex5(h: String): String =
-    (1 to 5).map(i =>
-      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (5 - i))}")
-      .mkString("(", " + ", ")")
+  private def cmHex5(h: String): String = hexN(h, 5)
 
   /** The BPE-encode oracle's symbol-stream rewrite: each demo merge
     * (a, b) in rank order as a ` a b ` → ` ab ` string replace on the
@@ -733,6 +755,65 @@ object PipelineQueries {
          |  SELECT pb.tok, pb.d, coalesce(c.cnt, 0) AS cnt
          |  FROM pb LEFT JOIN c USING (d, bucket))
          |SELECT tok, CAST(min(cnt) AS BIGINT) AS est FROM j GROUP BY tok""".stripMargin,
+
+    // HyperLogLog: the 1024-register table rebuilt from the same 60-bit
+    // md5 prefix (register = top 10 bits, rho = leading-zero count of
+    // the low 50 via length(bin(w)) — exact integer/string ops), the
+    // harmonic denominator kept as the exact integer Σ 2^(51-rho), and
+    // the raw/linear-counting estimate recomputed from the identical
+    // shortest-repr scale constant — the only float ops are one division
+    // and one ln on bit-identical operands
+    "q_text_hll" ->
+      s"""WITH t AS (
+         |  SELECT source, tok FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |h AS (SELECT source, ${hexN("md5(tok)", 15)} AS h FROM t),
+         |r AS (SELECT source, h // ${1L << Sketches.HllW} AS reg,
+         |             h % ${1L << Sketches.HllW} AS w FROM h),
+         |rr AS (SELECT source, reg,
+         |  CASE WHEN w = 0 THEN ${Sketches.HllW + 1}
+         |       ELSE ${Sketches.HllW + 1} - length(ltrim(bin(w), '0')) END AS rho
+         |  FROM r),
+         |m AS (SELECT source, reg, max(rho) AS maxrho FROM rr GROUP BY 1, 2),
+         |e AS (SELECT source, count(*) AS n_used,
+         |        CAST(sum(1::BIGINT << CAST(${Sketches.HllW + 1} - maxrho AS INT)) AS BIGINT) AS zs_used
+         |      FROM m GROUP BY source),
+         |z AS (SELECT source, CAST(n_used AS BIGINT) AS n_used,
+         |        CAST(${Sketches.HllM} - n_used AS BIGINT) AS v_empty,
+         |        CAST(zs_used + (${Sketches.HllM} - n_used) * ${1L << (Sketches.HllW + 1)} AS BIGINT) AS zs
+         |      FROM e),
+         |est AS (SELECT *, ${Sketches.HllScale} / CAST(zs AS DOUBLE) AS raw FROM z)
+         |SELECT source, n_used, v_empty, zs,
+         |  round(CASE WHEN raw <= ${2.5 * Sketches.HllM} AND v_empty > 0
+         |             THEN ${Sketches.HllM}.0 * ln(${Sketches.HllM}.0 / CAST(v_empty AS DOUBLE))
+         |             ELSE raw END, 6) AS est
+         |FROM est""".stripMargin,
+
+    // Bloom filter: every set bit (k=7 20-bit md5 positions mod 16384,
+    // hashed on the distinct-token table) and every probe verdict
+    // rebuilt with the same nibble arithmetic — integer-exact
+    "q_text_bloom" ->
+      s"""WITH tk AS (
+         |  SELECT DISTINCT tok FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE length(tok) > 0),
+         |ii AS (SELECT unnest([${(0 until Sketches.BloomK).mkString(", ")}]) AS i),
+         |bits AS (
+         |  SELECT DISTINCT ${cmHex5("md5(CAST(i AS VARCHAR) || '|' || tok)")} % ${Sketches.BloomM} AS pos
+         |  FROM tk CROSS JOIN ii),
+         |fill AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+         |pr AS (SELECT unnest([${cmProbes.map(t => s"'$t'").mkString(", ")}]) AS tok),
+         |pp AS (
+         |  SELECT tok, ${cmHex5("md5(CAST(i AS VARCHAR) || '|' || tok)")} % ${Sketches.BloomM} AS pos
+         |  FROM pr CROSS JOIN ii),
+         |j AS (
+         |  SELECT pp.tok, CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM pp LEFT JOIN bits USING (pos))
+         |SELECT j.tok, CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  sum(hit) = ${Sketches.BloomK} AS might_contain,
+         |  (SELECT n_bits_set FROM fill) AS n_bits_set
+         |FROM j GROUP BY j.tok""".stripMargin,
 
     // rank-based BPE encode vs the rewrite-system formulation: applying
     // the fixed merges in rank order as boundary-aware string rewrites is
