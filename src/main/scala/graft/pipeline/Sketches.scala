@@ -90,9 +90,15 @@ object Sketches {
         round(est, 6).as("est")): _*)
   }
 
-  // ---- Bloom filter: m = 16384 bits, k = 7 hashes ----
+  // ---- Bloom filter: m = 2^20 bits, k = 7 hashes ----
 
-  val BloomM = 16384
+  /** 2^20 bits. Sized for realistic vocab: at n = 100k distinct keys the
+    * fill is kn/m ≈ 0.49 → false-positive rate (1-e^{-kn/m})^k ≈ 0.6%;
+    * a 16k-bit demo filter saturated at only ~5k keys. Still a tiny
+    * bounded relation: ≤ m rows of one BIGINT. The 20-bit md5 prefix in
+    * [[posCol]] spans exactly [0, 2^20), so every hash bit feeds the
+    * position. */
+  val BloomM = 1 << 20
   val BloomK = 7
 
   /** Hash-i bit position of a key: the 20-bit md5 prefix of "i|key"
@@ -128,15 +134,19 @@ object Sketches {
   def bloomProbe(keys: DataFrame, key: Column, probes: Seq[String]): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
-    val bits = bloomBits(keys, key)
-    val probeRows = for (t <- probes; i <- 0 until BloomK)
-      yield (t, bloomPosOf(i, t))
-    val pb = probeRows.toDF("tok", "pos")
-    val fill = bits.agg(count(lit(1)).as("n_bits_set"))
-    pb.join(broadcast(bits.withColumn("hit", lit(1L))), Seq("pos"), "left")
-      .groupBy("tok")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .withColumn("might_contain", col("n_hit") === BloomK)
-      .crossJoin(broadcast(fill))
+    // ONE distributed pass materializes the set-bit relation — bounded
+    // ≤ m rows by construction, so it collects like a vocab table (≤ 8 MB
+    // at full fill). The fill count and every probe verdict then derive
+    // from the SAME collected bits; the previous formulation evaluated
+    // the bloomBits subplan twice (once for the fill aggregate, once for
+    // the probe join), doubling the corpus-sized distinct+hash scan. The
+    // probe side is a driver-provided token list, so the "join" is k set
+    // lookups per probe — no second job at all.
+    val bits = bloomBits(keys, key).as[Long].collect().toSet
+    val nSet = bits.size.toLong
+    probes.map { t =>
+      val hits = (0 until BloomK).count(i => bits(bloomPosOf(i, t))).toLong
+      (t, hits, hits == BloomK.toLong, nSet)
+    }.toDF("tok", "n_hit", "might_contain", "n_bits_set")
   }
 }

@@ -790,7 +790,7 @@ object PipelineQueries {
          |             ELSE raw END, 6) AS est
          |FROM est""".stripMargin,
 
-    // Bloom filter: every set bit (k=7 20-bit md5 positions mod 16384,
+    // Bloom filter: every set bit (k=7 20-bit md5 positions mod m,
     // hashed on the distinct-token table) and every probe verdict
     // rebuilt with the same nibble arithmetic — integer-exact
     "q_text_bloom" ->

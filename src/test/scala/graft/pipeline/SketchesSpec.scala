@@ -73,11 +73,10 @@ class SketchesSpec extends AnyFunSuite {
     present.foreach(t => assert(res(t)._1, s"false negative on $t"))
     // fill ≤ k·n and ≤ m
     assert(res.values.head._2 <= math.min(Sketches.BloomK * 5000L, Sketches.BloomM.toLong))
-    // with n=5000, k=7, m=16384 the filter saturates; use a small filter
-    // population to check false positives stay plausible instead
-    val sparseRes = Sketches.bloomProbe(items(200), col("tok"), absent)
-    val fp = sparseRes.where(col("might_contain")).count()
-    assert(fp <= 5, s"implausible false-positive count $fp at 200/16384 fill")
+    // at 5000 keys over 2^20 bits the fill is ~3.3%, so the false-positive
+    // rate is (kn/m)^k-ish ≈ 4e-11 — every absent probe must miss
+    val fp = absent.count(t => res(t)._1)
+    assert(fp == 0, s"implausible false-positive count $fp at 5000/2^20 fill")
   }
 
   test("bloom position arithmetic matches the driver-side twin") {
