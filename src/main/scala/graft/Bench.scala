@@ -27,7 +27,7 @@ object Bench {
 
   /** Bump when the canary data or store layout changes: a mismatched
     * marker invalidates the cached store and it is rebuilt. */
-  private val StoreLayoutVersion = "v3" // v3: _seq write stamps, dict lastDay + folding
+  private val StoreLayoutVersion = "v4" // v4: parquet bloom filters on (name, sig)
 
   private def canary(spark: SparkSession, nSeries: Long): DataFrame =
     graft.model.Points.withSig(

@@ -109,6 +109,13 @@ object Compiler {
     cs.foldLeft(lit(true))(_ && _)
   }
 
+  /** Max matching-series count for the lone-series In(sig, …) pushdown in
+    * [[selectorPoints]]; above it the matcher keeps the semi-join shape.
+    * Small on purpose: the In list is duplicated into every scan task's
+    * row-group filter evaluation, and 64 longs is the regime where
+    * per-row-group bloom probes beat a join exchange outright. */
+  private val MaxSigPushdown = 64
+
   private def selectorPoints(vs: VectorSelector, ctx: EvalContext): DataFrame = {
     val base = vs.name match {
       case Some(n) => ctx.points.where(col("name") === n)
@@ -140,13 +147,28 @@ object Compiler {
           .select(col("sig"))
         val nameFiltered = vs.matchers.filter(_.name == "__name__")
           .foldLeft(base)((df, m) => df.where(matcherFilter(Seq(m))))
-        // no broadcast() hint: a compacted dict is file-sized-estimable and
-        // auto-broadcasts when small, while a weakly-selective matcher over
-        // millions of series (user=~".+") must NOT be forced driver-side —
-        // the planner (or AQE, from the matching set's runtime size) falls
-        // back to a shuffled left_semi, sig-partitioned and primitive-only,
-        // which is the safe shape at that scale
-        nameFiltered.join(matching, Seq("sig"), "left_semi")
+        // LONE-SERIES PUSHDOWN: when the matcher conjunction selects only
+        // a handful of series (the dashboard "one instance" query), ship
+        // the sigs as an In() predicate instead of a semi-join — Spark
+        // pushes In(sig, …) into the parquet scan, where the per-row-group
+        // dictionary and bloom filters written by PointsStore skip every
+        // row group not holding those series, so the scan cost tracks the
+        // SERIES' row groups, not the metric's. The probe is bounded:
+        // take(N+1) short-circuits on the dict (compacted = one small
+        // file), and a weakly-selective matcher (user=~".+" over millions
+        // of series) overflows the probe and keeps the semi-join below.
+        val probe = matching.take(MaxSigPushdown + 1)
+        if (probe.length <= MaxSigPushdown)
+          nameFiltered.where(
+            col("sig").isInCollection(probe.map(_.getLong(0)).toSeq))
+        else
+          // no broadcast() hint: a compacted dict is file-sized-estimable
+          // and auto-broadcasts when small, while the weakly-selective case
+          // must NOT be forced driver-side — the planner (or AQE, from the
+          // matching set's runtime size) falls back to a shuffled
+          // left_semi, sig-partitioned and primitive-only, which is the
+          // safe shape at that scale
+          nameFiltered.join(matching, Seq("sig"), "left_semi")
       case Some(_) =>
         // name-only selector: equality already pushed; nothing to join
         base.where(matcherFilter(vs.matchers, useLc = base.columns.contains("_lc")))

@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object PointsStore {
 
+  /** Parquet bloom-filter write options for the two row-group-skipping
+    * columns of every data file. Within a row group, `name` and `sig` are
+    * usually dictionary-encoded (the clustered layout repeats them in
+    * runs) and parquet then skips the bloom — the dictionary page itself
+    * gives exact row-group filtering. The bloom matters exactly when the
+    * dictionary gives out: past ~128k distinct series per row group the
+    * 1 MB dictionary page overflows, `sig` falls back to PLAIN, and a
+    * selective read (a lone-series selector's pushed `In(sig, …)`) would
+    * otherwise have to scan every row group whose [min, max] spans the
+    * probe — which for a hash-valued sig is ALL of them. This is the
+    * fleet-scale regime: 100 TB day partitions hold millions of series
+    * per file. The reference's TSM engine keeps a per-file series-key
+    * index for the same lookup (vendor/github.com/influxdata/influxdb/
+    * tsdb/engine/tsm1/DESIGN.md); a per-row-group bloom is the parquet
+    * analog. NDV 262144 ≈ the series count of a 128 MB row group at
+    * ~500 B/series-day; parquet caps the bitset at its 1 MB default when
+    * overestimated, and an underestimate only raises the false-positive
+    * rate (reads stay correct, just less skipping). */
+  private val bloomWriteOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#name" -> "true",
+    "parquet.bloom.filter.enabled#sig" -> "true",
+    "parquet.bloom.filter.expected.ndv#name" -> "1024",
+    "parquet.bloom.filter.expected.ndv#sig" -> "262144")
+
   /** Monotonic per-JVM write-generation stamp: every append carries it as
     * the `_seq` column (constant per batch — dictionary-encodes to ~0
     * bytes), giving compaction a total write order for last-write-wins
@@ -31,6 +55,47 @@ object PointsStore {
   private val lastSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private def nextSeq(): Long =
     lastSeq.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
+  // ---- self-telemetry (served at /metrics; reference: the registrar
+  // counters of src/internal/metrics/metrics.go) -------------------------
+  //
+  // The write-path row counts accumulate in Spark ACCUMULATORS — the
+  // within-partition dedup pass already touches every row, so counting
+  // rides for free on the executors; the registry exposes the live
+  // accumulator values at scrape time. Stage retries/speculation can
+  // overcount, the standard accumulator caveat — acceptable for
+  // operational counters (the reference's registrar makes no stronger
+  // promise across its process restarts either).
+  private val writeAccs = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator,
+      org.apache.spark.util.LongAccumulator)]()
+  private val expiredShardsTotal = graft.api.Telemetry.counter(
+    "metric_store_expired_shards_total", "Day partitions dropped by retention")
+  private val compactionsTotal = graft.api.Telemetry.counter(
+    "graft_store_compactions_total", "Day-partition (and dict) rewrites published")
+  locally {
+    def accValue(pick: ((org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator,
+      org.apache.spark.util.LongAccumulator)) => org.apache.spark.util.LongAccumulator) =
+      () => Option(writeAccs.get()).map(t => pick(t).value.toDouble).getOrElse(0.0)
+    graft.api.Telemetry.counterSupplier("metric_store_written_points_total",
+      "Rows written to day partitions (post within-batch dedup)")(accValue(_._2))
+    graft.api.Telemetry.counterSupplier("graft_store_lww_dropped_points_total",
+      "Within-batch (sig, t) duplicates dropped at write time (LWW)")(accValue(_._3))
+  }
+  private def storeAccs(spark: SparkSession):
+      (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator) = {
+    val sc = spark.sparkContext
+    val cur = writeAccs.get()
+    if (cur != null && (cur._1 eq sc)) (cur._2, cur._3)
+    else {
+      val w = sc.longAccumulator("graft.store.writtenPoints")
+      val d = sc.longAccumulator("graft.store.lwwDroppedPoints")
+      writeAccs.set((sc, w, d))
+      (w, d)
+    }
+  }
 
   /** Write points (sig/name/labels/t/value) partitioned by UTC day.
     *
@@ -102,6 +167,7 @@ object PointsStore {
         col("_sub"))
     dropWithinPartitionDups(stamped)
       .write
+      .options(bloomWriteOptions)
       .partitionBy("date")
       .mode(SaveMode.Append)
       .parquet(path)
@@ -117,6 +183,7 @@ object PointsStore {
     val di = schema.fieldIndex("date")
     val si = schema.fieldIndex("sig")
     val ti = schema.fieldIndex("t")
+    val (written, dropped) = storeAccs(df.sparkSession)
     df.mapPartitions { it =>
       new Iterator[org.apache.spark.sql.Row] {
         private var pending: org.apache.spark.sql.Row = if (it.hasNext) it.next() else null
@@ -128,9 +195,11 @@ object PointsStore {
           while (nxt != null && cur.get(di) == nxt.get(di) &&
             cur.getLong(si) == nxt.getLong(si) && cur.getLong(ti) == nxt.getLong(ti)) {
             cur = nxt
+            dropped.add(1L)
             nxt = if (it.hasNext) it.next() else null
           }
           pending = nxt
+          written.add(1L)
           cur
         }
       }
@@ -477,7 +546,8 @@ object PointsStore {
           deduped
             .repartition(nOut)
             .sortWithinPartitions(col("name"), col("sig"), col("t"))
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString))
+            .write.options(bloomWriteOptions)
+            .mode(SaveMode.Overwrite).parquet(tmp.toString))
         Some(dayPath.toString)
       } else None
     }
@@ -500,7 +570,9 @@ object PointsStore {
             case e: java.util.concurrent.ExecutionException =>
               Left(Option(e.getCause).getOrElse(e))
           })
-        outcomes.foreach { case Right(d) => done ++= d; case Left(_) => () }
+        outcomes.foreach { case Right(d) =>
+          done ++= d; compactionsTotal.add(d.size.toLong)
+        case Left(_) => () }
         outcomes.collectFirst { case Left(e) => e }.foreach(throw _)
       } finally pool.shutdown()
     }
@@ -656,6 +728,7 @@ object PointsStore {
           java.time.LocalDate.parse(p.getName.stripPrefix("date=")).isBefore(cutoff)
       }
     dropped.foreach(p => fs.delete(p, true))
+    expiredShardsTotal.add(dropped.length.toLong)
     val dictPath = new org.apache.hadoop.fs.Path(root, DictDir)
     if (dropped.nonEmpty && fs.exists(dictPath)) {
       val live = liveDayFiles(fs, dictPath)

@@ -62,25 +62,72 @@ class CorpusSpec extends AnyFunSuite {
     else math.abs(a - b) / (math.abs(a) + math.abs(b)) < eps
   }
 
-  /** Run one corpus file; returns (evalCount, failures as line->message). */
-  private def runFile(file: String): (Int, Seq[(Int, String)]) = {
+  /** Run one corpus file; returns (evalCount, failures as line->message).
+    *
+    * `storeBacked = true` runs the SAME evals over the engine's actual
+    * 100 TB read path instead of an in-memory relation: every load
+    * generation is written through [[graft.sources.PointsStore.append]]
+    * (persisted `_lc`, `_seq`/`_sub` write stamps, `_dict` sidecar) and
+    * every eval reads via `PointsStore.read` (live-file manifest view +
+    * LWW read guard — the 2-partition test writes always produce the
+    * multi-file layout that arms it) with `readDict` feeding the series-
+    * dictionary SLIM selector path (sig-only exchanges, labels joined
+    * back from the sidecar). Any divergence between the in-memory and
+    * store paths — a matcher-on-`_lc` rewrite bug, label-restore
+    * ordering, stale-marker handling across the sidecar — fails here
+    * with the same per-line triage as the primary mode. */
+  private def runFile(file: String, storeBacked: Boolean): (Int, Seq[(Int, String)]) = {
     val text = new String(Files.readAllBytes(Paths.get(s"$corpusDir/$file")))
     val cmds = PromTestDsl.parseFile(text)
     val loaded = mutable.ArrayBuffer[Series]()
     var df: DataFrame = null
+    var dict: Option[DataFrame] = None
     var dirty = true
+    var gen = 0
     val failures = mutable.ArrayBuffer[(Int, String)]()
     var n = 0
-    cmds.foreach {
-      case Clear => loaded.clear(); dirty = true
-      case Load(series) => loaded ++= series; dirty = true
-      case ev: Eval =>
-        n += 1
-        if (dirty) { df = pointsDf(loaded.toSeq); dirty = false }
-        runEval(ev, df) match {
-          case Some(err) => failures += ((ev.line, s"${ev.expr} -- $err"))
-          case None => ()
-        }
+    val storeRoot =
+      if (storeBacked) Some(Files.createTempDirectory(s"corpus-store-")) else None
+    def refresh(): Unit = {
+      val mem = pointsDf(loaded.toSeq)
+      storeRoot match {
+        case Some(root) if loaded.nonEmpty =>
+          // fresh store per load generation: the corpus's `clear`/`load`
+          // blocks are independent worlds, and a shared dir would leak
+          // one block's series into the next through the dict sidecar
+          gen += 1
+          val dir = root.resolve(s"gen-$gen").toString
+          graft.sources.PointsStore.append(mem, dir)
+          df = graft.sources.PointsStore.read(
+            spark, dir, Long.MinValue, Long.MaxValue)
+          dict = graft.sources.PointsStore.readDict(spark, dir)
+        case _ =>
+          // empty load set (literals.test): nothing to store — an empty
+          // parquet dir has no inferable schema; the engine sees the
+          // same empty relation either way
+          df = mem
+          dict = None
+      }
+      dirty = false
+    }
+    try {
+      cmds.foreach {
+        case Clear => loaded.clear(); dirty = true
+        case Load(series) => loaded ++= series; dirty = true
+        case ev: Eval =>
+          n += 1
+          if (dirty) refresh()
+          runEval(ev, df, dict) match {
+            case Some(err) => failures += ((ev.line, s"${ev.expr} -- $err"))
+            case None => ()
+          }
+      }
+    } finally storeRoot.foreach { root =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(root.toFile)
     }
     (n, failures.toSeq)
   }
@@ -89,26 +136,29 @@ class CorpusSpec extends AnyFunSuite {
     m.toSeq.sorted.map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
 
   /** None = pass; Some(message) = failure description. */
-  private def runEval(ev: Eval, points: DataFrame): Option[String] =
-    runEvalOnce(ev, points, asRange = false).orElse {
+  private def runEval(ev: Eval, points: DataFrame,
+                      dict: Option[DataFrame]): Option[String] =
+    runEvalOnce(ev, points, dict, asRange = false).orElse {
       // every instant eval ALSO runs as the last step of a 3-step range
       // query — the per-step results of a range grid must agree with the
       // corresponding instant evaluation (set-oriented grid regression net)
-      if (ev.mode == "instant") runEvalOnce(ev, points, asRange = true)
+      if (ev.mode == "instant") runEvalOnce(ev, points, dict, asRange = true)
         .map(m => s"[range-mode] $m")
       else None
     }
 
-  private def runEvalOnce(ev: Eval, points: DataFrame, asRange: Boolean): Option[String] = {
+  private def runEvalOnce(ev: Eval, points: DataFrame,
+                          dict: Option[DataFrame], asRange: Boolean): Option[String] = {
     val attempt = Try {
       val out =
         if (asRange) {
           val step = 300000L
           Engine.rangeQuery(spark, points, ev.expr,
-            ev.atMs - 2 * step, ev.atMs, step, strictCollision = true)
+            ev.atMs - 2 * step, ev.atMs, step, strictCollision = true,
+            seriesDict = dict)
         } else {
           Engine.instantQuery(spark, points, ev.expr, ev.atMs,
-            strictCollision = true)
+            strictCollision = true, seriesDict = dict)
         }
       val rows = out.collect()
       if (asRange) {
@@ -202,13 +252,14 @@ class CorpusSpec extends AnyFunSuite {
     "histograms.test") // conventional le-bucket sections (native-histogram
                        // files stay excluded: the store rejects them)
 
-  for (f <- files) {
-    test(s"corpus: $f") {
+  for (f <- files; store <- Seq(false, true)) {
+    val label = if (store) s"corpus-store: $f" else s"corpus: $f"
+    test(label) {
       assume(Files.exists(Paths.get(s"$corpusDir/$f")), "reference corpus not present")
-      val (n, failures) = runFile(f)
+      val (n, failures) = runFile(f, storeBacked = store)
       val unexpected = failures.filterNot { case (line, _) => knownFailures(f)(line) }
       val msg = unexpected.map { case (line, m) => s"  $f:$line $m" }.mkString("\n")
-      info(s"$f: $n evals, ${failures.length} failures (${unexpected.length} unexpected)")
+      info(s"$label: $n evals, ${failures.length} failures (${unexpected.length} unexpected)")
       assert(unexpected.isEmpty, s"\nunexpected failures:\n$msg")
     }
   }
