@@ -65,6 +65,30 @@ object Serve {
       bearerToken = cfg.bearerToken,
       pointsProvider = Some(() =>
         PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)))
+    // self-telemetry gauges over the served store, scraped at /metrics
+    // (reference registrar names: metrics.go MetricStoreStorageDays /
+    // SeriesCount / MeasurementsCount). storage_days is a directory
+    // listing (free); the dictionary counts cost one tiny Spark job over
+    // the series-sized sidecar, memoized for a minute so a 15 s scrape
+    // interval doesn't re-run it.
+    graft.api.Telemetry.gauge("metric_store_storage_days",
+      "Day partitions on disk")(() => {
+      val root = new org.apache.hadoop.fs.Path(cfg.storeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) 0.0
+      else fs.listStatus(root).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("date=")).toDouble
+    })
+    graft.api.Telemetry.gauge("metric_store_series_count",
+      "Live series in the dictionary sidecar")(
+      graft.api.Telemetry.cached(60000L)(() =>
+        PointsStore.readDict(spark, cfg.storeDir)
+          .map(_.count().toDouble).getOrElse(0.0)))
+    graft.api.Telemetry.gauge("metric_store_measurements_count",
+      "Distinct metric names in the dictionary sidecar")(
+      graft.api.Telemetry.cached(60000L)(() =>
+        PointsStore.readDict(spark, cfg.storeDir)
+          .map(_.select("name").distinct().count().toDouble).getOrElse(0.0)))
     val boundPort = api.start(cfg.port)
     // maintenance tick: fragmentation-triggered compaction (cheap no-op
     // below threshold) + retention drops — the reference's background

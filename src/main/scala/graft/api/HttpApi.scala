@@ -78,7 +78,14 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * landing) must re-plan, exactly like [[seriesDict]].
                       * (e.g. `() => PointsStore.read(spark, dir,
                       * Long.MinValue, Long.MaxValue)`) */
-                    pointsProvider: Option[() => DataFrame] = None) {
+                    pointsProvider: Option[() => DataFrame] = None,
+                    /** Per-metric (type, help) for /api/v1/metadata —
+                      * typically [[graft.sources.Scrape.MetadataStore]],
+                      * fed by the scrape loop's parsed HELP/TYPE comment
+                      * lines (real Prometheus populates the route from
+                      * exactly those; the reference serves it through the
+                      * vendored API). */
+                    metadata: () => Map[String, (String, String)] = () => Map.empty) {
 
   /** The served relation for one request. */
   private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
@@ -97,15 +104,38 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     * overcount on stage retries/speculation, so a tripped meter is
     * confirmed by one exact pushdown-filtered count before the query is
     * rejected (Guards.exactSampleCount). */
+  // self-telemetry: query admission/outcome/latency counters, served at
+  // /metrics (reference: the registrar threaded through every component,
+  // src/internal/metrics/registrar.go)
+  private val queriesTotal = Telemetry.counter(
+    "graft_queries_total", "PromQL queries admitted by the API")
+  private val queryErrorsTotal = Telemetry.counter(
+    "graft_query_errors_total", "PromQL queries that failed (guard rejections included)")
+  private val queryDuration = Telemetry.histogram(
+    "graft_query_duration_seconds", "End-to-end PromQL query latency")
+  private val ingressPointsTotal = Telemetry.counter(
+    "metric_store_ingress_points_total", "Samples accepted by the remote-write receiver")
+
   private def guarded[T](q: String, grid: graft.engine.StepGrid)(
-      body: Option[org.apache.spark.util.LongAccumulator] => T): T =
-    limits match {
-      case Some(l) =>
-        val tally = graft.engine.Guards.newTally(spark)
-        val confirm = () => graft.engine.Guards.exactSampleCount(pts, q, grid, lookbackMs)
-        graft.engine.Guards.run(spark, l, q, Some(tally), Some(confirm))(body(Some(tally)))
-      case None => body(None)
+      body: Option[org.apache.spark.util.LongAccumulator] => T): T = {
+    queriesTotal.inc()
+    val t0 = System.nanoTime()
+    try {
+      val out = limits match {
+        case Some(l) =>
+          val tally = graft.engine.Guards.newTally(spark)
+          val confirm = () => graft.engine.Guards.exactSampleCount(pts, q, grid, lookbackMs)
+          graft.engine.Guards.run(spark, l, q, Some(tally), Some(confirm))(body(Some(tally)))
+        case None => body(None)
+      }
+      queryDuration.observe((System.nanoTime() - t0) / 1e9)
+      out
+    } catch { case e: Throwable =>
+      queryErrorsTotal.inc()
+      queryDuration.observe((System.nanoTime() - t0) / 1e9)
+      throw e
     }
+  }
 
   private var server: HttpServer = _
 
@@ -256,9 +286,10 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
             case Right(series) =>
               try {
                 sink(RemoteRead.writeRequestToPoints(spark, series))
+                val n = series.map(_._2.length.toLong).sum
+                ingressPointsTotal.add(n)
                 if (isV2) {
                   // 2.0 REQUIRES written-counts headers on success
-                  val n = series.map(_._2.length.toLong).sum
                   ex.getResponseHeaders.set(
                     "X-Prometheus-Remote-Write-Samples-Written", n.toString)
                   ex.getResponseHeaders.set(
@@ -292,8 +323,36 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       s"""{"status":"success","data":{"startTime":"${java.time.Instant.ofEpochMilli(startedMs)}",""" +
         s""""CWD":"","reloadConfigSuccess":true,"lastConfigTime":"${java.time.Instant.ofEpochMilli(startedMs)}",""" +
         """"corruptionCount":0,"goroutineCount":0,"GOMAXPROCS":0,"GOGC":"","GODEBUG":"","storageRetention":""}}"""))
-    register("/api/v1/metadata", (ex: HttpExchange) => handle(ex)(_ =>
-      """{"status":"success","data":{}}"""))
+    // GET /api/v1/metadata — per-metric type/help, shaped like the
+    // vendored API's target-metadata aggregation: one entry list per
+    // metric name. Populated from the scrape loop's retained HELP/TYPE
+    // lines (empty when the server isn't scraping anything — the
+    // reference's nil-retriever behavior).
+    register("/api/v1/metadata", (ex: HttpExchange) => handle(ex) { _ =>
+      val entries = metadata().toSeq.sortBy(_._1).map { case (m, (typ, help)) =>
+        s"${Json.str(m)}:[{" +
+          s""""type":${Json.str(typ)},"help":${Json.str(help)},"unit":""}]"""
+      }
+      s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
+    })
+    // GET /health — the reference's load-balancer/BOSH probe endpoint:
+    // a bare version/sha JSON, no envelope
+    // (src/internal/metric-store/metric_store.go:397,597-614)
+    register("/health", (ex: HttpExchange) => handle(ex)(_ =>
+      s"""{"version":${Json.str(Version)},"sha":"dev"}"""))
+    // GET /metrics — the engine's own operational counters in Prometheus
+    // text exposition (the reference runs promhttp on a side server;
+    // here the main listener serves it, one port), scrapeable by the
+    // engine's own Scrape source — the dogfood loop ServeSpec pins
+    register("/metrics", (ex: HttpExchange) => {
+      try {
+        val bytes = Telemetry.render().getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
+    })
     // GET /api/v1/status/tsdb — the vendored API's cardinality statistics
     // (web/api/v1/api.go:390,1504-1560): head stats + top-N series counts
     // by metric name / label-name value counts / label-pair series counts

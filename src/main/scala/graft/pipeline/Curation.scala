@@ -324,6 +324,42 @@ object Curation {
         round(pow(col("n") / col("n_min"), lit(alpha - 1.0)), 6).as("keep_frac"))
   }
 
+  /** Weighted per-group reservoir sample (A-Res — Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): keep, per
+    * group, the k items with the smallest exponential draw
+    * e_i = −ln(u_i)/w_i, which selects item i with probability ∝ w_i —
+    * the missing mixture-construction primitive beside
+    * [[temperatureMix]] (which computes per-SOURCE keep fractions) and
+    * [[importanceWeights]] (which computes the per-doc weights this
+    * consumes).
+    *
+    * ONE pass, no global sort: the draw is computed per row and the
+    * k-smallest survive a single map-side-combined aggregation whose
+    * partials are k-bounded heaps ([[BottomKSample.weightedColumn]]) —
+    * at 100 TB the shuffle carries k·partitions rows, never the corpus.
+    * The "randomness" is the deterministic md5 of the item id
+    * (u = (hash60(id)+1)/2^60 ∈ (0, 1]), so the selection is a pure
+    * function of the input — reproducible run-over-run, and re-derivable
+    * relationally by the gate's DuckDB oracle (same nibble hash, same
+    * −ln(u)/w, same (draw, id) rank). Non-positive weights are excluded
+    * (A-Res is defined for w > 0; a zero-weight doc must never be
+    * sampled).
+    *
+    * Output: (groups..., doc_id, draw), ≤ k rows per group. */
+  def weightedSample(docs: DataFrame, id: Column, weight: Column,
+                     groups: Seq[String], k: Int): DataFrame = {
+    val u = (Sketches.hash60(id.cast("string")) + lit(1L)).cast("double") /
+      lit(math.scalb(1.0, 60))
+    val draw = negate(log(u)) / weight.cast("double")
+    docs
+      .where(weight.cast("double") > 0)
+      .groupBy(groups.map(col): _*)
+      .agg(BottomKSample.weightedColumn(draw, id.cast("long"), k).as("smp"))
+      .select(groups.map(col) :+ explode(col("smp")).as("kv"): _*)
+      .select(groups.map(col) ++ Seq(
+        col("kv.id").as("doc_id"), col("kv.draw").as("draw")): _*)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — the unigram
     * variant): per raw document, the mean log-likelihood ratio of its

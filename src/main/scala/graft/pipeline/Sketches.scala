@@ -43,7 +43,7 @@ object Sketches {
   val HllScale: Double = HllAlpha * math.scalb(1.0, 2 * HllP + 51)
 
   /** 60-bit hash of the key: first 15 hex chars of md5. */
-  private def hash60(key: Column): Column =
+  private[pipeline] def hash60(key: Column): Column =
     conv(substring(md5(key), 1, 15), 16, 10).cast("long")
 
   /** Per-group HLL register table: (groups..., reg, maxrho) — at most
@@ -148,5 +148,62 @@ object Sketches {
       val hits = (0 until BloomK).count(i => bits(bloomPosOf(i, t))).toLong
       (t, hits, hits == BloomK.toLong, nSet)
     }.toDF("tok", "n_hit", "might_contain", "n_bits_set")
+  }
+
+  // ---- Quantile sketch: bottom-k priority sample ----
+
+  /** Default sample size: rank error ≈ 1/√k ≈ 2.2 % of n. */
+  val QuantileK = 2048
+
+  /** The quantile sketch relation: per group, the [[QuantileK]]-bounded
+    * bottom-k-by-md5-priority sample plus the group's EXACT count —
+    * (groups..., n, pri, v), at most k rows per group out of ONE
+    * map-side-combined aggregation whose partials are k-bounded heaps
+    * ([[BottomKSample]]).
+    *
+    * Why a bottom-k sample and not a KLL/GK summary: KLL's compactor
+    * cascade and GK's insert/compress loop are inherently SEQUENTIAL —
+    * their kept set depends on arrival order, so no external engine can
+    * re-derive it relationally and the house bit-exact-oracle rule would
+    * be unmeetable. The bottom-k sample is the mergeable quantile summary
+    * that IS a pure function of the input multiset ("k smallest md5
+    * priorities"), with the textbook O(1/√k) rank-error bound (Agarwal
+    * et al. 2013, "Mergeable Summaries" §5) — the price over KLL's
+    * O(1/k·log) is a constant-factor-larger k, which at k=2048 is still
+    * a ≤ 32 KB relation per group at ANY corpus size. Merging two
+    * sketches = union + keep-k-smallest, asserted in the spec. */
+  def quantileSample(items: DataFrame, key: Column, value: Column,
+                     groups: Seq[String], k: Int = QuantileK): DataFrame =
+    items
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        BottomKSample.column(hash60(key), value.cast("double"), k).as("smp"))
+      .select(groups.map(col) ++ Seq(col("n"),
+        explode(col("smp")).as("kv")): _*)
+      .select(groups.map(col) ++ Seq(col("n"),
+        col("kv.pri").as("pri"), col("kv.v").as("v")): _*)
+
+  /** Quantile estimates from the sketch: (groups..., q, n, m, est) for
+    * each requested q — est is the sample's lower quantile, the value at
+    * zero-based sorted index ⌊q·(m−1)⌋ (m = |sample| = min(n, k)). The
+    * rank/pick arithmetic runs on the k-bounded sample relation (window
+    * over ≤ k rows per group), not the corpus; when n ≤ k the sample is
+    * the group itself and the estimate is exact. */
+  def quantiles(items: DataFrame, key: Column, value: Column,
+                groups: Seq[String], qs: Seq[Double],
+                k: Int = QuantileK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val smp = quantileSample(items, key, value, groups, k)
+    val w = Window.partitionBy(groups.map(col): _*).orderBy(col("v"), col("pri"))
+    val ranked = smp
+      .withColumn("rn0", row_number().over(w) - 1)
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(groups.map(col): _*)))
+    ranked
+      .select(groups.map(col) ++ Seq(col("n"), col("m"), col("rn0"), col("v"),
+        explode(array(qs.map(lit): _*)).as("q")): _*)
+      .where(col("rn0") === floor(col("q") * (col("m") - 1)).cast("int"))
+      .select(groups.map(col) ++ Seq(col("q"), col("n"), col("m"),
+        col("v").as("est")): _*)
   }
 }

@@ -131,6 +131,11 @@ object PipelineQueries {
     "q_pipe_temperature" -> ((s, dir) => Curation.temperatureMix(docs(s, dir), 0.5)),
     "q_pipe_dsir" -> ((s, dir) => Curation.importanceWeights(
       docs(s, dir), docs(s, dir).where(col("doc_id") % 53 === 0))),
+    // A-Res weighted reservoir: 8 docs per source, inclusion ∝ n_chars,
+    // md5-keyed exponential draws — selection is a pure function of the
+    // input, re-derived row-for-row by the oracle
+    "q_pipe_weighted_sample" -> ((s, dir) => Curation.weightedSample(
+      docs(s, dir), col("doc_id"), col("n_chars"), Seq("source"), k = 8)),
     "q_mm_decode" -> ((s, dir) => Multimodal.decodeMeta(s, docs(s, dir)).toDF()),
     "q_mm_decode_real" -> ((s, dir) => Multimodal.decodeSynthetic(s, docs(s, dir)).toDF()),
     "q_mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, docs(s, dir))),
@@ -211,7 +216,15 @@ object PipelineQueries {
     "q_text_bloom" -> ((s, dir) => Sketches.bloomProbe(
       docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
         .where(length(col("tok")) > 0),
-      col("tok"), cmProbes))
+      col("tok"), cmProbes)),
+
+    // Quantile sketch: per-source doc-length quantiles from the bottom-k
+    // md5-priority sample (k=16 < the 25 docs/source, so the SAMPLING
+    // regime is live); the oracle re-derives the kept set as "k smallest
+    // (priority, value)" and the same ⌊q·(m−1)⌋ pick — bit-exact
+    "q_text_quantile_sketch" -> ((s, dir) => Sketches.quantiles(
+      docs(s, dir), col("doc_id").cast("string"), col("n_chars"),
+      Seq("source"), Seq(0.25, 0.5, 0.9), k = 16))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -814,6 +827,33 @@ object PipelineQueries {
          |  sum(hit) = ${Sketches.BloomK} AS might_contain,
          |  (SELECT n_bits_set FROM fill) AS n_bits_set
          |FROM j GROUP BY j.tok""".stripMargin,
+
+    // Quantile sketch: the bottom-k sample is a pure function of the
+    // input ("k smallest by (md5-priority, value)"), so the oracle
+    // re-derives the kept set with a window rank over the same 60-bit
+    // positional-hex priorities, then applies the identical ⌊q·(m−1)⌋
+    // lower-quantile pick — sample, counts and estimates all bit-exact
+    "q_text_quantile_sketch" ->
+      s"""WITH p AS (
+         |  SELECT source, ${hexN("md5(CAST(doc_id AS VARCHAR))", 15)} AS pri,
+         |         CAST(n_chars AS DOUBLE) AS v
+         |  FROM documents),
+         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY source),
+         |keep AS (
+         |  SELECT source, pri, v FROM (
+         |    SELECT source, pri, v,
+         |           row_number() OVER (PARTITION BY source ORDER BY pri, v) AS rk
+         |    FROM p)
+         |  WHERE rk <= 16),
+         |ranked AS (
+         |  SELECT source, v,
+         |         row_number() OVER (PARTITION BY source ORDER BY v, pri) - 1 AS rn0,
+         |         count(*) OVER (PARTITION BY source) AS m
+         |  FROM keep),
+         |qq AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+         |SELECT r.source, q, n, CAST(m AS BIGINT) AS m, v AS est
+         |FROM ranked r CROSS JOIN qq JOIN cnt ON r.source = cnt.source
+         |WHERE rn0 = CAST(floor(q * (m - 1)) AS INT)""".stripMargin,
 
     // rank-based BPE encode vs the rewrite-system formulation: applying
     // the fixed merges in rank order as boundary-aware string rewrites is
@@ -1738,6 +1778,22 @@ object PipelineQueries {
         |  round(pow(n, 0.5) / denom, 6) AS target_share,
         |  round(pow(n / n_min, -0.5), 6) AS keep_frac
         |FROM n CROSS JOIN d""".stripMargin,
+
+    // A-Res weighted reservoir: the engine's kept set is "the k smallest
+    // (−ln(u)/w, doc_id)" per group — a rank the oracle reproduces from
+    // the same 60-bit md5 u; ln within 1 ulp, absorbed by the compare's
+    // round(9)
+    "q_pipe_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    -ln((${hexN("md5(CAST(doc_id AS VARCHAR))", 15)} + 1)
+         |        / 1152921504606846976.0)
+         |      / CAST(n_chars AS DOUBLE) AS draw
+         |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+         |r AS (SELECT source, doc_id, draw,
+         |        row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS rk
+         |      FROM d)
+         |SELECT source, doc_id, draw FROM r WHERE rk <= 8""".stripMargin,
 
     // DSIR unigram importance weights: add-one-smoothed log-likelihood
     // ratio under target (doc_id % 53 = 0) vs raw unigram models, mean

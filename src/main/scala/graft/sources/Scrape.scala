@@ -30,6 +30,56 @@ object Scrape extends Serializable {
     body.split("\n").toSeq.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .flatMap(parseLine(_, defaultTsMs))
 
+  /** Per-metric metadata from an exposition's `# HELP` / `# TYPE` comment
+    * lines — the lines [[parseExposition]] (correctly) skips for the
+    * sample stream, but which real Prometheus retains per target and
+    * serves at /api/v1/metadata (the reference exposes that route through
+    * the vendored API). HELP text unescapes `\\` and `\n` per the text
+    * format spec. */
+  final case class MetricMetadata(metric: String, mtype: String, help: String)
+
+  def parseMetadata(body: String): Seq[MetricMetadata] = {
+    val types = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val helps = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    body.split("\n").map(_.trim).foreach { line =>
+      if (line.startsWith("# TYPE ")) {
+        val rest = line.drop(7).trim
+        val sp = rest.indexWhere(_.isWhitespace)
+        if (sp > 0) types(rest.substring(0, sp)) = rest.substring(sp + 1).trim
+      } else if (line.startsWith("# HELP ")) {
+        val rest = line.drop(7).trim
+        val sp = rest.indexWhere(_.isWhitespace)
+        val (m, h) = if (sp > 0) (rest.substring(0, sp), rest.substring(sp + 1))
+        else (rest, "")
+        helps(m) = h.replace("\\n", "\n").replace("\\\\", "\\")
+      }
+    }
+    (types.keys ++ helps.keys).toSeq.distinct.map(m =>
+      MetricMetadata(m, types.getOrElse(m, "unknown"), helps.getOrElse(m, "")))
+  }
+
+  /** Retained scrape metadata across targets — the store behind
+    * /api/v1/metadata. Wrap the scrape fetch with [[MetadataStore.recording]]
+    * so every body a (driver-side) scrape pulls feeds the store before
+    * its samples are parsed; a later scrape's non-empty HELP/TYPE wins
+    * over an earlier blank (targets may disagree, last-writer semantics
+    * like Prometheus's per-target metadata cache merged at the API). */
+  final class MetadataStore {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    def record(body: String): Unit = parseMetadata(body).foreach { md =>
+      m.merge(md.metric, (md.mtype, md.help), (old, nw) =>
+        (if (nw._1 != "unknown") nw._1 else old._1,
+          if (nw._2.nonEmpty) nw._2 else old._2))
+    }
+    def recording(fetch: String => String): String => String =
+      target => { val body = fetch(target); record(body); body }
+    def snapshot: Map[String, (String, String)] = {
+      import scala.jdk.CollectionConverters._
+      m.asScala.toMap
+    }
+  }
+
   private def parseLine(line: String, defaultTsMs: Long): Option[ScrapedPoint] = {
     val (name, labels, rest) =
       if (line.contains("{")) {

@@ -66,6 +66,61 @@ class ServeSpec extends AnyFunSuite {
     } finally handle.stop()
   }
 
+  test("serve: /health + /metrics self-telemetry, and the engine scrapes ITSELF") {
+    val dir = java.nio.file.Files.createTempDirectory("serve_store3").toString
+    PointsStore.append(pts(("up", Map("job" -> "a"), 60000L, 1.0)), dir)
+    val handle = Serve.start(spark, Serve.Config(storeDir = dir, port = 0,
+      maintenanceMs = 3600000L))
+    try {
+      // /health: the reference's LB/BOSH probe — bare version/sha JSON
+      // (metric_store.go:397,597-614)
+      val health = get(handle.port, "/health")
+      assert(health.contains("\"version\"") && health.contains("\"sha\""))
+      // run one query so the admission counters move
+      assert(get(handle.port, "/api/v1/query?query=up&time=60").contains("success"))
+      // /metrics: Prometheus text exposition of the engine's own counters
+      val body = get(handle.port, "/metrics")
+      assert(body.contains("# TYPE graft_queries_total counter"))
+      assert(body.contains("# TYPE metric_store_written_points_total counter"))
+      assert(body.contains("# TYPE graft_query_duration_seconds histogram"))
+      assert(body.contains("metric_store_storage_days 1"))
+      assert(body.contains("metric_store_series_count 1"))
+      assert(body.contains("metric_store_measurements_count 1"))
+      def counterOf(name: String): Double =
+        body.linesIterator.find(_.startsWith(name + " ")).map(_.split(" ")(1).toDouble).get
+      assert(counterOf("graft_queries_total") >= 1.0)
+      assert(counterOf("metric_store_written_points_total") >= 1.0)
+
+      // DOGFOOD: the engine's own Scrape source scrapes the engine's own
+      // /metrics (httpFetch hits $target/metrics), retains HELP/TYPE in a
+      // MetadataStore, and the points land in a second store
+      val meta = new graft.sources.Scrape.MetadataStore
+      val fetch = meta.recording(graft.sources.Scrape.httpFetch())
+      val scraped = graft.sources.Scrape.scrapeTargets(
+        spark, Seq(s"127.0.0.1:${handle.port}"), fetch, tsMs = 120000L)
+      val selfDir = java.nio.file.Files.createTempDirectory("serve_self").toString
+      PointsStore.append(scraped, selfDir)
+      val back = PointsStore.read(spark, selfDir, 0L, 300000L)
+      assert(back.where(org.apache.spark.sql.functions.col("name") ===
+        "graft_queries_total").count() == 1)
+      assert(back.where(org.apache.spark.sql.functions.col("name") ===
+        "graft_query_duration_seconds_bucket").count() > 5)
+
+      // the retained metadata serves /api/v1/metadata on an API wired
+      // with the store — scrape → metadata round-trip
+      val metaApi = new graft.api.HttpApi(spark,
+        points = PointsStore.read(spark, selfDir, Long.MinValue, Long.MaxValue),
+        metadata = () => meta.snapshot)
+      val metaPort = metaApi.start(0)
+      try {
+        val md = get(metaPort, "/api/v1/metadata")
+        assert(md.contains("\"graft_queries_total\":[{\"type\":\"counter\""))
+        assert(md.contains("\"help\":\"PromQL queries admitted by the API\""))
+        assert(md.contains("\"graft_query_duration_seconds\":[{\"type\":\"histogram\""))
+      } finally metaApi.stop()
+    } finally { handle.stop(); graft.engine.Guards.disableQueryLog() }
+  }
+
   test("serve: crash evidence from a previous process is surfaced and cleared") {
     val dir = java.nio.file.Files.createTempDirectory("serve_store2").toString
     PointsStore.append(pts(("up", Map("job" -> "a"), 60000L, 1.0)), dir)
