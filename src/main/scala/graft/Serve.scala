@@ -24,6 +24,11 @@ import graft.sources.PointsStore
   *   --tls-cert F --tls-key F serve HTTPS from PEM files
   *   --client-ca F            require client certificates (mutual TLS)
   *   --bearer-token-file F    require `Authorization: Bearer <token>`
+  *   --scrape-targets a,b     host:port expositions to scrape in-process
+  *                            into the store (reference: the scrape
+  *                            manager runs inside the store process —
+  *                            src/internal/scraping/scraper.go)
+  *   --scrape-interval-ms N   scrape tick (default 15000)
   *
   * The served points relation and series dictionary are PROVIDERS —
   * re-resolved per request — so queries see every append and every
@@ -39,7 +44,16 @@ object Serve {
       retentionMs: Option[Long] = None,
       maintenanceMs: Long = 600000L,
       tls: Option[HttpApi.ServerTls] = None,
-      bearerToken: Option[String] = None)
+      bearerToken: Option[String] = None,
+      /** `host:port` exposition targets to scrape in-process — the
+        * reference runs its scrape manager inside the store process
+        * (src/internal/scraping/scraper.go applies the configs to the
+        * prometheus scrape manager feeding the store); here each tick
+        * scrapes every target's /metrics, appends the points to the
+        * served store, and retains HELP/TYPE/UNIT for
+        * /api/v1/metadata. */
+      scrapeTargets: Seq[String] = Nil,
+      scrapeIntervalMs: Long = 15000L)
 
   final case class Handle(api: HttpApi, port: Int,
                           maintenance: java.util.concurrent.ScheduledExecutorService) {
@@ -55,6 +69,7 @@ object Serve {
       s"${cfg.storeDir}/_querylog")
     leftovers.foreach(q => System.err.println(
       s"[serve] crashed while executing: ${q.description} (started ${q.startedMs})"))
+    val scrapeMeta = new graft.sources.Scrape.MetadataStore
     val api = new HttpApi(spark,
       points = PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue),
       lookbackMs = cfg.lookbackMs,
@@ -63,6 +78,8 @@ object Serve {
       writeSink = Some(df => PointsStore.append(df, cfg.storeDir)),
       tls = cfg.tls,
       bearerToken = cfg.bearerToken,
+      scrapeTargets = () => cfg.scrapeTargets.map(t => ("serve", t)),
+      metadata = () => scrapeMeta.snapshot,
       pointsProvider = Some(() =>
         PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)))
     // self-telemetry gauges over the served store, scraped at /metrics
@@ -104,6 +121,23 @@ object Serve {
         System.err.println(s"[serve] maintenance tick failed: ${e.getMessage}")
       }
     }, cfg.maintenanceMs, cfg.maintenanceMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    // in-process scraper (reference: scraping/scraper.go wires the scrape
+    // manager into the store process): every interval, pull each target's
+    // /metrics, retain metadata, append the samples to the served store.
+    // A failing target skips a tick, never kills the loop.
+    if (cfg.scrapeTargets.nonEmpty) {
+      val fetch = scrapeMeta.recording(graft.sources.Scrape.httpFetch())
+      sched.scheduleWithFixedDelay(() => {
+        try {
+          val pts = graft.sources.Scrape.scrapeTargets(
+            spark, cfg.scrapeTargets, fetch, System.currentTimeMillis())
+          PointsStore.append(pts, cfg.storeDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[serve] scrape tick failed: ${e.getMessage}")
+        }
+      }, cfg.scrapeIntervalMs, cfg.scrapeIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
     Handle(api, boundPort, sched)
   }
 
@@ -120,6 +154,11 @@ object Serve {
         case "--lookback-ms" => cfg = cfg.copy(lookbackMs = args(i + 1).toLong); i += 2
         case "--retention-ms" => cfg = cfg.copy(retentionMs = Some(args(i + 1).toLong)); i += 2
         case "--maintenance-ms" => cfg = cfg.copy(maintenanceMs = args(i + 1).toLong); i += 2
+        case "--scrape-targets" =>
+          cfg = cfg.copy(scrapeTargets = args(i + 1).split(",").toSeq.filter(_.nonEmpty))
+          i += 2
+        case "--scrape-interval-ms" =>
+          cfg = cfg.copy(scrapeIntervalMs = args(i + 1).toLong); i += 2
         case "--tls-cert" => cert = Some(args(i + 1)); i += 2
         case "--tls-key" => key = Some(args(i + 1)); i += 2
         case "--client-ca" => ca = Some(args(i + 1)); i += 2

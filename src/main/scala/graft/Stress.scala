@@ -27,6 +27,12 @@ object Stress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
+      // same rationale as Bench: TypedImperativeAggregates (bottom-k
+      // heaps, range kernels) run as ObjectHashAggregate, which silently
+      // falls back to SORT-based aggregation past 128 distinct groups per
+      // partition — the 997-source probes would otherwise time a corpus
+      // sort instead of the k-bounded heap aggregation being measured
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,7 +73,7 @@ object Stress {
         pmod(abs(xxhash64(col("id"), lit(2))), lit(30L * 86400000L))).as("ts"),
       (col("id") % 100).cast("double").as("value")).cache()
 
-    import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, CurationPipeline, Dedup, Events, Images, Similarity, TextAnalysis}
+    import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, CurationPipeline, Dedup, Events, Images, Similarity, Sketches, TextAnalysis}
     // STRESS_ONLY=a,b restricts the probe set for targeted re-measurement
     val only = sys.env.get("STRESS_ONLY").map(_.split(",").toSet)
     def timed(name: String)(f: => Long): (String, Double, Long) = {
@@ -150,6 +156,27 @@ object Stress {
           .select(col("shard_id"), col("key"),
             length(element_at(col("exts"), "txt")).as("n")))
       }),
+      // round-10: mergeable sketches + weighted reservoir. hll/bloom run
+      // over the full token STREAM (nDocs × 200 occurrences — the heavy
+      // shape: one map-side-combined aggregation each); the quantile
+      // sketch and A-Res reservoir run per-source over doc-level values
+      // (997 skewed sources, k-bounded heap partials per group)
+      timed("hll")(force(Sketches.hllEstimate(
+        docs.select(lit("all").as("source"),
+          explode(split(col("text"), " ")).as("tok")),
+        col("tok"), Seq("source")))),
+      timed("bloom")(force(Sketches.bloomProbe(
+        docs.select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"), Seq("t1", "t100", "t5000", "t49000", "zzz_absent")))),
+      timed("quantile_sketch")(force(Sketches.quantiles(
+        docs.withColumn("source", concat(lit("s"),
+          when(col("doc_id") % 5 === 0, lit(0)).otherwise(col("doc_id") % 997))),
+        col("doc_id").cast("string"), length(col("text")),
+        Seq("source"), Seq(0.25, 0.5, 0.9), k = 256))),
+      timed("weighted_sample")(force(Curation.weightedSample(
+        docs.withColumn("source", concat(lit("s"),
+          when(col("doc_id") % 5 === 0, lit(0)).otherwise(col("doc_id") % 997))),
+        col("doc_id"), length(col("text")), Seq("source"), k = 64))),
       timed("sessionize")(force(Events.sessionize(events))),
       timed("funnel")(force(Events.funnel(events,
         Seq("view", "click", "purchase")))),

@@ -79,13 +79,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * (e.g. `() => PointsStore.read(spark, dir,
                       * Long.MinValue, Long.MaxValue)`) */
                     pointsProvider: Option[() => DataFrame] = None,
-                    /** Per-metric (type, help) for /api/v1/metadata —
+                    /** Per-metric (type, help, unit) for /api/v1/metadata —
                       * typically [[graft.sources.Scrape.MetadataStore]],
                       * fed by the scrape loop's parsed HELP/TYPE comment
                       * lines (real Prometheus populates the route from
                       * exactly those; the reference serves it through the
                       * vendored API). */
-                    metadata: () => Map[String, (String, String)] = () => Map.empty) {
+                    metadata: () => Map[String, (String, String, String)] = () => Map.empty) {
 
   /** The served relation for one request. */
   private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
@@ -329,9 +329,9 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     // lines (empty when the server isn't scraping anything — the
     // reference's nil-retriever behavior).
     register("/api/v1/metadata", (ex: HttpExchange) => handle(ex) { _ =>
-      val entries = metadata().toSeq.sortBy(_._1).map { case (m, (typ, help)) =>
+      val entries = metadata().toSeq.sortBy(_._1).map { case (m, (typ, help, unit)) =>
         s"${Json.str(m)}:[{" +
-          s""""type":${Json.str(typ)},"help":${Json.str(help)},"unit":""}]"""
+          s""""type":${Json.str(typ)},"help":${Json.str(help)},"unit":${Json.str(unit)}}]"""
       }
       s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
     })
@@ -443,22 +443,28 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
 
   private def instantBody(p: Map[String, String], ts: Long,
                           tally: Option[org.apache.spark.util.LongAccumulator]): String = {
+    val t0 = System.nanoTime()
     val out = Engine.instantQuery(spark, pts, p("query"), ts, lookbackMs,
       sampleTally = tally, seriesDict = seriesDict())
+    val t1 = System.nanoTime()
+    def stats(t2: Long) = statsJson(p, (t1 - t0) / 1e9, (t2 - t1) / 1e9, tally)
     if (out.columns.contains("step")) {
       // a bare range selector (`m[5m]`) evaluates to a Matrix even via the
       // instant endpoint — resultType "matrix" with per-series value lists
       // (the reference returns Matrix from engine.exec for these)
-      envelope("matrix", matrixJson(out.collect()))
+      val rows = out.collect()
+      envelope("matrix", matrixJson(rows), stats(System.nanoTime()))
     } else if (out.columns.contains("labels")) {
-      val rows = out.collect().map { r =>
+      val collected = out.collect()
+      val rows = collected.map { r =>
         val metric = metricJson(Option(r.getAs[String]("name")), r.getAs[Map[String, String]]("labels"))
         s"""{"metric":$metric,"value":${sample(r.getAs[Long]("t"), r.getAs[Double]("value"))}}"""
       }
-      envelope("vector", rows.mkString("[", ",", "]"))
+      envelope("vector", rows.mkString("[", ",", "]"), stats(System.nanoTime()))
     } else {
       val r = out.collect().head
-      envelope("scalar", sample(r.getAs[Long]("t"), r.getAs[Double]("value")))
+      envelope("scalar", sample(r.getAs[Long]("t"), r.getAs[Double]("value")),
+        stats(System.nanoTime()))
     }
   }
 
@@ -483,15 +489,19 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def queryRangeBody(p: Map[String, String], start: Long, end: Long,
                              step: Long,
                              tally: Option[org.apache.spark.util.LongAccumulator]): String = {
+    val t0 = System.nanoTime()
     val out = Engine.rangeQuery(spark, pts, p("query"), start, end, step, lookbackMs,
       sampleTally = tally, seriesDict = seriesDict())
+    val t1 = System.nanoTime()
     val rows = out.collect()
+    val stats = statsJson(p, (t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9, tally)
     if (out.columns.contains("labels")) {
-      envelope("matrix", matrixJson(rows))
+      envelope("matrix", matrixJson(rows), stats)
     } else {
       val vals = rows.sortBy(_.getAs[Long]("t"))
         .map(r => sample(r.getAs[Long]("t"), r.getAs[Double]("value")))
-      envelope("matrix", s"""[{"metric":{},"values":${vals.mkString("[", ",", "]")}}]""")
+      envelope("matrix", s"""[{"metric":{},"values":${vals.mkString("[", ",", "]")}}]""",
+        stats)
     }
   }
 
@@ -612,8 +622,28 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
 
   // ---- JSON ------------------------------------------------------------
 
-  private def envelope(resultType: String, result: String): String =
-    s"""{"status":"success","data":{"resultType":"$resultType","result":$result}}"""
+  private def envelope(resultType: String, result: String,
+                       stats: Option[String] = None): String =
+    s"""{"status":"success","data":{"resultType":"$resultType","result":$result""" +
+      stats.map(s => s""","stats":$s""").getOrElse("") + "}}"
+
+  /** `?stats=` query statistics (the vendored web/api/v1 `stats` param →
+    * util/stats.QueryStats): timings decomposed into plan construction
+    * vs distributed evaluation+collect, and — when the guards' in-scan
+    * TallySamples meter ran — the queryable-sample count it metered.
+    * Honest subset: phases Spark doesn't have (sort, queue) report 0. */
+  private def statsJson(p: Map[String, String], prepSec: Double, evalSec: Double,
+                        tally: Option[org.apache.spark.util.LongAccumulator])
+      : Option[String] =
+    p.get("stats").filter(_.nonEmpty).map { _ =>
+      val samples = tally.map(t =>
+        s""","samples":{"totalQueryableSamples":${t.value},"peakSamples":${t.value}}""")
+        .getOrElse("")
+      s"""{"timings":{"evalTotalTime":${Json.num(prepSec + evalSec)},""" +
+        s""""resultSortTime":0,"queryPreparationTime":${Json.num(prepSec)},""" +
+        s""""innerEvalTime":${Json.num(evalSec)},"execQueueTime":0,""" +
+        s""""execTotalTime":${Json.num(prepSec + evalSec)}}$samples}"""
+    }
 
   /** Prometheus sample: [unixSeconds, "value"]. */
   private def sample(tMs: Long, v: Double): String = {

@@ -26,9 +26,24 @@ object Scrape extends Serializable {
   /** Parse Prometheus text exposition format:
     * `metric{l1="v1",...} value [timestampMs]`, '#' comments, TYPE/HELP
     * ignored, escaped label values, +Inf/-Inf/NaN values. */
-  def parseExposition(body: String, defaultTsMs: Long): Seq[ScrapedPoint] =
+  /** Parse a text exposition into sample points. Handles BOTH wire
+    * dialects a modern endpoint may speak:
+    *
+    *  - Prometheus text format 0.0.4: `name{labels} value [timestamp_ms]`,
+    *    `#`-comment lines (HELP/TYPE) skipped for the sample stream.
+    *  - OpenMetrics 1.0 additions: the `# EOF` terminator (a comment —
+    *    already skipped), EXEMPLARS appended after ` # ` on a sample line
+    *    (`name{...} 0.67 1234.5 # {trace_id="abc"} 0.5`) — stripped, not
+    *    a parse error — and, with `openMetrics = true`, timestamps in
+    *    (possibly fractional) SECONDS instead of integer milliseconds.
+    *    The flag exists because a bare integer timestamp is ambiguous
+    *    between the dialects; callers that negotiated the OpenMetrics
+    *    content type pass true (Prometheus resolves it the same way).
+    */
+  def parseExposition(body: String, defaultTsMs: Long,
+                      openMetrics: Boolean = false): Seq[ScrapedPoint] =
     body.split("\n").toSeq.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .flatMap(parseLine(_, defaultTsMs))
+      .flatMap(parseLine(_, defaultTsMs, openMetrics))
 
   /** Per-metric metadata from an exposition's `# HELP` / `# TYPE` comment
     * lines — the lines [[parseExposition]] (correctly) skips for the
@@ -36,16 +51,22 @@ object Scrape extends Serializable {
     * serves at /api/v1/metadata (the reference exposes that route through
     * the vendored API). HELP text unescapes `\\` and `\n` per the text
     * format spec. */
-  final case class MetricMetadata(metric: String, mtype: String, help: String)
+  final case class MetricMetadata(metric: String, mtype: String, help: String,
+                                  unit: String = "")
 
   def parseMetadata(body: String): Seq[MetricMetadata] = {
     val types = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val helps = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val units = scala.collection.mutable.LinkedHashMap.empty[String, String]
     body.split("\n").map(_.trim).foreach { line =>
       if (line.startsWith("# TYPE ")) {
         val rest = line.drop(7).trim
         val sp = rest.indexWhere(_.isWhitespace)
         if (sp > 0) types(rest.substring(0, sp)) = rest.substring(sp + 1).trim
+      } else if (line.startsWith("# UNIT ")) { // OpenMetrics
+        val rest = line.drop(7).trim
+        val sp = rest.indexWhere(_.isWhitespace)
+        if (sp > 0) units(rest.substring(0, sp)) = rest.substring(sp + 1).trim
       } else if (line.startsWith("# HELP ")) {
         val rest = line.drop(7).trim
         val sp = rest.indexWhere(_.isWhitespace)
@@ -54,8 +75,9 @@ object Scrape extends Serializable {
         helps(m) = h.replace("\\n", "\n").replace("\\\\", "\\")
       }
     }
-    (types.keys ++ helps.keys).toSeq.distinct.map(m =>
-      MetricMetadata(m, types.getOrElse(m, "unknown"), helps.getOrElse(m, "")))
+    (types.keys ++ helps.keys ++ units.keys).toSeq.distinct.map(m =>
+      MetricMetadata(m, types.getOrElse(m, "unknown"), helps.getOrElse(m, ""),
+        units.getOrElse(m, "")))
   }
 
   /** Retained scrape metadata across targets — the store behind
@@ -66,23 +88,30 @@ object Scrape extends Serializable {
     * like Prometheus's per-target metadata cache merged at the API). */
   final class MetadataStore {
     private val m =
-      new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+      new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
     def record(body: String): Unit = parseMetadata(body).foreach { md =>
-      m.merge(md.metric, (md.mtype, md.help), (old, nw) =>
+      m.merge(md.metric, (md.mtype, md.help, md.unit), (old, nw) =>
         (if (nw._1 != "unknown") nw._1 else old._1,
-          if (nw._2.nonEmpty) nw._2 else old._2))
+          if (nw._2.nonEmpty) nw._2 else old._2,
+          if (nw._3.nonEmpty) nw._3 else old._3))
     }
     def recording(fetch: String => String): String => String =
       target => { val body = fetch(target); record(body); body }
-    def snapshot: Map[String, (String, String)] = {
+    def snapshot: Map[String, (String, String, String)] = {
       import scala.jdk.CollectionConverters._
       m.asScala.toMap
     }
   }
 
-  private def parseLine(line: String, defaultTsMs: Long): Option[ScrapedPoint] = {
-    val (name, labels, rest) =
-      if (line.contains("{")) {
+  private def parseLine(line: String, defaultTsMs: Long,
+                        openMetrics: Boolean = false): Option[ScrapedPoint] = {
+    // a labelset exists only when `{` opens BEFORE any whitespace — a
+    // later `{` belongs to an OpenMetrics exemplar, not to the sample
+    val braceIdx = line.indexOf('{')
+    val spaceIdx = line.indexWhere(_.isWhitespace)
+    val hasLabels = braceIdx >= 0 && (spaceIdx < 0 || braceIdx < spaceIdx)
+    val (name, labels, rest0) =
+      if (hasLabels) {
         val open = line.indexOf('{')
         val close = matchingBrace(line, open)
         if (close < 0) return None
@@ -95,10 +124,19 @@ object Scrape extends Serializable {
         (line.substring(0, sp), Map.empty[String, String], line.substring(sp + 1).trim)
       }
     if (name.isEmpty) return None
+    // OpenMetrics exemplar: everything from ` # ` on is the exemplar
+    // labelset+value — metadata about the sample, not the sample. (Label
+    // values can't smuggle a ` # ` here: the labels were already split
+    // off at the matching brace above.)
+    val exem = rest0.indexOf(" # ")
+    val rest = if (exem >= 0) rest0.substring(0, exem) else rest0
     val parts = rest.split("\\s+").filter(_.nonEmpty)
     if (parts.isEmpty) return None
     val value = parseValue(parts(0))
-    val ts = if (parts.length > 1) parts(1).toLong else defaultTsMs
+    val ts =
+      if (parts.length <= 1) defaultTsMs
+      else if (openMetrics) math.round(parts(1).toDouble * 1000.0)
+      else parts(1).toLong
     Some(ScrapedPoint(name, labels, ts, value))
   }
 

@@ -121,6 +121,47 @@ class ServeSpec extends AnyFunSuite {
     } finally { handle.stop(); graft.engine.Guards.disableQueryLog() }
   }
 
+  test("serve: in-process scraper feeds the store; ?stats= reports query statistics") {
+    // server A: the scrape TARGET (its /metrics is the exposition)
+    val dirA = java.nio.file.Files.createTempDirectory("serve_tgt").toString
+    PointsStore.append(pts(("up", Map("job" -> "a"), 60000L, 1.0)), dirA)
+    val a = Serve.start(spark, Serve.Config(storeDir = dirA, port = 0,
+      maintenanceMs = 3600000L))
+    try {
+      assert(get(a.port, "/api/v1/query?query=up&time=60").contains("success"))
+      // server B runs the reference's in-process scraper against A
+      // (scraping/scraper.go wires the scrape manager into the store
+      // process); B's store and metadata fill from A's exposition
+      val dirB = java.nio.file.Files.createTempDirectory("serve_scraper").toString
+      PointsStore.append(pts(("boot", Map("job" -> "b"), 1000L, 1.0)), dirB)
+      val b = Serve.start(spark, Serve.Config(storeDir = dirB, port = 0,
+        maintenanceMs = 3600000L,
+        scrapeTargets = Seq(s"127.0.0.1:${a.port}"), scrapeIntervalMs = 250L))
+      try {
+        val deadline = System.currentTimeMillis() + 60000L
+        var ok = false
+        while (!ok && System.currentTimeMillis() < deadline) {
+          val now = System.currentTimeMillis() / 1000
+          ok = get(b.port, s"/api/v1/query?query=graft_queries_total&time=$now")
+            .contains("graft_queries_total")
+          if (!ok) Thread.sleep(300)
+        }
+        assert(ok, "scraped self-telemetry never became queryable on B")
+        // metadata retained from A's exposition HELP/TYPE lines
+        val md = get(b.port, "/api/v1/metadata")
+        assert(md.contains("\"graft_queries_total\":[{\"type\":\"counter\""))
+        // the scraper shows as an active target
+        assert(get(b.port, "/api/v1/targets").contains(s"127.0.0.1:${a.port}"))
+        // ?stats= — the vendored api's query statistics param
+        val s = get(b.port, "/api/v1/query?query=boot&time=1&stats=all")
+        assert(s.contains(""""stats":{"timings""""), s)
+        assert(s.contains("totalQueryableSamples"), s)
+        val plain = get(b.port, "/api/v1/query?query=boot&time=1")
+        assert(!plain.contains("\"stats\""))
+      } finally b.stop()
+    } finally { a.stop(); graft.engine.Guards.disableQueryLog() }
+  }
+
   test("serve: crash evidence from a previous process is surfaced and cleared") {
     val dir = java.nio.file.Files.createTempDirectory("serve_store2").toString
     PointsStore.append(pts(("up", Map("job" -> "a"), 60000L, 1.0)), dir)

@@ -36,6 +36,41 @@ class ScrapeSpec extends AnyFunSuite {
     assert(pts.find(_.name == "something_weird").get.value.isPosInfinity)
   }
 
+  test("OpenMetrics dialect: exemplars stripped, # EOF skipped, seconds timestamps, UNIT metadata") {
+    val om =
+      """# TYPE acme_http_router_request_seconds summary
+        |# UNIT acme_http_router_request_seconds seconds
+        |# HELP acme_http_router_request_seconds Latency though all of ACME's HTTP request router.
+        |acme_http_router_request_seconds_sum{path="/api/v1"} 9036.32
+        |acme_http_router_request_seconds_count{path="/api/v1"} 807283.0
+        |# TYPE events_total counter
+        |events_total{kind="page"} 56 1625060222.123 # {trace_id="KOO5S4vxi0o"} 0.67
+        |events_total{kind="api"} 33 # {trace_id="oHg5SJYRHA0"} 9.8 1625060212.429
+        |# EOF""".stripMargin
+    // exemplars must not crash the sample parse (a raw ` # ` suffix used
+    // to reach the timestamp field), and with openMetrics=true the
+    // fractional-seconds timestamp converts to ms
+    val pts = Scrape.parseExposition(om, defaultTsMs = 777L, openMetrics = true)
+    assert(pts.length == 4)
+    val page = pts.find(p => p.labels.get("kind").contains("page")).get
+    assert(page.value == 56.0 && page.t == 1625060222123L)
+    val api = pts.find(p => p.labels.get("kind").contains("api")).get
+    assert(api.value == 33.0 && api.t == 777L) // exemplar dropped, default ts
+    // classic-dialect parse also survives the exemplar suffix
+    val classic = Scrape.parseExposition(
+      "x_total 5 1625060222000 # {trace_id=\"t\"} 1.0", defaultTsMs = 1L)
+    assert(classic.head.t == 1625060222000L && classic.head.value == 5.0)
+    // UNIT retained through metadata
+    val md = Scrape.parseMetadata(om)
+    val s = md.find(_.metric == "acme_http_router_request_seconds").get
+    assert(s.mtype == "summary" && s.unit == "seconds" &&
+      s.help.startsWith("Latency though"))
+    val store = new Scrape.MetadataStore
+    store.record(om)
+    assert(store.snapshot("events_total") == (("counter", "", "")))
+    assert(store.snapshot("acme_http_router_request_seconds")._3 == "seconds")
+  }
+
   test("scrapeTargets: fetch plug, instance label, non-finite rejection") {
     val df = Scrape.scrapeTargets(spark, Seq("host:9090"), _ => body, tsMs = 5000L)
     val rows = df.collect()
