@@ -43,6 +43,14 @@ object PointsStore {
   private val bloomWriteOptions: Map[String, String] = Map(
     "parquet.bloom.filter.enabled#name" -> "true",
     "parquet.bloom.filter.enabled#sig" -> "true",
+    // ADAPTIVE sizing: the writer keeps several candidate bitsets and
+    // persists the smallest that meets the FPP for the chunk's OBSERVED
+    // ndv — a streaming micro-batch's small file gets a small bloom
+    // instead of the fixed ~512 KB a 262144-NDV estimate would pin per
+    // chunk (the write-path cost that showed up in the store-writing
+    // gates), while a full 128 MB compacted row group still grows the
+    // real thing
+    "parquet.bloom.filter.adaptive.enabled" -> "true",
     "parquet.bloom.filter.expected.ndv#name" -> "1024",
     "parquet.bloom.filter.expected.ndv#sig" -> "262144")
 
