@@ -29,6 +29,9 @@ import graft.sources.PointsStore
   *                            manager runs inside the store process —
   *                            src/internal/scraping/scraper.go)
   *   --scrape-interval-ms N   scrape tick (default 15000)
+  *   --enable-admin           serve the admin API (delete_series /
+  *                            snapshot / clean_tombstones), like
+  *                            Prometheus --web.enable-admin-api
   *
   * The served points relation and series dictionary are PROVIDERS —
   * re-resolved per request — so queries see every append and every
@@ -53,7 +56,11 @@ object Serve {
         * served store, and retains HELP/TYPE/UNIT for
         * /api/v1/metadata. */
       scrapeTargets: Seq[String] = Nil,
-      scrapeIntervalMs: Long = 15000L)
+      scrapeIntervalMs: Long = 15000L,
+      /** Enable the Prometheus admin API (delete_series / snapshot /
+        * clean_tombstones) on the served store — off by default, like
+        * Prometheus's --web.enable-admin-api. */
+      enableAdmin: Boolean = false)
 
   final case class Handle(api: HttpApi, port: Int,
                           maintenance: java.util.concurrent.ScheduledExecutorService) {
@@ -80,6 +87,7 @@ object Serve {
       bearerToken = cfg.bearerToken,
       scrapeTargets = () => cfg.scrapeTargets.map(t => ("serve", t)),
       metadata = () => scrapeMeta.snapshot,
+      adminStore = if (cfg.enableAdmin) Some(cfg.storeDir) else None,
       pointsProvider = Some(() =>
         PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)))
     // self-telemetry gauges over the served store, scraped at /metrics
@@ -159,6 +167,7 @@ object Serve {
           i += 2
         case "--scrape-interval-ms" =>
           cfg = cfg.copy(scrapeIntervalMs = args(i + 1).toLong); i += 2
+        case "--enable-admin" => cfg = cfg.copy(enableAdmin = true); i += 1
         case "--tls-cert" => cert = Some(args(i + 1)); i += 2
         case "--tls-key" => key = Some(args(i + 1)); i += 2
         case "--client-ca" => ca = Some(args(i + 1)); i += 2

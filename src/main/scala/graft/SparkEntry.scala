@@ -137,6 +137,21 @@ object SparkEntry {
           col("t"), col("value"))
     }),
 
+    // §2.1/§3 admin deletion (POST /api/v1/admin/tsdb/delete_series →
+    // PointsStore.deleteSeries): one series' samples removed within
+    // [T0+3d, T0+6d] via the MVCC day rewrite; every other sample —
+    // other series, and the same series outside the range — intact
+    "q_store_delete_series" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_del_store").toString
+      graft.sources.PointsStore.append(
+        Points.eventsPoints(s, dir).where(col("name") === "click"), tmp)
+      graft.sources.PointsStore.deleteSeries(s, tmp, """click{par="1"}""",
+        T0 + 3 * DAY, T0 + 6 * DAY)
+      graft.sources.PointsStore.read(s, tmp, Long.MinValue, Long.MaxValue)
+        .select(col("name"), col("labels").getItem("user").as("user"),
+          col("t"), col("value"))
+    }),
+
     // §2.2 range (matrix) selector: all samples in [step-2d, step] per step
     // (the matrix carries the canonical label string; rebuild the map)
     "q_sel_range" -> ((s, dir) => {
@@ -215,6 +230,14 @@ object SparkEntry {
          |       epoch_us(ts) // 1000 AS t, value
          |FROM events
          |WHERE event_type = 'click' AND epoch_us(ts) // 1000 >= ${T0 + 10 * DAY}""".stripMargin,
+
+    "q_store_delete_series" ->
+      s"""SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+         |       epoch_us(ts) // 1000 AS t, value
+         |FROM events
+         |WHERE event_type = 'click'
+         |  AND NOT (user_id % 3 = 1
+         |           AND epoch_us(ts) // 1000 BETWEEN ${T0 + 3 * DAY} AND ${T0 + 6 * DAY})""".stripMargin,
 
     "q_sel_range" ->
       s"""WITH steps AS (

@@ -85,7 +85,18 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * lines (real Prometheus populates the route from
                       * exactly those; the reference serves it through the
                       * vendored API). */
-                    metadata: () => Map[String, (String, String, String)] = () => Map.empty) {
+                    metadata: () => Map[String, (String, String, String)] = () => Map.empty,
+                    /** Store directory behind the served relation. When
+                      * set, the Prometheus ADMIN API is enabled on it
+                      * (the vendored api.go gates the same routes behind
+                      * enableAdmin): POST/PUT
+                      * /api/v1/admin/tsdb/delete_series (match[], start,
+                      * end → [[graft.sources.PointsStore.deleteSeries]]),
+                      * /snapshot ([[graft.sources.PointsStore.snapshot]])
+                      * and /clean_tombstones (a no-op 204: deletes here
+                      * are atomic-visible rewrites, there are no
+                      * tombstones to clean). */
+                    adminStore: Option[String] = None) {
 
   /** The served relation for one request. */
   private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
@@ -370,6 +381,48 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       }
       s"""{"status":"success","data":{"activeTargets":${active.mkString("[", ",", "]")},"droppedTargets":[]}}"""
     }))
+    // Prometheus admin API (vendored web/api/v1/api.go:400-406, behind
+    // enableAdmin — here behind adminStore): series deletion, snapshot,
+    // tombstone cleaning over the served parquet store
+    adminStore.foreach { storeDir =>
+      def adminMethod(e: HttpExchange): Boolean =
+        e.getRequestMethod.equalsIgnoreCase("POST") ||
+          e.getRequestMethod.equalsIgnoreCase("PUT")
+      register("/api/v1/admin/tsdb/delete_series", (ex: HttpExchange) =>
+        handleCode(ex) { e =>
+          if (!adminMethod(e))
+            (405, """{"status":"error","error":"POST or PUT required"}""")
+          else {
+            val p = params(e)
+            p.get("match[]") match {
+              case None =>
+                (400, """{"status":"error","errorType":"bad_data","error":"no match[] parameter provided"}""")
+              case Some(sel) =>
+                val start = p.get("start").map(ms).getOrElse(Long.MinValue)
+                val end = p.get("end").map(ms).getOrElse(Long.MaxValue)
+                graft.sources.PointsStore.deleteSeries(spark, storeDir, sel, start, end)
+                (204, "")
+            }
+          }
+        })
+      register("/api/v1/admin/tsdb/snapshot", (ex: HttpExchange) =>
+        handleCode(ex) { e =>
+          if (!adminMethod(e))
+            (405, """{"status":"error","error":"POST or PUT required"}""")
+          else {
+            val name = graft.sources.PointsStore.snapshot(spark, storeDir)
+            (200, s"""{"status":"success","data":{"name":${Json.str(name)}}}""")
+          }
+        })
+      register("/api/v1/admin/tsdb/clean_tombstones", (ex: HttpExchange) =>
+        handleCode(ex) { e =>
+          if (!adminMethod(e))
+            (405, """{"status":"error","error":"POST or PUT required"}""")
+          // deletes are atomic-visible day rewrites — no tombstone state
+          // exists; answer like the vendored route does after a clean
+          else (204, "")
+        })
+    }
     // POST /~/reload — the reference's config-reload hook
     // (src/internal/api/reload_api.go): invoke the supplied reload
     // callback (rule files, scrape configs) and answer 200

@@ -715,6 +715,121 @@ object PointsStore {
     fs.rename(tmpManifest, new org.apache.hadoop.fs.Path(dir, s"$ManifestPrefix$gen"))
   }
 
+  /** Admin deletion — the storage side of the Prometheus admin API's
+    * POST /api/v1/admin/tsdb/delete_series (the reference serves the
+    * route through the vendored web/api/v1/api.go:400,1608-1640, which
+    * forwards the parsed matchers to TSDB Delete): remove every sample
+    * matching `selector` (a PromQL series selector) with
+    * `startMs <= t <= endMs`, immediately and durably.
+    *
+    * Parquet is immutable, so deletion is a REWRITE of each intersecting
+    * day's live file set with the matching rows filtered out — published
+    * through the same MVCC manifest flip compaction uses, so concurrent
+    * readers see the old complete set or the new complete set, never a
+    * torn mix, and in-flight plans keep their files until the grace
+    * window passes (this replaces the TSDB tombstone+compact dance: the
+    * tombstone phase is unnecessary when the rewrite itself is
+    * atomic-visible). Days with no matching rows are left untouched
+    * (one scan decides), so the rewrite cost scales with the data that
+    * actually changes — at 100 TB a one-series GDPR delete rewrites the
+    * touched days only, each day in parallel like [[compact]].
+    *
+    * The `_dict` sidecar intentionally keeps the series entry: the dict
+    * is documented as a SUPERSET of the data's series (crash rule in
+    * [[append]]), and a sample-range delete cannot know whether other
+    * days still hold the series. [[expire]]/[[compact]] fold it later.
+    *
+    * Returns the day-partition paths rewritten. */
+  def deleteSeries(spark: SparkSession, path: String, selector: String,
+                   startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue,
+                   graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    val vs = graft.promql.Parser.parse(selector) match {
+      case v: graft.promql.VectorSelector if v.offsetMs == 0 && v.at.isEmpty => v
+      case _ => throw new IllegalArgumentException(
+        s"not a plain series selector: $selector")
+    }
+    val matchers = vs.name.map(n => graft.promql.LabelMatcher(
+      "__name__", graft.promql.MatchOp.Eq, n)).toSeq ++ vs.matchers
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    def dayOf(ms: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val lo = if (startMs == Long.MinValue) None else Some(dayOf(startMs))
+    val hi = if (endMs == Long.MaxValue) None else Some(dayOf(endMs))
+    val days = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .filter { s =>
+        val d = java.time.LocalDate.parse(s.getPath.getName.stripPrefix("date="))
+        lo.forall(l => !d.isBefore(l)) && hi.forall(h => !d.isAfter(h))
+      }
+    val done = Seq.newBuilder[String]
+    for (day <- days) {
+      val live = liveDayFiles(fs, day.getPath)
+      if (live.nonEmpty) {
+        val raw = spark.read.parquet(live: _*)
+        val del = graft.engine.Compiler.matcherFilter(matchers,
+          useLc = raw.columns.contains("_lc")) &&
+          (if (startMs == Long.MinValue) lit(true) else col("t") >= startMs) &&
+          (if (endMs == Long.MaxValue) lit(true) else col("t") <= endMs)
+        if (!raw.where(del).isEmpty) {
+          publishRewrite(fs, day.getPath, live, System.currentTimeMillis(), tmp =>
+            raw.where(!del)
+              .repartition(live.length)
+              .sortWithinPartitions(col("name"), col("sig"), col("t"))
+              .write.options(bloomWriteOptions)
+              .mode(SaveMode.Overwrite).parquet(tmp.toString))
+          done += day.getPath.toString
+        }
+      }
+    }
+    done.result()
+  }
+
+  /** Admin snapshot — POST /api/v1/admin/tsdb/snapshot (vendored
+    * web/api/v1/api.go:402,1642-1676: TSDB Snapshot into
+    * `snapshots/<name>` under the data dir): materialize the CURRENT
+    * manifest-visible file set as `snapshots/<name>/` — itself a plain
+    * readable store (no manifests needed: the snapshot is one settled
+    * generation). Hard-links when the filesystem allows (the TSDB
+    * snapshot is hard-links too — O(files), zero bytes copied), byte
+    * copy otherwise. Concurrent-writer safe the same way readers are:
+    * the live set is a complete published generation. Returns the
+    * snapshot name. */
+  def snapshot(spark: SparkSession, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = s"${System.currentTimeMillis()}-${java.lang.Long.toUnsignedString(System.nanoTime(), 36)}"
+    val snapRoot = new org.apache.hadoop.fs.Path(root, s"_snapshots/$name")
+    val dirs = fs.listStatus(root).toSeq.filter(s => s.isDirectory &&
+      (s.getPath.getName.startsWith("date=") || s.getPath.getName == DictDir))
+    for (d <- dirs) {
+      val out = new org.apache.hadoop.fs.Path(snapRoot, d.getPath.getName)
+      fs.mkdirs(out)
+      // the newest manifest rides along so the snapshot's `compacted-`
+      // files stay visible under the same liveDayFiles rules (its
+      // -listed dead names simply don't exist in the snapshot)
+      val manifest = fs.listStatus(d.getPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+        .flatMap(s => manifestStamp(s.getPath.getName).map(st => (st, s.getPath)))
+        .sortBy(_._1).lastOption.map(_._2)
+      for (f <- liveDayFiles(fs, d.getPath).map(new org.apache.hadoop.fs.Path(_)) ++ manifest) {
+        val dst = new org.apache.hadoop.fs.Path(out, f.getName)
+        val linked =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(f.toUri.getPath))
+            true
+          } catch { case _: Throwable => false }
+        if (!linked)
+          org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, dst, false,
+            spark.sparkContext.hadoopConfiguration)
+      }
+    }
+    name
+  }
+
   /** Retention: drop whole day partitions older than the cutoff —
     * the reference deletes whole 24 h shards, never individual rows.
     * The series-dictionary sidecar is pruned with the data: entries whose

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Points
+
+/** Admin surface over the store: delete_series as an MVCC day rewrite,
+  * snapshot as a hard-linked consistent generation. Reference: the
+  * vendored web/api/v1/api.go:400-406 admin routes over TSDB
+  * Delete/Snapshot. */
+class StoreAdminSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+    StructField("t", LongType), StructField("value", DoubleType)))
+
+  private val DAY = 86400000L
+  private val T0 = 1704067200000L
+
+  /** Two metrics × three users × 10 days, one sample per day. */
+  private def seed(): String = {
+    val dir = Files.createTempDirectory("admin_store").toString
+    val rows = for {
+      m <- Seq("cpu", "mem"); u <- 0 to 2; d <- 0 until 10
+    } yield Row(m, Map("user" -> u.toString), T0 + d * DAY, (u * 10 + d).toDouble)
+    PointsStore.append(Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)), dir)
+    dir
+  }
+
+  private def readAll(dir: String) =
+    PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+
+  test("deleteSeries removes exactly the matching samples in the range") {
+    val dir = seed()
+    val rewritten = PointsStore.deleteSeries(spark, dir, """cpu{user="1"}""",
+      T0 + 2 * DAY, T0 + 5 * DAY)
+    assert(rewritten.length == 4) // only the 4 intersecting days rewrote
+    val left = readAll(dir)
+      .select(col("name"), col("labels")("user").as("u"), col("t")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expect = (for {
+      m <- Seq("cpu", "mem"); u <- 0 to 2; d <- 0 until 10
+      if !(m == "cpu" && u == 1 && d >= 2 && d <= 5)
+    } yield (m, u.toString, T0 + d * DAY)).toSet
+    assert(left == expect)
+  }
+
+  test("deleteSeries with a name-less regex selector and open time range") {
+    val dir = seed()
+    PointsStore.deleteSeries(spark, dir, """{user=~"0|2"}""")
+    val users = readAll(dir).select(col("labels")("user")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(users == Set("1"))
+    assert(readAll(dir).count() == 2 * 10) // both metrics keep user 1
+  }
+
+  test("deleteSeries leaves untouched days' files alone and is reader-safe") {
+    val dir = seed()
+    // plan a reader against the pre-delete generation
+    val before = readAll(dir)
+    val beforeCount = before.count()
+    val rewritten = PointsStore.deleteSeries(spark, dir, """mem{user="0"}""",
+      T0, T0) // one day only
+    assert(rewritten.length == 1)
+    // the pre-delete plan still collects completely: replaced files are
+    // -listed, never deleted, until a grace window passes
+    assert(before.count() == beforeCount)
+    assert(readAll(dir).count() == beforeCount - 1)
+    // a selector with no matches rewrites nothing
+    assert(PointsStore.deleteSeries(spark, dir, """nope{user="9"}""").isEmpty)
+  }
+
+  test("snapshot is a consistent, readable, frozen store") {
+    val dir = seed()
+    PointsStore.append(Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("cpu", Map("user" -> "9"), T0, 1.0)), 1), schema)), dir)
+    PointsStore.compact(spark, dir, graceMs = 0L) // snapshot must carry manifest-gated files
+    val n = readAll(dir).count()
+    val name = PointsStore.snapshot(spark, dir)
+    val snapDir = s"$dir/_snapshots/$name"
+    assert(PointsStore.read(spark, snapDir, Long.MinValue, Long.MaxValue).count() == n)
+    // later writes do not leak into the snapshot
+    PointsStore.append(Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("cpu", Map("user" -> "8"), T0 + DAY, 2.0)), 1), schema)), dir)
+    assert(readAll(dir).count() == n + 1)
+    assert(PointsStore.read(spark, snapDir, Long.MinValue, Long.MaxValue).count() == n)
+    // the snapshot's dict reads too
+    assert(PointsStore.readDict(spark, snapDir).get.count() ==
+      readAll(snapDir).select("sig").distinct().count())
+  }
+
+  test("admin HTTP routes: delete_series, snapshot, clean_tombstones, method/param guards") {
+    val dir = seed()
+    val api = new graft.api.HttpApi(spark,
+      points = readAll(dir),
+      pointsProvider = Some(() => readAll(dir)),
+      adminStore = Some(dir))
+    val port = api.start(0)
+    def send(method: String, path: String): (Int, String) = {
+      val c = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod(method)
+      val code = c.getResponseCode
+      val in = if (code >= 400) c.getErrorStream else c.getInputStream
+      val body = if (in == null) "" else {
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      c.disconnect()
+      (code, body)
+    }
+    try {
+      val (code, _) = send("POST",
+        "/api/v1/admin/tsdb/delete_series?match%5B%5D=cpu%7Buser%3D%220%22%7D")
+      assert(code == 204)
+      assert(readAll(dir).where(col("name") === "cpu" &&
+        col("labels")("user") === "0").count() == 0)
+      assert(readAll(dir).where(col("name") === "mem").count() == 30)
+      val (c2, body) = send("PUT", "/api/v1/admin/tsdb/snapshot")
+      assert(c2 == 200 && body.contains("\"name\""))
+      val (c3, _) = send("POST", "/api/v1/admin/tsdb/clean_tombstones")
+      assert(c3 == 204)
+      val (c4, _) = send("GET", "/api/v1/admin/tsdb/delete_series?match%5B%5D=cpu")
+      assert(c4 == 405)
+      val (c5, b5) = send("POST", "/api/v1/admin/tsdb/delete_series")
+      assert(c5 == 400 && b5.contains("no match[] parameter"))
+    } finally api.stop()
+  }
+
+  test("non-selector input is rejected") {
+    val dir = seed()
+    intercept[IllegalArgumentException] {
+      PointsStore.deleteSeries(spark, dir, "sum(cpu)")
+    }
+    intercept[IllegalArgumentException] {
+      PointsStore.deleteSeries(spark, dir, "cpu offset 5m")
+    }
+  }
+}
