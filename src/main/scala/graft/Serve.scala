@@ -89,7 +89,11 @@ object Serve {
       metadata = () => scrapeMeta.snapshot,
       adminStore = if (cfg.enableAdmin) Some(cfg.storeDir) else None,
       pointsProvider = Some(() =>
-        PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)))
+        PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)),
+      // per-query day pruning: every query's read is bounded to the
+      // union of its selector windows, so a year-deep store serves a
+      // one-hour dashboard query from the touched day(s) only
+      pointsRange = Some((lo, hi) => PointsStore.read(spark, cfg.storeDir, lo, hi)))
     // self-telemetry gauges over the served store, scraped at /metrics
     // (reference registrar names: metrics.go MetricStoreStorageDays /
     // SeriesCount / MeasurementsCount). storage_days is a directory

@@ -96,10 +96,43 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * and /clean_tombstones (a no-op 204: deletes here
                       * are atomic-visible rewrites, there are no
                       * tombstones to clean). */
-                    adminStore: Option[String] = None) {
+                    adminStore: Option[String] = None,
+                    /** TIME-BOUNDED points resolver: when set, every
+                      * query resolves the served relation pruned to the
+                      * union of its selector windows
+                      * (Guards.selectorWindowBounds — the same absolute-
+                      * window algebra the alerting sink and the bench's
+                      * store-backed queries use), so a store-backed
+                      * server day-prunes EVERY request instead of
+                      * listing/scanning the whole store (at fleet scale
+                      * the unbounded listing is the query). Label APIs
+                      * with start/end and remote-read requests (whose
+                      * prompb queries carry explicit bounds) prune the
+                      * same way. (e.g. `(lo, hi) => PointsStore.read(
+                      * spark, dir, lo, hi)`.) */
+                    pointsRange: Option[(Long, Long) => DataFrame] = None) {
 
   /** The served relation for one request. */
   private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
+
+  /** The served relation for one QUERY: pruned to the query's selector
+    * windows when a bounded resolver is wired; the full relation
+    * otherwise. Literal-only queries (no selector) fall back to the
+    * grid's own window. */
+  private def ptsFor(promql: String, grid: graft.engine.StepGrid): DataFrame =
+    pointsRange match {
+      case Some(f) =>
+        val (lo, hi) = graft.engine.Guards
+          .selectorWindowBounds(promql, grid, lookbackMs)
+          .getOrElse((grid.startMs - lookbackMs, grid.endMs))
+        f(lo, hi)
+      case None => pts
+    }
+
+  /** Bounded resolve for routes that carry explicit [lo, hi] bounds
+    * (label APIs with start/end, remote-read prompb queries). */
+  private def ptsBounded(lo: Long, hi: Long): DataFrame =
+    pointsRange.map(_(lo, hi)).getOrElse(pts)
 
   private val Version = "0.3.0-graft"
   private val startedMs = System.currentTimeMillis()
@@ -135,7 +168,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       val out = limits match {
         case Some(l) =>
           val tally = graft.engine.Guards.newTally(spark)
-          val confirm = () => graft.engine.Guards.exactSampleCount(pts, q, grid, lookbackMs)
+          val confirm = () => graft.engine.Guards.exactSampleCount(ptsFor(q, grid), q, grid, lookbackMs)
           graft.engine.Guards.run(spark, l, q, Some(tally), Some(confirm))(body(Some(tally)))
         case None => body(None)
       }
@@ -223,11 +256,18 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
         // decompress ONCE (claimed-length bounded); both the negotiation
         // check and the handler work from the raw bytes
         val raw = RemoteRead.uncompress(body) // throws on malformed body: 422 below
+        // prompb queries carry explicit [start, end] — resolve the served
+        // relation pruned to their union (day-partition pruning)
+        val readPts = {
+          val qs = RemoteRead.decodeRequest(raw)
+          if (qs.isEmpty) pts
+          else ptsBounded(qs.map(_.startMs).min, qs.map(_.endMs).max)
+        }
         if (RemoteRead.wantsStreamedRaw(raw)) {
           // headers commit in onReady — AFTER request decode and query
           // analysis/planning — so a bad matcher still answers 422
           // instead of a cleanly-terminated empty 200 stream
-          RemoteRead.handleStreamedRaw(spark, pts, raw, ex.getResponseBody,
+          RemoteRead.handleStreamedRaw(spark, readPts, raw, ex.getResponseBody,
             onReady = () => {
               ex.getResponseHeaders.set("Content-Type",
                 "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
@@ -235,7 +275,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
               streaming = true
             })
         } else {
-          val out = RemoteRead.handleRaw(spark, pts, raw)
+          val out = RemoteRead.handleRaw(spark, readPts, raw)
           ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
           ex.getResponseHeaders.set("Content-Encoding", "snappy")
           ex.sendResponseHeaders(200, out.length)
@@ -497,8 +537,9 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def instantBody(p: Map[String, String], ts: Long,
                           tally: Option[org.apache.spark.util.LongAccumulator]): String = {
     val t0 = System.nanoTime()
-    val out = Engine.instantQuery(spark, pts, p("query"), ts, lookbackMs,
-      sampleTally = tally, seriesDict = seriesDict())
+    val out = Engine.instantQuery(spark,
+      ptsFor(p("query"), graft.engine.StepGrid(ts, ts, 1000L)), p("query"), ts,
+      lookbackMs, sampleTally = tally, seriesDict = seriesDict())
     val t1 = System.nanoTime()
     def stats(t2: Long) = statsJson(p, (t1 - t0) / 1e9, (t2 - t1) / 1e9, tally)
     if (out.columns.contains("step")) {
@@ -543,7 +584,9 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                              step: Long,
                              tally: Option[org.apache.spark.util.LongAccumulator]): String = {
     val t0 = System.nanoTime()
-    val out = Engine.rangeQuery(spark, pts, p("query"), start, end, step, lookbackMs,
+    val out = Engine.rangeQuery(spark,
+      ptsFor(p("query"), graft.engine.StepGrid(start, math.max(start, end), step)),
+      p("query"), start, end, step, lookbackMs,
       sampleTally = tally, seriesDict = seriesDict())
     val t1 = System.nanoTime()
     val rows = out.collect()
@@ -565,7 +608,10 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     val bounded = (p.get("start"), p.get("end")) match {
       case (None, None) => pts
       case (s, e) =>
-        pts.where(
+        // partition-level pruning via the bounded resolver, then the
+        // exact t bounds on top
+        ptsBounded(ms(s.getOrElse("0")),
+          e.map(ms).getOrElse(Long.MaxValue)).where(
           col("t") >= ms(s.getOrElse("0")) &&
             col("t") <= ms(e.getOrElse((System.currentTimeMillis() / 1000.0).toString)))
     }

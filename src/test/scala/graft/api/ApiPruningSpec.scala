@@ -1,0 +1,70 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-query time-bounded store resolution on the serving path: every
+  * /api/v1 query resolves the points relation pruned to the union of its
+  * selector windows (Guards.selectorWindowBounds), so a store-backed
+  * server day-prunes each request instead of listing the whole store.
+  * The spec wires a RECORDING resolver and asserts the exact bounds each
+  * route computes. */
+class ApiPruningSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType), StructField("labels", MapType(StringType, StringType)),
+    StructField("t", LongType), StructField("value", DoubleType)))
+
+  private def full = graft.model.Points.withSig(spark.createDataFrame(
+    spark.sparkContext.parallelize(
+      (0 until 60).map(i => Row("m", Map("a" -> "1"), i * 60000L, i.toDouble)), 1),
+    schema))
+
+  test("query routes resolve the store bounded to their selector windows") {
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val api = new HttpApi(spark, points = full,
+      pointsRange = Some((lo, hi) => {
+        captured.add((lo, hi))
+        full.where(col("t") >= lo && col("t") <= hi)
+      }))
+    val port = api.start(0)
+    def get(path: String): String = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    def lastBounds(): (Long, Long) = { val b = captured.poll(); captured.clear(); b }
+    try {
+      // instant selector: default 5m lookback behind the eval time
+      assert(get("/api/v1/query?query=m&time=3600").contains("success"))
+      assert(lastBounds() == ((3600000L - 300000L, 3600000L)))
+      // range function: the 30m window dominates the lookback
+      assert(get("/api/v1/query?query=sum(rate(m%5B30m%5D))&time=3600").contains("success"))
+      assert(lastBounds() == ((3600000L - 1800000L, 3600000L)))
+      // range query: window reaches behind the grid start
+      assert(get("/api/v1/query_range?query=max_over_time(m%5B10m%5D)&start=600&end=3600&step=60")
+        .contains("success"))
+      assert(lastBounds() == ((600000L - 600000L, 3600000L)))
+      // offset shifts both bounds
+      assert(get("/api/v1/query?query=m%20offset%2010m&time=3600").contains("success"))
+      assert(lastBounds() == ((3600000L - 600000L - 300000L, 3600000L - 600000L)))
+      // label APIs with start/end prune to exactly those bounds
+      assert(get("/api/v1/labels?start=10&end=20").contains("success"))
+      assert(lastBounds() == ((10000L, 20000L)))
+      // results stay correct through the bounded resolve
+      assert(get("/api/v1/query?query=m&time=3600").contains("\"value\":[3600,\"59\"]"))
+    } finally api.stop()
+  }
+}
