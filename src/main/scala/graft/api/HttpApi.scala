@@ -386,6 +386,80 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       }
       s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
     })
+    // GET /federate?match[]=<selector> — Prometheus's hierarchical-
+    // federation endpoint: the CURRENT value of every matching series as
+    // a text exposition with explicit timestamps, so an upstream
+    // Prometheus (or this engine's own Scrape source) can pull a scoped
+    // slice of the store through the standard scrape interface. Instant
+    // semantics: newest sample per series within the lookback, exactly
+    // the /api/v1/query selector evaluation — and the read is day-pruned
+    // to that window via the bounded resolver.
+    register("/federate", (ex: HttpExchange) => {
+      try {
+        val p = params(ex)
+        p.get("match[]") match {
+          case None =>
+            val msg = """{"status":"error","errorType":"bad_data","error":"no match[] parameter provided"}"""
+              .getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(400, msg.length)
+            ex.getResponseBody.write(msg)
+          case Some(sel) =>
+            val vs = graft.promql.Parser.parse(sel) match {
+              case v: graft.promql.VectorSelector
+                if v.offsetMs == 0 && v.at.isEmpty => v
+              case _ => throw new IllegalArgumentException(
+                "match[] must be a plain series selector")
+            }
+            val now = System.currentTimeMillis()
+            val grid = graft.engine.StepGrid(now, now, 1000L)
+            // Selectors.instant directly (not Engine.instantQuery): the
+            // federation contract exposes each sample's ORIGINAL
+            // timestamp, which the query API's step-stamped output
+            // intentionally hides
+            val base0 = ptsFor(sel, grid)
+            val named = vs.name.map(n => base0.where(col("name") === n))
+              .getOrElse(base0)
+            val filtered = named.where(graft.engine.Compiler.matcherFilter(
+              vs.matchers, useLc = named.columns.contains("_lc")))
+            val rows = graft.engine.Selectors.instant(filtered, grid,
+              lookbackMs,
+              seriesDict = seriesDict().filter(_ =>
+                filtered.columns.contains("sig"))).collect()
+            def esc(s: String): String = s.flatMap {
+              case '\\' => "\\\\"
+              case '"' => "\\\""
+              case '\n' => "\\n"
+              case c => c.toString
+            }
+            val lines = rows.toSeq.map { r =>
+              val name = Option(r.getAs[String]("name")).getOrElse("")
+              val labels = Option(r.getAs[Map[String, String]]("labels"))
+                .getOrElse(Map.empty)
+              val ls =
+                if (labels.isEmpty) ""
+                else labels.toSeq.sorted
+                  .map { case (k, v) => s"""$k="${esc(v)}"""" }
+                  .mkString("{", ",", "}")
+              (name + ls,
+                s"$name$ls ${Json.num(r.getAs[Double]("value"))} ${r.getAs[Long]("t")}")
+            }.sortBy(_._1).map(_._2)
+            val body = lines.mkString("", "\n", "\n")
+              .getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type",
+              "text/plain; version=0.0.4; charset=utf-8")
+            ex.sendResponseHeaders(200, body.length)
+            ex.getResponseBody.write(body)
+        }
+      } catch {
+        case e: Throwable =>
+          val msg = s"""{"status":"error","error":${Json.str(rootMsg(e))}}"""
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(422, msg.length)
+          ex.getResponseBody.write(msg)
+      } finally ex.close()
+    })
     // GET /health — the reference's load-balancer/BOSH probe endpoint:
     // a bare version/sha JSON, no envelope
     // (src/internal/metric-store/metric_store.go:397,597-614)

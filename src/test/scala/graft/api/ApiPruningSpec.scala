@@ -67,4 +67,39 @@ class ApiPruningSpec extends AnyFunSuite {
       assert(get("/api/v1/query?query=m&time=3600").contains("\"value\":[3600,\"59\"]"))
     } finally api.stop()
   }
+
+  test("/federate serves current values as a timestamped exposition the scraper round-trips") {
+    // federation evaluates at WALL now (like Prometheus), so the fixture
+    // anchors one fresh sample and one stale series just past lookback
+    val tNow = System.currentTimeMillis()
+    val data = graft.model.Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("fed_metric", Map("a" -> "1"), tNow - 60000L, 41.5),
+        Row("fed_metric", Map("a" -> "2"), tNow - 3600000L, 7.0)), 1),
+      schema))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val api = new HttpApi(spark, points = data,
+      pointsRange = Some((lo, hi) => {
+        captured.add((lo, hi))
+        data.where(col("t") >= lo && col("t") <= hi)
+      }))
+    val port = api.start(0)
+    def get(path: String): String = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      val fed = get("/federate?match%5B%5D=fed_metric")
+      val (lo, hi) = captured.poll()
+      assert(hi - lo == 300000L) // bounded to [now - lookback, now]
+      val parsed = graft.sources.Scrape.parseExposition(fed, 0L)
+      // only the in-lookback series federates, with its own timestamp
+      assert(parsed.length == 1, fed)
+      assert(parsed.head.name == "fed_metric" &&
+        parsed.head.labels == Map("a" -> "1") &&
+        parsed.head.value == 41.5 && parsed.head.t == tNow - 60000L)
+      // no match[] -> 400; non-selector -> 422
+      assert(get("/federate").contains("no match[] parameter"))
+      assert(get("/federate?match%5B%5D=sum(fed_metric)").contains("error"))
+    } finally api.stop()
+  }
 }
