@@ -53,6 +53,78 @@ object Curation {
   private[pipeline] def dupTrigramFracExpr(t: Column): Column =
     round(GramFrac.column(t, 3, dup = true), 6)
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", appendix A1.1)
+    * — the published heuristic filter set for web-scraped pretraining
+    * text, emitted as per-document COUNTS plus one boolean verdict per
+    * rule:
+    *
+    *  1. word count in [50, 100000]
+    *  2. mean word length in [3, 10]
+    *  3. symbol-to-word ratio ≤ 0.1 (`#` and ellipsis)
+    *  4. ≤ 10 % of lines start with a bullet (`-`, `*`, `•`)
+    *  5. ≤ 30 % of lines end with an ellipsis
+    *  6. ≥ 80 % of words contain an alphabetic character
+    *  7. ≥ 2 distinct Gopher stop words present
+    *     (the/be/to/of/and/that/have/with)
+    *
+    * Every threshold is evaluated in INTEGER arithmetic (e.g. rule 4 is
+    * `10·bullet_lines ≤ n_lines`, rule 2 is `3·n ≤ Σlen ≤ 10·n`), so
+    * there is not a single float in the operator and the gate's DuckDB
+    * oracle reproduces each verdict exactly. Shuffle-free: one
+    * projection over the scan, like the rest of the signal family. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val lines = split(col("text"), "\n")
+    val nWords = size(words).cast("long")
+    val totalLen = aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStops = size(filter(array(gopherStops.map(lit): _*),
+      s => array_contains(words, s))).cast("long")
+    def occurrences(needle: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+    val nHash = occurrences("#")
+    val nEllipsis = occurrences("...") + occurrences("…")
+    val nLines = size(lines).cast("long")
+    val isBullet = (l: Column) => {
+      val t = ltrim(l)
+      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+    }
+    val nBullet = size(filter(lines, isBullet)).cast("long")
+    val nEllEnd = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      totalLen.as("total_word_len"),
+      nAlpha.as("n_alpha_words"),
+      nStops.as("n_stop_words"),
+      nHash.as("n_hash"),
+      nEllipsis.as("n_ellipsis"),
+      nLines.as("n_lines"),
+      nBullet.as("n_bullet_lines"),
+      nEllEnd.as("n_ellipsis_end_lines"))
+      .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_word_len",
+        lit(3) * col("n_words") <= col("total_word_len") &&
+          col("total_word_len") <= lit(10) * col("n_words"))
+      .withColumn("r_symbol_ratio",
+        lit(10) * (col("n_hash") + col("n_ellipsis")) <= col("n_words"))
+      .withColumn("r_bullet_lines",
+        lit(10) * col("n_bullet_lines") <= col("n_lines"))
+      .withColumn("r_ellipsis_lines",
+        lit(10) * col("n_ellipsis_end_lines") <= lit(3) * col("n_lines"))
+      .withColumn("r_alpha_words",
+        lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+      .withColumn("r_stop_words", col("n_stop_words") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_alpha_words") && col("r_stop_words"))
+  }
+
   def repetition(docs: DataFrame): DataFrame = {
     val t = toks
     // size >= 2 is exactly "has bigrams" — an isNotNull filter on the

@@ -131,6 +131,16 @@ object PipelineQueries {
     "q_pipe_temperature" -> ((s, dir) => Curation.temperatureMix(docs(s, dir), 0.5)),
     "q_pipe_dsir" -> ((s, dir) => Curation.importanceWeights(
       docs(s, dir), docs(s, dir).where(col("doc_id") % 53 === 0))),
+    // Gopher quality rules (Rae et al. 2021 A1.1): every doc's rule
+    // counts + verdicts; doc_id % 3 == 0 gets a bullet line + ellipsis
+    // line appended so both verdict polarities are exercised. All-integer
+    // thresholds — the oracle reproduces each boolean exactly
+    "q_pipe_gopher" -> ((s, dir) => Curation.gopherRules(
+      docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\n- bullet item\nand the rest go on...")))
+          .otherwise(col("text"))))),
+
     // A-Res weighted reservoir: 8 docs per source, inclusion ∝ n_chars,
     // md5-keyed exponential draws — selection is a pure function of the
     // input, re-derived row-for-row by the oracle
@@ -1778,6 +1788,52 @@ object PipelineQueries {
         |  round(pow(n, 0.5) / denom, 6) AS target_share,
         |  round(pow(n / n_min, -0.5), 6) AS keep_frac
         |FROM n CROSS JOIN d""".stripMargin,
+
+    // Gopher rules: identical integer counts (word/line/symbol tallies)
+    // and integer-threshold verdicts — no float anywhere in the operator
+    "q_pipe_gopher" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN text || chr(10) || '- bullet item' || chr(10) || 'and the rest go on...'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS total_word_len,
+         |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                         s -> list_contains(ws, s))) AS BIGINT) AS n_stop_words,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |       + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_ellipsis,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+         |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellipsis_end_lines
+         |  FROM w)
+         |SELECT *,
+         |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         |  3 * n_words <= total_word_len AND total_word_len <= 10 * n_words AS r_mean_word_len,
+         |  10 * (n_hash + n_ellipsis) <= n_words AS r_symbol_ratio,
+         |  10 * n_bullet_lines <= n_lines AS r_bullet_lines,
+         |  10 * n_ellipsis_end_lines <= 3 * n_lines AS r_ellipsis_lines,
+         |  5 * n_alpha_words >= 4 * n_words AS r_alpha_words,
+         |  n_stop_words >= 2 AS r_stop_words,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND (3 * n_words <= total_word_len AND total_word_len <= 10 * n_words)
+         |    AND 10 * (n_hash + n_ellipsis) <= n_words
+         |    AND 10 * n_bullet_lines <= n_lines
+         |    AND 10 * n_ellipsis_end_lines <= 3 * n_lines
+         |    AND 5 * n_alpha_words >= 4 * n_words
+         |    AND n_stop_words >= 2 AS keep
+         |FROM m""".stripMargin,
 
     // A-Res weighted reservoir: the engine's kept set is "the k smallest
     // (−ln(u)/w, doc_id)" per group — a rank the oracle reproduces from

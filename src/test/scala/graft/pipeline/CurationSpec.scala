@@ -19,6 +19,34 @@ class CurationSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("gopherRules: each rule trips on its crafted violation, clean prose keeps") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over and over with great zeal " +
+      "to be of use and that nobody may have any doubt about it at all ") * 3 // 78 words
+    val d = Seq(
+      (1L, clean),                                     // passes everything
+      (2L, "the be to of short"),                      // < 50 words
+      (3L, clean + " ###### ###### ######"),           // symbol ratio: 18 hashes / 69 words
+      (4L, clean + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k\n- l"), // bullets
+      (5L, clean.split(" ").map(_ => "x7").mkString(" ") + " the be"), // mean len 2, no alpha issue
+      (6L, clean + "\nwait...\nmore...\nyet more...\nstill...\nargh...\nhm...\nend...") // ellipsis lines
+    ).toDF("doc_id", "text")
+    val r = Curation.gopherRules(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("r_word_count") && !r(2L).getAs[Boolean]("keep"))
+    assert(!r(3L).getAs[Boolean]("r_symbol_ratio") && r(3L).getAs[Boolean]("r_word_count"))
+    assert(r(3L).getAs[Boolean]("r_alpha_words")) // 3 symbol words of 81 stay under 20%
+    assert(!r(4L).getAs[Boolean]("r_bullet_lines"))
+    assert(!r(5L).getAs[Boolean]("r_mean_word_len"))
+    assert(!r(6L).getAs[Boolean]("r_ellipsis_lines"))
+    // exact counts on the clean doc: 78 words, 1 line, 2+ stop words
+    assert(r(1L).getAs[Long]("n_words") == 78)
+    assert(r(1L).getAs[Long]("n_lines") == 1)
+    assert(r(1L).getAs[Long]("n_stop_words") >= 2)
+    assert(r(1L).getAs[Long]("n_bullet_lines") == 0)
+  }
+
   test("repetition: hand-computed fractions on crafted docs") {
     import spark.implicits._
     val d = Seq(
