@@ -386,6 +386,16 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       }
       s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
     })
+    // GET/POST /api/v1/format_query?query=<expr> — the vendored API's
+    // expression formatter (web/api/v1/api.go:368): parse + print the
+    // canonical text (a parser fixpoint, PrinterSpec pins it over the
+    // whole golden corpus). Invalid expressions answer 422 with the
+    // parse error, like the query routes.
+    register("/api/v1/format_query", (ex: HttpExchange) => handle(ex) { e =>
+      val formatted = graft.promql.Printer.format(
+        graft.promql.Parser.parse(params(e)("query")))
+      s"""{"status":"success","data":${Json.str(formatted)}}"""
+    })
     // GET /federate?match[]=<selector> — Prometheus's hierarchical-
     // federation endpoint: the CURRENT value of every matching series as
     // a text exposition with explicit timestamps, so an upstream

@@ -65,6 +65,10 @@ class ApiPruningSpec extends AnyFunSuite {
       assert(lastBounds() == ((10000L, 20000L)))
       // results stay correct through the bounded resolve
       assert(get("/api/v1/query?query=m&time=3600").contains("\"value\":[3600,\"59\"]"))
+      // format_query: canonical text from the printer; parse errors 422
+      assert(get("/api/v1/format_query?query=sum%20by(a)(rate(m%5B5m%5D))")
+        .contains("\"data\":\"sum by (a) (rate(m[5m]))\""))
+      assert(get("/api/v1/format_query?query=!!bad").contains("error"))
     } finally api.stop()
   }
 
