@@ -77,6 +77,7 @@ object Serve {
     leftovers.foreach(q => System.err.println(
       s"[serve] crashed while executing: ${q.description} (started ${q.startedMs})"))
     val scrapeMeta = new graft.sources.Scrape.MetadataStore
+    val scrapeExemplars = new graft.sources.Scrape.ExemplarStore()
     val api = new HttpApi(spark,
       points = PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue),
       lookbackMs = cfg.lookbackMs,
@@ -88,6 +89,7 @@ object Serve {
       scrapeTargets = () => cfg.scrapeTargets.map(t => ("serve", t)),
       metadata = () => scrapeMeta.snapshot,
       adminStore = if (cfg.enableAdmin) Some(cfg.storeDir) else None,
+      exemplars = () => scrapeExemplars.all,
       pointsProvider = Some(() =>
         PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)),
       // per-query day pruning: every query's read is bounded to the
@@ -138,7 +140,8 @@ object Serve {
     // /metrics, retain metadata, append the samples to the served store.
     // A failing target skips a tick, never kills the loop.
     if (cfg.scrapeTargets.nonEmpty) {
-      val fetch = scrapeMeta.recording(graft.sources.Scrape.httpFetch())
+      val fetch = scrapeExemplars.recording(
+        scrapeMeta.recording(graft.sources.Scrape.httpFetch()))
       sched.scheduleWithFixedDelay(() => {
         try {
           val pts = graft.sources.Scrape.scrapeTargets(

@@ -110,7 +110,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * prompb queries carry explicit bounds) prune the
                       * same way. (e.g. `(lo, hi) => PointsStore.read(
                       * spark, dir, lo, hi)`.) */
-                    pointsRange: Option[(Long, Long) => DataFrame] = None) {
+                    pointsRange: Option[(Long, Long) => DataFrame] = None,
+                    /** Exemplar provider for /api/v1/query_exemplars —
+                      * typically `() => exemplarStore.all` over the
+                      * scrape loop's [[graft.sources.Scrape.ExemplarStore]]
+                      * (Prometheus's own exemplar storage is the same
+                      * in-memory ring; it never reaches TSDB). */
+                    exemplars: () => Seq[graft.sources.Scrape.Exemplar] = () => Nil) {
 
   /** The served relation for one request. */
   private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
@@ -385,6 +391,51 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
           s""""type":${Json.str(typ)},"help":${Json.str(help)},"unit":${Json.str(unit)}}]"""
       }
       s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
+    })
+    // GET/POST /api/v1/query_exemplars?query=&start=&end= — the vendored
+    // API's exemplar query (web/api/v1/api.go:365): exemplars of series
+    // matching the selector within [start, end], from the in-memory
+    // exemplar ring the scrape loop fills. Driver-side filtering — the
+    // store is capacity-bounded by construction.
+    register("/api/v1/query_exemplars", (ex: HttpExchange) => handle(ex) { e =>
+      val p = params(e)
+      val vs = graft.promql.Parser.parse(p("query")) match {
+        case v: graft.promql.VectorSelector => v
+        case _ => throw new IllegalArgumentException(
+          "query must be a series selector")
+      }
+      val startMs = p.get("start").map(ms).getOrElse(Long.MinValue)
+      val endMs = p.get("end").map(ms).getOrElse(Long.MaxValue)
+      def anchored(v: String, re: String): Boolean =
+        java.util.regex.Pattern.matches("(?s)(?:" + re + ")", v)
+      def matches(name: String, labels: Map[String, String]): Boolean =
+        vs.name.forall(_ == name) && vs.matchers.forall { m =>
+          val v = if (m.name == "__name__") name else labels.getOrElse(m.name, "")
+          m.op match {
+            case graft.promql.MatchOp.Eq => v == m.value
+            case graft.promql.MatchOp.NotEq => v != m.value
+            case graft.promql.MatchOp.Re => anchored(v, m.value)
+            case graft.promql.MatchOp.NotRe => !anchored(v, m.value)
+          }
+        }
+      val hits = exemplars()
+        .filter(x => x.tMs >= startMs && x.tMs <= endMs &&
+          matches(x.name, x.seriesLabels))
+      val bySeries = hits.groupBy(x => (x.name, x.seriesLabels)).toSeq
+        .sortBy(_._1.toString)
+      def ts(ms: Long): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(ms / 1000.0))
+      val items = bySeries.map { case ((name, sl), xs) =>
+        val series = metricJson(Some(name), sl)
+        val exs = xs.sortBy(_.tMs).map { x =>
+          val ls = x.labels.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
+            .mkString("{", ",", "}")
+          s"""{"labels":$ls,"value":${Json.str(Json.num(x.value))},"timestamp":${ts(x.tMs)}}"""
+        }
+        s"""{"seriesLabels":$series,"exemplars":${exs.mkString("[", ",", "]")}}"""
+      }
+      s"""{"status":"success","data":${items.mkString("[", ",", "]")}}"""
     })
     // GET/POST /api/v1/format_query?query=<expr> — the vendored API's
     // expression formatter (web/api/v1/api.go:368): parse + print the

@@ -80,6 +80,75 @@ object Scrape extends Serializable {
         units.getOrElse(m, "")))
   }
 
+  /** One OpenMetrics exemplar: the sample it annotates (series name +
+    * labels) plus the exemplar's own labelset/value/timestamp. */
+  final case class Exemplar(name: String, seriesLabels: Map[String, String],
+                            labels: Map[String, String], value: Double,
+                            tMs: Long)
+
+  /** Exemplars of an exposition — the ` # {labels} value [ts]` suffixes
+    * [[parseLine]] strips from the sample stream. `openMetrics = true`
+    * reads the exemplar timestamp in (fractional) seconds, like the
+    * samples. Lines whose exemplar is malformed contribute their sample
+    * but no exemplar. */
+  def parseExemplars(body: String, defaultTsMs: Long,
+                     openMetrics: Boolean = true): Seq[Exemplar] =
+    body.split("\n").toSeq.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains(" # "))
+      .flatMap { line =>
+        for {
+          sample <- parseLine(line, defaultTsMs, openMetrics)
+          ex = line.substring(line.indexOf(" # ") + 3).trim
+          parsed <- parseExemplarPart(ex, defaultTsMs, openMetrics)
+        } yield Exemplar(sample.name, sample.labels, parsed._1, parsed._2, parsed._3)
+      }
+
+  private def parseExemplarPart(ex: String, defaultTsMs: Long, openMetrics: Boolean)
+      : Option[(Map[String, String], Double, Long)] =
+    try {
+      if (!ex.startsWith("{")) return None
+      val close = matchingBrace(ex, 0)
+      if (close < 0) return None
+      val labels = parseLabels(ex.substring(1, close))
+      val parts = ex.substring(close + 1).trim.split("\\s+").filter(_.nonEmpty)
+      if (parts.isEmpty) return None
+      val value = parseValue(parts(0))
+      val ts =
+        if (parts.length <= 1) defaultTsMs
+        else if (openMetrics) math.round(parts(1).toDouble * 1000.0)
+        else parts(1).toLong
+      Some((labels, value, ts))
+    } catch { case _: Throwable => None }
+
+  /** Bounded in-memory exemplar storage — Prometheus's own exemplar
+    * store IS an in-memory circular buffer (it never reaches TSDB), so
+    * this is semantic parity, not a shortcut: per-series ring of the
+    * newest `perSeries` exemplars, series capacity-bounded by
+    * `maxSeries` (new series are dropped at the cap, existing ones keep
+    * rotating). Feeds /api/v1/query_exemplars. */
+  final class ExemplarStore(perSeries: Int = 10, maxSeries: Int = 100000) {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      (String, Map[String, String]), java.util.ArrayDeque[Exemplar]]()
+    def record(body: String, defaultTsMs: Long = System.currentTimeMillis(),
+               openMetrics: Boolean = true): Unit =
+      parseExemplars(body, defaultTsMs, openMetrics).foreach { e =>
+        val key = (e.name, e.seriesLabels)
+        val ring =
+          if (m.size >= maxSeries) m.get(key) // at cap: existing series only
+          else m.computeIfAbsent(key, _ => new java.util.ArrayDeque[Exemplar]())
+        if (ring != null) ring.synchronized {
+          ring.addLast(e)
+          while (ring.size > perSeries) ring.removeFirst()
+        }
+      }
+    def recording(fetch: String => String): String => String =
+      target => { val body = fetch(target); record(body); body }
+    def all: Seq[Exemplar] = {
+      import scala.jdk.CollectionConverters._
+      m.values.asScala.toSeq.flatMap(r => r.synchronized(r.asScala.toSeq))
+    }
+  }
+
   /** Retained scrape metadata across targets — the store behind
     * /api/v1/metadata. Wrap the scrape fetch with [[MetadataStore.recording]]
     * so every body a (driver-side) scrape pulls feeds the store before

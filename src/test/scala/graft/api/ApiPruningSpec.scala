@@ -72,6 +72,40 @@ class ApiPruningSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("/api/v1/query_exemplars serves the scrape loop's in-memory exemplar ring") {
+    val om =
+      """# TYPE events_total counter
+        |events_total{kind="page"} 56 1625060222.1 # {trace_id="A"} 0.67 1625060222.100
+        |events_total{kind="page"} 57 1625060252.1 # {trace_id="B"} 1.25 1625060252.100
+        |events_total{kind="api"} 33 1625060222.1 # {trace_id="C"} 9.0 1625060222.100
+        |other_total 5 1625060222.1
+        |# EOF""".stripMargin
+    val store = new graft.sources.Scrape.ExemplarStore(perSeries = 1)
+    store.record(om)
+    // per-series ring keeps only the newest exemplar at capacity 1
+    assert(store.all.length == 2)
+    assert(store.all.find(_.seriesLabels.get("kind").contains("page"))
+      .get.labels == Map("trace_id" -> "B"))
+    val api = new HttpApi(spark, points = full, exemplars = () => store.all)
+    val port = api.start(0)
+    def get(path: String): String = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      val body = get("/api/v1/query_exemplars?query=events_total%7Bkind%3D%22page%22%7D")
+      assert(body.contains("\"trace_id\":\"B\""), body)
+      assert(!body.contains("\"trace_id\":\"C\""))
+      assert(body.contains("\"value\":\"1.25\"") &&
+        body.contains("\"timestamp\":1625060252.100"))
+      // time bounds filter
+      assert(!get("/api/v1/query_exemplars?query=events_total&start=1625060300")
+        .contains("trace_id"))
+      // selector-regex match + name-only
+      assert(get("/api/v1/query_exemplars?query=%7Bkind%3D~%22p.*%22%7D")
+        .contains("\"trace_id\":\"B\""))
+    } finally api.stop()
+  }
+
   test("/federate serves current values as a timestamped exposition the scraper round-trips") {
     // federation evaluates at WALL now (like Prometheus), so the fixture
     // anchors one fresh sample and one stale series just past lookback
