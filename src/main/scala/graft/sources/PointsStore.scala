@@ -763,25 +763,47 @@ object PointsStore {
         val d = java.time.LocalDate.parse(s.getPath.getName.stripPrefix("date="))
         lo.forall(l => !d.isBefore(l)) && hi.forall(h => !d.isAfter(h))
       }
-    val done = Seq.newBuilder[String]
-    for (day <- days) {
-      val live = liveDayFiles(fs, day.getPath)
-      if (live.nonEmpty) {
-        val raw = spark.read.parquet(live: _*)
-        val del = graft.engine.Compiler.matcherFilter(matchers,
-          useLc = raw.columns.contains("_lc")) &&
-          (if (startMs == Long.MinValue) lit(true) else col("t") >= startMs) &&
-          (if (endMs == Long.MaxValue) lit(true) else col("t") <= endMs)
-        if (!raw.where(del).isEmpty) {
-          publishRewrite(fs, day.getPath, live, System.currentTimeMillis(), tmp =>
-            raw.where(!del)
-              .repartition(live.length)
-              .sortWithinPartitions(col("name"), col("sig"), col("t"))
-              .write.options(bloomWriteOptions)
-              .mode(SaveMode.Overwrite).parquet(tmp.toString))
-          done += day.getPath.toString
-        }
+    // days are independent rewrite units — delete them CONCURRENTLY on a
+    // bounded pool, same as [[compact]]: a wide retention/GDPR delete
+    // over hundreds of days must not serialize hundreds of small Spark
+    // jobs (the uniquified generation ids keep names collision-free)
+    def deleteDay(day: org.apache.hadoop.fs.Path): Option[String] = {
+      val live = liveDayFiles(fs, day)
+      if (live.isEmpty) return None
+      val raw = spark.read.parquet(live: _*)
+      val del = graft.engine.Compiler.matcherFilter(matchers,
+        useLc = raw.columns.contains("_lc")) &&
+        (if (startMs == Long.MinValue) lit(true) else col("t") >= startMs) &&
+        (if (endMs == Long.MaxValue) lit(true) else col("t") <= endMs)
+      if (raw.where(del).isEmpty) None
+      else {
+        publishRewrite(fs, day, live, System.currentTimeMillis(), tmp =>
+          raw.where(!del)
+            .repartition(live.length)
+            .sortWithinPartitions(col("name"), col("sig"), col("t"))
+            .write.options(bloomWriteOptions)
+            .mode(SaveMode.Overwrite).parquet(tmp.toString))
+        Some(day.toString)
       }
+    }
+    val done = Seq.newBuilder[String]
+    if (days.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(days.length, 8))
+      try {
+        val futures = days.map(st => pool.submit(
+          new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = deleteDay(st.getPath)
+          }))
+        val outcomes = futures.map(f =>
+          try Right(f.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Left(Option(e.getCause).getOrElse(e))
+          })
+        outcomes.foreach { case Right(d) => done ++= d; case Left(_) => () }
+        outcomes.collectFirst { case Left(e) => e }.foreach(throw _)
+      } finally pool.shutdown()
     }
     done.result()
   }
