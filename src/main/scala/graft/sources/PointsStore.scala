@@ -345,6 +345,44 @@ object PointsStore {
   private val CompactedPrefix = "compacted-"
   private val ManifestPrefix = "_manifest."
 
+  /** A rewrite lost the optimistic manifest check: between reading the
+    * live set and publishing, some other rewrite flipped the day's
+    * manifest. The staged outputs were discarded; the caller re-reads the
+    * (new) live set and retries. */
+  final class RewriteLostException(dir: String) extends RuntimeException(
+    s"concurrent rewrite published a newer manifest for $dir")
+
+  // Rewrites of ONE day dir must serialize: two concurrent rewrites each
+  // read a live set, and whichever publishes LAST wins the manifest flip —
+  // if the loser was a deleteSeries, its deletion is silently undone by
+  // the winner's outputs (built from the pre-delete live set). Serve runs
+  // the maintenance-tick compaction concurrently with the admin
+  // delete_series route in one JVM, so a striped in-process mutex closes
+  // that deployment's race completely; the publish-time manifest CAS in
+  // [[publishRewrite]] additionally catches cross-process racers (the
+  // loser retries against the new live set instead of resurrecting data).
+  private val rewriteStripes = Array.fill(64)(new Object)
+  private def withDirLock[A](dir: org.apache.hadoop.fs.Path)(f: => A): A =
+    rewriteStripes(math.floorMod(dir.toString.hashCode, 64)).synchronized(f)
+
+  /** Run `attempt` (a read-live-then-publish rewrite of one dir),
+    * retrying when it loses the manifest CAS to a concurrent rewrite.
+    * Bounded: losing means SOMEONE ELSE made progress, so unbounded
+    * livelock would need an unbounded stream of racing rewrites. */
+  private def retryRewrite[A](dir: org.apache.hadoop.fs.Path,
+                              attempts: Int = 5)(attempt: => A): A = {
+    var left = attempts
+    while (true) {
+      try return withDirLock(dir)(attempt)
+      catch {
+        case e: RewriteLostException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 
@@ -387,23 +425,46 @@ object PointsStore {
       lines.filter(_.startsWith("-")).map(_.drop(1)).toSet))
   }
 
+  /** The unique FILE NAME of a dir's newest manifest (None when no
+    * manifest was ever published) — the generation token the rewrite CAS
+    * in [[publishRewrite]] compares. */
+  private def newestManifestName(fs: org.apache.hadoop.fs.FileSystem,
+                                 day: org.apache.hadoop.fs.Path): Option[String] = {
+    val manifests = fs.listStatus(day).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+      .flatMap(s => manifestStamp(s.getPath.getName).map(st => (st, s.getPath.getName)))
+    if (manifests.isEmpty) None else Some(manifests.maxBy(_._1)._2)
+  }
+
   /** The files of one day a reader may see: manifest-+listed compacted
     * outputs, plus append files not -listed. Unlisted `compacted-` files
     * (a compaction that crashed before publishing, or one mid-publish) are
     * never visible. */
   private def liveDayFiles(fs: org.apache.hadoop.fs.FileSystem,
-                           day: org.apache.hadoop.fs.Path): Seq[String] = {
+                           day: org.apache.hadoop.fs.Path): Seq[String] =
+    liveDayFilesWithGen(fs, day)._1
+
+  /** [[liveDayFiles]] plus the generation token (newest manifest file
+    * name) the set was computed under — the pair a rewrite needs for its
+    * publish-time CAS. `newestManifest` re-lists internally; a publish
+    * landing between the two listings only makes the token OLDER than the
+    * set actually read, which fails the CAS conservatively (a retry, never
+    * a resurrect). */
+  private def liveDayFilesWithGen(fs: org.apache.hadoop.fs.FileSystem,
+                                  day: org.apache.hadoop.fs.Path)
+      : (Seq[String], Option[String]) = {
+    val gen = newestManifestName(fs, day)
     val files = fs.listStatus(day).toSeq
       .filter(s => s.isFile && !isHidden(s.getPath.getName))
     val (plus, minus) = newestManifest(fs, day) match {
       case Some((_, p, m)) => (p, m)
       case None => (Set.empty[String], Set.empty[String])
     }
-    files.map(_.getPath).filter { p =>
+    (files.map(_.getPath).filter { p =>
       val n = p.getName
       if (n.startsWith(CompactedPrefix)) plus.contains(n)
       else !minus.contains(n)
-    }.map(_.toString)
+    }.map(_.toString), gen)
   }
 
   /** DataFrame over the manifest-visible files of the days intersecting
@@ -449,7 +510,19 @@ object PointsStore {
         !new org.apache.hadoop.fs.Path(f).getName.startsWith(CompactedPrefix))
     }
     val files = perDay.flatten
-    if (files.isEmpty) (spark.read.parquet(path).where(lit(false)), false)
+    if (files.isEmpty) {
+      // derive the empty result's schema from live files of ANY day (the
+      // range just missed) rather than scanning the root: the root may
+      // hold a non-hidden `snapshots/` dir whose nested `date=` layers
+      // would break partition discovery
+      val anyLive = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+        .iterator.map(d => liveDayFiles(fs, d.getPath))
+        .find(_.nonEmpty).getOrElse(Nil)
+      if (anyLive.nonEmpty)
+        (spark.read.option("basePath", path).parquet(anyLive: _*).where(lit(false)), false)
+      else (spark.read.parquet(path).where(lit(false)), false)
+    }
     else (spark.read.option("basePath", path).parquet(files: _*), mayDuplicate)
   }
 
@@ -525,12 +598,12 @@ object PointsStore {
     // sequential Spark jobs), while concurrent days keep the cluster fed.
     // Spark schedules jobs from multiple submitter threads natively; the
     // uniquified generation ids keep output/manifest names collision-free.
-    def compactDay(st: org.apache.hadoop.fs.FileStatus): Option[String] = {
+    def compactDay(st: org.apache.hadoop.fs.FileStatus): Option[String] = retryRewrite(st.getPath) {
       val dayPath = st.getPath
       val now = System.currentTimeMillis()
       vacuum(fs, dayPath, now, graceMs)
       // ---- rewrite the current live set when it is fragmented
-      val live = liveDayFiles(fs, dayPath)
+      val (live, liveGen) = liveDayFilesWithGen(fs, dayPath)
       if (live.length >= math.max(2, minFiles)) {
         val liveBytes = live.map(f =>
           fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
@@ -550,7 +623,7 @@ object PointsStore {
           .withColumn("_prevT", lag(col("t"), 1).over(w))
           .where(col("_prevT").isNull || col("_prevT") =!= col("t"))
           .drop("_prevT")
-        publishRewrite(fs, dayPath, live, now, tmp =>
+        publishRewrite(fs, dayPath, live, now, liveGen, tmp =>
           deduped
             .repartition(nOut)
             .sortWithinPartitions(col("name"), col("sig"), col("t"))
@@ -591,15 +664,17 @@ object PointsStore {
     // count (it scales with live series again).
     val dictPath = new org.apache.hadoop.fs.Path(root, DictDir)
     if (fs.exists(dictPath)) {
-      val now = System.currentTimeMillis()
-      vacuum(fs, dictPath, now, graceMs)
-      val live = liveDayFiles(fs, dictPath)
-      if (live.length >= math.max(2, minFiles)) {
-        publishRewrite(fs, dictPath, live, now, tmp =>
-          dedupDict(spark.read.parquet(live: _*))
-            .coalesce(1)
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString))
-        done += dictPath.toString
+      retryRewrite(dictPath) {
+        val now = System.currentTimeMillis()
+        vacuum(fs, dictPath, now, graceMs)
+        val (live, liveGen) = liveDayFilesWithGen(fs, dictPath)
+        if (live.length >= math.max(2, minFiles)) {
+          publishRewrite(fs, dictPath, live, now, liveGen, tmp =>
+            dedupDict(spark.read.parquet(live: _*))
+              .coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString))
+          done += dictPath.toString
+        }
       }
     }
     done.result()
@@ -678,10 +753,21 @@ object PointsStore {
     * file it references. The generation id is uniquified ([[newGen]]) —
     * concurrent or same-millisecond rewrites cannot collide on names; if
     * two publish concurrently, the newest manifest wins and the loser's
-    * outputs are swept as unlisted orphans. */
+    * outputs are swept as unlisted orphans.
+    *
+    * `expect` is the generation token ([[liveDayFilesWithGen]]) the live
+    * set was read under: immediately before the flip the newest manifest
+    * is re-checked, and on mismatch the staged outputs are discarded and
+    * [[RewriteLostException]] thrown — the caller retries against the new
+    * live set. Without this a compaction that read the pre-delete live
+    * set but publishes AFTER a deleteSeries would silently resurrect the
+    * deleted samples. In-process racers are fully excluded by
+    * [[withDirLock]]; the CAS narrows the cross-process window to the
+    * check→rename instant. */
   private def publishRewrite(fs: org.apache.hadoop.fs.FileSystem,
                              dir: org.apache.hadoop.fs.Path,
                              live: Seq[String], now: Long,
+                             expect: Option[String],
                              writeTmp: org.apache.hadoop.fs.Path => Unit): Unit = {
     val gen = newGen(now)
     val tmp = new org.apache.hadoop.fs.Path(
@@ -691,6 +777,10 @@ object PointsStore {
     val parts = fs.listStatus(tmp).toSeq
       .filter(s => s.isFile && !isHidden(s.getPath.getName))
       .sortBy(_.getPath.getName)
+    if (newestManifestName(fs, dir) != expect) {
+      fs.delete(tmp, true)
+      throw new RewriteLostException(dir.toString)
+    }
     val newNames = parts.zipWithIndex.map { case (p, i) =>
       val name = s"$CompactedPrefix$gen-$i.parquet"
       fs.rename(p.getPath, new org.apache.hadoop.fs.Path(dir, name))
@@ -711,6 +801,13 @@ object PointsStore {
     val tmpManifest = new org.apache.hadoop.fs.Path(dir, s".$ManifestPrefix$gen.tmp")
     val out = fs.create(tmpManifest, true)
     try out.write(manifestBody.getBytes("UTF-8")) finally out.close()
+    // last-instant CAS re-check (the staged outputs above are unlisted
+    // `compacted-` names — invisible — so discarding here is safe)
+    if (newestManifestName(fs, dir) != expect) {
+      fs.delete(tmpManifest, false)
+      newNames.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+      throw new RewriteLostException(dir.toString)
+    }
     // the atomic visibility flip
     fs.rename(tmpManifest, new org.apache.hadoop.fs.Path(dir, s"$ManifestPrefix$gen"))
   }
@@ -767,9 +864,10 @@ object PointsStore {
     // bounded pool, same as [[compact]]: a wide retention/GDPR delete
     // over hundreds of days must not serialize hundreds of small Spark
     // jobs (the uniquified generation ids keep names collision-free)
-    def deleteDay(day: org.apache.hadoop.fs.Path): Option[String] = {
-      val live = liveDayFiles(fs, day)
-      if (live.isEmpty) return None
+    def deleteDay(day: org.apache.hadoop.fs.Path): Option[String] = retryRewrite(day) {
+      val (live, liveGen) = liveDayFilesWithGen(fs, day)
+      if (live.isEmpty) None
+      else {
       val raw = spark.read.parquet(live: _*)
       val del = graft.engine.Compiler.matcherFilter(matchers,
         useLc = raw.columns.contains("_lc")) &&
@@ -777,13 +875,14 @@ object PointsStore {
         (if (endMs == Long.MaxValue) lit(true) else col("t") <= endMs)
       if (raw.where(del).isEmpty) None
       else {
-        publishRewrite(fs, day, live, System.currentTimeMillis(), tmp =>
+        publishRewrite(fs, day, live, System.currentTimeMillis(), liveGen, tmp =>
           raw.where(!del)
             .repartition(live.length)
             .sortWithinPartitions(col("name"), col("sig"), col("t"))
             .write.options(bloomWriteOptions)
             .mode(SaveMode.Overwrite).parquet(tmp.toString))
         Some(day.toString)
+      }
       }
     }
     val done = Seq.newBuilder[String]
@@ -822,7 +921,10 @@ object PointsStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val name = s"${System.currentTimeMillis()}-${java.lang.Long.toUnsignedString(System.nanoTime(), 36)}"
-    val snapRoot = new org.apache.hadoop.fs.Path(root, s"_snapshots/$name")
+    // the Prometheus admin-API contract places snapshots at
+    // <data-dir>/snapshots/<name> (vendored api.go:1642-1676); readers
+    // never touch it — every store path lists `date=` dirs explicitly
+    val snapRoot = new org.apache.hadoop.fs.Path(root, s"snapshots/$name")
     val dirs = fs.listStatus(root).toSeq.filter(s => s.isDirectory &&
       (s.getPath.getName.startsWith("date=") || s.getPath.getName == DictDir))
     for (d <- dirs) {
@@ -875,12 +977,12 @@ object PointsStore {
     dropped.foreach(p => fs.delete(p, true))
     expiredShardsTotal.add(dropped.length.toLong)
     val dictPath = new org.apache.hadoop.fs.Path(root, DictDir)
-    if (dropped.nonEmpty && fs.exists(dictPath)) {
-      val live = liveDayFiles(fs, dictPath)
+    if (dropped.nonEmpty && fs.exists(dictPath)) retryRewrite(dictPath) {
+      val (live, liveGen) = liveDayFilesWithGen(fs, dictPath)
       if (live.nonEmpty) {
         val dict = spark.read.parquet(live: _*)
         if (dict.columns.contains("lastDay")) {
-          publishRewrite(fs, dictPath, live, System.currentTimeMillis(), tmp =>
+          publishRewrite(fs, dictPath, live, System.currentTimeMillis(), liveGen, tmp =>
             dedupDict(dict)
               .where(col("lastDay") >= lit(cutoff.toString).cast("date"))
               .coalesce(1)

@@ -92,7 +92,8 @@ class StoreAdminSpec extends AnyFunSuite {
     PointsStore.compact(spark, dir, graceMs = 0L) // snapshot must carry manifest-gated files
     val n = readAll(dir).count()
     val name = PointsStore.snapshot(spark, dir)
-    val snapDir = s"$dir/_snapshots/$name"
+    // standard Prometheus layout: <data-dir>/snapshots/<name>
+    val snapDir = s"$dir/snapshots/$name"
     assert(PointsStore.read(spark, snapDir, Long.MinValue, Long.MaxValue).count() == n)
     // later writes do not leak into the snapshot
     PointsStore.append(Points.withSig(spark.createDataFrame(
@@ -140,6 +141,41 @@ class StoreAdminSpec extends AnyFunSuite {
       val (c5, b5) = send("POST", "/api/v1/admin/tsdb/delete_series")
       assert(c5 == 400 && b5.contains("no match[] parameter"))
     } finally api.stop()
+  }
+
+  test("deleteSeries racing a concurrent compact never resurrects deleted samples") {
+    // The Serve deployment runs the maintenance-tick compaction in one
+    // thread and the admin delete_series route in another. Without
+    // per-day rewrite serialization + the publish-time manifest CAS, a
+    // compaction that read the pre-delete live set but published after
+    // the delete would win the manifest flip and bring the samples back.
+    // Stress both orders: fragment a day, then fire compact and delete
+    // concurrently and assert the deletion survives, every iteration.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (i <- 0 until 6) {
+        val dir = Files.createTempDirectory(s"race_store_$i").toString
+        // several append batches -> a fragmented day compaction wants
+        for (b <- 0 until 4) {
+          val rows = for { u <- 0 to 2 } yield
+            Row("cpu", Map("user" -> u.toString), T0 + b * 1000L, (u + b).toDouble)
+          PointsStore.append(Points.withSig(spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema)), dir)
+        }
+        val compactF = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { PointsStore.compact(spark, dir, graceMs = 0L); () }
+        })
+        val deleteF = pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { PointsStore.deleteSeries(spark, dir, """cpu{user="1"}"""); () }
+        })
+        compactF.get(); deleteF.get()
+        // another settle pass in either order must not resurrect either
+        PointsStore.compact(spark, dir, graceMs = 0L)
+        assert(readAll(dir).where(col("labels")("user") === "1").count() == 0,
+          s"iteration $i resurrected deleted samples")
+        assert(readAll(dir).where(col("labels")("user") =!= "1").count() == 8)
+      }
+    } finally pool.shutdown()
   }
 
   test("non-selector input is rejected") {
