@@ -61,15 +61,17 @@ object Curation {
     *
     *  1. word count in [50, 100000]
     *  2. mean word length in [3, 10]
-    *  3. symbol-to-word ratio ≤ 0.1 (`#` and ellipsis)
-    *  4. ≤ 10 % of lines start with a bullet (`-`, `*`, `•`)
+    *  3. symbol-to-word ratio ≤ 0.1 — applied PER SYMBOL (`#` and
+    *     ellipsis each get their own 0.1 ratio against the word count)
+    *  4. ≤ 90 % of lines start with a bullet (`-`, `*`, `•`) — the paper
+    *     removes documents where MORE THAN 90 % of lines are bulleted
     *  5. ≤ 30 % of lines end with an ellipsis
     *  6. ≥ 80 % of words contain an alphabetic character
     *  7. ≥ 2 distinct Gopher stop words present
     *     (the/be/to/of/and/that/have/with)
     *
     * Every threshold is evaluated in INTEGER arithmetic (e.g. rule 4 is
-    * `10·bullet_lines ≤ n_lines`, rule 2 is `3·n ≤ Σlen ≤ 10·n`), so
+    * `10·bullet_lines ≤ 9·n_lines`, rule 2 is `3·n ≤ Σlen ≤ 10·n`), so
     * there is not a single float in the operator and the gate's DuckDB
     * oracle reproduces each verdict exactly. Shuffle-free: one
     * projection over the scan, like the rest of the signal family. */
@@ -111,9 +113,10 @@ object Curation {
         lit(3) * col("n_words") <= col("total_word_len") &&
           col("total_word_len") <= lit(10) * col("n_words"))
       .withColumn("r_symbol_ratio",
-        lit(10) * (col("n_hash") + col("n_ellipsis")) <= col("n_words"))
+        lit(10) * col("n_hash") <= col("n_words") &&
+          lit(10) * col("n_ellipsis") <= col("n_words"))
       .withColumn("r_bullet_lines",
-        lit(10) * col("n_bullet_lines") <= col("n_lines"))
+        lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines"))
       .withColumn("r_ellipsis_lines",
         lit(10) * col("n_ellipsis_end_lines") <= lit(3) * col("n_lines"))
       .withColumn("r_alpha_words",

@@ -1821,15 +1821,15 @@ object PipelineQueries {
          |SELECT *,
          |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
          |  3 * n_words <= total_word_len AND total_word_len <= 10 * n_words AS r_mean_word_len,
-         |  10 * (n_hash + n_ellipsis) <= n_words AS r_symbol_ratio,
-         |  10 * n_bullet_lines <= n_lines AS r_bullet_lines,
+         |  10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words AS r_symbol_ratio,
+         |  10 * n_bullet_lines <= 9 * n_lines AS r_bullet_lines,
          |  10 * n_ellipsis_end_lines <= 3 * n_lines AS r_ellipsis_lines,
          |  5 * n_alpha_words >= 4 * n_words AS r_alpha_words,
          |  n_stop_words >= 2 AS r_stop_words,
          |  (n_words >= 50 AND n_words <= 100000)
          |    AND (3 * n_words <= total_word_len AND total_word_len <= 10 * n_words)
-         |    AND 10 * (n_hash + n_ellipsis) <= n_words
-         |    AND 10 * n_bullet_lines <= n_lines
+         |    AND 10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words
+         |    AND 10 * n_bullet_lines <= 9 * n_lines
          |    AND 10 * n_ellipsis_end_lines <= 3 * n_lines
          |    AND 5 * n_alpha_words >= 4 * n_words
          |    AND n_stop_words >= 2 AS keep

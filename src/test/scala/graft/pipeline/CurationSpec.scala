@@ -47,6 +47,28 @@ class CurationSpec extends AnyFunSuite {
     assert(r(1L).getAs[Long]("n_bullet_lines") == 0)
   }
 
+  test("gopherRules: paper-faithful boundaries — 90% bullet cutoff, per-symbol ratio") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over and over with great zeal " +
+      "to be of use and that nobody may have any doubt about it at all ") * 3 // 78 words
+    val halfBulleted = clean + (1 to 5).map(i => s"\n- item $i").mkString // 6 lines, 5 bullets
+    // per-symbol: 6 hashes + 6 ellipses over 90 words — combined 12/90 > 10%
+    // would fail the OLD combined rule, but each symbol is ≤ 10% alone
+    val perSymbolOk = clean + " " +
+      (("# " * 6) + ("the... " * 6)).trim // 78 + 12 = 90 words
+    val d = Seq(
+      (10L, halfBulleted), // 83% bullets: a legitimate list document KEEPS
+      (11L, clean + (1 to 60).map(_ => "\n- x").mkString), // 60/61 = 98% bullets: drop
+      (12L, perSymbolOk)
+    ).toDF("doc_id", "text")
+    val r = Curation.gopherRules(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(10L).getAs[Boolean]("r_bullet_lines"), "<=90% bulleted must keep (Rae et al. A1.1)")
+    assert(!r(11L).getAs[Boolean]("r_bullet_lines"), ">90% bulleted must drop")
+    assert(r(12L).getAs[Boolean]("r_symbol_ratio"),
+      "0.1 symbol ratio applies per symbol, not to the combined count")
+  }
+
   test("repetition: hand-computed fractions on crafted docs") {
     import spark.implicits._
     val d = Seq(
