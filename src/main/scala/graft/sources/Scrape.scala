@@ -94,14 +94,34 @@ object Scrape extends Serializable {
   def parseExemplars(body: String, defaultTsMs: Long,
                      openMetrics: Boolean = true): Seq[Exemplar] =
     body.split("\n").toSeq.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains(" # "))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .flatMap { line =>
-        for {
+        // locate the ` # ` separator AFTER the sample's labelset — a label
+        // value containing " # " must not shift the exemplar start into
+        // the labelset (mirrors parseLine, which splits labels off at the
+        // matching brace before looking for the separator)
+        val start = exemplarSeparator(line)
+        if (start < 0) Nil
+        else for {
           sample <- parseLine(line, defaultTsMs, openMetrics)
-          ex = line.substring(line.indexOf(" # ") + 3).trim
+          ex = line.substring(start + 3).trim
           parsed <- parseExemplarPart(ex, defaultTsMs, openMetrics)
         } yield Exemplar(sample.name, sample.labels, parsed._1, parsed._2, parsed._3)
       }
+
+  /** Index of the OpenMetrics ` # ` exemplar separator, searched only in
+    * the post-labelset tail of the line; -1 when absent/unterminated. */
+  private def exemplarSeparator(line: String): Int = {
+    val braceIdx = line.indexOf('{')
+    val spaceIdx = line.indexWhere(_.isWhitespace)
+    val from =
+      if (braceIdx >= 0 && (spaceIdx < 0 || braceIdx < spaceIdx)) {
+        val close = matchingBrace(line, braceIdx)
+        if (close < 0) return -1
+        close + 1
+      } else 0
+    line.indexOf(" # ", from)
+  }
 
   private def parseExemplarPart(ex: String, defaultTsMs: Long, openMetrics: Boolean)
       : Option[(Map[String, String], Double, Long)] =

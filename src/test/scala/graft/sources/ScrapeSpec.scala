@@ -71,6 +71,16 @@ class ScrapeSpec extends AnyFunSuite {
     assert(store.snapshot("acme_http_router_request_seconds")._3 == "seconds")
   }
 
+  test("parseExemplars: label value containing ' # ' does not shift the exemplar start") {
+    val line = """foo{a="x # y"} 1 # {trace_id="t1"} 0.5"""
+    val exs = Scrape.parseExemplars(line, defaultTsMs = 9L)
+    assert(exs.length == 1)
+    assert(exs.head.seriesLabels("a") == "x # y")
+    assert(exs.head.labels("trace_id") == "t1" && exs.head.value == 0.5)
+    // an unterminated labelset yields no exemplar (and no crash)
+    assert(Scrape.parseExemplars("""bad{a="x # {oops"} 1""", 9L).isEmpty)
+  }
+
   test("scrapeTargets: fetch plug, instance label, non-finite rejection") {
     val df = Scrape.scrapeTargets(spark, Seq("host:9090"), _ => body, tsMs = 5000L)
     val rows = df.collect()
