@@ -359,6 +359,48 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
           }
         } finally ex.close()
       })
+      // POST /api/v1/otlp/v1/metrics — OTLP/HTTP metrics ingest, the
+      // OpenTelemetry push path (vendored api.go:394; the reference wires
+      // it DISABLED — otlpEnabled=false at api.go:299 — this engine
+      // serves it for real, like the admin API). Protobuf
+      // ExportMetricsServiceRequest, optional gzip; responses follow the
+      // OTLP/HTTP spec: 200 + ExportMetricsServiceResponse (with a
+      // partial_success report when metrics were rejected), 400 + a
+      // google.rpc.Status proto on request defects, 5xx retryable on
+      // sink failures — mirroring the remote-write route's 4xx/5xx split.
+      register("/api/v1/otlp/v1/metrics", (ex: HttpExchange) => {
+        def proto(code: Int, body: Array[Byte]): Unit = {
+          ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+          ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+          if (body.nonEmpty) ex.getResponseBody.write(body)
+        }
+        try {
+          val decoded =
+            try {
+              if (!ex.getRequestMethod.equalsIgnoreCase("POST"))
+                throw new IllegalArgumentException("POST required")
+              val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+                .exists(_.trim.equalsIgnoreCase("gzip"))
+              val body = ex.getRequestBody.readNBytes(MaxWriteBodyBytes + 1)
+              if (body.length > MaxWriteBodyBytes)
+                throw new IllegalArgumentException(
+                  s"write body exceeds $MaxWriteBodyBytes bytes")
+              Right(Otlp.toRows(Otlp.decode(body, gz)))
+            } catch { case e: Throwable => Left(e) }
+          decoded match {
+            case Left(e) => proto(400, Otlp.encodeStatus(3, rootMsg(e))) // 3 = INVALID_ARGUMENT
+            case Right(tr) =>
+              try {
+                if (tr.rows.nonEmpty) sink(Otlp.toPoints(spark, tr))
+                ingressPointsTotal.add(tr.samples.toLong)
+                proto(200, Otlp.encodeResponse(
+                  tr.errors.length.toLong, tr.errors.mkString("; ")))
+              } catch { case e: Throwable =>
+                proto(500, Otlp.encodeStatus(13, rootMsg(e))) // 13 = INTERNAL
+              }
+          }
+        } finally ex.close()
+      })
     }
     rules.foreach { rm =>
       register("/api/v1/rules",

@@ -357,7 +357,7 @@ object RemoteRead {
 
   // ---- protobuf wire helpers --------------------------------------------
 
-  private final class Writer {
+  private[api] final class Writer {
     private val out = new java.io.ByteArrayOutputStream()
     def bytes: Array[Byte] = out.toByteArray
     def varint(v: Long): Unit = {
@@ -368,9 +368,15 @@ object RemoteRead {
     def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
     def int64(field: Int, v: Long): Unit =
       if (v != 0) { tag(field, 0); varint(v) } // proto3 default elision
-    def double(field: Int, v: Double): Unit = {
+    def double(field: Int, v: Double): Unit =
+      fixed64(field, java.lang.Double.doubleToRawLongBits(v))
+    def fixed64(field: Int, bits: Long): Unit = {
       tag(field, 1)
-      val bits = java.lang.Double.doubleToRawLongBits(v)
+      var i = 0
+      while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    /** Raw little-endian fixed64 payload bytes (for packed repeated). */
+    def rawFixed64(bits: Long): Unit = {
       var i = 0
       while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
     }
@@ -394,7 +400,7 @@ object RemoteRead {
       message(field) { w => w.double(1, value); w.int64(2, tMs) }
   }
 
-  private final class Reader(buf: Array[Byte], from: Int, to: Int) {
+  private[api] final class Reader(buf: Array[Byte], from: Int, to: Int) {
     private var pos = from
     def hasNext: Boolean = pos < to
     def varint(): Long = {
@@ -412,6 +418,7 @@ object RemoteRead {
       while (i < 8) { res |= (buf(pos) & 0xffL) << (8 * i); pos += 1; i += 1 }
       res
     }
+    def double(): Double = java.lang.Double.longBitsToDouble(fixed64())
     /** Returns (field, wire). */
     def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
     def lenDelimited(): (Int, Int) = {

@@ -77,6 +77,74 @@ object IngestQueries {
         col("t"), col("value"))
     }),
 
+    // §3 OTLP/HTTP ingest: an ExportMetricsServiceRequest built from the
+    // events table (one resource per event_type; gauge + monotonic sum +
+    // explicit-bounds histogram + summary per resource, plus a delta sum
+    // and an exponential histogram that MUST be rejected) goes through
+    // the real wire codec (encode → decode) and the Prometheus
+    // translation rules; the oracle reproduces every translated sample.
+    "q_otlp_points" -> ((s, dir) => {
+      val MS = 1000000L // ns per ms
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tMs = graft.model.Points.eventTsMillis(ev)
+      val rows = ev.where(col("user_id") < 8)
+        .select(col("event_type"), col("user_id"), tMs.as("t"), col("value"))
+        .orderBy(col("t"), col("user_id"), col("event_type"), col("value"))
+        .collect()
+      val req = rows.groupBy(_.getAs[String]("event_type")).toSeq.sortBy(_._1)
+        .map { case (et, rs) =>
+          def num(f: org.apache.spark.sql.Row => Double) = rs.toSeq.map { r =>
+            graft.api.Otlp.NumberPoint(
+              Seq("user.id" -> r.getAs[Long]("user_id").toString),
+              r.getAs[Long]("t") * MS, f(r))
+          }
+          val hist = rs.toSeq.map { r =>
+            val uid = r.getAs[Long]("user_id")
+            graft.api.Otlp.HistogramPoint(
+              Seq("user.id" -> uid.toString), r.getAs[Long]("t") * MS,
+              count = uid % 3 + uid % 5 + uid % 7,
+              sum = Some(r.getAs[Double]("value")),
+              bucketCounts = Seq(uid % 3, uid % 5, uid % 7),
+              bounds = Seq(0.5, 2.5))
+          }
+          val summ = rs.toSeq.map { r =>
+            val uid = r.getAs[Long]("user_id")
+            graft.api.Otlp.SummaryPoint(
+              Seq("user.id" -> uid.toString), r.getAs[Long]("t") * MS,
+              count = uid + 1, sum = r.getAs[Double]("value"),
+              quantiles = Seq((0.5, r.getAs[Double]("value")),
+                (0.99, r.getAs[Double]("value") * 3)))
+          }
+          graft.api.Otlp.ResourceMetrics(
+            Seq("service.name" -> et, "service.namespace" -> "prod",
+              "service.instance.id" -> "inst-0", "host.name" -> s"h-$et"),
+            Seq(
+              graft.api.Otlp.Metric("sys.cpu.load", "1",
+                graft.api.Otlp.Gauge(num(_.getAs[Double]("value")))),
+              graft.api.Otlp.Metric("http.requests", "",
+                graft.api.Otlp.Sum(num(_.getAs[Double]("value") * 2))),
+              graft.api.Otlp.Metric("rpc.latency", "s",
+                graft.api.Otlp.Histogram(hist)),
+              graft.api.Otlp.Metric("rpc.size", "By",
+                graft.api.Otlp.Summary(summ)),
+              graft.api.Otlp.Metric("dropped.metric", "",
+                graft.api.Otlp.Sum(num(_ => 1.0),
+                  graft.api.Otlp.TemporalityDelta)),
+              graft.api.Otlp.Metric("dropped.exp", "",
+                graft.api.Otlp.ExpHistogram)))
+        }
+      val tr = graft.api.Otlp.toRows(graft.api.Otlp.decode(graft.api.Otlp.encode(req)))
+      require(tr.errors.length == 2 * req.length, "expected per-resource rejections")
+      import s.implicits._
+      tr.rows.map(r => (r.name,
+          r.labels.getOrElse("job", null), r.labels.getOrElse("instance", null),
+          r.labels.get("user_id").orNull, r.labels.get("le").orNull,
+          r.labels.get("quantile").orNull, r.labels.get("host_name").orNull,
+          r.t, r.value))
+        .toDF("name", "job", "instance", "user", "le", "quantile",
+          "host_name", "t", "value")
+    }),
+
     "q_alert_for_state" -> ((s, dir) => {
       // cached across the 5 sequential ticks: a production rule manager
       // evaluates against the hot store, not a fresh scan per tick (each
@@ -123,6 +191,37 @@ object IngestQueries {
         |       event_type AS src, 'q"x' AS esc, 'target-a' AS instance,
         |       epoch_us(ts) // 1000 AS t, value
         |FROM events WHERE user_id < 5 AND user_id % 7 <> 0""".stripMargin,
+
+    "q_otlp_points" ->
+      """WITH base AS (
+        |  SELECT event_type AS et, user_id AS uid,
+        |         epoch_us(ts) // 1000 AS t, value
+        |  FROM events WHERE user_id < 8),
+        |out AS (
+        |  SELECT 'sys_cpu_load_ratio' AS name, et, uid,
+        |         NULL AS le, NULL AS quantile, NULL AS host_name, t, value AS v
+        |  FROM base
+        |  UNION ALL SELECT 'http_requests_total', et, uid, NULL, NULL, NULL, t, value * 2 FROM base
+        |  UNION ALL SELECT 'rpc_latency_seconds_sum', et, uid, NULL, NULL, NULL, t, value FROM base
+        |  UNION ALL SELECT 'rpc_latency_seconds_count', et, uid, NULL, NULL, NULL, t,
+        |            CAST(uid % 3 + uid % 5 + uid % 7 AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'rpc_latency_seconds_bucket', et, uid, '0.5', NULL, NULL, t,
+        |            CAST(uid % 3 AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'rpc_latency_seconds_bucket', et, uid, '2.5', NULL, NULL, t,
+        |            CAST(uid % 3 + uid % 5 AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'rpc_latency_seconds_bucket', et, uid, '+Inf', NULL, NULL, t,
+        |            CAST(uid % 3 + uid % 5 + uid % 7 AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'rpc_size_bytes_sum', et, uid, NULL, NULL, NULL, t, value FROM base
+        |  UNION ALL SELECT 'rpc_size_bytes_count', et, uid, NULL, NULL, NULL, t,
+        |            CAST(uid + 1 AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'rpc_size_bytes', et, uid, NULL, '0.5', NULL, t, value FROM base
+        |  UNION ALL SELECT 'rpc_size_bytes', et, uid, NULL, '0.99', NULL, t, value * 3 FROM base
+        |  UNION ALL SELECT 'target_info', et, NULL, NULL, NULL, 'h-' || et, max(t), 1.0
+        |            FROM base GROUP BY et)
+        |SELECT name, 'prod/' || et AS job, 'inst-0' AS instance,
+        |       CAST(uid AS VARCHAR) AS "user", le, quantile, host_name, t,
+        |       CAST(v AS DOUBLE) AS value
+        |FROM out""".stripMargin,
 
     "q_alert_for_state" -> {
       val lastTick = T0 + 14 * DAY
