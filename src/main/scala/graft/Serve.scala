@@ -90,6 +90,8 @@ object Serve {
       metadata = () => scrapeMeta.snapshot,
       adminStore = if (cfg.enableAdmin) Some(cfg.storeDir) else None,
       exemplars = () => scrapeExemplars.all,
+      // remote-written exemplars land in the same ring the scraper fills
+      exemplarSink = Some(scrapeExemplars.add),
       pointsProvider = Some(() =>
         PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)),
       // per-query day pruning: every query's read is bounded to the

@@ -116,7 +116,13 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * scrape loop's [[graft.sources.Scrape.ExemplarStore]]
                       * (Prometheus's own exemplar storage is the same
                       * in-memory ring; it never reaches TSDB). */
-                    exemplars: () => Seq[graft.sources.Scrape.Exemplar] = () => Nil) {
+                    exemplars: () => Seq[graft.sources.Scrape.Exemplar] = () => Nil,
+                    /** Sink for exemplars arriving WITH remote-write
+                      * payloads (RW 1.0/2.0 TimeSeries.exemplars) —
+                      * typically `exemplarStore.add` so query_exemplars
+                      * covers remote-written series, not just scraped
+                      * ones. */
+                    exemplarSink: Option[graft.sources.Scrape.Exemplar => Unit] = None) {
 
   /** The served relation for one request. */
   private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
@@ -335,16 +341,32 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                 throw new IllegalArgumentException(
                   s"write body exceeds $MaxWriteBodyBytes bytes")
               Right(
-                if (isV2) RemoteRead.decodeWriteRequestV2(body)
-                else RemoteRead.decodeWriteRequest(body))
+                if (isV2) RemoteRead.decodeWriteRequestV2Ex(body)
+                else RemoteRead.decodeWriteRequestEx(body))
             } catch { case e: Throwable => Left(e) }
           decoded match {
             case Left(e) => fail(400, e)
             case Right(series) =>
               try {
-                sink(RemoteRead.writeRequestToPoints(spark, series))
+                sink(RemoteRead.writeRequestToPoints(
+                  spark, series.map { case (l, s, _) => (l, s) }))
                 val n = series.map(_._2.length.toLong).sum
                 ingressPointsTotal.add(n)
+                // retain the payload's exemplars so query_exemplars
+                // covers remote-written series (same ring the scrape
+                // loop feeds)
+                var exemplarsWritten = 0L
+                exemplarSink.foreach { es =>
+                  series.foreach { case (labels, _, exs) =>
+                    val name = labels.getOrElse("__name__", "")
+                    val rest = labels - "__name__"
+                    exs.foreach { case (exLabels, v, t) =>
+                      es(graft.sources.Scrape.Exemplar(
+                        name, rest, exLabels.toMap, v, t))
+                      exemplarsWritten += 1
+                    }
+                  }
+                }
                 if (isV2) {
                   // 2.0 REQUIRES written-counts headers on success
                   ex.getResponseHeaders.set(
@@ -352,7 +374,8 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                   ex.getResponseHeaders.set(
                     "X-Prometheus-Remote-Write-Histograms-Written", "0")
                   ex.getResponseHeaders.set(
-                    "X-Prometheus-Remote-Write-Exemplars-Written", "0")
+                    "X-Prometheus-Remote-Write-Exemplars-Written",
+                    exemplarsWritten.toString)
                 }
                 ex.sendResponseHeaders(204, -1)
               } catch { case e: Throwable => fail(500, e) }

@@ -643,15 +643,28 @@ object RemoteRead {
     * listener (src/internal/metric-store/metric_store.go:441-508), whose
     * gob framing is private to its Go peers. */
   def decodeWriteRequest(body: Array[Byte])
-      : Seq[(Map[String, String], Seq[(Double, Long)])] = {
+      : Seq[(Map[String, String], Seq[(Double, Long)])] =
+    decodeWriteRequestEx(body).map { case (l, s, _) => (l, s) }
+
+  /** One remote-write exemplar on the wire: (exemplar labels, value,
+    * timestamp ms) — prompb.Exemplar (labels=1, value=2, timestamp=3). */
+  type WireExemplar = (Seq[(String, String)], Double, Long)
+
+  /** [[decodeWriteRequest]] keeping each series' exemplars — RW 1.0/2.0
+    * payloads carry them (prompb.TimeSeries.exemplars; Prometheus sends
+    * them when `send_exemplars` is on), and the receiver feeds
+    * /api/v1/query_exemplars' ring so remote-written series are not
+    * blind there. */
+  def decodeWriteRequestEx(body: Array[Byte])
+      : Seq[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])] = {
     val raw = boundedUncompress(body)
     val r = new Reader(raw, 0, raw.length)
-    val series = Seq.newBuilder[(Map[String, String], Seq[(Double, Long)])]
+    val series = Seq.newBuilder[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])]
     while (r.hasNext) {
       val (field, wire) = r.tag()
       if (field == 1 && wire == 2) {
         val (s, e) = r.lenDelimited()
-        series += decodeTimeSeries(raw, s, e)
+        series += decodeTimeSeriesEx(raw, s, e)
       } else r.skip(wire)
     }
     series.result()
@@ -660,14 +673,31 @@ object RemoteRead {
   /** Sending-side WriteRequest encoder (and the spec's request builder):
     * the engine can also PUSH to any remote-write endpoint. */
   def encodeWriteRequest(
-      series: Seq[(Seq[(String, String)], Seq[(Double, Long)])]): Array[Byte] = {
+      series: Seq[(Seq[(String, String)], Seq[(Double, Long)])]): Array[Byte] =
+    encodeWriteRequestEx(series.map { case (l, s) => (l, s, Nil) })
+
+  /** [[encodeWriteRequest]] carrying exemplars per series (prompb
+    * TimeSeries.exemplars = 3) — what Prometheus sends with
+    * `send_exemplars: true`. */
+  def encodeWriteRequestEx(
+      series: Seq[(Seq[(String, String)], Seq[(Double, Long)], Seq[WireExemplar])])
+      : Array[Byte] = {
     val w = new Writer
-    series.foreach { case (labels, samples) =>
+    series.foreach { case (labels, samples, exemplars) =>
       w.message(1) { ts =>
         labels.foreach { case (k, v) =>
           ts.message(1) { l => l.str(1, k); l.str(2, v) }
         }
         samples.foreach { case (v, t) => ts.sampleMsg(2, v, t) }
+        exemplars.foreach { case (exLabels, v, t) =>
+          ts.message(3) { e =>
+            exLabels.foreach { case (k, lv) =>
+              e.message(1) { l => l.str(1, k); l.str(2, lv) }
+            }
+            e.double(2, v)
+            e.int64(3, t)
+          }
+        }
       }
     }
     org.xerial.snappy.Snappy.compress(w.bytes)
@@ -685,7 +715,14 @@ object RemoteRead {
   /** Decode a snappy+protobuf v2 Request into (labels, samples) series —
     * the same shape the v1 decoder yields, so the sink path is shared. */
   def decodeWriteRequestV2(body: Array[Byte])
-      : Seq[(Map[String, String], Seq[(Double, Long)])] = {
+      : Seq[(Map[String, String], Seq[(Double, Long)])] =
+    decodeWriteRequestV2Ex(body).map { case (l, s, _) => (l, s) }
+
+  /** [[decodeWriteRequestV2]] keeping each series' exemplars (v2
+    * TimeSeries.exemplars = 4; exemplar labels are symbol refs like the
+    * series labels). */
+  def decodeWriteRequestV2Ex(body: Array[Byte])
+      : Seq[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])] = {
     val raw = boundedUncompress(body)
     val r = new Reader(raw, 0, raw.length)
     val symbols = Seq.newBuilder[String]
@@ -701,10 +738,15 @@ object RemoteRead {
     val sym = symbols.result().toIndexedSeq
     require(sym.nonEmpty && sym.head.isEmpty,
       "remote write 2.0: symbols[0] must be the empty string")
+    def refPairs(rs: Seq[Int], what: String): Seq[(String, String)] = {
+      require(rs.length % 2 == 0, s"remote write 2.0: odd $what count")
+      rs.grouped(2).map { case Seq(k, v) => sym(k) -> sym(v) }.toSeq
+    }
     tsSpans.result().map { case (s, e) =>
       val tr = new Reader(raw, s, e)
       val refs = Seq.newBuilder[Int]
       val samples = Seq.newBuilder[(Double, Long)]
+      val exemplars = Seq.newBuilder[WireExemplar]
       while (tr.hasNext) {
         val (f, w) = tr.tag()
         (f, w) match {
@@ -726,37 +768,73 @@ object RemoteRead {
               }
             }
             samples += ((v, t))
+          case (4, 2) => // v2 Exemplar { labels_refs=1 packed, value=2, timestamp=3 }
+            val (es, ee) = tr.lenDelimited()
+            val er = new Reader(raw, es, ee)
+            val exRefs = Seq.newBuilder[Int]
+            var v = 0.0; var t = 0L
+            while (er.hasNext) {
+              val (ef, ew) = er.tag()
+              (ef, ew) match {
+                case (1, 2) =>
+                  val (ps, pe) = er.lenDelimited()
+                  val pr = new Reader(raw, ps, pe)
+                  while (pr.hasNext) exRefs += pr.varint().toInt
+                case (1, 0) => exRefs += er.varint().toInt
+                case (2, 1) => v = java.lang.Double.longBitsToDouble(er.fixed64())
+                case (3, 0) => t = er.varint()
+                case _ => er.skip(ew)
+              }
+            }
+            exemplars += ((refPairs(exRefs.result(), "exemplar labels_refs"), v, t))
           case _ => tr.skip(w)
         }
       }
-      val rs = refs.result()
-      require(rs.length % 2 == 0, "remote write 2.0: odd labels_refs count")
-      val labels = rs.grouped(2).map { case Seq(k, v) => sym(k) -> sym(v) }.toMap
-      (labels, samples.result())
+      val labels = refPairs(refs.result(), "labels_refs").toMap
+      (labels, samples.result(), exemplars.result())
     }
   }
 
   /** Sending-side v2 encoder: builds the symbol table (deterministic
     * first-use order, symbols[0] = ""), packs label refs. */
   def encodeWriteRequestV2(
-      series: Seq[(Seq[(String, String)], Seq[(Double, Long)])]): Array[Byte] = {
+      series: Seq[(Seq[(String, String)], Seq[(Double, Long)])]): Array[Byte] =
+    encodeWriteRequestV2Ex(series.map { case (l, s) => (l, s, Nil) })
+
+  /** [[encodeWriteRequestV2]] carrying exemplars per series (exemplar
+    * labels interned in the same symbol table). */
+  def encodeWriteRequestV2Ex(
+      series: Seq[(Seq[(String, String)], Seq[(Double, Long)], Seq[WireExemplar])])
+      : Array[Byte] = {
     val index = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
     def ref(s: String): Int = index.getOrElseUpdate(s, index.size)
     // intern in order BEFORE writing (symbols field precedes timeseries
     // in our layout; proto decoders accept any field order)
-    val refd = series.map { case (labels, samples) =>
-      (labels.flatMap { case (k, v) => Seq(ref(k), ref(v)) }, samples)
+    val refd = series.map { case (labels, samples, exemplars) =>
+      (labels.flatMap { case (k, v) => Seq(ref(k), ref(v)) }, samples,
+        exemplars.map { case (exLabels, v, t) =>
+          (exLabels.flatMap { case (k, lv) => Seq(ref(k), ref(lv)) }, v, t)
+        })
     }
     val w = new Writer
     // Writer.str writes unconditionally (length-0 payload), so the
     // required empty symbols[0] lands on the wire
     index.keys.foreach(w.str(4, _))
-    refd.foreach { case (refs, samples) =>
+    refd.foreach { case (refs, samples, exemplars) =>
       w.message(5) { ts =>
         val pw = new Writer
         refs.foreach(r0 => pw.varint(r0.toLong))
         ts.bytesField(1, pw.bytes)
         samples.foreach { case (v, t) => ts.sampleMsg(2, v, t) }
+        exemplars.foreach { case (exRefs, v, t) =>
+          ts.message(4) { e =>
+            val epw = new Writer
+            exRefs.foreach(r0 => epw.varint(r0.toLong))
+            e.bytesField(1, epw.bytes)
+            e.double(2, v)
+            e.int64(3, t)
+          }
+        }
       }
     }
     org.xerial.snappy.Snappy.compress(w.bytes)
@@ -810,9 +888,16 @@ object RemoteRead {
 
   private def decodeTimeSeries(buf: Array[Byte], from: Int, to: Int)
       : (Map[String, String], Seq[(Double, Long)]) = {
+    val (l, s, _) = decodeTimeSeriesEx(buf, from, to)
+    (l, s)
+  }
+
+  private def decodeTimeSeriesEx(buf: Array[Byte], from: Int, to: Int)
+      : (Map[String, String], Seq[(Double, Long)], Seq[WireExemplar]) = {
     val r = new Reader(buf, from, to)
     val labels = Map.newBuilder[String, String]
     val samples = Seq.newBuilder[(Double, Long)]
+    val exemplars = Seq.newBuilder[WireExemplar]
     while (r.hasNext) {
       val (field, wire) = r.tag()
       (field, wire) match {
@@ -844,9 +929,37 @@ object RemoteRead {
             }
           }
           samples += ((value, t))
+        case (3, 2) => // prompb.Exemplar { labels=1, value=2, timestamp=3 }
+          val (s, e) = r.lenDelimited()
+          val er = new Reader(buf, s, e)
+          val exLabels = Seq.newBuilder[(String, String)]
+          var value = 0.0
+          var t = 0L
+          while (er.hasNext) {
+            val (f2, w2) = er.tag()
+            (f2, w2) match {
+              case (1, 2) =>
+                val (ls, le) = er.lenDelimited()
+                val lr = new Reader(buf, ls, le)
+                var k = ""; var v = ""
+                while (lr.hasNext) {
+                  val (f3, w3) = lr.tag()
+                  (f3, w3) match {
+                    case (1, 2) => k = lr.str()
+                    case (2, 2) => v = lr.str()
+                    case _ => lr.skip(w3)
+                  }
+                }
+                exLabels += (k -> v)
+              case (2, 1) => value = java.lang.Double.longBitsToDouble(er.fixed64())
+              case (3, 0) => t = er.varint()
+              case _ => er.skip(w2)
+            }
+          }
+          exemplars += ((exLabels.result(), value, t))
         case _ => r.skip(wire)
       }
     }
-    (labels.result(), samples.result())
+    (labels.result(), samples.result(), exemplars.result())
   }
 }

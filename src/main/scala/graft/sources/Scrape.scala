@@ -149,18 +149,21 @@ object Scrape extends Serializable {
   final class ExemplarStore(perSeries: Int = 10, maxSeries: Int = 100000) {
     private val m = new java.util.concurrent.ConcurrentHashMap[
       (String, Map[String, String]), java.util.ArrayDeque[Exemplar]]()
+    /** Direct insert — the remote-write receiver's path (its exemplars
+      * arrive decoded, not as exposition text). */
+    def add(e: Exemplar): Unit = {
+      val key = (e.name, e.seriesLabels)
+      val ring =
+        if (m.size >= maxSeries) m.get(key) // at cap: existing series only
+        else m.computeIfAbsent(key, _ => new java.util.ArrayDeque[Exemplar]())
+      if (ring != null) ring.synchronized {
+        ring.addLast(e)
+        while (ring.size > perSeries) ring.removeFirst()
+      }
+    }
     def record(body: String, defaultTsMs: Long = System.currentTimeMillis(),
                openMetrics: Boolean = true): Unit =
-      parseExemplars(body, defaultTsMs, openMetrics).foreach { e =>
-        val key = (e.name, e.seriesLabels)
-        val ring =
-          if (m.size >= maxSeries) m.get(key) // at cap: existing series only
-          else m.computeIfAbsent(key, _ => new java.util.ArrayDeque[Exemplar]())
-        if (ring != null) ring.synchronized {
-          ring.addLast(e)
-          while (ring.size > perSeries) ring.removeFirst()
-        }
-      }
+      parseExemplars(body, defaultTsMs, openMetrics).foreach(add)
     def recording(fetch: String => String): String => String =
       target => { val body = fetch(target); record(body); body }
     def all: Seq[Exemplar] = {

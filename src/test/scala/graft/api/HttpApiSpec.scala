@@ -222,6 +222,54 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote write exemplars are retained and served by query_exemplars (1.0 + 2.0)") {
+    val store = new graft.sources.Scrape.ExemplarStore()
+    val api = new HttpApi(spark, points,
+      writeSink = Some(_ => ()),
+      exemplars = () => store.all,
+      exemplarSink = Some(store.add))
+    val port = api.start(0)
+    try {
+      val client = HttpClient.newHttpClient()
+      // RW 1.0 with one exemplar on the first series
+      val body1 = RemoteRead.encodeWriteRequestEx(Seq(
+        (Seq("__name__" -> "rw_total", "job" -> "pusher"),
+          Seq((4.0, 60000L)),
+          Seq((Seq("trace_id" -> "t-100"), 0.25, 60000L))),
+        (Seq("__name__" -> "rw_total", "job" -> "other"),
+          Seq((1.0, 60000L)), Nil)))
+      val r1 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body1)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r1.statusCode() == 204)
+      // RW 2.0: exemplar labels ride the symbol table; written-count header
+      val body2 = RemoteRead.encodeWriteRequestV2Ex(Seq(
+        (Seq("__name__" -> "rw_total", "job" -> "pusher"),
+          Seq((6.0, 120000L)),
+          Seq((Seq("trace_id" -> "t-200"), 0.5, 120000L),
+            (Seq("trace_id" -> "t-201"), 0.75, 121000L)))))
+      val r2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+          .header("Content-Type", RemoteRead.WriteV2ContentType)
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body2)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r2.statusCode() == 204)
+      assert(r2.headers().firstValue(
+        "X-Prometheus-Remote-Write-Exemplars-Written").orElse("") == "2")
+      // wire round-trip sanity: the v2 decode recovers the exemplars
+      val dec2 = RemoteRead.decodeWriteRequestV2Ex(body2)
+      assert(dec2.head._3 == Seq(
+        (Seq("trace_id" -> "t-200"), 0.5, 120000L),
+        (Seq("trace_id" -> "t-201"), 0.75, 121000L)))
+      // all three exemplars now answer on query_exemplars for the series
+      val ans = get(port,
+        "/api/v1/query_exemplars?query=rw_total%7Bjob%3D%22pusher%22%7D&start=0&end=200")
+      assert(ans.contains("t-100") && ans.contains("t-200") && ans.contains("t-201"))
+      assert(!ans.contains("other"))
+    } finally api.stop()
+  }
+
   test("remote write: a sink failure is 500 (retryable), not 400 (dropped)") {
     // per the remote-write spec senders DROP a batch on 4xx and retry on
     // 5xx — a transient store failure answered 400 would silently lose
