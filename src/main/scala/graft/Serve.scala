@@ -78,6 +78,10 @@ object Serve {
       s"[serve] crashed while executing: ${q.description} (started ${q.startedMs})"))
     val scrapeMeta = new graft.sources.Scrape.MetadataStore
     val scrapeExemplars = new graft.sources.Scrape.ExemplarStore()
+    // per-target metadata retention for /api/v1/targets/metadata — the
+    // global MetadataStore can't say WHICH target exposed a metric
+    val targetMeta = new java.util.concurrent.ConcurrentHashMap[
+      String, graft.sources.Scrape.MetadataStore]()
     val api = new HttpApi(spark,
       points = PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue),
       lookbackMs = cfg.lookbackMs,
@@ -97,7 +101,33 @@ object Serve {
       // per-query day pruning: every query's read is bounded to the
       // union of its selector windows, so a year-deep store serves a
       // one-hour dashboard query from the touched day(s) only
-      pointsRange = Some((lo, hi) => PointsStore.read(spark, cfg.storeDir, lo, hi)))
+      pointsRange = Some((lo, hi) => PointsStore.read(spark, cfg.storeDir, lo, hi)),
+      // the honest status surface: the reference answers these routes
+      // with empty config / null retrievers (prom_api.go wires
+      // config.Config{} and nullTargetRetriever); here they serve the
+      // server's REAL state
+      configYaml = () => renderConfigYaml(cfg),
+      flags = Map(
+        "store" -> cfg.storeDir,
+        "port" -> cfg.port.toString,
+        "lookback-ms" -> cfg.lookbackMs.toString,
+        "retention-ms" -> cfg.retentionMs.map(_.toString).getOrElse(""),
+        "maintenance-ms" -> cfg.maintenanceMs.toString,
+        "scrape-targets" -> cfg.scrapeTargets.mkString(","),
+        "scrape-interval-ms" -> cfg.scrapeIntervalMs.toString,
+        "enable-admin" -> cfg.enableAdmin.toString,
+        "tls" -> cfg.tls.isDefined.toString,
+        "bearer-auth" -> cfg.bearerToken.isDefined.toString),
+      targetMetadata = () => {
+        import scala.jdk.CollectionConverters._
+        targetMeta.asScala.toSeq.sortBy(_._1).flatMap { case (target, store) =>
+          store.snapshot.toSeq.sortBy(_._1).map { case (metric, (typ, help, unit)) =>
+            HttpApi.TargetMetadata(
+              Map("instance" -> target, "job" -> "serve"),
+              metric, typ, help, unit)
+          }
+        }
+      })
     // self-telemetry gauges over the served store, scraped at /metrics
     // (reference registrar names: metrics.go MetricStoreStorageDays /
     // SeriesCount / MeasurementsCount). storage_days is a directory
@@ -142,8 +172,14 @@ object Serve {
     // /metrics, retain metadata, append the samples to the served store.
     // A failing target skips a tick, never kills the loop.
     if (cfg.scrapeTargets.nonEmpty) {
-      val fetch = scrapeExemplars.recording(
+      val fetch0 = scrapeExemplars.recording(
         scrapeMeta.recording(graft.sources.Scrape.httpFetch()))
+      val fetch = (target: String) => {
+        val body = fetch0(target)
+        targetMeta.computeIfAbsent(target,
+          _ => new graft.sources.Scrape.MetadataStore).record(body)
+        body
+      }
       sched.scheduleWithFixedDelay(() => {
         try {
           val pts = graft.sources.Scrape.scrapeTargets(
@@ -156,6 +192,33 @@ object Serve {
         java.util.concurrent.TimeUnit.MILLISECONDS)
     }
     Handle(api, boundPort, sched)
+  }
+
+  /** The live config as Prometheus-style YAML for /api/v1/status/config
+    * — scrape settings in the standard scrape_configs shape, the
+    * engine's own knobs under a clearly-named vendor section (YAML a
+    * Prometheus operator reads at a glance, honest about what this
+    * server actually runs). */
+  private[graft] def renderConfigYaml(cfg: Config): String = {
+    def dur(ms: Long): String = if (ms % 1000 == 0) s"${ms / 1000}s" else s"${ms}ms"
+    val sb = new StringBuilder
+    sb ++= "global:\n"
+    sb ++= s"  scrape_interval: ${dur(cfg.scrapeIntervalMs)}\n"
+    sb ++= s"  query_lookback_delta: ${dur(cfg.lookbackMs)}\n"
+    if (cfg.scrapeTargets.nonEmpty) {
+      sb ++= "scrape_configs:\n"
+      sb ++= "  - job_name: serve\n"
+      sb ++= "    static_configs:\n"
+      sb ++= "      - targets:\n"
+      cfg.scrapeTargets.foreach(t => sb ++= s"          - ${t}\n")
+    } else sb ++= "scrape_configs: []\n"
+    sb ++= "storage:\n"
+    sb ++= s"  store_dir: ${cfg.storeDir}\n"
+    cfg.retentionMs.foreach(r => sb ++= s"  retention: ${dur(r)}\n")
+    sb ++= s"  maintenance_interval: ${dur(cfg.maintenanceMs)}\n"
+    sb ++= s"web:\n  port: ${cfg.port}\n"
+    sb ++= s"  enable_admin_api: ${cfg.enableAdmin}\n"
+    sb.result()
   }
 
   private def parse(args: Array[String]): Config = {

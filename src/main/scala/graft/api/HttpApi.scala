@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
 import graft.engine.Engine
 
 object HttpApi {
+  /** One /api/v1/targets/metadata entry: the target's labelset plus one
+    * retained metric's metadata (vendored api.go's metricMetadata). */
+  final case class TargetMetadata(target: Map[String, String], metric: String,
+                                  mtype: String, help: String, unit: String)
+
   /** Transport security for the served API (reference: the engine's own
     * listeners are mutual-TLS — metric_store.go:318-411 builds the egress
     * server from a CA + server pair and requires client certs; ingest
@@ -122,7 +127,21 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * typically `exemplarStore.add` so query_exemplars
                       * covers remote-written series, not just scraped
                       * ones. */
-                    exemplarSink: Option[graft.sources.Scrape.Exemplar => Unit] = None) {
+                    exemplarSink: Option[graft.sources.Scrape.Exemplar => Unit] = None,
+                    /** Live server configuration rendered as Prometheus-
+                      * style YAML for /api/v1/status/config. The vendored
+                      * API serves the reference an EMPTY config
+                      * (prom_api.go wires `config.Config{}`); a wired
+                      * provider answers with real state. */
+                    configYaml: () => String = () => "",
+                    /** Startup flags for /api/v1/status/flags (the
+                      * vendored api.go serves its flagsMap verbatim). */
+                    flags: Map[String, String] = Map.empty,
+                    /** Per-target metric metadata for
+                      * /api/v1/targets/metadata — what the in-process
+                      * scrape loop retained per target from # HELP/TYPE/
+                      * UNIT lines. */
+                    targetMetadata: () => Seq[HttpApi.TargetMetadata] = () => Nil) {
 
   /** The served relation for one request. */
   private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
@@ -445,6 +464,70 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       s"""{"status":"success","data":{"startTime":"${java.time.Instant.ofEpochMilli(startedMs)}",""" +
         s""""CWD":"","reloadConfigSuccess":true,"lastConfigTime":"${java.time.Instant.ofEpochMilli(startedMs)}",""" +
         """"corruptionCount":0,"goroutineCount":0,"GOMAXPROCS":0,"GOGC":"","GODEBUG":"","storageRetention":""}}"""))
+    // GET /api/v1/status/config — the live configuration as YAML
+    // (vendored api.go:385 serveConfig). The reference answers with an
+    // EMPTY config.Config{}; a wired provider answers with the server's
+    // real state.
+    register("/api/v1/status/config", (ex: HttpExchange) => handle(ex)(_ =>
+      s"""{"status":"success","data":{"yaml":${Json.str(configYaml())}}}"""))
+    // GET /api/v1/status/flags — startup flags verbatim (api.go:388).
+    register("/api/v1/status/flags", (ex: HttpExchange) => handle(ex) { _ =>
+      val entries = flags.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
+      s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
+    })
+    // GET /api/v1/scrape_pools — the configured pool names (api.go:379;
+    // the reference's nullTargetRetriever would answer nothing).
+    register("/api/v1/scrape_pools", (ex: HttpExchange) => handle(ex) { _ =>
+      val pools = scrapeTargets().map(_._1).distinct.sorted
+        .map(Json.str).mkString("[", ",", "]")
+      s"""{"status":"success","data":{"scrapePools":$pools}}"""
+    })
+    // GET /api/v1/targets/metadata?metric=&match_target=&limit= — per-
+    // target metric metadata from the in-process scrape loop
+    // (api.go:381 targetMetadata; metric narrows to one metric and is
+    // then omitted from entries, match_target filters on the TARGET's
+    // labelset, limit caps the result list).
+    register("/api/v1/targets/metadata", (ex: HttpExchange) => handle(ex) { e =>
+      val p = params(e)
+      val limit = p.get("limit").map(_.toInt).getOrElse(-1)
+      val metricQ = p.get("metric").filter(_.nonEmpty)
+      val sel = p.get("match_target").filter(_.nonEmpty).map { mt =>
+        graft.promql.Parser.parse(mt) match {
+          case v: graft.promql.VectorSelector => v
+          case _ => throw new IllegalArgumentException(
+            "match_target must be a series selector")
+        }
+      }
+      def anchored(v: String, re: String): Boolean =
+        java.util.regex.Pattern.matches("(?s)(?:" + re + ")", v)
+      def targetOk(labels: Map[String, String]): Boolean = sel.forall { vs =>
+        vs.name.forall(n => labels.get("__name__").contains(n)) &&
+          vs.matchers.forall { m =>
+            val v = labels.getOrElse(m.name, "")
+            m.op match {
+              case graft.promql.MatchOp.Eq => v == m.value
+              case graft.promql.MatchOp.NotEq => v != m.value
+              case graft.promql.MatchOp.Re => anchored(v, m.value)
+              case graft.promql.MatchOp.NotRe => !anchored(v, m.value)
+            }
+          }
+      }
+      var res = targetMetadata()
+        .filter(tm => targetOk(tm.target))
+        .filter(tm => metricQ.forall(_ == tm.metric))
+      if (limit >= 0) res = res.take(limit)
+      val items = res.map { tm =>
+        val target = tm.target.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
+          .mkString("{", ",", "}")
+        val metricField =
+          if (metricQ.isDefined) "" else s""""metric":${Json.str(tm.metric)},"""
+        s"""{"target":$target,$metricField"type":${Json.str(tm.mtype)},""" +
+          s""""help":${Json.str(tm.help)},"unit":${Json.str(tm.unit)}}"""
+      }
+      s"""{"status":"success","data":${items.mkString("[", ",", "]")}}"""
+    })
     // GET /api/v1/metadata — per-metric type/help, shaped like the
     // vendored API's target-metadata aggregation: one entry list per
     // metric name. Populated from the scrape loop's retained HELP/TYPE

@@ -158,6 +158,36 @@ class ServeSpec extends AnyFunSuite {
         assert(s.contains("totalQueryableSamples"), s)
         val plain = get(b.port, "/api/v1/query?query=boot&time=1")
         assert(!plain.contains("\"stats\""))
+        // ---- the honest status surface (the reference serves these
+        // routes from empty config / null retrievers) ----
+        // /status/config: the server's REAL config as YAML
+        val cfgAns = get(b.port, "/api/v1/status/config")
+        assert(cfgAns.contains("\"yaml\""))
+        assert(cfgAns.contains("job_name: serve"))
+        assert(cfgAns.contains(s"127.0.0.1:${a.port}"))
+        // /status/flags: the startup flags verbatim
+        val flagsAns = get(b.port, "/api/v1/status/flags")
+        assert(flagsAns.contains("\"enable-admin\":\"false\""))
+        assert(flagsAns.contains("\"scrape-interval-ms\":\"250\""))
+        // /scrape_pools: the configured pool names
+        assert(get(b.port, "/api/v1/scrape_pools")
+          .contains("\"scrapePools\":[\"serve\"]"))
+        // /targets/metadata: per-target metric metadata retained by the
+        // in-process scrape loop
+        val tmd = get(b.port, "/api/v1/targets/metadata")
+        assert(tmd.contains("\"metric\":\"graft_queries_total\""), tmd)
+        assert(tmd.contains(s""""instance":"127.0.0.1:${a.port}""""), tmd)
+        // metric= narrows and omits the metric field per the vendored shape
+        val tmd1 = get(b.port,
+          "/api/v1/targets/metadata?metric=graft_queries_total")
+        assert(tmd1.contains("\"type\":\"counter\"") && !tmd1.contains("\"metric\":"), tmd1)
+        // match_target filters on the TARGET labelset
+        assert(get(b.port,
+          "/api/v1/targets/metadata?match_target=%7Binstance%3D%22nope%22%7D")
+          .contains("\"data\":[]"))
+        // limit caps the list
+        val lim = get(b.port, "/api/v1/targets/metadata?limit=1")
+        assert(lim.split("\"metric\":").length == 2, lim)
       } finally b.stop()
     } finally { a.stop(); graft.engine.Guards.disableQueryLog() }
   }
