@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Persisted signature index for INCREMENTAL deduplication — the state a
+  * continuously-fed 100 TB pipeline dedups each arriving batch against:
+  * one row per (kept document, LSH bucket), `doc_id LONG, bv LONG`.
+  *
+  * Visibility follows the engine's manifest discipline
+  * ([[graft.sources.PointsStore]]'s rule: a file is live only when a
+  * manifest names it), specialized to the index's append-only life:
+  * every append writes its rows to a fresh `batch-<name>/` directory and
+  * then publishes a tiny `_live.<ts>.<name>` marker naming it. Readers
+  * union exactly the marker-named directories, so
+  *
+  *  - a crashed append (directory written, marker not) is INVISIBLE —
+  *    no torn reads, the orphan is swept by the next [[compact]];
+  *  - concurrent appends never conflict — each publishes its own marker,
+  *    there is no shared manifest to CAS (append-only means the live set
+  *    only ever unions, so per-append delta markers replace the
+  *    read-modify-write manifest a rewriting store needs);
+  *  - a marker is one atomic create, so any reader sees a batch's rows
+  *    all-or-nothing.
+  *
+  * [[compact]] folds the live directories into one (bounding file count
+  * for a long-running stream) and is the only REWRITE: it publishes the
+  * folded directory's marker before retiring the old ones, so a
+  * concurrent reader sees at worst DUPLICATE signature rows — harmless
+  * by construction, every consumer here treats the index as a set.
+  *
+  * Streaming idempotence: [[marker]] embeds the caller's batch name, so
+  * a replayed `foreachBatch` can detect its own prior append (the
+  * `_live.<ts>.b<batchId>` file) and skip the double write — see
+  * [[Dedup.incrementalOnce]].
+  *
+  * Files carry a parquet bloom filter on `bv`: a batch probes the index
+  * with an `In(bv)` scan ([[Dedup.incremental]]), and the bloom skips
+  * every row group holding none of the probed buckets — the same
+  * footer-level pruning the points store uses for lone-series reads.
+  */
+object SigIndex {
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("bv", LongType)))
+
+  private val MarkerPrefix = "_live."
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Parquet bloom on the bucket value — sized like the store's adaptive
+    * blooms: small micro-batch files get small bitsets, compacted row
+    * groups the real thing. */
+  private val bloomWriteOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#bv" -> "true",
+    "parquet.bloom.filter.adaptive.enabled" -> "true",
+    "parquet.bloom.filter.expected.ndv#bv" -> "262144")
+
+  /** Append `sigs` (doc_id, bv) under batch name `name` (any unique
+    * token; a streaming caller passes `b<batchId>` for replay
+    * detection). Returns false when a marker for `name` already exists —
+    * the batch already landed, nothing is written. */
+  def append(sigs: DataFrame, dir: String, name: String): Boolean = {
+    val spark = sigs.sparkSession
+    val f = fs(spark, dir)
+    if (markerOf(spark, dir, name).isDefined) return false
+    val out = new org.apache.hadoop.fs.Path(dir, s"batch-$name")
+    sigs.select("doc_id", "bv")
+      .write.options(bloomWriteOptions).mode("overwrite").parquet(out.toString)
+    publish(f, dir, name)
+    true
+  }
+
+  private def publish(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                      name: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir,
+      s"$MarkerPrefix${System.currentTimeMillis()}.$name")
+    f.create(marker, false).close()
+  }
+
+  /** Live batch names, via the markers. */
+  def liveNames(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .flatMap { n =>
+        val rest = n.drop(MarkerPrefix.length)
+        val dot = rest.indexOf('.')
+        if (dot < 0) None else Some(rest.substring(dot + 1))
+      }
+      .distinct
+  }
+
+  /** The marker file for batch `name`, when one exists. */
+  private def markerOf(spark: SparkSession, dir: String,
+                       name: String): Option[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(root)) return None
+    f.listStatus(root).toSeq.map(_.getPath)
+      .find { p =>
+        val n = p.getName
+        n.startsWith(MarkerPrefix) && {
+          val rest = n.drop(MarkerPrefix.length)
+          val dot = rest.indexOf('.')
+          dot >= 0 && rest.substring(dot + 1) == name
+        }
+      }
+  }
+
+  /** Whether batch `name` has already landed (its marker exists). */
+  def contains(spark: SparkSession, dir: String, name: String): Boolean =
+    markerOf(spark, dir, name).isDefined
+
+  /** The live index relation — the union of marker-named directories;
+    * empty (with schema) when nothing has landed. `exclude` drops named
+    * batches from the view (a replayed streaming batch reads the index
+    * as it stood BEFORE its own first append). */
+  def read(spark: SparkSession, dir: String,
+           exclude: Set[String] = Set.empty): DataFrame = {
+    val names = liveNames(spark, dir).filterNot(exclude)
+    if (names.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(names.map(n => s"$dir/batch-$n"): _*)
+  }
+
+  /** Fold every live directory into one and retire the originals. The
+    * folded marker publishes FIRST, so a concurrent reader sees at worst
+    * duplicated rows (set semantics downstream make that harmless), never
+    * a gap; orphaned directories from crashed appends are swept too. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val before = liveNames(spark, dir)
+    if (before.length <= 1) return
+    val name = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    read(spark, dir).distinct()
+      .write.options(bloomWriteOptions).mode("overwrite")
+      .parquet(s"$dir/batch-$name")
+    publish(f, dir, name)
+    // retire: markers first (readers stop listing the old dirs), then data
+    val root = new org.apache.hadoop.fs.Path(dir)
+    f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      val isOldMarker = n.startsWith(MarkerPrefix) && {
+        val rest = n.drop(MarkerPrefix.length)
+        val dot = rest.indexOf('.')
+        dot >= 0 && before.contains(rest.substring(dot + 1))
+      }
+      if (isOldMarker) f.delete(p, false)
+    }
+    val live = liveNames(spark, dir).toSet
+    f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("batch-") && !live.contains(n.drop("batch-".length)))
+        f.delete(p, true)
+    }
+  }
+}

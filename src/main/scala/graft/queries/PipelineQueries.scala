@@ -26,6 +26,21 @@ object PipelineQueries {
     "q_dedup_emb_cos" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), 0.4, col("vec_id") < 200)),
     "q_dedup_spans" -> ((s, dir) => Dedup.dupSpans(docs(s, dir), 8)),
+    // incremental dedup: three arriving batches (doc_id % 3, in order)
+    // against the persisted signature index — each batch drops exact and
+    // band-bucket near duplicates of everything ALREADY KEPT plus
+    // within-batch keep-one; survivors' signatures extend the index. The
+    // oracle replays the whole history with md5-string buckets (equality-
+    // isomorphic to the engine's xxhash64 bucket longs).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+      (0 until 3).map { b =>
+        val batch = d.where(pmod(col("doc_id"), lit(3)) === b)
+        Dedup.incremental(batch, idxDir, name = s"g$b")
+          .select(lit(b).as("batch"), col("doc_id"))
+      }.reduce(_ unionByName _)
+    }),
     "q_dedup_cluster" -> ((s, dir) =>
       Dedup.components(Dedup.ngramJaccard(docs(s, dir), 0.9, col("doc_id") < 500)
         .select(col("doc_a"), col("doc_b")))),
@@ -902,6 +917,44 @@ object PipelineQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM capped a JOIN capped b
          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_incremental" -> {
+      // buckets: 4 LSH bands (concatenated sig hex) + the exact-content
+      // band -1; batches replay in order through chained CTEs
+      val bktSql = (0 until 4).map { b =>
+        val parts = (0 until 4).map(r => s"sig${4 * b + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, $parts AS bv FROM sig"
+      }.mkString("\n  UNION ALL ") +
+        "\n  UNION ALL SELECT doc_id, -1 AS band, md5(text) AS bv FROM d"
+      def step(i: Int, idx: Option[String]): String = {
+        val hit = idx.map(ix =>
+          s"max(CASE WHEN $ix.bv IS NOT NULL THEN 1 ELSE 0 END)").getOrElse("0")
+        val ijoin = idx.map(ix =>
+          s"\n  LEFT JOIN $ix ON $ix.band = b$i.band AND $ix.bv = b$i.bv").getOrElse("")
+        s"""b$i AS (SELECT bkt.* FROM bkt JOIN d USING (doc_id) WHERE d.bat = $i),
+           |m$i AS (SELECT band, bv, min(doc_id) AS mn FROM b$i GROUP BY 1, 2),
+           |x$i AS (
+           |  SELECT b$i.doc_id, $hit AS hit,
+           |         max(CASE WHEN b$i.doc_id > m$i.mn THEN 1 ELSE 0 END) AS nmin
+           |  FROM b$i$ijoin
+           |  JOIN m$i ON m$i.band = b$i.band AND m$i.bv = b$i.bv
+           |  GROUP BY 1),
+           |s$i AS (SELECT doc_id FROM x$i WHERE hit = 0 AND nmin = 0)""".stripMargin
+      }
+      s"""WITH d AS (SELECT doc_id, text, doc_id % 3 AS bat FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+         |sig AS (SELECT doc_id, $minhashSigsSql FROM tok GROUP BY doc_id),
+         |bkt AS ($bktSql),
+         |${step(0, None)},
+         |i1 AS (SELECT DISTINCT band, bv FROM bkt JOIN s0 USING (doc_id)),
+         |${step(1, Some("i1"))},
+         |i2 AS (SELECT band, bv FROM i1
+         |       UNION SELECT band, bv FROM bkt JOIN s1 USING (doc_id)),
+         |${step(2, Some("i2"))}
+         |SELECT 0 AS batch, doc_id FROM s0
+         |UNION ALL SELECT 1 AS batch, doc_id FROM s1
+         |UNION ALL SELECT 2 AS batch, doc_id FROM s2""".stripMargin
+    },
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 65535)) AS tok FROM documents),

@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental dedup against the persisted signature index: the
+  * continuous-ingest production shape — every arriving batch dedups
+  * against everything already kept, survivors extend the index. */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** The survivor rule, simulated independently in plain Scala over the
+    * engine's own signatures: survive iff no bucket is in the index and
+    * the doc is the min id of every one of its batch buckets; survivors'
+    * buckets extend the index. */
+  private def simulate(batches: Seq[Seq[(Long, String)]]): Seq[Set[Long]] = {
+    var index = Set.empty[Long]
+    batches.map { rows =>
+      val sigs = Dedup.indexSignatures(df(rows)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val minPerBv = sigs.groupBy(_._2).map { case (bv, xs) => bv -> xs.map(_._1).min }
+      val survivors = rows.map(_._1).filter { id =>
+        val mine = sigs.filter(_._1 == id).map(_._2)
+        mine.forall(bv => !index.contains(bv) && minPerBv(bv) == id)
+      }.toSet
+      index ++= sigs.filter(x => survivors(x._1)).map(_._2)
+      survivors
+    }
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen " +
+      "researchers carefully measure every possible outcome of the grand experiment"
+
+  test("crafted batches: exact and near duplicates drop against the index; within-batch keep-one") {
+    val dir = Files.createTempDirectory("sigidx").toString
+    val b0 = Seq(
+      1L -> base,
+      2L -> base, // exact dup of 1 within the batch -> dropped (keep-one)
+      3L -> "an entirely different document about astrophysics where jam sessions of binary pulsars ring through the observatory halls every autumn night")
+    val b1 = Seq(
+      10L -> base, // exact dup of kept doc 1 -> index hit via band -1
+      11L -> base.replace("seventeen", "eighteen"), // near dup of 1
+      12L -> "completely unrelated text about volcanic basalt columns and the slow erosion of coastal cliffs under winter storms")
+    val expect = simulate(Seq(b0, b1))
+    val s0 = Dedup.incremental(df(b0), dir, name = "n0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s0 == expect(0))
+    assert(s0.contains(1L) && !s0.contains(2L) && s0.contains(3L))
+    val s1 = Dedup.incremental(df(b1), dir, name = "n1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == expect(1))
+    assert(!s1.contains(10L), "exact dup of an indexed doc must drop")
+    assert(!s1.contains(11L), "near dup of an indexed doc must drop (shares >=1 band)")
+    assert(s1.contains(12L))
+  }
+
+  test("corpus batches: engine matches the independently simulated rule, any batch split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batches = docs.grouped(40).toSeq
+    val expect = simulate(batches)
+    val dir = Files.createTempDirectory("sigidx_corpus").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val got = Dedup.incremental(df(b), dir, name = s"c$i")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect(i), s"batch $i diverged from the simulated rule")
+    }
+  }
+
+  test("streaming foreachBatch soak equals batch-sequential over the same splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).limit(150)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val splits = docs.grouped(30).toSeq // 5 micro-batches
+    // batch-sequential ground truth on its own index
+    val dirBatch = Files.createTempDirectory("sigidx_b").toString
+    val wantPerBatch = splits.zipWithIndex.map { case (b, i) =>
+      Dedup.incremental(df(b), dirBatch, name = s"s$i")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // streaming run through foreachBatch on a fresh index
+    val dirStream = Files.createTempDirectory("sigidx_s").toString
+    val survived = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch(Dedup.incrementalSink(dirStream, out =>
+        survived.synchronized {
+          survived ++= out.select("doc_id").collect().map(_.getLong(0))
+        }))
+      .start()
+    try {
+      splits.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(survived.toSet == wantPerBatch.reduce(_ ++ _))
+    // the two indexes hold the same signature set
+    val ib = SigIndex.read(spark, dirBatch).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val is = SigIndex.read(spark, dirStream).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ib == is)
+  }
+
+  test("replayed batch id recomputes the same survivors and does not double-append") {
+    val dir = Files.createTempDirectory("sigidx_replay").toString
+    val b0 = Seq(1L -> base, 2L -> (base + " with a divergent coda"))
+    val first = Dedup.incrementalOnce(df(b0), dir, batchId = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val live0 = SigIndex.liveNames(spark, dir).toSet
+    // at-least-once replay of the SAME batch: same survivors, no new files
+    val replay = Dedup.incrementalOnce(df(b0), dir, batchId = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay == first)
+    assert(SigIndex.liveNames(spark, dir).toSet == live0)
+    // without replay awareness the rerun would find its own sigs in the
+    // index and drop EVERYTHING — prove the guard is load-bearing
+    val naive = Dedup.incremental(df(b0), dir, name = "different")
+      .select("doc_id").collect()
+    assert(naive.isEmpty)
+  }
+
+  test("SigIndex: unpublished directories are invisible; compact folds the live set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sigidx_mvcc").toString
+    assert(SigIndex.read(spark, dir).count() == 0) // empty view with schema
+    SigIndex.append(Seq((1L, 100L), (2L, 200L)).toDF("doc_id", "bv"), dir, "a")
+    // a crashed append: directory written, marker never published
+    Seq((9L, 900L)).toDF("doc_id", "bv")
+      .write.mode("overwrite").parquet(s"$dir/batch-orphan")
+    assert(SigIndex.read(spark, dir).count() == 2)
+    SigIndex.append(Seq((3L, 300L)).toDF("doc_id", "bv"), dir, "b")
+    assert(SigIndex.read(spark, dir).count() == 3)
+    // duplicate name is a no-op
+    assert(!SigIndex.append(Seq((4L, 4L)).toDF("doc_id", "bv"), dir, "b"))
+    SigIndex.compact(spark, dir)
+    assert(SigIndex.liveNames(spark, dir).length == 1)
+    val rows = SigIndex.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 100L), (2L, 200L), (3L, 300L)))
+    // the orphan and retired directories are swept
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs.size == 1 && dirs.head.startsWith("batch-compact-"))
+  }
+}
