@@ -116,6 +116,21 @@ object Compiler {
     * per-row-group bloom probes beat a join exchange outright. */
   private val MaxSigPushdown = 64
 
+  /** Memoized lone-series probes, keyed by (dictionary file set,
+    * selector): the `take(65)` probe is a small driver-side Spark job at
+    * PLAN time, and a dashboard re-issuing the same selector every few
+    * seconds would otherwise pay it on every query. The dictionary's
+    * resolved file listing IS its generation — an append or compaction
+    * flips the live set and naturally invalidates the entry — so a
+    * repeated query plans with zero extra jobs while a changed store
+    * re-probes. Overflow results (weakly-selective matchers) are cached
+    * too, so they stop paying the probe as well. Entries are ≤ 65 longs;
+    * the map is cleared wholesale at a generous cap rather than LRU-
+    * tracked. */
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[String], Option[String], Seq[LabelMatcher]), Array[Long]]()
+  private val ProbeCacheMax = 4096
+
   private def selectorPoints(vs: VectorSelector, ctx: EvalContext): DataFrame = {
     val base = vs.name match {
       case Some(n) => ctx.points.where(col("name") === n)
@@ -157,10 +172,15 @@ object Compiler {
         // take(N+1) short-circuits on the dict (compacted = one small
         // file), and a weakly-selective matcher (user=~".+" over millions
         // of series) overflows the probe and keeps the semi-join below.
-        val probe = matching.take(MaxSigPushdown + 1)
+        val cacheKey = (d.inputFiles.toSeq.sorted, vs.name, vs.matchers)
+        val probe = Option(probeCache.get(cacheKey)).getOrElse {
+          val fresh = matching.take(MaxSigPushdown + 1).map(_.getLong(0))
+          if (probeCache.size > ProbeCacheMax) probeCache.clear()
+          probeCache.put(cacheKey, fresh)
+          fresh
+        }
         if (probe.length <= MaxSigPushdown)
-          nameFiltered.where(
-            col("sig").isInCollection(probe.map(_.getLong(0)).toSeq))
+          nameFiltered.where(col("sig").isInCollection(probe.toSeq))
         else
           // no broadcast() hint: a compacted dict is file-sized-estimable
           // and auto-broadcasts when small, while the weakly-selective case
