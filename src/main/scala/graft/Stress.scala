@@ -94,6 +94,16 @@ object Stress {
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
         .agg(count(lit(1)), sum(col("h"))).head().getLong(0)
     val lshPairs = Dedup.minHashLsh(docs, 16, 4).cache()
+    // lazy: built (untimed) only when a store_* probe actually runs
+    lazy val stressStore: String = {
+      val pts = graft.model.Points.withSig(events.select(
+        col("event_type").as("name"),
+        map(lit("user"), col("user_id").cast("string")).as("labels"),
+        unix_millis(col("ts")).as("t"), col("value")))
+      val dir = java.nio.file.Files.createTempDirectory("stress_store").toString
+      graft.sources.PointsStore.append(pts, dir)
+      dir
+    }
     val results = Seq(
       timed("exact_dedup")(force(Dedup.exact(docs).where(col("n_dups") > 1))),
       timed("minhash_lsh")(lshPairs.count()),
@@ -180,7 +190,25 @@ object Stress {
       timed("sessionize")(force(Events.sessionize(events))),
       timed("funnel")(force(Events.funnel(events,
         Seq("view", "click", "purchase")))),
-      timed("retention")(force(Events.retention(events))))
+      timed("retention")(force(Events.retention(events))),
+      // store mutations: a points store built UNTIMED from the event
+      // stream (10·nDocs samples across 30 UTC days), then the two admin
+      // rewrites. delete targets ONE series over 3 of the 30 days — its
+      // cost must track the TOUCHED days' rewrite volume, not store
+      // size; snapshot is O(files) hard-link time.
+      // include store_build in STRESS_ONLY when measuring the probes
+      // below, or the lazy build lands inside the first store_* timing
+      timed("store_build") { stressStore; 1L },
+      timed("store_delete") {
+        val T0 = 1704067200000L
+        graft.sources.PointsStore.deleteSeries(spark, stressStore,
+          """view{user="7"}""", T0 + 10 * 86400000L, T0 + 13 * 86400000L)
+        1L
+      },
+      timed("store_snapshot") {
+        graft.sources.PointsStore.snapshot(spark, stressStore)
+        1L
+      })
     val ran = results.filter(_._3 >= 0)
     val qs = ran.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":${ran.map(_._2).sum},"unit":"sec","queries":$qs,"docs":$nDocs}""")

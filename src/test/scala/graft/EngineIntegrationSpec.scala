@@ -129,7 +129,10 @@ class EngineIntegrationSpec extends AnyFunSuite {
       "q_img_ahash_pairs", "q_text_bpe_pairs",
       // round-8 additions: line-frequency dedup (count + anti-join +
       // reassembly), rule backfill (whole-grid range query)
-      "q_pipe_dedup_lines", "q_rule_backfill").foreach { q =>
+      "q_pipe_dedup_lines", "q_rule_backfill",
+      // round-11 addition: incremental dedup (3-batch index history —
+      // In(bv) probes + window keep-one + anti-joins, never a product)
+      "q_dedup_incremental").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -192,6 +192,48 @@ class ServeSpec extends AnyFunSuite {
     } finally { a.stop(); graft.engine.Guards.disableQueryLog() }
   }
 
+  test("serve: hierarchical federation — a second store ingests a scoped slice through /federate") {
+    val now = System.currentTimeMillis()
+    val dirA = java.nio.file.Files.createTempDirectory("serve_fed_up").toString
+    PointsStore.append(pts(
+      ("up", Map("job" -> "a"), now - 60000L, 1.0),
+      ("up", Map("job" -> "a"), now - 30000L, 3.0), // newest of the series
+      ("up", Map("job" -> "b"), now - 45000L, 2.0),
+      ("other", Map("job" -> "a"), now - 30000L, 9.0)), dirA)
+    val a = Serve.start(spark, Serve.Config(storeDir = dirA, port = 0,
+      maintenanceMs = 3600000L))
+    try {
+      // the federation loop dogfooded: the engine's own Scrape source
+      // pulls a SCOPED slice (match[]=up) of store A through /federate —
+      // the reference's cross-cluster story — and lands it in store B
+      val port = a.port
+      val slice = graft.sources.Scrape.scrapeTargets(spark,
+        Seq(s"127.0.0.1:$port"),
+        target => {
+          val url = s"http://$target/federate?match%5B%5D=up"
+          val in = new java.net.URL(url).openStream()
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }, now)
+      val dirB = java.nio.file.Files.createTempDirectory("serve_fed_down").toString
+      PointsStore.append(slice, dirB)
+      val stored = PointsStore.read(spark, dirB, Long.MinValue, Long.MaxValue)
+        .collect()
+        .map(r => (r.getAs[String]("name"),
+          r.getAs[Map[String, String]]("labels").getOrElse("job", ""),
+          r.getAs[Long]("t"), r.getAs[Double]("value")))
+        .toSet
+      // sample-exact: the newest sample per MATCHING series with its
+      // ORIGINAL timestamp; the unmatched metric never crosses
+      assert(stored == Set(
+        ("up", "a", now - 30000L, 3.0),
+        ("up", "b", now - 45000L, 2.0)))
+      // the transferred slice is queryable on B with federation labels
+      val instLabel = slice.select("labels").head
+        .getAs[Map[String, String]](0)("instance")
+      assert(instLabel == s"127.0.0.1:$port")
+    } finally { a.stop(); graft.engine.Guards.disableQueryLog() }
+  }
+
   test("serve: crash evidence from a previous process is surfaced and cleared") {
     val dir = java.nio.file.Files.createTempDirectory("serve_store2").toString
     PointsStore.append(pts(("up", Map("job" -> "a"), 60000L, 1.0)), dir)
