@@ -153,8 +153,16 @@ object Similarity {
               trainLimit: Int = 100000,
               maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     requireBounded(queries, maxQueryRows, "ivfTopK") // before paying training
+    ivfProbe(corpus, queries, topK,
+      trainCentroids(corpus, k, iters, trainLimit), nProbe, maxQueryRows)
+  }
+
+  /** Lloyd's k-means coarse quantizer over a bounded training sample —
+    * the driver holds k × dims doubles only; each iteration is one
+    * broadcast assignment pass + one k-row aggregation. */
+  def trainCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 5,
+                     trainLimit: Int = 100000): Array[Array[Double]] = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    // --- train coarse quantizer (driver holds k × dims doubles only) ---
     val sample = c.orderBy(col("vec_id")).limit(trainLimit)
     var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -167,7 +175,68 @@ object Similarity {
       centroids = centroids.indices
         .map(i => next.getOrElse(i, centroids(i))).toArray
     }
-    ivfProbe(corpus, queries, topK, centroids, nProbe, maxQueryRows)
+    centroids
+  }
+
+  // ---- persisted IVF index ------------------------------------------------
+
+  /** Build a PERSISTED IVF index at `dir`: the coarse quantizer lands as
+    * a k-row parquet (`centroids/`) and every corpus vector is assigned
+    * once and written PARTITIONED BY CELL (`cells/cell=<i>/…`). That
+    * physical layout is the ANN scale story: a search probing `nProbe`
+    * of k cells lists and scans ONLY those cells' directories (Catalyst
+    * partition pruning — asserted on the plan in CI), so query cost
+    * tracks nProbe/k of the corpus instead of all of it, and the
+    * one-time assignment cost amortizes over every query batch — the
+    * persisted counterpart of [[ivfTopK]], which re-trains and re-assigns
+    * per call. Rebuilds are atomic-enough at directory grain: build into
+    * a fresh dir and flip the caller's pointer (the index is immutable
+    * once built). */
+  def ivfBuild(corpus: DataFrame, dir: String,
+               centroids: Array[Array[Double]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cell", NearestCells.cell(col("e"), centroids))
+      .select(col("cell"), col("vec_id").as("cid"), col("e").as("ce"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** [[ivfBuild]] with a freshly trained quantizer. */
+  def ivfBuildTrained(corpus: DataFrame, dir: String, k: Int = 16,
+                      iters: Int = 5, trainLimit: Int = 100000): Unit =
+    ivfBuild(corpus, dir, trainCentroids(corpus, k, iters, trainLimit))
+
+  /** Search a persisted IVF index: queries (bounded) assign to their
+    * `nProbe` nearest cells against the stored quantizer, the cells
+    * relation is read WITH a literal cell-set predicate (partition
+    * pruning — only probed directories are listed/scanned), and exact
+    * cosine top-k runs inside the joined cells. Output is identical to
+    * [[ivfProbe]] over the same centroids. */
+  def ivfSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                queries: DataFrame, topK: Int, nProbe: Int = 4,
+                maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val q = requireBounded(queries, maxQueryRows, "ivfSearch")
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
+      .localCheckpoint() // assignment runs once: feeds the probe set AND the join
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$dir/cells")
+      .where(col("cell").isInCollection(probed)) // literal → partition pruning
+    val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** Assignment + probe against a GIVEN coarse quantizer: one broadcast

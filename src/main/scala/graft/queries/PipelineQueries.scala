@@ -61,6 +61,15 @@ object PipelineQueries {
       Similarity.ivfProbe(e, e.where(col("vec_id") < 10), 3,
         Similarity.fixedCentroids(8, 64), nProbe = 3)
     }),
+    // the PERSISTED IVF index: build (assign once, write partitioned by
+    // cell) then search (partition-pruned probe) — must answer exactly
+    // like the in-memory probe, so it shares q_sim_ivf's oracle
+    "q_sim_ivf_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      Similarity.ivfBuild(e, idx, Similarity.fixedCentroids(8, 64))
+      Similarity.ivfSearch(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
+    }),
     // ADC over PQ codes is definitionally a linear scan of the (tiny)
     // code column with the bounded query LUT broadcast — the nested-loop
     // here is intended, exactly like the q_sim_topk baseline
@@ -612,7 +621,7 @@ object PipelineQueries {
        |  AS BIGINT) AS coef_sum
        |FROM documents WHERE doc_id % 2 = 1""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_mm_mfcc" -> mfccOracle,
 
     "q_pipe_dedup_lines" ->
@@ -1974,4 +1983,9 @@ object PipelineQueries {
         |       ELSE 3 END AS INT) AS channels
         |FROM documents""".stripMargin
   )
+
+  /** The persisted IVF index must answer EXACTLY like the in-memory probe
+    * over the same fixed quantizer — one oracle serves both gates. */
+  val oracle: Map[String, String] =
+    oracleBase + ("q_sim_ivf_index" -> oracleBase("q_sim_ivf"))
 }

@@ -176,6 +176,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall") // probing 3/8 cells
   }
 
+  test("persisted ivf index: search equals the in-memory probe and prunes to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val cents = Similarity.fixedCentroids(8, 64)
+    Similarity.ivfBuild(emb, dir, cents)
+    val q = emb.where(col("vec_id") < 10)
+    val viaIndex = Similarity.ivfSearch(spark, dir, q, 3, nProbe = 3)
+    val inMemory = Similarity.ivfProbe(emb, q, 3, cents, nProbe = 3)
+    assert(viaIndex.collect().map(_.toSeq).toSet ==
+      inMemory.collect().map(_.toSeq).toSet)
+    // the scan must carry the literal cell predicate as a PARTITION
+    // filter — only probed cell directories are listed/scanned
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("\\s", "")
+      .matches("(?s).*PartitionFilters:\\[[^\\]]*cell.*"),
+      s"cell probe not a partition filter:\n${plan.take(1500)}")
+    // the on-disk layout is one directory per cell
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/cells"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .count(_.startsWith("cell="))
+    assert(cellDirs > 1 && cellDirs <= 8)
+  }
+
   test("multi-probe lsh lifts recall over single-probe") {
     val q = emb.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, q, 3)
