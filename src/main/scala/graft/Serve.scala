@@ -96,6 +96,8 @@ object Serve {
       exemplars = () => scrapeExemplars.all,
       // remote-written exemplars land in the same ring the scraper fills
       exemplarSink = Some(scrapeExemplars.add),
+      // remote-written metadata lands in the same store the scraper fills
+      metadataSink = Some(scrapeMeta.put),
       pointsProvider = Some(() =>
         PointsStore.read(spark, cfg.storeDir, Long.MinValue, Long.MaxValue)),
       // per-query day pruning: every query's read is bounded to the

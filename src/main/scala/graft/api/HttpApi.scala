@@ -141,7 +141,12 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                       * /api/v1/targets/metadata — what the in-process
                       * scrape loop retained per target from # HELP/TYPE/
                       * UNIT lines. */
-                    targetMetadata: () => Seq[HttpApi.TargetMetadata] = () => Nil) {
+                    targetMetadata: () => Seq[HttpApi.TargetMetadata] = () => Nil,
+                    /** Sink for metadata arriving WITH remote-write
+                      * payloads (v1 WriteRequest.metadata, v2 per-series
+                      * Metadata) — typically `metadataStore.put` so
+                      * /api/v1/metadata covers remote-written metrics. */
+                    metadataSink: Option[(String, String, String, String) => Unit] = None) {
 
   /** The served relation for one request. */
   private def pts: DataFrame = pointsProvider.map(_()).getOrElse(points)
@@ -360,17 +365,32 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                 throw new IllegalArgumentException(
                   s"write body exceeds $MaxWriteBodyBytes bytes")
               Right(
-                if (isV2) RemoteRead.decodeWriteRequestV2Ex(body)
-                else RemoteRead.decodeWriteRequestEx(body))
+                if (isV2) {
+                  val full = RemoteRead.decodeWriteRequestV2Full(body)
+                  (full.map(s => (s.labels, s.samples, s.exemplars)),
+                    // v2 metadata is per-series; key it by the family name
+                    full.flatMap(s => s.metadata.flatMap(md =>
+                      s.labels.get("__name__").map(_ -> md))))
+                } else
+                  (RemoteRead.decodeWriteRequestEx(body),
+                    RemoteRead.decodeWriteRequestMetadata(body)))
             } catch { case e: Throwable => Left(e) }
           decoded match {
             case Left(e) => fail(400, e)
-            case Right(series) =>
+            case Right((series, seriesMeta)) =>
               try {
                 sink(RemoteRead.writeRequestToPoints(
                   spark, series.map { case (l, s, _) => (l, s) }))
                 val n = series.map(_._2.length.toLong).sum
                 ingressPointsTotal.add(n)
+                // retain the payload's metadata so /api/v1/metadata
+                // covers remote-written metrics (same store the scrape
+                // loop fills)
+                metadataSink.foreach { ms =>
+                  seriesMeta.foreach { case (metric, (typ, help, unit)) =>
+                    ms(metric, typ, help, unit)
+                  }
+                }
                 // retain the payload's exemplars so query_exemplars
                 // covers remote-written series (same ring the scrape
                 // loop feeds)
@@ -470,6 +490,12 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     // real state.
     register("/api/v1/status/config", (ex: HttpExchange) => handle(ex)(_ =>
       s"""{"status":"success","data":{"yaml":${Json.str(configYaml())}}}"""))
+    // GET /api/v1/status/walreplay (api.go:390): the parquet store has
+    // no WAL — appends are atomic-visible via the manifest discipline —
+    // so the honest answer is a completed zero-segment replay, the same
+    // shape Prometheus reports once its WAL is done.
+    register("/api/v1/status/walreplay", (ex: HttpExchange) => handle(ex)(_ =>
+      """{"status":"success","data":{"min":0,"max":0,"current":0}}"""))
     // GET /api/v1/status/flags — startup flags verbatim (api.go:388).
     register("/api/v1/status/flags", (ex: HttpExchange) => handle(ex) { _ =>
       val entries = flags.toSeq.sortBy(_._1)
@@ -533,10 +559,22 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     // metric name. Populated from the scrape loop's retained HELP/TYPE
     // lines (empty when the server isn't scraping anything — the
     // reference's nil-retriever behavior).
-    register("/api/v1/metadata", (ex: HttpExchange) => handle(ex) { _ =>
-      val entries = metadata().toSeq.sortBy(_._1).map { case (m, (typ, help, unit)) =>
-        s"${Json.str(m)}:[{" +
-          s""""type":${Json.str(typ)},"help":${Json.str(help)},"unit":${Json.str(unit)}}]"""
+    // limit= caps the number of metrics, limit_per_metric= the entries
+    // per metric, and metric= narrows to one family — the vendored
+    // metricMetadata's params (api.go:1221-1243)
+    register("/api/v1/metadata", (ex: HttpExchange) => handle(ex) { e =>
+      val p = params(e)
+      val limit = p.get("limit").map(_.toInt).getOrElse(-1)
+      val limitPerMetric = p.get("limit_per_metric").map(_.toInt).getOrElse(-1)
+      val metricQ = p.get("metric").filter(_.nonEmpty)
+      var ms = metadata().toSeq.sortBy(_._1)
+        .filter { case (m, _) => metricQ.forall(_ == m) }
+      if (limit >= 0) ms = ms.take(limit)
+      val entries = ms.map { case (m, (typ, help, unit)) =>
+        val one =
+          s"""{"type":${Json.str(typ)},"help":${Json.str(help)},"unit":${Json.str(unit)}}"""
+        val list = if (limitPerMetric == 0) "[]" else s"[$one]"
+        s"${Json.str(m)}:$list"
       }
       s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
     })

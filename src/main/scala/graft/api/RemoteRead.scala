@@ -676,6 +676,70 @@ object RemoteRead {
       series: Seq[(Seq[(String, String)], Seq[(Double, Long)])]): Array[Byte] =
     encodeWriteRequestEx(series.map { case (l, s) => (l, s, Nil) })
 
+  /** prompb MetricMetadata.MetricType names, enum-ordered
+    * (types.proto:23-32). */
+  private val MetricTypeNames = Array("unknown", "counter", "gauge",
+    "histogram", "gaugehistogram", "summary", "info", "stateset")
+  private def metricTypeName(i: Int): String =
+    if (i >= 0 && i < MetricTypeNames.length) MetricTypeNames(i) else "unknown"
+  private def metricTypeEnum(name: String): Int =
+    math.max(MetricTypeNames.indexOf(name), 0)
+
+  /** The request-level metadata entries of a prompb WriteRequest
+    * (remote.proto:27 — field 3, MetricMetadata { type=1,
+    * metric_family_name=2, help=4, unit=5 }): (metric, (type, help,
+    * unit)). Prometheus sends these with `send_metadata`; the receiver
+    * feeds /api/v1/metadata so remote-written metrics answer there like
+    * scraped ones. */
+  def decodeWriteRequestMetadata(body: Array[Byte])
+      : Seq[(String, (String, String, String))] = {
+    val raw = boundedUncompress(body)
+    val r = new Reader(raw, 0, raw.length)
+    val out = Seq.newBuilder[(String, (String, String, String))]
+    while (r.hasNext) {
+      val (field, wire) = r.tag()
+      if (field == 3 && wire == 2) {
+        val (s, e) = r.lenDelimited()
+        val mr = new Reader(raw, s, e)
+        var typ = 0; var metric = ""; var help = ""; var unit = ""
+        while (mr.hasNext) {
+          val (f2, w2) = mr.tag()
+          (f2, w2) match {
+            case (1, 0) => typ = mr.varint().toInt
+            case (2, 2) => metric = mr.str()
+            case (4, 2) => help = mr.str()
+            case (5, 2) => unit = mr.str()
+            case _ => mr.skip(w2)
+          }
+        }
+        if (metric.nonEmpty) out += (metric -> ((metricTypeName(typ), help, unit)))
+      } else r.skip(wire)
+    }
+    out.result()
+  }
+
+  /** Sending-side metadata encoder (appends WriteRequest.metadata
+    * entries to an encoded-and-snappy'd request is not possible, so this
+    * builds the whole request): series plus (metric, type, help, unit)
+    * family metadata. */
+  def encodeWriteRequestWithMetadata(
+      series: Seq[(Seq[(String, String)], Seq[(Double, Long)], Seq[WireExemplar])],
+      metadata: Seq[(String, String, String, String)]): Array[Byte] = {
+    val raw = org.xerial.snappy.Snappy.uncompress(encodeWriteRequestEx(series))
+    val w = new Writer
+    // append metadata fields after the timeseries bytes (proto decoders
+    // accept any field order; reuse the series encoding verbatim)
+    metadata.foreach { case (metric, typ, help, unit) =>
+      w.message(3) { m =>
+        m.int64(1, metricTypeEnum(typ).toLong)
+        m.str(2, metric)
+        if (help.nonEmpty) m.str(4, help)
+        if (unit.nonEmpty) m.str(5, unit)
+      }
+    }
+    org.xerial.snappy.Snappy.compress(raw ++ w.bytes)
+  }
+
   /** [[encodeWriteRequest]] carrying exemplars per series (prompb
     * TimeSeries.exemplars = 3) — what Prometheus sends with
     * `send_exemplars: true`. */
@@ -722,7 +786,21 @@ object RemoteRead {
     * TimeSeries.exemplars = 4; exemplar labels are symbol refs like the
     * series labels). */
   def decodeWriteRequestV2Ex(body: Array[Byte])
-      : Seq[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])] = {
+      : Seq[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])] =
+    decodeWriteRequestV2Full(body).map(s => (s.labels, s.samples, s.exemplars))
+
+  /** One fully-decoded v2 series: labels, samples, exemplars, and the
+    * per-series family metadata (type, help, unit) when present. */
+  final case class WriteSeriesV2(labels: Map[String, String],
+                                 samples: Seq[(Double, Long)],
+                                 exemplars: Seq[WireExemplar],
+                                 metadata: Option[(String, String, String)])
+
+  /** Full v2 decode including TimeSeries.metadata (field 5 — Metadata
+    * { type=1 enum, help_ref=3, unit_ref=4 }, refs into the request's
+    * symbol table; the RW 2.0 spec makes metadata per-series rather
+    * than v1's request-level list). */
+  def decodeWriteRequestV2Full(body: Array[Byte]): Seq[WriteSeriesV2] = {
     val raw = boundedUncompress(body)
     val r = new Reader(raw, 0, raw.length)
     val symbols = Seq.newBuilder[String]
@@ -747,9 +825,24 @@ object RemoteRead {
       val refs = Seq.newBuilder[Int]
       val samples = Seq.newBuilder[(Double, Long)]
       val exemplars = Seq.newBuilder[WireExemplar]
+      var metadata: Option[(String, String, String)] = None
       while (tr.hasNext) {
         val (f, w) = tr.tag()
         (f, w) match {
+          case (5, 2) => // Metadata { type=1, help_ref=3, unit_ref=4 }
+            val (ms, me) = tr.lenDelimited()
+            val mr = new Reader(raw, ms, me)
+            var typ = 0; var helpRef = 0; var unitRef = 0
+            while (mr.hasNext) {
+              val (mf, mw) = mr.tag()
+              (mf, mw) match {
+                case (1, 0) => typ = mr.varint().toInt
+                case (3, 0) => helpRef = mr.varint().toInt
+                case (4, 0) => unitRef = mr.varint().toInt
+                case _ => mr.skip(mw)
+              }
+            }
+            metadata = Some((metricTypeName(typ), sym(helpRef), sym(unitRef)))
           case (1, 2) => // packed label refs
             val (ps, pe) = tr.lenDelimited()
             val pr = new Reader(raw, ps, pe)
@@ -791,7 +884,7 @@ object RemoteRead {
         }
       }
       val labels = refPairs(refs.result(), "labels_refs").toMap
-      (labels, samples.result(), exemplars.result())
+      WriteSeriesV2(labels, samples.result(), exemplars.result(), metadata)
     }
   }
 
@@ -805,22 +898,32 @@ object RemoteRead {
     * labels interned in the same symbol table). */
   def encodeWriteRequestV2Ex(
       series: Seq[(Seq[(String, String)], Seq[(Double, Long)], Seq[WireExemplar])])
-      : Array[Byte] = {
+      : Array[Byte] =
+    encodeWriteRequestV2Full(series.map { case (l, s, x) => (l, s, x, None) })
+
+  /** Full v2 encoder: exemplars plus optional per-series (type, help,
+    * unit) metadata, help/unit interned in the shared symbol table. */
+  def encodeWriteRequestV2Full(
+      series: Seq[(Seq[(String, String)], Seq[(Double, Long)], Seq[WireExemplar],
+        Option[(String, String, String)])]): Array[Byte] = {
     val index = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
     def ref(s: String): Int = index.getOrElseUpdate(s, index.size)
     // intern in order BEFORE writing (symbols field precedes timeseries
     // in our layout; proto decoders accept any field order)
-    val refd = series.map { case (labels, samples, exemplars) =>
+    val refd = series.map { case (labels, samples, exemplars, meta) =>
       (labels.flatMap { case (k, v) => Seq(ref(k), ref(v)) }, samples,
         exemplars.map { case (exLabels, v, t) =>
           (exLabels.flatMap { case (k, lv) => Seq(ref(k), ref(lv)) }, v, t)
+        },
+        meta.map { case (typ, help, unit) =>
+          (metricTypeEnum(typ), ref(help), ref(unit))
         })
     }
     val w = new Writer
     // Writer.str writes unconditionally (length-0 payload), so the
     // required empty symbols[0] lands on the wire
     index.keys.foreach(w.str(4, _))
-    refd.foreach { case (refs, samples, exemplars) =>
+    refd.foreach { case (refs, samples, exemplars, meta) =>
       w.message(5) { ts =>
         val pw = new Writer
         refs.foreach(r0 => pw.varint(r0.toLong))
@@ -833,6 +936,13 @@ object RemoteRead {
             e.bytesField(1, epw.bytes)
             e.double(2, v)
             e.int64(3, t)
+          }
+        }
+        meta.foreach { case (typ, helpRef, unitRef) =>
+          ts.message(5) { m =>
+            m.int64(1, typ.toLong)
+            m.int64(3, helpRef.toLong)
+            m.int64(4, unitRef.toLong)
           }
         }
       }

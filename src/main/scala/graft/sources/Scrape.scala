@@ -181,11 +181,16 @@ object Scrape extends Serializable {
   final class MetadataStore {
     private val m =
       new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
-    def record(body: String): Unit = parseMetadata(body).foreach { md =>
-      m.merge(md.metric, (md.mtype, md.help, md.unit), (old, nw) =>
-        (if (nw._1 != "unknown") nw._1 else old._1,
+    /** Direct insert — the remote-write receiver's path (RW payloads
+      * carry decoded metadata, not exposition text). Same keep-the-
+      * informative-value merge as [[record]]. */
+    def put(metric: String, mtype: String, help: String, unit: String): Unit =
+      m.merge(metric, (mtype, help, unit), (old, nw) =>
+        (if (nw._1 != "unknown" && nw._1.nonEmpty) nw._1 else old._1,
           if (nw._2.nonEmpty) nw._2 else old._2,
           if (nw._3.nonEmpty) nw._3 else old._3))
+    def record(body: String): Unit = parseMetadata(body).foreach { md =>
+      put(md.metric, md.mtype, md.help, md.unit)
     }
     def recording(fetch: String => String): String => String =
       target => { val body = fetch(target); record(body); body }

@@ -224,31 +224,38 @@ class HttpApiSpec extends AnyFunSuite {
 
   test("remote write exemplars are retained and served by query_exemplars (1.0 + 2.0)") {
     val store = new graft.sources.Scrape.ExemplarStore()
+    val meta = new graft.sources.Scrape.MetadataStore
     val api = new HttpApi(spark, points,
       writeSink = Some(_ => ()),
       exemplars = () => store.all,
-      exemplarSink = Some(store.add))
+      exemplarSink = Some(store.add),
+      metadata = () => meta.snapshot,
+      metadataSink = Some(meta.put))
     val port = api.start(0)
     try {
       val client = HttpClient.newHttpClient()
-      // RW 1.0 with one exemplar on the first series
-      val body1 = RemoteRead.encodeWriteRequestEx(Seq(
+      // RW 1.0 with one exemplar on the first series, plus request-level
+      // family metadata (WriteRequest.metadata, field 3)
+      val body1 = RemoteRead.encodeWriteRequestWithMetadata(Seq(
         (Seq("__name__" -> "rw_total", "job" -> "pusher"),
           Seq((4.0, 60000L)),
           Seq((Seq("trace_id" -> "t-100"), 0.25, 60000L))),
         (Seq("__name__" -> "rw_total", "job" -> "other"),
-          Seq((1.0, 60000L)), Nil)))
+          Seq((1.0, 60000L)), Nil)),
+        Seq(("rw_total", "counter", "pushed totals", "")))
       val r1 = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
           .POST(HttpRequest.BodyPublishers.ofByteArray(body1)).build(),
         HttpResponse.BodyHandlers.ofByteArray())
       assert(r1.statusCode() == 204)
-      // RW 2.0: exemplar labels ride the symbol table; written-count header
-      val body2 = RemoteRead.encodeWriteRequestV2Ex(Seq(
-        (Seq("__name__" -> "rw_total", "job" -> "pusher"),
+      // RW 2.0: exemplar labels ride the symbol table; written-count
+      // header; per-series metadata (help/unit refs in the symbol table)
+      val body2 = RemoteRead.encodeWriteRequestV2Full(Seq(
+        (Seq("__name__" -> "rw2_bytes", "job" -> "pusher"),
           Seq((6.0, 120000L)),
           Seq((Seq("trace_id" -> "t-200"), 0.5, 120000L),
-            (Seq("trace_id" -> "t-201"), 0.75, 121000L)))))
+            (Seq("trace_id" -> "t-201"), 0.75, 121000L)),
+          Some(("gauge", "v2 pushed bytes", "bytes")))))
       val r2 = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
           .header("Content-Type", RemoteRead.WriteV2ContentType)
@@ -262,11 +269,30 @@ class HttpApiSpec extends AnyFunSuite {
       assert(dec2.head._3 == Seq(
         (Seq("trace_id" -> "t-200"), 0.5, 120000L),
         (Seq("trace_id" -> "t-201"), 0.75, 121000L)))
-      // all three exemplars now answer on query_exemplars for the series
+      // the 1.0 exemplar answers for its series; the selector scopes
       val ans = get(port,
         "/api/v1/query_exemplars?query=rw_total%7Bjob%3D%22pusher%22%7D&start=0&end=200")
-      assert(ans.contains("t-100") && ans.contains("t-200") && ans.contains("t-201"))
+      assert(ans.contains("t-100") && !ans.contains("t-200"))
       assert(!ans.contains("other"))
+      // label-only selector reaches both metrics' exemplars
+      val ans2 = get(port,
+        "/api/v1/query_exemplars?query=%7Bjob%3D%22pusher%22%7D&start=0&end=200")
+      assert(ans2.contains("t-100") && ans2.contains("t-200") && ans2.contains("t-201"))
+      // remote-written metadata serves on /api/v1/metadata: v1's
+      // request-level entries and v2's per-series symbol-table refs
+      val md = get(port, "/api/v1/metadata")
+      assert(md.contains(""""rw_total":[{"type":"counter","help":"pushed totals","unit":""}]"""), md)
+      assert(md.contains(""""rw2_bytes":[{"type":"gauge","help":"v2 pushed bytes","unit":"bytes"}]"""), md)
+      // the vendored params: metric= narrows, limit= caps metric count,
+      // limit_per_metric=0 empties the per-metric lists
+      val md1 = get(port, "/api/v1/metadata?metric=rw2_bytes")
+      assert(md1.contains("rw2_bytes") && !md1.contains("rw_total"))
+      assert(get(port, "/api/v1/metadata?limit=1").split("\"type\"").length == 2)
+      assert(get(port, "/api/v1/metadata?limit_per_metric=0")
+        .contains(""""rw_total":[]"""))
+      // /status/walreplay: the honest no-WAL completed-replay shape
+      assert(get(port, "/api/v1/status/walreplay")
+        .contains(""""data":{"min":0,"max":0,"current":0}"""))
     } finally api.stop()
   }
 
