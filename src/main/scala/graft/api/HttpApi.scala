@@ -643,32 +643,37 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     // to that window via the bounded resolver.
     register("/federate", (ex: HttpExchange) => {
       try {
-        val p = params(ex)
-        p.get("match[]") match {
-          case None =>
+        val sels = multiParam(paramPairs(ex), "match[]")
+        sels match {
+          case Seq() =>
             val msg = """{"status":"error","errorType":"bad_data","error":"no match[] parameter provided"}"""
               .getBytes(StandardCharsets.UTF_8)
             ex.getResponseHeaders.set("Content-Type", "application/json")
             ex.sendResponseHeaders(400, msg.length)
             ex.getResponseBody.write(msg)
-          case Some(sel) =>
-            val vs = graft.promql.Parser.parse(sel) match {
-              case v: graft.promql.VectorSelector
-                if v.offsetMs == 0 && v.at.isEmpty => v
-              case _ => throw new IllegalArgumentException(
-                "match[] must be a plain series selector")
+          case _ =>
+            // validate every selector; repeated match[] params UNION
+            // (Prometheus federation merges the selector sets; a series
+            // matching several appears once — one predicate, one scan)
+            sels.foreach { s =>
+              graft.promql.Parser.parse(s) match {
+                case v: graft.promql.VectorSelector
+                  if v.offsetMs == 0 && v.at.isEmpty => ()
+                case _ => throw new IllegalArgumentException(
+                  "match[] must be a plain series selector")
+              }
             }
             val now = System.currentTimeMillis()
             val grid = graft.engine.StepGrid(now, now, 1000L)
             // Selectors.instant directly (not Engine.instantQuery): the
             // federation contract exposes each sample's ORIGINAL
             // timestamp, which the query API's step-stamped output
-            // intentionally hides
-            val base0 = ptsFor(sel, grid)
-            val named = vs.name.map(n => base0.where(col("name") === n))
-              .getOrElse(base0)
-            val filtered = named.where(graft.engine.Compiler.matcherFilter(
-              vs.matchers, useLc = named.columns.contains("_lc")))
+            // intentionally hides. (Day bounds are grid-driven for an
+            // instant eval, so any selector prices the same window.)
+            val base0 = ptsFor(sels.head, grid)
+            val lc = base0.columns.contains("_lc")
+            val filtered = base0.where(
+              sels.map(selectorPredicate(_, useLc = lc)).reduce(_ || _))
             val rows = graft.engine.Selectors.instant(filtered, grid,
               lookbackMs,
               seriesDict = seriesDict().filter(_ =>
@@ -754,14 +759,19 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
           if (!adminMethod(e))
             (405, """{"status":"error","error":"POST or PUT required"}""")
           else {
-            val p = params(e)
-            p.get("match[]") match {
-              case None =>
+            val pairs = paramPairs(e)
+            val p = pairs.toMap
+            multiParam(pairs, "match[]") match {
+              case Seq() =>
                 (400, """{"status":"error","errorType":"bad_data","error":"no match[] parameter provided"}""")
-              case Some(sel) =>
+              case sels =>
                 val start = p.get("start").map(ms).getOrElse(Long.MinValue)
                 val end = p.get("end").map(ms).getOrElse(Long.MaxValue)
-                graft.sources.PointsStore.deleteSeries(spark, storeDir, sel, start, end)
+                // repeated selectors delete their UNION; sequential
+                // rewrites — the per-day serialization inside
+                // deleteSeries keeps each flip atomic
+                sels.foreach(sel => graft.sources.PointsStore
+                  .deleteSeries(spark, storeDir, sel, start, end))
                 (204, "")
             }
           }
@@ -829,22 +839,35 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     * Prometheus clients POST application/x-www-form-urlencoded for
     * queries too large for a URL (the vendored web/api/v1 registers every
     * query route for GET and POST); body values win over the URL. */
-  private def params(ex: HttpExchange): Map[String, String] = {
-    def parse(s: String): Map[String, String] =
+  /** All (key, value) pairs of the query string + form body, repeats
+    * preserved in order — `match[]` is legitimately repeated on the
+    * series/label/federate/delete routes (the vendored API unions the
+    * selectors). */
+  private def paramPairs(ex: HttpExchange): Seq[(String, String)] = {
+    def parse(s: String): Seq[(String, String)] =
       s.split("&").toSeq.filter(_.contains("="))
         .map { kv =>
           val Array(k, v) = kv.split("=", 2)
           java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
-        }.toMap
+        }
     val fromUrl = parse(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
     val fromBody =
       if (ex.getRequestMethod.equalsIgnoreCase("POST") &&
         Option(ex.getRequestHeaders.getFirst("Content-Type"))
           .exists(_.startsWith("application/x-www-form-urlencoded")))
         parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-      else Map.empty[String, String]
+      else Nil
     fromUrl ++ fromBody
   }
+
+  private def params(ex: HttpExchange): Map[String, String] =
+    paramPairs(ex).toMap
+
+  /** Every value of a repeated parameter, in arrival order. NOTE: reads
+    * the body — call at most once per request alongside [[params]] only
+    * for GET routes, or derive both from one [[paramPairs]] call. */
+  private def multiParam(pairs: Seq[(String, String)], key: String): Seq[String] =
+    pairs.collect { case (k, v) if k == key => v }
 
   /** Prometheus times are unix seconds (fractional allowed). */
   private def ms(s: String): Long = (s.toDouble * 1000).toLong
@@ -925,7 +948,20 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   /** Optional start/end/match[] restriction for the label APIs (the
     * vendored web/api/v1 accepts all three; absent params mean the full
     * store). */
-  private def labelScope(p: Map[String, String]) = {
+  /** One `match[]` selector as a row predicate (name equality pushed +
+    * the matcher conjunction; `useLc` routes equality matchers through
+    * the persisted canonical-string rewrite). */
+  private def selectorPredicate(sel: String, useLc: Boolean = false)
+      : org.apache.spark.sql.Column = {
+    val vs = graft.promql.Parser.parse(sel) match {
+      case v: graft.promql.VectorSelector => v
+      case _ => throw new IllegalArgumentException("match[] must be a selector")
+    }
+    vs.name.map(n => col("name") === n).getOrElse(lit(true)) &&
+      graft.engine.Compiler.matcherFilter(vs.matchers, useLc = useLc)
+  }
+
+  private def labelScope(p: Map[String, String], sels: Seq[String]) = {
     val bounded = (p.get("start"), p.get("end")) match {
       case (None, None) => pts
       case (s, e) =>
@@ -936,22 +972,20 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
           col("t") >= ms(s.getOrElse("0")) &&
             col("t") <= ms(e.getOrElse((System.currentTimeMillis() / 1000.0).toString)))
     }
-    p.get("match[]") match {
-      case Some(sel) =>
-        val vs = graft.promql.Parser.parse(sel) match {
-          case v: graft.promql.VectorSelector => v
-          case _ => throw new IllegalArgumentException("match[] must be a selector")
-        }
-        val named = vs.name.map(n => bounded.where(col("name") === n)).getOrElse(bounded)
-        named.where(graft.engine.Compiler.matcherFilter(vs.matchers))
-      case None => bounded
+    // repeated match[] selectors UNION (vendored labelNames: the series
+    // sets of all selectors merge)
+    if (sels.isEmpty) bounded
+    else {
+      val lc = bounded.columns.contains("_lc")
+      bounded.where(sels.map(selectorPredicate(_, useLc = lc)).reduce(_ || _))
     }
   }
 
   /** All label names across the (scoped) store, __name__ included
     * (reference fan-out analog: replicated_querier.go:214-283). */
   private def labels(ex: HttpExchange): String = {
-    val scoped = labelScope(params(ex))
+    val pairs = paramPairs(ex)
+    val scoped = labelScope(pairs.toMap, multiParam(pairs, "match[]"))
     val names = scoped.select(explode(map_keys(col("labels"))).as("k"))
       .distinct().collect().map(_.getString(0)).sorted
     s"""{"status":"success","data":${Json.arr(("__name__" +: names.toSeq).distinct.sorted)}}"""
@@ -960,7 +994,8 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def labelValues(ex: HttpExchange): String = {
     val path = ex.getRequestURI.getPath // /api/v1/label/<name>/values
     val label = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
-    val scoped = labelScope(params(ex))
+    val pairs = paramPairs(ex)
+    val scoped = labelScope(pairs.toMap, multiParam(pairs, "match[]"))
     val vals =
       if (label == "__name__")
         scoped.select(col("name")).where(col("name").isNotNull).distinct()
@@ -1015,21 +1050,17 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   }
 
   private def series(ex: HttpExchange): String = {
-    val p = params(ex)
-    val sel = p.getOrElse("match[]", p.getOrElse("match%5B%5D", "{}"))
+    val pairs = paramPairs(ex)
+    val p = pairs.toMap
+    val sels0 = multiParam(pairs, "match[]") ++ multiParam(pairs, "match%5B%5D")
+    val sels = if (sels0.isEmpty) Seq("{}") else sels0
     val (start, end) = (ms(p.getOrElse("start", "0")),
       ms(p.getOrElse("end", (System.currentTimeMillis() / 1000.0).toString)))
-    val parsed = graft.promql.Parser.parse(sel) match {
-      case vs: graft.promql.VectorSelector => vs
-      case _ => throw new IllegalArgumentException("match[] must be a selector")
-    }
-    val filtered = pts
+    // repeated match[] selectors UNION; a series matching several
+    // selectors appears once (the sig dedup below)
+    val named = pts
       .where(col("t") >= start && col("t") <= end)
-      .where(graft.engine.Compiler.matcherFilter(parsed.matchers))
-    val named = parsed.name match {
-      case Some(n) => filtered.where(col("name") === n)
-      case None => filtered
-    }
+      .where(sels.map(selectorPredicate(_)).reduce(_ || _))
     // distinct on a MapType column is unsupported — dedup on the series sig
     val rows = named
       .groupBy(graft.model.Points.sigOf(col("name"), col("labels")).as("_s"))

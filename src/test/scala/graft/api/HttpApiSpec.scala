@@ -462,6 +462,27 @@ class HttpApiSpec extends AnyFunSuite {
       // the sample window includes them (samples sit at t=60s)
       val hit = get(port, "/api/v1/label/job/values?start=50&end=70")
       assert(hit.contains("\"api\""))
+      // REPEATED match[] selectors union (the vendored API's contract):
+      // labels of up ∪ http_total include instance; series lists both
+      // metrics, each series once
+      val multi = get(port, "/api/v1/labels?match[]=up&match[]=http_total")
+      assert(multi.contains("\"instance\"") && multi.contains("\"job\""))
+      val ser = get(port, "/api/v1/series?match[]=up&match[]=http_total")
+      assert(ser.contains(""""__name__":"up"""") &&
+        ser.contains(""""__name__":"http_total""""))
+      assert(ser.split("\"up\"").length == 2, "a series must appear once")
+      // federation unions repeated selectors the same way
+      val fedApi = new HttpApi(spark,
+        points.withColumn("t",
+          org.apache.spark.sql.functions.lit(System.currentTimeMillis())))
+      val fedPort = fedApi.start(0)
+      try {
+        val fed = get(fedPort, "/federate?match[]=up&match[]=http_total{instance=\"0\"}"
+          .replace("{", "%7B").replace("\"", "%22").replace("}", "%7D"))
+        assert(fed.contains("up{job=\"api\"}"))
+        assert(fed.contains("http_total{instance=\"0\"") &&
+          !fed.contains("instance=\"1\""))
+      } finally fedApi.stop()
     } finally api.stop()
   }
 
