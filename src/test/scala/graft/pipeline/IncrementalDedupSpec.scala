@@ -136,6 +136,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(naive.isEmpty)
   }
 
+  test("the index probe is a pushed In(bv) scan over bloom-carrying files") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("sigidx_plan").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+    Dedup.incremental(docs.where(col("doc_id") < 60), dir, name = "p0")
+    // the probe plan: index scan filtered by the batch's bucket set —
+    // Spark must push the In/InSet predicate into the parquet scan
+    val probe = Seq(1L, 2L, 3L)
+    val plan = SigIndex.read(spark, dir)
+      .where(col("bv").isInCollection(probe))
+      .queryExecution.executedPlan.toString
+    assert(plan.replaceAll("\\s", "").matches("(?s).*PushedFilters:\\[[^\\]]*[Ii]n\\(bv.*"),
+      s"In(bv) not pushed:\n${plan.take(1200)}")
+    // index files carry the bv bloom the probe prunes with
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf)
+    val pq = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/batch-p0"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(pq, conf))
+    try {
+      val blooms = rdr.getFooter.getBlocks.asScala.count { b =>
+        val c = b.getColumns.asScala.find(_.getPath.toDotString == "bv").get
+        rdr.getBloomFilterDataReader(b).readBloomFilter(c) != null
+      }
+      assert(blooms > 0, "no row group carries a bv bloom filter")
+    } finally rdr.close()
+  }
+
   test("SigIndex: unpublished directories are invisible; compact folds the live set") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sigidx_mvcc").toString
