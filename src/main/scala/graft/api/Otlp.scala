@@ -559,9 +559,13 @@ object Otlp {
                 if (p.noRecorded) StaleNaN else p.value, p.noRecorded)
             }
           case Sum(pts, temp, mono) =>
-            if (temp != TemporalityCumulative)
+            if (temp != TemporalityCumulative) {
+              // rejected metrics still advance the target_info timestamp
+              // (metrics_to_prw.go takes mostRecentTimestampInMetric
+              // BEFORE the temporality check)
+              pts.foreach(p => ms(p.tNanos))
               errors += s"invalid temporality and type combination for metric \"${m.name}\""
-            else {
+            } else {
               if (pts.isEmpty) emptyErr()
               val name = buildName(m.name, m.unit, isGauge = false, isMonotonicSum = mono)
               pts.foreach { p =>
@@ -570,9 +574,10 @@ object Otlp {
               }
             }
           case Histogram(pts, temp) =>
-            if (temp != TemporalityCumulative)
+            if (temp != TemporalityCumulative) {
+              pts.foreach(p => ms(p.tNanos))
               errors += s"invalid temporality and type combination for metric \"${m.name}\""
-            else {
+            } else {
               if (pts.isEmpty) emptyErr()
               val name = buildName(m.name, m.unit, isGauge = false, isMonotonicSum = false)
               pts.foreach { p =>
