@@ -225,7 +225,23 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     * token), with a `WWW-Authenticate` challenge per RFC 6750. */
   private def register(path: String, h: HttpHandler): Unit =
     server.createContext(path, (ex: HttpExchange) =>
-      if (authorized(ex)) h.handle(ex)
+      // CORS on every route (the vendored API's httputil.SetCORS runs on
+      // each response; OPTIONS is the registered preflight — api.go:359):
+      // browser dashboards (Grafana in-browser datasources) need both
+      if (ex.getRequestMethod.equalsIgnoreCase("OPTIONS")) {
+        val hs = ex.getResponseHeaders
+        hs.set("Access-Control-Allow-Origin", "*")
+        hs.set("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS")
+        hs.set("Access-Control-Allow-Headers",
+          "Accept, Authorization, Content-Type, Content-Encoding, Origin")
+        hs.set("Access-Control-Max-Age", "86400")
+        ex.sendResponseHeaders(204, -1)
+        ex.close()
+      } else if (authorized(ex)) {
+        ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+        ex.getResponseHeaders.set("Access-Control-Expose-Headers", "Date")
+        h.handle(ex)
+      }
       else {
         val msg = """{"status":"error","error":"unauthorized"}"""
           .getBytes(StandardCharsets.UTF_8)

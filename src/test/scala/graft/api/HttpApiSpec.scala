@@ -293,6 +293,20 @@ class HttpApiSpec extends AnyFunSuite {
       // /status/walreplay: the honest no-WAL completed-replay shape
       assert(get(port, "/api/v1/status/walreplay")
         .contains(""""data":{"min":0,"max":0,"current":0}"""))
+      // CORS: every response carries the allow-origin header; an OPTIONS
+      // preflight answers 204 with methods/headers (vendored api.go:359)
+      val client2 = HttpClient.newHttpClient()
+      val normal = client2.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/status/flags"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(normal.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+      val preflight = client2.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/query"))
+          .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(preflight.statusCode() == 204)
+      assert(preflight.headers().firstValue("Access-Control-Allow-Methods")
+        .orElse("").contains("POST"))
     } finally api.stop()
   }
 
