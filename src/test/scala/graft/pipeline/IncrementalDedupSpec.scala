@@ -136,6 +136,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(naive.isEmpty)
   }
 
+  test("past maxProbe the semi-join fallback decides identically to the In-probe") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).limit(80)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batches = docs.grouped(40).toSeq
+    val dirIn = Files.createTempDirectory("sigidx_in").toString
+    val dirJoin = Files.createTempDirectory("sigidx_join").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val viaIn = Dedup.incremental(df(b), dirIn, name = s"f$i")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // maxProbe = 0 forces the bucket-keyed semi-join path on a
+      // fresh twin index — the decision must be identical
+      val viaJoin = Dedup.incremental(df(b), dirJoin, name = s"f$i", maxProbe = 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaIn == viaJoin, s"batch $i: probe and join paths diverged")
+    }
+  }
+
   test("the index probe is a pushed In(bv) scan over bloom-carrying files") {
     import scala.jdk.CollectionConverters._
     val dir = Files.createTempDirectory("sigidx_plan").toString
