@@ -196,13 +196,28 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private val ingressPointsTotal = Telemetry.counter(
     "metric_store_ingress_points_total", "Samples accepted by the remote-write receiver")
 
-  private def guarded[T](q: String, grid: graft.engine.StepGrid)(
+  /** Per-request `timeout=` (seconds float or Go duration), CAPPED at
+    * the server's configured timeout — the vendored API's contract
+    * (api.go parseDuration + min with -query.timeout): a client may
+    * tighten its own deadline, never widen the server's. */
+  private def requestTimeoutMs(p: Map[String, String]): Option[Long] =
+    p.get("timeout").filter(_.nonEmpty).map { s =>
+      val ms = scala.util.Try(math.round(s.toDouble * 1000.0))
+        .getOrElse(graft.promql.Parser.parseDuration(s))
+      require(ms > 0, "timeout must be positive")
+      ms
+    }
+
+  private def guarded[T](q: String, grid: graft.engine.StepGrid,
+                         timeoutMs: Option[Long] = None)(
       body: Option[org.apache.spark.util.LongAccumulator] => T): T = {
     queriesTotal.inc()
     val t0 = System.nanoTime()
     try {
       val out = limits match {
-        case Some(l) =>
+        case Some(l0) =>
+          val l = timeoutMs.map(t =>
+            l0.copy(timeoutMs = math.min(l0.timeoutMs, t))).getOrElse(l0)
           val tally = graft.engine.Guards.newTally(spark)
           val confirm = () => graft.engine.Guards.exactSampleCount(ptsFor(q, grid), q, grid, lookbackMs)
           graft.engine.Guards.run(spark, l, q, Some(tally), Some(confirm))(body(Some(tally)))
@@ -891,7 +906,8 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def instant(ex: HttpExchange): String = {
     val p = params(ex)
     val ts = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000.0).toString))
-    guarded(p("query"), graft.engine.StepGrid(ts, ts, 1000L))(instantBody(p, ts, _))
+    guarded(p("query"), graft.engine.StepGrid(ts, ts, 1000L),
+      requestTimeoutMs(p))(instantBody(p, ts, _))
   }
 
   private def instantBody(p: Map[String, String], ts: Long,
@@ -936,8 +952,8 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
   private def queryRange(ex: HttpExchange): String = {
     val p = params(ex)
     val (start, end, step) = (ms(p("start")), ms(p("end")), ms(p("step")))
-    guarded(p("query"), graft.engine.StepGrid(start, math.max(start, end), step))(
-      queryRangeBody(p, start, end, step, _))
+    guarded(p("query"), graft.engine.StepGrid(start, math.max(start, end), step),
+      requestTimeoutMs(p))(queryRangeBody(p, start, end, step, _))
   }
 
   private def queryRangeBody(p: Map[String, String], start: Long, end: Long,

@@ -511,6 +511,17 @@ class HttpApiSpec extends AnyFunSuite {
       // a selective query stays under budget and succeeds
       val ok = get(port, "/api/v1/query?query=sum(up)&time=120")
       assert(ok.contains(""""status":"success""""))
+      // per-request timeout= (seconds float or Go duration) parses and
+      // caps at the server's deadline; a generous value changes nothing
+      val okDur = get(port, "/api/v1/query?query=sum(up)&time=120&timeout=30s")
+      assert(okDur.contains(""""status":"success""""))
+      val okFloat = get(port, "/api/v1/query?query=sum(up)&time=120&timeout=2.5")
+      assert(okFloat.contains(""""status":"success""""))
+      // non-positive and unparseable timeouts are request errors
+      assert(get(port, "/api/v1/query?query=sum(up)&time=120&timeout=-1")
+        .contains("error"))
+      assert(get(port, "/api/v1/query?query=sum(up)&time=120&timeout=bogus")
+        .contains("error"))
     } finally api.stop()
   }
 
