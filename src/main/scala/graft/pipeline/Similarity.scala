@@ -271,6 +271,32 @@ object Similarity {
       (Integer.parseInt(hex, 16) - 128) / 128.0
     }
 
+  /** Cluster-stratified DIVERSITY sample — the k-means quota sampling of
+    * training-data curation pipelines (cluster, then keep a fixed quota
+    * per cluster): every vector assigns to its nearest centroid cell and
+    * the `perCell` smallest md5-ranked ids survive per cell. The md5
+    * rank is a deterministic within-cluster shuffle, so the kept set
+    * spreads across the embedding space instead of mirroring the dense
+    * clusters a uniform sample would oversample — and an external SQL
+    * engine reproduces the exact selection.
+    *
+    * Scale shape: one narrow projection (the centroid assigner is a
+    * codegen'd expression, centroids ride the stage binary) and ONE
+    * cell-keyed window, with WindowGroupLimit bounding per-partition
+    * state to perCell rows before the exchange. */
+  def diversitySample(emb: DataFrame, centroids: Array[Array[Double]],
+                      perCell: Int): DataFrame = {
+    val assigned = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cell", NearestCells.cell(col("e"), centroids))
+      .withColumn("rk", md5(col("vec_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("rk"), col("vec_id"))
+    assigned.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perCell)
+      .select(col("vec_id"), col("cell"), col("rn"))
+  }
+
   // ---- product quantization (Jegou/Douze/Schmid, TPAMI 2011) -----------
 
   /** Deterministic fixed PQ codebooks for the oracle gate, the

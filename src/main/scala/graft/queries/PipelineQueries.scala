@@ -61,6 +61,13 @@ object PipelineQueries {
       Similarity.ivfProbe(e, e.where(col("vec_id") < 10), 3,
         Similarity.fixedCentroids(8, 64), nProbe = 3)
     }),
+    // cluster-stratified diversity sampling: nearest-centroid assignment
+    // + a perCell md5-ranked quota per cluster (the k-means quota
+    // sampling of curation pipelines) — deterministic, so the oracle
+    // reproduces the exact kept set
+    "q_pipe_diversity_sample" -> ((s, dir) =>
+      Similarity.diversitySample(emb(s, dir),
+        Similarity.fixedCentroids(8, 64), 5)),
     // the PERSISTED IVF index: build (assign once, write partitioned by
     // cell) then search (partition-pruned probe) — must answer exactly
     // like the in-memory probe, so it shares q_sim_ivf's oracle
@@ -1093,6 +1100,20 @@ object PipelineQueries {
     // centroids once in a CTE; corpus rows take the argmin cell, queries
     // rank cells and probe the nearest 3; exact cosine inside the joined
     // cells reproduces ivfProbe's join exactly
+    "q_pipe_diversity_sample" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id,
+         |         ${(0 until 8).map(i => s"(${ivfDistSql("embedding", i)}) AS d$i").mkString(",\n         ")}
+         |  FROM embeddings),
+         |cells AS (SELECT vec_id, $ivfArgminSql AS cell FROM dist),
+         |r AS (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (
+         |           PARTITION BY cell
+         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM cells)
+         |SELECT vec_id, cell, rn FROM r WHERE rn <= 5""".stripMargin,
+
     "q_sim_ivf" ->
       s"""WITH dist AS (
          |  SELECT vec_id, embedding,

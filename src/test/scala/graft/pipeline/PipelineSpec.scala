@@ -200,6 +200,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(cellDirs > 1 && cellDirs <= 8)
   }
 
+  test("diversity sample honors the per-cell quota and is deterministic") {
+    val cents = Similarity.fixedCentroids(8, 64)
+    val s1 = Similarity.diversitySample(emb, cents, 3).collect()
+    val s2 = Similarity.diversitySample(emb, cents, 3).collect()
+    assert(s1.map(_.toSeq).toSet == s2.map(_.toSeq).toSet)
+    val perCell = s1.groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 3))
+    assert(s1.map(_.getInt(2)).forall(rn => rn >= 1 && rn <= 3))
+  }
+
   test("multi-probe lsh lifts recall over single-probe") {
     val q = emb.where(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, q, 3)
