@@ -211,15 +211,24 @@ object Dedup {
                   name: String = java.util.UUID.randomUUID().toString.take(8))
       : DataFrame = {
     val spark = docs.sparkSession
-    // replay detection: if this batch's marker is already live, the
-    // previous attempt appended — recompute survivors against the index
-    // as it stood BEFORE that append, and skip the double write
-    // (at-least-once foreachBatch replays become exactly-once)
-    val replay = SigIndex.contains(spark, indexDir, name)
+    // replay detection: if this batch already landed, the appended sigs
+    // ARE the survivors' — answer from the batch's own directory, no
+    // signature recompute, no index read (at-least-once foreachBatch
+    // replays become exactly-once). A replay arriving AFTER compaction
+    // folded the batch (past the grace window — the stream rolled back
+    // a long-committed checkpoint) fails loud rather than re-appending.
+    if (SigIndex.contains(spark, indexDir, name))
+      return SigIndex.readBatch(spark, indexDir, name) match {
+        case Some(batch) =>
+          docs.join(batch.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        case None => throw new IllegalStateException(
+          s"incremental dedup batch '$name' replayed after compaction " +
+            "folded it (grace window exceeded); rerun against a fresh " +
+            "index or raise SigIndex.compact graceMs")
+      }
     val sigs = indexSignatures(docs, numHashes, rowsPerBand, broadcastDict)
       .localCheckpoint()
-    val idx = SigIndex.read(spark, indexDir,
-      exclude = if (replay) Set(name) else Set.empty)
+    val idx = SigIndex.read(spark, indexDir)
     // distinct buckets of the batch, driver-bounded: take(maxProbe+1)
     // never holds more than the probe budget
     val batchBvs = sigs.select(col("bv")).distinct()
@@ -236,9 +245,8 @@ object Dedup {
       .select("doc_id")
     val dropped = hitDocs.unionByName(notMin).distinct().localCheckpoint()
     val survivors = docs.join(dropped, Seq("doc_id"), "left_anti")
-    if (!replay)
-      SigIndex.append(
-        sigs.join(dropped, Seq("doc_id"), "left_anti"), indexDir, name)
+    SigIndex.append(
+      sigs.join(dropped, Seq("doc_id"), "left_anti"), indexDir, name)
     survivors
   }
 

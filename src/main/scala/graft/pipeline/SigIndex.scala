@@ -23,16 +23,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *  - a marker is one atomic create, so any reader sees a batch's rows
   *    all-or-nothing.
   *
-  * [[compact]] folds the live directories into one (bounding file count
+  * [[compact]] folds AGED live directories into one (bounding file count
   * for a long-running stream) and is the only REWRITE: it publishes the
   * folded directory's marker before retiring the old ones, so a
   * concurrent reader sees at worst DUPLICATE signature rows — harmless
-  * by construction, every consumer here treats the index as a set.
+  * by construction, every consumer here treats the index as a set. A
+  * grace window keeps recent batches un-folded (the streaming replay
+  * contract below), and folded names are recorded in `_seen.` markers
+  * so replay detection outlives the fold.
   *
-  * Streaming idempotence: [[marker]] embeds the caller's batch name, so
+  * Streaming idempotence: the marker embeds the caller's batch name, so
   * a replayed `foreachBatch` can detect its own prior append (the
-  * `_live.<ts>.b<batchId>` file) and skip the double write — see
-  * [[Dedup.incrementalOnce]].
+  * `_live.<ts>.b<batchId>` file), answer from its own batch directory
+  * ([[readBatch]] — the appended sigs ARE the survivors'), and skip the
+  * double write — see [[Dedup.incrementalOnce]].
   *
   * Files carry a parquet bloom filter on `bv`: a batch probes the index
   * with an `In(bv)` scan ([[Dedup.incremental]]), and the bloom skips
@@ -65,7 +69,8 @@ object SigIndex {
   def append(sigs: DataFrame, dir: String, name: String): Boolean = {
     val spark = sigs.sparkSession
     val f = fs(spark, dir)
-    if (markerOf(spark, dir, name).isDefined) return false
+    // a name already live OR already folded (_seen) must not re-land
+    if (contains(spark, dir, name)) return false
     val out = new org.apache.hadoop.fs.Path(dir, s"batch-$name")
     sigs.select("doc_id", "bv")
       .write.options(bloomWriteOptions).mode("overwrite").parquet(out.toString)
@@ -113,17 +118,40 @@ object SigIndex {
       }
   }
 
-  /** Whether batch `name` has already landed (its marker exists). */
+  /** Whether batch `name` has already landed: its `_live` marker exists,
+    * or a `_seen` record says a compaction folded it. */
   def contains(spark: SparkSession, dir: String, name: String): Boolean =
-    markerOf(spark, dir, name).isDefined
+    markerOf(spark, dir, name).isDefined || seen(spark, dir, name)
+
+  private val SeenPrefix = "_seen."
+
+  private def seen(spark: SparkSession, dir: String, name: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    f.exists(root) && f.listStatus(root).exists { s =>
+      val n = s.getPath.getName
+      n.startsWith(SeenPrefix) && {
+        val rest = n.drop(SeenPrefix.length)
+        val dot = rest.indexOf('.')
+        dot >= 0 && rest.substring(dot + 1) == name
+      }
+    }
+  }
+
+  /** The rows one batch appended — a replayed streaming batch derives
+    * its survivor set from exactly these (the appended sigs ARE the
+    * survivors'). None when the batch is not individually readable
+    * (never landed, or a compaction folded its rows into the combined
+    * directory). */
+  def readBatch(spark: SparkSession, dir: String,
+                name: String): Option[DataFrame] =
+    markerOf(spark, dir, name).map(_ =>
+      spark.read.schema(schema).parquet(s"$dir/batch-$name"))
 
   /** The live index relation — the union of marker-named directories;
-    * empty (with schema) when nothing has landed. `exclude` drops named
-    * batches from the view (a replayed streaming batch reads the index
-    * as it stood BEFORE its own first append). */
-  def read(spark: SparkSession, dir: String,
-           exclude: Set[String] = Set.empty): DataFrame = {
-    val names = liveNames(spark, dir).filterNot(exclude)
+    * empty (with schema) when nothing has landed. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val names = liveNames(spark, dir)
     if (names.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
@@ -131,27 +159,57 @@ object SigIndex {
         .parquet(names.map(n => s"$dir/batch-$n"): _*)
   }
 
-  /** Fold every live directory into one and retire the originals. The
+  /** Fold AGED live directories into one and retire the originals. The
     * folded marker publishes FIRST, so a concurrent reader sees at worst
     * duplicated rows (set semantics downstream make that harmless), never
-    * a gap; orphaned directories from crashed appends are swept too. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+    * a gap; orphaned directories from crashed appends are swept too.
+    *
+    * `graceMs` guards the streaming replay contract: only batches whose
+    * marker is older than the grace window fold, so a replayed
+    * `foreachBatch` (which recomputes its survivors from its OWN batch
+    * directory — [[readBatch]]) always still finds it; a replay arriving
+    * after the grace window means the stream rolled back past a
+    * long-committed checkpoint, and the folded batch is recorded in a
+    * `_seen.<ts>.<name>` marker so the caller can fail loud instead of
+    * double-appending. The same grace discipline as the points store's
+    * compaction vacuum. */
+  def compact(spark: SparkSession, dir: String,
+              graceMs: Long = 15 * 60 * 1000L): Unit = {
     val f = fs(spark, dir)
-    val before = liveNames(spark, dir)
-    if (before.length <= 1) return
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(root)) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    // (publish ts, name) of every live marker
+    val aged = f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .flatMap { n =>
+        val rest = n.drop(MarkerPrefix.length)
+        val dot = rest.indexOf('.')
+        if (dot < 0) None
+        else rest.take(dot).toLongOption.map(ts => (ts, rest.substring(dot + 1)))
+      }
+      .filter(_._1 <= cutoff)
+      .map(_._2).distinct
+    if (aged.length <= 1) return
     val name = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    read(spark, dir).distinct()
+    spark.read.schema(schema)
+      .parquet(aged.map(n => s"$dir/batch-$n"): _*).distinct()
       .write.options(bloomWriteOptions).mode("overwrite")
       .parquet(s"$dir/batch-$name")
     publish(f, dir, name)
-    // retire: markers first (readers stop listing the old dirs), then data
-    val root = new org.apache.hadoop.fs.Path(dir)
+    // record the folded names (replay detection survives the fold), then
+    // retire markers (readers stop listing the old dirs), then data
+    aged.foreach { n =>
+      f.create(new org.apache.hadoop.fs.Path(dir,
+        s"$SeenPrefix${System.currentTimeMillis()}.$n"), false).close()
+    }
     f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       val isOldMarker = n.startsWith(MarkerPrefix) && {
         val rest = n.drop(MarkerPrefix.length)
         val dot = rest.indexOf('.')
-        dot >= 0 && before.contains(rest.substring(dot + 1))
+        dot >= 0 && aged.contains(rest.substring(dot + 1))
       }
       if (isOldMarker) f.delete(p, false)
     }

@@ -198,7 +198,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(SigIndex.read(spark, dir).count() == 3)
     // duplicate name is a no-op
     assert(!SigIndex.append(Seq((4L, 4L)).toDF("doc_id", "bv"), dir, "b"))
+    // within the grace window nothing folds (the replay contract)
     SigIndex.compact(spark, dir)
+    assert(SigIndex.liveNames(spark, dir).toSet == Set("a", "b"))
+    SigIndex.compact(spark, dir, graceMs = 0L)
     assert(SigIndex.liveNames(spark, dir).length == 1)
     val rows = SigIndex.read(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -209,5 +212,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val dirs = f.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(_.isDirectory).map(_.getPath.getName).toSet
     assert(dirs.size == 1 && dirs.head.startsWith("batch-compact-"))
+    // replay detection OUTLIVES the fold (_seen records) — a duplicate
+    // append of a folded name stays a no-op
+    assert(SigIndex.contains(spark, dir, "a"))
+    assert(!SigIndex.append(Seq((5L, 5L)).toDF("doc_id", "bv"), dir, "a"))
+    // but its rows are no longer individually readable
+    assert(SigIndex.readBatch(spark, dir, "a").isEmpty)
+  }
+
+  test("replay after a grace-window compact fails loud instead of re-appending") {
+    val dir = Files.createTempDirectory("sigidx_fold").toString
+    val b0 = Seq(1L -> base, 2L -> "another text about tidal pools and the patient crabs that map them at dusk every single day")
+    val first = Dedup.incrementalOnce(df(b0), dir, batchId = 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a second batch so compact has >1 aged dir to fold
+    Dedup.incrementalOnce(df(Seq(9L -> (base + " with one extra clause appended"))), dir, batchId = 4L)
+    // replay BEFORE any fold answers from the batch directory
+    assert(Dedup.incrementalOnce(df(b0), dir, batchId = 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == first)
+    SigIndex.compact(spark, dir, graceMs = 0L)
+    // replay AFTER the fold cannot reconstruct its survivors — loud error
+    val e = intercept[IllegalStateException] {
+      Dedup.incrementalOnce(df(b0), dir, batchId = 3L).collect()
+    }
+    assert(e.getMessage.contains("folded"))
   }
 }
