@@ -336,4 +336,59 @@ class PropertySpec extends AnyFunSuite {
       else assert(out.get("host") == host, s"$addr -> $out")
     }
   }
+
+  test("OTLP export requests round-trip the wire codec for arbitrary payloads") {
+    import graft.api.Otlp
+    // every list is SIZE-BOUNDED up front (listOfN, not listOf): the
+    // nesting is 4 levels deep, and default-sized listOf would generate
+    // ~100-element lists at every level before any take()
+    def few[A](max: Int, g: Gen[A]): Gen[List[A]] =
+      Gen.choose(0, max).flatMap(n => Gen.listOfN(n, g))
+    val attrGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(10)),
+      Gen.asciiPrintableStr.map(_.take(16)))
+    val attrsGen = few(3, attrGen)
+    val numGen = for {
+      attrs <- attrsGen
+      t <- Gen.choose(0L, 1L << 60)
+      v <- Gen.oneOf(Gen.choose(-1e12, 1e12), Gen.oneOf(0.0, -0.0, 1.5e-300))
+      flags <- Gen.oneOf(0, 1)
+    } yield Otlp.NumberPoint(attrs, t, v, flags)
+    val histGen = for {
+      attrs <- attrsGen
+      t <- Gen.choose(0L, 1L << 60)
+      counts <- few(5, Gen.choose(0L, 1000000L))
+      bounds <- few(4, Gen.choose(-100.0, 100.0))
+      sum <- Gen.option(Gen.choose(-1e6, 1e6))
+    } yield Otlp.HistogramPoint(attrs, t, counts.sum, sum, counts, bounds)
+    val sumGen = for {
+      attrs <- attrsGen
+      t <- Gen.choose(0L, 1L << 60)
+      count <- Gen.choose(0L, 1000L)
+      s <- Gen.choose(-1e6, 1e6)
+      qs <- few(3, Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(-1e6, 1e6)))
+    } yield Otlp.SummaryPoint(attrs, t, count, s, qs)
+    val metricGen = for {
+      name <- Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('.'))).map(_.mkString.take(20))
+      unit <- Gen.oneOf("", "s", "By", "1", "By/s", "{packets}")
+      data <- Gen.oneOf(
+        few(3, numGen).map(Otlp.Gauge(_)),
+        for { ps <- few(3, numGen); t <- Gen.oneOf(1, 2); m <- Gen.oneOf(true, false) }
+          yield Otlp.Sum(ps, t, m),
+        few(2, histGen).map(Otlp.Histogram(_, 2)),
+        few(2, sumGen).map(Otlp.Summary(_)),
+        Gen.const(Otlp.ExpHistogram))
+    } yield Otlp.Metric(name, unit, data)
+    val reqGen = few(3, for {
+      attrs <- attrsGen
+      ms <- few(3, metricGen)
+    } yield Otlp.ResourceMetrics(attrs, ms))
+    samples(reqGen, 60).foreach { req =>
+      assert(Otlp.decode(Otlp.encode(req)) == req, s"round-trip diverged for $req")
+      // translation is total: never throws, errors only for the
+      // documented rejection classes
+      val tr = Otlp.toRows(req)
+      tr.rows.foreach(r => assert(r.t >= 0))
+    }
+  }
 }
