@@ -100,9 +100,17 @@ object Otlp {
     val raw =
       if (!gzipped) body
       else {
+        // bounded inflate — same cap as the snappy paths
+        // (RemoteRead.boundedUncompress): a gzip bomb must not allocate
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(body), 65536)
-        try in.readAllBytes() finally in.close()
+        try {
+          val out = in.readNBytes(RemoteRead.MaxUncompressedBytes + 1)
+          if (out.length > RemoteRead.MaxUncompressedBytes)
+            throw new IllegalArgumentException(
+              s"gzip body exceeds ${RemoteRead.MaxUncompressedBytes} uncompressed bytes")
+          out
+        } finally in.close()
       }
     val r = new RemoteRead.Reader(raw, 0, raw.length)
     val rms = Seq.newBuilder[ResourceMetrics]
