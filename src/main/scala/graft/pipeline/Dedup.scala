@@ -204,7 +204,11 @@ object Dedup {
     *
     * Returns the surviving `docs` rows; survivors' signatures are
     * appended to the index under `name` before returning. doc_ids must
-    * be globally unique across batches (the caller's ingest contract). */
+    * be globally unique across batches (the caller's ingest contract),
+    * and batches are assumed SEQUENTIAL per index — the foreachBatch
+    * shape; two writers racing the same index both append (the manifest
+    * discipline keeps that safe) but may each keep one copy of a pair
+    * duplicated ACROSS the racing batches. */
   def incremental(docs: DataFrame, indexDir: String,
                   numHashes: Int = 16, rowsPerBand: Int = 4,
                   broadcastDict: Boolean = true, maxProbe: Int = 100000,
