@@ -402,9 +402,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                     // v2 metadata is per-series; key it by the family name
                     full.flatMap(s => s.metadata.flatMap(md =>
                       s.labels.get("__name__").map(_ -> md))))
-                } else
-                  (RemoteRead.decodeWriteRequestEx(body),
-                    RemoteRead.decodeWriteRequestMetadata(body)))
+                } else RemoteRead.decodeWriteRequestFull(body))
             } catch { case e: Throwable => Left(e) }
           decoded match {
             case Left(e) => fail(400, e)
@@ -487,7 +485,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
                 if (tr.rows.nonEmpty) sink(Otlp.toPoints(spark, tr))
                 ingressPointsTotal.add(tr.samples.toLong)
                 proto(200, Otlp.encodeResponse(
-                  tr.errors.length.toLong, tr.errors.mkString("; ")))
+                  tr.rejectedPoints, tr.errors.mkString("; ")))
               } catch { case e: Throwable =>
                 proto(500, Otlp.encodeStatus(13, rootMsg(e))) // 13 = INTERNAL
               }
@@ -601,12 +599,15 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       var ms = metadata().toSeq.sortBy(_._1)
         .filter { case (m, _) => metricQ.forall(_ == m) }
       if (limit >= 0) ms = ms.take(limit)
+      // the vendored cap applies only when POSITIVE (api.go:1246 —
+      // `limitPerMetric > 0 && …`); 0/negative means unlimited. One
+      // entry per metric here, so any positive cap keeps it.
       val entries = ms.map { case (m, (typ, help, unit)) =>
         val one =
           s"""{"type":${Json.str(typ)},"help":${Json.str(help)},"unit":${Json.str(unit)}}"""
-        val list = if (limitPerMetric == 0) "[]" else s"[$one]"
-        s"${Json.str(m)}:$list"
+        s"${Json.str(m)}:[$one]"
       }
+      val _ = limitPerMetric // parsed for validation; see cap note above
       s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
     })
     // GET/POST /api/v1/query_exemplars?query=&start=&end= — the vendored
@@ -1090,9 +1091,10 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       ms(p.getOrElse("end", (System.currentTimeMillis() / 1000.0).toString)))
     // repeated match[] selectors UNION; a series matching several
     // selectors appears once (the sig dedup below)
-    val named = pts
-      .where(col("t") >= start && col("t") <= end)
-      .where(sels.map(selectorPredicate(_)).reduce(_ || _))
+    val bounded = pts.where(col("t") >= start && col("t") <= end)
+    val lc = bounded.columns.contains("_lc")
+    val named = bounded
+      .where(sels.map(selectorPredicate(_, useLc = lc)).reduce(_ || _))
     // distinct on a MapType column is unsupported — dedup on the series sig
     val rows = named
       .groupBy(graft.model.Points.sigOf(col("name"), col("labels")).as("_s"))

@@ -74,8 +74,10 @@ object Otlp {
   final case class Histogram(points: Seq[HistogramPoint],
                              temporality: Int = TemporalityCumulative) extends Data
   final case class Summary(points: Seq[SummaryPoint]) extends Data
-  /** Decoded as a presence marker only — translation rejects it. */
-  case object ExpHistogram extends Data
+  /** Decoded only as far as its datapoint timestamps — translation
+    * rejects the metric (the store is float samples) but the timestamps
+    * still advance target_info, like every other rejected metric. */
+  final case class ExpHistogram(tsNanos: Seq[Long] = Nil) extends Data
 
   final case class Metric(name: String, unit: String, data: Data)
   final case class ResourceMetrics(attrs: Seq[(String, String)],
@@ -86,7 +88,12 @@ object Otlp {
   final case class Row(name: String, labels: Map[String, String], t: Long,
                        value: Double, stale: Boolean)
 
-  final case class Translated(rows: Seq[Row], errors: Seq[String]) {
+  final case class Translated(rows: Seq[Row], errors: Seq[String],
+                              /** DATA POINTS dropped by the rejections in
+                                * `errors` — the partial_success field's
+                                * unit per the OTLP spec (not a metric
+                                * count). */
+                              rejectedPoints: Long = 0L) {
     def samples: Int = rows.length
   }
 
@@ -190,7 +197,22 @@ object Otlp {
             }
           }
           data = Histogram(pts, temp)
-        case (10, 2) => r.lenDelimited(); data = ExpHistogram
+        case (10, 2) => // ExponentialHistogram { data_points=1 { time=3 } }
+          val (s, e) = r.lenDelimited()
+          val hr = new RemoteRead.Reader(buf, s, e)
+          val ts = Seq.newBuilder[Long]
+          while (hr.hasNext) {
+            val (hf, hw) = hr.tag()
+            if (hf == 1 && hw == 2) {
+              val (ps, pe) = hr.lenDelimited()
+              val pr = new RemoteRead.Reader(buf, ps, pe)
+              while (pr.hasNext) {
+                val (pf, pw) = pr.tag()
+                if (pf == 3 && pw == 1) ts += pr.fixed64() else pr.skip(pw)
+              }
+            } else hr.skip(hw)
+          }
+          data = ExpHistogram(ts.result())
         case (11, 2) => // Summary { repeated SummaryDataPoint data_points = 1 }
           val (s, e) = r.lenDelimited()
           val sr = new RemoteRead.Reader(buf, s, e)
@@ -392,8 +414,10 @@ object Otlp {
                   }
                 case Summary(pts) =>
                   mw.message(11)(sw => pts.foreach(summaryPoint(sw, _)))
-                case ExpHistogram =>
-                  mw.message(10)(_ => ())
+                case ExpHistogram(ts) =>
+                  mw.message(10) { hw =>
+                    ts.foreach(t => hw.message(1)(_.fixed64(3, t)))
+                  }
               }
             }
           }
@@ -540,6 +564,7 @@ object Otlp {
   def toRows(req: Seq[ResourceMetrics]): Translated = {
     val rows = Seq.newBuilder[Row]
     val errors = Seq.newBuilder[String]
+    var rejectedPoints = 0L
     req.foreach { rm =>
       val res = rm.attrs.toMap
       val job = res.get("service.name").map { n =>
@@ -572,6 +597,7 @@ object Otlp {
               // (metrics_to_prw.go takes mostRecentTimestampInMetric
               // BEFORE the temporality check)
               pts.foreach(p => ms(p.tNanos))
+              rejectedPoints += pts.length
               errors += s"invalid temporality and type combination for metric \"${m.name}\""
             } else {
               if (pts.isEmpty) emptyErr()
@@ -584,6 +610,7 @@ object Otlp {
           case Histogram(pts, temp) =>
             if (temp != TemporalityCumulative) {
               pts.foreach(p => ms(p.tNanos))
+              rejectedPoints += pts.length
               errors += s"invalid temporality and type combination for metric \"${m.name}\""
             } else {
               if (pts.isEmpty) emptyErr()
@@ -617,7 +644,10 @@ object Otlp {
                 rows += Row(name, base + ("quantile" -> goFmtF(q)), t, v(qv), p.noRecorded)
               }
             }
-          case ExpHistogram =>
+          case ExpHistogram(ts) =>
+            // rejected points still advance target_info's timestamp
+            ts.foreach(ms)
+            rejectedPoints += ts.length
             errors += s"unsupported metric type for metric \"${m.name}\"" +
               " (exponential histogram: the store is float samples," +
               " matching the reference appender's native-histogram rejection)"
@@ -633,7 +663,7 @@ object Otlp {
         rows += Row("target_info", lbls, mostRecent / 1000000L, 1.0, stale = false)
       }
     }
-    Translated(rows.result(), errors.result())
+    Translated(rows.result(), errors.result(), rejectedPoints)
   }
 
   /** Translated rows → the canonical points relation (name, labels, t,

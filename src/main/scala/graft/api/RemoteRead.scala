@@ -656,18 +656,51 @@ object RemoteRead {
     * /api/v1/query_exemplars' ring so remote-written series are not
     * blind there. */
   def decodeWriteRequestEx(body: Array[Byte])
-      : Seq[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])] = {
+      : Seq[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])] =
+    decodeWriteRequestFull(body)._1
+
+  /** ONE decompression + ONE pass over a v1 WriteRequest: the series
+    * (field 1, with exemplars) and the request-level metadata entries
+    * (field 3) together — the receiver's hot path must not inflate a
+    * 64 MB body twice. */
+  def decodeWriteRequestFull(body: Array[Byte])
+      : (Seq[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])],
+         Seq[(String, (String, String, String))]) = {
     val raw = boundedUncompress(body)
     val r = new Reader(raw, 0, raw.length)
     val series = Seq.newBuilder[(Map[String, String], Seq[(Double, Long)], Seq[WireExemplar])]
+    val meta = Seq.newBuilder[(String, (String, String, String))]
     while (r.hasNext) {
       val (field, wire) = r.tag()
-      if (field == 1 && wire == 2) {
-        val (s, e) = r.lenDelimited()
-        series += decodeTimeSeriesEx(raw, s, e)
-      } else r.skip(wire)
+      (field, wire) match {
+        case (1, 2) =>
+          val (s, e) = r.lenDelimited()
+          series += decodeTimeSeriesEx(raw, s, e)
+        case (3, 2) =>
+          val (s, e) = r.lenDelimited()
+          decodeMetricMetadata(raw, s, e).foreach(meta += _)
+        case _ => r.skip(wire)
+      }
     }
-    series.result()
+    (series.result(), meta.result())
+  }
+
+  private def decodeMetricMetadata(buf: Array[Byte], from: Int, to: Int)
+      : Option[(String, (String, String, String))] = {
+    val mr = new Reader(buf, from, to)
+    var typ = 0; var metric = ""; var help = ""; var unit = ""
+    while (mr.hasNext) {
+      val (f2, w2) = mr.tag()
+      (f2, w2) match {
+        case (1, 0) => typ = mr.varint().toInt
+        case (2, 2) => metric = mr.str()
+        case (4, 2) => help = mr.str()
+        case (5, 2) => unit = mr.str()
+        case _ => mr.skip(w2)
+      }
+    }
+    if (metric.isEmpty) None
+    else Some(metric -> ((metricTypeName(typ), help, unit)))
   }
 
   /** Sending-side WriteRequest encoder (and the spec's request builder):
@@ -692,31 +725,8 @@ object RemoteRead {
     * feeds /api/v1/metadata so remote-written metrics answer there like
     * scraped ones. */
   def decodeWriteRequestMetadata(body: Array[Byte])
-      : Seq[(String, (String, String, String))] = {
-    val raw = boundedUncompress(body)
-    val r = new Reader(raw, 0, raw.length)
-    val out = Seq.newBuilder[(String, (String, String, String))]
-    while (r.hasNext) {
-      val (field, wire) = r.tag()
-      if (field == 3 && wire == 2) {
-        val (s, e) = r.lenDelimited()
-        val mr = new Reader(raw, s, e)
-        var typ = 0; var metric = ""; var help = ""; var unit = ""
-        while (mr.hasNext) {
-          val (f2, w2) = mr.tag()
-          (f2, w2) match {
-            case (1, 0) => typ = mr.varint().toInt
-            case (2, 2) => metric = mr.str()
-            case (4, 2) => help = mr.str()
-            case (5, 2) => unit = mr.str()
-            case _ => mr.skip(w2)
-          }
-        }
-        if (metric.nonEmpty) out += (metric -> ((metricTypeName(typ), help, unit)))
-      } else r.skip(wire)
-    }
-    out.result()
-  }
+      : Seq[(String, (String, String, String))] =
+    decodeWriteRequestFull(body)._2
 
   /** Sending-side metadata encoder (appends WriteRequest.metadata
     * entries to an encoded-and-snappy'd request is not possible, so this

@@ -172,13 +172,21 @@ object Compiler {
         // take(N+1) short-circuits on the dict (compacted = one small
         // file), and a weakly-selective matcher (user=~".+" over millions
         // of series) overflows the probe and keeps the semi-join below.
-        val cacheKey = (d.inputFiles.toSeq.sorted, vs.name, vs.matchers)
-        val probe = Option(probeCache.get(cacheKey)).getOrElse {
-          val fresh = matching.take(MaxSigPushdown + 1).map(_.getLong(0))
-          if (probeCache.size > ProbeCacheMax) probeCache.clear()
-          probeCache.put(cacheKey, fresh)
-          fresh
-        }
+        // memoize only FILE-BACKED dictionaries: the file listing is the
+        // generation key, and an in-memory dict (inputFiles empty) would
+        // collide with every other such dict on the same selector
+        val dictFiles = d.inputFiles.toSeq.sorted
+        val probe =
+          if (dictFiles.isEmpty) matching.take(MaxSigPushdown + 1).map(_.getLong(0))
+          else {
+            val cacheKey = (dictFiles, vs.name, vs.matchers)
+            Option(probeCache.get(cacheKey)).getOrElse {
+              val fresh = matching.take(MaxSigPushdown + 1).map(_.getLong(0))
+              if (probeCache.size > ProbeCacheMax) probeCache.clear()
+              probeCache.put(cacheKey, fresh)
+              fresh
+            }
+          }
         if (probe.length <= MaxSigPushdown)
           nameFiltered.where(col("sig").isInCollection(probe.toSeq))
         else

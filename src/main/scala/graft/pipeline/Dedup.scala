@@ -237,15 +237,20 @@ object Dedup {
     // never holds more than the probe budget
     val batchBvs = sigs.select(col("bv")).distinct()
     val probe = batchBvs.take(maxProbe + 1).map(_.getLong(0))
+    val inProbe = probe.length <= maxProbe
     val hitBvs =
-      if (probe.length <= maxProbe)
+      if (inProbe)
         idx.where(col("bv").isInCollection(probe.toSeq)).select("bv").distinct()
       else // batch too wide for an In-probe: bucket-keyed semi join
         idx.join(batchBvs, Seq("bv"), "left_semi").select("bv").distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bv"))
     val notMin = sigs.withColumn("_min", min(col("doc_id")).over(w))
       .where(col("doc_id") > col("_min")).select("doc_id")
-    val hitDocs = sigs.join(broadcast(hitBvs), Seq("bv"), "left_semi")
+    // broadcast ONLY on the In-probe path, where hitBvs is bounded by the
+    // probe budget; the fallback's hit set can be batch-bucket-sized
+    // (millions on a wide batch) — leave the join shape to the planner
+    val hitDocs = sigs
+      .join(if (inProbe) broadcast(hitBvs) else hitBvs, Seq("bv"), "left_semi")
       .select("doc_id")
     val dropped = hitDocs.unionByName(notMin).distinct().localCheckpoint()
     val survivors = docs.join(dropped, Seq("doc_id"), "left_anti")

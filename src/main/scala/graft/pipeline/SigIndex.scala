@@ -199,7 +199,8 @@ object SigIndex {
       .parquet(s"$dir/batch-$name")
     publish(f, dir, name)
     // record the folded names (replay detection survives the fold), then
-    // retire markers (readers stop listing the old dirs), then data
+    // retire markers (NEW readers stop listing the old dirs). Data dirs
+    // are NOT deleted here — see the vacuum below.
     aged.foreach { n =>
       f.create(new org.apache.hadoop.fs.Path(dir,
         s"$SeenPrefix${System.currentTimeMillis()}.$n"), false).close()
@@ -213,11 +214,37 @@ object SigIndex {
       }
       if (isOldMarker) f.delete(p, false)
     }
+    // READER-GRACE vacuum (the points store's discipline): a retired
+    // directory is deleted only once its _seen record is older than
+    // graceMs — a reader that planned against the pre-fold live set
+    // (Spark scans lazily) keeps every file it references for the grace
+    // window. Unmarked orphans (crashed appends) sweep only when the
+    // DIRECTORY is older than graceMs, so an in-flight append (dir
+    // written, marker not yet published) is never deleted from under
+    // its publish.
+    val now = System.currentTimeMillis()
+    val seenTs: Map[String, Long] = f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(SeenPrefix))
+      .flatMap { n =>
+        val rest = n.drop(SeenPrefix.length)
+        val dot = rest.indexOf('.')
+        if (dot < 0) None
+        else rest.take(dot).toLongOption.map(ts => (rest.substring(dot + 1), ts))
+      }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
     val live = liveNames(spark, dir).toSet
-    f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith("batch-") && !live.contains(n.drop("batch-".length)))
-        f.delete(p, true)
+    f.listStatus(root).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch-")) {
+        val nm = n.drop("batch-".length)
+        if (!live.contains(nm)) {
+          val retiredPastGrace = seenTs.get(nm).exists(_ <= now - graceMs)
+          val orphanPastGrace =
+            !seenTs.contains(nm) && st.getModificationTime <= now - graceMs
+          if (retiredPastGrace || orphanPastGrace) f.delete(st.getPath, true)
+        }
+      }
     }
   }
 }

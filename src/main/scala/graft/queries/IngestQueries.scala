@@ -131,7 +131,7 @@ object IngestQueries {
                 graft.api.Otlp.Sum(num(_ => 1.0),
                   graft.api.Otlp.TemporalityDelta)),
               graft.api.Otlp.Metric("dropped.exp", "",
-                graft.api.Otlp.ExpHistogram)))
+                graft.api.Otlp.ExpHistogram())))
         }
       val tr = graft.api.Otlp.toRows(graft.api.Otlp.decode(graft.api.Otlp.encode(req)))
       require(tr.errors.length == 2 * req.length, "expected per-resource rejections")

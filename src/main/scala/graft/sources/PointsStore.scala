@@ -515,13 +515,43 @@ object PointsStore {
       // range just missed) rather than scanning the root: the root may
       // hold a non-hidden `snapshots/` dir whose nested `date=` layers
       // would break partition discovery
-      val anyLive = fs.listStatus(root).toSeq
+      val dayDirs = fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
-        .iterator.map(d => liveDayFiles(fs, d.getPath))
+      val anyLive = dayDirs.iterator.map(d => liveDayFiles(fs, d.getPath))
         .find(_.nonEmpty).getOrElse(Nil)
       if (anyLive.nonEmpty)
         (spark.read.option("basePath", path).parquet(anyLive: _*).where(lit(false)), false)
-      else (spark.read.parquet(path).where(lit(false)), false)
+      else {
+        // no live file ANYWHERE (all expired, or only unpublished
+        // rewrite outputs): derive the schema from any parquet file
+        // under a date= dir — dead files share the live schema. NEVER
+        // scan the root: it may hold the standard `snapshots/` tree,
+        // whose nested date= layers break partition discovery.
+        val anyFile = dayDirs.iterator
+          .flatMap(d => fs.listStatus(d.getPath).toSeq)
+          .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq
+        if (anyFile.nonEmpty)
+          (spark.read.option("basePath", path).parquet(anyFile: _*).where(lit(false)), false)
+        else {
+          // a never-written (or day-dirs-deleted) store: fall back to a
+          // snapshot day for the schema when one exists, else preserve
+          // the plain-read error for a truly empty path
+          val snapDay = Option(new org.apache.hadoop.fs.Path(root, "snapshots"))
+            .filter(fs.exists(_))
+            .toSeq.flatMap(p => fs.listStatus(p).toSeq.filter(_.isDirectory))
+            .flatMap(sn => fs.listStatus(sn.getPath).toSeq
+              .filter(d => d.isDirectory && d.getPath.getName.startsWith("date="))
+              .map(d => (sn.getPath.toString, d.getPath.toString)))
+            .headOption
+          snapDay match {
+            case Some((snapRoot, day)) =>
+              (spark.read.option("basePath", snapRoot).parquet(day)
+                .where(lit(false)), false)
+            case None => (spark.read.parquet(path).where(lit(false)), false)
+          }
+        }
+      }
     }
     else (spark.read.option("basePath", path).parquet(files: _*), mayDuplicate)
   }

@@ -377,7 +377,7 @@ class PropertySpec extends AnyFunSuite {
           yield Otlp.Sum(ps, t, m),
         few(2, histGen).map(Otlp.Histogram(_, 2)),
         few(2, sumGen).map(Otlp.Summary(_)),
-        Gen.const(Otlp.ExpHistogram))
+        few(2, Gen.choose(0L, 1L << 60)).map(ts => Otlp.ExpHistogram(ts)))
     } yield Otlp.Metric(name, unit, data)
     val reqGen = few(3, for {
       attrs <- attrsGen

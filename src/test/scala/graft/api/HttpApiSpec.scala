@@ -288,8 +288,11 @@ class HttpApiSpec extends AnyFunSuite {
       val md1 = get(port, "/api/v1/metadata?metric=rw2_bytes")
       assert(md1.contains("rw2_bytes") && !md1.contains("rw_total"))
       assert(get(port, "/api/v1/metadata?limit=1").split("\"type\"").length == 2)
+      // the vendored cap applies only when POSITIVE; 0 means unlimited
       assert(get(port, "/api/v1/metadata?limit_per_metric=0")
-        .contains(""""rw_total":[]"""))
+        .contains(""""rw_total":[{"""))
+      assert(get(port, "/api/v1/metadata?limit_per_metric=1")
+        .contains(""""rw_total":[{"""))
       // /status/walreplay: the honest no-WAL completed-replay shape
       assert(get(port, "/api/v1/status/walreplay")
         .contains(""""data":{"min":0,"max":0,"current":0}"""))

@@ -76,7 +76,7 @@ class OtlpSpec extends AnyFunSuite {
             Seq(2L, 4L, 1L), Seq(0.5, 2.5))), TemporalityCumulative)),
         Metric("rpc.size", "By", Summary(Seq(
           SummaryPoint(Nil, 9 * MS, 4L, 100.0, Seq((0.5, 12.0), (0.99, 30.0)))))),
-        Metric("exp.h", "", ExpHistogram))))
+        Metric("exp.h", "", ExpHistogram(Seq(7000000L))))))
     val decoded = decode(encode(req))
     assert(decoded == req)
   }
@@ -127,11 +127,14 @@ class OtlpSpec extends AnyFunSuite {
       Metric("d.sum", "", Sum(Seq(NumberPoint(Nil, MS, 1.0)), TemporalityDelta, monotonic = true)),
       Metric("d.hist", "", Histogram(Seq(
         HistogramPoint(Nil, MS, 1L, None, Seq(1L), Nil)), TemporalityDelta)),
-      Metric("e.h", "", ExpHistogram),
+      Metric("e.h", "", ExpHistogram(Seq(MS))),
       Metric("empty.g", "", Gauge(Nil)))))
     val tr = toRows(req)
     assert(tr.rows.isEmpty)
     assert(tr.errors.length == 4)
+    // rejected_data_points counts POINTS, not metrics: delta sum (1) +
+    // delta histogram (1) + exp histogram (1 datapoint); empty gauge 0
+    assert(tr.rejectedPoints == 3)
     assert(tr.errors.exists(_.contains("invalid temporality")))
     assert(tr.errors.exists(_.contains("unsupported metric type")))
     assert(tr.errors.exists(_.contains("empty data points")))

@@ -106,6 +106,21 @@ class StoreAdminSpec extends AnyFunSuite {
       readAll(snapDir).select("sig").distinct().count())
   }
 
+  test("a store holding ONLY snapshots still reads as an empty frame with schema") {
+    val dir = seed()
+    PointsStore.append(Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("cpu", Map("user" -> "9"), T0, 1.0)), 1), schema)), dir)
+    PointsStore.snapshot(spark, dir)
+    // retention expires every day partition; only snapshots/ remains
+    PointsStore.expire(spark, dir, T0 + 365L * DAY)
+    val out = PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+    assert(out.count() == 0)
+    // schema survives (derived from the snapshot, never a root scan that
+    // would trip over the nested snapshots/<name>/date= layout)
+    assert(Seq("name", "labels", "t", "value").forall(out.columns.contains))
+  }
+
   test("admin HTTP routes: delete_series, snapshot, clean_tombstones, method/param guards") {
     val dir = seed()
     val api = new graft.api.HttpApi(spark,
