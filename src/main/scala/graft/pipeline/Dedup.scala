@@ -213,7 +213,56 @@ object Dedup {
                   numHashes: Int = 16, rowsPerBand: Int = 4,
                   broadcastDict: Boolean = true, maxProbe: Int = 100000,
                   name: String = java.util.UUID.randomUUID().toString.take(8))
-      : DataFrame = {
+      : DataFrame =
+    incrementalCore(docs, indexDir,
+      indexSignatures(docs, numHashes, rowsPerBand, broadcastDict),
+      maxProbe, name)
+
+  /** Per-doc signature rows for the SIMHASH incremental index: one row
+    * per pigeonhole band of the 64-bit simhash (two documents within
+    * `maxHamming` bits agree exactly on ≥ 1 of the `maxHamming + 1`
+    * bands — the [[simHashPairs]] recall argument) plus the exact-content
+    * bucket. Same `(doc_id, bv)` shape as [[indexSignatures]], so the
+    * two signature families share [[SigIndex]] and the incremental rule;
+    * they differ in WHAT "near" means (bit-flip distance vs estimated
+    * Jaccard). Band extraction is arithmetic-shift + mask — identical in
+    * Spark and any SQL oracle, sign bits masked away. */
+  def simhashIndexSignatures(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
+    val bandCols = (0 until nBands).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - bounds(b)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      xxhash64(lit(b), shiftright(col("simhash"), lo).bitwiseAND(lit(mask)))
+    }
+    simHash(docs)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bv"))
+      .unionByName(
+        docs.select(col("doc_id"), xxhash64(lit(-1), md5(col("text"))).as("bv")))
+  }
+
+  /** [[incremental]] with SIMHASH banding: a batch document drops when
+    * any of its hamming pigeonhole bands (or its exact content hash)
+    * already exists in the index or belongs to a smaller-id batch doc —
+    * the bit-flip-distance notion of "already kept", on the same
+    * persisted index machinery. */
+  def incrementalSimHash(docs: DataFrame, indexDir: String,
+                         maxHamming: Int = 2, maxProbe: Int = 100000,
+                         name: String = java.util.UUID.randomUUID().toString.take(8))
+      : DataFrame =
+    incrementalCore(docs, indexDir, simhashIndexSignatures(docs, maxHamming),
+      maxProbe, name)
+
+  /** [[incrementalSimHash]] keyed by a streaming batch id. */
+  def incrementalSimHashOnce(docs: DataFrame, indexDir: String, batchId: Long,
+                             maxHamming: Int = 2, maxProbe: Int = 100000)
+      : DataFrame =
+    incrementalSimHash(docs, indexDir, maxHamming, maxProbe, name = s"b$batchId")
+
+  private def incrementalCore(docs: DataFrame, indexDir: String,
+                              signatures: => DataFrame, maxProbe: Int,
+                              name: String): DataFrame = {
     val spark = docs.sparkSession
     // replay detection: if this batch already landed, the appended sigs
     // ARE the survivors' — answer from the batch's own directory, no
@@ -230,8 +279,7 @@ object Dedup {
             "folded it (grace window exceeded); rerun against a fresh " +
             "index or raise SigIndex.compact graceMs")
       }
-    val sigs = indexSignatures(docs, numHashes, rowsPerBand, broadcastDict)
-      .localCheckpoint()
+    val sigs = signatures.localCheckpoint()
     val idx = SigIndex.read(spark, indexDir)
     // distinct buckets of the batch, driver-bounded: take(maxProbe+1)
     // never holds more than the probe budget

@@ -41,6 +41,18 @@ object PipelineQueries {
           .select(lit(b).as("batch"), col("doc_id"))
       }.reduce(_ unionByName _)
     }),
+    // the SIMHASH flavor of the incremental index: same 3-batch history,
+    // "already kept" = shares a hamming pigeonhole band (bit-flip
+    // distance) instead of a MinHash band (estimated Jaccard)
+    "q_dedup_incremental_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_shidx").toString
+      (0 until 3).map { b =>
+        val batch = d.where(pmod(col("doc_id"), lit(3)) === b)
+        Dedup.incrementalSimHash(batch, idxDir, maxHamming = 2, name = s"h$b")
+          .select(lit(b).as("batch"), col("doc_id"))
+      }.reduce(_ unionByName _)
+    }),
     "q_dedup_cluster" -> ((s, dir) =>
       Dedup.components(Dedup.ngramJaccard(docs(s, dir), 0.9, col("doc_id") < 500)
         .select(col("doc_a"), col("doc_b")))),
@@ -353,6 +365,42 @@ object PipelineQueries {
   private def pqAdcTermSql(mm: Int): String =
     (0 until 7).map(j => s"WHEN c$mm = $j THEN q.d_${mm}_$j")
       .mkString("CASE ", " ", s" ELSE q.d_${mm}_7 END")
+
+  /** The incremental-dedup oracle: replay a 3-batch (doc_id % 3) history
+    * through chained CTEs — per batch, a doc survives iff no bucket hits
+    * the accumulated index AND it is the min id of every bucket it
+    * occupies within the batch; survivors' buckets extend the index.
+    * `prelude` computes the signature CTEs over `d`; `bktSql` yields the
+    * (doc_id, band, bv) bucket relation. */
+  private def incrementalOracle(prelude: String, bktSql: String): String = {
+    def step(i: Int, idx: Option[String]): String = {
+      val hit = idx.map(ix =>
+        s"max(CASE WHEN $ix.bv IS NOT NULL THEN 1 ELSE 0 END)").getOrElse("0")
+      val ijoin = idx.map(ix =>
+        s"\n  LEFT JOIN $ix ON $ix.band = b$i.band AND $ix.bv = b$i.bv").getOrElse("")
+      s"""b$i AS (SELECT bkt.* FROM bkt JOIN d USING (doc_id) WHERE d.bat = $i),
+         |m$i AS (SELECT band, bv, min(doc_id) AS mn FROM b$i GROUP BY 1, 2),
+         |x$i AS (
+         |  SELECT b$i.doc_id, $hit AS hit,
+         |         max(CASE WHEN b$i.doc_id > m$i.mn THEN 1 ELSE 0 END) AS nmin
+         |  FROM b$i$ijoin
+         |  JOIN m$i ON m$i.band = b$i.band AND m$i.bv = b$i.bv
+         |  GROUP BY 1),
+         |s$i AS (SELECT doc_id FROM x$i WHERE hit = 0 AND nmin = 0)""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, text, doc_id % 3 AS bat FROM documents),
+       |$prelude,
+       |bkt AS ($bktSql),
+       |${step(0, None)},
+       |i1 AS (SELECT DISTINCT band, bv FROM bkt JOIN s0 USING (doc_id)),
+       |${step(1, Some("i1"))},
+       |i2 AS (SELECT band, bv FROM i1
+       |       UNION SELECT band, bv FROM bkt JOIN s1 USING (doc_id)),
+       |${step(2, Some("i2"))}
+       |SELECT 0 AS batch, doc_id FROM s0
+       |UNION ALL SELECT 1 AS batch, doc_id FROM s1
+       |UNION ALL SELECT 2 AS batch, doc_id FROM s2""".stripMargin
+  }
 
   private val minhashSigsSql = (0 until 16)
     .map(i => s"min(md5('$i' || '|' || tok)) AS sig$i").mkString(", ")
@@ -934,43 +982,33 @@ object PipelineQueries {
          |FROM capped a JOIN capped b
          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id""".stripMargin,
 
-    "q_dedup_incremental" -> {
+    "q_dedup_incremental" ->
       // buckets: 4 LSH bands (concatenated sig hex) + the exact-content
       // band -1; batches replay in order through chained CTEs
-      val bktSql = (0 until 4).map { b =>
-        val parts = (0 until 4).map(r => s"sig${4 * b + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS band, $parts AS bv FROM sig"
-      }.mkString("\n  UNION ALL ") +
-        "\n  UNION ALL SELECT doc_id, -1 AS band, md5(text) AS bv FROM d"
-      def step(i: Int, idx: Option[String]): String = {
-        val hit = idx.map(ix =>
-          s"max(CASE WHEN $ix.bv IS NOT NULL THEN 1 ELSE 0 END)").getOrElse("0")
-        val ijoin = idx.map(ix =>
-          s"\n  LEFT JOIN $ix ON $ix.band = b$i.band AND $ix.bv = b$i.bv").getOrElse("")
-        s"""b$i AS (SELECT bkt.* FROM bkt JOIN d USING (doc_id) WHERE d.bat = $i),
-           |m$i AS (SELECT band, bv, min(doc_id) AS mn FROM b$i GROUP BY 1, 2),
-           |x$i AS (
-           |  SELECT b$i.doc_id, $hit AS hit,
-           |         max(CASE WHEN b$i.doc_id > m$i.mn THEN 1 ELSE 0 END) AS nmin
-           |  FROM b$i$ijoin
-           |  JOIN m$i ON m$i.band = b$i.band AND m$i.bv = b$i.bv
-           |  GROUP BY 1),
-           |s$i AS (SELECT doc_id FROM x$i WHERE hit = 0 AND nmin = 0)""".stripMargin
-      }
-      s"""WITH d AS (SELECT doc_id, text, doc_id % 3 AS bat FROM documents),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
-         |sig AS (SELECT doc_id, $minhashSigsSql FROM tok GROUP BY doc_id),
-         |bkt AS ($bktSql),
-         |${step(0, None)},
-         |i1 AS (SELECT DISTINCT band, bv FROM bkt JOIN s0 USING (doc_id)),
-         |${step(1, Some("i1"))},
-         |i2 AS (SELECT band, bv FROM i1
-         |       UNION SELECT band, bv FROM bkt JOIN s1 USING (doc_id)),
-         |${step(2, Some("i2"))}
-         |SELECT 0 AS batch, doc_id FROM s0
-         |UNION ALL SELECT 1 AS batch, doc_id FROM s1
-         |UNION ALL SELECT 2 AS batch, doc_id FROM s2""".stripMargin
-    },
+      incrementalOracle(
+        s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+           |sig AS (SELECT doc_id, $minhashSigsSql FROM tok GROUP BY doc_id)""".stripMargin,
+        (0 until 4).map { b =>
+          val parts = (0 until 4).map(r => s"sig${4 * b + r}").mkString(" || ")
+          s"SELECT doc_id, $b AS band, $parts AS bv FROM sig"
+        }.mkString("\n  UNION ALL ") +
+          "\n  UNION ALL SELECT doc_id, -1 AS band, md5(text) AS bv FROM d"),
+
+    "q_dedup_incremental_simhash" ->
+      // buckets: the 3 pigeonhole bands of the 64-bit simhash (maxHamming
+      // 2: widths 21/21/22, arithmetic shift + mask — sign bits masked
+      // away identically in both engines) + the exact-content band
+      incrementalOracle(
+        s"""tok AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 65535)) AS tok FROM d),
+           |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+           |nib AS (SELECT doc_id, $simhashNibs FROM h),
+           |v AS (SELECT doc_id, $simhashVotes FROM nib GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $simhashBits AS sh FROM v)""".stripMargin,
+        Seq((0, 0, (1L << 21) - 1), (1, 21, (1L << 21) - 1), (2, 42, (1L << 22) - 1))
+          .map { case (b, lo, m) =>
+            s"SELECT doc_id, $b AS band, CAST((sh >> $lo) & $m AS VARCHAR) AS bv FROM sig"
+          }.mkString("\n  UNION ALL ") +
+          "\n  UNION ALL SELECT doc_id, -1 AS band, md5(text) AS bv FROM d"),
 
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 65535)) AS tok FROM documents),

@@ -136,6 +136,39 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(naive.isEmpty)
   }
 
+  test("simhash flavor: engine matches the independently simulated rule") {
+    def simulateSh(batches: Seq[Seq[(Long, String)]]): Seq[Set[Long]] = {
+      var index = Set.empty[Long]
+      batches.map { rows =>
+        val sigs = Dedup.simhashIndexSignatures(df(rows)).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val minPerBv = sigs.groupBy(_._2).map { case (bv, xs) => bv -> xs.map(_._1).min }
+        val survivors = rows.map(_._1).filter { id =>
+          val mine = sigs.filter(_._1 == id).map(_._2)
+          mine.forall(bv => !index.contains(bv) && minPerBv(bv) == id)
+        }.toSet
+        index ++= sigs.filter(x => survivors(x._1)).map(_._2)
+        survivors
+      }
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).limit(90)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batches = docs.grouped(30).toSeq
+    val expect = simulateSh(batches)
+    val dir = Files.createTempDirectory("shidx").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val got = Dedup.incrementalSimHash(df(b), dir, name = s"s$i")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect(i), s"batch $i diverged from the simulated simhash rule")
+    }
+    // an exact duplicate of a KEPT doc always drops in a later batch
+    val keptId = expect.head.head
+    val keptText = docs.find(_._1 == keptId).get._2
+    assert(Dedup.incrementalSimHash(df(Seq(9999L -> keptText)), dir, name = "dup")
+      .collect().isEmpty)
+  }
+
   test("past maxProbe the semi-join fallback decides identically to the In-probe") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long"), col("text")).limit(80)
