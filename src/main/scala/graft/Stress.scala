@@ -196,6 +196,18 @@ object Stress {
       // rewrites. delete targets ONE series over 3 of the 30 days — its
       // cost must track the TOUCHED days' rewrite volume, not store
       // size; snapshot is O(files) hard-link time.
+      // incremental dedup: the corpus split into two sequential batches
+      // against a fresh persisted index — times signature computation +
+      // bloom-written appends + the In(bv)/semi-join probe at corpus
+      // scale (batch 2 probes an index holding batch 1's survivors)
+      timed("incremental_dedup") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_inc").toString
+        val n0 = Dedup.incremental(
+          docs.where(col("doc_id") % 2 === 0), dir, name = "s0").count()
+        val n1 = Dedup.incremental(
+          docs.where(col("doc_id") % 2 === 1), dir, name = "s1").count()
+        n0 + n1
+      },
       // include store_build in STRESS_ONLY when measuring the probes
       // below, or the lazy build lands inside the first store_* timing
       timed("store_build") { stressStore; 1L },
