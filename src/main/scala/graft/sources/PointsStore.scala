@@ -133,7 +133,15 @@ object PointsStore {
     * lands). Exactly-once sinks avoid the duplicate entirely via
     * [[appendOnce]]. */
   def append(points: DataFrame, path: String): Unit = {
-    val withLc = graft.model.Points.withCanonical(points)
+    // `stale` is part of the store's canonical schema (OTLP ingest writes
+    // staleness markers — Otlp.toPoints), but most producers (nozzle,
+    // remote write, rollups) don't carry it. Normalize HERE so every file
+    // in the store has the same columns: a store mixing stale-carrying and
+    // stale-less files would otherwise read whichever schema parquet
+    // inference sampled — either dropping the column (markers surface as
+    // NaN samples) or reading stale-less rows as stale=null, which
+    // Selectors' `!stale` filter silently drops (NULL is not TRUE).
+    val withLc = graft.model.Points.withCanonical(normalizeStale(points))
       .withColumn("date", to_date(timestamp_millis(col("t"))))
     // series-dictionary sidecar: sig -> (name, _lc, lastDay), one row per
     // series per batch (map-side partial dedup keeps the shuffle
@@ -330,6 +338,39 @@ object PointsStore {
       if (columns.contains("_seq")) Some(col("_seq").desc) else None,
       if (columns.contains("_sub")) Some(col("_sub").desc) else None).flatten
 
+  /** Make `stale` a total boolean column: add `false` when absent, map
+    * null → false when present (a null would make Selectors' `!stale`
+    * filter drop the row — NULL is not TRUE). [[append]] applies this at
+    * every write so new files are uniform; [[readPointFiles]] applies it
+    * at every read so files from pre-`stale` layouts are too. */
+  private def normalizeStale(df: DataFrame): DataFrame =
+    if (df.columns.contains("stale"))
+      df.withColumn("stale", coalesce(col("stale").cast(
+        org.apache.spark.sql.types.BooleanType), lit(false)))
+    else df.withColumn("stale", lit(false))
+
+  /** Read an explicit point-file set with a NORMALIZED schema. Plain
+    * parquet inference samples ONE footer; over a file set mixing
+    * stale-carrying (OTLP-era) and stale-less (older-layout) files it
+    * would nondeterministically either drop the column — OTLP staleness
+    * markers then surface as ordinary NaN samples — or surface it with
+    * nulls on the stale-less rows, which downstream `!stale` filters
+    * silently drop. Instead: sample one footer (the same I/O inference
+    * pays), inject `stale: boolean` when the sample lacks it, read the
+    * set under that EXPLICIT schema (files missing a schema column yield
+    * null, by-name resolution), and fold null → false. Every reader —
+    * queries, compaction rewrites, delete rewrites — then sees the same
+    * columns regardless of which ingest paths fed the store. */
+  private def readPointFiles(spark: SparkSession, files: Seq[String],
+                             basePath: Option[String]): DataFrame = {
+    def reader = basePath.foldLeft(spark.read)((r, p) => r.option("basePath", p))
+    val sampled = reader.parquet(files.head).schema
+    val schema =
+      if (sampled.fieldNames.contains("stale")) sampled
+      else sampled.add("stale", org.apache.spark.sql.types.BooleanType)
+    normalizeStale(reader.schema(schema).parquet(files: _*))
+  }
+
   // ---- manifest-gated file visibility ----------------------------------
   //
   // Compaction output files carry the `compacted-` prefix and are visible
@@ -520,7 +561,7 @@ object PointsStore {
       val anyLive = dayDirs.iterator.map(d => liveDayFiles(fs, d.getPath))
         .find(_.nonEmpty).getOrElse(Nil)
       if (anyLive.nonEmpty)
-        (spark.read.option("basePath", path).parquet(anyLive: _*).where(lit(false)), false)
+        (readPointFiles(spark, anyLive, Some(path)).where(lit(false)), false)
       else {
         // no live file ANYWHERE (all expired, or only unpublished
         // rewrite outputs): derive the schema from any parquet file
@@ -532,7 +573,7 @@ object PointsStore {
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString).toSeq
         if (anyFile.nonEmpty)
-          (spark.read.option("basePath", path).parquet(anyFile: _*).where(lit(false)), false)
+          (readPointFiles(spark, anyFile, Some(path)).where(lit(false)), false)
         else {
           // a never-written (or day-dirs-deleted) store: fall back to a
           // snapshot day for the schema when one exists, else preserve
@@ -546,14 +587,15 @@ object PointsStore {
             .headOption
           snapDay match {
             case Some((snapRoot, day)) =>
-              (spark.read.option("basePath", snapRoot).parquet(day)
+              (normalizeStale(spark.read.option("basePath", snapRoot).parquet(day))
                 .where(lit(false)), false)
-            case None => (spark.read.parquet(path).where(lit(false)), false)
+            case None =>
+              (normalizeStale(spark.read.parquet(path)).where(lit(false)), false)
           }
         }
       }
     }
-    else (spark.read.option("basePath", path).parquet(files: _*), mayDuplicate)
+    else (readPointFiles(spark, files, Some(path)), mayDuplicate)
   }
 
   /** Hot-label flattening: selected label keys are ALSO stored as physical
@@ -639,8 +681,10 @@ object PointsStore {
           fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
         val nOut = math.max(1, (liveBytes / targetBytes).toInt)
         // reading the explicit live files keeps a racing appender's new
-        // files out of this generation (they stay unlisted -> still live)
-        val raw = spark.read.parquet(live: _*)
+        // files out of this generation (they stay unlisted -> still live);
+        // the normalized read makes the rewrite converge a mixed-layout
+        // day to the uniform stale-carrying schema
+        val raw = readPointFiles(spark, live, None)
         // LAST-WRITE-WINS (sig, t) dedup, keeping the newest write stamp:
         // re-sent / replayed points collapse to one sample per (series, t)
         // — the guarantee Selectors.instant documents and the reference's
@@ -898,7 +942,7 @@ object PointsStore {
       val (live, liveGen) = liveDayFilesWithGen(fs, day)
       if (live.isEmpty) None
       else {
-      val raw = spark.read.parquet(live: _*)
+      val raw = readPointFiles(spark, live, None)
       val del = graft.engine.Compiler.matcherFilter(matchers,
         useLc = raw.columns.contains("_lc")) &&
         (if (startMs == Long.MinValue) lit(true) else col("t") >= startMs) &&

@@ -202,4 +202,44 @@ class StoreAdminSpec extends AnyFunSuite {
       PointsStore.deleteSeries(spark, dir, "cpu offset 5m")
     }
   }
+
+  /** A store mixing stale-carrying files (OTLP ingest writes staleness
+    * markers) with stale-less files (pre-normalization layouts) must read
+    * with ONE uniform schema: stale-less rows as stale=false — never
+    * stale=null, which `!stale` filters would silently drop — and markers
+    * as stale=true regardless of which file parquet inference sampled. */
+  test("mixed stale-carrying / stale-less files read uniformly; compact converges the layout") {
+    val dir = Files.createTempDirectory("mixed_stale_store").toString
+    // simulate a pre-`stale` layout file: bypass append (which normalizes)
+    // and write a plain part-* file without the column
+    val legacyRows = (0 until 4).map(i =>
+      Row("cpu", Map("user" -> i.toString), T0 + i * 1000L, i.toDouble))
+    Points.withCanonical(Points.withSig(spark.createDataFrame(
+        spark.sparkContext.parallelize(legacyRows, 1), schema)))
+      .withColumn("date", to_date(timestamp_millis(col("t"))))
+      .write.partitionBy("date").mode("append").parquet(dir)
+    // OTLP-era batch on the same day: one real sample + one staleness marker
+    val otlpSchema = schema.add(StructField("stale", BooleanType))
+    val otlpRows = Seq(
+      Row("cpu", Map("user" -> "9"), T0 + 10000L, 9.0, false),
+      Row("cpu", Map("user" -> "9"), T0 + 11000L, Double.NaN, true))
+    PointsStore.append(Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(otlpRows, 1), otlpSchema)), dir)
+
+    def check(ctx: String): Unit = {
+      val all = readAll(dir)
+      assert(all.columns.contains("stale"), s"$ctx: stale column missing")
+      assert(all.count() == 6, s"$ctx: row lost")
+      assert(all.where(col("stale").isNull).count() == 0, s"$ctx: null stale")
+      assert(all.where(col("stale")).count() == 1, s"$ctx: marker lost")
+      // the engine's marker filter keeps every real sample, drops the marker
+      val kept = graft.engine.Selectors.dropStale(all)
+      assert(kept.count() == 5, s"$ctx: dropStale wrong")
+      assert(kept.where(isnan(col("value"))).count() == 0, s"$ctx: marker leaked as NaN")
+    }
+    check("mixed live")
+    // compaction rewrites through the normalized read -> uniform layout
+    assert(PointsStore.compact(spark, dir, graceMs = 0L).nonEmpty)
+    check("compacted")
+  }
 }
