@@ -394,14 +394,16 @@ object PointsStore {
     s"concurrent rewrite published a newer manifest for $dir")
 
   // Rewrites of ONE day dir must serialize: two concurrent rewrites each
-  // read a live set, and whichever publishes LAST wins the manifest flip —
-  // if the loser was a deleteSeries, its deletion is silently undone by
-  // the winner's outputs (built from the pre-delete live set). Serve runs
-  // the maintenance-tick compaction concurrently with the admin
-  // delete_series route in one JVM, so a striped in-process mutex closes
-  // that deployment's race completely; the publish-time manifest CAS in
-  // [[publishRewrite]] additionally catches cross-process racers (the
-  // loser retries against the new live set instead of resurrecting data).
+  // read a live set, and an unserialized publish race could undo the
+  // other's rewrite — if the loser was a deleteSeries, its deletion would
+  // be silently resurrected by a winner built from the pre-delete live
+  // set. Serve runs the maintenance-tick compaction concurrently with the
+  // admin delete_series route in one JVM, so a striped in-process mutex
+  // closes that deployment's race completely (cheaply — no namespace
+  // traffic); cross-process racers are handled by the chained-manifest
+  // protocol in [[publishRewrite]]/[[resolveTip]]: both publishes land as
+  // a visible namespace fork, resolution is deterministic, and the loser
+  // detects it post-rename and retries against the winner's live set.
   private val rewriteStripes = Array.fill(64)(new Object)
   private def withDirLock[A](dir: org.apache.hadoop.fs.Path)(f: => A): A =
     rewriteStripes(math.floorMod(dir.toString.hashCode, 64)).synchronized(f)
@@ -445,37 +447,132 @@ object PointsStore {
     else Some((digits.toLong, suffix))
   }
 
-  /** Newest manifest of a day dir: (publish ts, +live set, -dead set). */
+  // ---- manifest chain resolution ---------------------------------------
+  //
+  // Manifest names CHAIN their parent generation:
+  // `_manifest.<gen>_p_<parentGen>` (parentGen = "root" for the first
+  // publish). The current manifest ("tip") is resolved by WALKING the
+  // chain, not by comparing timestamps — so two cross-process rewrites
+  // that both passed the pre-rename check and both renamed produce a
+  // visible FORK in the namespace (two manifests naming the same parent)
+  // instead of a silent last-stamp-wins overwrite. Fork resolution is
+  // deterministic (earliest rename wins, see [[resolveTip]]), every
+  // publisher re-resolves AFTER its rename ([[publishRewrite]]), and the
+  // loser throws [[RewriteLostException]] and retries against the
+  // winner's live set — a cross-process deleteSeries racing a compaction
+  // is DETECTED rather than resurrected. Pre-chain manifests
+  // (`_manifest.<gen>`) order by stamp as before; the first chained
+  // publish names the legacy tip as its parent.
+
+  private val ParentSep = "_p_"
+  private val RootToken = "root"
+
+  /** One parsed manifest file: stamp ts (grace ordering), own generation,
+    * parent generation (None = pre-chain legacy name), file name, and the
+    * file's modification time — set when the staged `.tmp` manifest was
+    * written, milliseconds before its rename, and preserved by the
+    * rename, so it orders manifests by PUBLISH time (stamps are taken
+    * before the rewrite's Spark write and can be minutes older). */
+  private final case class MEnt(ts: Long, gen: String, parent: Option[String],
+                                name: String, mtime: Long)
+
+  private def parseManifest(st: org.apache.hadoop.fs.FileStatus): Option[MEnt] = {
+    val name = st.getPath.getName
+    manifestStamp(name).map { case (ts, suffix) =>
+      val i = suffix.indexOf(ParentSep)
+      if (i < 0) MEnt(ts, suffix, None, name, st.getModificationTime)
+      else MEnt(ts, suffix.substring(0, i),
+        Some(suffix.substring(i + ParentSep.length)), name, st.getModificationTime)
+    }
+  }
+
+  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+                            day: org.apache.hadoop.fs.Path): Seq[MEnt] =
+    fs.listStatus(day).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+      .flatMap(parseManifest)
+
+  /** Resolve the dir's current manifest by walking the parent chain.
+    *
+    * Start: the chained manifest whose parent is `root` or no longer
+    * present (vacuumed ancestors leave a single fragment —
+    * [[vacuum]] removes on-chain ancestors only when the namespace is
+    * fork-free, so fragments are unambiguous); else the newest legacy
+    * manifest (first chained publish named it as parent). At each step
+    * the child with the EARLIEST (mtime, name) wins a fork: mtime tracks
+    * rename order, so a racer that renamed after the winner — or any
+    * later would-be usurper — deterministically loses, and discovers it
+    * in its own post-rename re-resolution. Cycle-guarded (a cycle would
+    * need a forged name); falls back to stamp order if the walk cannot
+    * start. */
+  private def resolveTip(ents: Seq[MEnt]): Option[MEnt] = {
+    if (ents.isEmpty) return None
+    val chained = ents.filter(_.parent.isDefined)
+    val byStamp = ents.maxBy(e => (e.ts, e.name))
+    if (chained.isEmpty) return Some(byStamp) // pure legacy dir
+    val gens = ents.map(_.gen).toSet
+    val roots = chained.filter(e =>
+      e.parent.contains(RootToken) || !gens.contains(e.parent.get))
+    val legacyTip = ents.filter(_.parent.isEmpty) match {
+      case l if l.nonEmpty => Some(l.maxBy(e => (e.ts, e.name)))
+      case _ => None
+    }
+    val start = if (roots.nonEmpty) Some(roots.minBy(e => (e.mtime, e.name)))
+                else legacyTip
+    start match {
+      case None => Some(byStamp) // unreachable without forged names
+      case Some(s) =>
+        var cur = s
+        var steps = 0
+        while (steps <= ents.size) {
+          chained.filter(_.parent.get == cur.gen) match {
+            case cs if cs.isEmpty => return Some(cur)
+            case cs => cur = cs.minBy(e => (e.mtime, e.name))
+          }
+          steps += 1
+        }
+        Some(cur)
+    }
+  }
+
+  /** Generations on the tip chain: tip plus every present ancestor. */
+  private def chainGens(ents: Seq[MEnt], tip: MEnt): Set[String] = {
+    val byGen = ents.map(e => e.gen -> e).toMap
+    var cur = Option(tip)
+    val out = Set.newBuilder[String]
+    var steps = 0
+    while (cur.isDefined && steps <= ents.size) {
+      out += cur.get.gen
+      cur = cur.get.parent.filterNot(_ == RootToken).flatMap(byGen.get)
+      steps += 1
+    }
+    out.result()
+  }
+
+  /** Current manifest of a day dir: (publish stamp, +live set, -dead set). */
   private def newestManifest(fs: org.apache.hadoop.fs.FileSystem,
                              day: org.apache.hadoop.fs.Path)
       : Option[(Long, Set[String], Set[String])] = {
-    val manifests = fs.listStatus(day).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
-      .flatMap(s => manifestStamp(s.getPath.getName).map(st => (st, s.getPath)))
-    if (manifests.isEmpty) return None
-    val ((ts, _), p) = manifests.maxBy(_._1)
-    val in = fs.open(p)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      out.toString("UTF-8")
-    } finally in.close()
-    val lines = text.split("\n").filter(_.nonEmpty)
-    Some((ts,
-      lines.filter(_.startsWith("+")).map(_.drop(1)).toSet,
-      lines.filter(_.startsWith("-")).map(_.drop(1)).toSet))
+    resolveTip(listManifests(fs, day)).map { tip =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(day, tip.name))
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      (tip.ts,
+        lines.filter(_.startsWith("+")).map(_.drop(1)).toSet,
+        lines.filter(_.startsWith("-")).map(_.drop(1)).toSet)
+    }
   }
 
-  /** The unique FILE NAME of a dir's newest manifest (None when no
+  /** The unique FILE NAME of a dir's current manifest (None when no
     * manifest was ever published) — the generation token the rewrite CAS
     * in [[publishRewrite]] compares. */
   private def newestManifestName(fs: org.apache.hadoop.fs.FileSystem,
-                                 day: org.apache.hadoop.fs.Path): Option[String] = {
-    val manifests = fs.listStatus(day).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
-      .flatMap(s => manifestStamp(s.getPath.getName).map(st => (st, s.getPath.getName)))
-    if (manifests.isEmpty) None else Some(manifests.maxBy(_._1)._2)
-  }
+                                 day: org.apache.hadoop.fs.Path): Option[String] =
+    resolveTip(listManifests(fs, day)).map(_.name)
 
   /** The files of one day a reader may see: manifest-+listed compacted
     * outputs, plus append files not -listed. Unlisted `compacted-` files
@@ -706,7 +803,12 @@ object PointsStore {
         Some(dayPath.toString)
       } else None
     }
-    if (days.nonEmpty) {
+    if (days.length == 1) {
+      // the common maintenance-tick shape (onlyDay / a hot single-day
+      // store): run inline — no executor churn, and the caller thread
+      // holds the stripe lock itself
+      compactDay(days.head).foreach { d => done += d; compactionsTotal.add(1L) }
+    } else if (days.nonEmpty) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(days.length, 8))
       try {
@@ -811,13 +913,25 @@ object PointsStore {
           .foreach(s => fs.delete(s.getPath, false))
       case _ => ()
     }
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
-      .flatMap(s => manifestStamp(s.getPath.getName).map(st => (st, s.getPath)))
-      .sortBy(_._1).reverse
-      .drop(1) // never the newest
-      .filter { case ((ts, _), _) => now - ts >= graceMs }
-      .foreach { case (_, p) => fs.delete(p, false) }
+    // superseded manifests: never the TIP (chain-resolved, not newest
+    // stamp); grace from MTIME — publish time — since a fork loser's
+    // stamp predates its rename by its rewrite's whole Spark write
+    val ents = listManifests(fs, dir)
+    resolveTip(ents).foreach { tip =>
+      val onChain = chainGens(ents, tip)
+      val offChain = ents.filter(e => !onChain.contains(e.gen))
+      // fork losers / usurped branches: a reader could have resolved one
+      // as tip only in the instant between the racing renames, so they
+      // age out on the same reader-grace as dead files
+      offChain.filter(e => now - e.mtime >= graceMs)
+        .foreach(e => fs.delete(new org.apache.hadoop.fs.Path(dir, e.name), false))
+      // on-chain ancestors: removed ONLY when the namespace is fork-free —
+      // deleting an ancestor while a fork loser remains could make the
+      // loser a parent-absent root and flip [[resolveTip]]
+      if (offChain.isEmpty)
+        ents.filter(e => e.gen != tip.gen && now - e.mtime >= graceMs)
+          .foreach(e => fs.delete(new org.apache.hadoop.fs.Path(dir, e.name), false))
+    }
   }
 
   /** Stage `writeTmp`'s output into `dir` under unique `compacted-<gen>-`
@@ -825,19 +939,27 @@ object PointsStore {
     * manifest publish: replaced files are -listed, never renamed or
     * deleted in place, so a reader planned against the old set keeps every
     * file it references. The generation id is uniquified ([[newGen]]) —
-    * concurrent or same-millisecond rewrites cannot collide on names; if
-    * two publish concurrently, the newest manifest wins and the loser's
-    * outputs are swept as unlisted orphans.
+    * concurrent or same-millisecond rewrites cannot collide on names.
     *
     * `expect` is the generation token ([[liveDayFilesWithGen]]) the live
-    * set was read under: immediately before the flip the newest manifest
+    * set was read under: immediately before the flip the current manifest
     * is re-checked, and on mismatch the staged outputs are discarded and
     * [[RewriteLostException]] thrown — the caller retries against the new
     * live set. Without this a compaction that read the pre-delete live
     * set but publishes AFTER a deleteSeries would silently resurrect the
     * deleted samples. In-process racers are fully excluded by
-    * [[withDirLock]]; the CAS narrows the cross-process window to the
-    * check→rename instant. */
+    * [[withDirLock]]. Cross-process racers that slip past the re-check
+    * (both rename inside the check→rename instant) are handled by the
+    * CHAINED names: both manifests land naming the same parent, the fork
+    * is resolved deterministically by [[resolveTip]] (earliest rename
+    * wins), and the post-rename re-resolution below makes the loser throw
+    * and retry — detected, never silently undone. Residual window: a
+    * third publish chaining onto the fork's provisional winner inside the
+    * racers' rename gap could itself be usurped before ITS post-check;
+    * that needs three independent publishers inside one ~millisecond
+    * namespace window (each pair already being a lost-CAS anomaly), and
+    * fork resolution relies on rename-preserved mtimes — exact on POSIX
+    * and HDFS, best-effort on object stores whose rename is a copy. */
   private def publishRewrite(fs: org.apache.hadoop.fs.FileSystem,
                              dir: org.apache.hadoop.fs.Path,
                              live: Seq[String], now: Long,
@@ -872,19 +994,47 @@ object PointsStore {
     val manifestBody =
       (newNames.map("+" + _) ++ (liveNames ++ prevMinus).map("-" + _))
         .mkString("", "\n", "\n")
-    val tmpManifest = new org.apache.hadoop.fs.Path(dir, s".$ManifestPrefix$gen.tmp")
-    val out = fs.create(tmpManifest, true)
-    try out.write(manifestBody.getBytes("UTF-8")) finally out.close()
-    // last-instant CAS re-check (the staged outputs above are unlisted
+    // last-instant re-check (the staged outputs above are unlisted
     // `compacted-` names — invisible — so discarding here is safe)
     if (newestManifestName(fs, dir) != expect) {
-      fs.delete(tmpManifest, false)
       newNames.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
       throw new RewriteLostException(dir.toString)
     }
-    // the atomic visibility flip
-    fs.rename(tmpManifest, new org.apache.hadoop.fs.Path(dir, s"$ManifestPrefix$gen"))
+    Option(publishTestHook.getAndSet(null)).foreach(_.apply())
+    // the visibility flip: the manifest name CHAINS the parent generation,
+    // so if a cross-process racer renamed between the check above and this
+    // rename, the namespace holds a FORK (two manifests naming the same
+    // parent) rather than a silent stamp-ordered overwrite. The staged
+    // manifest is written HERE, after the check and microseconds before
+    // the rename: its mtime — preserved by the rename — is the fork
+    // resolution's publish-order signal, so it must be stamped as close
+    // to the flip as possible.
+    val tmpManifest = new org.apache.hadoop.fs.Path(dir, s".$ManifestPrefix$gen.tmp")
+    val out = fs.create(tmpManifest, true)
+    try out.write(manifestBody.getBytes("UTF-8")) finally out.close()
+    val parentToken = expect.map { n =>
+      val suffix = n.drop(ManifestPrefix.length)
+      val i = suffix.indexOf(ParentSep)
+      if (i < 0) suffix else suffix.substring(0, i)
+    }.getOrElse(RootToken)
+    val myName = s"$ManifestPrefix$gen$ParentSep$parentToken"
+    fs.rename(tmpManifest, new org.apache.hadoop.fs.Path(dir, myName))
+    // post-rename re-resolution: deterministic fork loser detection. The
+    // winner is whoever [[resolveTip]] picks (earliest rename); the loser
+    // leaves its manifest and outputs IN PLACE — a reader could have
+    // transiently resolved them as tip between the racing renames, so
+    // [[vacuum]] reclaims them after the reader grace window — and throws
+    // so [[retryRewrite]] re-runs it against the winner's live set.
+    val ents = listManifests(fs, dir)
+    val won = resolveTip(ents).exists(tip => chainGens(ents, tip).contains(gen))
+    if (!won) throw new RewriteLostException(dir.toString)
   }
+
+  /** Test seam: runs ONCE between the pre-rename check and the rename —
+    * the cross-process race window — then self-clears. Lets specs inject
+    * a full concurrent rewrite exactly where a real racer could land. */
+  private[sources] val publishTestHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
 
   /** Admin deletion — the storage side of the Prometheus admin API's
     * POST /api/v1/admin/tsdb/delete_series (the reference serves the
@@ -960,7 +1110,9 @@ object PointsStore {
       }
     }
     val done = Seq.newBuilder[String]
-    if (days.nonEmpty) {
+    if (days.length == 1) {
+      deleteDay(days.head.getPath).foreach(done += _) // inline, like compact
+    } else if (days.nonEmpty) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(days.length, 8))
       try {
@@ -1007,10 +1159,10 @@ object PointsStore {
       // the newest manifest rides along so the snapshot's `compacted-`
       // files stay visible under the same liveDayFiles rules (its
       // -listed dead names simply don't exist in the snapshot)
-      val manifest = fs.listStatus(d.getPath).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
-        .flatMap(s => manifestStamp(s.getPath.getName).map(st => (st, s.getPath)))
-        .sortBy(_._1).lastOption.map(_._2)
+      // the chain-resolved tip rides along; its parent won't exist in the
+      // snapshot, which [[resolveTip]] treats as a root — still the tip
+      val manifest = resolveTip(listManifests(fs, d.getPath))
+        .map(e => new org.apache.hadoop.fs.Path(d.getPath, e.name))
       for (f <- liveDayFiles(fs, d.getPath).map(new org.apache.hadoop.fs.Path(_)) ++ manifest) {
         val dst = new org.apache.hadoop.fs.Path(out, f.getName)
         val linked =

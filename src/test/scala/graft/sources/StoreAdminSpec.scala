@@ -193,6 +193,72 @@ class StoreAdminSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  /** The CROSS-PROCESS publish race: a rewrite that passed its pre-rename
+    * manifest check while another publisher renames in the same instant.
+    * The stripe lock can't cover this (separate JVMs); the chained
+    * manifest names must — both publishes land as a namespace fork, the
+    * loser detects it post-rename and retries. The publishTestHook
+    * injects a full deleteSeries exactly inside compaction's
+    * check→rename window (stripe locks are reentrant, so the same-thread
+    * injection models an uncoordinated separate process). Without fork
+    * detection the compaction — built from the pre-delete live set —
+    * would win by newest stamp and silently resurrect the deletion. */
+  test("publish race past the pre-rename check: fork is detected, deletion never resurrected") {
+    // single-day store in 3 append files (single-day rewrites run inline
+    // on the caller thread, so the hook's injected delete re-enters the
+    // stripe lock like an uncoordinated separate process would bypass it)
+    val dir = Files.createTempDirectory("race_store").toString
+    for (b <- 0 until 3) {
+      val rows = (0 to 2).map(u =>
+        Row("cpu", Map("user" -> u.toString), T0 + b * 1000L + u, (u * 10 + b).toDouble))
+      PointsStore.append(Points.withSig(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)), dir)
+    }
+    var deleted = false
+    PointsStore.publishTestHook.set { () =>
+      PointsStore.deleteSeries(spark, dir, """cpu{user="1"}""", graceMs = 0L)
+      deleted = true
+      Thread.sleep(10) // order the racing renames' mtimes deterministically
+    }
+    try PointsStore.compact(spark, dir, graceMs = 0L)
+    finally PointsStore.publishTestHook.set(null)
+    assert(deleted, "hook did not run — no rewrite happened")
+    val left = readAll(dir)
+    assert(left.where(col("labels")("user") === "1").count() == 0,
+      "racing compaction resurrected the deleted series")
+    assert(left.count() == 6) // users 0 and 2 x 3 batches survive intact
+    // and the store remains fully operable: another settle pass
+    PointsStore.compact(spark, dir, graceMs = 0L)
+    assert(readAll(dir).count() == 6)
+  }
+
+  test("pre-chain (legacy) manifest names still resolve; new publishes chain onto them") {
+    val dir = seed()
+    PointsStore.append(Points.withSig(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("cpu", Map("user" -> "7"), T0, 77.0)), 1), schema)), dir)
+    assert(PointsStore.compact(spark, dir, graceMs = 0L).nonEmpty)
+    // rewrite the day's chained manifest names to the pre-chain format
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val renamed = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("date=")).flatMap { day =>
+        fs.listStatus(day.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("_manifest."))
+          .map { m =>
+            val legacy = m.getPath.getName.split("_p_")(0)
+            fs.rename(m.getPath, new org.apache.hadoop.fs.Path(day.getPath, legacy))
+          }
+      }
+    assert(renamed.nonEmpty && renamed.forall(identity))
+    assert(readAll(dir).count() == 61, "legacy manifest names unreadable")
+    // a rewrite on top of the legacy layout chains onto the legacy tip
+    PointsStore.deleteSeries(spark, dir, """cpu{user="7"}""", graceMs = 0L)
+    assert(readAll(dir).count() == 60)
+    PointsStore.compact(spark, dir, graceMs = 0L)
+    assert(readAll(dir).count() == 60)
+  }
+
   test("non-selector input is rejected") {
     val dir = seed()
     intercept[IllegalArgumentException] {
