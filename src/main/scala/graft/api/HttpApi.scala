@@ -483,7 +483,10 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
             case Right(tr) =>
               try {
                 if (tr.rows.nonEmpty) sink(Otlp.toPoints(spark, tr))
-                ingressPointsTotal.add(tr.samples.toLong)
+                // accepted OTLP DATA POINTS — the remote-write route's
+                // per-sample unit, not translated rows (one histogram
+                // point fans out to many rows + target_info)
+                ingressPointsTotal.add(tr.acceptedPoints)
                 proto(200, Otlp.encodeResponse(
                   tr.rejectedPoints, tr.errors.mkString("; ")))
               } catch { case e: Throwable =>

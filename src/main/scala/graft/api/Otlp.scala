@@ -93,7 +93,14 @@ object Otlp {
                                 * `errors` — the partial_success field's
                                 * unit per the OTLP spec (not a metric
                                 * count). */
-                              rejectedPoints: Long = 0L) {
+                              rejectedPoints: Long = 0L,
+                              /** OTLP DATA POINTS accepted — the ingress
+                                * counter's unit, matching the remote-write
+                                * route's per-sample semantics. One
+                                * histogram/summary point fans out to many
+                                * translated rows; `rows.length` would
+                                * inflate the counter. */
+                              acceptedPoints: Long = 0L) {
     def samples: Int = rows.length
   }
 
@@ -565,6 +572,7 @@ object Otlp {
     val rows = Seq.newBuilder[Row]
     val errors = Seq.newBuilder[String]
     var rejectedPoints = 0L
+    var acceptedPoints = 0L
     req.foreach { rm =>
       val res = rm.attrs.toMap
       val job = res.get("service.name").map { n =>
@@ -586,6 +594,7 @@ object Otlp {
         m.data match {
           case Gauge(pts) =>
             if (pts.isEmpty) emptyErr()
+            acceptedPoints += pts.length
             val name = buildName(m.name, m.unit, isGauge = true, isMonotonicSum = false)
             pts.foreach { p =>
               rows += Row(name, labelsOf(p.attrs), ms(p.tNanos),
@@ -601,6 +610,7 @@ object Otlp {
               errors += s"invalid temporality and type combination for metric \"${m.name}\""
             } else {
               if (pts.isEmpty) emptyErr()
+              acceptedPoints += pts.length
               val name = buildName(m.name, m.unit, isGauge = false, isMonotonicSum = mono)
               pts.foreach { p =>
                 rows += Row(name, labelsOf(p.attrs), ms(p.tNanos),
@@ -614,6 +624,7 @@ object Otlp {
               errors += s"invalid temporality and type combination for metric \"${m.name}\""
             } else {
               if (pts.isEmpty) emptyErr()
+              acceptedPoints += pts.length
               val name = buildName(m.name, m.unit, isGauge = false, isMonotonicSum = false)
               pts.foreach { p =>
                 val base = labelsOf(p.attrs)
@@ -633,6 +644,7 @@ object Otlp {
             }
           case Summary(pts) =>
             if (pts.isEmpty) emptyErr()
+            acceptedPoints += pts.length
             val name = buildName(m.name, m.unit, isGauge = false, isMonotonicSum = false)
             pts.foreach { p =>
               val base = labelsOf(p.attrs)
@@ -663,7 +675,7 @@ object Otlp {
         rows += Row("target_info", lbls, mostRecent / 1000000L, 1.0, stale = false)
       }
     }
-    Translated(rows.result(), errors.result(), rejectedPoints)
+    Translated(rows.result(), errors.result(), rejectedPoints, acceptedPoints)
   }
 
   /** Translated rows → the canonical points relation (name, labels, t,

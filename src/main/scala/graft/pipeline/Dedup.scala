@@ -208,11 +208,18 @@ object Dedup {
     * and batches are assumed SEQUENTIAL per index — the foreachBatch
     * shape; two writers racing the same index both append (the manifest
     * discipline keeps that safe) but may each keep one copy of a pair
-    * duplicated ACROSS the racing batches. */
-  def incremental(docs: DataFrame, indexDir: String,
+    * duplicated ACROSS the racing batches.
+    *
+    * `name` is the batch's STABLE identity and is deliberately required:
+    * retries must reuse the name. A caller that appended this batch's
+    * survivors but failed before consuming the result (or a replayed
+    * micro-batch — [[incrementalOnce]] derives the name from the batch
+    * id) answers from the batch's own directory on retry. With a fresh
+    * name per retry the batch would collide with its OWN prior append in
+    * the index and silently return zero survivors. */
+  def incremental(docs: DataFrame, indexDir: String, name: String,
                   numHashes: Int = 16, rowsPerBand: Int = 4,
-                  broadcastDict: Boolean = true, maxProbe: Int = 100000,
-                  name: String = java.util.UUID.randomUUID().toString.take(8))
+                  broadcastDict: Boolean = true, maxProbe: Int = 100000)
       : DataFrame =
     incrementalCore(docs, indexDir,
       indexSignatures(docs, numHashes, rowsPerBand, broadcastDict),
@@ -246,10 +253,10 @@ object Dedup {
     * any of its hamming pigeonhole bands (or its exact content hash)
     * already exists in the index or belongs to a smaller-id batch doc —
     * the bit-flip-distance notion of "already kept", on the same
-    * persisted index machinery. */
-  def incrementalSimHash(docs: DataFrame, indexDir: String,
-                         maxHamming: Int = 2, maxProbe: Int = 100000,
-                         name: String = java.util.UUID.randomUUID().toString.take(8))
+    * persisted index machinery. `name` is the batch's stable identity —
+    * required, retries must reuse it (see [[incremental]]). */
+  def incrementalSimHash(docs: DataFrame, indexDir: String, name: String,
+                         maxHamming: Int = 2, maxProbe: Int = 100000)
       : DataFrame =
     incrementalCore(docs, indexDir, simhashIndexSignatures(docs, maxHamming),
       maxProbe, name)
@@ -258,7 +265,7 @@ object Dedup {
   def incrementalSimHashOnce(docs: DataFrame, indexDir: String, batchId: Long,
                              maxHamming: Int = 2, maxProbe: Int = 100000)
       : DataFrame =
-    incrementalSimHash(docs, indexDir, maxHamming, maxProbe, name = s"b$batchId")
+    incrementalSimHash(docs, indexDir, name = s"b$batchId", maxHamming, maxProbe)
 
   private def incrementalCore(docs: DataFrame, indexDir: String,
                               signatures: => DataFrame, maxProbe: Int,
@@ -314,8 +321,8 @@ object Dedup {
                       numHashes: Int = 16, rowsPerBand: Int = 4,
                       broadcastDict: Boolean = true, maxProbe: Int = 100000)
       : DataFrame =
-    incremental(docs, indexDir, numHashes, rowsPerBand, broadcastDict,
-      maxProbe, name = s"b$batchId")
+    incremental(docs, indexDir, name = s"b$batchId", numHashes, rowsPerBand,
+      broadcastDict, maxProbe)
 
   /** Streaming sink: dedup every micro-batch against the index and hand
     * the survivors on (`ds.writeStream.foreachBatch(

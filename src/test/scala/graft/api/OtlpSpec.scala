@@ -120,6 +120,9 @@ class OtlpSpec extends AnyFunSuite {
     val ti = byName("target_info").head
     assert(ti.labels == Map("host_name" -> "h1", "job" -> "prod/api", "instance" -> "i-1"))
     assert(ti.t == 9L && ti.value == 1.0)
+    // the ingress counter's unit: accepted DATA POINTS (1 histogram point
+    // + 1 summary point), not the 9 translated rows they fan out into
+    assert(tr.acceptedPoints == 2 && tr.samples == 9)
   }
 
   test("translation rejections: delta sums/histograms, exp histograms, empty points") {
@@ -135,6 +138,7 @@ class OtlpSpec extends AnyFunSuite {
     // rejected_data_points counts POINTS, not metrics: delta sum (1) +
     // delta histogram (1) + exp histogram (1 datapoint); empty gauge 0
     assert(tr.rejectedPoints == 3)
+    assert(tr.acceptedPoints == 0)
     assert(tr.errors.exists(_.contains("invalid temporality")))
     assert(tr.errors.exists(_.contains("unsupported metric type")))
     assert(tr.errors.exists(_.contains("empty data points")))
