@@ -94,6 +94,9 @@ object Stress {
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
         .agg(count(lit(1)), sum(col("h"))).head().getLong(0)
     val lshPairs = Dedup.minHashLsh(docs, 16, 4).cache()
+    // set by ivf_inc_build, consumed by the later ivf_inc_* probes
+    // (include ivf_inc_build in STRESS_ONLY when measuring them)
+    var stressIvf: String = null
     // lazy: built (untimed) only when a store_* probe actually runs
     lazy val stressStore: String = {
       val pts = graft.model.Points.withSig(events.select(
@@ -207,6 +210,35 @@ object Stress {
         val n1 = Dedup.incremental(
           docs.where(col("doc_id") % 2 === 1), dir, name = "s1").count()
         n0 + n1
+      },
+      // incremental IVF: grow the persisted index batch by batch, timing
+      // the SEARCH separately after each append — the probe must stay
+      // flat as the index grows (partition pruning reads nProbe/k of the
+      // LIVE data, not the batch history). ivf_inc_search1 probes a
+      // 1-batch index, ivf_inc_search4 the same index after 4 appends +
+      // a fold: flat ratio = the scale claim.
+      timed("ivf_inc_build") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_ivf").toString + "/idx"
+        stressIvf = dir
+        graft.pipeline.IvfIndex.init(spark, dir,
+          Similarity.fixedCentroids(16, 64))
+        graft.pipeline.IvfIndex.append(
+          emb.where(col("vec_id") % 4 === 0), dir, "v0")
+        1L
+      },
+      timed("ivf_inc_search1") {
+        graft.pipeline.IvfIndex.search(spark, stressIvf,
+          emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
+      },
+      timed("ivf_inc_grow") {
+        (1 until 4).foreach(b => graft.pipeline.IvfIndex.append(
+          emb.where(col("vec_id") % 4 === b), stressIvf, s"v$b"))
+        graft.pipeline.IvfIndex.compact(spark, stressIvf, graceMs = 0L)
+        1L
+      },
+      timed("ivf_inc_search4") {
+        graft.pipeline.IvfIndex.search(spark, stressIvf,
+          emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
       },
       // include store_build in STRESS_ONLY when measuring the probes
       // below, or the lazy build lands inside the first store_* timing

@@ -1,0 +1,355 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** Persisted, APPENDABLE IVF index — the ANN state a continuously-fed
+  * corpus searches and grows batch by batch, applying [[SigIndex]]'s
+  * marker-manifest discipline to [[Similarity.ivfBuild]]'s
+  * cell-partitioned layout (which is rebuild-only):
+  *
+  * {{{
+  * dir/_gen.<ts>.<gid>                generation markers (newest wins)
+  * dir/gen-<gid>/centroids/           the generation's coarse quantizer
+  * dir/gen-<gid>/batch=<name>/cell=<i>/  one append, partitioned by cell
+  * dir/gen-<gid>/_live.<ts>.<name>    batch visibility markers
+  * dir/gen-<gid>/_seen.<ts>.<name>    folded-batch replay records
+  * }}}
+  *
+  *  - APPEND assigns the batch against the CURRENT generation's fixed
+  *    centroids (one codegen'd projection — the quantizer rides the
+  *    stage binary) and writes a fresh `batch=<name>/` directory
+  *    partitioned by cell, then publishes its marker with one atomic
+  *    create: a crashed append is invisible, concurrent readers see the
+  *    batch all-or-nothing, and a replayed `foreachBatch` name is
+  *    detected and skipped ([[SigIndex]]'s exact contract).
+  *  - SEARCH probes `nProbe` cells via a literal cell-set predicate over
+  *    the UNION of live batch directories: every batch root carries the
+  *    same `cell=<i>` partition layout, so Catalyst partition pruning
+  *    lists and scans only probed × live-batch directories — query cost
+  *    tracks nProbe/k of the corpus REGARDLESS of how many appends built
+  *    it, the flat-probe property the SCALE anchors measure.
+  *  - COMPACT folds aged batches into one directory per generation
+  *    (bounding the batch-dir count a long stream accumulates) with
+  *    publish-before-retire ordering — a concurrent reader sees at worst
+  *    duplicate vectors, and SEARCH tolerates duplicates by ranking on
+  *    (cos desc, cid): a folded copy ties with its original and the
+  *    window keeps one. Reader-grace vacuum as in [[SigIndex.compact]].
+  *  - RETRAIN is the drift story: when appends skew the cell histogram
+  *    (the coarse quantizer no longer balances the data — [[skew]]
+  *    measures max/mean occupancy), [[retrain]] trains fresh centroids
+  *    on a bounded sample of the live index, re-assigns every live
+  *    vector into a NEW generation directory (one fold batch), carries
+  *    the old generation's batch names forward as `_seen` records so
+  *    replay detection survives, and flips visibility with ONE atomic
+  *    `_gen` marker create. Readers planned against the old generation
+  *    keep its files (directories are only vacuumed after the reader
+  *    grace window); new readers resolve the new quantizer and layout.
+  *
+  * WRITER CONTRACT (same as [[SigIndex]]): appends, compactions and
+  * retrains are SEQUENTIAL per index — the streaming `foreachBatch`
+  * shape. Appends are guarded loudly: an append that lands while a
+  * retrain flips generations throws rather than stranding the batch in
+  * a retired generation.
+  *
+  * Reference for the IVF structure: Jégou/Douze/Schmid, "Product
+  * quantization for nearest neighbor search" (TPAMI 2011) §IV-A; the
+  * incremental visibility rules are this engine's store discipline
+  * ([[graft.sources.PointsStore]]), not a port of anything.
+  */
+object IvfIndex {
+
+  /** Stored cell rows: corpus id + embedding (cell is the partition col). */
+  val cellSchema: StructType = StructType(Seq(
+    StructField("cell", IntegerType),
+    StructField("cid", LongType),
+    StructField("ce", ArrayType(DoubleType))))
+
+  private val GenPrefix = "_gen."
+  private val MarkerPrefix = "_live."
+  private val SeenPrefix = "_seen."
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stamped(prefix: String, n: String): Option[(Long, String)] = {
+    val rest = n.drop(prefix.length)
+    val dot = rest.indexOf('.')
+    if (!n.startsWith(prefix) || dot < 0) None
+    else rest.take(dot).toLongOption.map(ts => (ts, rest.substring(dot + 1)))
+  }
+
+  private def names(f: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+                    prefix: String): Seq[(Long, String)] =
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .flatMap(stamped(prefix, _))
+
+  /** The current generation id, by newest `_gen` marker. */
+  def currentGen(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val gens = names(f, new org.apache.hadoop.fs.Path(dir), GenPrefix)
+      .flatMap { case (ts, gid) => gid.toLongOption.map(g => (ts, g)) }
+    if (gens.isEmpty) None else Some(gens.max._2)
+  }
+
+  private def genPath(dir: String, gid: Long): String = s"$dir/gen-$gid"
+
+  private def requireGen(spark: SparkSession, dir: String): (Long, String) = {
+    val gid = currentGen(spark, dir).getOrElse(throw new IllegalStateException(
+      s"IvfIndex at $dir has no generation — call init() first"))
+    (gid, genPath(dir, gid))
+  }
+
+  /** Create the index with an initial quantizer (generation 0). */
+  def init(spark: SparkSession, dir: String,
+           centroids: Array[Array[Double]]): Unit = {
+    require(currentGen(spark, dir).isEmpty, s"IvfIndex at $dir already exists")
+    writeGen(spark, dir, 0L, centroids, None, Nil)
+  }
+
+  /** The current generation's quantizer, cell-ordered. */
+  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val (_, gp) = requireGen(spark, dir)
+    spark.read.parquet(s"$gp/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Whether batch `name` already landed in the CURRENT generation —
+    * live, folded, or carried forward across a retrain. */
+  def contains(spark: SparkSession, dir: String, name: String): Boolean = {
+    val (_, gp) = requireGen(spark, dir)
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(gp)
+    names(f, root, MarkerPrefix).exists(_._2 == name) ||
+      names(f, root, SeenPrefix).exists(_._2 == name)
+  }
+
+  /** Append `vectors` (vec_id, embedding) under batch `name`: assign each
+    * vector to its nearest current-generation centroid and write the
+    * batch partitioned by cell. Returns false when `name` already landed
+    * (idempotent replay). Throws if a retrain flipped generations while
+    * the batch was writing — the sequential-writer contract was violated
+    * and the batch must be re-run against the new quantizer. */
+  def append(vectors: DataFrame, dir: String, name: String): Boolean = {
+    val spark = vectors.sparkSession
+    val (gid, gp) = requireGen(spark, dir)
+    if (contains(spark, dir, name)) return false
+    val cents = centroids(spark, dir)
+    vectors.select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("cell", NearestCells.cell(col("ce"), cents))
+      .select("cell", "cid", "ce")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$gp/batch=$name")
+    if (currentGen(spark, dir) != Some(gid))
+      throw new IllegalStateException(
+        s"IvfIndex append '$name' raced a retrain at $dir (generation " +
+          s"moved past $gid) — re-run the batch against the new quantizer")
+    val f = fs(spark, dir)
+    f.create(new org.apache.hadoop.fs.Path(gp,
+      s"$MarkerPrefix${System.currentTimeMillis()}.$name"), false).close()
+    true
+  }
+
+  /** The rows one batch appended (None when not individually readable —
+    * never landed, or folded/retired past the grace window). */
+  def readBatch(spark: SparkSession, dir: String,
+                name: String): Option[DataFrame] = {
+    val (_, gp) = requireGen(spark, dir)
+    val f = fs(spark, dir)
+    if (names(f, new org.apache.hadoop.fs.Path(gp), MarkerPrefix).exists(_._2 == name))
+      Some(spark.read.option("basePath", gp).parquet(s"$gp/batch=$name")
+        .select(col("cell"), col("cid"), col("ce")))
+    else None
+  }
+
+  private def liveBatchNames(spark: SparkSession, gp: String): Seq[String] =
+    names(fs(spark, gp), new org.apache.hadoop.fs.Path(gp), MarkerPrefix)
+      .map(_._2).distinct
+
+  /** The live index relation (cell, cid, ce) — the union of the current
+    * generation's marker-named batch directories. Every batch root shares
+    * the `cell=<i>` layout, so a literal cell predicate on this relation
+    * partition-prunes EVERY batch. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val (_, gp) = requireGen(spark, dir)
+    val live = liveBatchNames(spark, gp)
+    if (live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cellSchema)
+    else
+      // ONE FileIndex over the explicit live batch directories with the
+      // generation root as basePath: `batch` and `cell` are BOTH
+      // partition dimensions, so a literal cell predicate prunes every
+      // batch's directory listing in a single scan node
+      spark.read.option("basePath", gp)
+        .parquet(live.map(n => s"$gp/batch=$n"): _*)
+        .select(col("cell"), col("cid"), col("ce"))
+  }
+
+  /** Search the live index: identical contract (and output) to
+    * [[Similarity.ivfSearch]], over the multi-batch layout — queries
+    * assign to their `nProbe` nearest cells against the current
+    * quantizer, and the literal probed-cell set prunes every live batch
+    * directory to its probed `cell=` children. Query cost is
+    * nProbe/k of the LIVE DATA, independent of the append count. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             topK: Int, nProbe: Int = 4,
+             maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
+    val cents = centroids(spark, dir)
+    val q = Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.search")
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
+      .localCheckpoint() // assignment runs once: probe set AND join side
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val cells = read(spark, dir)
+      .where(col("cell").isInCollection(probed)) // literal → partition pruning
+    val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Per-cell live vector counts (missing cells = 0 occupancy). */
+  def cellCounts(spark: SparkSession, dir: String): Map[Int, Long] =
+    read(spark, dir).groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Quantizer drift measure: max/mean cell occupancy over the k cells
+    * (1.0 = perfectly balanced; k = everything in one cell). */
+  def skew(spark: SparkSession, dir: String): Double = {
+    val k = centroids(spark, dir).length
+    val counts = cellCounts(spark, dir)
+    val total = counts.values.sum
+    if (total == 0L) 1.0
+    else counts.values.max.toDouble / (total.toDouble / k)
+  }
+
+  /** Retrain the quantizer on a bounded sample of the live index and
+    * rebuild into a NEW generation: fresh centroids, every live vector
+    * re-assigned into one fold batch, old batch names carried forward as
+    * `_seen` records (replay detection survives the flip), visibility
+    * flipped by ONE atomic `_gen` marker create. The old generation's
+    * directories stay on disk for in-flight readers until [[compact]]'s
+    * grace-window vacuum retires them. Returns the new generation id. */
+  def retrain(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 5,
+              trainLimit: Int = 100000): Long = {
+    val (gid, gp) = requireGen(spark, dir)
+    val vecs = read(spark, dir)
+      .select(col("cid").as("vec_id"), col("ce").as("embedding"))
+      .localCheckpoint() // one snapshot feeds training AND the re-assign
+    val cents = Similarity.trainCentroids(vecs, k, iters, trainLimit)
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(gp)
+    val carried = (names(f, root, MarkerPrefix) ++ names(f, root, SeenPrefix))
+      .map(_._2).distinct
+    writeGen(spark, dir, gid + 1, cents, Some(vecs), carried)
+    gid + 1
+  }
+
+  /** [[retrain]] when [[skew]] exceeds `maxSkew` — the maintenance-tick
+    * form. Returns the new generation id when a retrain ran. */
+  def maybeRetrain(spark: SparkSession, dir: String, maxSkew: Double = 4.0,
+                   k: Int = 16, iters: Int = 5,
+                   trainLimit: Int = 100000): Option[Long] =
+    if (skew(spark, dir) > maxSkew) Some(retrain(spark, dir, k, iters, trainLimit))
+    else None
+
+  private def writeGen(spark: SparkSession, dir: String, gid: Long,
+                       centroids: Array[Array[Double]],
+                       vectors: Option[DataFrame],
+                       carriedNames: Seq[String]): Unit = {
+    import spark.implicits._
+    val gp = genPath(dir, gid)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$gp/centroids")
+    val f = fs(spark, dir)
+    val now = System.currentTimeMillis()
+    vectors.foreach { vecs =>
+      vecs.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("ce"))
+        .withColumn("cell", NearestCells.cell(col("ce"), centroids))
+        .select("cell", "cid", "ce")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$gp/batch=fold$gid")
+      f.create(new org.apache.hadoop.fs.Path(gp,
+        s"$MarkerPrefix$now.fold$gid"), false).close()
+    }
+    carriedNames.foreach { n =>
+      f.create(new org.apache.hadoop.fs.Path(gp, s"$SeenPrefix$now.$n"), false).close()
+    }
+    // the atomic visibility flip
+    f.create(new org.apache.hadoop.fs.Path(dir, s"$GenPrefix$now.$gid"), false).close()
+  }
+
+  /** Fold aged live batches of the CURRENT generation into one directory
+    * (publish-before-retire, so concurrent readers see at worst duplicate
+    * vectors — harmless under search's (cos, cid) ranking), sweep retired
+    * and orphaned batch directories past the reader grace window, and
+    * vacuum RETIRED GENERATIONS whose `_gen` marker was superseded longer
+    * than the grace window ago. The [[SigIndex.compact]] discipline on
+    * the two-level layout. */
+  def compact(spark: SparkSession, dir: String,
+              graceMs: Long = 15 * 60 * 1000L): Unit = {
+    val (gid, gp) = requireGen(spark, dir)
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(gp)
+    val now = System.currentTimeMillis()
+    val cutoff = now - graceMs
+    val aged = names(f, root, MarkerPrefix)
+      .filter(_._1 <= cutoff).map(_._2).distinct
+    if (aged.length > 1) {
+      val foldName = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.read.option("basePath", gp)
+        .parquet(aged.map(n => s"$gp/batch=$n"): _*)
+        .select(col("cell"), col("cid"), col("ce"))
+        .distinct() // set semantics, like SigIndex (a fold racing a fold)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$gp/batch=$foldName")
+      f.create(new org.apache.hadoop.fs.Path(root,
+        s"$MarkerPrefix${System.currentTimeMillis()}.$foldName"), false).close()
+      aged.foreach { n =>
+        f.create(new org.apache.hadoop.fs.Path(root,
+          s"$SeenPrefix${System.currentTimeMillis()}.$n"), false).close()
+      }
+      f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+        if (stamped(MarkerPrefix, p.getName).exists(m => aged.contains(m._2)))
+          f.delete(p, false)
+      }
+    }
+    // reader-grace vacuum of retired/orphaned batch dirs (current gen);
+    // re-stamp `now` so _seen records the fold above just wrote age from
+    // their own creation, not from this call's start
+    val now2 = System.currentTimeMillis()
+    val seenTs = names(f, root, SeenPrefix)
+      .groupBy(_._2).map { case (n, xs) => n -> xs.map(_._1).min }
+    val live = liveBatchNames(spark, gp).toSet
+    if (f.exists(root)) f.listStatus(root).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch=")) {
+        val nm = n.drop("batch=".length)
+        if (!live.contains(nm)) {
+          val retiredPastGrace = seenTs.get(nm).exists(_ <= now2 - graceMs)
+          val orphanPastGrace =
+            !seenTs.contains(nm) && st.getModificationTime <= now2 - graceMs
+          if (retiredPastGrace || orphanPastGrace) f.delete(st.getPath, true)
+        }
+      }
+    }
+    // retired generations: superseded _gen markers past the grace window
+    val gens = names(f, new org.apache.hadoop.fs.Path(dir), GenPrefix)
+      .flatMap { case (ts, g) => g.toLongOption.map(x => (ts, x)) }
+    gens.filter { case (ts, g) => g != gid && ts <= cutoff }.foreach { case (ts, g) =>
+      f.delete(new org.apache.hadoop.fs.Path(dir, s"$GenPrefix$ts.$g"), false)
+      f.delete(new org.apache.hadoop.fs.Path(genPath(dir, g)), true)
+    }
+  }
+}

@@ -40,6 +40,11 @@ object Similarity {
     * memory. Raise it deliberately via the `maxQueryRows` parameter. */
   val DefaultMaxQueryRows: Long = 100000L
 
+  /** [[requireBounded]] for sibling pipeline operators ([[IvfIndex]]). */
+  private[pipeline] def boundedQueries(queries: DataFrame, maxRows: Long,
+                                       op: String): DataFrame =
+    requireBounded(queries, maxRows, op)
+
   /** Fail FAST (one bounded `limit(max+1)` count — never a full count of
     * an unboundedly large frame) when the query side exceeds the cap. */
   private def requireBounded(queries: DataFrame, maxRows: Long, op: String): DataFrame = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, CurationPipeline, Dedup, Gif, Images, Jpeg, Multimodal, Similarity, Sketches, TextAnalysis, Video}
+import graft.pipeline.{Audio, Bpe, CharLm, CountMin, Curation, CurationPipeline, Dedup, Gif, Images, IvfIndex, Jpeg, Multimodal, Similarity, Sketches, TextAnalysis, Video}
 
 /** Driver-gate queries for the training-data pipeline operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -88,6 +88,21 @@ object PipelineQueries {
       val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
       Similarity.ivfBuild(e, idx, Similarity.fixedCentroids(8, 64))
       Similarity.ivfSearch(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
+    }),
+    // the INCREMENTAL IVF index: a 3-batch append history (marker-manifest
+    // visibility, one fold compaction mid-history) must answer exactly
+    // like the one-shot in-memory probe over the same fixed quantizer —
+    // assignment is per-vector, so the oracle replays it batch-agnostic
+    // (shares q_sim_ivf's oracle, like q_sim_ivf_index)
+    "q_sim_ivf_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString + "/idx"
+      IvfIndex.init(s, idx, Similarity.fixedCentroids(8, 64))
+      (0 until 3).foreach { b =>
+        IvfIndex.append(e.where(pmod(col("vec_id"), lit(3)) === b), idx, s"v$b")
+        if (b == 1) IvfIndex.compact(s, idx, graceMs = 0L) // fold mid-history
+      }
+      IvfIndex.search(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
     }),
     // ADC over PQ codes is definitionally a linear scan of the (tiny)
     // code column with the bounded query LUT broadcast — the nested-loop
@@ -2043,8 +2058,11 @@ object PipelineQueries {
         |FROM documents""".stripMargin
   )
 
-  /** The persisted IVF index must answer EXACTLY like the in-memory probe
-    * over the same fixed quantizer — one oracle serves both gates. */
+  /** The persisted IVF index — one-shot build AND the incremental
+    * multi-batch history — must answer EXACTLY like the in-memory probe
+    * over the same fixed quantizer: one oracle serves all three gates. */
   val oracle: Map[String, String] =
-    oracleBase + ("q_sim_ivf_index" -> oracleBase("q_sim_ivf"))
+    oracleBase +
+      ("q_sim_ivf_index" -> oracleBase("q_sim_ivf")) +
+      ("q_sim_ivf_incremental" -> oracleBase("q_sim_ivf"))
 }
