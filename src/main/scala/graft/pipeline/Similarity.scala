@@ -407,6 +407,75 @@ object Similarity {
     * k in the tens of thousands at corpus scale), never corpus-wide.
     * The drop set is vector-count-bounded and anti-joined back — no
     * driver materialization anywhere. */
+  /** INCREMENTAL [[semDeDup]] — semantic near-dup removal per arriving
+    * batch against the persisted kept-vector state, on the [[IvfIndex]]
+    * machinery (the index IS the kept set; its cells are the SemDeDup
+    * clusters). A batch vector `v` drops when
+    *
+    *  - some KEPT vector in v's cell has cosine ≥ `threshold` with it
+    *    (first-arrival-wins across batches), or
+    *  - some batch peer with a SMALLER vec_id in the same cell has
+    *    cosine ≥ `threshold` (the within-batch keep-lowest rule,
+    *    applied regardless of the peer's own fate — the same monotone
+    *    rule as [[Dedup.incremental]], which is what lets an external
+    *    SQL oracle replay the whole history).
+    *
+    * Survivors are appended to the index under `name` (the batch's
+    * STABLE identity — retries must reuse it; a replayed name answers
+    * from its own batch directory, exactly-once under at-least-once
+    * `foreachBatch`).
+    *
+    * Scale shape: ONE codegen'd assignment pass over the batch
+    * (localCheckpoint'd — it feeds the probe set, the index join and the
+    * peer join), a driver-bounded probe set (≤ k cell ints), and the
+    * kept-vector read PARTITION-PRUNES to the batch's cells across every
+    * live batch directory — a micro-batch against a billion-vector index
+    * reads only its own cells. The quadratic cosine work is per-cell
+    * (batch × kept-in-cell + batch-peer pairs), never corpus-wide. */
+  def semDeDupIncremental(vectors: DataFrame, indexDir: String, name: String,
+                          threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    if (IvfIndex.contains(spark, indexDir, name))
+      return IvfIndex.readBatch(spark, indexDir, name) match {
+        case Some(batch) =>
+          vectors.join(batch.select(col("cid").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_semi")
+        case None => throw new IllegalStateException(
+          s"semDeDup batch '$name' replayed after a fold or retrain " +
+            "retired its directory (grace window exceeded); rerun against " +
+            "a fresh index or raise IvfIndex.compact graceMs")
+      }
+    val cents = IvfIndex.centroids(spark, indexDir)
+    val batch = vectors
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cell", NearestCells.cell(col("e"), cents))
+      .localCheckpoint() // one assignment: probe set + index join + peer join
+    val probed = batch.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // driver-bounded: ≤ k ints
+    val kept = IvfIndex.read(spark, indexDir)
+      .where(col("cell").isInCollection(probed)) // literal → partition pruning
+    val hitIndex = batch.join(kept, Seq("cell"))
+      .where(cosine(col("e"), col("ce")) >= threshold)
+      .select("vec_id")
+    val peers = batch.select(col("cell").as("_cl"),
+      col("vec_id").as("va"), col("e").as("ea"))
+    val hitPeer = batch
+      .join(peers, col("cell") === col("_cl") && col("va") < col("vec_id"))
+      .where(cosine(col("ea"), col("e")) >= threshold)
+      .select("vec_id")
+    val dropped = hitIndex.unionByName(hitPeer).distinct().localCheckpoint()
+    val survivors = vectors.join(dropped, Seq("vec_id"), "left_anti")
+    IvfIndex.append(survivors, indexDir, name)
+    survivors
+  }
+
+  /** [[semDeDupIncremental]] keyed by a streaming batch id — the
+    * `foreachBatch` form; a replayed id recomputes the same survivor set
+    * and does not re-append. */
+  def semDeDupIncrementalOnce(vectors: DataFrame, indexDir: String,
+                              batchId: Long, threshold: Double): DataFrame =
+    semDeDupIncremental(vectors, indexDir, s"b$batchId", threshold)
+
   def semDeDup(corpus: DataFrame, threshold: Double): DataFrame = {
     val e = corpus.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("e"))

@@ -135,6 +135,22 @@ object PipelineQueries {
     "q_dedup_editdist" -> ((s, dir) => Dedup.editDistancePairs(docs(s, dir),
       Dedup.ngramJaccard(docs(s, dir), 0.5, col("doc_id") < 100))),
     "q_sim_semdedup" -> ((s, dir) => Similarity.semDeDup(emb(s, dir), 0.3)),
+    // INCREMENTAL SemDeDup: three arriving batches against the persisted
+    // IvfIndex kept-set (cells = the SemDeDup clusters over the fixed
+    // quantizer) — a batch vector drops on cosine >= 0.3 with anything
+    // already kept in its cell or a smaller-id batch peer; survivors
+    // extend the index. The oracle replays the whole history in chained
+    // CTEs against the same fixed centroids.
+    "q_sim_semdedup_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_semdd").toString + "/idx"
+      IvfIndex.init(s, idx, Similarity.fixedCentroids(8, 64))
+      (0 until 3).map { b =>
+        Similarity.semDeDupIncremental(
+            e.where(pmod(col("vec_id"), lit(3)) === b), idx, s"s$b", 0.3)
+          .select(lit(b).as("batch"), col("vec_id"))
+      }.reduce(_ unionByName _)
+    }),
     "q_pipe_contamination" -> ((s, dir) => Curation.contamination(
       docs(s, dir), docs(s, dir).where(col("doc_id") % 97 === 0), 5)),
     "q_text_tok_freq" -> ((s, dir) => Curation.tokenFrequencyStats(docs(s, dir))),
@@ -321,6 +337,15 @@ object PipelineQueries {
     .map(i => s"CAST(qe[$i] AS DOUBLE) * CAST(ce[$i] AS DOUBLE)").mkString(" + ")
   private def selfDot(v: String) = (1 to 64)
     .map(i => s"CAST($v[$i] AS DOUBLE) * CAST($v[$i] AS DOUBLE)").mkString(" + ")
+
+  /** Cosine of two named embedding columns, with the engine's exact
+    * left-associated fold order (multiplication is IEEE-commutative, so
+    * operand naming doesn't matter bitwise). */
+  private def cosSql(a: String, b: String) = {
+    val dot = (1 to 64)
+      .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+    s"($dot) / (sqrt(${selfDot(a)}) * sqrt(${selfDot(b)}))"
+  }
 
   /** The LSH bucket expression with the driver-computable hyperplane signs
     * baked in as literals — same ±1 per (plane, dim) and the same
@@ -2028,6 +2053,44 @@ object PipelineQueries {
          |  WHERE ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) >= 0.3)
          |SELECT vec_id, label FROM e
          |WHERE vec_id NOT IN (SELECT vb FROM dropped)""".stripMargin,
+
+    // incremental SemDeDup: the 3-batch history replayed in chained CTEs
+    // against the fixed centroids — kept set k0 feeds batch 1's check,
+    // k0+k1 feed batch 2's; within-batch drops key on any smaller-id
+    // same-cell peer (the engine's monotone rule, peer fate ignored)
+    "q_sim_semdedup_incremental" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id, embedding,
+         |         ${(0 until 8).map(i => s"(${ivfDistSql("embedding", i)}) AS d$i").mkString(",\n         ")}
+         |  FROM embeddings),
+         |cells AS (SELECT vec_id, embedding, $ivfArgminSql AS cell FROM dist),
+         |b0 AS (SELECT * FROM cells WHERE vec_id % 3 = 0),
+         |k0 AS (
+         |  SELECT * FROM b0 v WHERE NOT EXISTS (
+         |    SELECT 1 FROM b0 w WHERE w.cell = v.cell AND w.vec_id < v.vec_id
+         |      AND ${cosSql("w.embedding", "v.embedding")} >= 0.3)),
+         |b1 AS (SELECT * FROM cells WHERE vec_id % 3 = 1),
+         |k1 AS (
+         |  SELECT * FROM b1 v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM k0 u WHERE u.cell = v.cell
+         |      AND ${cosSql("u.embedding", "v.embedding")} >= 0.3)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM b1 w WHERE w.cell = v.cell AND w.vec_id < v.vec_id
+         |      AND ${cosSql("w.embedding", "v.embedding")} >= 0.3)),
+         |kept01 AS (SELECT cell, embedding FROM k0 UNION ALL SELECT cell, embedding FROM k1),
+         |b2 AS (SELECT * FROM cells WHERE vec_id % 3 = 2),
+         |k2 AS (
+         |  SELECT * FROM b2 v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM kept01 u WHERE u.cell = v.cell
+         |      AND ${cosSql("u.embedding", "v.embedding")} >= 0.3)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM b2 w WHERE w.cell = v.cell AND w.vec_id < v.vec_id
+         |      AND ${cosSql("w.embedding", "v.embedding")} >= 0.3))
+         |SELECT 0 AS batch, vec_id FROM k0
+         |UNION ALL SELECT 1 AS batch, vec_id FROM k1
+         |UNION ALL SELECT 2 AS batch, vec_id FROM k2""".stripMargin,
 
     "q_mm_decode" ->
       """SELECT doc_id,

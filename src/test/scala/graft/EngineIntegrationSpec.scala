@@ -132,7 +132,11 @@ class EngineIntegrationSpec extends AnyFunSuite {
       "q_pipe_dedup_lines", "q_rule_backfill",
       // round-11 addition: incremental dedup (3-batch index history —
       // In(bv) probes + window keep-one + anti-joins, never a product)
-      "q_dedup_incremental").foreach { q =>
+      "q_dedup_incremental",
+      // round-12 additions: the incremental IVF index (partition-pruned
+      // multi-batch probe) and incremental SemDeDup (cell-equi joins
+      // against the pruned kept set — never corpus-wide cosine)
+      "q_sim_ivf_incremental", "q_sim_semdedup_incremental").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -140,6 +140,107 @@ class IvfIndexSpec extends AnyFunSuite {
       resultSet(Similarity.ivfProbe(emb, q, 3, newCents, nProbe = 3)))
   }
 
+  // ---- incremental SemDeDup on the shared index state ---------------------
+
+  /** Unit vectors in the (e1, e2) plane at a given angle — cosine between
+    * two of them is exactly cos(delta angle). */
+  private def planeVec(deg: Double): Seq[Float] = {
+    val r = math.toRadians(deg)
+    (Seq(math.cos(r), math.sin(r)) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+  }
+
+  private def vecDf(rows: (Long, Seq[Float])*) = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v) }, 1),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  /** One centroid = one cell: every vector shares the SemDeDup cluster,
+    * isolating the cosine rules from the quantizer geometry. */
+  private def oneCellIndex(): String = {
+    val dir = Files.createTempDirectory("semdd_inc").toString + "/idx"
+    IvfIndex.init(spark, dir, Array(Array.fill(64)(0.0)))
+    dir
+  }
+
+  test("semDeDupIncremental: kept-set hits and the monotone within-batch rule") {
+    val dir = oneCellIndex()
+    // batch 0: a at 0°, d at 60° — far apart, both kept
+    val b0 = Similarity.semDeDupIncremental(
+      vecDf(1L -> planeVec(0), 2L -> planeVec(60)), dir, "s0", 0.99)
+    assert(b0.select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // batch 1: a' at 5° (cos 0.996 vs kept a -> drops), chain b=30°,
+    // c=35°, e=41°: nothing within 0.99 of the KEPT set; within the
+    // batch cos(b,c)=cos5°>=0.99 drops c, and cos(c,e)=cos6°... < 0.99?
+    // cos6°=0.9945 >= 0.99 — e drops BY C even though c itself dropped:
+    // the monotone smaller-id rule ignores the peer's own fate
+    val b1 = Similarity.semDeDupIncremental(
+      vecDf(10L -> planeVec(5), 11L -> planeVec(30), 12L -> planeVec(35),
+        13L -> planeVec(41)), dir, "s1", 0.99)
+    assert(b1.select("vec_id").collect().map(_.getLong(0)).toSet == Set(11L),
+      "expected only the 30-degree vector to survive batch 1")
+    // the index state grew by exactly the survivors
+    assert(IvfIndex.read(spark, dir).count() == 3)
+  }
+
+  test("semDeDupIncremental: replayed name answers from its own batch, no re-append") {
+    val dir = oneCellIndex()
+    Similarity.semDeDupIncremental(vecDf(1L -> planeVec(0)), dir, "s0", 0.99)
+    val first = Similarity.semDeDupIncremental(
+      vecDf(5L -> planeVec(3), 6L -> planeVec(50)), dir, "s1", 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(6L)) // 3° is a near-dup of the kept 0° vector
+    val indexed = IvfIndex.read(spark, dir).count()
+    val replay = Similarity.semDeDupIncremental(
+      vecDf(5L -> planeVec(3), 6L -> planeVec(50)), dir, "s1", 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(replay == first)
+    assert(IvfIndex.read(spark, dir).count() == indexed, "replay re-appended")
+  }
+
+  test("semDeDupIncremental: replay after a fold retired the batch fails loud") {
+    val dir = oneCellIndex()
+    Similarity.semDeDupIncremental(vecDf(1L -> planeVec(0)), dir, "s0", 0.99)
+    Similarity.semDeDupIncremental(vecDf(2L -> planeVec(60)), dir, "s1", 0.99)
+    IvfIndex.compact(spark, dir, graceMs = 0L) // folds both, past grace
+    val e = intercept[IllegalStateException] {
+      Similarity.semDeDupIncremental(vecDf(1L -> planeVec(0)), dir, "s0", 0.99)
+    }
+    assert(e.getMessage.contains("fold") || e.getMessage.contains("retired"))
+  }
+
+  test("semDeDupIncremental: batch-split equivalence on real embeddings") {
+    // the 3-batch gate history must equal a 1-batch history followed by
+    // the other two — i.e. the kept set depends only on arrival order of
+    // ids, which the %3 split fixes identically in both runs
+    val sub = emb.where(col("vec_id") < 120)
+    def history(dir: String, splits: Int): Set[(Int, Long)] =
+      (0 until splits).flatMap { b =>
+        Similarity.semDeDupIncremental(
+            sub.where(pmod(col("vec_id"), lit(splits)) === b), dir, s"s$b", 0.3)
+          .select("vec_id").collect().map(r => (b, r.getLong(0)))
+      }.toSet
+    val d3 = oneCellIndex(); val got3 = history(d3, 3)
+    // one-shot single batch: every id arrives at once, smaller-id rule only
+    val d1 = oneCellIndex(); val got1 = history(d1, 1)
+    // the KEPT ID SET can differ between histories (arrival order matters
+    // for which representative survives) but both must be maximal
+    // independent-ish: no kept pair within threshold in the same cell
+    def noKeptPair(dir: String): Unit = {
+      val kept = IvfIndex.read(spark, dir)
+      val a = kept.select(col("cell"), col("cid").as("ca"), col("ce").as("ea"))
+      val b = kept.select(col("cell").as("_cl"), col("cid").as("cb"), col("ce").as("eb"))
+      val bad = a.join(b, col("cell") === col("_cl") && col("ca") < col("cb"))
+        .where(Similarity.cosine(col("ea"), col("eb")) >= 0.3)
+      assert(bad.count() == 0, "two kept vectors are near-duplicates")
+    }
+    noKeptPair(d3); noKeptPair(d1)
+    assert(got3.map(_._2).nonEmpty && got1.map(_._2).nonEmpty)
+  }
+
   test("appends after a retrain land in the new generation and keep answering") {
     val dir = freshIndex()
     IvfIndex.append(emb.where(col("vec_id") % 2 === 0), dir, "b0")
