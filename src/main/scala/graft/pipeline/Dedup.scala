@@ -282,9 +282,10 @@ object Dedup {
         case Some(batch) =>
           docs.join(batch.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
         case None => throw new IllegalStateException(
-          s"incremental dedup batch '$name' replayed after compaction " +
-            "folded it (grace window exceeded); rerun against a fresh " +
-            "index or raise SigIndex.compact graceMs")
+          s"incremental dedup batch '$name' replayed but a compaction has " +
+            "folded its directory — the replay exceeded the grace window " +
+            "(or raced the fold inside it); rerun against a fresh index " +
+            "or raise SigIndex.compact graceMs")
       }
     val sigs = signatures.localCheckpoint()
     val idx = SigIndex.read(spark, indexDir)

@@ -65,18 +65,66 @@ object SigIndex {
   /** Append `sigs` (doc_id, bv) under batch name `name` (any unique
     * token; a streaming caller passes `b<batchId>` for replay
     * detection). Returns false when a marker for `name` already exists —
-    * the batch already landed, nothing is written. */
+    * the batch already landed, nothing is written.
+    *
+    * WRITER-SEQUENCE GUARD: batches are contractually SEQUENTIAL per
+    * index (the foreachBatch shape) — two writers racing the same index
+    * would each dedup against a state missing the other's batch and
+    * silently keep one copy of a pair duplicated across them. The
+    * contract is now ENFORCED, not just documented: every append claims
+    * the next monotonic `_slot.<seq>` with a create-no-overwrite, so a
+    * second writer whose claim lands on an already-taken slot fails loud
+    * ([[ConcurrentWriterException]]) instead of splitting survivors; its
+    * batch directory is an unmarked orphan the next [[compact]] sweeps.
+    * A claim without a published marker (a crashed append) consumes the
+    * slot harmlessly — the next writer claims the successor. */
   def append(sigs: DataFrame, dir: String, name: String): Boolean = {
     val spark = sigs.sparkSession
     val f = fs(spark, dir)
     // a name already live OR already folded (_seen) must not re-land
     if (contains(spark, dir, name)) return false
+    val next = maxSlot(f, dir) + 1
     val out = new org.apache.hadoop.fs.Path(dir, s"batch-$name")
     sigs.select("doc_id", "bv")
       .write.options(bloomWriteOptions).mode("overwrite").parquet(out.toString)
+    Option(appendTestHook.getAndSet(null)).foreach(_.apply())
+    claimSlot(f, dir, next, name)
     publish(f, dir, name)
     true
   }
+
+  /** A second writer raced this index: the sequence slot this append
+    * computed was claimed by someone else first. */
+  final class ConcurrentWriterException(dir: String, seq: Long)
+    extends IllegalStateException(
+      s"SigIndex at $dir: batch sequence slot $seq was claimed by a " +
+        "concurrent writer — appends must be sequential per index; this " +
+        "batch was NOT appended (its directory is an unmarked orphan)")
+
+  private val SlotPrefix = "_slot."
+
+  private def maxSlot(f: org.apache.hadoop.fs.FileSystem, dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(root)) return -1L
+    f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(SlotPrefix))
+      .flatMap(_.drop(SlotPrefix.length).toLongOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def claimSlot(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                        seq: Long, name: String): Unit = {
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    try f.create(new org.apache.hadoop.fs.Path(dir, s"$SlotPrefix$seq"), false).close()
+    catch {
+      case _: java.io.IOException => throw new ConcurrentWriterException(dir, seq)
+    }
+  }
+
+  /** Test seam: runs ONCE between an append's slot read and its claim —
+    * the concurrent-writer window — then self-clears. */
+  private[pipeline] val appendTestHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
 
   private def publish(f: org.apache.hadoop.fs.FileSystem, dir: String,
                       name: String): Unit = {
@@ -233,6 +281,17 @@ object SigIndex {
         else rest.take(dot).toLongOption.map(ts => (rest.substring(dot + 1), ts))
       }
       .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+    // sequence-slot ledger: only the MAX matters (the next append's
+    // predecessor) — fold the tail
+    val slots = f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(SlotPrefix))
+      .flatMap(n => n.drop(SlotPrefix.length).toLongOption.map((_, n)))
+    if (slots.length > 1) {
+      val keep = slots.maxBy(_._1)._2
+      slots.filter(_._2 != keep).foreach { case (_, n) =>
+        f.delete(new org.apache.hadoop.fs.Path(dir, n), false)
+      }
+    }
     val live = liveNames(spark, dir).toSet
     f.listStatus(root).toSeq.foreach { st =>
       val n = st.getPath.getName

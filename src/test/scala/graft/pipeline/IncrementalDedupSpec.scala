@@ -253,6 +253,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(SigIndex.readBatch(spark, dir, "a").isEmpty)
   }
 
+  test("a racing second writer fails loud on the sequence slot; survivors never split") {
+    val dir = Files.createTempDirectory("sigidx_race").toString
+    // batch 1 lands normally (claims slot 0)
+    Dedup.incremental(df(Seq(1L -> base)), dir, name = "w0")
+    // writer A starts batch "wA"; in its slot-read -> claim window a
+    // second writer lands a full append (the uncoordinated-two-writers
+    // case the sequential contract forbids). A must fail LOUD — without
+    // the guard both appends would land and each could keep one copy of
+    // a cross-batch duplicate pair.
+    var racerRan = false
+    SigIndex.appendTestHook.set { () =>
+      Dedup.incremental(df(Seq(
+        20L -> "a racer document about glacial moraines and the stones they carry")),
+        dir, name = "racer")
+      racerRan = true
+    }
+    val e = intercept[SigIndex.ConcurrentWriterException] {
+      try Dedup.incremental(df(Seq(
+        21L -> "writer A's document about river deltas and silt deposition")),
+        dir, name = "wA").collect()
+      finally SigIndex.appendTestHook.set(null)
+    }
+    assert(racerRan && e.getMessage.contains("concurrent writer"))
+    // the loser's batch is an unmarked orphan: not visible, not 'landed'
+    assert(!SigIndex.contains(spark, dir, "wA"))
+    assert(SigIndex.contains(spark, dir, "racer"))
+    // sequential life resumes: the next append claims the successor slot
+    assert(Dedup.incremental(df(Seq(
+      30L -> "a later batch about mangrove roots that knit the shoreline together")),
+      dir, name = "w1").count() == 1)
+  }
+
   test("replay after a grace-window compact fails loud instead of re-appending") {
     val dir = Files.createTempDirectory("sigidx_fold").toString
     val b0 = Seq(1L -> base, 2L -> "another text about tidal pools and the patient crabs that map them at dusk every single day")
