@@ -239,22 +239,36 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     * header (constant-time compare — no prefix-timing oracle on the
     * token), with a `WWW-Authenticate` challenge per RFC 6750. */
   private def register(path: String, h: HttpHandler): Unit =
+    register(path, h, cors = true)
+
+  /** `cors = false` scopes the wildcard CORS grant OFF a route: the admin
+    * API is never a browser-dashboard surface, so least-privilege keeps
+    * `Access-Control-Allow-Origin` (and the preflight allow headers) to
+    * the read/query routes the vendored httputil.SetCORS exists for —
+    * a cross-origin page gets no preflight approval and no response
+    * exposure on admin endpoints. */
+  private def register(path: String, h: HttpHandler, cors: Boolean): Unit =
     server.createContext(path, (ex: HttpExchange) =>
-      // CORS on every route (the vendored API's httputil.SetCORS runs on
-      // each response; OPTIONS is the registered preflight — api.go:359):
-      // browser dashboards (Grafana in-browser datasources) need both
+      // CORS on the non-admin routes (the vendored API's httputil.SetCORS
+      // runs on each response; OPTIONS is the registered preflight —
+      // api.go:359): browser dashboards (Grafana in-browser datasources)
+      // need both
       if (ex.getRequestMethod.equalsIgnoreCase("OPTIONS")) {
-        val hs = ex.getResponseHeaders
-        hs.set("Access-Control-Allow-Origin", "*")
-        hs.set("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS")
-        hs.set("Access-Control-Allow-Headers",
-          "Accept, Authorization, Content-Type, Content-Encoding, Origin")
-        hs.set("Access-Control-Max-Age", "86400")
+        if (cors) {
+          val hs = ex.getResponseHeaders
+          hs.set("Access-Control-Allow-Origin", "*")
+          hs.set("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS")
+          hs.set("Access-Control-Allow-Headers",
+            "Accept, Authorization, Content-Type, Content-Encoding, Origin")
+          hs.set("Access-Control-Max-Age", "86400")
+        }
         ex.sendResponseHeaders(204, -1)
         ex.close()
       } else if (authorized(ex)) {
-        ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
-        ex.getResponseHeaders.set("Access-Control-Expose-Headers", "Date")
+        if (cors) {
+          ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+          ex.getResponseHeaders.set("Access-Control-Expose-Headers", "Date")
+        }
         h.handle(ex)
       }
       else {
@@ -308,7 +322,34 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     register("/api/v1/query", (ex: HttpExchange) => handle(ex)(instant))
     register("/api/v1/labels", (ex: HttpExchange) => handle(ex)(labels))
     register("/api/v1/label/", (ex: HttpExchange) => handle(ex)(labelValues))
-    register("/api/v1/series", (ex: HttpExchange) => handle(ex)(series))
+    // DELETE /api/v1/series is the vendored agent-mode route
+    // (api.go:377 r.Del("/series", wrapAgent(api.dropSeries))); the
+    // reference wires a "not implemented" stub (api.go:866-868) — served
+    // for real here when the admin store is configured, with the same
+    // match[]-union + start/end semantics as admin delete_series, and
+    // the reference's exact errorInternal stub answer otherwise
+    register("/api/v1/series", (ex: HttpExchange) =>
+      if (ex.getRequestMethod.equalsIgnoreCase("DELETE"))
+        handleCode(ex) { e =>
+          adminStore match {
+            case None =>
+              (500, """{"status":"error","errorType":"internal","error":"not implemented"}""")
+            case Some(storeDir) =>
+              val pairs = paramPairs(e)
+              val p = pairs.toMap
+              multiParam(pairs, "match[]") match {
+                case Seq() =>
+                  (400, """{"status":"error","errorType":"bad_data","error":"no match[] parameter provided"}""")
+                case sels =>
+                  val start = p.get("start").map(ms).getOrElse(Long.MinValue)
+                  val end = p.get("end").map(ms).getOrElse(Long.MaxValue)
+                  sels.foreach(sel => graft.sources.PointsStore
+                    .deleteSeries(spark, storeDir, sel, start, end))
+                  (204, "")
+              }
+          }
+        }
+      else handle(ex)(series))
     // POST /api/v1/read — Prometheus remote-read (snappy+protobuf): SAMPLES
     // mode by default; clients that negotiate STREAMED_XOR_CHUNKS (prompb
     // accepted_response_types) get the paged chunked response instead —
@@ -789,7 +830,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
       def adminMethod(e: HttpExchange): Boolean =
         e.getRequestMethod.equalsIgnoreCase("POST") ||
           e.getRequestMethod.equalsIgnoreCase("PUT")
-      register("/api/v1/admin/tsdb/delete_series", (ex: HttpExchange) =>
+      register("/api/v1/admin/tsdb/delete_series", cors = false, h = (ex: HttpExchange) =>
         handleCode(ex) { e =>
           if (!adminMethod(e))
             (405, """{"status":"error","error":"POST or PUT required"}""")
@@ -811,7 +852,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
             }
           }
         })
-      register("/api/v1/admin/tsdb/snapshot", (ex: HttpExchange) =>
+      register("/api/v1/admin/tsdb/snapshot", cors = false, h = (ex: HttpExchange) =>
         handleCode(ex) { e =>
           if (!adminMethod(e))
             (405, """{"status":"error","error":"POST or PUT required"}""")
@@ -820,7 +861,7 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
             (200, s"""{"status":"success","data":{"name":${Json.str(name)}}}""")
           }
         })
-      register("/api/v1/admin/tsdb/clean_tombstones", (ex: HttpExchange) =>
+      register("/api/v1/admin/tsdb/clean_tombstones", cors = false, h = (ex: HttpExchange) =>
         handleCode(ex) { e =>
           if (!adminMethod(e))
             (405, """{"status":"error","error":"POST or PUT required"}""")

@@ -155,6 +155,50 @@ class StoreAdminSpec extends AnyFunSuite {
       assert(c4 == 405)
       val (c5, b5) = send("POST", "/api/v1/admin/tsdb/delete_series")
       assert(c5 == 400 && b5.contains("no match[] parameter"))
+      // DELETE /api/v1/series — the vendored agent-mode route
+      // (api.go:377), served for real: match[]-union delete; GET on the
+      // same path still answers the read API
+      val (c6, _) = send("DELETE",
+        "/api/v1/series?match%5B%5D=cpu%7Buser%3D%221%22%7D")
+      assert(c6 == 204)
+      assert(readAll(dir).where(col("name") === "cpu" &&
+        col("labels")("user") === "1").count() == 0)
+      assert(readAll(dir).where(col("name") === "mem").count() == 30)
+      val (c7, b7) = send("DELETE", "/api/v1/series")
+      assert(c7 == 400 && b7.contains("no match[] parameter"))
+      val (c8, b8) = send("GET",
+        "/api/v1/series?match%5B%5D=mem&start=0&end=9999999999")
+      assert(c8 == 200 && b8.contains("\"mem\""))
+      // CORS is scoped to the read routes: the admin preflight gets no
+      // wildcard grant, the read preflight keeps it
+      def preflight(path: String): Option[String] = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("OPTIONS")
+        assert(c.getResponseCode == 204)
+        val allow = Option(c.getHeaderField("Access-Control-Allow-Origin"))
+        c.disconnect()
+        allow
+      }
+      assert(preflight("/api/v1/admin/tsdb/delete_series").isEmpty)
+      assert(preflight("/api/v1/admin/tsdb/snapshot").isEmpty)
+      assert(preflight("/api/v1/query").contains("*"))
+    } finally api.stop()
+  }
+
+  test("DELETE /api/v1/series without an admin store answers the reference's stub") {
+    val dir = seed()
+    val api = new graft.api.HttpApi(spark, points = readAll(dir))
+    val port = api.start(0)
+    try {
+      val c = new java.net.URL(
+        s"http://127.0.0.1:$port/api/v1/series?match%5B%5D=cpu")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("DELETE")
+      assert(c.getResponseCode == 500)
+      val body = scala.io.Source.fromInputStream(c.getErrorStream, "UTF-8").mkString
+      assert(body.contains("not implemented")) // vendored api.go:866-868
+      c.disconnect()
     } finally api.stop()
   }
 
