@@ -63,6 +63,55 @@ object Bench {
     java.nio.file.Files.write(marker.toPath, want.getBytes)
   }
 
+  /** BOX-DRIFT NORMALIZER (BENCH.md): a FIXED pure-JVM reference workload
+    * timed in the same process as the bench — a deterministic multicore
+    * mix of integer hashing (CPU), long-array sweeps (memory bandwidth)
+    * and array sorts (allocation/branch) on 8 threads. Its wall time
+    * measures the MACHINE — tenancy and all — not the engine: round 11
+    * burned a control experiment and a judge re-run proving a 25 % whole-
+    * run drift was the box, so the headline now carries
+    * `normalized = total / ref_wall`, which divides machine weather out
+    * of round-over-round comparisons (the workload never changes across
+    * rounds; only the box's current speed moves ref_wall). Median-of-3. */
+  private val refSink = new java.util.concurrent.atomic.AtomicLong()
+  private def referenceWall(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until 8).map { t =>
+        val th = new Thread(() => {
+          // splitmix64 CPU loop
+          var x = 0x9E3779B97F4A7C15L * (t + 1)
+          var acc = 0L
+          var i = 0
+          while (i < 150000000) {
+            x += 0x9E3779B97F4A7C15L
+            var z = x
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            acc ^= z ^ (z >>> 31)
+            i += 1
+          }
+          // memory sweep: 16 MiB per thread, 8 passes
+          val arr = new Array[Long](1 << 21)
+          var p = 0
+          while (p < 8) {
+            var j = 0
+            while (j < arr.length) { arr(j) += acc + j; j += 1 }
+            p += 1
+          }
+          // sort 2M ints
+          val s = Array.tabulate(1 << 21)(j => ((acc + j) * 0x9E3779B97F4A7C15L).toInt)
+          java.util.Arrays.sort(s)
+          refSink.addAndGet(s(0) + arr(arr.length - 1)) // defeat DCE
+        }, s"graft-bench-ref-$t")
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(once(), once(), once()).sorted.apply(1)
+  }
+
   /** One store-backed engine query: the read is partition-pruned to the
     * exact union of the query's selector windows (the same absolute-window
     * algebra the alerting sink uses), so the timed work includes the
@@ -173,6 +222,7 @@ object Bench {
         gate ++ timed(wantedCanary)
       }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val refWall = referenceWall()
     // Two output lines. The FULL per-query map (143+ entries, ~8 KB) goes
     // first on a line that does NOT look like the headline — the driver
     // keeps only a ~2 KB tail of stdout, and rounds 7-8 proved a
@@ -197,7 +247,7 @@ object Bench {
       .mkString("{", ",", "}")
     // queries_truncated flags that the headline's map is deliberately
     // partial (canaries + 30 slowest) — the full map is the line above
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_truncated":true,"queries_kind":"canaries+top30","queries":$head,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_truncated":true,"queries_kind":"canaries+top30","ref_wall":${fmt(refWall)},"normalized":${fmt(if (refWall > 0) total / refWall else 0.0)},"queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
