@@ -97,6 +97,30 @@ object Stress {
     // set by ivf_inc_build, consumed by the later ivf_inc_* probes
     // (include ivf_inc_build in STRESS_ONLY when measuring them)
     var stressIvf: String = null
+    // a SigIndex with `n` live batch dirs (100 (doc_id, bv) rows each),
+    // synthesized by ONE partitioned write renamed into batch-<name> dirs
+    // plus markers — builds in seconds where n sequential appends would
+    // take minutes; memoized per n, untimed (setup)
+    val sigDirCache = scala.collection.mutable.Map.empty[Int, String]
+    def sigDirs(n: Int): String = sigDirCache.getOrElseUpdate(n, {
+      val dir = java.nio.file.Files.createTempDirectory(s"stress_sig$n").toString
+      val stage = s"$dir/_stage"
+      spark.range(n * 100L).select(
+          (col("id") / 100).cast("int").as("b"),
+          col("id").as("doc_id"),
+          xxhash64(col("id")).as("bv"))
+        .write.partitionBy("b").parquet(stage)
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      (0 until n).foreach { i =>
+        f.rename(new org.apache.hadoop.fs.Path(stage, s"b=$i"),
+          new org.apache.hadoop.fs.Path(dir, s"batch-m$i"))
+        f.create(new org.apache.hadoop.fs.Path(dir, s"_live.$now.m$i"), false).close()
+      }
+      f.delete(new org.apache.hadoop.fs.Path(stage), true)
+      dir
+    })
     // lazy: built (untimed) only when a store_* probe actually runs
     lazy val stressStore: String = {
       val pts = graft.model.Points.withSig(events.select(
@@ -210,6 +234,30 @@ object Stress {
         val n1 = Dedup.incremental(
           docs.where(col("doc_id") % 2 === 1), dir, name = "s1").count()
         n0 + n1
+      },
+      // SigIndex fold at HIGH FILE COUNTS: a long-running stream that
+      // compacts rarely accumulates thousands of batch dirs — the fold
+      // cost must scale ~linearly in directory count and reads must be
+      // FLAT afterwards. Directories are synthesized cheaply (one
+      // partitioned write renamed into batch-<name> dirs + markers), so
+      // the probe times the fold/read, not 4k sequential Spark writes.
+      timed("sigidx_read_1k") {
+        graft.pipeline.SigIndex.read(spark, sigDirs(1000)).count()
+      },
+      timed("sigidx_fold_1k") {
+        graft.pipeline.SigIndex.compact(spark, sigDirs(1000), graceMs = 0L); 1L
+      },
+      timed("sigidx_read_folded_1k") {
+        graft.pipeline.SigIndex.read(spark, sigDirs(1000)).count()
+      },
+      timed("sigidx_read_4k") {
+        graft.pipeline.SigIndex.read(spark, sigDirs(4000)).count()
+      },
+      timed("sigidx_fold_4k") {
+        graft.pipeline.SigIndex.compact(spark, sigDirs(4000), graceMs = 0L); 1L
+      },
+      timed("sigidx_read_folded_4k") {
+        graft.pipeline.SigIndex.read(spark, sigDirs(4000)).count()
       },
       // incremental IVF: grow the persisted index batch by batch, timing
       // the SEARCH separately after each append — the probe must stay
