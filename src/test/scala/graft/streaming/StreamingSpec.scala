@@ -727,4 +727,136 @@ class StreamingSpec extends AnyFunSuite {
       assert(rd.select(countDistinct(col("t"))).head().getLong(0) == nBatches)
     } finally q.stop()
   }
+
+  /** The COMPOSED production graph, end to end, with a kill/recover in the
+    * nastiest window: envelope stream -> nozzle counter points + timer
+    * rollup points + incremental log dedup (survivors as points) -> ONE
+    * exactly-once store append per micro-batch -> PromQL over the store.
+    * The crash is injected AFTER the sink's appends land but BEFORE the
+    * streaming commit, so the restarted query REPLAYS the whole batch —
+    * the appendOnce/incrementalOnce markers must absorb it. The recovered
+    * store must equal a never-failed run of the same data, sample-exact. */
+  test("composed dogfood: nozzle + rollup + incremental dedup -> store, kill/recover equals no-failure run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ns0 = 1704067200L * 1000000000L
+    val logs = IndexedSeq(
+      "the gateway accepted a request and routed it to the primary backend pool without delay",
+      "a slow disk on node seven pushed the write latency past the alerting threshold overnight",
+      "the gateway accepted a request and routed it to the primary backend pool without delay", // dup of 0
+      "cache eviction storm after the deploy doubled the miss rate for about six minutes",
+      "a slow disk on node seven pushed the write latency past the alerting threshold overnight", // dup of 1
+      "the scheduler rebalanced thirty shards onto the new node in under a second")
+    // 3 micro-batches x 2 envelopes: each envelope carries a counter
+    // sample, a timer event, and a log line (doc_id = its global index)
+    val batches: Seq[Seq[(Long, String, Long, Double, String)]] =
+      (0 until 3).map(b => (0 until 2).map { i =>
+        val g = b * 2 + i
+        (g.toLong, s"app-${g % 2}", ns0 + g * 60L * 1000000000L,
+          10.0 * (g + 1), logs(g))
+      })
+
+    def runPipeline(crashAtBatch: Option[Long])
+        : (String, String, MemoryStream[(Long, String, Long, Double, String)] => Unit) = {
+      val storeDir = Files.createTempDirectory("dogfood_store").toString
+      val idxDir = Files.createTempDirectory("dogfood_idx").toString
+      val ckpt = Files.createTempDirectory("dogfood_ckpt").toString
+      @volatile var crashArmed = crashAtBatch.isDefined
+      val sink = (batch: org.apache.spark.sql.DataFrame, id: Long) => {
+        val env = batch.toDF("doc_id", "source_id", "timestamp", "total", "log")
+          .withColumn("tags", map(lit("job"), col("source_id")))
+          .persist()
+        try {
+          // counter envelopes through the nozzle
+          val counterPts = Nozzle.toPoints(env
+            .withColumn("kind", lit("counter"))
+            .withColumn("name", lit("http_total"))
+            .withColumn("gauge", lit(null).cast("map<string,double>"))
+            .withColumn("start", lit(null).cast("long"))
+            .withColumn("stop", lit(null).cast("long")))
+          // the same envelopes as timer events through the windowed rollup
+          val rolled = Rollups.counterRollup(env
+            .withColumn("start", col("timestamp"))
+            .withColumn("stop", col("timestamp") + 5000000L), 60000L)
+          val rolledPts = graft.model.Points.withSig(rolled.select(
+            lit("timer_events_per_min").as("name"),
+            map(lit("source_id"), col("source_id")).as("labels"),
+            col("window_start").as("t"),
+            col("value").cast("double").as("value")))
+          // log lines through the incremental dedup index; survivors
+          // become samples (exactly-once via the index's batch marker)
+          val kept = graft.pipeline.Dedup.incrementalOnce(
+            env.select(col("doc_id"), col("log").as("text"),
+              col("source_id"), col("timestamp")), idxDir, id)
+          val keptPts = graft.model.Points.withSig(kept.select(
+            lit("log_kept_total").as("name"),
+            map(lit("source_id"), col("source_id")).as("labels"),
+            expr("timestamp div 1000000").as("t"),
+            lit(1.0).as("value")))
+          // ONE exactly-once append per micro-batch
+          PointsStore.appendOnce(
+            counterPts.unionByName(rolledPts).unionByName(keptPts),
+            storeDir, id)
+          if (crashArmed && crashAtBatch.contains(id)) {
+            crashArmed = false
+            throw new RuntimeException(
+              "injected crash: appends landed, streaming commit did not")
+          }
+        } finally env.unpersist()
+        ()
+      }
+      val driver = (mem: MemoryStream[(Long, String, Long, Double, String)]) => {
+        def start() = mem.toDF().writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(sink).start()
+        var q = start()
+        batches.foreach { rows =>
+          mem.addData(rows: _*)
+          try q.processAllAvailable()
+          catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+              // the injected kill: recover from the SAME checkpoint — the
+              // failed batch replays against the already-landed appends
+              q = start()
+              q.processAllAvailable()
+          }
+        }
+        q.stop()
+      }
+      (storeDir, idxDir, driver)
+    }
+
+    def storeContents(dir: String): Set[(String, Map[String, String], Long, Double)] =
+      PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+        .select("name", "labels", "t", "value").collect()
+        .map(r => (r.getString(0), r.getAs[Map[String, String]](1),
+          r.getLong(2), r.getDouble(3))).toSet
+
+    // the no-failure baseline
+    val (cleanStore, _, runClean) = runPipeline(None)
+    runClean(MemoryStream[(Long, String, Long, Double, String)])
+    // the killed-and-recovered run: crash lands in batch 1 (mid-history)
+    val (crashStore, crashIdx, runCrash) = runPipeline(Some(1L))
+    runCrash(MemoryStream[(Long, String, Long, Double, String)])
+
+    val clean = storeContents(cleanStore)
+    val crashed = storeContents(crashStore)
+    assert(crashed == clean, "recovered store diverged from the no-failure run")
+    // the composed semantics actually happened: 6 counter samples, the
+    // cross-batch duplicate logs dropped (4 survivors of 6), rollups
+    // windowed per minute per source
+    assert(clean.count(_._1 == "http_total") == 6)
+    assert(clean.count(_._1 == "log_kept_total") == 4)
+    assert(clean.count(_._1 == "timer_events_per_min") == 6)
+    // replay detection did its job: every batch is marked landed once
+    (0 until 3).foreach(b => assert(
+      graft.pipeline.SigIndex.contains(spark, crashIdx, s"b$b")))
+    // and the store answers PromQL: the counter's rate over the window
+    val pts = PointsStore.read(spark, crashStore, Long.MinValue, Long.MaxValue)
+    val t0 = 1704067200000L
+    val rate = graft.engine.Engine.instantQuery(spark, pts,
+      """sum(rate(http_total{job="app-0"}[5m]))""", t0 + 240000L).collect()
+    assert(rate.length == 1 && rate.head.getAs[Double]("value") > 0)
+  }
 }
