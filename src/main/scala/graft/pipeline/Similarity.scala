@@ -302,6 +302,78 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("rn"))
   }
 
+  /** INCREMENTAL [[diversitySample]]: maintain the cluster-stratified
+    * quota sample as batches arrive. Per-cell keep-smallest-`perCell` by
+    * (md5 rank, vec_id) is a SEMILATTICE — min-k of a union equals min-k
+    * of incremental min-k's — so the persisted state after any batch
+    * history equals the one-shot [[diversitySample]] over the union of
+    * the data, regardless of batch boundaries (the gate shares the
+    * one-shot oracle), and replayed batches converge naturally: merging
+    * an already-folded batch is a set-union no-op, no markers needed.
+    *
+    * State is tiny (≤ k × perCell rows) and flips atomically: each merge
+    * writes a fresh `state-<gen>/` directory and publishes it with one
+    * `_state.<ts>.<gen>` marker create (newest wins); superseded state
+    * directories vacuum after `graceMs`. Scale shape: the heavy side is
+    * the BATCH (one codegen'd assignment projection + one cell-keyed
+    * window with WindowGroupLimit); the state side is quota-bounded.
+    * Returns the updated kept set (vec_id, cell, rn). */
+  def diversitySampleIncremental(emb: DataFrame, dir: String,
+                                 centroids: Array[Array[Double]],
+                                 perCell: Int,
+                                 graceMs: Long = 15 * 60 * 1000L): DataFrame = {
+    val spark = emb.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marks =
+      if (!f.exists(root)) Nil
+      else f.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_state."))
+        .flatMap { n =>
+          val rest = n.drop("_state.".length)
+          val dot = rest.indexOf('.')
+          if (dot < 0) None
+          else rest.take(dot).toLongOption.map(ts => (ts, rest.substring(dot + 1)))
+        }
+    val prev = marks.sorted.lastOption.map { case (_, g) =>
+      spark.read.parquet(s"$dir/state-$g")
+        .select(col("vec_id"), col("cell"), col("rk"))
+    }
+    val batch = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cell", NearestCells.cell(col("e"), centroids))
+      .withColumn("rk", md5(col("vec_id").cast("string")))
+      .select(col("vec_id"), col("cell"), col("rk"))
+    val merged = prev.fold(batch)(_ unionByName batch).dropDuplicates("vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("rk"), col("vec_id"))
+    val kept = merged.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perCell)
+      .localCheckpoint() // one merge pass feeds the write AND the return
+    val gen = s"${System.currentTimeMillis()}-${java.lang.Long.toUnsignedString(System.nanoTime(), 36)}"
+    kept.write.mode("overwrite").parquet(s"$dir/state-$gen")
+    val publishedTs = System.currentTimeMillis()
+    f.create(new org.apache.hadoop.fs.Path(root,
+      s"_state.$publishedTs.$gen"), false).close()
+    // vacuum: a state is deletable once it has been SUPERSEDED for the
+    // reader grace window — i.e. some strictly newer marker (including
+    // the one just published) is itself older than graceMs (marker age
+    // bounds supersession age from below)
+    val now = System.currentTimeMillis()
+    val sorted = (marks :+ ((publishedTs, gen))).sorted
+    sorted.zipWithIndex.foreach { case ((_, g), i) =>
+      val supersededLongEnough =
+        sorted.drop(i + 1).exists { case (newerTs, _) => now - newerTs >= graceMs }
+      if (supersededLongEnough) {
+        f.delete(new org.apache.hadoop.fs.Path(root, s"state-$g"), true)
+        f.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("_state.") && n.endsWith(s".$g"))
+          .foreach(n => f.delete(new org.apache.hadoop.fs.Path(root, n), false))
+      }
+    }
+    kept.select(col("vec_id"), col("cell"), col("rn"))
+  }
+
   // ---- product quantization (Jegou/Douze/Schmid, TPAMI 2011) -----------
 
   /** Deterministic fixed PQ codebooks for the oracle gate, the
@@ -376,6 +448,98 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
   }
 
+  // ---- persisted IVF-PQ index (Jegou/Douze/Schmid §IV: IVFADC) ----------
+
+  /** Build a persisted IVF-PQ index at `dir`: the [[ivfBuild]] layout —
+    * coarse cells partitioned by directory, quantizer persisted — but
+    * the cell rows store PQ CODES (`cid, codes`) instead of raw vectors.
+    * This is the paper's IVFADC structure and the full ANN scale story
+    * in one index: partition pruning bounds WHICH rows a query reads
+    * (nProbe/k of the corpus) and product quantization bounds their
+    * WIDTH (M small codes ≈ M bytes against dims×8 raw — 64-dim doubles
+    * compress 128× at M=4), so a billion-vector index probes in a few
+    * MB of I/O. Codebooks persist alongside, making search
+    * self-contained. Immutable once built (rebuild = fresh dir + pointer
+    * flip); the incremental counterpart is [[IvfIndex]], which trades
+    * code compression for marker-manifest appendability. */
+  def ivfPqBuild(corpus: DataFrame, dir: String,
+                 centroids: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDims = codebooks(0)(0).length
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, mm) =>
+      cb.zipWithIndex.map { case (v, j) => (mm, j, v.toSeq) }
+    }.toSeq.toDF("m", "j", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    val e = asDouble(col("embedding"))
+    corpus.select(col("vec_id").as("cid"), e.as("e"))
+      .withColumn("cell", NearestCells.cell(col("e"), centroids))
+      .withColumn("codes", array(codebooks.indices.map { mm =>
+        NearestCells.cell(slice(col("e"), mm * subDims + 1, subDims), codebooks(mm))
+      }: _*))
+      .select("cell", "cid", "codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Search a persisted IVF-PQ index: queries rank their `nProbe` nearest
+    * cells against the stored quantizer and build their M×Ks ADC lookup
+    * tables ONCE (both on the bounded, broadcast query side); the cells
+    * relation is read under a literal cell-set predicate (partition
+    * pruning) and every candidate is scored by M table probes on its
+    * codes — the scan touches code columns only, never embeddings.
+    * Output (qid, cid, adist, rank), nearest first; distances are
+    * approximate by construction (that is PQ) and the gate pins the
+    * exact table arithmetic, like [[pqTopK]]. */
+  def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, topK: Int, nProbe: Int = 4,
+                  maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    val flat = spark.read.parquet(s"$dir/codebooks")
+      .orderBy(col("m"), col("j")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    val codebooks: Array[Array[Array[Double]]] =
+      flat.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+    val m = codebooks.length
+    val ks = codebooks(0).length
+    val subDims = codebooks(0)(0).length
+    def subDist(mm: Int, j: Int): Column =
+      (0 until subDims).map { d =>
+        val c = codebooks(mm)(j)(d)
+        val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
+        x * x
+      }.reduceLeft(_ + _)
+    val q = requireBounded(queries, maxQueryRows, "ivfPqSearch")
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .select(Seq(col("qid"), col("qe")) ++
+        (for (mm <- 0 until m; j <- 0 until ks)
+          yield subDist(mm, j).as(s"d_${mm}_$j")): _*)
+      .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
+      .drop("qe")
+      .localCheckpoint() // one pass builds probe set + LUTs
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$dir/cells")
+      .where(col("cell").isInCollection(probed)) // literal → partition pruning
+    def termFor(mm: Int): Column = {
+      val code = element_at(col("codes"), mm + 1)
+      (0 until ks - 1).foldRight(col(s"d_${mm}_${ks - 1}")) { (j, acc) =>
+        when(code === j, col(s"d_${mm}_$j")).otherwise(acc)
+      }
+    }
+    val scored = broadcast(q).join(cells, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("adist", (0 until m).map(termFor).reduceLeft(_ + _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to a
     * vec_id prefix for the exact gate query (the scale path feeds LSH
     * buckets instead of the full cross join). */
@@ -391,22 +555,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
-  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
-    * web-scale through semantic deduplication"): within each cluster of
-    * the embedding space, drop every vector that has a semantic
-    * near-duplicate (cosine ≥ `threshold`) with a smaller id — the
-    * deterministic keep-lowest representative rule. The `label` column
-    * is the cluster assignment (in production the k-means step;
-    * [[NearestCells]] / [[fixedCentroids]] provide it when the corpus
-    * arrives unclustered).
-    *
-    * Shape — the reason SemDeDup scales where all-pairs cosine cannot:
-    * the self-join is an EQUI-join on the cluster id, so each shuffle
-    * partition holds one cluster's members and the quadratic cosine work
-    * is per-cluster (k clusters of n/k vectors ⇒ n²/k comparisons, with
-    * k in the tens of thousands at corpus scale), never corpus-wide.
-    * The drop set is vector-count-bounded and anti-joined back — no
-    * driver materialization anywhere. */
   /** INCREMENTAL [[semDeDup]] — semantic near-dup removal per arriving
     * batch against the persisted kept-vector state, on the [[IvfIndex]]
     * machinery (the index IS the kept set; its cells are the SemDeDup
@@ -476,6 +624,22 @@ object Similarity {
                               batchId: Long, threshold: Double): DataFrame =
     semDeDupIncremental(vectors, indexDir, s"b$batchId", threshold)
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): within each cluster of
+    * the embedding space, drop every vector that has a semantic
+    * near-duplicate (cosine ≥ `threshold`) with a smaller id — the
+    * deterministic keep-lowest representative rule. The `label` column
+    * is the cluster assignment (in production the k-means step;
+    * [[NearestCells]] / [[fixedCentroids]] provide it when the corpus
+    * arrives unclustered).
+    *
+    * Shape — the reason SemDeDup scales where all-pairs cosine cannot:
+    * the self-join is an EQUI-join on the cluster id, so each shuffle
+    * partition holds one cluster's members and the quadratic cosine work
+    * is per-cluster (k clusters of n/k vectors ⇒ n²/k comparisons, with
+    * k in the tens of thousands at corpus scale), never corpus-wide.
+    * The drop set is vector-count-bounded and anti-joined back — no
+    * driver materialization anywhere. */
   def semDeDup(corpus: DataFrame, threshold: Double): DataFrame = {
     val e = corpus.select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("e"))

@@ -80,6 +80,17 @@ object PipelineQueries {
     "q_pipe_diversity_sample" -> ((s, dir) =>
       Similarity.diversitySample(emb(s, dir),
         Similarity.fixedCentroids(8, 64), 5)),
+    // INCREMENTAL diversity sampling: per-cell min-k by md5 rank is a
+    // semilattice, so the persisted state after the 3-batch history
+    // equals the one-shot sample over the union — the gate shares
+    // q_pipe_diversity_sample's oracle
+    "q_pipe_diversity_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val st = java.nio.file.Files.createTempDirectory("graft_divinc").toString + "/state"
+      (0 until 3).map(b => Similarity.diversitySampleIncremental(
+        e.where(pmod(col("vec_id"), lit(3)) === b), st,
+        Similarity.fixedCentroids(8, 64), 5)).last
+    }),
     // the PERSISTED IVF index: build (assign once, write partitioned by
     // cell) then search (partition-pruned probe) — must answer exactly
     // like the in-memory probe, so it shares q_sim_ivf's oracle
@@ -103,6 +114,16 @@ object PipelineQueries {
         if (b == 1) IvfIndex.compact(s, idx, graceMs = 0L) // fold mid-history
       }
       IvfIndex.search(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
+    }),
+    // IVF-PQ (the paper's IVFADC): coarse partition pruning bounds WHICH
+    // rows a query reads, PQ codes bound their WIDTH — the scan reads
+    // code columns in the probed cell directories only
+    "q_sim_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      Similarity.ivfPqBuild(e, idx,
+        Similarity.fixedCentroids(8, 64), Similarity.fixedCodebooks(4, 8, 16))
+      Similarity.ivfPqSearch(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
     }),
     // ADC over PQ codes is definitionally a linear scan of the (tiny)
     // code column with the bounded query LUT broadcast — the nested-loop
@@ -1220,6 +1241,44 @@ object PipelineQueries {
     // PQ/ADC: per-vector subspace distances to the fixed codebooks,
     // argmin codes, and the query-LUT CASE probes — every double
     // combined in the engine's exact order
+    // IVF-PQ: the ivf probe CTEs compose with the PQ coding/ADC CTEs —
+    // same-cell candidates only, scored by the query's LUT over codes
+    "q_sim_ivfpq" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id, embedding,
+         |         ${(0 until 8).map(i => s"(${ivfDistSql("embedding", i)}) AS d$i").mkString(",\n         ")},
+         |         ${(for (mm <- 0 until 4; j <- 0 until 8)
+              yield s"(${pqSubDistSql("embedding", mm, j)}) AS d_${mm}_$j")
+              .mkString(",\n         ")}
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id AS cid, $ivfArgminSql AS cell,
+         |         ${(0 until 4).map(mm => s"(${pqArgminSql(mm)}) AS c$mm")
+              .mkString(",\n         ")}
+         |  FROM dist),
+         |qprobe0 AS (
+         |  SELECT vec_id AS qid,
+         |         unnest([${(0 until 8).map(i => s"struct_pack(cell := $i, dist := d$i)").mkString(", ")}]) AS u
+         |  FROM dist WHERE vec_id < 10),
+         |qprobe AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, u.cell AS cell, u.dist AS dist,
+         |           row_number() OVER (PARTITION BY qid ORDER BY u.dist, u.cell) AS cr
+         |    FROM qprobe0)
+         |  WHERE cr <= 3),
+         |q AS (SELECT vec_id AS qid,
+         |         ${(for (mm <- 0 until 4; j <- 0 until 8) yield s"d_${mm}_$j").mkString(", ")}
+         |      FROM dist WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, cells.cid,
+         |         ${(0 until 4).map(mm => s"(${pqAdcTermSql(mm)})")
+              .mkString(" + ")} AS adist
+         |  FROM qprobe JOIN q ON qprobe.qid = q.qid
+         |    JOIN cells ON qprobe.cell = cells.cell AND q.qid <> cells.cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, round(adist, 6) AS adist, rank FROM r WHERE rank <= 3""".stripMargin,
+
     "q_sim_pq" ->
       s"""WITH dist AS (
          |  SELECT vec_id,
@@ -2127,5 +2186,8 @@ object PipelineQueries {
   val oracle: Map[String, String] =
     oracleBase +
       ("q_sim_ivf_index" -> oracleBase("q_sim_ivf")) +
-      ("q_sim_ivf_incremental" -> oracleBase("q_sim_ivf"))
+      ("q_sim_ivf_incremental" -> oracleBase("q_sim_ivf")) +
+      // min-k per cell is a semilattice: the incremental state equals the
+      // one-shot sample over the union, so they share one oracle
+      ("q_pipe_diversity_incremental" -> oracleBase("q_pipe_diversity_sample"))
 }

@@ -200,6 +200,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(cellDirs > 1 && cellDirs <= 8)
   }
 
+  test("persisted ivf-pq index: pruned cells, code-only scan, ADC agrees with flat PQ in-cell") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val cents = Similarity.fixedCentroids(8, 64)
+    val cb = Similarity.fixedCodebooks(4, 8, 16)
+    Similarity.ivfPqBuild(emb, dir, cents, cb)
+    val q = emb.where(col("vec_id") < 10)
+    val res = Similarity.ivfPqSearch(spark, dir, q, 3, nProbe = 3)
+    val got = res.collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSet ==
+      Similarity.ivfPqSearch(spark, dir, q, 3, nProbe = 3).collect().map(_.toSeq).toSet)
+    // the probe is a PARTITION filter over the cell directories
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("\\s", "")
+      .matches("(?s).*PartitionFilters:\\[[^\\]]*cell.*"),
+      s"cell probe not a partition filter:\n${plan.take(1500)}")
+    // the cells relation carries CODES only — no embedding column on disk
+    val cellsSchema = spark.read.parquet(s"$dir/cells").schema.fieldNames.toSet
+    assert(cellsSchema == Set("cell", "cid", "codes"))
+    // ADC arithmetic matches flat pqTopK when the probe covers ALL cells
+    // (same candidates -> identical tables, distances, ranks)
+    val all = Similarity.ivfPqSearch(spark, dir, q, 3, nProbe = 8)
+      .collect().map(_.toSeq).toSet
+    val flat = Similarity.pqTopK(emb, q, 3, cb).collect().map(_.toSeq).toSet
+    assert(all == flat, "nProbe=k IVF-PQ diverged from flat ADC")
+  }
+
   test("diversity sample honors the per-cell quota and is deterministic") {
     val cents = Similarity.fixedCentroids(8, 64)
     val s1 = Similarity.diversitySample(emb, cents, 3).collect()
@@ -208,6 +234,40 @@ class PipelineSpec extends AnyFunSuite {
     val perCell = s1.groupBy(_.getInt(1)).view.mapValues(_.length)
     assert(perCell.values.forall(_ <= 3))
     assert(s1.map(_.getInt(2)).forall(rn => rn >= 1 && rn <= 3))
+  }
+
+  test("incremental diversity sample: any batch split converges to the one-shot sample") {
+    val cents = Similarity.fixedCentroids(8, 64)
+    val oneShot = Similarity.diversitySample(emb, cents, 4)
+      .collect().map(_.toSeq).toSet
+    for (splits <- Seq(1, 2, 3)) {
+      val dir = java.nio.file.Files.createTempDirectory("div_inc").toString + "/st"
+      val last = (0 until splits).map(b => Similarity.diversitySampleIncremental(
+        emb.where(col("vec_id") % splits === b), dir, cents, 4)).last
+      assert(last.collect().map(_.toSeq).toSet == oneShot,
+        s"$splits-batch history diverged from the one-shot sample")
+    }
+  }
+
+  test("incremental diversity sample: replays converge, superseded states vacuum") {
+    val cents = Similarity.fixedCentroids(8, 64)
+    val dir = java.nio.file.Files.createTempDirectory("div_replay").toString + "/st"
+    val b0 = emb.where(col("vec_id") % 2 === 0)
+    val b1 = emb.where(col("vec_id") % 2 === 1)
+    Similarity.diversitySampleIncremental(b0, dir, cents, 4, graceMs = 0L)
+    val after1 = Similarity.diversitySampleIncremental(b1, dir, cents, 4, graceMs = 0L)
+      .collect().map(_.toSeq).toSet
+    // replaying batch 1 is a set-union no-op: the state is unchanged
+    val replayed = Similarity.diversitySampleIncremental(b1, dir, cents, 4, graceMs = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(replayed == after1)
+    // grace-0 vacuum: only the newest state (+ marker) remains on disk
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+    assert(names.count(_.startsWith("state-")) == 1, names.mkString(","))
+    assert(names.count(_.startsWith("_state.")) == 1, names.mkString(","))
   }
 
   test("multi-probe lsh lifts recall over single-probe") {
