@@ -257,7 +257,11 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
         if (cors) {
           val hs = ex.getResponseHeaders
           hs.set("Access-Control-Allow-Origin", "*")
-          hs.set("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, OPTIONS")
+          // the vendored corsHeaders allow exactly GET, POST, OPTIONS
+          // (httputil/cors.go:24) — advertising PUT/DELETE would grant
+          // cross-origin pages preflight approval for the mutating verbs
+          // (agent-mode DELETE /series, rules CRUD)
+          hs.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
           hs.set("Access-Control-Allow-Headers",
             "Accept, Authorization, Content-Type, Content-Encoding, Origin")
           hs.set("Access-Control-Max-Age", "86400")
@@ -331,6 +335,10 @@ final class HttpApi(spark: SparkSession, points: DataFrame,
     register("/api/v1/series", (ex: HttpExchange) =>
       if (ex.getRequestMethod.equalsIgnoreCase("DELETE"))
         handleCode(ex) { e =>
+          // the route shares GET's CORS-enabled registration; the
+          // mutating verb itself exposes nothing cross-origin (preflight
+          // never approves DELETE — Allow-Methods is GET, POST, OPTIONS)
+          e.getResponseHeaders.remove("Access-Control-Allow-Origin")
           adminStore match {
             case None =>
               (500, """{"status":"error","errorType":"internal","error":"not implemented"}""")

@@ -287,6 +287,11 @@ object Dedup {
             "(or raced the fold inside it); rerun against a fresh index " +
             "or raise SigIndex.compact graceMs")
       }
+    // claim intent BEFORE snapshotting the index: the sequence slot read
+    // here and claimed at the append covers the whole read→dedup→append
+    // span, so a second writer that read the same index state fails loud
+    // at its claim instead of silently splitting survivors
+    val seq = SigIndex.nextAppendSeq(spark, indexDir)
     val sigs = signatures.localCheckpoint()
     val idx = SigIndex.read(spark, indexDir)
     // distinct buckets of the batch, driver-bounded: take(maxProbe+1)
@@ -311,7 +316,8 @@ object Dedup {
     val dropped = hitDocs.unionByName(notMin).distinct().localCheckpoint()
     val survivors = docs.join(dropped, Seq("doc_id"), "left_anti")
     SigIndex.append(
-      sigs.join(dropped, Seq("doc_id"), "left_anti"), indexDir, name)
+      sigs.join(dropped, Seq("doc_id"), "left_anti"), indexDir, name,
+      seq = Some(seq))
     survivors
   }
 

@@ -33,9 +33,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   *  - COMPACT folds aged batches into one directory per generation
   *    (bounding the batch-dir count a long stream accumulates) with
   *    publish-before-retire ordering — a concurrent reader sees at worst
-  *    duplicate vectors, and SEARCH tolerates duplicates by ranking on
-  *    (cos desc, cid): a folded copy ties with its original and the
-  *    window keeps one. Reader-grace vacuum as in [[SigIndex.compact]].
+  *    duplicate vectors, which SEARCH collapses with a (qid, cid)
+  *    dedup before ranking. Reader-grace vacuum as in
+  *    [[SigIndex.compact]].
   *  - RETRAIN is the drift story: when appends skew the cell histogram
   *    (the coarse quantizer no longer balances the data — [[skew]]
   *    measures max/mean occupancy), [[retrain]] trains fresh centroids
@@ -138,12 +138,18 @@ object IvfIndex {
     val (gid, gp) = requireGen(spark, dir)
     if (contains(spark, dir, name)) return false
     val cents = centroids(spark, dir)
-    vectors.select(col("vec_id").as("cid"),
-        col("embedding").cast("array<double>").as("ce"))
-      .withColumn("cell", NearestCells.cell(col("ce"), cents))
-      .select("cell", "cid", "ce")
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$gp/batch=$name")
+    // an EMPTY batch (routine: every survivor of a semDeDup batch was a
+    // near-dup) publishes its marker WITHOUT a directory — a zero-row
+    // partitionBy write emits no parquet footer, which later reads could
+    // not parse; [[readBatch]]/[[read]] treat the missing directory as
+    // the empty relation
+    if (!vectors.isEmpty)
+      vectors.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("ce"))
+        .withColumn("cell", NearestCells.cell(col("ce"), cents))
+        .select("cell", "cid", "ce")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$gp/batch=$name")
     if (currentGen(spark, dir) != Some(gid))
       throw new IllegalStateException(
         s"IvfIndex append '$name' raced a retrain at $dir (generation " +
@@ -155,16 +161,23 @@ object IvfIndex {
   }
 
   /** The rows one batch appended (None when not individually readable —
-    * never landed, or folded/retired past the grace window). */
+    * never landed, or folded/retired past the grace window). A marker
+    * without a directory is a landed EMPTY batch. */
   def readBatch(spark: SparkSession, dir: String,
                 name: String): Option[DataFrame] = {
     val (_, gp) = requireGen(spark, dir)
     val f = fs(spark, dir)
-    if (names(f, new org.apache.hadoop.fs.Path(gp), MarkerPrefix).exists(_._2 == name))
+    if (!names(f, new org.apache.hadoop.fs.Path(gp), MarkerPrefix).exists(_._2 == name)) None
+    else if (!f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$name")))
+      Some(emptyCells(spark))
+    else
       Some(spark.read.option("basePath", gp).parquet(s"$gp/batch=$name")
         .select(col("cell"), col("cid"), col("ce")))
-    else None
   }
+
+  private def emptyCells(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cellSchema)
 
   private def liveBatchNames(spark: SparkSession, gp: String): Seq[String] =
     names(fs(spark, gp), new org.apache.hadoop.fs.Path(gp), MarkerPrefix)
@@ -176,10 +189,11 @@ object IvfIndex {
     * partition-prunes EVERY batch. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val (_, gp) = requireGen(spark, dir)
+    val f = fs(spark, dir)
+    // empty batches land as marker-only (no directory) — skip them
     val live = liveBatchNames(spark, gp)
-    if (live.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cellSchema)
+      .filter(n => f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
+    if (live.isEmpty) emptyCells(spark)
     else
       // ONE FileIndex over the explicit live batch directories with the
       // generation root as basePath: `batch` and `cell` are BOTH
@@ -209,6 +223,11 @@ object IvfIndex {
     val cells = read(spark, dir)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
+      // a compaction's publish-before-retire window can expose a vector
+      // in both the fold and its original batch: collapse the copies
+      // BEFORE ranking (row_number would give the twin two ranks and
+      // push the true k-th neighbour out)
+      .dropDuplicates("qid", "cid")
       .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
@@ -307,15 +326,21 @@ object IvfIndex {
     val aged = names(f, root, MarkerPrefix)
       .filter(_._1 <= cutoff).map(_._2).distinct
     if (aged.length > 1) {
+      // marker-only EMPTY batches have no directory — they fold to their
+      // `_seen` record alone
+      val agedDirs = aged.filter(n =>
+        f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
       val foldName = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
-      spark.read.option("basePath", gp)
-        .parquet(aged.map(n => s"$gp/batch=$n"): _*)
-        .select(col("cell"), col("cid"), col("ce"))
-        .distinct() // set semantics, like SigIndex (a fold racing a fold)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$gp/batch=$foldName")
-      f.create(new org.apache.hadoop.fs.Path(root,
-        s"$MarkerPrefix${System.currentTimeMillis()}.$foldName"), false).close()
+      if (agedDirs.nonEmpty)
+        spark.read.option("basePath", gp)
+          .parquet(agedDirs.map(n => s"$gp/batch=$n"): _*)
+          .select(col("cell"), col("cid"), col("ce"))
+          .distinct() // set semantics, like SigIndex (a fold racing a fold)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$gp/batch=$foldName")
+      if (agedDirs.nonEmpty)
+        f.create(new org.apache.hadoop.fs.Path(root,
+          s"$MarkerPrefix${System.currentTimeMillis()}.$foldName"), false).close()
       aged.foreach { n =>
         f.create(new org.apache.hadoop.fs.Path(root,
           s"$SeenPrefix${System.currentTimeMillis()}.$n"), false).close()
@@ -344,12 +369,21 @@ object IvfIndex {
         }
       }
     }
-    // retired generations: superseded _gen markers past the grace window
+    // retired generations: deletable once SUPERSEDED for the reader grace
+    // window — aged from the NEWER marker's timestamp (its age bounds the
+    // supersession age from below), never from the retired generation's
+    // own creation time, which says nothing about how recently readers
+    // could still have planned against it
     val gens = names(f, new org.apache.hadoop.fs.Path(dir), GenPrefix)
       .flatMap { case (ts, g) => g.toLongOption.map(x => (ts, x)) }
-    gens.filter { case (ts, g) => g != gid && ts <= cutoff }.foreach { case (ts, g) =>
-      f.delete(new org.apache.hadoop.fs.Path(dir, s"$GenPrefix$ts.$g"), false)
-      f.delete(new org.apache.hadoop.fs.Path(genPath(dir, g)), true)
+    gens.foreach { case (ts, g) =>
+      val supersededLongEnough = gens.exists { case (nts, ng) =>
+        (nts > ts || (nts == ts && ng > g)) && now2 - nts >= graceMs
+      }
+      if (g != gid && supersededLongEnough) {
+        f.delete(new org.apache.hadoop.fs.Path(dir, s"$GenPrefix$ts.$g"), false)
+        f.delete(new org.apache.hadoop.fs.Path(genPath(dir, g)), true)
+      }
     }
   }
 }

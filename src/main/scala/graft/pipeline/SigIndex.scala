@@ -78,12 +78,13 @@ object SigIndex {
     * batch directory is an unmarked orphan the next [[compact]] sweeps.
     * A claim without a published marker (a crashed append) consumes the
     * slot harmlessly — the next writer claims the successor. */
-  def append(sigs: DataFrame, dir: String, name: String): Boolean = {
+  def append(sigs: DataFrame, dir: String, name: String,
+             seq: Option[Long] = None): Boolean = {
     val spark = sigs.sparkSession
     val f = fs(spark, dir)
     // a name already live OR already folded (_seen) must not re-land
     if (contains(spark, dir, name)) return false
-    val next = maxSlot(f, dir) + 1
+    val next = seq.getOrElse(maxSlot(f, dir) + 1)
     val out = new org.apache.hadoop.fs.Path(dir, s"batch-$name")
     sigs.select("doc_id", "bv")
       .write.options(bloomWriteOptions).mode("overwrite").parquet(out.toString)
@@ -92,6 +93,15 @@ object SigIndex {
     publish(f, dir, name)
     true
   }
+
+  /** The sequence slot the NEXT append must claim — read this BEFORE
+    * taking the index snapshot a batch dedups against, and pass it to
+    * [[append]]: the claim then covers the whole read→dedup→append span,
+    * so a second writer whose snapshot raced yours fails loud at its
+    * claim even when the two `append` calls themselves never overlap
+    * (the claim-time default only detects overlapping appends). */
+  def nextAppendSeq(spark: SparkSession, dir: String): Long =
+    maxSlot(fs(spark, dir), dir) + 1
 
   /** A second writer raced this index: the sequence slot this append
     * computed was claimed by someone else first. */
@@ -115,9 +125,14 @@ object SigIndex {
   private def claimSlot(f: org.apache.hadoop.fs.FileSystem, dir: String,
                         seq: Long, name: String): Unit = {
     f.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    try f.create(new org.apache.hadoop.fs.Path(dir, s"$SlotPrefix$seq"), false).close()
+    val slot = new org.apache.hadoop.fs.Path(dir, s"$SlotPrefix$seq")
+    try f.create(slot, false).close()
     catch {
-      case _: java.io.IOException => throw new ConcurrentWriterException(dir, seq)
+      // only an actually-taken slot is a contract violation; a transient
+      // I/O failure must surface as what it is, not as a phantom racer
+      case e: java.io.IOException =>
+        if (f.exists(slot)) throw new ConcurrentWriterException(dir, seq)
+        else throw e
     }
   }
 

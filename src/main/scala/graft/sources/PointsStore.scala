@@ -365,9 +365,22 @@ object PointsStore {
                              basePath: Option[String]): DataFrame = {
     def reader = basePath.foldLeft(spark.read)((r, p) => r.option("basePath", p))
     val sampled = reader.parquet(files.head).schema
-    val schema =
-      if (sampled.fieldNames.contains("stale")) sampled
-      else sampled.add("stale", org.apache.spark.sql.types.BooleanType)
+    // inject every KNOWN optional store column the sampled footer lacks,
+    // so a mixed-layout file set cannot silently drop a column another
+    // file carries: `stale` (pre-normalization layouts would otherwise
+    // lose markers) and the `_seq`/`_sub` write stamps (losing them from
+    // the schema would strip lwwOrder's newest-write ordering — files
+    // without them read as null, which `desc` sorts last: cross-layout
+    // pairs resolve to the stamped, newer write, the correct LWW answer).
+    // Hot-label `lbl_*` columns cannot be injected generically; a store
+    // using appendFlattened writes them from its first batch.
+    val schema = Seq(
+      ("stale", org.apache.spark.sql.types.BooleanType: org.apache.spark.sql.types.DataType),
+      ("_seq", org.apache.spark.sql.types.LongType),
+      ("_sub", org.apache.spark.sql.types.LongType))
+      .foldLeft(sampled) { case (s, (n, t)) =>
+        if (s.fieldNames.contains(n)) s else s.add(n, t)
+      }
     normalizeStale(reader.schema(schema).parquet(files: _*))
   }
 
@@ -953,13 +966,21 @@ object PointsStore {
     * CHAINED names: both manifests land naming the same parent, the fork
     * is resolved deterministically by [[resolveTip]] (earliest rename
     * wins), and the post-rename re-resolution below makes the loser throw
-    * and retry — detected, never silently undone. Residual window: a
-    * third publish chaining onto the fork's provisional winner inside the
-    * racers' rename gap could itself be usurped before ITS post-check;
-    * that needs three independent publishers inside one ~millisecond
-    * namespace window (each pair already being a lost-CAS anomaly), and
-    * fork resolution relies on rename-preserved mtimes — exact on POSIX
-    * and HDFS, best-effort on object stores whose rename is a copy. */
+    * and retry — detected, never silently undone. Residual windows, both
+    * needing multiple independent publishers inside one ~millisecond
+    * namespace gap (each pair already being a lost-CAS anomaly): (a) a
+    * third publish chaining onto the fork's provisional winner inside
+    * the racers' rename gap could itself be usurped before ITS
+    * post-check; (b) mtime order can invert rename order when both
+    * renames land inside the other's staged-write→rename gap (the
+    * staged manifest is written microseconds before its rename precisely
+    * to shrink this) — the earlier-mtime publisher whose rename landed
+    * second then wins the fork after the other's post-check already
+    * passed, and the first rewrite is lost without a retry. Same-ms
+    * mtime ties break deterministically by name (detected, arbitrary
+    * winner). Fork resolution relies on rename-preserved mtimes — exact
+    * on POSIX and HDFS, best-effort on object stores whose rename is a
+    * copy. */
   private def publishRewrite(fs: org.apache.hadoop.fs.FileSystem,
                              dir: org.apache.hadoop.fs.Path,
                              live: Seq[String], now: Long,

@@ -140,6 +140,41 @@ class IvfIndexSpec extends AnyFunSuite {
       resultSet(Similarity.ivfProbe(emb, q, 3, newCents, nProbe = 3)))
   }
 
+  test("an EMPTY batch lands as marker-only and every path tolerates it") {
+    val dir = freshIndex()
+    assert(IvfIndex.append(emb.where(col("vec_id") < 0), dir, "empty"))
+    assert(IvfIndex.contains(spark, dir, "empty"))
+    assert(!IvfIndex.append(emb.where(col("vec_id") < 0), dir, "empty")) // replay
+    assert(IvfIndex.readBatch(spark, dir, "empty").get.count() == 0)
+    assert(IvfIndex.read(spark, dir).count() == 0) // empty-only index reads
+    IvfIndex.append(emb.where(col("vec_id") < 50), dir, "b0")
+    assert(IvfIndex.read(spark, dir).count() == 50) // mixed with real batches
+    assert(IvfIndex.search(spark, dir,
+      emb.where(col("vec_id") < 5), 3, nProbe = 3).count() > 0)
+    IvfIndex.compact(spark, dir, graceMs = 0L) // folds tolerate marker-only
+    assert(IvfIndex.contains(spark, dir, "empty"))
+    assert(IvfIndex.read(spark, dir).count() == 50)
+  }
+
+  test("search collapses a vector visible in two live directories (fold window)") {
+    val dir = freshIndex()
+    val sub = emb.where(col("vec_id") < 60)
+    IvfIndex.append(sub, dir, "b0")
+    // the publish-before-retire window: the same vectors live twice
+    IvfIndex.append(sub, dir, "b1")
+    val q = emb.where(col("vec_id") < 5)
+    val res = IvfIndex.search(spark, dir, q, 3, nProbe = 3).collect()
+    val pairs = res.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length, "duplicate (qid,cid) in top-k")
+    assert(res.groupBy(_.getLong(0)).values.forall(_.length == 3),
+      "a duplicated twin consumed a rank slot")
+    // and the answers equal the duplicate-free index's
+    val clean = freshIndex()
+    IvfIndex.append(sub, clean, "b0")
+    assert(res.map(_.toSeq).toSet ==
+      IvfIndex.search(spark, clean, q, 3, nProbe = 3).collect().map(_.toSeq).toSet)
+  }
+
   // ---- incremental SemDeDup on the shared index state ---------------------
 
   /** Unit vectors in the (e1, e2) plane at a given angle — cosine between
