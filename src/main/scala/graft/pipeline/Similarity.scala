@@ -624,6 +624,15 @@ object Similarity {
                               batchId: Long, threshold: Double): DataFrame =
     semDeDupIncremental(vectors, indexDir, s"b$batchId", threshold)
 
+  /** Streaming sink: semantically dedup every micro-batch against the
+    * index and hand the survivors on (`ds.writeStream.foreachBatch(
+    * Similarity.semDeDupSink(dir, thr, out))`) — [[Dedup.incrementalSink]]'s
+    * shape for the embedding space. */
+  def semDeDupSink(indexDir: String, threshold: Double,
+                   out: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      out(semDeDupIncrementalOnce(df, indexDir, batchId, threshold))
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): within each cluster of
     * the embedding space, drop every vector that has a semantic
