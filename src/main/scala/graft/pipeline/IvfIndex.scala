@@ -223,12 +223,15 @@ object IvfIndex {
     val cells = read(spark, dir)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
       // a compaction's publish-before-retire window can expose a vector
       // in both the fold and its original batch: collapse the copies
       // BEFORE ranking (row_number would give the twin two ranks and
-      // push the true k-th neighbour out)
+      // push the true k-th neighbour out). Scored FIRST and deduped on
+      // scalars only — carrying the embedding arrays through the
+      // aggregate would fall back to SortAggregate
+      .select("qid", "cid", "cos")
       .dropDuplicates("qid", "cid")
-      .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
