@@ -486,7 +486,7 @@ object PointsStore {
     * written, milliseconds before its rename, and preserved by the
     * rename, so it orders manifests by PUBLISH time (stamps are taken
     * before the rewrite's Spark write and can be minutes older). */
-  private final case class MEnt(ts: Long, gen: String, parent: Option[String],
+  private[sources] final case class MEnt(ts: Long, gen: String, parent: Option[String],
                                 name: String, mtime: Long)
 
   private def parseManifest(st: org.apache.hadoop.fs.FileStatus): Option[MEnt] = {
@@ -499,7 +499,7 @@ object PointsStore {
     }
   }
 
-  private def listManifests(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def listManifests(fs: org.apache.hadoop.fs.FileSystem,
                             day: org.apache.hadoop.fs.Path): Seq[MEnt] =
     fs.listStatus(day).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
@@ -518,7 +518,7 @@ object PointsStore {
     * in its own post-rename re-resolution. Cycle-guarded (a cycle would
     * need a forged name); falls back to stamp order if the walk cannot
     * start. */
-  private def resolveTip(ents: Seq[MEnt]): Option[MEnt] = {
+  private[sources] def resolveTip(ents: Seq[MEnt]): Option[MEnt] = {
     if (ents.isEmpty) return None
     val chained = ents.filter(_.parent.isDefined)
     val byStamp = ents.maxBy(e => (e.ts, e.name))
@@ -549,7 +549,7 @@ object PointsStore {
   }
 
   /** Generations on the tip chain: tip plus every present ancestor. */
-  private def chainGens(ents: Seq[MEnt], tip: MEnt): Set[String] = {
+  private[sources] def chainGens(ents: Seq[MEnt], tip: MEnt): Set[String] = {
     val byGen = ents.map(e => e.gen -> e).toMap
     var cur = Option(tip)
     val out = Set.newBuilder[String]
@@ -583,7 +583,7 @@ object PointsStore {
   /** The unique FILE NAME of a dir's current manifest (None when no
     * manifest was ever published) — the generation token the rewrite CAS
     * in [[publishRewrite]] compares. */
-  private def newestManifestName(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def newestManifestName(fs: org.apache.hadoop.fs.FileSystem,
                                  day: org.apache.hadoop.fs.Path): Option[String] =
     resolveTip(listManifests(fs, day)).map(_.name)
 
