@@ -97,6 +97,7 @@ object Stress {
     // set by ivf_inc_build, consumed by the later ivf_inc_* probes
     // (include ivf_inc_build in STRESS_ONLY when measuring them)
     var stressIvf: String = null
+    var stressIvfPq: String = null
     // a SigIndex with `n` live batch dirs (100 (doc_id, bv) rows each),
     // synthesized by ONE partitioned write renamed into batch-<name> dirs
     // plus markers — builds in seconds where n sequential appends would
@@ -286,6 +287,31 @@ object Stress {
       },
       timed("ivf_inc_search4") {
         graft.pipeline.IvfIndex.search(spark, stressIvf,
+          emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
+      },
+      // incremental SemDeDup: two sequential half-corpus batches against
+      // a fresh IvfIndex kept-set — times assignment + the cell-pruned
+      // kept-vector cosine + the per-cell peer join + the survivor append
+      timed("semdedup_inc") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_sdd").toString + "/idx"
+        graft.pipeline.IvfIndex.init(spark, dir, Similarity.fixedCentroids(64, 64))
+        val n0 = Similarity.semDeDupIncremental(
+          emb.where(col("vec_id") % 2 === 0), dir, "s0", 0.95).count()
+        val n1 = Similarity.semDeDupIncremental(
+          emb.where(col("vec_id") % 2 === 1), dir, "s1", 0.95).count()
+        n0 + n1
+      },
+      // IVF-PQ: one-time build (assign + encode, two passes) then the
+      // pruned ADC search — the probe reads code columns only
+      timed("ivfpq_build") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_ivfpq").toString
+        stressIvfPq = dir
+        Similarity.ivfPqBuild(emb, dir,
+          Similarity.fixedCentroids(16, 64), Similarity.fixedCodebooks(4, 8, 16))
+        1L
+      },
+      timed("ivfpq_search") {
+        Similarity.ivfPqSearch(spark, stressIvfPq,
           emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
       },
       // include store_build in STRESS_ONLY when measuring the probes
