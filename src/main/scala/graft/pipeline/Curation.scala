@@ -644,6 +644,70 @@ object Curation {
     }
   }
 
+  /** INCREMENTAL [[dedupLines]] — cross-batch boilerplate suppression for
+    * a streamed corpus, on the [[SigIndex]] machinery (its `(doc_id, bv)`
+    * rows ARE the distinct (document, line-hash) pair relation the
+    * boilerplate count needs). A line is boilerplate for an ARRIVING
+    * batch when its CUMULATIVE distinct-document count — every earlier
+    * batch's pairs plus this batch's — reaches `minDocs`; it is removed
+    * from this batch's documents (earlier batches already shipped: the
+    * inherent streaming semantics is that suppression begins once the
+    * threshold is crossed). The decision is monotone in the batch order,
+    * so an external SQL oracle replays the history with one cumulative
+    * window.
+    *
+    * Replays converge WITHOUT a special path: the count runs over the
+    * set-union of the index's pairs and the batch's, and a replayed
+    * batch's pairs are already in the index — union-distinct yields the
+    * identical relation, the identical decision, and [[SigIndex.append]]
+    * skips the re-append by name.
+    *
+    * Scale shape: the index is never shuffled — the batch's distinct
+    * line hashes become an `In(bv)` probe pushed into the bloom-carrying
+    * index scan (semi-join fallback past `maxProbe`), the cumulative
+    * count aggregates only the probed rows, the boilerplate set is small
+    * by definition and broadcasts, and every document rewrites in one
+    * shuffle-free pass ([[dedupLines]]' broadcast path). */
+  def dedupLinesIncremental(docs: DataFrame, indexDir: String, name: String,
+                            minDocs: Long = 2, maxProbe: Int = 100000,
+                            maxBoilerplate: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val replay = SigIndex.contains(spark, indexDir, name)
+    // claim intent before snapshotting (the sequential-writer guard)
+    val seq = if (replay) -1L else SigIndex.nextAppendSeq(spark, indexDir)
+    val pairs = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .select(col("doc_id"), xxhash64(col("line")).as("bv"))
+      .distinct().localCheckpoint()
+    val idx = SigIndex.read(spark, indexDir)
+    val batchBvs = pairs.select(col("bv")).distinct()
+    val probe = batchBvs.take(maxProbe + 1).map(_.getLong(0))
+    val idxRows =
+      if (probe.length <= maxProbe)
+        idx.where(col("bv").isInCollection(probe.toSeq))
+      else idx.join(batchBvs, Seq("bv"), "left_semi")
+    val boiler = idxRows.select("doc_id", "bv").unionByName(pairs).distinct()
+      .groupBy(col("bv")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minDocs)
+      .select(col("bv"))
+    val head = boiler.limit(maxBoilerplate + 1).collect().map(_.getLong(0))
+    require(head.length <= maxBoilerplate,
+      s"dedupLinesIncremental: boilerplate set exceeds $maxBoilerplate lines")
+    if (!replay) SigIndex.append(pairs, indexDir, name, seq = Some(seq))
+    val bc = spark.sparkContext.broadcast(head.toSet)
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) None
+        else {
+          val kept = text.split("\n", -1)
+            .filterNot(l => bc.value.contains(Curation.lineHash(l)))
+          if (kept.isEmpty) None
+          else Some((id, kept.mkString("\n"), kept.length.toLong))
+        }
+      }.toDF("doc_id", "text", "n_lines")
+  }
+
   /** Scala-side twin of SQL `xxhash64(string)`: XXH64, seed 42, over the
     * UTF-8 bytes — bit-identical to the relational counting pass. */
   private[pipeline] def lineHash(s: String): Long = {

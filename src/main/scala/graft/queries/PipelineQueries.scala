@@ -222,6 +222,22 @@ object PipelineQueries {
         lit("SITE NAV HEADER\n"), col("text"),
         lit("\nFOOTER-"), pmod(col("doc_id"), lit(7)),
         lit("\nACCEPT COOKIES BANNER")).as("text")))),
+    // INCREMENTAL line dedup: the same wrapped corpus arriving in three
+    // batches against a persisted (doc, line-hash) pair index — a line is
+    // removed from a batch once its CUMULATIVE distinct-doc count crosses
+    // the threshold (header/banner die within batch 0; each FOOTER-k line
+    // crosses at whatever batch its second doc arrives in). The oracle
+    // replays the cumulative counts with one window.
+    "q_pipe_dedup_lines_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), concat(
+        lit("SITE NAV HEADER\n"), col("text"),
+        lit("\nFOOTER-"), pmod(col("doc_id"), lit(7)),
+        lit("\nACCEPT COOKIES BANNER")).as("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_lineidx").toString
+      (0 until 3).map(b => Curation.dedupLinesIncremental(
+        d.where(pmod(col("doc_id"), lit(3)) === b), idxDir, s"L$b"))
+        .reduce(_ unionByName _)
+    }),
     "q_pipe_pack" -> ((s, dir) => Curation.packSequences(docs(s, dir), 256L)),
     "q_pipe_temperature" -> ((s, dir) => Curation.temperatureMix(docs(s, dir), 0.5)),
     "q_pipe_dsir" -> ((s, dir) => Curation.importanceWeights(
@@ -755,6 +771,37 @@ object PipelineQueries {
         |    FROM w)),
         |f AS (SELECT line, count(DISTINCT doc_id) AS n FROM l GROUP BY line),
         |k AS (SELECT l.doc_id, l.pos, l.line FROM l JOIN f USING (line) WHERE f.n < 2)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // cumulative 3-batch replay: per (line, batch) distinct-doc counts,
+    // a running sum over the batch order, and a line survives a batch's
+    // docs iff the cumulative count through that batch is under the
+    // threshold — the engine's monotone arriving-batch rule
+    "q_pipe_dedup_lines_incremental" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    'SITE NAV HEADER' || chr(10) || text || chr(10) ||
+        |    'FOOTER-' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |    'ACCEPT COOKIES BANNER' AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(string_split(t, chr(10)))),
+        |      p -> struct_pack(pos := p, line := string_split(t, chr(10))[p]))) AS u
+        |    FROM w)),
+        |perb AS (
+        |  SELECT line, doc_id % 3 AS b, count(DISTINCT doc_id) AS n
+        |  FROM l GROUP BY line, doc_id % 3),
+        |cum AS (
+        |  SELECT line, b, sum(n) OVER (PARTITION BY line ORDER BY b) AS cn
+        |  FROM perb),
+        |k AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM l
+        |  JOIN cum ON cum.line = l.line AND cum.b = l.doc_id % 3
+        |  WHERE cum.cn < 2)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM k GROUP BY doc_id""".stripMargin,

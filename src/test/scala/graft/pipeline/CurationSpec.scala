@@ -376,4 +376,34 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(Curation.dedupLines(docs)) ==
       rows(Curation.dedupLines(docs, maxBoilerplate = 0)))
   }
+
+  test("dedupLinesIncremental: cumulative threshold, replay converges, fold survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("line_idx").toString
+    def out(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // batch 0: line A in TWO docs -> boilerplate within the batch itself
+    val b0 = Seq((1L, "A\nX1"), (2L, "A\nX2")).toDF("doc_id", "text")
+    assert(out(Curation.dedupLinesIncremental(b0, dir, "L0")) == Map(
+      1L -> ("X1", 1L), 2L -> ("X2", 1L)))
+    // batch 1: X1's SECOND distinct doc arrives -> cumulative count 2,
+    // removed from this batch (doc 1 already shipped with it); B is new
+    val b1 = Seq((3L, "X1\nB")).toDF("doc_id", "text")
+    assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == Map(
+      3L -> ("B", 1L)))
+    // a doc reduced to nothing vanishes: A and X1 are both suppressed now
+    val b2 = Seq((4L, "A\nX1")).toDF("doc_id", "text")
+    assert(Curation.dedupLinesIncremental(b2, dir, "L2").count() == 0)
+    // replay of batch 1: identical output (union-distinct pairs), and the
+    // index did not grow
+    val indexed = SigIndex.read(spark, dir).count()
+    assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == Map(
+      3L -> ("B", 1L)))
+    assert(SigIndex.read(spark, dir).count() == indexed)
+    // replay works ACROSS a fold (pairs answer from the folded set — no
+    // per-batch directory needed, unlike document-level incremental dedup)
+    SigIndex.compact(spark, dir, graceMs = 0L)
+    assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == Map(
+      3L -> ("B", 1L)))
+  }
 }
