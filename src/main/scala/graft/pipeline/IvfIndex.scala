@@ -312,6 +312,57 @@ object IvfIndex {
     f.create(new org.apache.hadoop.fs.Path(dir, s"$GenPrefix$now.$gid"), false).close()
   }
 
+  /** Freeze the CURRENT generation under `dir/snapshots/<name>/` — a
+    * fully valid IvfIndex directory (its own `_gen` marker, the
+    * generation's centroids, live batch directories with their markers,
+    * and `_seen` records so replay detection survives): search, append
+    * and retrain all work against a restored snapshot. Hard links with a
+    * copy fallback, [[graft.sources.PointsStore.snapshot]]'s recipe.
+    * Readers of the original never list `snapshots/`. */
+  def snapshot(spark: SparkSession, dir: String): String = {
+    val (gid, gp) = requireGen(spark, dir)
+    val f = fs(spark, dir)
+    val name = s"${System.currentTimeMillis()}-${java.lang.Long.toUnsignedString(System.nanoTime(), 36)}"
+    val out = s"$dir/snapshots/$name"
+    def link(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+      val ok =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch { case _: Throwable => false }
+      if (!ok) org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    def linkTree(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+      f.mkdirs(dst)
+      f.listStatus(src).toSeq.foreach { st =>
+        val d = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
+        if (st.isDirectory) linkTree(st.getPath, d) else link(st.getPath, d)
+      }
+    }
+    val ogp = new org.apache.hadoop.fs.Path(s"$out/gen-$gid")
+    f.mkdirs(ogp)
+    val live = liveBatchNames(spark, gp).toSet
+    f.listStatus(new org.apache.hadoop.fs.Path(gp)).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && (n == "centroids" ||
+          (n.startsWith("batch=") && live.contains(n.drop("batch=".length)))))
+        linkTree(st.getPath, new org.apache.hadoop.fs.Path(ogp, n))
+      else if (st.isFile && (n.startsWith(SeenPrefix) ||
+          // markers only for the CAPTURED live set: an append racing the
+          // snapshot must be fully out, not a marker-without-directory
+          // (which would read as a landed EMPTY batch)
+          (n.startsWith(MarkerPrefix) &&
+            stamped(MarkerPrefix, n).exists(m => live.contains(m._2)))))
+        link(st.getPath, new org.apache.hadoop.fs.Path(ogp, n))
+    }
+    f.create(new org.apache.hadoop.fs.Path(out,
+      s"$GenPrefix${System.currentTimeMillis()}.$gid"), false).close()
+    name
+  }
+
   /** Fold aged live batches of the CURRENT generation into one directory
     * (publish-before-retire, so concurrent readers see at worst duplicate
     * vectors — harmless under search's (cos, cid) ranking), sweep retired

@@ -94,6 +94,59 @@ object SigIndex {
     true
   }
 
+  /** Freeze the index's CURRENT state under `dir/snapshots/<name>/` —
+    * the admin-snapshot story ([[graft.sources.PointsStore.snapshot]])
+    * for the pipeline state: live batch directories and their markers
+    * hard-link (copy fallback), `_seen` records ride along so replay
+    * detection survives in the snapshot, and the top sequence slot rides
+    * along so a pipeline RESTORED onto the snapshot (it is a fully
+    * valid index directory) continues the sequential-writer ledger.
+    * Readers of the original never see `snapshots/` (only `_live.`
+    * markers and `batch-` dirs are listed). Returns the snapshot name. */
+  def snapshot(spark: SparkSession, dir: String): String = {
+    val f = fs(spark, dir)
+    val name = s"${System.currentTimeMillis()}-${java.lang.Long.toUnsignedString(System.nanoTime(), 36)}"
+    val out = new org.apache.hadoop.fs.Path(dir, s"snapshots/$name")
+    f.mkdirs(out)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    def link(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+      val ok =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch { case _: Throwable => false }
+      if (!ok) org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    // live set captured ONCE; markers linked only for captured names, so
+    // an append racing the snapshot is either fully in or fully out
+    val live = liveNames(spark, dir).toSet
+    f.listStatus(root).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      val wanted =
+        (n.startsWith(MarkerPrefix) && stampedName(n).exists(live.contains)) ||
+          n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix)
+      if (st.isFile && wanted)
+        link(st.getPath, new org.apache.hadoop.fs.Path(out, n))
+      else if (st.isDirectory && n.startsWith("batch-") &&
+          live.contains(n.drop("batch-".length))) {
+        val bdir = new org.apache.hadoop.fs.Path(out, n)
+        f.mkdirs(bdir)
+        f.listStatus(st.getPath).toSeq.filter(_.isFile).foreach(p =>
+          link(p.getPath, new org.apache.hadoop.fs.Path(bdir, p.getPath.getName)))
+      }
+    }
+    name
+  }
+
+  private def stampedName(marker: String): Option[String] = {
+    val rest = marker.drop(MarkerPrefix.length)
+    val dot = rest.indexOf('.')
+    if (dot < 0) None else Some(rest.substring(dot + 1))
+  }
+
   /** The sequence slot the NEXT append must claim — read this BEFORE
     * taking the index snapshot a batch dedups against, and pass it to
     * [[append]]: the claim then covers the whole read→dedup→append span,

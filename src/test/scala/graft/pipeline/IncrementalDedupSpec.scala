@@ -285,6 +285,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
       dir, name = "w1").count() == 1)
   }
 
+  test("SigIndex.snapshot freezes the kept-state; the original moves on independently") {
+    val dir = Files.createTempDirectory("sigidx_snap").toString
+    Dedup.incremental(df(Seq(1L -> base)), dir, name = "n0")
+    Dedup.incremental(df(Seq(
+      2L -> "a second batch about limestone caves and the rivers that carve them")),
+      dir, name = "n1")
+    val snap = s"$dir/snapshots/${SigIndex.snapshot(spark, dir)}"
+    // the original takes a third batch and folds; the snapshot does not
+    val t2 = "a third batch describing orchard beekeeping through the almond bloom"
+    Dedup.incremental(df(Seq(3L -> t2)), dir, name = "n2")
+    SigIndex.compact(spark, dir, graceMs = 0L)
+    assert(SigIndex.contains(spark, snap, "n0") && SigIndex.contains(spark, snap, "n1"))
+    assert(!SigIndex.contains(spark, snap, "n2"))
+    // a duplicate of the ORIGINAL-only batch-2 doc survives against the
+    // frozen state but drops against the live one
+    val dup = df(Seq(9L -> t2))
+    assert(Dedup.incremental(dup, snap, name = "probe").count() == 1)
+    assert(Dedup.incremental(dup, dir, name = "probe").count() == 0)
+    // and the sequence ledger carried: the probe append above claimed the
+    // snapshot's next slot without tripping the writer guard
+    assert(SigIndex.contains(spark, snap, "probe"))
+  }
+
   test("replay after a grace-window compact fails loud instead of re-appending") {
     val dir = Files.createTempDirectory("sigidx_fold").toString
     val b0 = Seq(1L -> base, 2L -> "another text about tidal pools and the patient crabs that map them at dusk every single day")

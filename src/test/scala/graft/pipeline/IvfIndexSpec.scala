@@ -276,6 +276,24 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got3.map(_._2).nonEmpty && got1.map(_._2).nonEmpty)
   }
 
+  test("snapshot freezes the current generation; the original moves on independently") {
+    val dir = freshIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"b$b"))
+    val q = emb.where(col("vec_id") < 10)
+    val before = resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3))
+    val snap = s"$dir/snapshots/${IvfIndex.snapshot(spark, dir)}"
+    // the original retrains to a new quantizer; the snapshot keeps the old
+    IvfIndex.retrain(spark, dir, k = 8, iters = 2, trainLimit = 500)
+    IvfIndex.compact(spark, dir, graceMs = 0L) // old gen vacuumed
+    assert(IvfIndex.centroids(spark, snap).map(_.toSeq).toSeq ==
+      cents.map(_.toSeq).toSeq)
+    assert(resultSet(IvfIndex.search(spark, snap, q, 3, nProbe = 3)) == before)
+    // replay detection and the append path survive in the snapshot
+    (0 until 2).foreach(b => assert(IvfIndex.contains(spark, snap, s"b$b")))
+    assert(IvfIndex.append(emb.where(col("vec_id") < 0), snap, "postsnap"))
+  }
+
   test("appends after a retrain land in the new generation and keep answering") {
     val dir = freshIndex()
     IvfIndex.append(emb.where(col("vec_id") % 2 === 0), dir, "b0")
