@@ -94,8 +94,9 @@ object Stress {
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
         .agg(count(lit(1)), sum(col("h"))).head().getLong(0)
     val lshPairs = Dedup.minHashLsh(docs, 16, 4).cache()
-    // set by ivf_inc_build, consumed by the later ivf_inc_* probes
-    // (include ivf_inc_build in STRESS_ONLY when measuring them)
+    // set by the *_build probes, consumed by the later probes of the same
+    // family: include ivf_inc_build (resp. ivfpq_build) in STRESS_ONLY
+    // whenever measuring ivf_inc_search*/ivf_inc_grow (resp. ivfpq_search)
     var stressIvf: String = null
     var stressIvfPq: String = null
     // a SigIndex with `n` live batch dirs (100 (doc_id, bv) rows each),

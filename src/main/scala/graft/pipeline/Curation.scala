@@ -656,11 +656,14 @@ object Curation {
     * so an external SQL oracle replays the history with one cumulative
     * window.
     *
-    * Replays converge WITHOUT a special path: the count runs over the
-    * set-union of the index's pairs and the batch's, and a replayed
-    * batch's pairs are already in the index — union-distinct yields the
-    * identical relation, the identical decision, and [[SigIndex.append]]
-    * skips the re-append by name.
+    * Replays are EXACTLY-ONCE via a persisted per-batch DECISION: the
+    * batch's boilerplate hash set is written to `boiler-<name>/` before
+    * its pairs land, and a replayed name rewrites its documents from
+    * that frozen set — recomputing from the live pair union would see
+    * batches appended AFTER the replayed one and could suppress lines
+    * the original run shipped. The sidecar outlives pair folds
+    * (compaction sweeps `batch-` directories only), so replay works
+    * across compactions with no grace window.
     *
     * Scale shape: the index is never shuffled — the batch's distinct
     * line hashes become an `In(bv)` probe pushed into the bloom-carrying
@@ -673,28 +676,38 @@ object Curation {
                             maxBoilerplate: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val replay = SigIndex.contains(spark, indexDir, name)
-    // claim intent before snapshotting (the sequential-writer guard)
-    val seq = if (replay) -1L else SigIndex.nextAppendSeq(spark, indexDir)
-    val pairs = docs
-      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
-      .select(col("doc_id"), xxhash64(col("line")).as("bv"))
-      .distinct().localCheckpoint()
-    val idx = SigIndex.read(spark, indexDir)
-    val batchBvs = pairs.select(col("bv")).distinct()
-    val probe = batchBvs.take(maxProbe + 1).map(_.getLong(0))
-    val idxRows =
-      if (probe.length <= maxProbe)
-        idx.where(col("bv").isInCollection(probe.toSeq))
-      else idx.join(batchBvs, Seq("bv"), "left_semi")
-    val boiler = idxRows.select("doc_id", "bv").unionByName(pairs).distinct()
-      .groupBy(col("bv")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= minDocs)
-      .select(col("bv"))
-    val head = boiler.limit(maxBoilerplate + 1).collect().map(_.getLong(0))
-    require(head.length <= maxBoilerplate,
-      s"dedupLinesIncremental: boilerplate set exceeds $maxBoilerplate lines")
-    if (!replay) SigIndex.append(pairs, indexDir, name, seq = Some(seq))
+    val boilerPath = s"$indexDir/boiler-$name"
+    val head: Array[Long] =
+      if (SigIndex.contains(spark, indexDir, name)) {
+        // replay: rewrite from the batch's FROZEN decision — recomputing
+        // from the live pair union would see later batches and suppress
+        // lines the original run shipped
+        spark.read.parquet(boilerPath).collect().map(_.getLong(0))
+      } else {
+        // claim intent before snapshotting (the sequential-writer guard)
+        val seq = SigIndex.nextAppendSeq(spark, indexDir)
+        val pairs = docs
+          .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+          .select(col("doc_id"), xxhash64(col("line")).as("bv"))
+          .distinct().localCheckpoint()
+        val idx = SigIndex.read(spark, indexDir)
+        val batchBvs = pairs.select(col("bv")).distinct()
+        val (idxRows, _) = SigIndex.probedRows(idx, batchBvs, maxProbe)
+        val boiler = idxRows.select("doc_id", "bv").unionByName(pairs).distinct()
+          .groupBy(col("bv")).agg(count(lit(1)).as("n"))
+          .where(col("n") >= minDocs)
+          .select(col("bv"))
+        val h = boiler.limit(maxBoilerplate + 1).collect().map(_.getLong(0))
+        require(h.length <= maxBoilerplate,
+          s"dedupLinesIncremental: boilerplate set exceeds $maxBoilerplate lines")
+        // decision sidecar FIRST, pairs after: the batch marker implies
+        // the sidecar exists (a crash in between replays the whole batch,
+        // which overwrites the sidecar with the identical recomputation)
+        h.toSeq.toDF("bv").repartition(1)
+          .write.mode("overwrite").parquet(boilerPath)
+        SigIndex.append(pairs, indexDir, name, seq = Some(seq))
+        h
+      }
     val bc = spark.sparkContext.broadcast(head.toSet)
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>

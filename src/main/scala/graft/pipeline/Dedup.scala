@@ -294,16 +294,10 @@ object Dedup {
     val seq = SigIndex.nextAppendSeq(spark, indexDir)
     val sigs = signatures.localCheckpoint()
     val idx = SigIndex.read(spark, indexDir)
-    // distinct buckets of the batch, driver-bounded: take(maxProbe+1)
-    // never holds more than the probe budget
+    // distinct buckets of the batch, driver-bounded inside probedRows
     val batchBvs = sigs.select(col("bv")).distinct()
-    val probe = batchBvs.take(maxProbe + 1).map(_.getLong(0))
-    val inProbe = probe.length <= maxProbe
-    val hitBvs =
-      if (inProbe)
-        idx.where(col("bv").isInCollection(probe.toSeq)).select("bv").distinct()
-      else // batch too wide for an In-probe: bucket-keyed semi join
-        idx.join(batchBvs, Seq("bv"), "left_semi").select("bv").distinct()
+    val (probed, inProbe) = SigIndex.probedRows(idx, batchBvs, maxProbe)
+    val hitBvs = probed.select("bv").distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bv"))
     val notMin = sigs.withColumn("_min", min(col("doc_id")).over(w))
       .where(col("doc_id") > col("_min")).select("doc_id")

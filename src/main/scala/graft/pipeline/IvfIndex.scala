@@ -322,30 +322,22 @@ object IvfIndex {
   def snapshot(spark: SparkSession, dir: String): String = {
     val (gid, gp) = requireGen(spark, dir)
     val f = fs(spark, dir)
-    val name = s"${System.currentTimeMillis()}-${java.lang.Long.toUnsignedString(System.nanoTime(), 36)}"
+    val name = SnapshotFiles.freshName()
     val out = s"$dir/snapshots/$name"
-    def link(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
-      val ok =
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(src.toUri.getPath))
-          true
-        } catch { case _: Throwable => false }
-      if (!ok) org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
-        spark.sparkContext.hadoopConfiguration)
-    }
-    def linkTree(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
-      f.mkdirs(dst)
-      f.listStatus(src).toSeq.foreach { st =>
-        val d = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
-        if (st.isDirectory) linkTree(st.getPath, d) else link(st.getPath, d)
-      }
-    }
+    def link(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      SnapshotFiles.link(spark, f, src, dst)
+    def linkTree(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      SnapshotFiles.linkTree(spark, f, src, dst)
     val ogp = new org.apache.hadoop.fs.Path(s"$out/gen-$gid")
     f.mkdirs(ogp)
-    val live = liveBatchNames(spark, gp).toSet
-    f.listStatus(new org.apache.hadoop.fs.Path(gp)).toSeq.foreach { st =>
+    // ONE listing is the capture point (markers and dirs from the same
+    // view): a racing append is fully out, a racing compact cannot leave
+    // marker-less dirs, and retired directories outlive the race by the
+    // vacuum grace window
+    val entries = f.listStatus(new org.apache.hadoop.fs.Path(gp)).toSeq
+    val live = entries.map(_.getPath.getName)
+      .flatMap(n => stamped(MarkerPrefix, n)).map(_._2).toSet
+    entries.foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && (n == "centroids" ||
           (n.startsWith("batch=") && live.contains(n.drop("batch=".length)))))

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Persisted signature index for INCREMENTAL deduplication — the state a
@@ -49,6 +50,18 @@ object SigIndex {
     StructField("doc_id", LongType), StructField("bv", LongType)))
 
   private val MarkerPrefix = "_live."
+
+  /** Parse a `<prefix><ts>.<name>` marker file name — the ONE place the
+    * marker format is known (both `_live.` and `_seen.` share it). */
+  private def stamped(prefix: String, n: String): Option[(Long, String)] = {
+    if (!n.startsWith(prefix)) None
+    else {
+      val rest = n.drop(prefix.length)
+      val dot = rest.indexOf('.')
+      if (dot < 0) None
+      else rest.take(dot).toLongOption.map(ts => (ts, rest.substring(dot + 1)))
+    }
+  }
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -105,28 +118,26 @@ object SigIndex {
     * markers and `batch-` dirs are listed). Returns the snapshot name. */
   def snapshot(spark: SparkSession, dir: String): String = {
     val f = fs(spark, dir)
-    val name = s"${System.currentTimeMillis()}-${java.lang.Long.toUnsignedString(System.nanoTime(), 36)}"
+    val name = SnapshotFiles.freshName()
     val out = new org.apache.hadoop.fs.Path(dir, s"snapshots/$name")
     f.mkdirs(out)
     val root = new org.apache.hadoop.fs.Path(dir)
-    def link(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
-      val ok =
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(src.toUri.getPath))
-          true
-        } catch { case _: Throwable => false }
-      if (!ok) org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
-        spark.sparkContext.hadoopConfiguration)
-    }
-    // live set captured ONCE; markers linked only for captured names, so
-    // an append racing the snapshot is either fully in or fully out
-    val live = liveNames(spark, dir).toSet
-    f.listStatus(root).toSeq.foreach { st =>
+    def link(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      SnapshotFiles.link(spark, f, src, dst)
+    // ONE listing is the capture point: markers AND directories both come
+    // from it, so an append racing the snapshot is fully in or fully out,
+    // and a compact racing it cannot leave marker-less batch dirs (the
+    // fold marker and the aged markers it retires come from the same
+    // point-in-time view; retired DIRECTORIES outlive the race by the
+    // vacuum grace window, so links never dangle for a snapshot that
+    // completes within it)
+    val entries = f.listStatus(root).toSeq
+    val live = entries.map(_.getPath.getName)
+      .flatMap(stamped(MarkerPrefix, _)).map(_._2).toSet
+    entries.foreach { st =>
       val n = st.getPath.getName
       val wanted =
-        (n.startsWith(MarkerPrefix) && stampedName(n).exists(live.contains)) ||
+        stamped(MarkerPrefix, n).exists(m => live.contains(m._2)) ||
           n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix)
       if (st.isFile && wanted)
         link(st.getPath, new org.apache.hadoop.fs.Path(out, n))
@@ -141,10 +152,19 @@ object SigIndex {
     name
   }
 
-  private def stampedName(marker: String): Option[String] = {
-    val rest = marker.drop(MarkerPrefix.length)
-    val dot = rest.indexOf('.')
-    if (dot < 0) None else Some(rest.substring(dot + 1))
+  /** The index rows colliding with a batch's bucket set — the shared
+    * scan-prune discipline of every incremental consumer: the batch's
+    * distinct bucket values become a pushed `In(bv)` predicate
+    * (driver-bounded `take(maxProbe + 1)`) that the per-file blooms skip
+    * row-group-wise; past the budget, a bucket-keyed left-semi join.
+    * Returns the rows and whether the bounded In-probe path was taken
+    * (callers broadcast derived sets only on that path). */
+  def probedRows(idx: DataFrame, batchBvs: DataFrame,
+                 maxProbe: Int): (DataFrame, Boolean) = {
+    val probe = batchBvs.take(maxProbe + 1).map(_.getLong(0))
+    if (probe.length <= maxProbe)
+      (idx.where(col("bv").isInCollection(probe.toSeq)), true)
+    else (idx.join(batchBvs, Seq("bv"), "left_semi"), false)
   }
 
   /** The sequence slot the NEXT append must claim — read this BEFORE
@@ -208,12 +228,7 @@ object SigIndex {
     if (!f.exists(root)) return Nil
     f.listStatus(root).toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith(MarkerPrefix))
-      .flatMap { n =>
-        val rest = n.drop(MarkerPrefix.length)
-        val dot = rest.indexOf('.')
-        if (dot < 0) None else Some(rest.substring(dot + 1))
-      }
+      .flatMap(stamped(MarkerPrefix, _)).map(_._2)
       .distinct
   }
 
@@ -224,14 +239,7 @@ object SigIndex {
     val f = fs(spark, dir)
     if (!f.exists(root)) return None
     f.listStatus(root).toSeq.map(_.getPath)
-      .find { p =>
-        val n = p.getName
-        n.startsWith(MarkerPrefix) && {
-          val rest = n.drop(MarkerPrefix.length)
-          val dot = rest.indexOf('.')
-          dot >= 0 && rest.substring(dot + 1) == name
-        }
-      }
+      .find(p => stamped(MarkerPrefix, p.getName).exists(_._2 == name))
   }
 
   /** Whether batch `name` has already landed: its `_live` marker exists,
@@ -244,14 +252,8 @@ object SigIndex {
   private def seen(spark: SparkSession, dir: String, name: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, dir)
-    f.exists(root) && f.listStatus(root).exists { s =>
-      val n = s.getPath.getName
-      n.startsWith(SeenPrefix) && {
-        val rest = n.drop(SeenPrefix.length)
-        val dot = rest.indexOf('.')
-        dot >= 0 && rest.substring(dot + 1) == name
-      }
-    }
+    f.exists(root) && f.listStatus(root).exists(s =>
+      stamped(SeenPrefix, s.getPath.getName).exists(_._2 == name))
   }
 
   /** The rows one batch appended — a replayed streaming batch derives
@@ -298,13 +300,7 @@ object SigIndex {
     // (publish ts, name) of every live marker
     val aged = f.listStatus(root).toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith(MarkerPrefix))
-      .flatMap { n =>
-        val rest = n.drop(MarkerPrefix.length)
-        val dot = rest.indexOf('.')
-        if (dot < 0) None
-        else rest.take(dot).toLongOption.map(ts => (ts, rest.substring(dot + 1)))
-      }
+      .flatMap(stamped(MarkerPrefix, _))
       .filter(_._1 <= cutoff)
       .map(_._2).distinct
     if (aged.length <= 1) return
@@ -322,13 +318,8 @@ object SigIndex {
         s"$SeenPrefix${System.currentTimeMillis()}.$n"), false).close()
     }
     f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
-      val n = p.getName
-      val isOldMarker = n.startsWith(MarkerPrefix) && {
-        val rest = n.drop(MarkerPrefix.length)
-        val dot = rest.indexOf('.')
-        dot >= 0 && aged.contains(rest.substring(dot + 1))
-      }
-      if (isOldMarker) f.delete(p, false)
+      if (stamped(MarkerPrefix, p.getName).exists(m => aged.contains(m._2)))
+        f.delete(p, false)
     }
     // READER-GRACE vacuum (the points store's discipline): a retired
     // directory is deleted only once its _seen record is older than
@@ -341,14 +332,8 @@ object SigIndex {
     val now = System.currentTimeMillis()
     val seenTs: Map[String, Long] = f.listStatus(root).toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith(SeenPrefix))
-      .flatMap { n =>
-        val rest = n.drop(SeenPrefix.length)
-        val dot = rest.indexOf('.')
-        if (dot < 0) None
-        else rest.take(dot).toLongOption.map(ts => (rest.substring(dot + 1), ts))
-      }
-      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+      .flatMap(stamped(SeenPrefix, _))
+      .groupBy(_._2).map { case (n, xs) => n -> xs.map(_._1).min }
     // sequence-slot ledger: only the MAX matters (the next append's
     // predecessor) — fold the tail
     val slots = f.listStatus(root).toSeq.map(_.getPath.getName)

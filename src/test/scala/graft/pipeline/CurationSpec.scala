@@ -394,14 +394,21 @@ class CurationSpec extends AnyFunSuite {
     // a doc reduced to nothing vanishes: A and X1 are both suppressed now
     val b2 = Seq((4L, "A\nX1")).toDF("doc_id", "text")
     assert(Curation.dedupLinesIncremental(b2, dir, "L2").count() == 0)
-    // replay of batch 1: identical output (union-distinct pairs), and the
-    // index did not grow
+    // replay of batch 1: identical output, and the index did not grow
     val indexed = SigIndex.read(spark, dir).count()
     assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == Map(
       3L -> ("B", 1L)))
     assert(SigIndex.read(spark, dir).count() == indexed)
-    // replay works ACROSS a fold (pairs answer from the folded set — no
-    // per-batch directory needed, unlike document-level incremental dedup)
+    // THE replay trap: a LATER batch pushes line B over the threshold
+    // (doc 5 is B's second distinct doc). A replay of batch 1 must still
+    // ship B — the decision the original run made — not recompute from
+    // the now-larger pair union and suppress it
+    val b3 = Seq((5L, "B\nC")).toDF("doc_id", "text")
+    assert(out(Curation.dedupLinesIncremental(b3, dir, "L3")) == Map(
+      5L -> ("C", 1L))) // B crosses the threshold HERE
+    assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == Map(
+      3L -> ("B", 1L)), "replay diverged from the originally shipped batch")
+    // and the frozen decision survives a fold of the pair index
     SigIndex.compact(spark, dir, graceMs = 0L)
     assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == Map(
       3L -> ("B", 1L)))
