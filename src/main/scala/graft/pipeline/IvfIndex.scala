@@ -49,9 +49,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   *
   * WRITER CONTRACT (same as [[SigIndex]]): appends, compactions and
   * retrains are SEQUENTIAL per index — the streaming `foreachBatch`
-  * shape. Appends are guarded loudly: an append that lands while a
-  * retrain flips generations throws rather than stranding the batch in
-  * a retired generation.
+  * shape. The contract is ENFORCED, not just documented: every append
+  * claims the next monotonic `_slot.<seq>` of its GENERATION with a
+  * create-no-overwrite, so a second writer racing the same index fails
+  * loud ([[ConcurrentWriterException]]) instead of silently splitting
+  * survivors across kept-sets that never saw each other (the guard
+  * [[SigIndex.append]] carries, applied to the generation layout); and
+  * an append that lands while a retrain flips generations throws rather
+  * than stranding the batch in a retired generation — the generation is
+  * re-checked both BEFORE and AFTER the marker create (the post-create
+  * re-check withdraws the marker, closing the window where a flip lands
+  * between the pre-check and the create and the batch would otherwise
+  * be silently invisible to new-generation readers).
   *
   * Reference for the IVF structure: Jégou/Douze/Schmid, "Product
   * quantization for nearest neighbor search" (TPAMI 2011) §IV-A; the
@@ -69,6 +78,59 @@ object IvfIndex {
   private val GenPrefix = "_gen."
   private val MarkerPrefix = "_live."
   private val SeenPrefix = "_seen."
+  private val SlotPrefix = "_slot."
+
+  /** A second writer raced this index: the sequence slot this append
+    * computed for its generation was claimed by someone else first. */
+  final class ConcurrentWriterException(dir: String, seq: Long)
+    extends IllegalStateException(
+      s"IvfIndex at $dir: batch sequence slot $seq was claimed by a " +
+        "concurrent writer — appends must be sequential per index; this " +
+        "batch was NOT appended (its directory is an unmarked orphan)")
+
+  /** Test seam: runs ONCE between an append's slot read and its claim —
+    * the concurrent-writer window — then self-clears. */
+  private[pipeline] val appendTestHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
+
+  /** Test seam: runs ONCE between an append's slot claim and its marker
+    * create — the retrain-flip window the post-create re-check closes —
+    * then self-clears. */
+  private[pipeline] val preMarkerTestHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
+
+  private def maxSlot(f: org.apache.hadoop.fs.FileSystem, gp: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(gp)
+    if (!f.exists(root)) return -1L
+    f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(SlotPrefix))
+      .flatMap(_.drop(SlotPrefix.length).toLongOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def claimSlot(f: org.apache.hadoop.fs.FileSystem, gp: String,
+                        seq: Long): Unit = {
+    val slot = new org.apache.hadoop.fs.Path(gp, s"$SlotPrefix$seq")
+    try f.create(slot, false).close()
+    catch {
+      // only an actually-taken slot is a contract violation; a transient
+      // I/O failure must surface as what it is, not as a phantom racer
+      case e: java.io.IOException =>
+        if (f.exists(slot)) throw new ConcurrentWriterException(gp, seq)
+        else throw e
+    }
+  }
+
+  /** The sequence slot the NEXT append must claim — read this BEFORE
+    * taking the kept-set snapshot a batch dedups against
+    * ([[Similarity.semDeDupIncremental]]) and pass it to [[append]]: the
+    * claim then covers the whole read→dedup→append span, so a second
+    * writer whose snapshot raced yours fails loud at its claim even when
+    * the two `append` calls themselves never overlap. */
+  def nextAppendSeq(spark: SparkSession, dir: String): Long = {
+    val (_, gp) = requireGen(spark, dir)
+    maxSlot(fs(spark, dir), gp) + 1
+  }
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -130,13 +192,22 @@ object IvfIndex {
   /** Append `vectors` (vec_id, embedding) under batch `name`: assign each
     * vector to its nearest current-generation centroid and write the
     * batch partitioned by cell. Returns false when `name` already landed
-    * (idempotent replay). Throws if a retrain flipped generations while
-    * the batch was writing — the sequential-writer contract was violated
-    * and the batch must be re-run against the new quantizer. */
-  def append(vectors: DataFrame, dir: String, name: String): Boolean = {
+    * (idempotent replay). Throws [[ConcurrentWriterException]] when a
+    * second writer claimed this append's generation sequence slot first
+    * (pass `seq` from [[nextAppendSeq]] to cover a kept-set read that
+    * preceded this call), and [[IllegalStateException]] if a retrain
+    * flipped generations while the batch was writing — in both cases the
+    * batch directory is an unmarked orphan the next [[compact]] sweeps,
+    * and the batch must be re-run. */
+  def append(vectors: DataFrame, dir: String, name: String,
+             seq: Option[Long] = None): Boolean = {
     val spark = vectors.sparkSession
     val (gid, gp) = requireGen(spark, dir)
     if (contains(spark, dir, name)) return false
+    val f = fs(spark, dir)
+    // slot read FIRST (before the quantizer read — the start of this
+    // append's view of the index), claim before the marker create
+    val next = seq.getOrElse(maxSlot(f, gp) + 1)
     val cents = centroids(spark, dir)
     // an EMPTY batch (routine: every survivor of a semDeDup batch was a
     // near-dup) publishes its marker WITHOUT a directory — a zero-row
@@ -150,13 +221,27 @@ object IvfIndex {
         .select("cell", "cid", "ce")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$gp/batch=$name")
+    Option(appendTestHook.getAndSet(null)).foreach(_.apply())
     if (currentGen(spark, dir) != Some(gid))
       throw new IllegalStateException(
         s"IvfIndex append '$name' raced a retrain at $dir (generation " +
           s"moved past $gid) — re-run the batch against the new quantizer")
-    val f = fs(spark, dir)
-    f.create(new org.apache.hadoop.fs.Path(gp,
-      s"$MarkerPrefix${System.currentTimeMillis()}.$name"), false).close()
+    claimSlot(f, gp, next)
+    Option(preMarkerTestHook.getAndSet(null)).foreach(_.apply())
+    val marker = new org.apache.hadoop.fs.Path(gp,
+      s"$MarkerPrefix${System.currentTimeMillis()}.$name")
+    f.create(marker, false).close()
+    // post-create re-check: a retrain that flipped between the pre-check
+    // and the create would leave this marker in a RETIRED generation —
+    // append would report success while new-generation readers never see
+    // the batch. Withdraw the marker and fail loud instead.
+    if (currentGen(spark, dir) != Some(gid)) {
+      f.delete(marker, false)
+      throw new IllegalStateException(
+        s"IvfIndex append '$name' raced a retrain at $dir (generation " +
+          s"moved past $gid after the marker create) — marker withdrawn; " +
+          "re-run the batch against the new quantizer")
+    }
     true
   }
 
@@ -222,7 +307,12 @@ object IvfIndex {
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     val cells = read(spark, dir)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
-    val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
+    // the query side is bounded by contract — broadcast it explicitly
+    // (like [[Similarity.ivfPqSearch]]): the join key `cell` has ≤ k
+    // distinct values, so letting stats push this to a shuffle join
+    // would shuffle the whole probed corpus onto ≤ k keys, maximally
+    // skewed; the broadcast join never shuffles the corpus side
+    val scored = broadcast(q).join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
       .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
       // a compaction's publish-before-retire window can expose a vector
       // in both the fold and its original batch: collapse the copies
@@ -314,18 +404,23 @@ object IvfIndex {
 
   /** Freeze the CURRENT generation under `dir/snapshots/<name>/` — a
     * fully valid IvfIndex directory (its own `_gen` marker, the
-    * generation's centroids, live batch directories with their markers,
-    * and `_seen` records so replay detection survives): search, append
-    * and retrain all work against a restored snapshot. Hard links with a
-    * copy fallback, [[graft.sources.PointsStore.snapshot]]'s recipe.
+    * generation's centroids (and codebooks, when product-quantized),
+    * live batch directories with their markers, `_seen` records so
+    * replay detection survives, and the sequence-slot ledger so a
+    * restored pipeline continues the sequential-writer contract):
+    * search, append and retrain all work against a restored snapshot.
+    * Data directories hard-link with a copy fallback
+    * ([[graft.sources.PointsStore.snapshot]]'s recipe); marker/seen/slot
+    * files are ZERO-BYTE names, so the snapshot re-creates them from the
+    * captured listing instead of linking — a compact racing the snapshot
+    * can delete an aged marker between the capture listing and the copy,
+    * and a re-create cannot fail on the vanished source.
     * Readers of the original never list `snapshots/`. */
   def snapshot(spark: SparkSession, dir: String): String = {
     val (gid, gp) = requireGen(spark, dir)
     val f = fs(spark, dir)
     val name = SnapshotFiles.freshName()
     val out = s"$dir/snapshots/$name"
-    def link(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-      SnapshotFiles.link(spark, f, src, dst)
     def linkTree(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
       SnapshotFiles.linkTree(spark, f, src, dst)
     val ogp = new org.apache.hadoop.fs.Path(s"$out/gen-$gid")
@@ -339,16 +434,16 @@ object IvfIndex {
       .flatMap(n => stamped(MarkerPrefix, n)).map(_._2).toSet
     entries.foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && (n == "centroids" ||
+      if (st.isDirectory && (n == "centroids" || n == "codebooks" ||
           (n.startsWith("batch=") && live.contains(n.drop("batch=".length)))))
         linkTree(st.getPath, new org.apache.hadoop.fs.Path(ogp, n))
-      else if (st.isFile && (n.startsWith(SeenPrefix) ||
+      else if (st.isFile && (n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix) ||
           // markers only for the CAPTURED live set: an append racing the
           // snapshot must be fully out, not a marker-without-directory
           // (which would read as a landed EMPTY batch)
           (n.startsWith(MarkerPrefix) &&
             stamped(MarkerPrefix, n).exists(m => live.contains(m._2)))))
-        link(st.getPath, new org.apache.hadoop.fs.Path(ogp, n))
+        f.create(new org.apache.hadoop.fs.Path(ogp, n), false).close()
     }
     f.create(new org.apache.hadoop.fs.Path(out,
       s"$GenPrefix${System.currentTimeMillis()}.$gid"), false).close()
@@ -394,6 +489,17 @@ object IvfIndex {
       f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
         if (stamped(MarkerPrefix, p.getName).exists(m => aged.contains(m._2)))
           f.delete(p, false)
+      }
+    }
+    // sequence-slot ledger of the current generation: only the MAX
+    // matters (the next append's predecessor) — fold the tail
+    val slots = f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(SlotPrefix))
+      .flatMap(n => n.drop(SlotPrefix.length).toLongOption.map((_, n)))
+    if (slots.length > 1) {
+      val keep = slots.maxBy(_._1)._2
+      slots.filter(_._2 != keep).foreach { case (_, n) =>
+        f.delete(new org.apache.hadoop.fs.Path(root, n), false)
       }
     }
     // reader-grace vacuum of retired/orphaned batch dirs (current gen);

@@ -109,11 +109,14 @@ object SigIndex {
 
   /** Freeze the index's CURRENT state under `dir/snapshots/<name>/` —
     * the admin-snapshot story ([[graft.sources.PointsStore.snapshot]])
-    * for the pipeline state: live batch directories and their markers
-    * hard-link (copy fallback), `_seen` records ride along so replay
-    * detection survives in the snapshot, and the top sequence slot rides
-    * along so a pipeline RESTORED onto the snapshot (it is a fully
-    * valid index directory) continues the sequential-writer ledger.
+    * for the pipeline state: live batch directories hard-link (copy
+    * fallback); marker, `_seen` and `_slot` files are zero-byte names
+    * and are RE-CREATED from the capture listing (immune to a racing
+    * compact deleting an aged marker before the copy runs), so replay
+    * detection survives and a pipeline RESTORED onto the snapshot (it is
+    * a fully valid index directory) continues the sequential-writer
+    * ledger; `boiler-` decision sidecars ride along so line-dedup
+    * replays stay exactly-once against the snapshot.
     * Readers of the original never see `snapshots/` (only `_live.`
     * markers and `batch-` dirs are listed). Returns the snapshot name. */
   def snapshot(spark: SparkSession, dir: String): String = {
@@ -140,9 +143,23 @@ object SigIndex {
         stamped(MarkerPrefix, n).exists(m => live.contains(m._2)) ||
           n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix)
       if (st.isFile && wanted)
-        link(st.getPath, new org.apache.hadoop.fs.Path(out, n))
+        // marker/seen/slot files are ZERO-BYTE names: re-create them from
+        // the captured listing instead of linking — a compact racing the
+        // snapshot deletes aged markers immediately at fold (only
+        // DIRECTORIES get the reader grace window), so the source can
+        // vanish between the capture listing and a link/copy
+        f.create(new org.apache.hadoop.fs.Path(out, n), false).close()
       else if (st.isDirectory && n.startsWith("batch-") &&
           live.contains(n.drop("batch-".length))) {
+        val bdir = new org.apache.hadoop.fs.Path(out, n)
+        f.mkdirs(bdir)
+        f.listStatus(st.getPath).toSeq.filter(_.isFile).foreach(p =>
+          link(p.getPath, new org.apache.hadoop.fs.Path(bdir, p.getPath.getName)))
+      }
+      else if (st.isDirectory && n.startsWith("boiler-")) {
+        // line-dedup decision sidecars ([[Curation.dedupLinesIncremental]])
+        // ride along: a batch replayed against the restored snapshot
+        // rewrites from its frozen decision, the exactly-once contract
         val bdir = new org.apache.hadoop.fs.Path(out, n)
         f.mkdirs(bdir)
         f.listStatus(st.getPath).toSeq.filter(_.isFile).foreach(p =>

@@ -593,6 +593,10 @@ object Similarity {
             "retired its directory (grace window exceeded); rerun against " +
             "a fresh index or raise IvfIndex.compact graceMs")
       }
+    // claim intent before the kept-set snapshot (the sequential-writer
+    // guard): a second writer whose snapshot races this one fails loud
+    // at its append instead of silently splitting survivors
+    val seq = IvfIndex.nextAppendSeq(spark, indexDir)
     val cents = IvfIndex.centroids(spark, indexDir)
     val batch = vectors
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -613,7 +617,7 @@ object Similarity {
       .select("vec_id")
     val dropped = hitIndex.unionByName(hitPeer).distinct().localCheckpoint()
     val survivors = vectors.join(dropped, Seq("vec_id"), "left_anti")
-    IvfIndex.append(survivors, indexDir, name)
+    IvfIndex.append(survivors, indexDir, name, seq = Some(seq))
     survivors
   }
 

@@ -304,4 +304,107 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3)) ==
       resultSet(Similarity.ivfProbe(emb, q, 3, newCents, nProbe = 3)))
   }
+
+  test("a racing second semDeDup writer fails loud on the sequence slot") {
+    val dir = oneCellIndex()
+    Similarity.semDeDupIncremental(vecDf(1L -> planeVec(0)), dir, "w0", 0.99)
+    // writer A starts batch "wA"; in its slot-read -> claim window a
+    // second writer lands a FULL semDeDup batch (the uncoordinated-two-
+    // writers case the sequential contract forbids). A must fail LOUD —
+    // without the guard both appends would land, each deduped against a
+    // kept-set missing the other's survivors (the cross-batch split).
+    var racerRan = false
+    IvfIndex.appendTestHook.set { () =>
+      Similarity.semDeDupIncremental(vecDf(20L -> planeVec(120)), dir, "racer", 0.99)
+      racerRan = true
+    }
+    val e = intercept[IvfIndex.ConcurrentWriterException] {
+      try Similarity.semDeDupIncremental(vecDf(21L -> planeVec(60)), dir, "wA", 0.99)
+      finally IvfIndex.appendTestHook.set(null)
+    }
+    assert(racerRan && e.getMessage.contains("concurrent writer"))
+    // the loser's batch is an unmarked orphan: not visible, not 'landed'
+    assert(!IvfIndex.contains(spark, dir, "wA"))
+    assert(IvfIndex.contains(spark, dir, "racer"))
+    // sequential life resumes: the next batch claims the successor slot
+    assert(Similarity.semDeDupIncremental(
+      vecDf(30L -> planeVec(60)), dir, "w1", 0.99).count() == 1)
+    // exactly the survivors of the marked batches are in the kept set
+    assert(IvfIndex.read(spark, dir).select("cid").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 20L, 30L))
+  }
+
+  test("a retrain flipping inside the append marker window is detected loud") {
+    val dir = freshIndex()
+    IvfIndex.append(emb.where(col("vec_id") < 50), dir, "b0")
+    // flip the generation AFTER the slot claim and gen pre-check, BEFORE
+    // the marker create: without the post-create re-check the marker
+    // would land in the retired generation — append reports success,
+    // new-generation readers never see the batch (a silent drop)
+    IvfIndex.preMarkerTestHook.set { () =>
+      IvfIndex.retrain(spark, dir, k = 8, iters = 1, trainLimit = 200)
+    }
+    val e = intercept[IllegalStateException] {
+      try IvfIndex.append(
+        emb.where(col("vec_id") >= 50 && col("vec_id") < 90), dir, "b1")
+      finally IvfIndex.preMarkerTestHook.set(null)
+    }
+    assert(e.getMessage.contains("raced a retrain"))
+    // the marker was withdrawn: the batch is NOT landed in any generation
+    assert(!IvfIndex.contains(spark, dir, "b1"))
+    // a re-run against the new quantizer lands and is searchable
+    assert(IvfIndex.append(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 90), dir, "b1"))
+    assert(IvfIndex.read(spark, dir).count() == 90)
+  }
+
+  test("search broadcasts the bounded query side (no shuffle on the <=k-value cell key)") {
+    val dir = freshIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"b$b"))
+    val res = IvfIndex.search(spark, dir, emb.where(col("vec_id") < 10), 3, nProbe = 3)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n${plan.take(1500)}")
+    assert(plan.replaceAll("\\s", "").matches("(?s).*PartitionFilters:\\[[^\\]]*cell.*"),
+      "broadcasting lost the partition pruning")
+  }
+
+  test("snapshot RESTORE continuation: append, replay detection, slots and search") {
+    val dir = freshIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"b$b"))
+    // restore = copy the snapshot OUT of the original tree (a real
+    // restore lands on a fresh path, not inside the source's snapshots/)
+    val snapName = IvfIndex.snapshot(spark, dir)
+    val restored = Files.createTempDirectory("ivf_restore").toString + "/idx"
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(s"$dir/snapshots/$snapName"),
+      f, new org.apache.hadoop.fs.Path(restored), false,
+      spark.sparkContext.hadoopConfiguration)
+    // the restored index continues the history: replay detection holds,
+    // the next append lands, and search covers old AND new batches
+    assert(!IvfIndex.append(emb.where(col("vec_id") % 2 === 0), restored, "b0"))
+    assert(IvfIndex.append(emb.where(col("vec_id") < 0), restored, "b2")) // empty
+    val more = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id") + 100000, col("embedding"))
+      .toDF("vec_id", "embedding")
+    assert(IvfIndex.append(more, restored, "b3"))
+    assert(IvfIndex.read(spark, restored).count() ==
+      IvfIndex.read(spark, dir).count() + 10)
+    // the slot ledger carried: a stale-seq writer (one that snapshotted
+    // the PRE-restore state) fails loud instead of splitting survivors
+    intercept[IvfIndex.ConcurrentWriterException] {
+      IvfIndex.append(more, restored, "stale", seq = Some(0L))
+    }
+    // and the continued index answers exactly like a one-shot probe over
+    // the union of the pre-snapshot corpus and the post-restore batch
+    val q = emb.where(col("vec_id") < 10)
+    val union = emb.select(col("vec_id"), col("embedding")).unionByName(more)
+    assert(resultSet(IvfIndex.search(spark, restored, q, 3, nProbe = 3)) ==
+      resultSet(Similarity.ivfProbe(union, q, 3, cents, nProbe = 3)))
+  }
 }
