@@ -99,6 +99,7 @@ object Stress {
     // whenever measuring ivf_inc_search*/ivf_inc_grow (resp. ivfpq_search)
     var stressIvf: String = null
     var stressIvfPq: String = null
+    var stressIvfPqInc: String = null
     // a SigIndex with `n` live batch dirs (100 (doc_id, bv) rows each),
     // synthesized by ONE partitioned write renamed into batch-<name> dirs
     // plus markers — builds in seconds where n sequential appends would
@@ -313,6 +314,36 @@ object Stress {
       },
       timed("ivfpq_search") {
         Similarity.ivfPqSearch(spark, stressIvfPq,
+          emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
+      },
+      // INCREMENTAL IVF-PQ (the appendable IVFADC): grow the product-
+      // quantized index batch by batch — the ADC probe must stay flat as
+      // the index grows (partition pruning bounds WHICH rows, the
+      // code-only column scan bounds their WIDTH: nProbe/k × M ints per
+      // candidate regardless of append count). search1 probes a 1-batch
+      // index, search4 the same index after 4 appends + a fold.
+      timed("ivfpq_inc_build") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_ivfpq_inc").toString + "/idx"
+        stressIvfPqInc = dir
+        graft.pipeline.IvfIndex.init(spark, dir,
+          Similarity.fixedCentroids(16, 64),
+          Some(Similarity.fixedCodebooks(4, 8, 16)))
+        graft.pipeline.IvfIndex.append(
+          emb.where(col("vec_id") % 4 === 0), dir, "v0")
+        1L
+      },
+      timed("ivfpq_inc_search1") {
+        graft.pipeline.IvfIndex.searchPq(spark, stressIvfPqInc,
+          emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
+      },
+      timed("ivfpq_inc_grow") {
+        (1 until 4).foreach(b => graft.pipeline.IvfIndex.append(
+          emb.where(col("vec_id") % 4 === b), stressIvfPqInc, s"v$b"))
+        graft.pipeline.IvfIndex.compact(spark, stressIvfPqInc, graceMs = 0L)
+        1L
+      },
+      timed("ivfpq_inc_search4") {
+        graft.pipeline.IvfIndex.searchPq(spark, stressIvfPqInc,
           emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
       },
       // include store_build in STRESS_ONLY when measuring the probes

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * {{{
   * dir/_gen.<ts>.<gid>                generation markers (newest wins)
   * dir/gen-<gid>/centroids/           the generation's coarse quantizer
+  * dir/gen-<gid>/codebooks/           PQ codebooks (product-quantized mode)
   * dir/gen-<gid>/batch=<name>/cell=<i>/  one append, partitioned by cell
   * dir/gen-<gid>/_live.<ts>.<name>    batch visibility markers
   * dir/gen-<gid>/_seen.<ts>.<name>    folded-batch replay records
+  * dir/gen-<gid>/_slot.<seq>          writer-sequence claims
   * }}}
   *
   *  - APPEND assigns the batch against the CURRENT generation's fixed
@@ -165,11 +167,25 @@ object IvfIndex {
     (gid, genPath(dir, gid))
   }
 
-  /** Create the index with an initial quantizer (generation 0). */
+  /** Create the index with an initial quantizer (generation 0). Pass
+    * `codebooks` to make the index PRODUCT-QUANTIZED (the paper's IVFADC
+    * — [[Similarity.ivfPqBuild]]'s structure, appendable): every append
+    * then also encodes its vectors into M-code arrays against the
+    * generation's persisted codebooks, [[searchPq]] scores candidates by
+    * ADC table probes reading ONLY the code column (parquet column
+    * pruning — the scan I/O per candidate is M small ints, never the
+    * dims×8-byte embedding), and [[retrain]] re-trains the codebooks
+    * alongside the coarse quantizer and re-encodes into the new
+    * generation. Raw vectors are RETAINED beside the codes — that is the
+    * appendable trade: re-encoding on retrain is impossible from lossy
+    * codes alone, and the incremental SemDeDup consumers need exact
+    * cosines; the scan-I/O story is untouched because the columnar
+    * layout prices reads by the columns touched, not the row width. */
   def init(spark: SparkSession, dir: String,
-           centroids: Array[Array[Double]]): Unit = {
+           centroids: Array[Array[Double]],
+           codebooks: Option[Array[Array[Array[Double]]]] = None): Unit = {
     require(currentGen(spark, dir).isEmpty, s"IvfIndex at $dir already exists")
-    writeGen(spark, dir, 0L, centroids, None, Nil)
+    writeGen(spark, dir, 0L, centroids, codebooks, None, Nil)
   }
 
   /** The current generation's quantizer, cell-ordered. */
@@ -177,6 +193,30 @@ object IvfIndex {
     val (_, gp) = requireGen(spark, dir)
     spark.read.parquet(s"$gp/centroids").orderBy(col("cell"))
       .collect().map(_.getSeq[Double](1).toArray)
+  }
+
+  /** The current generation's PQ codebooks (None on a flat index). */
+  def codebooks(spark: SparkSession,
+                dir: String): Option[Array[Array[Array[Double]]]] = {
+    val (_, gp) = requireGen(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$gp/codebooks")
+    if (!fs(spark, dir).exists(p)) None
+    else {
+      val flat = spark.read.parquet(p.toString)
+        .orderBy(col("m"), col("j")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      Some(flat.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray)
+    }
+  }
+
+  /** The `codes` column: per-subspace argmin against the codebooks —
+    * [[Similarity.pqEncode]]'s kernel over an already-double column. */
+  private def codesCol(e: org.apache.spark.sql.Column,
+                       cbs: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val subDims = cbs(0)(0).length
+    array(cbs.indices.map { mm =>
+      NearestCells.cell(slice(e, mm * subDims + 1, subDims), cbs(mm))
+    }: _*)
   }
 
   /** Whether batch `name` already landed in the CURRENT generation —
@@ -209,18 +249,25 @@ object IvfIndex {
     // append's view of the index), claim before the marker create
     val next = seq.getOrElse(maxSlot(f, gp) + 1)
     val cents = centroids(spark, dir)
+    val cbs = codebooks(spark, dir)
     // an EMPTY batch (routine: every survivor of a semDeDup batch was a
     // near-dup) publishes its marker WITHOUT a directory — a zero-row
     // partitionBy write emits no parquet footer, which later reads could
     // not parse; [[readBatch]]/[[read]] treat the missing directory as
     // the empty relation
-    if (!vectors.isEmpty)
-      vectors.select(col("vec_id").as("cid"),
+    if (!vectors.isEmpty) {
+      val assigned = vectors.select(col("vec_id").as("cid"),
           col("embedding").cast("array<double>").as("ce"))
         .withColumn("cell", NearestCells.cell(col("ce"), cents))
-        .select("cell", "cid", "ce")
+      // a PQ generation also encodes AT APPEND TIME against its persisted
+      // codebooks (one more codegen'd projection in the same pass) — the
+      // code column is what [[searchPq]] scans
+      cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
+          assigned.withColumn("codes", codesCol(col("ce"), b))
+            .select("cell", "cid", "ce", "codes"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$gp/batch=$name")
+    }
     Option(appendTestHook.getAndSet(null)).foreach(_.apply())
     if (currentGen(spark, dir) != Some(gid))
       throw new IllegalStateException(
@@ -272,13 +319,36 @@ object IvfIndex {
     * generation's marker-named batch directories. Every batch root shares
     * the `cell=<i>` layout, so a literal cell predicate on this relation
     * partition-prunes EVERY batch. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readCols(spark, dir, Seq("cell", "cid", "ce"), cellSchema)
+
+  /** Stored code rows of a product-quantized generation. */
+  val codedSchema: StructType = StructType(Seq(
+    StructField("cell", IntegerType),
+    StructField("cid", LongType),
+    StructField("codes", ArrayType(IntegerType))))
+
+  /** The live CODE relation (cell, cid, codes) of a product-quantized
+    * index — the same multi-batch layout as [[read]], projecting the
+    * code column instead of the embedding: parquet is columnar, so this
+    * scan reads M small ints per candidate (the ADC I/O bound), never
+    * the dims×8-byte raw vector stored beside them. */
+  def readCodes(spark: SparkSession, dir: String): DataFrame = {
+    require(codebooks(spark, dir).isDefined,
+      s"IvfIndex at $dir is not product-quantized — init() with codebooks")
+    readCols(spark, dir, Seq("cell", "cid", "codes"), codedSchema)
+  }
+
+  private def readCols(spark: SparkSession, dir: String, cols: Seq[String],
+                       emptySchema: StructType): DataFrame = {
     val (_, gp) = requireGen(spark, dir)
     val f = fs(spark, dir)
     // empty batches land as marker-only (no directory) — skip them
     val live = liveBatchNames(spark, gp)
       .filter(n => f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
-    if (live.isEmpty) emptyCells(spark)
+    if (live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
     else
       // ONE FileIndex over the explicit live batch directories with the
       // generation root as basePath: `batch` and `cell` are BOTH
@@ -286,7 +356,7 @@ object IvfIndex {
       // batch's directory listing in a single scan node
       spark.read.option("basePath", gp)
         .parquet(live.map(n => s"$gp/batch=$n"): _*)
-        .select(col("cell"), col("cid"), col("ce"))
+        .select(cols.map(col): _*)
   }
 
   /** Search the live index: identical contract (and output) to
@@ -329,6 +399,66 @@ object IvfIndex {
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** ADC search over a product-quantized index — [[Similarity.ivfPqSearch]]'s
+    * contract (and output) over the APPENDABLE multi-batch layout:
+    * queries rank their `nProbe` nearest cells against the current
+    * quantizer and build their M×Ks lookup tables ONCE (both on the
+    * bounded, broadcast query side); the code relation is read under a
+    * literal cell-set predicate (partition pruning across every live
+    * batch directory) and every candidate is scored by M table probes on
+    * its codes — the scan touches the code column only (column pruning),
+    * so probe I/O is nProbe/k of the corpus × M bytes per row no matter
+    * how many appends built the index. A compaction's publish-before-
+    * retire window can expose a vector twice; the twins carry identical
+    * codes (deterministic encode), so the (qid, cid) dedup before
+    * ranking collapses them exactly as [[search]] does. */
+  def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
+               topK: Int, nProbe: Int = 4,
+               maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
+    val cents = centroids(spark, dir)
+    val cbs = codebooks(spark, dir).getOrElse(throw new IllegalStateException(
+      s"IvfIndex at $dir is not product-quantized — init() with codebooks"))
+    val m = cbs.length
+    val ks = cbs(0).length
+    val subDims = cbs(0)(0).length
+    def subDist(mm: Int, j: Int): org.apache.spark.sql.Column =
+      (0 until subDims).map { d =>
+        val c = cbs(mm)(j)(d)
+        val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
+        x * x
+      }.reduceLeft(_ + _)
+    val q = Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.searchPq")
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .select(Seq(col("qid"), col("qe")) ++
+        (for (mm <- 0 until m; j <- 0 until ks)
+          yield subDist(mm, j).as(s"d_${mm}_$j")): _*)
+      .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
+      .drop("qe")
+      .localCheckpoint() // one pass builds probe set + LUTs
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val cells = readCodes(spark, dir)
+      .where(col("cell").isInCollection(probed)) // literal → partition pruning
+    def termFor(mm: Int): org.apache.spark.sql.Column = {
+      val code = element_at(col("codes"), mm + 1)
+      (0 until ks - 1).foldRight(col(s"d_${mm}_${ks - 1}")) { (j, acc) =>
+        when(code === j, col(s"d_${mm}_$j")).otherwise(acc)
+      }
+    }
+    val scored = broadcast(q).join(cells, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("adist", (0 until m).map(termFor).reduceLeft(_ + _))
+      // fold-window twins carry identical deterministic codes → identical
+      // adist; dedup on scalars only, before ranking (like [[search]])
+      .select("qid", "cid", "adist")
+      .dropDuplicates("qid", "cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
+  }
+
   /** Per-cell live vector counts (missing cells = 0 occupancy). */
   def cellCounts(spark: SparkSession, dir: String): Map[Int, Long] =
     read(spark, dir).groupBy(col("cell")).count()
@@ -348,7 +478,11 @@ object IvfIndex {
     * rebuild into a NEW generation: fresh centroids, every live vector
     * re-assigned into one fold batch, old batch names carried forward as
     * `_seen` records (replay detection survives the flip), visibility
-    * flipped by ONE atomic `_gen` marker create. The old generation's
+    * flipped by ONE atomic `_gen` marker create. On a product-quantized
+    * index the CODEBOOKS retrain too (same M and Ks, per-subspace Lloyd
+    * on the same bounded sample) and the fold re-encodes every live
+    * vector against them — possible precisely because the appendable
+    * layout retains raw vectors beside the codes. The old generation's
     * directories stay on disk for in-flight readers until [[compact]]'s
     * grace-window vacuum retires them. Returns the new generation id. */
   def retrain(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 5,
@@ -358,11 +492,13 @@ object IvfIndex {
       .select(col("cid").as("vec_id"), col("ce").as("embedding"))
       .localCheckpoint() // one snapshot feeds training AND the re-assign
     val cents = Similarity.trainCentroids(vecs, k, iters, trainLimit)
+    val newCbs = codebooks(spark, dir).map(old =>
+      Similarity.trainCodebooks(vecs, old.length, old(0).length, iters, trainLimit))
     val f = fs(spark, dir)
     val root = new org.apache.hadoop.fs.Path(gp)
     val carried = (names(f, root, MarkerPrefix) ++ names(f, root, SeenPrefix))
       .map(_._2).distinct
-    writeGen(spark, dir, gid + 1, cents, Some(vecs), carried)
+    writeGen(spark, dir, gid + 1, cents, newCbs, Some(vecs), carried)
     gid + 1
   }
 
@@ -376,6 +512,7 @@ object IvfIndex {
 
   private def writeGen(spark: SparkSession, dir: String, gid: Long,
                        centroids: Array[Array[Double]],
+                       cbs: Option[Array[Array[Array[Double]]]],
                        vectors: Option[DataFrame],
                        carriedNames: Seq[String]): Unit = {
     import spark.implicits._
@@ -383,13 +520,21 @@ object IvfIndex {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$gp/centroids")
+    cbs.foreach { b =>
+      b.zipWithIndex.flatMap { case (cb, mm) =>
+        cb.zipWithIndex.map { case (v, j) => (mm, j, v.toSeq) }
+      }.toSeq.toDF("m", "j", "c")
+        .repartition(1).write.mode("overwrite").parquet(s"$gp/codebooks")
+    }
     val f = fs(spark, dir)
     val now = System.currentTimeMillis()
     vectors.foreach { vecs =>
-      vecs.select(col("vec_id").as("cid"),
+      val assigned = vecs.select(col("vec_id").as("cid"),
           col("embedding").cast("array<double>").as("ce"))
         .withColumn("cell", NearestCells.cell(col("ce"), centroids))
-        .select("cell", "cid", "ce")
+      cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
+          assigned.withColumn("codes", codesCol(col("ce"), b))
+            .select("cell", "cid", "ce", "codes"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$gp/batch=fold$gid")
       f.create(new org.apache.hadoop.fs.Path(gp,
@@ -472,13 +617,20 @@ object IvfIndex {
       val agedDirs = aged.filter(n =>
         f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
       val foldName = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
-      if (agedDirs.nonEmpty)
+      if (agedDirs.nonEmpty) {
+        // a PQ generation's rows carry the code column — fold it verbatim
+        // (codes are deterministic per (vector, generation codebooks), so
+        // distinct() still collapses duplicate vectors exactly)
+        val cols =
+          if (codebooks(spark, dir).isDefined) Seq("cell", "cid", "ce", "codes")
+          else Seq("cell", "cid", "ce")
         spark.read.option("basePath", gp)
           .parquet(agedDirs.map(n => s"$gp/batch=$n"): _*)
-          .select(col("cell"), col("cid"), col("ce"))
+          .select(cols.map(col): _*)
           .distinct() // set semantics, like SigIndex (a fold racing a fold)
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$gp/batch=$foldName")
+      }
       if (agedDirs.nonEmpty)
         f.create(new org.apache.hadoop.fs.Path(root,
           s"$MarkerPrefix${System.currentTimeMillis()}.$foldName"), false).close()

@@ -376,6 +376,26 @@ object Similarity {
 
   // ---- product quantization (Jegou/Douze/Schmid, TPAMI 2011) -----------
 
+  /** Train PQ codebooks on a bounded sample: [[trainCentroids]]' Lloyd
+    * refinement run independently per `subDims`-wide subspace slice (the
+    * paper's construction — the product structure is exactly that each
+    * subquantizer trains on its own coordinates). Driver state is
+    * m × ks × subDims doubles; each iteration is a broadcast assignment
+    * pass over the bounded sample. */
+  def trainCodebooks(corpus: DataFrame, m: Int, ks: Int, iters: Int = 5,
+                     trainLimit: Int = 100000): Array[Array[Array[Double]]] = {
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val dims = e.select(size(col("e"))).head().getInt(0)
+    require(dims % m == 0,
+      s"trainCodebooks: $dims dims not divisible into $m subspaces")
+    val subDims = dims / m
+    (0 until m).map { mm =>
+      trainCentroids(e.select(col("vec_id"),
+          slice(col("e"), mm * subDims + 1, subDims).as("embedding")),
+        ks, iters, trainLimit)
+    }.toArray
+  }
+
   /** Deterministic fixed PQ codebooks for the oracle gate, the
     * [[fixedCentroids]] construction per subspace: subspace `mm`,
     * centroid `j`, component `d` = (md5Byte("pq:mm:j:d") - 128) / 128 —

@@ -125,6 +125,22 @@ object PipelineQueries {
         Similarity.fixedCentroids(8, 64), Similarity.fixedCodebooks(4, 8, 16))
       Similarity.ivfPqSearch(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
     }),
+    // the INCREMENTAL IVF-PQ index (appendable IVFADC): a 3-batch append
+    // history with a mid-history fold, PQ codes encoded at append time
+    // against the generation's persisted codebooks — ADC search over the
+    // multi-batch layout must answer exactly like the immutable one-shot
+    // build (encoding is per-vector), so it shares q_sim_ivfpq's oracle
+    "q_sim_ivfpq_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString + "/idx"
+      IvfIndex.init(s, idx, Similarity.fixedCentroids(8, 64),
+        Some(Similarity.fixedCodebooks(4, 8, 16)))
+      (0 until 3).foreach { b =>
+        IvfIndex.append(e.where(pmod(col("vec_id"), lit(3)) === b), idx, s"p$b")
+        if (b == 1) IvfIndex.compact(s, idx, graceMs = 0L) // fold mid-history
+      }
+      IvfIndex.searchPq(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
+    }),
     // ADC over PQ codes is definitionally a linear scan of the (tiny)
     // code column with the bounded query LUT broadcast — the nested-loop
     // here is intended, exactly like the q_sim_topk baseline
@@ -2234,6 +2250,10 @@ object PipelineQueries {
     oracleBase +
       ("q_sim_ivf_index" -> oracleBase("q_sim_ivf")) +
       ("q_sim_ivf_incremental" -> oracleBase("q_sim_ivf")) +
+      // cell assignment AND PQ encoding are per-vector (history-agnostic),
+      // so the appendable IVF-PQ history must answer exactly like the
+      // immutable one-shot build — the ivfpq oracle serves both
+      ("q_sim_ivfpq_incremental" -> oracleBase("q_sim_ivfpq")) +
       // min-k per cell is a semilattice: the incremental state equals the
       // one-shot sample over the union, so they share one oracle
       ("q_pipe_diversity_incremental" -> oracleBase("q_pipe_diversity_sample"))

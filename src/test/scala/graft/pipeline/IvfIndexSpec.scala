@@ -407,4 +407,91 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(resultSet(IvfIndex.search(spark, restored, q, 3, nProbe = 3)) ==
       resultSet(Similarity.ivfProbe(union, q, 3, cents, nProbe = 3)))
   }
+
+  // ---- product-quantized mode (appendable IVFADC) --------------------------
+
+  private val cbs = Similarity.fixedCodebooks(4, 8, 16)
+
+  private def freshPqIndex(): String = {
+    val dir = Files.createTempDirectory("ivfpq_inc").toString + "/idx"
+    IvfIndex.init(spark, dir, cents, Some(cbs))
+    dir
+  }
+
+  test("PQ appends + mid-history fold answer exactly like the immutable one-shot build") {
+    val q = emb.where(col("vec_id") < 10)
+    val oneShot = Files.createTempDirectory("ivfpq_ctl").toString
+    Similarity.ivfPqBuild(emb, oneShot, cents, cbs)
+    val expect = resultSet(Similarity.ivfPqSearch(spark, oneShot, q, 3, nProbe = 3))
+    val dir = freshPqIndex()
+    (0 until 3).foreach { b =>
+      assert(IvfIndex.append(emb.where(col("vec_id") % 3 === b), dir, s"p$b"))
+      if (b == 1) IvfIndex.compact(spark, dir, graceMs = 0L)
+    }
+    assert(resultSet(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 3)) == expect)
+    // the flat search still works on the same index (raw vectors retained)
+    assert(resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3)) ==
+      resultSet(Similarity.ivfProbe(emb, q, 3, cents, nProbe = 3)))
+  }
+
+  test("searchPq scans the code column only, partition-pruned, query side broadcast") {
+    val dir = freshPqIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"p$b"))
+    val res = IvfIndex.searchPq(spark, dir, emb.where(col("vec_id") < 10), 3, nProbe = 3)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    val flat = plan.replaceAll("\\s", "")
+    // partition pruning to the probed cells across every live batch dir
+    assert(flat.matches("(?s).*PartitionFilters:\\[[^\\]]*cell.*"),
+      s"cell probe not a partition filter:\n${plan.take(1500)}")
+    // the code-width I/O claim, pinned on the plan: the index-side scan
+    // reads codes (M ints), NEVER the raw embedding column beside it
+    val readSchemas = "ReadSchema:[^\\n]*".r.findAllIn(plan).toSeq
+    val indexScan = readSchemas.filter(_.contains("codes"))
+    assert(indexScan.nonEmpty, s"no code-column scan in plan:\n${plan.take(1500)}")
+    assert(indexScan.forall(!_.contains("ce")),
+      s"ADC scan reads raw embeddings:\n${indexScan.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"), "query/LUT side not broadcast")
+  }
+
+  test("PQ retrain: codebooks re-train and the fold re-encodes; both searches answer") {
+    val dir = freshPqIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"p$b"))
+    IvfIndex.retrain(spark, dir, k = 8, iters = 2, trainLimit = 500)
+    val newCents = IvfIndex.centroids(spark, dir)
+    val newCbs = IvfIndex.codebooks(spark, dir).get
+    assert(newCbs.length == 4 && newCbs(0).length == 8 && newCbs(0)(0).length == 16,
+      "retrain changed the codebook shape")
+    assert(newCbs.flatten.flatten.toSeq != cbs.flatten.flatten.toSeq,
+      "codebooks did not actually re-train")
+    // the retrained index answers exactly like an immutable build over the
+    // SAME retrained quantizer + codebooks — re-encode moved coherently
+    val ctl = Files.createTempDirectory("ivfpq_ctl2").toString
+    Similarity.ivfPqBuild(emb, ctl, newCents, newCbs)
+    val q = emb.where(col("vec_id") < 10)
+    assert(resultSet(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 3)) ==
+      resultSet(Similarity.ivfPqSearch(spark, ctl, q, 3, nProbe = 3)))
+    // appends after the flip encode against the NEW codebooks
+    val more = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    assert(IvfIndex.append(more, dir, "p2"))
+    assert(IvfIndex.readCodes(spark, dir).count() == emb.count() + 10)
+    assert(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 3).count() == 30)
+  }
+
+  test("PQ snapshot restores with codebooks; searchPq answers from the snapshot") {
+    val dir = freshPqIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"p$b"))
+    val q = emb.where(col("vec_id") < 10)
+    val before = resultSet(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 3))
+    val snap = s"$dir/snapshots/${IvfIndex.snapshot(spark, dir)}"
+    IvfIndex.retrain(spark, dir, k = 8, iters = 2, trainLimit = 500)
+    IvfIndex.compact(spark, dir, graceMs = 0L) // old gen vacuumed
+    assert(IvfIndex.codebooks(spark, snap).get.flatten.flatten.toSeq ==
+      cbs.flatten.flatten.toSeq)
+    assert(resultSet(IvfIndex.searchPq(spark, snap, q, 3, nProbe = 3)) == before)
+  }
 }
