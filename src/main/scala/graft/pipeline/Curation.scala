@@ -661,9 +661,11 @@ object Curation {
     * its pairs land, and a replayed name rewrites its documents from
     * that frozen set — recomputing from the live pair union would see
     * batches appended AFTER the replayed one and could suppress lines
-    * the original run shipped. The sidecar outlives pair folds
-    * (compaction sweeps `batch-` directories only), so replay works
-    * across compactions with no grace window.
+    * the original run shipped. The sidecar outlives pair folds, and once
+    * [[SigIndex.compact]]'s decision retention folds it into the single
+    * ledger directory the replay reads from the ledger instead
+    * ([[SigIndex.readDecision]]) — exactly-once with a BOUNDED directory
+    * count over an arbitrarily long stream.
     *
     * Scale shape: the index is never shuffled — the batch's distinct
     * line hashes become an `In(bv)` probe pushed into the bloom-carrying
@@ -676,13 +678,18 @@ object Curation {
                             maxBoilerplate: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val boilerPath = s"$indexDir/boiler-$name"
+    val boilerPath = SigIndex.decisionPath(indexDir, name)
     val head: Array[Long] =
       if (SigIndex.contains(spark, indexDir, name)) {
         // replay: rewrite from the batch's FROZEN decision — recomputing
         // from the live pair union would see later batches and suppress
-        // lines the original run shipped
-        spark.read.parquet(boilerPath).collect().map(_.getLong(0))
+        // lines the original run shipped. Served from the sidecar while
+        // it lives, from the compaction's fold ledger after retention.
+        SigIndex.readDecision(spark, indexDir, name).getOrElse(
+          throw new IllegalStateException(
+            s"dedupLinesIncremental batch '$name' replayed but its frozen " +
+              "decision was not found (sidecar retired and absent from the " +
+              "ledger) — the index state was externally modified"))
       } else {
         // claim intent before snapshotting (the sequential-writer guard)
         val seq = SigIndex.nextAppendSeq(spark, indexDir)

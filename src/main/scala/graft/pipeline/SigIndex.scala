@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Persisted signature index for INCREMENTAL deduplication — the state a
@@ -141,7 +141,8 @@ object SigIndex {
       val n = st.getPath.getName
       val wanted =
         stamped(MarkerPrefix, n).exists(m => live.contains(m._2)) ||
-          n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix)
+          n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix) ||
+          n.startsWith(DecFoldPrefix) || n.startsWith(DecLedgerPrefix)
       if (st.isFile && wanted)
         // marker/seen/slot files are ZERO-BYTE names: re-create them from
         // the captured listing instead of linking — a compact racing the
@@ -156,10 +157,12 @@ object SigIndex {
         f.listStatus(st.getPath).toSeq.filter(_.isFile).foreach(p =>
           link(p.getPath, new org.apache.hadoop.fs.Path(bdir, p.getPath.getName)))
       }
-      else if (st.isDirectory && n.startsWith("boiler-")) {
-        // line-dedup decision sidecars ([[Curation.dedupLinesIncremental]])
-        // ride along: a batch replayed against the restored snapshot
-        // rewrites from its frozen decision, the exactly-once contract
+      else if (st.isDirectory &&
+          (n.startsWith(DecisionPrefix) || n.startsWith("decled-"))) {
+        // line-dedup decision sidecars and their fold ledger
+        // ([[Curation.dedupLinesIncremental]]) ride along: a batch
+        // replayed against the restored snapshot rewrites from its
+        // frozen decision, the exactly-once contract
         val bdir = new org.apache.hadoop.fs.Path(out, n)
         f.mkdirs(bdir)
         f.listStatus(st.getPath).toSeq.filter(_.isFile).foreach(p =>
@@ -294,6 +297,127 @@ object SigIndex {
         .parquet(names.map(n => s"$dir/batch-$n"): _*)
   }
 
+  // ---- decision sidecars ---------------------------------------------------
+  // [[graft.pipeline.Curation.dedupLinesIncremental]]'s frozen per-batch
+  // decisions: tiny `boiler-<name>/` parquet dirs written BEFORE the
+  // batch's pairs land, read back on replay. They deliberately outlive
+  // pair folds (replay needs the decision, not the pairs), but a
+  // long-running stream would accumulate one directory per batch forever
+  // — so [[compact]] folds sidecars whose batch retired longer than
+  // `decisionRetentionMs` ago into ONE ledger directory (`decled-<gen>/`,
+  // atomic `_decled.` marker flip, newest wins), and replay transparently
+  // falls back to the ledger: exactly-once survives the fold, directory
+  // count stays bounded (recent sidecars + one ledger generation).
+
+  private val DecisionPrefix = "boiler-"
+  private val DecFoldPrefix = "_decfold."
+  private val DecLedgerPrefix = "_decled."
+
+  /** The frozen-decision sidecar directory for batch `name`. */
+  def decisionPath(dir: String, name: String): String =
+    s"$dir/$DecisionPrefix$name"
+
+  /** The current decision-ledger directory, by newest `_decled` marker. */
+  private def currentLedger(f: org.apache.hadoop.fs.FileSystem,
+                            dir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(root)) return None
+    val gens = f.listStatus(root).toSeq.map(_.getPath.getName)
+      .flatMap(stamped(DecLedgerPrefix, _))
+    if (gens.isEmpty) None else Some(s"$dir/decled-${gens.max._2}")
+  }
+
+  /** Batch `name`'s frozen decision values: from its sidecar while the
+    * sidecar lives, from the fold ledger after [[compact]] retired it.
+    * None when no decision was ever recorded under `name`. */
+  def readDecision(spark: SparkSession, dir: String,
+                   name: String): Option[Array[Long]] = {
+    val f = fs(spark, dir)
+    val side = new org.apache.hadoop.fs.Path(decisionPath(dir, name))
+    if (f.exists(side))
+      Some(spark.read.parquet(side.toString).collect().map(_.getLong(0)))
+    else currentLedger(f, dir).flatMap { led =>
+      // every folded sidecar contributed a NULL-bv sentinel row, so a
+      // batch with an EMPTY decision set is still distinguishable from a
+      // batch that never recorded one
+      val rows = spark.read.parquet(led).where(col("name") === name)
+        .select(col("bv")).collect()
+      if (rows.isEmpty) None
+      else Some(rows.filterNot(_.isNullAt(0)).map(_.getLong(0)))
+    }
+  }
+
+  /** Fold decision sidecars of batches retired (`_seen`) longer than
+    * `retentionMs` ago into the single ledger directory; grace-delay the
+    * sidecar deletion so a replay that resolved the sidecar mid-fold
+    * keeps its files, and vacuum superseded ledger generations on the
+    * same grace. */
+  private def foldDecisionSidecars(spark: SparkSession, dir: String,
+                                   graceMs: Long, retentionMs: Long): Unit = {
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(root)) return
+    val now = System.currentTimeMillis()
+    val entries = f.listStatus(root).toSeq
+    val names = entries.map(_.getPath.getName)
+    val seenTs: Map[String, Long] = names.flatMap(stamped(SeenPrefix, _))
+      .groupBy(_._2).map { case (n, xs) => n -> xs.map(_._1).min }
+    val decFolded: Map[String, Long] = names.flatMap(stamped(DecFoldPrefix, _))
+      .groupBy(_._2).map { case (n, xs) => n -> xs.map(_._1).min }
+    val sidecars = names.filter(_.startsWith(DecisionPrefix))
+      .map(_.drop(DecisionPrefix.length))
+    val eligible = sidecars.filter(n => !decFolded.contains(n) &&
+      seenTs.get(n).exists(_ <= now - retentionMs))
+    if (eligible.nonEmpty) {
+      import spark.implicits._
+      val sentinel = eligible.toDF("name")
+        .select(col("name"), lit(null).cast("long").as("bv"))
+      val data = eligible.map(n =>
+          spark.read.parquet(decisionPath(dir, n))
+            .select(lit(n).as("name"), col("bv").cast("long")))
+        .reduce(_ unionByName _)
+      val prior = currentLedger(f, dir)
+        .map(p => spark.read.parquet(p).select(col("name"), col("bv")))
+      val all = prior.fold(sentinel)(_ unionByName sentinel)
+        .unionByName(data)
+      val gen = SnapshotFiles.freshName()
+      all.repartition(1).write.mode("overwrite").parquet(s"$dir/decled-$gen")
+      f.create(new org.apache.hadoop.fs.Path(root,
+        s"$DecLedgerPrefix${System.currentTimeMillis()}.$gen"), false).close()
+      eligible.foreach { n =>
+        f.create(new org.apache.hadoop.fs.Path(root,
+          s"$DecFoldPrefix${System.currentTimeMillis()}.$n"), false).close()
+      }
+    }
+    // grace-delayed sidecar deletion: a replay that resolved the sidecar
+    // before the fold keeps its files for the reader window. Re-list so
+    // markers created by THIS pass's fold age from a fresh clock (at
+    // grace 0 the fold and the sweep land in one maintenance tick).
+    val now2 = System.currentTimeMillis()
+    val names2 = f.listStatus(root).toSeq.map(_.getPath.getName)
+    val decFolded2: Map[String, Long] = names2.flatMap(stamped(DecFoldPrefix, _))
+      .groupBy(_._2).map { case (n, xs) => n -> xs.map(_._1).min }
+    decFolded2.filter(_._2 <= now2 - graceMs).foreach { case (n, _) =>
+      f.delete(new org.apache.hadoop.fs.Path(decisionPath(dir, n)), true)
+      names2.filter(m => stamped(DecFoldPrefix, m).exists(_._2 == n)).foreach(m =>
+        f.delete(new org.apache.hadoop.fs.Path(root, m), false))
+    }
+    // superseded ledger generations vacuum once a strictly newer marker
+    // is itself older than the grace window
+    val ledgers = f.listStatus(root).toSeq.map(_.getPath.getName)
+      .flatMap(stamped(DecLedgerPrefix, _)).sorted
+    ledgers.zipWithIndex.foreach { case ((_, g), i) =>
+      val supersededLongEnough =
+        ledgers.drop(i + 1).exists { case (ts, _) => now2 - ts >= graceMs }
+      if (supersededLongEnough) {
+        f.delete(new org.apache.hadoop.fs.Path(dir, s"decled-$g"), true)
+        f.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(m => stamped(DecLedgerPrefix, m).exists(_._2 == g))
+          .foreach(m => f.delete(new org.apache.hadoop.fs.Path(root, m), false))
+      }
+    }
+  }
+
   /** Fold AGED live directories into one and retire the originals. The
     * folded marker publishes FIRST, so a concurrent reader sees at worst
     * duplicated rows (set semantics downstream make that harmless), never
@@ -307,12 +431,29 @@ object SigIndex {
     * long-committed checkpoint, and the folded batch is recorded in a
     * `_seen.<ts>.<name>` marker so the caller can fail loud instead of
     * double-appending. The same grace discipline as the points store's
-    * compaction vacuum. */
+    * compaction vacuum.
+    *
+    * `decisionRetentionMs` bounds the DECISION-SIDECAR lifecycle
+    * ([[decisionPath]]): sidecars of batches retired longer than the
+    * retention fold into the single `decled-` ledger (replay falls back
+    * to it transparently — [[readDecision]]), keeping the directory
+    * count bounded for a long-running stream. */
   def compact(spark: SparkSession, dir: String,
-              graceMs: Long = 15 * 60 * 1000L): Unit = {
+              graceMs: Long = 15 * 60 * 1000L,
+              decisionRetentionMs: Long = 24 * 3600 * 1000L): Unit = {
     val f = fs(spark, dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!f.exists(root)) return
+    compactPairs(spark, f, root, dir, graceMs)
+    // AFTER the pair fold: the `_seen` records it just wrote start the
+    // decision-retention clock for the folded batches' sidecars
+    foldDecisionSidecars(spark, dir, graceMs, decisionRetentionMs)
+  }
+
+  private def compactPairs(spark: SparkSession,
+                           f: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           dir: String, graceMs: Long): Unit = {
     val cutoff = System.currentTimeMillis() - graceMs
     // (publish ts, name) of every live marker
     val aged = f.listStatus(root).toSeq

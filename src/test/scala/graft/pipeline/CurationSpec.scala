@@ -413,4 +413,46 @@ class CurationSpec extends AnyFunSuite {
     assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == Map(
       3L -> ("B", 1L)))
   }
+
+  test("dedupLinesIncremental: decision sidecars fold into ONE ledger; replay survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("line_ledger").toString
+    def out(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val b0 = Seq((1L, "A\nX1"), (2L, "A\nX2")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "X1\nB")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "C")).toDF("doc_id", "text") // EMPTY decision set
+    val want0 = out(Curation.dedupLinesIncremental(b0, dir, "L0"))
+    val want1 = out(Curation.dedupLinesIncremental(b1, dir, "L1"))
+    val want2 = out(Curation.dedupLinesIncremental(b2, dir, "L2"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirsWith(p: String) = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).count(_.startsWith(p))
+    assert(dirsWith("boiler-") == 3)
+    // within the DEFAULT retention nothing folds (the replay-from-sidecar
+    // window); past it (retention 0) every retired batch's sidecar folds
+    // into the single ledger and the dirs sweep on the grace window
+    SigIndex.compact(spark, dir, graceMs = 0L) // retires batches (_seen)
+    assert(dirsWith("boiler-") == 3, "sidecars folded inside the retention window")
+    SigIndex.compact(spark, dir, graceMs = 0L, decisionRetentionMs = 0L)
+    assert(dirsWith("boiler-") == 0, "retired sidecars were not swept")
+    assert(dirsWith("decled-") == 1, "expected exactly one ledger generation")
+    // replays answer from the ledger: identical output, index unchanged,
+    // including the batch whose frozen decision set was EMPTY
+    val indexed = SigIndex.read(spark, dir).count()
+    assert(out(Curation.dedupLinesIncremental(b0, dir, "L0")) == want0)
+    assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == want1)
+    assert(out(Curation.dedupLinesIncremental(b2, dir, "L2")) == want2)
+    assert(SigIndex.read(spark, dir).count() == indexed, "ledger replay re-appended")
+    // new batches keep landing; a second retention pass folds THEIR
+    // sidecars into a fresh ledger generation that carries the old rows,
+    // and the superseded generation vacuums — the count stays bounded
+    val b3 = Seq((5L, "B\nD")).toDF("doc_id", "text")
+    val want3 = out(Curation.dedupLinesIncremental(b3, dir, "L3"))
+    SigIndex.compact(spark, dir, graceMs = 0L, decisionRetentionMs = 0L)
+    assert(dirsWith("boiler-") == 0 && dirsWith("decled-") == 1)
+    assert(out(Curation.dedupLinesIncremental(b3, dir, "L3")) == want3)
+    assert(out(Curation.dedupLinesIncremental(b0, dir, "L0")) == want0)
+  }
 }
