@@ -940,11 +940,40 @@ object PointsStore {
         .foreach(e => fs.delete(new org.apache.hadoop.fs.Path(dir, e.name), false))
       // on-chain ancestors: removed ONLY when the namespace is fork-free —
       // deleting an ancestor while a fork loser remains could make the
-      // loser a parent-absent root and flip [[resolveTip]]
+      // loser a parent-absent root and flip [[resolveTip]] — and only as
+      // a CONTIGUOUS OLDEST PREFIX of the chain: mtimes need not be
+      // monotone along it (a rename that lands as copy+delete can invert
+      // publish order), and deleting a MIDDLE ancestor would leave TWO
+      // parent-absent roots (the true oldest fragment and the hole's
+      // child), letting [[resolveTip]]'s earliest-mtime root selection
+      // flip the tip to a stale manifest and resurrect deleted data.
+      // Stopping at the first non-aged ancestor keeps every surviving
+      // manifest's parent present except the single fragment head.
       if (offChain.isEmpty)
-        ents.filter(e => e.gen != tip.gen && now - e.mtime >= graceMs)
+        vacuumableAncestors(ents, tip, now, graceMs)
           .foreach(e => fs.delete(new org.apache.hadoop.fs.Path(dir, e.name), false))
     }
+  }
+
+  /** The on-chain ancestor manifests [[vacuum]] may delete: a CONTIGUOUS
+    * OLDEST PREFIX of grace-aged entries (see the rationale at the call
+    * site). Walks tip→parents, reverses to oldest-first, and stops at
+    * the first non-aged ancestor — so any non-aged entry shields every
+    * newer ancestor, and at most one parent-absent fragment head ever
+    * exists. */
+  private[sources] def vacuumableAncestors(ents: Seq[MEnt], tip: MEnt,
+                                           now: Long, graceMs: Long): Seq[MEnt] = {
+    val byGen = ents.map(e => e.gen -> e).toMap
+    val walk = scala.collection.mutable.ListBuffer[MEnt]()
+    var cur = Option(tip)
+    var steps = 0
+    while (cur.isDefined && steps <= ents.size) {
+      walk += cur.get
+      cur = cur.get.parent.filterNot(_ == RootToken).flatMap(byGen.get)
+      steps += 1
+    }
+    walk.toList.reverse // oldest ancestor first
+      .takeWhile(e => e.gen != tip.gen && now - e.mtime >= graceMs)
   }
 
   /** Stage `writeTmp`'s output into `dir` under unique `compacted-<gen>-`

@@ -111,4 +111,37 @@ class MvccChainSpec extends AnyFunSuite {
     assert(onChain.contains("200-w") && !onChain.contains("300-l"),
       "the loser must detect itself off-chain and retry")
   }
+
+  test("ancestor vacuum deletes only a contiguous oldest prefix of the chain") {
+    def vac(now: Long, grace: Long, ents: MEnt*): Seq[String] =
+      PointsStore.vacuumableAncestors(ents,
+        PointsStore.resolveTip(ents).get, now, grace).map(_.gen)
+    // plain monotone chain: both aged ancestors go, the tip never does
+    val a = ch(100, "100-a", "root", 100)
+    val b = ch(200, "200-b", "100-a", 200)
+    val c = ch(300, "300-c", "200-b", 300)
+    assert(vac(1000, 500, a, b, c) == Seq("100-a", "200-b"))
+    assert(vac(1000, 850, a, b, c) == Seq("100-a")) // b not aged yet
+    assert(vac(1000, 950, a, b, c) == Seq())
+    // MTIME INVERSION (rename landed as copy+delete): the OLDEST chain
+    // position has the NEWEST mtime. Deleting the aged middle entry would
+    // leave two parent-absent roots (a2 and c2) and earliest-mtime root
+    // selection would flip the tip to the STALE a2, resurrecting deleted
+    // data — the prefix rule must delete NOTHING here
+    val a2 = ch(100, "100-a", "root", 900) // oldest position, newest mtime
+    val b2 = ch(200, "200-b", "100-a", 150)
+    val c2 = ch(300, "300-c", "200-b", 300)
+    assert(vac(1000, 500, a2, b2, c2) == Seq(),
+      "an aged middle ancestor must be shielded by its non-aged parent")
+    // and the invariant the rule exists for: after deleting any allowed
+    // prefix, the remaining namespace still resolves to the same tip
+    for (grace <- Seq(100L, 500L, 850L, 950L);
+         ents <- Seq(Seq(a, b, c), Seq(a2, b2, c2))) {
+      val t = PointsStore.resolveTip(ents).get
+      val del = PointsStore.vacuumableAncestors(ents, t, 1000, grace).toSet
+      val remaining = ents.filterNot(del.contains)
+      assert(PointsStore.resolveTip(remaining).map(_.gen) == Some(t.gen),
+        s"tip flipped after vacuum at grace=$grace")
+    }
+  }
 }
