@@ -859,4 +859,108 @@ class StreamingSpec extends AnyFunSuite {
       """sum(rate(http_total{job="app-0"}[5m]))""", t0 + 240000L).collect()
     assert(rate.length == 1 && rate.head.getAs[Double]("value") > 0)
   }
+
+  /** The EMBEDDING path of the composed graph: envelope stream ->
+    * incremental SemDeDup against a persisted IvfIndex (the index append
+    * IS pipeline state) -> survivors as points -> exactly-once store
+    * append. The crash is injected AFTER both stateful appends (index
+    * and store) land but BEFORE the streaming commit, so the restarted
+    * query replays the batch: semDeDupIncrementalOnce must answer from
+    * its own batch directory and appendOnce must absorb the double
+    * store write. Recovered INDEX and STORE must equal a never-failed
+    * run, sample- and vector-exact. */
+  test("composed dogfood, embedding path: semDeDup sink -> IvfIndex + store, kill/recover equals no-failure run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def planeVec(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      (Seq(math.cos(r), math.sin(r)) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    }
+    val t0 = 1704067200000L
+    // 3 micro-batches x 2 vectors; v2 near-dups v0 (3 deg), v4 near-dups
+    // v1 (2 deg) — cross-batch drops; 4 survivors expected
+    val batches: Seq[Seq[(Long, String, Long, Seq[Float])]] = Seq(
+      Seq((0L, "app-0", t0, planeVec(0)), (1L, "app-1", t0 + 60000, planeVec(60))),
+      Seq((2L, "app-0", t0 + 120000, planeVec(3)), (3L, "app-1", t0 + 180000, planeVec(120))),
+      Seq((4L, "app-0", t0 + 240000, planeVec(62)), (5L, "app-1", t0 + 300000, planeVec(180))))
+
+    def runPipeline(crashAtBatch: Option[Long])
+        : (String, String, MemoryStream[(Long, String, Long, Seq[Float])] => Unit) = {
+      val storeDir = Files.createTempDirectory("embdog_store").toString
+      val idxDir = Files.createTempDirectory("embdog_idx").toString + "/idx"
+      val ckpt = Files.createTempDirectory("embdog_ckpt").toString
+      // one cell: every vector shares the SemDeDup cluster (the test
+      // isolates the replay contract, not the quantizer geometry)
+      graft.pipeline.IvfIndex.init(spark, idxDir, Array(Array.fill(64)(0.0)))
+      @volatile var crashArmed = crashAtBatch.isDefined
+      val sink = (batch: org.apache.spark.sql.DataFrame, id: Long) => {
+        val env = batch.toDF("vec_id", "source_id", "ts", "embedding")
+        // dedup against the persisted kept-set; survivors extend the index
+        // (exactly-once via the index's batch marker + slot claim)
+        val kept = graft.pipeline.Similarity.semDeDupIncrementalOnce(
+          env, idxDir, id, 0.99)
+        val keptPts = graft.model.Points.withSig(kept.select(
+          lit("emb_kept_total").as("name"),
+          map(lit("source_id"), col("source_id")).as("labels"),
+          col("ts").as("t"), lit(1.0).as("value")))
+        PointsStore.appendOnce(keptPts, storeDir, id)
+        if (crashArmed && crashAtBatch.contains(id)) {
+          crashArmed = false
+          throw new RuntimeException(
+            "injected crash: index + store appends landed, commit did not")
+        }
+        ()
+      }
+      val driver = (mem: MemoryStream[(Long, String, Long, Seq[Float])]) => {
+        def start() = mem.toDF().writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(sink).start()
+        var q = start()
+        batches.foreach { rows =>
+          mem.addData(rows: _*)
+          try q.processAllAvailable()
+          catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+              q = start()
+              q.processAllAvailable()
+          }
+        }
+        q.stop()
+      }
+      (storeDir, idxDir, driver)
+    }
+
+    def storeContents(dir: String): Set[(String, Map[String, String], Long, Double)] =
+      PointsStore.read(spark, dir, Long.MinValue, Long.MaxValue)
+        .select("name", "labels", "t", "value").collect()
+        .map(r => (r.getString(0), r.getAs[Map[String, String]](1),
+          r.getLong(2), r.getDouble(3))).toSet
+    def indexContents(dir: String): Set[Long] =
+      graft.pipeline.IvfIndex.read(spark, dir).select("cid").collect()
+        .map(_.getLong(0)).toSet
+
+    val (cleanStore, cleanIdx, runClean) = runPipeline(None)
+    runClean(MemoryStream[(Long, String, Long, Seq[Float])])
+    // crash lands in batch 1 — the batch whose near-dup drop depends on
+    // batch 0's kept-set, the worst replay window
+    val (crashStore, crashIdx, runCrash) = runPipeline(Some(1L))
+    runCrash(MemoryStream[(Long, String, Long, Seq[Float])])
+
+    assert(storeContents(crashStore) == storeContents(cleanStore),
+      "recovered store diverged from the no-failure run")
+    assert(indexContents(crashIdx) == indexContents(cleanIdx),
+      "recovered index diverged from the no-failure run")
+    assert(indexContents(cleanIdx) == Set(0L, 1L, 3L, 5L),
+      "cross-batch near-dups were not dropped")
+    // replay detection: every batch marked landed exactly once
+    (0 until 3).foreach(b => assert(
+      graft.pipeline.IvfIndex.contains(spark, crashIdx, s"b$b")))
+    // and the recovered index ANSWERS like the clean one
+    val q = spark.createDataFrame(Seq((100L, planeVec(61)))).toDF("vec_id", "embedding")
+    assert(graft.pipeline.IvfIndex.search(spark, crashIdx, q, 2, nProbe = 1)
+      .collect().map(_.toSeq).toSet ==
+      graft.pipeline.IvfIndex.search(spark, cleanIdx, q, 2, nProbe = 1)
+        .collect().map(_.toSeq).toSet)
+  }
 }
