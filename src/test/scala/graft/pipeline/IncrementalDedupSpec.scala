@@ -285,6 +285,41 @@ class IncrementalDedupSpec extends AnyFunSuite {
       dir, name = "w1").count() == 1)
   }
 
+  test("SigIndex snapshot RESTORE continuation: replay detection, slot ledger, dedup answers") {
+    val dir = Files.createTempDirectory("sigidx_restore").toString
+    Dedup.incremental(df(Seq(1L -> base)), dir, name = "n0")
+    val t1 = "a second batch about limestone caves and the rivers that carve them"
+    Dedup.incremental(df(Seq(2L -> t1)), dir, name = "n1")
+    // restore = copy the snapshot OUT of the original tree onto a fresh
+    // path (the real restore shape), then CONTINUE the history on it
+    val snapName = SigIndex.snapshot(spark, dir)
+    val restored = Files.createTempDirectory("sigidx_restored").toString + "/idx"
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(s"$dir/snapshots/$snapName"),
+      f, new org.apache.hadoop.fs.Path(restored), false,
+      spark.sparkContext.hadoopConfiguration)
+    // replay detection carried: the restored history refuses re-appends
+    assert(!SigIndex.append(df(Seq(9L -> base))
+      .select(col("doc_id"), lit(0L).as("bv")), restored, "n0"))
+    // the continued history dedups against the frozen kept-state: a dup
+    // of batch-1's doc drops, fresh content survives and extends
+    assert(Dedup.incremental(df(Seq(10L -> t1)), restored, name = "n2").count() == 0)
+    val t3 = "a third batch describing orchard beekeeping through the almond bloom"
+    assert(Dedup.incremental(df(Seq(11L -> t3)), restored, name = "n3").count() == 1)
+    assert(Dedup.incremental(df(Seq(12L -> t3)), restored, name = "n4").count() == 0)
+    // the slot ledger carried: a writer holding a PRE-restore sequence
+    // fails loud instead of splitting survivors
+    intercept[SigIndex.ConcurrentWriterException] {
+      SigIndex.append(df(Seq(13L -> t3))
+        .select(col("doc_id"), lit(1L).as("bv")), restored, "stale", seq = Some(0L))
+    }
+    // and a compact on the restored index keeps all of it answering
+    SigIndex.compact(spark, restored, graceMs = 0L)
+    assert(Dedup.incremental(df(Seq(14L -> base)), restored, name = "n5").count() == 0)
+  }
+
   test("SigIndex.snapshot freezes the kept-state; the original moves on independently") {
     val dir = Files.createTempDirectory("sigidx_snap").toString
     Dedup.incremental(df(Seq(1L -> base)), dir, name = "n0")
