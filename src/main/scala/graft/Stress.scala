@@ -303,6 +303,27 @@ object Stress {
           emb.where(col("vec_id") % 2 === 1), dir, "s1", 0.95).count()
         n0 + n1
       },
+      timed("semdedup_inc_k16") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_sddk16").toString + "/idx"
+        graft.pipeline.IvfIndex.init(spark, dir, Similarity.fixedCentroids(16, 64))
+        val n0 = Similarity.semDeDupIncremental(
+          emb.where(col("vec_id") % 2 === 0), dir, "s0", 0.95).count()
+        val n1 = Similarity.semDeDupIncremental(
+          emb.where(col("vec_id") % 2 === 1), dir, "s1", 0.95).count()
+        n0 + n1
+      },
+      // the k-sweep anchor for the n²/k knob: same batches at k=256
+      // (≈ autoCellCount's √n at the 100k default) — the quadratic term
+      // amortizes with the cell count while the probe stays pruned
+      timed("semdedup_inc_k256") {
+        val dir = java.nio.file.Files.createTempDirectory("stress_sddk").toString + "/idx"
+        graft.pipeline.IvfIndex.init(spark, dir, Similarity.fixedCentroids(256, 64))
+        val n0 = Similarity.semDeDupIncremental(
+          emb.where(col("vec_id") % 2 === 0), dir, "s0", 0.95).count()
+        val n1 = Similarity.semDeDupIncremental(
+          emb.where(col("vec_id") % 2 === 1), dir, "s1", 0.95).count()
+        n0 + n1
+      },
       // IVF-PQ: one-time build (assign + encode, two passes) then the
       // pruned ADC search — the probe reads code columns only
       timed("ivfpq_build") {

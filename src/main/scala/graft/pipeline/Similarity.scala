@@ -162,9 +162,27 @@ object Similarity {
       trainCentroids(corpus, k, iters, trainLimit), nProbe, maxQueryRows)
   }
 
+  /** The cell count a corpus of `corpusSize` vectors should quantize
+    * into — k ≈ √n, the standard IVF sizing (Jégou et al. TPAMI 2011
+    * §V use k ∈ {√n .. 4√n}); it is ALSO the knob that keeps SemDeDup's
+    * per-cell quadratic work in check: the cosine pass inside
+    * [[semDeDup]] / [[semDeDupIncremental]] costs Σ(cell size²) ≈ n²/k
+    * pairs, so k = √n bounds it at n^1.5 — a billion vectors at the
+    * default k=16 would be 6×10¹⁶ pairs, at k=√n ≈ 31623 it is 3×10¹³
+    * spread across every executor. Use this when building the quantizer
+    * for a real corpus ([[trainCentroids]]'s and [[IvfIndex.init]]'s
+    * small defaults are gate/spec scale):
+    * `trainCentroids(corpus, k = autoCellCount(n))`. */
+  def autoCellCount(corpusSize: Long, minK: Int = 16,
+                    maxK: Int = 1 << 18): Int =
+    math.max(minK, math.min(maxK.toLong,
+      math.round(math.sqrt(corpusSize.toDouble.max(0.0))))).toInt
+
   /** Lloyd's k-means coarse quantizer over a bounded training sample —
     * the driver holds k × dims doubles only; each iteration is one
-    * broadcast assignment pass + one k-row aggregation. */
+    * broadcast assignment pass + one k-row aggregation. The k=16 default
+    * is GATE SCALE: size a production quantizer with [[autoCellCount]]
+    * (k ≈ √n), which also bounds SemDeDup's per-cell quadratic work. */
   def trainCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 5,
                      trainLimit: Int = 100000): Array[Array[Double]] = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -599,7 +617,13 @@ object Similarity {
     * kept-vector read PARTITION-PRUNES to the batch's cells across every
     * live batch directory — a micro-batch against a billion-vector index
     * reads only its own cells. The quadratic cosine work is per-cell
-    * (batch × kept-in-cell + batch-peer pairs), never corpus-wide. */
+    * (batch × kept-in-cell + batch-peer pairs), never corpus-wide — and
+    * the CELL COUNT is the knob that keeps it sub-quadratic: size the
+    * index's quantizer with [[autoCellCount]] (k ≈ √n ⇒ ~n^1.5 total
+    * pairs over the corpus life); an undersized k concentrates the
+    * kept-set into few cells and the per-batch join degrades toward
+    * batch × corpus (the SCALE.md k-sweep anchors measure exactly
+    * this). */
   def semDeDupIncremental(vectors: DataFrame, indexDir: String, name: String,
                           threshold: Double): DataFrame = {
     val spark = vectors.sparkSession

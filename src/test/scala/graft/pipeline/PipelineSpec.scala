@@ -714,4 +714,17 @@ class PipelineSpec extends AnyFunSuite {
       assert(ids() == first + 5L)
     } finally q.stop()
   }
+
+  test("autoCellCount: k tracks sqrt(n), clamped to the floor and ceiling") {
+    assert(Similarity.autoCellCount(0) == 16)          // floor
+    assert(Similarity.autoCellCount(100) == 16)        // sqrt(100)=10 < floor
+    assert(Similarity.autoCellCount(100000) == 316)    // sqrt
+    assert(Similarity.autoCellCount(1000000000L) == 31623)
+    assert(Similarity.autoCellCount(Long.MaxValue) == (1 << 18)) // ceiling
+    // the n^1.5 bound the heuristic exists for: total per-cell pair work
+    // n^2/k at k=sqrt(n) is n^1.5
+    val n = 1000000L
+    val k = Similarity.autoCellCount(n)
+    assert(n.toDouble * n / k <= 1.05 * math.pow(n.toDouble, 1.5))
+  }
 }
