@@ -237,9 +237,12 @@ object Bench {
     // invalid JSON in the one line that must stay machine-parseable
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // ref_wall rides on the full-map line too: a single query's
+    // round-over-round delta then divides the box out (q_r13/ref_r13 vs
+    // q_r12/ref_r12) without cross-referencing the headline
     println(results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("""{"all_queries":{""", ",", "}}"))
+      .mkString(s"""{"ref_wall":${fmt(refWall)},"all_queries":{""", ",", "}}"))
     val canaries = results.filter { case (k, _) => k.startsWith("canary") }
     val slowest = (results -- canaries.keys).toSeq.sortBy(-_._2).take(30)
     val head = (canaries.toSeq.sortBy(_._1) ++ slowest)
