@@ -134,6 +134,20 @@ object Stress {
       graft.sources.PointsStore.append(pts, dir)
       dir
     }
+    // incremental SemDeDup: two sequential half-corpus batches against a
+    // fresh k-cell IvfIndex kept-set — times assignment + the cell-pruned
+    // kept-vector cosine + the per-cell peer join + the survivor append
+    def semDedupIncProbe(suffix: String, k: Int): (String, Double, Long) =
+      timed(s"semdedup_inc$suffix") {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"stress_sdd$suffix").toString + "/idx"
+        graft.pipeline.IvfIndex.init(spark, dir, Similarity.fixedCentroids(k, 64))
+        val n0 = Similarity.semDeDupIncremental(
+          emb.where(col("vec_id") % 2 === 0), dir, "s0", 0.95).count()
+        val n1 = Similarity.semDeDupIncremental(
+          emb.where(col("vec_id") % 2 === 1), dir, "s1", 0.95).count()
+        n0 + n1
+      }
     val results = Seq(
       timed("exact_dedup")(force(Dedup.exact(docs).where(col("n_dups") > 1))),
       timed("minhash_lsh")(lshPairs.count()),
@@ -291,39 +305,12 @@ object Stress {
         graft.pipeline.IvfIndex.search(spark, stressIvf,
           emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
       },
-      // incremental SemDeDup: two sequential half-corpus batches against
-      // a fresh IvfIndex kept-set — times assignment + the cell-pruned
-      // kept-vector cosine + the per-cell peer join + the survivor append
-      timed("semdedup_inc") {
-        val dir = java.nio.file.Files.createTempDirectory("stress_sdd").toString + "/idx"
-        graft.pipeline.IvfIndex.init(spark, dir, Similarity.fixedCentroids(64, 64))
-        val n0 = Similarity.semDeDupIncremental(
-          emb.where(col("vec_id") % 2 === 0), dir, "s0", 0.95).count()
-        val n1 = Similarity.semDeDupIncremental(
-          emb.where(col("vec_id") % 2 === 1), dir, "s1", 0.95).count()
-        n0 + n1
-      },
-      timed("semdedup_inc_k16") {
-        val dir = java.nio.file.Files.createTempDirectory("stress_sddk16").toString + "/idx"
-        graft.pipeline.IvfIndex.init(spark, dir, Similarity.fixedCentroids(16, 64))
-        val n0 = Similarity.semDeDupIncremental(
-          emb.where(col("vec_id") % 2 === 0), dir, "s0", 0.95).count()
-        val n1 = Similarity.semDeDupIncremental(
-          emb.where(col("vec_id") % 2 === 1), dir, "s1", 0.95).count()
-        n0 + n1
-      },
-      // the k-sweep anchor for the n²/k knob: same batches at k=256
-      // (≈ autoCellCount's √n at the 100k default) — the quadratic term
-      // amortizes with the cell count while the probe stays pruned
-      timed("semdedup_inc_k256") {
-        val dir = java.nio.file.Files.createTempDirectory("stress_sddk").toString + "/idx"
-        graft.pipeline.IvfIndex.init(spark, dir, Similarity.fixedCentroids(256, 64))
-        val n0 = Similarity.semDeDupIncremental(
-          emb.where(col("vec_id") % 2 === 0), dir, "s0", 0.95).count()
-        val n1 = Similarity.semDeDupIncremental(
-          emb.where(col("vec_id") % 2 === 1), dir, "s1", 0.95).count()
-        n0 + n1
-      },
+      // semdedup_inc at k=64, plus the k-sweep anchors for the n²/k knob
+      // at k=16 and k=256 (≈ autoCellCount's √n at the 100k default): ONE
+      // probe body so the sweep can never diverge on anything but k
+      semDedupIncProbe("", 64),
+      semDedupIncProbe("_k16", 16),
+      semDedupIncProbe("_k256", 256),
       // IVF-PQ: one-time build (assign + encode, two passes) then the
       // pruned ADC search — the probe reads code columns only
       timed("ivfpq_build") {

@@ -128,7 +128,15 @@ object IvfIndex {
     * ([[Similarity.semDeDupIncremental]]) and pass it to [[append]]: the
     * claim then covers the whole read→dedup→append span, so a second
     * writer whose snapshot raced yours fails loud at its claim even when
-    * the two `append` calls themselves never overlap. */
+    * the two `append` calls themselves never overlap.
+    *
+    * PRECISELY what the guard detects: any two writers whose slot-read →
+    * claim spans overlap collide on a slot and the later claim throws. A
+    * writer whose ENTIRE span lands inside another's claim → marker gap
+    * (milliseconds of driver-side filesystem calls, no Spark jobs) reads
+    * the higher slot and passes undetected — the guard is a tripwire for
+    * uncoordinated writers, not a lock; sequential dispatch (the
+    * `foreachBatch` shape) remains the contract. */
   def nextAppendSeq(spark: SparkSession, dir: String): Long = {
     val (_, gp) = requireGen(spark, dir)
     maxSlot(fs(spark, dir), gp) + 1
@@ -195,28 +203,14 @@ object IvfIndex {
       .collect().map(_.getSeq[Double](1).toArray)
   }
 
-  /** The current generation's PQ codebooks (None on a flat index). */
+  /** The current generation's PQ codebooks (None on a flat index) —
+    * [[Similarity.readCodebooks]] over the generation's parquet. */
   def codebooks(spark: SparkSession,
                 dir: String): Option[Array[Array[Array[Double]]]] = {
     val (_, gp) = requireGen(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$gp/codebooks")
     if (!fs(spark, dir).exists(p)) None
-    else {
-      val flat = spark.read.parquet(p.toString)
-        .orderBy(col("m"), col("j")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
-      Some(flat.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray)
-    }
-  }
-
-  /** The `codes` column: per-subspace argmin against the codebooks —
-    * [[Similarity.pqEncode]]'s kernel over an already-double column. */
-  private def codesCol(e: org.apache.spark.sql.Column,
-                       cbs: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
-    val subDims = cbs(0)(0).length
-    array(cbs.indices.map { mm =>
-      NearestCells.cell(slice(e, mm * subDims + 1, subDims), cbs(mm))
-    }: _*)
+    else Some(Similarity.readCodebooks(spark, p.toString))
   }
 
   /** Whether batch `name` already landed in the CURRENT generation —
@@ -263,7 +257,7 @@ object IvfIndex {
       // codebooks (one more codegen'd projection in the same pass) — the
       // code column is what [[searchPq]] scans
       cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
-          assigned.withColumn("codes", codesCol(col("ce"), b))
+          assigned.withColumn("codes", Similarity.pqCodesCol(col("ce"), b))
             .select("cell", "cid", "ce", "codes"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$gp/batch=$name")
@@ -364,7 +358,15 @@ object IvfIndex {
     * assign to their `nProbe` nearest cells against the current
     * quantizer, and the literal probed-cell set prunes every live batch
     * directory to its probed `cell=` children. Query cost is
-    * nProbe/k of the LIVE DATA, independent of the append count. */
+    * nProbe/k of the LIVE DATA, independent of the append count.
+    *
+    * The query side broadcasts UNCONDITIONALLY (the ≤k-distinct-value
+    * `cell` key would make a stats-driven shuffle join maximally
+    * skewed), so its post-explode size — maxQueryRows × nProbe rows ×
+    * the embedding width — must fit the driver and executors:
+    * [[Similarity.DefaultMaxQueryRows]]'s sizing note assumes 64-dim
+    * doubles (~50 MB); at production dims lower `maxQueryRows`
+    * proportionally (1024-dim doubles ⇒ ~6k rows per 50 MB). */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              topK: Int, nProbe: Int = 4,
              maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
@@ -411,43 +413,37 @@ object IvfIndex {
     * how many appends built the index. A compaction's publish-before-
     * retire window can expose a vector twice; the twins carry identical
     * codes (deterministic encode), so the (qid, cid) dedup before
-    * ranking collapses them exactly as [[search]] does. */
+    * ranking collapses them exactly as [[search]] does.
+    *
+    * The broadcast query side carries M×Ks LUT columns per row — size
+    * `maxQueryRows` for dims AND (M, Ks): the default assumes the
+    * gate-scale M=4/Ks=8; at M=16/Ks=256 each query row is ~32 KB of
+    * LUT, so cap queries in the low thousands per call. */
   def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
                topK: Int, nProbe: Int = 4,
                maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
     val cents = centroids(spark, dir)
     val cbs = codebooks(spark, dir).getOrElse(throw new IllegalStateException(
       s"IvfIndex at $dir is not product-quantized — init() with codebooks"))
-    val m = cbs.length
-    val ks = cbs(0).length
-    val subDims = cbs(0)(0).length
-    def subDist(mm: Int, j: Int): org.apache.spark.sql.Column =
-      (0 until subDims).map { d =>
-        val c = cbs(mm)(j)(d)
-        val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
-        x * x
-      }.reduceLeft(_ + _)
+    // the LUT builder and ADC scorer are the ONE shared implementation
+    // ([[Similarity.adcLutColumns]]/[[Similarity.adcScoreCol]]) the
+    // immutable ivfPqSearch and pqTopK also compile — the gate-pinned
+    // table arithmetic cannot diverge between the search paths
     val q = Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.searchPq")
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qe"))
-      .select(Seq(col("qid"), col("qe")) ++
-        (for (mm <- 0 until m; j <- 0 until ks)
-          yield subDist(mm, j).as(s"d_${mm}_$j")): _*)
+      .select(Seq(col("qid"), col("qe")) ++ Similarity.adcLutColumns(cbs): _*)
       .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
       .drop("qe")
       .localCheckpoint() // one pass builds probe set + LUTs
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    val cells = readCodes(spark, dir)
+    // readCols directly: the codebooks were already read above, no second
+    // driver round-trip for readCodes' is-PQ re-check
+    val cells = readCols(spark, dir, Seq("cell", "cid", "codes"), codedSchema)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
-    def termFor(mm: Int): org.apache.spark.sql.Column = {
-      val code = element_at(col("codes"), mm + 1)
-      (0 until ks - 1).foldRight(col(s"d_${mm}_${ks - 1}")) { (j, acc) =>
-        when(code === j, col(s"d_${mm}_$j")).otherwise(acc)
-      }
-    }
     val scored = broadcast(q).join(cells, Seq("cell"))
       .where(col("qid") =!= col("cid"))
-      .withColumn("adist", (0 until m).map(termFor).reduceLeft(_ + _))
+      .withColumn("adist", Similarity.adcScoreCol(cbs))
       // fold-window twins carry identical deterministic codes → identical
       // adist; dedup on scalars only, before ranking (like [[search]])
       .select("qid", "cid", "adist")
@@ -533,7 +529,7 @@ object IvfIndex {
           col("embedding").cast("array<double>").as("ce"))
         .withColumn("cell", NearestCells.cell(col("ce"), centroids))
       cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
-          assigned.withColumn("codes", codesCol(col("ce"), b))
+          assigned.withColumn("codes", Similarity.pqCodesCol(col("ce"), b))
             .select("cell", "cid", "ce", "codes"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$gp/batch=fold$gid")

@@ -192,7 +192,15 @@ object SigIndex {
     * [[append]]: the claim then covers the whole read→dedup→append span,
     * so a second writer whose snapshot raced yours fails loud at its
     * claim even when the two `append` calls themselves never overlap
-    * (the claim-time default only detects overlapping appends). */
+    * (the claim-time default only detects overlapping appends).
+    *
+    * PRECISELY what the guard detects: any two writers whose slot-read →
+    * claim spans overlap collide on a slot and the later claim throws. A
+    * writer whose ENTIRE span lands inside another's claim → marker gap
+    * (milliseconds of driver-side filesystem calls, no Spark jobs) reads
+    * the higher slot and passes undetected — the guard is a tripwire for
+    * uncoordinated writers, not a lock; sequential dispatch (the
+    * `foreachBatch` shape) remains the contract. */
   def nextAppendSeq(spark: SparkSession, dir: String): Long =
     maxSlot(fs(spark, dir), dir) + 1
 
@@ -403,9 +411,13 @@ object SigIndex {
         f.delete(new org.apache.hadoop.fs.Path(root, m), false))
     }
     // superseded ledger generations vacuum once a strictly newer marker
-    // is itself older than the grace window
+    // is itself older than the grace window; marker-LESS ledger dirs (a
+    // crash between the parquet write and the marker create) are orphans
+    // — correctly invisible to readers — swept once the DIRECTORY is
+    // older than the grace window (an in-flight fold's dir is younger)
     val ledgers = f.listStatus(root).toSeq.map(_.getPath.getName)
       .flatMap(stamped(DecLedgerPrefix, _)).sorted
+    val markedGens = ledgers.map(_._2).toSet
     ledgers.zipWithIndex.foreach { case ((_, g), i) =>
       val supersededLongEnough =
         ledgers.drop(i + 1).exists { case (ts, _) => now2 - ts >= graceMs }
@@ -415,6 +427,13 @@ object SigIndex {
           .filter(m => stamped(DecLedgerPrefix, m).exists(_._2 == g))
           .foreach(m => f.delete(new org.apache.hadoop.fs.Path(root, m), false))
       }
+    }
+    f.listStatus(root).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("decled-") &&
+          !markedGens.contains(n.drop("decled-".length)) &&
+          st.getModificationTime <= now2 - graceMs)
+        f.delete(st.getPath, true)
     }
   }
 

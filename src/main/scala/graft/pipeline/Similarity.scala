@@ -426,6 +426,60 @@ object Similarity {
       (Integer.parseInt(hex, 16) - 128) / 128.0
     }
 
+  /** The PQ code column for an `array<double>` embedding column: one
+    * [[NearestCells]] argmin per `subDims`-wide subspace slice, the
+    * codebooks riding the stage binary — THE one encode kernel every PQ
+    * consumer shares ([[pqEncode]], [[ivfPqBuild]], [[IvfIndex]]). */
+  private[pipeline] def pqCodesCol(e: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val subDims = codebooks(0)(0).length
+    array(codebooks.indices.map { mm =>
+      NearestCells.cell(slice(e, mm * subDims + 1, subDims), codebooks(mm))
+    }: _*)
+  }
+
+  /** Decode a persisted `(m, j, c)` codebooks parquet back into the
+    * `[m][ks][subDims]` array — the one reader [[ivfPqSearch]] and
+    * [[IvfIndex.codebooks]] share. */
+  private[pipeline] def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val flat = spark.read.parquet(path)
+      .orderBy(col("m"), col("j")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    flat.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+  }
+
+  /** The per-query ADC lookup-table columns `d_mm_j` over `qe` — exact
+    * subspace distances with a FIXED left-fold term order, so an external
+    * oracle reproduces the doubles bit-for-bit. Shared by every ADC
+    * scorer ([[pqTopK]], [[ivfPqSearch]], [[IvfIndex.searchPq]]): the
+    * gate-pinned table arithmetic exists ONCE. */
+  private[pipeline] def adcLutColumns(
+      codebooks: Array[Array[Array[Double]]]): Seq[Column] = {
+    val subDims = codebooks(0)(0).length
+    for (mm <- codebooks.indices; j <- codebooks(mm).indices) yield {
+      (0 until subDims).map { d =>
+        val c = codebooks(mm)(j)(d)
+        val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
+        x * x
+      }.reduceLeft(_ + _).as(s"d_${mm}_$j")
+    }
+  }
+
+  /** The ADC score: M table probes on `codes` against the broadcast
+    * `d_mm_j` LUT columns, summed in fixed order. */
+  private[pipeline] def adcScoreCol(
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val ks = codebooks(0).length
+    def termFor(mm: Int): Column = {
+      val code = element_at(col("codes"), mm + 1)
+      (0 until ks - 1).foldRight(col(s"d_${mm}_${ks - 1}")) { (j, acc) =>
+        when(code === j, col(s"d_${mm}_$j")).otherwise(acc)
+      }
+    }
+    codebooks.indices.map(termFor).reduceLeft(_ + _)
+  }
+
   /** Product-quantize the corpus: each vector becomes M small codes (one
     * argmin per `subDims`-wide subspace against that subspace's
     * codebook). Narrow and fully codegen'd — the [[NearestCells]] kernel
@@ -434,14 +488,9 @@ object Similarity {
     * (256 B) compresses to M bytes of codes (64x at M=4), so a billion
     * vectors' codes fit where raw embeddings cannot. */
   def pqEncode(corpus: DataFrame,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val subDims = codebooks(0)(0).length
-    val e = asDouble(col("embedding"))
+               codebooks: Array[Array[Array[Double]]]): DataFrame =
     corpus.select(col("vec_id"),
-      array(codebooks.indices.map { mm =>
-        NearestCells.cell(slice(e, mm * subDims + 1, subDims), codebooks(mm))
-      }: _*).as("codes"))
-  }
+      pqCodesCol(asDouble(col("embedding")), codebooks).as("codes"))
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds its
     * M x Ks lookup table of exact subspace distances ONCE, then every
@@ -453,32 +502,13 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              codebooks: Array[Array[Array[Double]]],
              maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
-    val m = codebooks.length
-    val ks = codebooks(0).length
-    val subDims = codebooks(0)(0).length
     val coded = pqEncode(corpus, codebooks)
       .select(col("vec_id").as("cid"), col("codes"))
-    // per-query LUT columns d_mm_j: fixed left-fold term order so an
-    // external oracle reproduces the doubles bit-for-bit
-    def subDist(mm: Int, j: Int): Column =
-      (0 until subDims).map { d =>
-        val c = codebooks(mm)(j)(d)
-        val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
-        x * x
-      }.reduceLeft(_ + _)
     val q = requireBounded(queries, maxQueryRows, "pqTopK")
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-      .select(col("qid") +:
-        (for (mm <- 0 until m; j <- 0 until ks)
-          yield subDist(mm, j).as(s"d_${mm}_$j")): _*)
-    def termFor(mm: Int): Column = {
-      val code = element_at(col("codes"), mm + 1)
-      (0 until ks - 1).foldRight(col(s"d_${mm}_${ks - 1}")) { (j, acc) =>
-        when(code === j, col(s"d_${mm}_$j")).otherwise(acc)
-      }
-    }
+      .select(col("qid") +: adcLutColumns(codebooks): _*)
     val scored = broadcast(q).join(coded, col("qid") =!= col("cid"))
-      .withColumn("adist", (0 until m).map(termFor).reduceLeft(_ + _))
+      .withColumn("adist", adcScoreCol(codebooks))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -505,7 +535,6 @@ object Similarity {
                  codebooks: Array[Array[Array[Double]]]): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val subDims = codebooks(0)(0).length
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -516,9 +545,7 @@ object Similarity {
     val e = asDouble(col("embedding"))
     corpus.select(col("vec_id").as("cid"), e.as("e"))
       .withColumn("cell", NearestCells.cell(col("e"), centroids))
-      .withColumn("codes", array(codebooks.indices.map { mm =>
-        NearestCells.cell(slice(col("e"), mm * subDims + 1, subDims), codebooks(mm))
-      }: _*))
+      .withColumn("codes", pqCodesCol(col("e"), codebooks))
       .select("cell", "cid", "codes")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
@@ -537,40 +564,19 @@ object Similarity {
                   maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
-    val flat = spark.read.parquet(s"$dir/codebooks")
-      .orderBy(col("m"), col("j")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
-    val codebooks: Array[Array[Array[Double]]] =
-      flat.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
-    val m = codebooks.length
-    val ks = codebooks(0).length
-    val subDims = codebooks(0)(0).length
-    def subDist(mm: Int, j: Int): Column =
-      (0 until subDims).map { d =>
-        val c = codebooks(mm)(j)(d)
-        val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
-        x * x
-      }.reduceLeft(_ + _)
+    val codebooks = readCodebooks(spark, s"$dir/codebooks")
     val q = requireBounded(queries, maxQueryRows, "ivfPqSearch")
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-      .select(Seq(col("qid"), col("qe")) ++
-        (for (mm <- 0 until m; j <- 0 until ks)
-          yield subDist(mm, j).as(s"d_${mm}_$j")): _*)
+      .select(Seq(col("qid"), col("qe")) ++ adcLutColumns(codebooks): _*)
       .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
       .drop("qe")
       .localCheckpoint() // one pass builds probe set + LUTs
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     val cells = spark.read.parquet(s"$dir/cells")
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
-    def termFor(mm: Int): Column = {
-      val code = element_at(col("codes"), mm + 1)
-      (0 until ks - 1).foldRight(col(s"d_${mm}_${ks - 1}")) { (j, acc) =>
-        when(code === j, col(s"d_${mm}_$j")).otherwise(acc)
-      }
-    }
     val scored = broadcast(q).join(cells, Seq("cell"))
       .where(col("qid") =!= col("cid"))
-      .withColumn("adist", (0 until m).map(termFor).reduceLeft(_ + _))
+      .withColumn("adist", adcScoreCol(codebooks))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
