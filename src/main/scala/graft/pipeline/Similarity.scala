@@ -584,6 +584,29 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * QUALITY metric for every ANN knob in this file (LSH bits/probes,
+    * IVF nProbe, PQ M/Ks): per query, the fraction of the exact top-k
+    * neighbour ids the approximate search returned. Both inputs are the
+    * `(qid, cid, …, rank)` shape the top-k operators emit; `k` is taken
+    * from the EXACT side per query (an approximate search that returns
+    * fewer rows — probed cells too sparse — loses recall, as it should).
+    *
+    * Tuning loop at scale: recall is measured on a BOUNDED query sample
+    * (both sides are top-k outputs, so this is result-sized relational
+    * work — one semi-join + two tiny aggregations), then the chosen knob
+    * applies to the full corpus. Output: (qid, hits, k, recall). */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("qid"), col("cid"))
+    val k = ex.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+    val hits = approx.select(col("qid"), col("cid"))
+      .join(ex, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    k.join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to a
     * vec_id prefix for the exact gate query (the scale path feeds LSH
     * buckets instead of the full cross join). */

@@ -149,6 +149,17 @@ object PipelineQueries {
       Similarity.pqTopK(e, e.where(col("vec_id") < 10), 3,
         Similarity.fixedCodebooks(4, 8, 16))
     }),
+    // the ANN QUALITY harness: recall@3 of the IVF probe against the
+    // exact brute-force top-3, per query — the metric every approximate
+    // knob (nProbe, bits, M/Ks) is tuned by; the oracle recomputes both
+    // rankings and the hit intersection independently
+    "q_sim_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfProbe(e, q, 3, Similarity.fixedCentroids(8, 64), nProbe = 3),
+        Similarity.bruteForceTopK(e, q, 3))
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -1341,6 +1352,53 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
          |      FROM scored)
          |SELECT qid, cid, round(adist, 6) AS adist, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // recall@3: the ivf-probe CTEs and the brute-force CTEs, joined on
+    // (qid, cid) for the hit count; recall = hits / exact-k as ONE double
+    // division so both engines emit the identical IEEE value
+    "q_sim_recall" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id, embedding,
+         |         ${(0 until 8).map(i => s"(${ivfDistSql("embedding", i)}) AS d$i").mkString(",\n         ")}
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id AS cid, embedding AS ce, $ivfArgminSql AS cell FROM dist),
+         |qprobe0 AS (
+         |  SELECT vec_id AS qid, embedding AS qe,
+         |         unnest([${(0 until 8).map(i => s"struct_pack(cell := $i, dist := d$i)").mkString(", ")}]) AS u
+         |  FROM dist WHERE vec_id < 10),
+         |qprobe AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT qid, qe, u.cell AS cell, u.dist AS dist,
+         |           row_number() OVER (PARTITION BY qid ORDER BY u.dist, u.cell) AS cr
+         |    FROM qprobe0)
+         |  WHERE cr <= 3),
+         |ivf_scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM qprobe q JOIN cells c ON q.cell = c.cell AND q.qid <> c.cid),
+         |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |          FROM ivf_scored),
+         |approx AS (SELECT qid, cid FROM ivf_r WHERE rank <= 3),
+         |ex_pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ex_scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM ex_pairs),
+         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |         FROM ex_scored),
+         |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
+         |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
+         |hits AS (
+         |  SELECT a.qid, count(*) AS hits
+         |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+         |  GROUP BY a.qid)
+         |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
+         |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
+         |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin,
 
     "q_sim_pq" ->
       s"""WITH dist AS (

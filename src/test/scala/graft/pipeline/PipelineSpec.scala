@@ -727,4 +727,30 @@ class PipelineSpec extends AnyFunSuite {
     val k = Similarity.autoCellCount(n)
     assert(n.toDouble * n / k <= 1.05 * math.pow(n.toDouble, 1.5))
   }
+
+  test("recallAtK: probing ALL cells recovers brute force exactly; fewer probes bound it") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 10)
+    val cents = Similarity.fixedCentroids(8, 64)
+    val exact = Similarity.bruteForceTopK(e, q, 3)
+    // closure: nProbe = k means every candidate is scored -> recall 1.0
+    val full = Similarity.recallAtK(
+      Similarity.ivfProbe(e, q, 3, cents, nProbe = 8), exact).collect()
+    assert(full.length == 10)
+    assert(full.forall(r => r.getAs[Double]("recall") == 1.0),
+      "probing all cells must equal brute force")
+    // bounded: every recall in [0,1], k taken from the exact side
+    val part = Similarity.recallAtK(
+      Similarity.ivfProbe(e, q, 3, cents, nProbe = 1), exact).collect()
+    assert(part.forall { r =>
+      val rec = r.getAs[Double]("recall")
+      rec >= 0.0 && rec <= 1.0 && r.getAs[Long]("k") == 3L &&
+        r.getAs[Long]("hits") <= 3L
+    })
+    // monotone in nProbe on average (more cells scored, never fewer hits
+    // for the same ranking rule)
+    def mean(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean(full) >= mean(part))
+  }
 }
