@@ -455,6 +455,54 @@ object IvfIndex {
       .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
   }
 
+  /** Two-stage ADC search with EXACT re-ranking (Jégou et al. TPAMI 2011
+    * §IV-C's verification step): stage 1 takes an ADC shortlist of
+    * `shortlist` candidates per query ([[searchPq]] — code-column scan,
+    * approximate by construction); stage 2 re-scores ONLY those
+    * candidates with exact cosine over the raw vectors the appendable
+    * layout retains beside the codes, and returns the exact top-k of the
+    * shortlist. This is the payoff of storing both columns: recall
+    * approaches the flat [[search]]'s at I/O close to [[searchPq]]'s —
+    * the raw-vector read is shortlist-sized (queries × shortlist rows
+    * via a broadcast semi-join into the probed cells), never
+    * nProbe/k-of-corpus-sized. Output matches [[search]]
+    * ((qid, cid, cos, rank), exact cosines). `shortlist` defaults to
+    * 4 × topK; raising it trades stage-2 reads for recall. */
+  def searchPqRerank(spark: SparkSession, dir: String, queries: DataFrame,
+                     topK: Int, shortlist: Int = 0, nProbe: Int = 4,
+                     maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
+    val l = if (shortlist > 0) shortlist else 4 * topK
+    require(l >= topK, s"shortlist $l must cover topK $topK")
+    val cents = centroids(spark, dir)
+    val q = Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.searchPqRerank")
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+      .localCheckpoint() // one bounded query snapshot: probe set + stage 2
+    val probed = q
+      .select(explode(NearestCells.column(col("qe"), cents, nProbe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val short = searchPq(spark, dir,
+        q.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        l, nProbe, maxQueryRows)
+      .select(col("qid"), col("cid"))
+    // stage 2: raw vectors for the shortlist only — the scan partition-
+    // prunes to the probed cells and the broadcast shortlist semi-joins
+    // it down to queries × shortlist rows before any exact cosine
+    val vecs = readCols(spark, dir, Seq("cell", "cid", "ce"), cellSchema)
+      .where(col("cell").isInCollection(probed))
+    val cand = vecs.join(broadcast(short), Seq("cid"))
+    val scored = broadcast(q).join(cand, Seq("qid"))
+      .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
+      // fold-window twins collapse on scalars, like [[search]]
+      .select("qid", "cid", "cos")
+      .dropDuplicates("qid", "cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Per-cell live vector counts (missing cells = 0 occupancy). */
   def cellCounts(spark: SparkSession, dir: String): Map[Int, Long] =
     read(spark, dir).groupBy(col("cell")).count()

@@ -141,6 +141,20 @@ object PipelineQueries {
       }
       IvfIndex.searchPq(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
     }),
+    // two-stage ADC + exact re-rank over the INCREMENTAL index: the ADC
+    // shortlist (6 per query) re-scores with exact cosine over the raw
+    // vectors the appendable layout retains — the oracle composes the
+    // ivfpq shortlist CTEs with a brute-force re-rank over the same ids
+    "q_sim_ivfpq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_rr").toString + "/idx"
+      IvfIndex.init(s, idx, Similarity.fixedCentroids(8, 64),
+        Some(Similarity.fixedCodebooks(4, 8, 16)))
+      (0 until 3).foreach(b =>
+        IvfIndex.append(e.where(pmod(col("vec_id"), lit(3)) === b), idx, s"r$b"))
+      IvfIndex.searchPqRerank(s, idx, e.where(col("vec_id") < 10), 3,
+        shortlist = 6, nProbe = 3)
+    }),
     // ADC over PQ codes is definitionally a linear scan of the (tiny)
     // code column with the bounded query LUT broadcast — the nested-loop
     // here is intended, exactly like the q_sim_topk baseline
@@ -1352,6 +1366,56 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
          |      FROM scored)
          |SELECT qid, cid, round(adist, 6) AS adist, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // two-stage IVFADC + exact re-rank: the ivfpq CTEs produce the ADC
+    // shortlist (rank <= 6), the re-rank joins raw embeddings back and
+    // ranks by exact cosine — the engine's stage-2 arithmetic verbatim
+    "q_sim_ivfpq_rerank" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id, embedding,
+         |         ${(0 until 8).map(i => s"(${ivfDistSql("embedding", i)}) AS d$i").mkString(",\n         ")},
+         |         ${(for (mm <- 0 until 4; j <- 0 until 8)
+              yield s"(${pqSubDistSql("embedding", mm, j)}) AS d_${mm}_$j")
+              .mkString(",\n         ")}
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id AS cid, $ivfArgminSql AS cell,
+         |         ${(0 until 4).map(mm => s"(${pqArgminSql(mm)}) AS c$mm")
+              .mkString(",\n         ")}
+         |  FROM dist),
+         |qprobe0 AS (
+         |  SELECT vec_id AS qid,
+         |         unnest([${(0 until 8).map(i => s"struct_pack(cell := $i, dist := d$i)").mkString(", ")}]) AS u
+         |  FROM dist WHERE vec_id < 10),
+         |qprobe AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, u.cell AS cell, u.dist AS dist,
+         |           row_number() OVER (PARTITION BY qid ORDER BY u.dist, u.cell) AS cr
+         |    FROM qprobe0)
+         |  WHERE cr <= 3),
+         |q AS (SELECT vec_id AS qid,
+         |         ${(for (mm <- 0 until 4; j <- 0 until 8) yield s"d_${mm}_$j").mkString(", ")}
+         |      FROM dist WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.qid, cells.cid,
+         |         ${(0 until 4).map(mm => s"(${pqAdcTermSql(mm)})")
+              .mkString(" + ")} AS adist
+         |  FROM qprobe JOIN q ON qprobe.qid = q.qid
+         |    JOIN cells ON qprobe.cell = cells.cell AND q.qid <> cells.cid),
+         |adc_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
+         |          FROM adc),
+         |short AS (SELECT qid, cid FROM adc_r WHERE rank <= 6),
+         |rr_pairs AS (
+         |  SELECT s.qid, s.cid, eq.embedding AS qe, ec.embedding AS ce
+         |  FROM short s JOIN embeddings eq ON eq.vec_id = s.qid
+         |               JOIN embeddings ec ON ec.vec_id = s.cid),
+         |rr_scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM rr_pairs),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |       FROM rr_scored)
+         |SELECT qid, cid, round(cos, 6) AS cos, rank FROM rr WHERE rank <= 3""".stripMargin,
 
     // recall@3: the ivf-probe CTEs and the brute-force CTEs, joined on
     // (qid, cid) for the hit count; recall = hits / exact-k as ONE double

@@ -141,9 +141,10 @@ class EngineIntegrationSpec extends AnyFunSuite {
       // returned frame is only the broadcast rewrite), so a plan check
       // on the result would be vacuous
       "q_sim_ivf_incremental", "q_sim_semdedup_incremental",
-      // round-13 addition: the appendable IVF-PQ history (ADC over the
-      // partition-pruned code scan with the broadcast LUT side)
-      "q_sim_ivfpq_incremental").foreach { q =>
+      // round-13 additions: the appendable IVF-PQ history (ADC over the
+      // partition-pruned code scan with the broadcast LUT side) and the
+      // two-stage rerank (broadcast shortlist semi-join, equi-joins only)
+      "q_sim_ivfpq_incremental", "q_sim_ivfpq_rerank").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

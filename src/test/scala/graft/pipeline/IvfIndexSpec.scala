@@ -481,6 +481,29 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 3).count() == 30)
   }
 
+  test("searchPqRerank: exact cosines, recall between ADC and flat, full shortlist = flat") {
+    val dir = freshPqIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"p$b"))
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 3)
+    def meanRecall(df: org.apache.spark.sql.DataFrame) = {
+      val rows = Similarity.recallAtK(df, exact).collect()
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    val adc = meanRecall(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 3))
+    val rr = meanRecall(IvfIndex.searchPqRerank(spark, dir, q, 3,
+      shortlist = 12, nProbe = 3))
+    val flat = meanRecall(IvfIndex.search(spark, dir, q, 3, nProbe = 3))
+    assert(rr >= adc, s"re-ranking lost recall: adc=$adc rerank=$rr")
+    assert(flat >= rr - 1e-9, s"rerank beat exact-within-probe: rr=$rr flat=$flat")
+    // a shortlist covering every probed candidate IS the flat search:
+    // identical rows, exact cosines included
+    val all = IvfIndex.searchPqRerank(spark, dir, q, 3,
+      shortlist = emb.count().toInt, nProbe = 3)
+    assert(resultSet(all) == resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3)))
+  }
+
   test("PQ snapshot restores with codebooks; searchPq answers from the snapshot") {
     val dir = freshPqIndex()
     (0 until 2).foreach(b => IvfIndex.append(
