@@ -197,19 +197,23 @@ object IvfIndex {
   }
 
   /** The current generation's quantizer, cell-ordered. */
-  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
-    val (_, gp) = requireGen(spark, dir)
+  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    centroidsIn(spark, requireGen(spark, dir)._2)
+
+  private def centroidsIn(spark: SparkSession, gp: String): Array[Array[Double]] =
     spark.read.parquet(s"$gp/centroids").orderBy(col("cell"))
       .collect().map(_.getSeq[Double](1).toArray)
-  }
 
   /** The current generation's PQ codebooks (None on a flat index) —
     * [[Similarity.readCodebooks]] over the generation's parquet. */
   def codebooks(spark: SparkSession,
-                dir: String): Option[Array[Array[Array[Double]]]] = {
-    val (_, gp) = requireGen(spark, dir)
+                dir: String): Option[Array[Array[Array[Double]]]] =
+    codebooksIn(spark, requireGen(spark, dir)._2)
+
+  private def codebooksIn(spark: SparkSession,
+                          gp: String): Option[Array[Array[Array[Double]]]] = {
     val p = new org.apache.hadoop.fs.Path(s"$gp/codebooks")
-    if (!fs(spark, dir).exists(p)) None
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
     else Some(Similarity.readCodebooks(spark, p.toString))
   }
 
@@ -334,9 +338,15 @@ object IvfIndex {
   }
 
   private def readCols(spark: SparkSession, dir: String, cols: Seq[String],
-                       emptySchema: StructType): DataFrame = {
-    val (_, gp) = requireGen(spark, dir)
-    val f = fs(spark, dir)
+                       emptySchema: StructType): DataFrame =
+    readColsIn(spark, requireGen(spark, dir)._2, cols, emptySchema)
+
+  /** [[readCols]] against an ALREADY-RESOLVED generation path — multi-
+    * stage queries resolve the generation ONCE and thread it through, so
+    * a retrain flipping mid-query cannot mix two quantizers' layouts. */
+  private def readColsIn(spark: SparkSession, gp: String, cols: Seq[String],
+                         emptySchema: StructType): DataFrame = {
+    val f = fs(spark, gp)
     // empty batches land as marker-only (no directory) — skip them
     val live = liveBatchNames(spark, gp)
       .filter(n => f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
@@ -370,14 +380,17 @@ object IvfIndex {
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              topK: Int, nProbe: Int = 4,
              maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
-    val cents = centroids(spark, dir)
+    // ONE generation resolution for the whole query: quantizer and layout
+    // always agree even when a retrain flips mid-call
+    val (_, gp) = requireGen(spark, dir)
+    val cents = centroidsIn(spark, gp)
     val q = Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.search")
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qe"))
       .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
       .localCheckpoint() // assignment runs once: probe set AND join side
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    val cells = read(spark, dir)
+    val cells = readColsIn(spark, gp, Seq("cell", "cid", "ce"), cellSchema)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     // the query side is bounded by contract — broadcast it explicitly
     // (like [[Similarity.ivfPqSearch]]): the join key `cell` has ≤ k
@@ -422,37 +435,50 @@ object IvfIndex {
   def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
                topK: Int, nProbe: Int = 4,
                maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
-    val cents = centroids(spark, dir)
-    val cbs = codebooks(spark, dir).getOrElse(throw new IllegalStateException(
+    val (_, gp) = requireGen(spark, dir) // one resolution per query
+    val scored = adcScoredIn(spark, gp, dir, queries, nProbe, maxQueryRows,
+      "IvfIndex.searchPq", keepQe = false)._1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
+  }
+
+  /** The deduped ADC-scored relation (qid, cid, adist) of one resolved
+    * generation, plus the checkpointed query frame and probed cell set —
+    * [[searchPq]]'s stage shared with [[searchPqRerank]], which needs the
+    * SAME generation, query snapshot and probe set for both its stages. */
+  private def adcScoredIn(spark: SparkSession, gp: String, dir: String,
+                          queries: DataFrame, nProbe: Int, maxQueryRows: Long,
+                          op: String, keepQe: Boolean)
+      : (DataFrame, DataFrame, Seq[Int]) = {
+    val cents = centroidsIn(spark, gp)
+    val cbs = codebooksIn(spark, gp).getOrElse(throw new IllegalStateException(
       s"IvfIndex at $dir is not product-quantized — init() with codebooks"))
     // the LUT builder and ADC scorer are the ONE shared implementation
     // ([[Similarity.adcLutColumns]]/[[Similarity.adcScoreCol]]) the
     // immutable ivfPqSearch and pqTopK also compile — the gate-pinned
     // table arithmetic cannot diverge between the search paths
-    val q = Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.searchPq")
+    val base = Similarity.boundedQueries(queries, maxQueryRows, op)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qe"))
       .select(Seq(col("qid"), col("qe")) ++ Similarity.adcLutColumns(cbs): _*)
       .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
-      .drop("qe")
-      .localCheckpoint() // one pass builds probe set + LUTs
+    val q = (if (keepQe) base else base.drop("qe"))
+      .localCheckpoint() // one pass builds probe set + LUTs (+ qe for stage 2)
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    // readCols directly: the codebooks were already read above, no second
-    // driver round-trip for readCodes' is-PQ re-check
-    val cells = readCols(spark, dir, Seq("cell", "cid", "codes"), codedSchema)
+    val cells = readColsIn(spark, gp, Seq("cell", "cid", "codes"), codedSchema)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
-    val scored = broadcast(q).join(cells, Seq("cell"))
+    val lut = if (keepQe) q.drop("qe") else q
+    val scored = broadcast(lut).join(cells, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .withColumn("adist", Similarity.adcScoreCol(cbs))
       // fold-window twins carry identical deterministic codes → identical
       // adist; dedup on scalars only, before ranking (like [[search]])
       .select("qid", "cid", "adist")
       .dropDuplicates("qid", "cid")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
+    (scored, q, probed)
   }
 
   /** Two-stage ADC search with EXACT re-ranking (Jégou et al. TPAMI 2011
@@ -463,35 +489,50 @@ object IvfIndex {
     * layout retains beside the codes, and returns the exact top-k of the
     * shortlist. This is the payoff of storing both columns: recall
     * approaches the flat [[search]]'s at I/O close to [[searchPq]]'s —
-    * the raw-vector read is shortlist-sized (queries × shortlist rows
-    * via a broadcast semi-join into the probed cells), never
-    * nProbe/k-of-corpus-sized. Output matches [[search]]
-    * ((qid, cid, cos, rank), exact cosines). `shortlist` defaults to
-    * 4 × topK; raising it trades stage-2 reads for recall. */
+    * the shortlist's distinct cids push into the stage-2 scan as a
+    * LITERAL In predicate (row-group stats skip groups holding none of
+    * them), so the ce read is shortlist-sized; past the driver probe
+    * budget it falls back to the broadcast semi-join over the probed
+    * cells (nProbe/k of the corpus — the flat search's read, never the
+    * whole corpus). Output matches [[search]] ((qid, cid, cos, rank),
+    * exact cosines). `shortlist` defaults to 4 × topK; raising it trades
+    * stage-2 reads for recall. */
   def searchPqRerank(spark: SparkSession, dir: String, queries: DataFrame,
                      topK: Int, shortlist: Int = 0, nProbe: Int = 4,
                      maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
+    require(shortlist >= 0, s"negative shortlist $shortlist (0 = default)")
     val l = if (shortlist > 0) shortlist else 4 * topK
     require(l >= topK, s"shortlist $l must cover topK $topK")
-    val cents = centroids(spark, dir)
-    val q = Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.searchPqRerank")
-      .select(col("vec_id").as("qid"),
-        col("embedding").cast("array<double>").as("qe"))
-      .localCheckpoint() // one bounded query snapshot: probe set + stage 2
-    val probed = q
-      .select(explode(NearestCells.column(col("qe"), cents, nProbe)).as("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val short = searchPq(spark, dir,
-        q.select(col("qid").as("vec_id"), col("qe").as("embedding")),
-        l, nProbe, maxQueryRows)
-      .select(col("qid"), col("cid"))
-    // stage 2: raw vectors for the shortlist only — the scan partition-
-    // prunes to the probed cells and the broadcast shortlist semi-joins
-    // it down to queries × shortlist rows before any exact cosine
-    val vecs = readCols(spark, dir, Seq("cell", "cid", "ce"), cellSchema)
+    // ONE generation resolution, query snapshot and probe set feed BOTH
+    // stages: a retrain flipping mid-call cannot pair stage-1 geometry
+    // with stage-2 layout (probed cells computed against one quantizer
+    // filtering another generation's re-assigned directories)
+    val (_, gp) = requireGen(spark, dir)
+    val (adc, q, probed) = adcScoredIn(spark, gp, dir, queries, nProbe,
+      maxQueryRows, "IvfIndex.searchPqRerank", keepQe = true)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+    val short = adc.withColumn("rk", row_number().over(ws))
+      .where(col("rk") <= l).select(col("qid"), col("cid"))
+      .localCheckpoint() // one shortlist: the cid probe AND the join side
+    // stage 2: raw vectors for the shortlist only. The shortlist is
+    // bounded (queries × l rows), so its distinct cids become a LITERAL
+    // In predicate pushed into the scan — row groups holding none of the
+    // shortlist never decompress their ce column, keeping the stage-2
+    // read shortlist-sized, not probed-cells-sized; past the driver
+    // budget the broadcast semi-join alone filters (the scan then reads
+    // the probed cells' ce — still nProbe/k, never the corpus)
+    val cidProbe = short.select(col("cid")).distinct()
+      .take(MaxRerankCidProbe + 1).map(_.getLong(0))
+    val vecsAll = readColsIn(spark, gp, Seq("cell", "cid", "ce"), cellSchema)
       .where(col("cell").isInCollection(probed))
+    val vecs =
+      if (cidProbe.length <= MaxRerankCidProbe)
+        vecsAll.where(col("cid").isInCollection(cidProbe.toSeq))
+      else vecsAll
     val cand = vecs.join(broadcast(short), Seq("cid"))
-    val scored = broadcast(q).join(cand, Seq("qid"))
+    val qe = q.select(col("qid"), col("qe")).dropDuplicates("qid")
+    val scored = broadcast(qe).join(cand, Seq("qid"))
       .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
       // fold-window twins collapse on scalars, like [[search]]
       .select("qid", "cid", "cos")
@@ -502,6 +543,10 @@ object IvfIndex {
       .where(col("rank") <= topK)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
   }
+
+  /** Driver budget for the stage-2 literal cid probe of
+    * [[searchPqRerank]] — [[SigIndex.probedRows]]' discipline. */
+  private val MaxRerankCidProbe = 100000
 
   /** Per-cell live vector counts (missing cells = 0 occupancy). */
   def cellCounts(spark: SparkSession, dir: String): Map[Int, Long] =

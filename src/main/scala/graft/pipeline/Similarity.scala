@@ -597,9 +597,13 @@ object Similarity {
     * work — one semi-join + two tiny aggregations), then the chosen knob
     * applies to the full corpus. Output: (qid, hits, k, recall). */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val ex = exact.select(col("qid"), col("cid"))
+    // defensive dedup on both sides: a unioned approx frame (or any
+    // non-top-k input) with duplicated (qid, cid) pairs would otherwise
+    // inflate hits past k (left-semi preserves left multiplicity) and
+    // report recall > 1 with no error
+    val ex = exact.select(col("qid"), col("cid")).dropDuplicates("qid", "cid")
     val k = ex.groupBy(col("qid")).agg(count(lit(1)).as("k"))
-    val hits = approx.select(col("qid"), col("cid"))
+    val hits = approx.select(col("qid"), col("cid")).dropDuplicates("qid", "cid")
       .join(ex, Seq("qid", "cid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
     k.join(hits, Seq("qid"), "left")

@@ -729,7 +729,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("recallAtK: probing ALL cells recovers brute force exactly; fewer probes bound it") {
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
     val q = e.where(col("vec_id") < 10)
     val cents = Similarity.fixedCentroids(8, 64)
     val exact = Similarity.bruteForceTopK(e, q, 3)
