@@ -502,6 +502,15 @@ class IvfIndexSpec extends AnyFunSuite {
     val all = IvfIndex.searchPqRerank(spark, dir, q, 3,
       shortlist = emb.count().toInt, nProbe = 3)
     assert(resultSet(all) == resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3)))
+    // the stage-2 scan is SHORTLIST-sized, pinned on the plan: the
+    // shortlist cids reach the ce scan as a pushed In predicate (and the
+    // cell probe stays a partition filter)
+    val rrPlan = IvfIndex.searchPqRerank(spark, dir, q, 3, shortlist = 12, nProbe = 3)
+    rrPlan.collect()
+    val plan = rrPlan.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("\\s", "")
+      .matches("(?s).*PushedFilters:\\[[^\\]]*In\\(cid.*"),
+      s"shortlist cids not pushed into the stage-2 scan:\n${plan.take(2000)}")
   }
 
   test("PQ snapshot restores with codebooks; searchPq answers from the snapshot") {
