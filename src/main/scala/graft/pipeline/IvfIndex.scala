@@ -446,9 +446,12 @@ object IvfIndex {
   }
 
   /** The deduped ADC-scored relation (qid, cid, adist) of one resolved
-    * generation, plus the checkpointed query frame and probed cell set —
-    * [[searchPq]]'s stage shared with [[searchPqRerank]], which needs the
-    * SAME generation, query snapshot and probe set for both its stages. */
+    * generation, plus the checkpointed RAW query frame (one (qid, qe)
+    * row per query — [[searchPqRerank]]'s stage 2 uses it directly, no
+    * array-carrying dedup that would fall back to SortAggregate) and the
+    * probed cell set — [[searchPq]]'s stage shared with
+    * [[searchPqRerank]], which needs the SAME generation, query snapshot
+    * and probe set for both its stages. */
   private def adcScoredIn(spark: SparkSession, gp: String, dir: String,
                           queries: DataFrame, nProbe: Int, maxQueryRows: Long,
                           op: String, keepQe: Boolean)
@@ -456,29 +459,32 @@ object IvfIndex {
     val cents = centroidsIn(spark, gp)
     val cbs = codebooksIn(spark, gp).getOrElse(throw new IllegalStateException(
       s"IvfIndex at $dir is not product-quantized — init() with codebooks"))
+    // ONE bounded materialization of the raw queries feeds the LUT build
+    // AND (for the rerank) the exact stage 2
+    val qRaw = Similarity.boundedQueries(queries, maxQueryRows, op)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+    val qBase = if (keepQe) qRaw.localCheckpoint() else qRaw
     // the LUT builder and ADC scorer are the ONE shared implementation
     // ([[Similarity.adcLutColumns]]/[[Similarity.adcScoreCol]]) the
     // immutable ivfPqSearch and pqTopK also compile — the gate-pinned
     // table arithmetic cannot diverge between the search paths
-    val base = Similarity.boundedQueries(queries, maxQueryRows, op)
-      .select(col("vec_id").as("qid"),
-        col("embedding").cast("array<double>").as("qe"))
+    val q = qBase
       .select(Seq(col("qid"), col("qe")) ++ Similarity.adcLutColumns(cbs): _*)
       .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
-    val q = (if (keepQe) base else base.drop("qe"))
-      .localCheckpoint() // one pass builds probe set + LUTs (+ qe for stage 2)
+      .drop("qe")
+      .localCheckpoint() // one pass builds probe set + LUTs
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     val cells = readColsIn(spark, gp, Seq("cell", "cid", "codes"), codedSchema)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
-    val lut = if (keepQe) q.drop("qe") else q
-    val scored = broadcast(lut).join(cells, Seq("cell"))
+    val scored = broadcast(q).join(cells, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .withColumn("adist", Similarity.adcScoreCol(cbs))
       // fold-window twins carry identical deterministic codes → identical
       // adist; dedup on scalars only, before ranking (like [[search]])
       .select("qid", "cid", "adist")
       .dropDuplicates("qid", "cid")
-    (scored, q, probed)
+    (scored, qBase, probed)
   }
 
   /** Two-stage ADC search with EXACT re-ranking (Jégou et al. TPAMI 2011
@@ -531,8 +537,10 @@ object IvfIndex {
         vecsAll.where(col("cid").isInCollection(cidProbe.toSeq))
       else vecsAll
     val cand = vecs.join(broadcast(short), Seq("cid"))
-    val qe = q.select(col("qid"), col("qe")).dropDuplicates("qid")
-    val scored = broadcast(qe).join(cand, Seq("qid"))
+    // q IS the checkpointed raw (qid, qe) frame — one row per query, no
+    // dedup needed (an array-carrying first() buffer would downgrade the
+    // aggregation to SortAggregate)
+    val scored = broadcast(q).join(cand, Seq("qid"))
       .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
       // fold-window twins collapse on scalars, like [[search]]
       .select("qid", "cid", "cos")
