@@ -354,6 +354,13 @@ object Stress {
         graft.pipeline.IvfIndex.searchPq(spark, stressIvfPqInc,
           emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
       },
+      // two-stage rerank over the same grown index: ADC shortlist (4x
+      // topK) + exact cosine on the shortlist-sized raw-vector read —
+      // the premium over ivfpq_inc_search4 is the stage-2 cost
+      timed("ivfpq_inc_rerank") {
+        graft.pipeline.IvfIndex.searchPqRerank(spark, stressIvfPqInc,
+          emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
+      },
       // include store_build in STRESS_ONLY when measuring the probes
       // below, or the lazy build lands inside the first store_* timing
       timed("store_build") { stressStore; 1L },

@@ -454,5 +454,15 @@ class CurationSpec extends AnyFunSuite {
     assert(dirsWith("boiler-") == 0 && dirsWith("decled-") == 1)
     assert(out(Curation.dedupLinesIncremental(b3, dir, "L3")) == want3)
     assert(out(Curation.dedupLinesIncremental(b0, dir, "L0")) == want0)
+    // a crash between the ledger parquet write and its marker create
+    // leaves a marker-less decled- orphan: invisible to replay, swept by
+    // the next compact once past the grace window
+    Seq((0L, "x")).toDF("name_dummy", "bv_dummy")
+      .write.parquet(s"$dir/decled-orphan")
+    assert(out(Curation.dedupLinesIncremental(b0, dir, "L0")) == want0,
+      "an unmarked ledger dir leaked into replay resolution")
+    SigIndex.compact(spark, dir, graceMs = 0L, decisionRetentionMs = 0L)
+    assert(dirsWith("decled-") == 1, "marker-less ledger orphan not swept")
+    assert(out(Curation.dedupLinesIncremental(b0, dir, "L0")) == want0)
   }
 }
