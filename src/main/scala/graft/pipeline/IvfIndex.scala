@@ -407,11 +407,7 @@ object IvfIndex {
       // aggregate would fall back to SortAggregate
       .select("qid", "cid", "cos")
       .dropDuplicates("qid", "cid")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+    Similarity.rankTopK(scored, "cos", ascending = false, topK)
   }
 
   /** ADC search over a product-quantized index — [[Similarity.ivfPqSearch]]'s
@@ -438,11 +434,7 @@ object IvfIndex {
     val (_, gp) = requireGen(spark, dir) // one resolution per query
     val scored = adcScoredIn(spark, gp, dir, queries, nProbe, maxQueryRows,
       "IvfIndex.searchPq", keepQe = false)._1
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
+    Similarity.rankTopK(scored, "adist", ascending = true, topK)
   }
 
   /** The deduped ADC-scored relation (qid, cid, adist) of one resolved
@@ -545,11 +537,7 @@ object IvfIndex {
       // fold-window twins collapse on scalars, like [[search]]
       .select("qid", "cid", "cos")
       .dropDuplicates("qid", "cid")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+    Similarity.rankTopK(scored, "cos", ascending = false, topK)
   }
 
   /** Driver budget for the stage-2 literal cid probe of

@@ -58,6 +58,23 @@ object Similarity {
     queries
   }
 
+  /** The one per-query ranking tail every top-k operator shares: rank
+    * by (`scoreCol` desc-or-asc, cid asc) within qid, keep k, round the
+    * score to 6 — WindowGroupLimit bounds per-partition state to k rows
+    * before the qid exchange. Kept in ONE place so the deterministic
+    * tie-break and rounding can never diverge between operators (or
+    * from the gate oracles that reproduce them). */
+  private[pipeline] def rankTopK(scored: DataFrame, scoreCol: String,
+                                 ascending: Boolean, k: Int): DataFrame = {
+    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(ord, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cid"),
+        round(col(scoreCol), 6).as(scoreCol), col("rank"))
+  }
+
   /** Exact top-k neighbours for each query vector (queries: (vec_id,
     * embedding)). Output: (qid, cid, cos, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -67,11 +84,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("ce"))
     val scored = q.join(c, col("qid") =!= col("cid"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+    rankTopK(scored, "cos", ascending = false, k)
   }
 
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
@@ -134,11 +147,7 @@ object Similarity {
       }
     val scored = q.join(c, Seq("bucket")).where(col("qid") =!= col("cid"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+    rankTopK(scored, "cos", ascending = false, k)
   }
 
   /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer
@@ -255,11 +264,7 @@ object Similarity {
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+    rankTopK(scored, "cos", ascending = false, topK)
   }
 
   /** Assignment + probe against a GIVEN coarse quantizer: one broadcast
@@ -276,11 +281,7 @@ object Similarity {
       .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
     val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
       .withColumn("cos", cosine(col("qe"), col("ce")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"), col("rank"))
+    rankTopK(scored, "cos", ascending = false, topK)
   }
 
   /** Deterministic fixed centroid grid for the oracle-gated probe test:
@@ -509,11 +510,7 @@ object Similarity {
       .select(col("qid") +: adcLutColumns(codebooks): _*)
     val scored = broadcast(q).join(coded, col("qid") =!= col("cid"))
       .withColumn("adist", adcScoreCol(codebooks))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
+    rankTopK(scored, "adist", ascending = true, k)
   }
 
   // ---- persisted IVF-PQ index (Jegou/Douze/Schmid §IV: IVFADC) ----------
@@ -577,11 +574,7 @@ object Similarity {
     val scored = broadcast(q).join(cells, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .withColumn("adist", adcScoreCol(codebooks))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist"), col("rank"))
+    rankTopK(scored, "adist", ascending = true, topK)
   }
 
   /** Recall@k of an approximate top-k result against the exact one — the
