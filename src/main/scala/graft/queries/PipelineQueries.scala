@@ -174,6 +174,16 @@ object PipelineQueries {
         Similarity.ivfProbe(e, q, 3, Similarity.fixedCentroids(8, 64), nProbe = 3),
         Similarity.bruteForceTopK(e, q, 3))
     }),
+    // recall of the PQ/ADC ranking against the exact one — the metric
+    // that prices the 128x code compression: how much of the true top-3
+    // survives the lossy distance
+    "q_sim_recall_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.pqTopK(e, q, 3, Similarity.fixedCodebooks(4, 8, 16)),
+        Similarity.bruteForceTopK(e, q, 3))
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -1416,6 +1426,50 @@ object PipelineQueries {
          |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
          |       FROM rr_scored)
          |SELECT qid, cid, round(cos, 6) AS cos, rank FROM rr WHERE rank <= 3""".stripMargin,
+
+    // PQ recall@3: the ADC-ranking CTEs (q_sim_pq's shape) intersected
+    // with the exact brute-force top-3 — same tail as q_sim_recall
+    "q_sim_recall_pq" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id, embedding,
+         |         ${(for (mm <- 0 until 4; j <- 0 until 8)
+              yield s"(${pqSubDistSql("embedding", mm, j)}) AS d_${mm}_$j")
+              .mkString(",\n         ")}
+         |  FROM embeddings),
+         |coded AS (
+         |  SELECT vec_id AS cid,
+         |         ${(0 until 4).map(mm => s"(${pqArgminSql(mm)}) AS c$mm")
+              .mkString(",\n         ")}
+         |  FROM dist),
+         |q AS (SELECT * FROM dist WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT q.vec_id AS qid, coded.cid,
+         |         ${(0 until 4).map(mm => s"(${pqAdcTermSql(mm)})")
+              .mkString(" + ")} AS adist
+         |  FROM q JOIN coded ON q.vec_id <> coded.cid),
+         |adc_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
+         |          FROM adc),
+         |approx AS (SELECT qid, cid FROM adc_r WHERE rank <= 3),
+         |ex_pairs AS (
+         |  SELECT qv.vec_id AS qid, cv.vec_id AS cid,
+         |         qv.embedding AS qe, cv.embedding AS ce
+         |  FROM embeddings qv JOIN embeddings cv ON qv.vec_id <> cv.vec_id
+         |  WHERE qv.vec_id < 10),
+         |ex_scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM ex_pairs),
+         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |         FROM ex_scored),
+         |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
+         |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
+         |hits AS (
+         |  SELECT a.qid, count(*) AS hits
+         |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+         |  GROUP BY a.qid)
+         |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
+         |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
+         |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin,
 
     // recall@3: the ivf-probe CTEs and the brute-force CTEs, joined on
     // (qid, cid) for the hit count; recall = hits / exact-k as ONE double
