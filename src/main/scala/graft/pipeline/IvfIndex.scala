@@ -508,10 +508,10 @@ object IvfIndex {
     val (_, gp) = requireGen(spark, dir)
     val (adc, q, probed) = adcScoredIn(spark, gp, dir, queries, nProbe,
       maxQueryRows, "IvfIndex.searchPqRerank", keepQe = true)
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
-    val short = adc.withColumn("rk", row_number().over(ws))
-      .where(col("rk") <= l).select(col("qid"), col("cid"))
+    // the ONE shared ranking tail cuts the shortlist too — its tie-break
+    // can never diverge from searchPq's
+    val short = Similarity.rankTopK(adc, "adist", ascending = true, l)
+      .select(col("qid"), col("cid"))
       .localCheckpoint() // one shortlist: the cid probe AND the join side
     // stage 2: raw vectors for the shortlist only. The shortlist is
     // bounded (queries × l rows), so its distinct cids become a LITERAL
@@ -529,9 +529,9 @@ object IvfIndex {
         vecsAll.where(col("cid").isInCollection(cidProbe.toSeq))
       else vecsAll
     val cand = vecs.join(broadcast(short), Seq("cid"))
-    // q IS the checkpointed raw (qid, qe) frame — one row per query, no
-    // dedup needed (an array-carrying first() buffer would downgrade the
-    // aggregation to SortAggregate)
+    // q IS the checkpointed raw (qid, qe) frame — one row per query by
+    // the family-wide unique-vec_id contract (an array-carrying first()
+    // dedup buffer here would downgrade the aggregation to SortAggregate)
     val scored = broadcast(q).join(cand, Seq("qid"))
       .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
       // fold-window twins collapse on scalars, like [[search]]

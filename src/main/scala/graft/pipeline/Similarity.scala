@@ -37,7 +37,13 @@ object Similarity {
     * `queries` would not get a slow plan, it would get a broadcast OOM (or
     * an accidental all-pairs scan). 100k × (64-dim double + LUT) ≈ low
     * hundreds of MB broadcast: the safe ceiling for default executor
-    * memory. Raise it deliberately via the `maxQueryRows` parameter. */
+    * memory. Raise it deliberately via the `maxQueryRows` parameter.
+    *
+    * Query-frame CONTRACT (whole family): one row per `vec_id`. A frame
+    * carrying duplicate ids with DIFFERENT embeddings mixes both vectors'
+    * scores under one qid in every top-k operator (the per-query window
+    * ranks all of a qid's candidate rows together); identical-embedding
+    * duplicates merely duplicate join work. Dedup upstream. */
   val DefaultMaxQueryRows: Long = 100000L
 
   /** [[requireBounded]] for sibling pipeline operators ([[IvfIndex]]). */
