@@ -361,6 +361,42 @@ object Stress {
         graft.pipeline.IvfIndex.searchPqRerank(spark, stressIvfPqInc,
           emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
       },
+      // round-14 maintenance anchors over the SAME grown 4-batch index:
+      // the skew tick must be a metadata read (sidecar sums — flat,
+      // milliseconds, no scan) and the listing-frozen retrain must cost
+      // one bounded-sample training + one linear re-assign pass, with no
+      // O(corpus) checkpoint materialization inflating it
+      timed("ivf_skew_tick") {
+        (graft.pipeline.IvfIndex.skew(spark, stressIvfPqInc) * 1000).toLong
+      },
+      timed("ivf_inc_retrain") {
+        graft.pipeline.IvfIndex.retrain(spark, stressIvfPqInc, k = 16,
+          iters = 2, trainLimit = 5000)
+      },
+      timed("ivfpq_inc_search_retrained") {
+        graft.pipeline.IvfIndex.searchPq(spark, stressIvfPqInc,
+          emb.where(col("vec_id") < 50), 5, nProbe = 4).count()
+      },
+      // the IMI claim (Babenko & Lempitsky CVPR 2012): at EQUAL effective
+      // cell count, two-level assignment costs 2·√k_eff distance
+      // evaluations per vector vs the flat kernel's k_eff — the flat
+      // probes grow ~linearly in k, the imi ones stay near-flat
+      timed("imi_assign_keff256")(force(
+        emb.select(col("vec_id"), Similarity.imiCell(
+          col("embedding").cast("array<double>"),
+          Similarity.fixedCodebooks(2, 16, 32)).as("cell")))),
+      timed("flat_assign_k256")(force(
+        emb.select(col("vec_id"), graft.pipeline.NearestCells.cell(
+          col("embedding").cast("array<double>"),
+          Similarity.fixedCentroids(256, 64)).as("cell")))),
+      timed("imi_assign_keff4096")(force(
+        emb.select(col("vec_id"), Similarity.imiCell(
+          col("embedding").cast("array<double>"),
+          Similarity.fixedCodebooks(2, 64, 32)).as("cell")))),
+      timed("flat_assign_k4096")(force(
+        emb.select(col("vec_id"), graft.pipeline.NearestCells.cell(
+          col("embedding").cast("array<double>"),
+          Similarity.fixedCentroids(4096, 64)).as("cell")))),
       // include store_build in STRESS_ONLY when measuring the probes
       // below, or the lazy build lands inside the first store_* timing
       timed("store_build") { stressStore; 1L },

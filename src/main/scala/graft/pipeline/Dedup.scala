@@ -327,12 +327,26 @@ object Dedup {
 
   /** Streaming sink: dedup every micro-batch against the index and hand
     * the survivors on (`ds.writeStream.foreachBatch(
-    * Dedup.incrementalSink(dir, out))`). */
+    * Dedup.incrementalSink(dir, out))`).
+    *
+    * `maintainEvery` > 0 runs [[SigIndex.compact]] as a maintenance tick
+    * every that many micro-batches (after the batch's append committed):
+    * aged signature directories fold, decision sidecars roll into the
+    * bounded ledger, and orphans vacuum — without it a long-running
+    * stream grows one directory per micro-batch forever. Exactly-once
+    * across a kill around the tick: the replayed batch answers from its
+    * own directory, kept by `maintenanceGraceMs` (size it above the
+    * checkpoint-replay lag), and the re-run tick folds nothing new. */
   def incrementalSink(indexDir: String, out: DataFrame => Unit,
-                      numHashes: Int = 16, rowsPerBand: Int = 4)
+                      numHashes: Int = 16, rowsPerBand: Int = 4,
+                      maintainEvery: Int = 0,
+                      maintenanceGraceMs: Long = 15 * 60 * 1000L)
       : (DataFrame, Long) => Unit =
-    (df, batchId) =>
+    (df, batchId) => {
       out(incrementalOnce(df, indexDir, batchId, numHashes, rowsPerBand))
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+        SigIndex.compact(df.sparkSession, indexDir, maintenanceGraceMs)
+    }
 
   /** 64-bit SimHash over the token multiset: bit j is the sign of the vote
     * sum where each token votes ±1 according to bit j of its md5 (bit j

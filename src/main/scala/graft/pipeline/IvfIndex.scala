@@ -81,6 +81,7 @@ object IvfIndex {
   private val MarkerPrefix = "_live."
   private val SeenPrefix = "_seen."
   private val SlotPrefix = "_slot."
+  private val HistPrefix = "_hist."
 
   /** A second writer raced this index: the sequence slot this append
     * computed for its generation was claimed by someone else first. */
@@ -191,9 +192,12 @@ object IvfIndex {
     * layout prices reads by the columns touched, not the row width. */
   def init(spark: SparkSession, dir: String,
            centroids: Array[Array[Double]],
-           codebooks: Option[Array[Array[Array[Double]]]] = None): Unit = {
+           codebooks: Option[Array[Array[Array[Double]]]] = None,
+           rotation: Option[Array[Array[Double]]] = None): Unit = {
     require(currentGen(spark, dir).isEmpty, s"IvfIndex at $dir already exists")
-    writeGen(spark, dir, 0L, centroids, codebooks, None, Nil)
+    require(rotation.isEmpty || codebooks.isDefined,
+      s"IvfIndex at $dir: an OPQ rotation without codebooks has nothing to rotate for")
+    writeGen(spark, dir, 0L, centroids, codebooks, rotation, Nil, Nil)
   }
 
   /** The current generation's quantizer, cell-ordered. */
@@ -216,6 +220,11 @@ object IvfIndex {
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
     else Some(Similarity.readCodebooks(spark, p.toString))
   }
+
+  /** The current generation's OPQ rotation (None on a plain index). */
+  def rotation(spark: SparkSession,
+               dir: String): Option[Array[Array[Double]]] =
+    Similarity.readRotation(spark, requireGen(spark, dir)._2)
 
   /** Whether batch `name` already landed in the CURRENT generation —
     * live, folded, or carried forward across a retrain. */
@@ -246,8 +255,13 @@ object IvfIndex {
     // slot read FIRST (before the quantizer read — the start of this
     // append's view of the index), claim before the marker create
     val next = seq.getOrElse(maxSlot(f, gp) + 1)
-    val cents = centroids(spark, dir)
-    val cbs = codebooks(spark, dir)
+    // quantizer and codebooks from the SAME generation resolution as the
+    // layout (gp): a retrain flipping in this window cannot pair the new
+    // quantizer's assignment with the old generation's directories — the
+    // discipline every search path follows (centroidsIn/readColsIn)
+    val cents = centroidsIn(spark, gp)
+    val cbs = codebooksIn(spark, gp)
+    val rot = Similarity.readRotation(spark, gp)
     // an EMPTY batch (routine: every survivor of a semDeDup batch was a
     // near-dup) publishes its marker WITHOUT a directory — a zero-row
     // partitionBy write emits no parquet footer, which later reads could
@@ -259,12 +273,19 @@ object IvfIndex {
         .withColumn("cell", NearestCells.cell(col("ce"), cents))
       // a PQ generation also encodes AT APPEND TIME against its persisted
       // codebooks (one more codegen'd projection in the same pass) — the
-      // code column is what [[searchPq]] scans
+      // code column is what [[searchPq]] scans; an OPQ generation rotates
+      // before the subspace split (codes live in the rotated space)
       cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
-          assigned.withColumn("codes", Similarity.pqCodesCol(col("ce"), b))
+          assigned.withColumn("codes",
+              Similarity.pqCodesCol(Similarity.rotatedCol(col("ce"), rot), b))
             .select("cell", "cid", "ce", "codes"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$gp/batch=$name")
+      // the per-cell occupancy histogram rides along as a tiny sidecar
+      // (footer row counts of the just-written directory — no data pages
+      // decode): [[skew]] then prices quantizer drift from sidecar sums
+      // instead of scanning the index
+      writeHist(spark, f, gp, name)
     }
     Option(appendTestHook.getAndSet(null)).foreach(_.apply())
     if (currentGen(spark, dir) != Some(gid))
@@ -451,6 +472,7 @@ object IvfIndex {
     val cents = centroidsIn(spark, gp)
     val cbs = codebooksIn(spark, gp).getOrElse(throw new IllegalStateException(
       s"IvfIndex at $dir is not product-quantized — init() with codebooks"))
+    val rot = Similarity.readRotation(spark, gp)
     // ONE bounded materialization of the raw queries feeds the LUT build
     // AND (for the rerank) the exact stage 2
     val qRaw = Similarity.boundedQueries(queries, maxQueryRows, op)
@@ -460,9 +482,12 @@ object IvfIndex {
     // the LUT builder and ADC scorer are the ONE shared implementation
     // ([[Similarity.adcLutColumns]]/[[Similarity.adcScoreCol]]) the
     // immutable ivfPqSearch and pqTopK also compile — the gate-pinned
-    // table arithmetic cannot diverge between the search paths
+    // table arithmetic cannot diverge between the search paths. On an
+    // OPQ generation the LUTs build over the ROTATED query (the stored
+    // codes' space); the cell probe stays in the raw space.
     val q = qBase
-      .select(Seq(col("qid"), col("qe")) ++ Similarity.adcLutColumns(cbs): _*)
+      .select(Seq(col("qid"), col("qe")) ++
+        Similarity.adcLutColumns(cbs, Similarity.rotatedCol(col("qe"), rot)): _*)
       .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
       .drop("qe")
       .localCheckpoint() // one pass builds probe set + LUTs
@@ -542,63 +567,232 @@ object IvfIndex {
 
   /** Driver budget for the stage-2 literal cid probe of
     * [[searchPqRerank]] — [[SigIndex.probedRows]]' discipline. */
-  private val MaxRerankCidProbe = 100000
+  private def MaxRerankCidProbe: Int =
+    Option(maxRerankCidProbeOverride.get).map(_.intValue).getOrElse(100000)
 
-  /** Per-cell live vector counts (missing cells = 0 occupancy). */
-  def cellCounts(spark: SparkSession, dir: String): Map[Int, Long] =
-    read(spark, dir).groupBy(col("cell")).count()
+  /** Test seam: lowers the stage-2 cid probe budget so CI can drive (and
+    * plan-pin) [[searchPqRerank]]'s broadcast-semi-join fallback at spec
+    * scale. Production never sets it. */
+  private[pipeline] val maxRerankCidProbeOverride =
+    new java.util.concurrent.atomic.AtomicReference[Integer](null)
+
+  /** [[searchPq]] over an UNBOUNDED query frame: deterministic vec_id
+    * ranges of at most `batchRows` queries run one bounded [[searchPq]]
+    * each against ONE generation resolution, and the per-query top-k
+    * results union (queries are independent across slices — each qid's
+    * answer comes from exactly one bounded call). This is how the
+    * `maxQueryRows` contract composes at fleet scale: driver memory is
+    * bounded by the SLICE (boundary ids are one long per `batchRows`
+    * queries — a 10M-query frame holds ~100 boundaries), never the query
+    * count, and the per-slice broadcast stays inside the sizing notes on
+    * [[search]]/[[searchPq]]. */
+  def searchPqBatched(spark: SparkSession, dir: String, queries: DataFrame,
+                      topK: Int, nProbe: Int = 4,
+                      batchRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
+    require(batchRows > 0, s"batchRows $batchRows must be positive")
+    // ONE generation resolution for every slice: a retrain flipping
+    // mid-iteration cannot answer different slices from different
+    // quantizers
+    val (_, gp) = requireGen(spark, dir)
+    // slice boundaries by sorted vec_id: a distributed sort + one pass
+    // that keeps every batchRows-th id — the driver holds only the
+    // boundaries. Slices are exact (the unique-vec_id query contract),
+    // so each bounded call's require can never trip.
+    val bounds = queries.select(col("vec_id").cast("long"))
+      .orderBy(col("vec_id")).rdd.zipWithIndex()
+      .filter(_._2 % batchRows == 0).map(_._1.getLong(0)).collect().sorted
+    if (bounds.isEmpty) return searchPq(spark, dir, queries, topK, nProbe, batchRows)
+    val slices = bounds.zipWithIndex.map { case (lo, i) =>
+      val hi = if (i + 1 < bounds.length) Some(bounds(i + 1)) else None
+      queries.where(hi.fold(col("vec_id") >= lo)(h =>
+        col("vec_id") >= lo && col("vec_id") < h))
+    }
+    slices.map { q =>
+      val scored = adcScoredIn(spark, gp, dir, q, nProbe, batchRows,
+        "IvfIndex.searchPqBatched", keepQe = false)._1
+      Similarity.rankTopK(scored, "adist", ascending = true, topK)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Write batch `name`'s per-cell row counts as a tiny `_hist.<name>`
+    * text sidecar ("cell count" lines), computed by reading the
+    * just-written directory's partition column only (parquet footer row
+    * counts — no data pages decode). Every batch-producing write path
+    * ([[append]], [[compact]]'s fold, [[retrain]]'s re-assigns) records
+    * one, so the maintenance tick's [[skew]] probe is a metadata read. */
+  private def writeHist(spark: SparkSession, f: org.apache.hadoop.fs.FileSystem,
+                        gp: String, name: String): Unit = {
+    val counts = scanCellCounts(spark, gp, name)
+    val o = f.create(new org.apache.hadoop.fs.Path(gp, s"$HistPrefix$name"), true)
+    o.write(counts.toSeq.sorted.map { case (c, n) => s"$c $n" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    o.close()
+  }
+
+  private def readHist(f: org.apache.hadoop.fs.FileSystem, gp: String,
+                       name: String): Option[Map[Int, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(gp, s"$HistPrefix$name")
+    if (!f.exists(p)) None
+    else try {
+      val in = f.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(s.split("\n").filter(_.nonEmpty).map { l =>
+        val sp = l.indexOf(' ')
+        l.take(sp).toInt -> l.drop(sp + 1).toLong
+      }.toMap)
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+  }
+
+  /** The repair fallback behind [[cellCounts]]: scan ONE batch directory's
+    * partition column (no data columns decode) and count per cell. */
+  private def scanCellCounts(spark: SparkSession, gp: String,
+                             name: String): Map[Int, Long] =
+    spark.read.option("basePath", gp).parquet(s"$gp/batch=$name")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+  /** Per-cell live vector counts (missing cells = 0 occupancy) — summed
+    * from the per-batch `_hist` sidecars every write path records, so the
+    * maintenance tick reads a few KB of metadata instead of scanning the
+    * index; a batch missing its sidecar (externally restored state) falls
+    * back to a partition-column scan of THAT batch only. */
+  def cellCounts(spark: SparkSession, dir: String): Map[Int, Long] =
+    cellCountsIn(spark, requireGen(spark, dir)._2)
+
+  private def cellCountsIn(spark: SparkSession, gp: String): Map[Int, Long] = {
+    val f = fs(spark, gp)
+    val live = liveBatchNames(spark, gp)
+      .filter(n => f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
+    live.map(n => readHist(f, gp, n).getOrElse(scanCellCounts(spark, gp, n)))
+      .foldLeft(Map.empty[Int, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (c, n)) => a.updated(c, a.getOrElse(c, 0L) + n) }
+      }
+  }
+
   /** Quantizer drift measure: max/mean cell occupancy over the k cells
-    * (1.0 = perfectly balanced; k = everything in one cell). */
+    * (1.0 = perfectly balanced; k = everything in one cell). A metadata
+    * read — [[cellCounts]] sums the `_hist` sidecars, never batch data. */
   def skew(spark: SparkSession, dir: String): Double = {
-    val k = centroids(spark, dir).length
-    val counts = cellCounts(spark, dir)
+    val (_, gp) = requireGen(spark, dir)
+    val k = centroidsIn(spark, gp).length
+    val counts = cellCountsIn(spark, gp)
     val total = counts.values.sum
     if (total == 0L) 1.0
     else counts.values.max.toDouble / (total.toDouble / k)
   }
 
+  /** Test seam: observes the frozen re-assign relation [[retrain]] feeds
+    * the new generation from — CI pins that its plan is a straight
+    * parquet scan of the frozen batch listing (no Checkpoint / ExistingRDD
+    * materialization of the corpus), then self-clears. */
+  private[pipeline] val retrainReadTestHook =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame => Unit](null)
+
   /** Retrain the quantizer on a bounded sample of the live index and
-    * rebuild into a NEW generation: fresh centroids, every live vector
-    * re-assigned into one fold batch, old batch names carried forward as
-    * `_seen` records (replay detection survives the flip), visibility
-    * flipped by ONE atomic `_gen` marker create. On a product-quantized
-    * index the CODEBOOKS retrain too (same M and Ks, per-subspace Lloyd
-    * on the same bounded sample) and the fold re-encodes every live
-    * vector against them — possible precisely because the appendable
-    * layout retains raw vectors beside the codes. The old generation's
-    * directories stay on disk for in-flight readers until [[compact]]'s
-    * grace-window vacuum retires them. Returns the new generation id. */
+    * rebuild into a NEW generation: fresh centroids, live vectors
+    * re-assigned, replay detection carried, visibility flipped by ONE
+    * atomic `_gen` marker create. On a product-quantized index the
+    * CODEBOOKS retrain too (same M and Ks, per-subspace Lloyd on the same
+    * bounded sample) and the rebuild re-encodes every live vector against
+    * them — possible precisely because the appendable layout retains raw
+    * vectors beside the codes.
+    *
+    * SCALE SHAPE: the generation and its live batch LISTING are frozen
+    * once, and every pass below is a straight parquet scan of those
+    * immutable directories — the only thing retrain pins to memory is
+    * the bounded train sample (≤ `trainLimit` rows, feeding the coarse
+    * Lloyd passes AND each PQ subspace's), never the corpus.
+    *
+    * REPLAY ACROSS THE FLIP (compact's grace discipline): batches whose
+    * marker is younger than `graceMs` keep PER-BATCH identity in the new
+    * generation — re-assigned into their own `batch=<name>` directory
+    * with a fresh marker — so a streaming `foreachBatch` replay that
+    * crosses the retrain still answers from its own batch ([[readBatch]]
+    * — the survivor ID SET is assignment-invariant). Aged batches fold
+    * into one directory and carry forward as `_seen` records only (a
+    * replay that old fails loud, as it does across a fold).
+    *
+    * The old generation's directories stay on disk for in-flight readers
+    * until [[compact]]'s grace-window vacuum retires them. Returns the
+    * new generation id. */
   def retrain(spark: SparkSession, dir: String, k: Int = 16, iters: Int = 5,
-              trainLimit: Int = 100000): Long = {
+              trainLimit: Int = 100000,
+              graceMs: Long = 15 * 60 * 1000L): Long = {
     val (gid, gp) = requireGen(spark, dir)
-    val vecs = read(spark, dir)
-      .select(col("cid").as("vec_id"), col("ce").as("embedding"))
-      .localCheckpoint() // one snapshot feeds training AND the re-assign
-    val cents = Similarity.trainCentroids(vecs, k, iters, trainLimit)
-    val newCbs = codebooks(spark, dir).map(old =>
-      Similarity.trainCodebooks(vecs, old.length, old(0).length, iters, trainLimit))
     val f = fs(spark, dir)
     val root = new org.apache.hadoop.fs.Path(gp)
-    val carried = (names(f, root, MarkerPrefix) ++ names(f, root, SeenPrefix))
-      .map(_._2).distinct
-    writeGen(spark, dir, gid + 1, cents, newCbs, Some(vecs), carried)
+    val liveMarks = names(f, root, MarkerPrefix)
+    val newest = liveMarks.groupBy(_._2).map { case (n, xs) => n -> xs.map(_._1).max }
+    val now = System.currentTimeMillis()
+    val recent = newest.filter(_._2 > now - graceMs).keys.toSeq.sorted
+    val aged = newest.keys.toSeq.diff(recent).sorted
+    // the frozen corpus view: an explicit-path parquet relation over the
+    // live batch directories (immutable once marked) — both the sample
+    // pass and the re-assign passes read these same bytes
+    val vecs = readColsIn(spark, gp, Seq("cell", "cid", "ce"), cellSchema)
+      .select(col("cid").as("vec_id"), col("ce").as("embedding"))
+    Option(retrainReadTestHook.getAndSet(null)).foreach(_.apply(vecs))
+    val sample = vecs.orderBy(col("vec_id")).limit(trainLimit)
+      .localCheckpoint() // BOUNDED: ≤ trainLimit rows feed every Lloyd pass
+    // nothing to learn from an empty index: the flip still happens (the
+    // caller asked for a generation) but the quantizer carries unchanged
+    val empty = sample.isEmpty
+    val cents =
+      if (empty) centroidsIn(spark, gp)
+      else Similarity.trainCentroids(sample, k, iters, trainLimit)
+    val oldCbs = codebooksIn(spark, gp)
+    val oldRot = Similarity.readRotation(spark, gp)
+    // an OPQ generation re-learns rotation AND codebooks together (the
+    // alternation couples them); a plain-PQ one re-trains codebooks only
+    val (newRot, newCbs) = (oldRot, oldCbs) match {
+      case (_, _) if empty => (oldRot, oldCbs)
+      case (Some(_), Some(old)) =>
+        val (r2, c2) = Opq.train(sample, old.length, old(0).length,
+          iters, trainLimit)
+        (Some(r2), Some(c2))
+      case (_, Some(old)) =>
+        (None, Some(Similarity.trainCodebooks(sample, old.length, old(0).length,
+          iters, trainLimit)))
+      case _ => (None, None)
+    }
+    def rows(paths: Seq[String]): DataFrame =
+      spark.read.option("basePath", gp).parquet(paths: _*)
+        .select(col("cid").as("vec_id"), col("ce").as("embedding"))
+    val agedDirs = aged.filter(n =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
+    val fold: Seq[(String, Option[DataFrame])] =
+      if (agedDirs.isEmpty) Nil
+      else Seq(s"fold${gid + 1}" -> Some(rows(agedDirs.map(n => s"$gp/batch=$n"))))
+    val recentBatches: Seq[(String, Option[DataFrame])] = recent.map { n =>
+      n -> (if (f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
+        Some(rows(Seq(s"$gp/batch=$n")))
+      else None) // marker-only empty batch stays marker-only
+    }
+    val carried = (names(f, root, SeenPrefix).map(_._2) ++ aged).distinct
+    writeGen(spark, dir, gid + 1, cents, newCbs, newRot,
+      fold ++ recentBatches, carried)
     gid + 1
   }
 
   /** [[retrain]] when [[skew]] exceeds `maxSkew` — the maintenance-tick
-    * form. Returns the new generation id when a retrain ran. */
+    * form ([[Similarity.semDeDupSink]]'s `maintainEvery` calls it after
+    * each compaction). The skew probe is a sidecar-metadata read, so an
+    * idle tick costs no index scan. Returns the new generation id when a
+    * retrain ran. */
   def maybeRetrain(spark: SparkSession, dir: String, maxSkew: Double = 4.0,
                    k: Int = 16, iters: Int = 5,
-                   trainLimit: Int = 100000): Option[Long] =
-    if (skew(spark, dir) > maxSkew) Some(retrain(spark, dir, k, iters, trainLimit))
+                   trainLimit: Int = 100000,
+                   graceMs: Long = 15 * 60 * 1000L): Option[Long] =
+    if (skew(spark, dir) > maxSkew)
+      Some(retrain(spark, dir, k, iters, trainLimit, graceMs))
     else None
 
   private def writeGen(spark: SparkSession, dir: String, gid: Long,
                        centroids: Array[Array[Double]],
                        cbs: Option[Array[Array[Array[Double]]]],
-                       vectors: Option[DataFrame],
+                       rot: Option[Array[Array[Double]]],
+                       batches: Seq[(String, Option[DataFrame])],
                        carriedNames: Seq[String]): Unit = {
     import spark.implicits._
     val gp = genPath(dir, gid)
@@ -611,19 +805,24 @@ object IvfIndex {
       }.toSeq.toDF("m", "j", "c")
         .repartition(1).write.mode("overwrite").parquet(s"$gp/codebooks")
     }
+    rot.foreach(Similarity.writeRotation(spark, gp, _))
     val f = fs(spark, dir)
     val now = System.currentTimeMillis()
-    vectors.foreach { vecs =>
-      val assigned = vecs.select(col("vec_id").as("cid"),
-          col("embedding").cast("array<double>").as("ce"))
-        .withColumn("cell", NearestCells.cell(col("ce"), centroids))
-      cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
-          assigned.withColumn("codes", Similarity.pqCodesCol(col("ce"), b))
-            .select("cell", "cid", "ce", "codes"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$gp/batch=fold$gid")
+    batches.foreach { case (name, vectors) =>
+      vectors.foreach { vecs =>
+        val assigned = vecs.select(col("vec_id").as("cid"),
+            col("embedding").cast("array<double>").as("ce"))
+          .withColumn("cell", NearestCells.cell(col("ce"), centroids))
+        cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
+            assigned.withColumn("codes",
+                Similarity.pqCodesCol(Similarity.rotatedCol(col("ce"), rot), b))
+              .select("cell", "cid", "ce", "codes"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$gp/batch=$name")
+        writeHist(spark, f, gp, name)
+      }
       f.create(new org.apache.hadoop.fs.Path(gp,
-        s"$MarkerPrefix$now.fold$gid"), false).close()
+        s"$MarkerPrefix$now.$name"), false).close()
     }
     carriedNames.foreach { n =>
       f.create(new org.apache.hadoop.fs.Path(gp, s"$SeenPrefix$now.$n"), false).close()
@@ -662,18 +861,46 @@ object IvfIndex {
     val entries = f.listStatus(new org.apache.hadoop.fs.Path(gp)).toSeq
     val live = entries.map(_.getPath.getName)
       .flatMap(n => stamped(MarkerPrefix, n)).map(_._2).toSet
+    // DIRECTORIES first: a compact racing a slower-than-grace snapshot can
+    // retire a batch directory between the capture listing and the copy —
+    // a vanished batch is skipped (partial copy removed) and its marker
+    // suppressed below, so the snapshot never claims a landed batch whose
+    // data it could not capture
+    val vanished = scala.collection.mutable.Set[String]()
     entries.foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && (n == "centroids" || n == "codebooks" ||
-          (n.startsWith("batch=") && live.contains(n.drop("batch=".length)))))
-        linkTree(st.getPath, new org.apache.hadoop.fs.Path(ogp, n))
-      else if (st.isFile && (n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix) ||
+          n == "rotation" ||
+          (n.startsWith("batch=") && live.contains(n.drop("batch=".length))))) {
+        try linkTree(st.getPath, new org.apache.hadoop.fs.Path(ogp, n))
+        catch {
+          case _: java.io.FileNotFoundException if n.startsWith("batch=") =>
+            f.delete(new org.apache.hadoop.fs.Path(ogp, n), true)
+            vanished += n.drop("batch=".length)
+        }
+      }
+    }
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && (n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix) ||
           // markers only for the CAPTURED live set: an append racing the
           // snapshot must be fully out, not a marker-without-directory
           // (which would read as a landed EMPTY batch)
           (n.startsWith(MarkerPrefix) &&
-            stamped(MarkerPrefix, n).exists(m => live.contains(m._2)))))
+            stamped(MarkerPrefix, n).exists(m =>
+              live.contains(m._2) && !vanished.contains(m._2)))))
         f.create(new org.apache.hadoop.fs.Path(ogp, n), false).close()
+      else if (st.isFile && n.startsWith(HistPrefix) &&
+          live.contains(n.drop(HistPrefix.length)) &&
+          !vanished.contains(n.drop(HistPrefix.length)))
+        // histogram sidecars CARRY CONTENT (unlike the zero-byte marker
+        // names) — copy them; a compact racing the snapshot can retire one
+        // between the capture listing and this copy, and the restored
+        // index then falls back to the per-batch repair scan, so a
+        // vanished source is skipped, not fatal
+        try SnapshotFiles.link(spark, f, st.getPath,
+          new org.apache.hadoop.fs.Path(ogp, n))
+        catch { case _: java.io.FileNotFoundException => () }
     }
     f.create(new org.apache.hadoop.fs.Path(out,
       s"$GenPrefix${System.currentTimeMillis()}.$gid"), false).close()
@@ -716,9 +943,11 @@ object IvfIndex {
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$gp/batch=$foldName")
       }
-      if (agedDirs.nonEmpty)
+      if (agedDirs.nonEmpty) {
+        writeHist(spark, f, gp, foldName)
         f.create(new org.apache.hadoop.fs.Path(root,
           s"$MarkerPrefix${System.currentTimeMillis()}.$foldName"), false).close()
+      }
       aged.foreach { n =>
         f.create(new org.apache.hadoop.fs.Path(root,
           s"$SeenPrefix${System.currentTimeMillis()}.$n"), false).close()
@@ -726,6 +955,11 @@ object IvfIndex {
       f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
         if (stamped(MarkerPrefix, p.getName).exists(m => aged.contains(m._2)))
           f.delete(p, false)
+      }
+      // histogram sidecars follow their markers: a retired batch's counts
+      // are no longer summed, so the sidecar retires with the marker
+      aged.foreach { n =>
+        f.delete(new org.apache.hadoop.fs.Path(root, s"$HistPrefix$n"), false)
       }
     }
     // sequence-slot ledger of the current generation: only the MAX
@@ -754,7 +988,12 @@ object IvfIndex {
           val retiredPastGrace = seenTs.get(nm).exists(_ <= now2 - graceMs)
           val orphanPastGrace =
             !seenTs.contains(nm) && st.getModificationTime <= now2 - graceMs
-          if (retiredPastGrace || orphanPastGrace) f.delete(st.getPath, true)
+          if (retiredPastGrace || orphanPastGrace) {
+            f.delete(st.getPath, true)
+            // a crashed append can leave a histogram sidecar beside its
+            // orphan directory — it retires with the directory
+            f.delete(new org.apache.hadoop.fs.Path(root, s"$HistPrefix$nm"), false)
+          }
         }
       }
     }

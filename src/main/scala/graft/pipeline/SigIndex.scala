@@ -137,10 +137,33 @@ object SigIndex {
     val entries = f.listStatus(root).toSeq
     val live = entries.map(_.getPath.getName)
       .flatMap(stamped(MarkerPrefix, _)).map(_._2).toSet
+    // DIRECTORIES first: a compact racing the snapshot can retire one
+    // between the capture listing and the copy (grace-deleted decision
+    // sidecar, superseded ledger, aged batch under a zero/short grace) —
+    // a vanished source is skipped, and a vanished BATCH suppresses its
+    // marker below so the snapshot never claims a landed batch whose data
+    // it could not capture
+    val vanished = scala.collection.mutable.Set[String]()
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("batch-") &&
+          live.contains(n.drop("batch-".length))) {
+        if (!linkDirTolerant(f, st.getPath, new org.apache.hadoop.fs.Path(out, n), link))
+          vanished += n.drop("batch-".length)
+      }
+      else if (st.isDirectory &&
+          (n.startsWith(DecisionPrefix) || n.startsWith("decled-")))
+        // line-dedup decision sidecars and their fold ledger
+        // ([[Curation.dedupLinesIncremental]]) ride along: a batch
+        // replayed against the restored snapshot rewrites from its
+        // frozen decision, the exactly-once contract
+        linkDirTolerant(f, st.getPath, new org.apache.hadoop.fs.Path(out, n), link)
+    }
     entries.foreach { st =>
       val n = st.getPath.getName
       val wanted =
-        stamped(MarkerPrefix, n).exists(m => live.contains(m._2)) ||
+        stamped(MarkerPrefix, n).exists(m =>
+          live.contains(m._2) && !vanished.contains(m._2)) ||
           n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix) ||
           n.startsWith(DecFoldPrefix) || n.startsWith(DecLedgerPrefix)
       if (st.isFile && wanted)
@@ -150,27 +173,30 @@ object SigIndex {
         // DIRECTORIES get the reader grace window), so the source can
         // vanish between the capture listing and a link/copy
         f.create(new org.apache.hadoop.fs.Path(out, n), false).close()
-      else if (st.isDirectory && n.startsWith("batch-") &&
-          live.contains(n.drop("batch-".length))) {
-        val bdir = new org.apache.hadoop.fs.Path(out, n)
-        f.mkdirs(bdir)
-        f.listStatus(st.getPath).toSeq.filter(_.isFile).foreach(p =>
-          link(p.getPath, new org.apache.hadoop.fs.Path(bdir, p.getPath.getName)))
-      }
-      else if (st.isDirectory &&
-          (n.startsWith(DecisionPrefix) || n.startsWith("decled-"))) {
-        // line-dedup decision sidecars and their fold ledger
-        // ([[Curation.dedupLinesIncremental]]) ride along: a batch
-        // replayed against the restored snapshot rewrites from its
-        // frozen decision, the exactly-once contract
-        val bdir = new org.apache.hadoop.fs.Path(out, n)
-        f.mkdirs(bdir)
-        f.listStatus(st.getPath).toSeq.filter(_.isFile).foreach(p =>
-          link(p.getPath, new org.apache.hadoop.fs.Path(bdir, p.getPath.getName)))
-      }
     }
     name
   }
+
+  /** Link a directory's files into the snapshot, TOLERATING a source that
+    * a racing compact retired between the capture listing and this copy:
+    * a vanished directory was retired, hence not needed for a consistent
+    * snapshot — skip it (removing any partial copy) rather than failing
+    * the whole snapshot mid-copy. Returns false when the source
+    * vanished. */
+  private def linkDirTolerant(f: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      link: (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) => Unit): Boolean =
+    try {
+      val files = f.listStatus(src).toSeq.filter(_.isFile)
+      f.mkdirs(dst)
+      files.foreach(p =>
+        link(p.getPath, new org.apache.hadoop.fs.Path(dst, p.getPath.getName)))
+      true
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        f.delete(dst, true) // no partial copy survives a vanished source
+        false
+    }
 
   /** The index rows colliding with a batch's bucket set — the shared
     * scan-prune discipline of every incremental consumer: the batch's
@@ -337,7 +363,11 @@ object SigIndex {
 
   /** Batch `name`'s frozen decision values: from its sidecar while the
     * sidecar lives, from the fold ledger after [[compact]] retired it.
-    * None when no decision was ever recorded under `name`. */
+    * None when no decision was ever recorded under `name`. Throws when
+    * the decision was recorded but DROPPED past the replay horizon
+    * ([[compact]]'s `decisionReplayHorizonMs`) — a replay that old must
+    * fail loud, never silently recompute a decision the original run
+    * shipped differently. */
   def readDecision(spark: SparkSession, dir: String,
                    name: String): Option[Array[Long]] = {
     val f = fs(spark, dir)
@@ -347,10 +377,20 @@ object SigIndex {
     else currentLedger(f, dir).flatMap { led =>
       // every folded sidecar contributed a NULL-bv sentinel row, so a
       // batch with an EMPTY decision set is still distinguishable from a
-      // batch that never recorded one
-      val rows = spark.read.parquet(led).where(col("name") === name)
-        .select(col("bv")).collect()
+      // batch that never recorded one; a horizon-expired batch keeps ONE
+      // tombstone row (exp = true) so this read can fail loud
+      val raw = spark.read.parquet(led)
+      val withExp = // ledgers written before the horizon existed lack exp
+        if (raw.columns.contains("exp")) raw
+        else raw.withColumn("exp", lit(false))
+      val rows = withExp.where(col("name") === name)
+        .select(col("bv"), col("exp")).collect()
       if (rows.isEmpty) None
+      else if (rows.exists(_.getBoolean(1))) throw new IllegalStateException(
+        s"decision for batch '$name' was dropped past the replay horizon " +
+          "(compact decisionReplayHorizonMs) — a replay this old means the " +
+          "stream rolled back past the retention contract; rerun against a " +
+          "fresh index or raise the horizon")
       else Some(rows.filterNot(_.isNullAt(0)).map(_.getLong(0)))
     }
   }
@@ -359,9 +399,18 @@ object SigIndex {
     * `retentionMs` ago into the single ledger directory; grace-delay the
     * sidecar deletion so a replay that resolved the sidecar mid-fold
     * keeps its files, and vacuum superseded ledger generations on the
-    * same grace. */
+    * same grace.
+    *
+    * `horizonMs` BOUNDS THE LEDGER: a folded decision's DATA rows are
+    * carried from ledger generation to ledger generation only while the
+    * batch retired less than `horizonMs` ago; past that, the name
+    * collapses to ONE tombstone row (`exp = true`) and a replay fails
+    * loud through [[readDecision]] — mirroring the pair-side `_seen`
+    * fail-loud — instead of the ledger growing by every batch's full
+    * decision set forever. */
   private def foldDecisionSidecars(spark: SparkSession, dir: String,
-                                   graceMs: Long, retentionMs: Long): Unit = {
+                                   graceMs: Long, retentionMs: Long,
+                                   horizonMs: Long): Unit = {
     val f = fs(spark, dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!f.exists(root)) return
@@ -376,18 +425,48 @@ object SigIndex {
       .map(_.drop(DecisionPrefix.length))
     val eligible = sidecars.filter(n => !decFolded.contains(n) &&
       seenTs.get(n).exists(_ <= now - retentionMs))
-    if (eligible.nonEmpty) {
-      import spark.implicits._
+    // ledger names past the replay horizon collapse to tombstones (the
+    // seenTs clock, same as retention); a rewrite is due when a new fold
+    // lands OR a carried name newly crossed the horizon
+    import spark.implicits._
+    val horizonCut = now - horizonMs
+    val expired: Seq[String] =
+      seenTs.filter(_._2 <= horizonCut).keys.toSeq.sorted
+    val priorLedger = currentLedger(f, dir).map { p =>
+      val raw = spark.read.parquet(p)
+      val d = if (raw.columns.contains("exp")) raw // pre-horizon ledgers
+        else raw.withColumn("exp", lit(false))
+      d.select(col("name"), col("bv"), col("exp"))
+    }
+    lazy val priorNeedsExpiry: Boolean = priorLedger.exists(
+      _.where(!col("exp"))
+        .join(expired.toDF("name"), Seq("name"), "left_semi")
+        .limit(1).count() > 0)
+    if (eligible.nonEmpty || (expired.nonEmpty && priorNeedsExpiry)) {
       val sentinel = eligible.toDF("name")
-        .select(col("name"), lit(null).cast("long").as("bv"))
+        .select(col("name"), lit(null).cast("long").as("bv"),
+          lit(false).as("exp"))
       val data = eligible.map(n =>
           spark.read.parquet(decisionPath(dir, n))
-            .select(lit(n).as("name"), col("bv").cast("long")))
-        .reduce(_ unionByName _)
-      val prior = currentLedger(f, dir)
-        .map(p => spark.read.parquet(p).select(col("name"), col("bv")))
-      val all = prior.fold(sentinel)(_ unionByName sentinel)
-        .unionByName(data)
+            .select(lit(n).as("name"), col("bv").cast("long"),
+              lit(false).as("exp")))
+        .foldLeft(sentinel)(_ unionByName _)
+      val all0 = (priorLedger.toSeq :+ data).reduce(_ unionByName _)
+      // horizon expiry: names past the horizon collapse to ONE tombstone
+      // row — but ONLY names that actually have ledger rows (a name that
+      // never recorded a decision must keep reading as None, not throw)
+      val expiredDf = expired.toDF("name")
+      val all1 =
+        if (expired.isEmpty) all0
+        else all0.join(expiredDf, Seq("name"), "left_anti").unionByName(
+          all0.join(expiredDf, Seq("name"), "left_semi")
+            .select(col("name")).distinct()
+            .select(col("name"), lit(null).cast("long").as("bv"),
+              lit(true).as("exp")))
+      // idempotent under a fold replay (crash between the ledger marker
+      // and the per-sidecar _decfold markers re-folds the same sidecars):
+      // the decision SET shape survives the replay
+      val all = all1.dropDuplicates("name", "bv", "exp")
       val gen = SnapshotFiles.freshName()
       all.repartition(1).write.mode("overwrite").parquet(s"$dir/decled-$gen")
       f.create(new org.apache.hadoop.fs.Path(root,
@@ -456,17 +535,25 @@ object SigIndex {
     * ([[decisionPath]]): sidecars of batches retired longer than the
     * retention fold into the single `decled-` ledger (replay falls back
     * to it transparently — [[readDecision]]), keeping the directory
-    * count bounded for a long-running stream. */
+    * count bounded for a long-running stream.
+    *
+    * `decisionReplayHorizonMs` bounds the LEDGER itself: a folded
+    * decision's data rows live in the ledger only while the batch retired
+    * less than the horizon ago; past it the name collapses to one
+    * tombstone row and a replay FAILS LOUD ([[readDecision]]) instead of
+    * the ledger carrying every batch's full decision set forever. */
   def compact(spark: SparkSession, dir: String,
               graceMs: Long = 15 * 60 * 1000L,
-              decisionRetentionMs: Long = 24 * 3600 * 1000L): Unit = {
+              decisionRetentionMs: Long = 24 * 3600 * 1000L,
+              decisionReplayHorizonMs: Long = 7 * 24 * 3600 * 1000L): Unit = {
     val f = fs(spark, dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!f.exists(root)) return
     compactPairs(spark, f, root, dir, graceMs)
     // AFTER the pair fold: the `_seen` records it just wrote start the
     // decision-retention clock for the folded batches' sidecars
-    foldDecisionSidecars(spark, dir, graceMs, decisionRetentionMs)
+    foldDecisionSidecars(spark, dir, graceMs, decisionRetentionMs,
+      decisionReplayHorizonMs)
   }
 
   private def compactPairs(spark: SparkSession,

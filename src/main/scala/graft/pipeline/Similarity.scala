@@ -301,6 +301,77 @@ object Similarity {
       (Integer.parseInt(hex, 16) - 128) / 128.0
     }
 
+  // ---- inverted multi-index (Babenko & Lempitsky, CVPR 2012) --------------
+
+  /** Two-level coarse-quantizer cell — the INVERTED MULTI-INDEX (Babenko
+    * & Lempitsky, "The inverted multi-index", CVPR 2012): the embedding
+    * splits into two halves, each half takes its own K-entry codebook
+    * argmin (the [[trainCodebooks]]/[[fixedCodebooks]] M=2 product shape,
+    * so fixed oracle grids and Lloyd training come for free), and the
+    * cell id is the PAIR (u, v) → u·K + v. K² effective cells cost 2K
+    * distance evaluations per vector where a flat quantizer pays K² —
+    * the quadratic→linear assignment saving that makes √n-sized cell
+    * counts affordable on the CORPUS side at billion-vector scale
+    * (k_eff = 2¹⁸ is two 512-entry [[NearestCells]] argmins per vector
+    * instead of a 262144-centroid scan). */
+  def imiCell(e: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    require(codebooks.length == 2,
+      s"imiCell: IMI quantizes exactly two half-spaces, got ${codebooks.length}")
+    val ks = codebooks(1).length
+    val sub0 = codebooks(0)(0).length
+    NearestCells.cell(slice(e, 1, sub0), codebooks(0)) * lit(ks) +
+      NearestCells.cell(slice(e, sub0 + 1, codebooks(1)(0).length), codebooks(1))
+  }
+
+  /** IMI probe — [[ivfProbe]]'s contract (and output) over the two-level
+    * quantizer: corpus rows assign by [[imiCell]] (2K evaluations), and
+    * queries rank CELL PAIRS by du(u) + dv(v) — the sum of the two
+    * half-space distances, the multi-index candidate ordering — probing
+    * the `nProbe` nearest pairs; exact cosine runs inside the joined
+    * cells. The pair ranking materializes K² (cell, distance) rows per
+    * query ON THE BOUNDED QUERY SIDE only, with WindowGroupLimit capping
+    * per-partition state at nProbe before the exchange (the paper's
+    * multi-sequence algorithm enumerates the same order lazily — the
+    * known refinement if K² per bounded query ever dominates; the corpus
+    * side, the one that scales with data, never sees the pairs). */
+  def imiProbe(corpus: DataFrame, queries: DataFrame, topK: Int,
+               codebooks: Array[Array[Array[Double]]], nProbe: Int,
+               maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    require(codebooks.length == 2,
+      s"imiProbe: IMI quantizes exactly two half-spaces, got ${codebooks.length}")
+    val ks = codebooks(1).length
+    val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("cell", imiCell(col("e"), codebooks))
+      .select(col("cell"), col("vec_id").as("cid"), col("e").as("ce"))
+    // per-half squared distances of the query to each codebook entry, in
+    // the [[NearestCells]] kernel's exact left-fold term order
+    def halfDists(mm: Int, off: Int): Column = array(codebooks(mm).indices.map { j =>
+      (0 until codebooks(mm)(0).length).map { d =>
+        val c = codebooks(mm)(j)(d)
+        val x = element_at(col("qe"), off + d + 1) - lit(c)
+        x * x
+      }.reduceLeft(_ + _)
+    }: _*)
+    val sub0 = codebooks(0)(0).length
+    val qb = requireBounded(queries, maxQueryRows, "imiProbe")
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+    val pairs = qb
+      .select(col("qid"), col("qe"), halfDists(1, sub0).as("dvs"),
+        posexplode(halfDists(0, 0)).as(Seq("u", "du")))
+      .select(col("qid"), col("qe"), col("u"), col("du"),
+        posexplode(col("dvs")).as(Seq("v", "dv")))
+      .withColumn("cell", col("u") * lit(ks) + col("v"))
+      .withColumn("pd", col("du") + col("dv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("pd").asc, col("cell").asc)
+    val q = pairs.withColumn("cr", row_number().over(w))
+      .where(col("cr") <= nProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    rankTopK(scored, "cos", ascending = false, topK)
+  }
+
   /** Cluster-stratified DIVERSITY sample — the k-means quota sampling of
     * training-data curation pipelines (cluster, then keep a fixed quota
     * per cluster): every vector assigns to its nearest centroid cell and
@@ -456,18 +527,20 @@ object Similarity {
     flat.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
   }
 
-  /** The per-query ADC lookup-table columns `d_mm_j` over `qe` — exact
+  /** The per-query ADC lookup-table columns `d_mm_j` over `src` (default
+    * the `qe` column; the OPQ path passes the ROTATED query) — exact
     * subspace distances with a FIXED left-fold term order, so an external
     * oracle reproduces the doubles bit-for-bit. Shared by every ADC
     * scorer ([[pqTopK]], [[ivfPqSearch]], [[IvfIndex.searchPq]]): the
     * gate-pinned table arithmetic exists ONCE. */
   private[pipeline] def adcLutColumns(
-      codebooks: Array[Array[Array[Double]]]): Seq[Column] = {
+      codebooks: Array[Array[Array[Double]]],
+      src: Column = col("qe")): Seq[Column] = {
     val subDims = codebooks(0)(0).length
     for (mm <- codebooks.indices; j <- codebooks(mm).indices) yield {
       (0 until subDims).map { d =>
         val c = codebooks(mm)(j)(d)
-        val x = element_at(col("qe"), mm * subDims + d + 1) - lit(c)
+        val x = element_at(src, mm * subDims + d + 1) - lit(c)
         x * x
       }.reduceLeft(_ + _).as(s"d_${mm}_$j")
     }
@@ -519,6 +592,56 @@ object Similarity {
     rankTopK(scored, "adist", ascending = true, k)
   }
 
+  // ---- optimized product quantization (Ge et al., CVPR 2013) ------------
+
+  /** Deterministic fixed ORTHOGONAL rotation for the oracle gate: a
+    * signed permutation — component d of the rotated vector is
+    * `sign(d) · v[perm(d)]` with the permutation Fisher–Yates-derived
+    * from md5("rotp:i") and the sign from md5("rots:d")'s top bit.
+    * Exactly representable (±1 entries), trivially orthogonal, and an
+    * external SQL engine reproduces the rotated components verbatim —
+    * the [[fixedCentroids]] discipline for the rotation slot. The
+    * LEARNED counterpart is [[Opq.train]]. */
+  def fixedRotation(dims: Int): Array[Array[Double]] = {
+    val perm = (0 until dims).toArray
+    for (i <- dims - 1 to 1 by -1) {
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"rotp:$i").substring(0, 8)
+      val j = (java.lang.Long.parseLong(hex, 16) % (i + 1)).toInt
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+    }
+    Array.tabulate(dims, dims) { (d, e) =>
+      if (e != perm(d)) 0.0
+      else if ((Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"rots:$d").substring(0, 1), 16) & 0x8) != 0) 1.0
+      else -1.0
+    }
+  }
+
+  /** The signed-permutation view of [[fixedRotation]] — (source index,
+    * sign) per output component, for oracle-SQL generation. */
+  private[graft] def fixedRotationMoves(dims: Int): Array[(Int, Double)] =
+    fixedRotation(dims).map { row =>
+      val e = row.indexWhere(_ != 0.0)
+      (e, row(e))
+    }
+
+  /** OPQ/ADC top-k: [[pqTopK]] after rotating BOTH sides with the given
+    * orthogonal matrix ([[RotateVec]] — one codegen'd matrix–vector
+    * product per row). Rotation is an isometry, so this approximates the
+    * same euclidean geometry; the codebooks must have been trained in
+    * the rotated space ([[Opq.train]] returns the consistent pair, and
+    * [[fixedRotation]] + [[fixedCodebooks]] give the oracle-exact
+    * fixture). Output (qid, cid, adist, rank), nearest first. */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              rotation: Array[Array[Double]],
+              codebooks: Array[Array[Array[Double]]],
+              maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
+    def rotated(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      RotateVec.column(asDouble(col("embedding")), rotation).as("embedding"))
+    pqTopK(rotated(corpus), rotated(queries), k, codebooks, maxQueryRows)
+  }
+
   // ---- persisted IVF-PQ index (Jegou/Douze/Schmid §IV: IVFADC) ----------
 
   /** Build a persisted IVF-PQ index at `dir`: the [[ivfBuild]] layout —
@@ -533,9 +656,17 @@ object Similarity {
     * self-contained. Immutable once built (rebuild = fresh dir + pointer
     * flip); the incremental counterpart is [[IvfIndex]], which trades
     * code compression for marker-manifest appendability. */
+  /** Optional OPQ rotation (`rotation`): codes are computed over the
+    * ROTATED vector (rotation before the subspace split — Ge et al.,
+    * CVPR 2013; the codebooks must live in the rotated space, e.g. from
+    * [[Opq.train]]); the COARSE quantizer stays in the raw space — the
+    * rotation is an isometry, so cell geometry is unchanged and only the
+    * PQ error distribution improves. The rotation persists beside the
+    * codebooks, making search self-contained. */
   def ivfPqBuild(corpus: DataFrame, dir: String,
                  centroids: Array[Array[Double]],
-                 codebooks: Array[Array[Array[Double]]]): Unit = {
+                 codebooks: Array[Array[Array[Double]]],
+                 rotation: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -545,12 +676,32 @@ object Similarity {
       cb.zipWithIndex.map { case (v, j) => (mm, j, v.toSeq) }
     }.toSeq.toDF("m", "j", "c")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    rotation.foreach(writeRotation(spark, dir, _))
     val e = asDouble(col("embedding"))
     corpus.select(col("vec_id").as("cid"), e.as("e"))
       .withColumn("cell", NearestCells.cell(col("e"), centroids))
-      .withColumn("codes", pqCodesCol(col("e"), codebooks))
+      .withColumn("codes", pqCodesCol(rotatedCol(col("e"), rotation), codebooks))
       .select("cell", "cid", "codes")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  private[pipeline] def rotatedCol(e: Column,
+      rotation: Option[Array[Array[Double]]]): Column =
+    rotation.fold(e)(RotateVec.column(e, _))
+
+  private[pipeline] def writeRotation(spark: org.apache.spark.sql.SparkSession,
+      dir: String, r: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    r.zipWithIndex.map { case (row, d) => (d, row.toSeq) }.toSeq.toDF("d", "r")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/rotation")
+  }
+
+  private[pipeline] def readRotation(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(spark.read.parquet(p.toString).orderBy(col("d"))
+      .collect().map(_.getSeq[Double](1).toArray))
   }
 
   /** Search a persisted IVF-PQ index: queries rank their `nProbe` nearest
@@ -568,9 +719,13 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
     val codebooks = readCodebooks(spark, s"$dir/codebooks")
+    // an OPQ index persisted a rotation: LUTs build over the ROTATED
+    // query (matching the stored codes' space); the cell probe stays raw
+    val rot = readRotation(spark, dir)
     val q = requireBounded(queries, maxQueryRows, "ivfPqSearch")
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-      .select(Seq(col("qid"), col("qe")) ++ adcLutColumns(codebooks): _*)
+      .select(Seq(col("qid"), col("qe")) ++
+        adcLutColumns(codebooks, rotatedCol(col("qe"), rot)): _*)
       .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
       .drop("qe")
       .localCheckpoint() // one pass builds probe set + LUTs
@@ -707,11 +862,36 @@ object Similarity {
   /** Streaming sink: semantically dedup every micro-batch against the
     * index and hand the survivors on (`ds.writeStream.foreachBatch(
     * Similarity.semDeDupSink(dir, thr, out))`) — [[Dedup.incrementalSink]]'s
-    * shape for the embedding space. */
+    * shape for the embedding space.
+    *
+    * `maintainEvery` > 0 runs the index MAINTENANCE TICK every that many
+    * micro-batches, after the batch's own append committed: fold aged
+    * batch directories + vacuum ([[IvfIndex.compact]]), then retrain the
+    * quantizer when the histogram sidecars say it drifted
+    * ([[IvfIndex.maybeRetrain]] — a sidecar-metadata probe, so an idle
+    * tick costs no index scan). A long-running deployment MUST tick:
+    * without it the batch-directory count grows per micro-batch and
+    * drift degrades the SemDeDup cells toward one hot cell. Exactly-once
+    * across a kill ANYWHERE around the tick: the replayed batch answers
+    * from its own directory — kept per-batch through folds AND retrains
+    * by `maintenanceGraceMs` (size it above the checkpoint-replay lag) —
+    * and the re-run tick converges (compact folds only aged batches;
+    * maybeRetrain's skew gate sees the post-retrain histogram). */
   def semDeDupSink(indexDir: String, threshold: Double,
-                   out: DataFrame => Unit): (DataFrame, Long) => Unit =
-    (df, batchId) =>
+                   out: DataFrame => Unit,
+                   maintainEvery: Int = 0,
+                   maintenanceGraceMs: Long = 15 * 60 * 1000L,
+                   maxSkew: Double = 4.0,
+                   retrainK: Int = 16): (DataFrame, Long) => Unit =
+    (df, batchId) => {
       out(semDeDupIncrementalOnce(df, indexDir, batchId, threshold))
+      if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+        val spark = df.sparkSession
+        IvfIndex.compact(spark, indexDir, maintenanceGraceMs)
+        IvfIndex.maybeRetrain(spark, indexDir, maxSkew, k = retrainK,
+          graceMs = maintenanceGraceMs)
+      }
+    }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): within each cluster of

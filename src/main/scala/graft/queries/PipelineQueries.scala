@@ -184,6 +184,47 @@ object PipelineQueries {
         Similarity.pqTopK(e, q, 3, Similarity.fixedCodebooks(4, 8, 16)),
         Similarity.bruteForceTopK(e, q, 3))
     }),
+    // OPQ (Ge et al. CVPR 2013): an orthogonal rotation before the PQ
+    // subspace split — here the FIXED signed-permutation rotation (the
+    // oracle-exact fixture; Opq.train learns the production one), codes
+    // and LUTs both in the rotated space, ADC otherwise verbatim
+    "q_sim_opq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.opqTopK(e, e.where(col("vec_id") < 10), 3,
+        Similarity.fixedRotation(64), Similarity.fixedCodebooks(4, 8, 16))
+    }),
+    // recall of the rotated ADC ranking against the exact cosine top-3 —
+    // q_sim_recall_pq's tail over the OPQ arithmetic (rotation is an
+    // isometry: the exact side never rotates)
+    "q_sim_recall_opq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.opqTopK(e, q, 3, Similarity.fixedRotation(64),
+          Similarity.fixedCodebooks(4, 8, 16)),
+        Similarity.bruteForceTopK(e, q, 3))
+    }),
+    // the INVERTED MULTI-INDEX (two-level product coarse quantizer,
+    // Babenko & Lempitsky CVPR 2012): cell = (first-half argmin,
+    // second-half argmin) over fixed 4-entry half codebooks — 16
+    // effective cells for 8 distance evaluations per corpus vector;
+    // queries rank cell PAIRS by the half-distance sum and probe the 3
+    // nearest, exact cosine inside the joined cells
+    "q_sim_imi" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.imiProbe(e, e.where(col("vec_id") < 10), 3,
+        Similarity.fixedCodebooks(2, 4, 32), nProbe = 3)
+    }),
+    // recall@3 of the IMI probe against the exact top-3 — prices the
+    // two-level quantizer's nProbe knob exactly like q_sim_recall prices
+    // the flat one's
+    "q_sim_recall_imi" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.imiProbe(e, q, 3, Similarity.fixedCodebooks(2, 4, 32), nProbe = 3),
+        Similarity.bruteForceTopK(e, q, 3))
+    }),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
@@ -493,6 +534,106 @@ object PipelineQueries {
   private def pqAdcTermSql(mm: Int): String =
     (0 until 7).map(j => s"WHEN c$mm = $j THEN q.d_${mm}_$j")
       .mkString("CASE ", " ", s" ELSE q.d_${mm}_7 END")
+
+  // OPQ oracle pieces: the fixed signed-permutation rotation baked in —
+  // rotated component d of v is sign_d * v[perm_d + 1], exactly the
+  // RotateVec kernel's output for a ±1 permutation matrix (zero terms
+  // vanish exactly; squaring erases the sign of a zero)
+  private lazy val opqMoves = Similarity.fixedRotationMoves(64)
+
+  private def opqRotComp(v: String, idx0: Int): String = {
+    val (src, sign) = opqMoves(idx0)
+    s"(($sign) * CAST($v[${src + 1}] AS DOUBLE))"
+  }
+
+  /** [[pqSubDistSql]] over the ROTATED components. */
+  private def opqSubDistSql(v: String, mm: Int, j: Int): String =
+    (0 until 16).map { d =>
+      val c = pqCb(mm)(j)(d)
+      val rc = opqRotComp(v, mm * 16 + d)
+      s"($rc - ($c)) * ($rc - ($c))"
+    }.mkString(" + ")
+
+  /** The shared OPQ CTE prelude — q_sim_pq's coding/LUT/ADC chain with
+    * every component read through the rotation; ends at the ranked
+    * `opq_r` relation. */
+  private val opqPreludeSql: String =
+    s"""dist AS (
+       |  SELECT vec_id,
+       |         ${(for (mm <- 0 until 4; j <- 0 until 8)
+          yield s"(${opqSubDistSql("embedding", mm, j)}) AS d_${mm}_$j")
+          .mkString(",\n         ")}
+       |  FROM embeddings),
+       |coded AS (
+       |  SELECT vec_id AS cid,
+       |         ${(0 until 4).map(mm => s"(${pqArgminSql(mm)}) AS c$mm")
+          .mkString(",\n         ")}
+       |  FROM dist),
+       |q AS (SELECT * FROM dist WHERE vec_id < 10),
+       |opq_scored AS (
+       |  SELECT q.vec_id AS qid, coded.cid,
+       |         ${(0 until 4).map(mm => s"(${pqAdcTermSql(mm)})")
+          .mkString(" + ")} AS adist
+       |  FROM q JOIN coded ON q.vec_id <> coded.cid),
+       |opq_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
+       |          FROM opq_scored)""".stripMargin
+
+  // IMI oracle pieces: two half-space codebooks of 4 x 32-dim entries,
+  // the fixedCodebooks(2, 4, 32) values baked in as exactly-representable
+  // literals — cell = first-half argmin * 4 + second-half argmin
+  private lazy val imiCb = Similarity.fixedCodebooks(2, 4, 32)
+
+  /** Squared distance of v's half `mm` to its codebook entry `j`, engine
+    * left-fold term order (NearestCells' inner loop). */
+  private def imiHalfDistSql(v: String, mm: Int, j: Int): String =
+    (0 until 32).map { d =>
+      val c = imiCb(mm)(j)(d)
+      val idx = mm * 32 + d + 1
+      s"(CAST($v[$idx] AS DOUBLE) - ($c)) * (CAST($v[$idx] AS DOUBLE) - ($c))"
+    }.mkString(" + ")
+
+  /** Argmin over half mm's 4 distance columns h_mm_0..h_mm_3 (stable
+    * low-index tie-break, mirroring NearestCells). */
+  private def imiArgminSql(mm: Int): String =
+    (0 until 3).map { i =>
+      val wins = (0 until 4).filter(_ != i)
+        .map(j => s"h_${mm}_$i <= h_${mm}_$j").mkString(" AND ")
+      s"WHEN $wins THEN $i"
+    }.mkString("CASE ", " ", " ELSE 3 END")
+
+  /** The shared IMI CTE prelude: per-vector half distances, two-level
+    * cells, and the query-side pair ranking (pd = du + dv, the engine's
+    * addition of the two half left-folds; ties by cell id). Ends at the
+    * `imi_approx` (qid, cid) relation of the probed exact-cosine top-3. */
+  private val imiPreludeSql: String =
+    s"""dist AS (
+       |  SELECT vec_id, embedding,
+       |         ${(for (mm <- 0 until 2; j <- 0 until 4)
+            yield s"(${imiHalfDistSql("embedding", mm, j)}) AS h_${mm}_$j")
+            .mkString(",\n         ")}
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id AS cid, embedding AS ce,
+       |         (${imiArgminSql(0)}) * 4 + (${imiArgminSql(1)}) AS cell
+       |  FROM dist),
+       |qprobe0 AS (
+       |  SELECT vec_id AS qid, embedding AS qe,
+       |         unnest([${(for (u <- 0 until 4; v <- 0 until 4)
+            yield s"struct_pack(cell := ${u * 4 + v}, pd := h_0_$u + h_1_$v)")
+            .mkString(", ")}]) AS p
+       |  FROM dist WHERE vec_id < 10),
+       |qprobe AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT qid, qe, p.cell AS cell,
+       |           row_number() OVER (PARTITION BY qid ORDER BY p.pd, p.cell) AS cr
+       |    FROM qprobe0)
+       |  WHERE cr <= 3),
+       |imi_scored AS (
+       |  SELECT qid, cid,
+       |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+       |  FROM qprobe q JOIN cells c ON q.cell = c.cell AND q.qid <> c.cid),
+       |imi_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |          FROM imi_scored)""".stripMargin
 
   /** The incremental-dedup oracle: replay a 3-batch (doc_id % 3) history
     * through chained CTEs — per batch, a doc survives iff no bucket hits
@@ -1498,6 +1639,68 @@ object PipelineQueries {
          |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
          |          FROM ivf_scored),
          |approx AS (SELECT qid, cid FROM ivf_r WHERE rank <= 3),
+         |ex_pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ex_scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM ex_pairs),
+         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |         FROM ex_scored),
+         |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
+         |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
+         |hits AS (
+         |  SELECT a.qid, count(*) AS hits
+         |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+         |  GROUP BY a.qid)
+         |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
+         |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
+         |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin,
+
+    // OPQ/ADC: q_sim_pq's chain with every component read through the
+    // fixed signed-permutation rotation
+    "q_sim_opq" ->
+      s"""WITH $opqPreludeSql
+         |SELECT qid, cid, round(adist, 6) AS adist, rank FROM opq_r WHERE rank <= 3""".stripMargin,
+
+    // recall of the rotated ADC ranking vs the exact (unrotated) cosine
+    // top-3 — the q_sim_recall tail over the OPQ prelude
+    "q_sim_recall_opq" ->
+      s"""WITH $opqPreludeSql,
+         |approx AS (SELECT qid, cid FROM opq_r WHERE rank <= 3),
+         |ex_pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ex_scored AS (
+         |  SELECT qid, cid,
+         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+         |  FROM ex_pairs),
+         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |         FROM ex_scored),
+         |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
+         |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
+         |hits AS (
+         |  SELECT a.qid, count(*) AS hits
+         |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+         |  GROUP BY a.qid)
+         |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
+         |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
+         |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin,
+
+    // IMI: the two-level cells and the pair-ranked probe, exact cosine
+    // inside the probed cells — every double in the engine's fold order
+    "q_sim_imi" ->
+      s"""WITH $imiPreludeSql
+         |SELECT qid, cid, round(cos, 6) AS cos, rank FROM imi_r WHERE rank <= 3""".stripMargin,
+
+    // recall of the IMI probe vs the exact brute-force top-3 — the same
+    // tail as q_sim_recall over the two-level prelude
+    "q_sim_recall_imi" ->
+      s"""WITH $imiPreludeSql,
+         |approx AS (SELECT qid, cid FROM imi_r WHERE rank <= 3),
          |ex_pairs AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
          |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id

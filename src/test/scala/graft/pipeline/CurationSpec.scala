@@ -465,4 +465,48 @@ class CurationSpec extends AnyFunSuite {
     assert(dirsWith("decled-") == 1, "marker-less ledger orphan not swept")
     assert(out(Curation.dedupLinesIncremental(b0, dir, "L0")) == want0)
   }
+
+  test("decision ledger replay horizon: data rows drop to tombstones, replay fails loud") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("line_horizon").toString
+    def out(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val b0 = Seq((1L, "A\nX1"), (2L, "A\nX2")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "X1\nB")).toDF("doc_id", "text")
+    val want0 = out(Curation.dedupLinesIncremental(b0, dir, "L0"))
+    val want1 = out(Curation.dedupLinesIncremental(b1, dir, "L1"))
+    // retire + fold the sidecars into the ledger; the DEFAULT horizon
+    // keeps the data rows, so replays still answer from the ledger
+    SigIndex.compact(spark, dir, graceMs = 0L, decisionRetentionMs = 0L)
+    assert(out(Curation.dedupLinesIncremental(b0, dir, "L0")) == want0)
+    assert(out(Curation.dedupLinesIncremental(b1, dir, "L1")) == want1)
+    // past the replay horizon the ledger REWRITES: every expired name's
+    // rows collapse to one tombstone — the ledger is bounded by the name
+    // count, not by every batch's decision-set size forever
+    SigIndex.compact(spark, dir, graceMs = 0L, decisionRetentionMs = 0L,
+      decisionReplayHorizonMs = 0L)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val led = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("decled-"))
+    assert(led.length == 1)
+    val rows = spark.read.parquet(s"$dir/${led.head}").collect()
+    assert(rows.length == 2 && rows.forall(r => r.isNullAt(1) && r.getBoolean(2)),
+      s"expected one tombstone per expired name, got ${rows.mkString(";")}")
+    // a replay this old FAILS LOUD (the original decision is gone; a
+    // silent recompute against the larger pair union would suppress
+    // lines the original run shipped)
+    val e = intercept[IllegalStateException] {
+      Curation.dedupLinesIncremental(b0, dir, "L0").collect()
+    }
+    assert(e.getMessage.contains("replay horizon"))
+    // a name that never recorded a decision still reads as None, and the
+    // pipeline keeps moving: new batches land, fold, and replay normally
+    assert(SigIndex.readDecision(spark, dir, "neverwas").isEmpty)
+    val b2 = Seq((9L, "Z")).toDF("doc_id", "text")
+    val want2 = out(Curation.dedupLinesIncremental(b2, dir, "L2"))
+    SigIndex.compact(spark, dir, graceMs = 0L, decisionRetentionMs = 0L)
+    assert(out(Curation.dedupLinesIncremental(b2, dir, "L2")) == want2)
+  }
 }

@@ -513,6 +513,146 @@ class IvfIndexSpec extends AnyFunSuite {
       s"shortlist cids not pushed into the stage-2 scan:\n${plan.take(2000)}")
   }
 
+  // ---- round-14 maintenance-path scale hardening ---------------------------
+
+  test("retrain plans straight parquet scans of the frozen listing — no corpus materialization") {
+    val dir = freshPqIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"p$b"))
+    var seen: Option[org.apache.spark.sql.DataFrame] = None
+    IvfIndex.retrainReadTestHook.set(df => seen = Some(df))
+    try IvfIndex.retrain(spark, dir, k = 8, iters = 2, trainLimit = 500)
+    finally IvfIndex.retrainReadTestHook.set(null)
+    // the frozen re-assign relation (the O(corpus) read) is a straight
+    // parquet scan over the explicit live batch paths: nothing pins the
+    // corpus to executor storage — no localCheckpoint (ExistingRDD), no
+    // driver-side LocalTableScan
+    val plan = seen.get.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"re-assign read is not a parquet scan:\n${plan.take(1200)}")
+    assert(!plan.contains("ExistingRDD") && !plan.contains("LocalTableScan") &&
+      !plan.toLowerCase.contains("checkpoint"),
+      s"retrain materialized the corpus:\n${plan.take(1200)}")
+    // and the flip still answers coherently against the retrained state
+    val q = emb.where(col("vec_id") < 10)
+    val ctl = Files.createTempDirectory("ivfpq_frz").toString
+    Similarity.ivfPqBuild(emb, ctl, IvfIndex.centroids(spark, dir),
+      IvfIndex.codebooks(spark, dir).get)
+    assert(resultSet(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 3)) ==
+      resultSet(Similarity.ivfPqSearch(spark, ctl, q, 3, nProbe = 3)))
+  }
+
+  test("skew and cellCounts read histogram sidecars, never batch data") {
+    val dir = freshIndex()
+    (0 until 3).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 3 === b), dir, s"b$b"))
+    IvfIndex.compact(spark, dir, graceMs = 0L) // the fold records its own sidecar
+    val counts = IvfIndex.cellCounts(spark, dir)
+    val skewBefore = IvfIndex.skew(spark, dir)
+    assert(counts.values.sum == emb.count())
+    // the filesystem-level proof: TRUNCATE every batch parquet data file —
+    // any read of batch data would now fail loudly, so an unchanged answer
+    // means the probe touched sidecar metadata only
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def truncateAll(p: org.apache.hadoop.fs.Path): Unit =
+      f.listStatus(p).foreach { st =>
+        if (st.isDirectory) truncateAll(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
+          f.create(st.getPath, true).close()
+      }
+    f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/gen-0"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .foreach(st => truncateAll(st.getPath))
+    assert(IvfIndex.cellCounts(spark, dir) == counts)
+    assert(IvfIndex.skew(spark, dir) == skewBefore)
+  }
+
+  test("cellCounts repair fallback: a batch missing its sidecar is scanned, others are not") {
+    val dir = freshIndex()
+    IvfIndex.append(emb.where(col("vec_id") % 2 === 0), dir, "b0")
+    IvfIndex.append(emb.where(col("vec_id") % 2 === 1), dir, "b1")
+    val counts = IvfIndex.cellCounts(spark, dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // externally restored state: b0's sidecar is gone — the fallback scans
+    // exactly that batch and the summed answer is unchanged
+    assert(f.delete(new org.apache.hadoop.fs.Path(s"$dir/gen-0/_hist.b0"), false))
+    assert(IvfIndex.cellCounts(spark, dir) == counts)
+  }
+
+  test("retrain keeps recent batches per-batch across the flip; aged batches fold to _seen") {
+    val dir = oneCellIndex()
+    Similarity.semDeDupIncremental(vecDf(1L -> planeVec(0)), dir, "s0", 0.99)
+    // age s0: rewrite its marker with an ancient publish timestamp
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gp = new org.apache.hadoop.fs.Path(s"$dir/gen-0")
+    val m = f.listStatus(gp).map(_.getPath)
+      .find(_.getName.matches("_live\\.\\d+\\.s0")).get
+    assert(f.rename(m, new org.apache.hadoop.fs.Path(gp, "_live.1000.s0")))
+    Similarity.semDeDupIncremental(vecDf(2L -> planeVec(60)), dir, "s1", 0.99)
+    assert(IvfIndex.retrain(spark, dir, k = 1, iters = 1, trainLimit = 100) == 1L)
+    // the RECENT batch keeps per-batch identity in the new generation...
+    assert(IvfIndex.readBatch(spark, dir, "s1").get
+      .select("cid").collect().map(_.getLong(0)).toSet == Set(2L))
+    // ...the AGED one folded: replay-detected, not individually readable
+    assert(IvfIndex.contains(spark, dir, "s0"))
+    assert(IvfIndex.readBatch(spark, dir, "s0").isEmpty)
+    // a streaming replay that crosses the retrain answers from its batch
+    val before = IvfIndex.read(spark, dir).count()
+    assert(Similarity.semDeDupIncremental(vecDf(2L -> planeVec(60)), dir, "s1", 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(IvfIndex.read(spark, dir).count() == before, "replay re-appended")
+    // a replay OLDER than the grace window fails loud (the fold contract)
+    val e = intercept[IllegalStateException] {
+      Similarity.semDeDupIncremental(vecDf(1L -> planeVec(0)), dir, "s0", 0.99)
+    }
+    assert(e.getMessage.contains("fold") || e.getMessage.contains("retired"))
+    // and the folded + per-batch layout answers like the data demands
+    assert(IvfIndex.read(spark, dir).select("cid").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("searchPqRerank over-budget fallback: identical answers, still cell-pruned, no cid probe") {
+    val dir = freshPqIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"p$b"))
+    val q = emb.where(col("vec_id") < 10)
+    val want = resultSet(IvfIndex.searchPqRerank(spark, dir, q, 3,
+      shortlist = 12, nProbe = 3))
+    IvfIndex.maxRerankCidProbeOverride.set(0) // force the fallback path
+    try {
+      val res = IvfIndex.searchPqRerank(spark, dir, q, 3, shortlist = 12, nProbe = 3)
+      res.collect()
+      assert(resultSet(res) == want, "fallback diverged from the In-probe path")
+      val plan = res.queryExecution.executedPlan.toString
+      val flat = plan.replaceAll("\\s", "")
+      // the stage-2 read is still nProbe/k of the corpus: probed cells
+      // partition-prune; the broadcast semi-join alone filters to the
+      // shortlist (no literal cid In pushed past the budget)
+      assert(flat.matches("(?s).*PartitionFilters:\\[[^\\]]*cell.*"),
+        s"fallback lost the cell partition pruning:\n${plan.take(1500)}")
+      assert(!flat.matches("(?s).*PushedFilters:\\[[^\\]]*In\\(cid.*"),
+        "over-budget fallback still pushed a literal cid probe")
+      assert(plan.contains("BroadcastHashJoin"), "shortlist side not broadcast")
+    } finally IvfIndex.maxRerankCidProbeOverride.set(null)
+  }
+
+  test("searchPqBatched: deterministic slice union equals the one-shot bounded search") {
+    val dir = freshPqIndex()
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"p$b"))
+    val q = emb.where(col("vec_id") < 10)
+    val want = resultSet(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 3))
+    for (b <- Seq(1L, 3L, 4L, 100L))
+      assert(resultSet(IvfIndex.searchPqBatched(spark, dir, q, 3,
+        nProbe = 3, batchRows = b)) == want, s"batchRows=$b diverged")
+    // an empty query frame stays empty, not an error
+    assert(IvfIndex.searchPqBatched(spark, dir,
+      emb.where(col("vec_id") < 0), 3, nProbe = 3, batchRows = 2L).count() == 0)
+  }
+
   test("PQ snapshot restores with codebooks; searchPq answers from the snapshot") {
     val dir = freshPqIndex()
     (0 until 2).foreach(b => IvfIndex.append(

@@ -753,4 +753,44 @@ class PipelineSpec extends AnyFunSuite {
       rows.map(_.getAs[Double]("recall")).sum / rows.length
     assert(mean(full) >= mean(part))
   }
+
+  test("imi: all-pair probing equals brute force; cells match a driver-side replay") {
+    val cb = Similarity.fixedCodebooks(2, 4, 32)
+    val q = emb.where(col("vec_id") < 10)
+    // closure: probing all 16 (u, v) pairs scores every candidate — the
+    // two-level probe then IS brute force (same ranking tail)
+    assert(Similarity.imiProbe(emb, q, 3, cb, nProbe = 16)
+      .collect().map(_.toSeq).toSet ==
+      Similarity.bruteForceTopK(emb, q, 3).collect().map(_.toSeq).toSet)
+    // the two-level cell is exactly (first-half argmin)·K + second-half
+    // argmin — pinned against a driver-side replay of the kernel's fold
+    val got = emb.where(col("vec_id") < 100)
+      .select(col("vec_id"),
+        Similarity.imiCell(col("embedding").cast("array<double>"), cb).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val raw = emb.where(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def argmin(x: Array[Double], off: Int, half: Array[Array[Double]]): Int = {
+      var best = -1; var bd = Double.PositiveInfinity
+      for (j <- half.indices) {
+        var d = 0.0
+        var t = 0
+        while (t < half(j).length) { val v = x(off + t) - half(j)(t); d += v * v; t += 1 }
+        if (d < bd) { bd = d; best = j }
+      }
+      best
+    }
+    raw.foreach { case (id, x) =>
+      assert(got(id) == argmin(x, 0, cb(0)) * 4 + argmin(x, 32, cb(1)),
+        s"two-level cell diverged for vec $id")
+    }
+    // a partial probe stays a well-formed approximation
+    val rec = Similarity.recallAtK(
+      Similarity.imiProbe(emb, q, 3, cb, nProbe = 3),
+      Similarity.bruteForceTopK(emb, q, 3)).collect()
+    assert(rec.length == 10 && rec.forall { r =>
+      val x = r.getAs[Double]("recall"); x >= 0.0 && x <= 1.0
+    })
+  }
 }

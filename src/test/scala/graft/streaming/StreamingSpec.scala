@@ -963,4 +963,94 @@ class StreamingSpec extends AnyFunSuite {
       graft.pipeline.IvfIndex.search(spark, cleanIdx, q, 2, nProbe = 1)
         .collect().map(_.toSeq).toSet)
   }
+
+  /** The MAINTENANCE TICK under kill/recover: [[Similarity.semDeDupSink]]
+    * with `maintainEvery = 1` runs compact + maybeRetrain after EVERY
+    * micro-batch (maxSkew below 1.0 forces a retrain each tick — the
+    * worst case), and the crash is injected AFTER a full tick (batch
+    * append + fold + generation flip landed, streaming commit did not).
+    * The replayed batch must answer from its own directory ACROSS the
+    * retrain — retrain keeps recent batches per-batch for exactly this —
+    * and the re-run tick must converge. Recovered index ≡ no-failure
+    * run, and both runs actually retrained (generation advanced). */
+  test("maintenance tick dogfood: compact + retrain fire mid-stream, kill/recover equals no-failure run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def planeVec(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      (Seq(math.cos(r), math.sin(r)) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    }
+    val batches: Seq[Seq[(Long, Seq[Float])]] = Seq(
+      Seq((0L, planeVec(0)), (1L, planeVec(60))),
+      Seq((2L, planeVec(3)), (3L, planeVec(120))), // v2 near-dups v0
+      Seq((4L, planeVec(62)), (5L, planeVec(180)))) // v4 near-dups v1
+
+    def run(crashAtBatch: Option[Long]): (String, Seq[Set[Long]]) = {
+      val idxDir = Files.createTempDirectory("tick_idx").toString + "/idx"
+      val ckpt = Files.createTempDirectory("tick_ckpt").toString
+      graft.pipeline.IvfIndex.init(spark, idxDir, Array(Array.fill(64)(0.0)))
+      val shipped = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+      val out = (survivors: org.apache.spark.sql.DataFrame) => {
+        shipped += survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+        ()
+      }
+      // the REAL sink under test: ticks every batch; maxSkew 0.9 < 1.0
+      // guarantees maybeRetrain fires on every tick (skew >= 1 always)
+      val base = graft.pipeline.Similarity.semDeDupSink(idxDir, 0.99, out,
+        maintainEvery = 1, maxSkew = 0.9, retrainK = 1)
+      @volatile var crashArmed = crashAtBatch.isDefined
+      val sink = (batch: org.apache.spark.sql.DataFrame, id: Long) => {
+        base(batch.toDF("vec_id", "embedding"), id)
+        // the injected kill lands AFTER the whole tick (append + compact
+        // + retrain), BEFORE the streaming commit — the replay crosses
+        // the generation flip
+        if (crashArmed && crashAtBatch.contains(id)) {
+          crashArmed = false
+          throw new RuntimeException("injected crash after the maintenance tick")
+        }
+        ()
+      }
+      val mem = MemoryStream[(Long, Seq[Float])]
+      def start() = mem.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink).start()
+      var q = start()
+      batches.foreach { rows =>
+        mem.addData(rows: _*)
+        try q.processAllAvailable()
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+            q = start()
+            q.processAllAvailable()
+        }
+      }
+      q.stop()
+      (idxDir, shipped.toSeq)
+    }
+
+    def kept(dir: String): Set[Long] =
+      graft.pipeline.IvfIndex.read(spark, dir).select("cid").collect()
+        .map(_.getLong(0)).toSet
+
+    val (cleanIdx, cleanShipped) = run(None)
+    val (crashIdx, crashShipped) = run(Some(1L))
+    assert(kept(cleanIdx) == Set(0L, 1L, 3L, 5L),
+      "cross-batch near-dups were not dropped under per-tick retrains")
+    assert(kept(crashIdx) == kept(cleanIdx),
+      "recovered index diverged from the no-failure run")
+    // retrains really ran (one per tick, plus the replayed tick's rerun)
+    assert(graft.pipeline.IvfIndex.currentGen(spark, cleanIdx).exists(_ >= 3L))
+    assert(graft.pipeline.IvfIndex.currentGen(spark, crashIdx).exists(_ >= 3L))
+    // the replayed batch re-shipped EXACTLY its original survivor set
+    // (exactly-once downstream given an idempotent consumer)
+    assert(crashShipped.distinct.toSet == cleanShipped.distinct.toSet,
+      s"shipped sets diverged: clean=$cleanShipped crashed=$crashShipped")
+    // and both indexes answer identically
+    val q2 = spark.createDataFrame(Seq((100L, planeVec(61)))).toDF("vec_id", "embedding")
+    assert(graft.pipeline.IvfIndex.search(spark, crashIdx, q2, 2, nProbe = 1)
+      .collect().map(_.toSeq).toSet ==
+      graft.pipeline.IvfIndex.search(spark, cleanIdx, q2, 2, nProbe = 1)
+        .collect().map(_.toSeq).toSet)
+  }
 }
