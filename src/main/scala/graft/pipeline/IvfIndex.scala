@@ -82,6 +82,7 @@ object IvfIndex {
   private val SeenPrefix = "_seen."
   private val SlotPrefix = "_slot."
   private val HistPrefix = "_hist."
+  private val HistTmpPrefix = "_histtmp."
 
   /** A second writer raced this index: the sequence slot this append
     * computed for its generation was claimed by someone else first. */
@@ -607,10 +608,19 @@ object IvfIndex {
       queries.where(hi.fold(col("vec_id") >= lo)(h =>
         col("vec_id") >= lo && col("vec_id") < h))
     }
+    // slices execute EAGERLY one at a time (localCheckpoint materializes
+    // each slice's bounded topK result and cuts the plan lineage), so
+    // only ONE slice's broadcast query+LUT frame is live at any moment —
+    // a lazy union of all slices' broadcast joins would pin every
+    // broadcast simultaneously at action time, re-creating exactly the
+    // driver-memory blowup maxQueryRows exists to prevent. What
+    // accumulates is the result itself: slice_rows × topK rows per
+    // slice, stored executor-distributed.
     slices.map { q =>
       val scored = adcScoredIn(spark, gp, dir, q, nProbe, batchRows,
         "IvfIndex.searchPqBatched", keepQe = false)._1
       Similarity.rankTopK(scored, "adist", ascending = true, topK)
+        .localCheckpoint()
     }.reduce(_ unionByName _)
   }
 
@@ -623,10 +633,19 @@ object IvfIndex {
   private def writeHist(spark: SparkSession, f: org.apache.hadoop.fs.FileSystem,
                         gp: String, name: String): Unit = {
     val counts = scanCellCounts(spark, gp, name)
-    val o = f.create(new org.apache.hadoop.fs.Path(gp, s"$HistPrefix$name"), true)
+    // write-then-rename: a concurrent reader either sees the complete
+    // sidecar or none at all (missing → the benign per-batch scan
+    // fallback), never a torn prefix that would parse to wrong counts.
+    // The tmp name uses its own prefix so no lister ever matches it;
+    // [[compact]] sweeps any crash-orphaned tmp.
+    val tmp = new org.apache.hadoop.fs.Path(gp, s"$HistTmpPrefix$name")
+    val dst = new org.apache.hadoop.fs.Path(gp, s"$HistPrefix$name")
+    val o = f.create(tmp, true)
     o.write(counts.toSeq.sorted.map { case (c, n) => s"$c $n" }.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     o.close()
+    f.delete(dst, false)
+    f.rename(tmp, dst)
   }
 
   private def readHist(f: org.apache.hadoop.fs.FileSystem, gp: String,
@@ -761,13 +780,21 @@ object IvfIndex {
         .select(col("cid").as("vec_id"), col("ce").as("embedding"))
     val agedDirs = aged.filter(n =>
       f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
-    val fold: Seq[(String, Option[DataFrame])] =
+    val fold: Seq[(String, Option[DataFrame], Long)] =
       if (agedDirs.isEmpty) Nil
-      else Seq(s"fold${gid + 1}" -> Some(rows(agedDirs.map(n => s"$gp/batch=$n"))))
-    val recentBatches: Seq[(String, Option[DataFrame])] = recent.map { n =>
-      n -> (if (f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
-        Some(rows(Seq(s"$gp/batch=$n")))
-      else None) // marker-only empty batch stays marker-only
+      else Seq((s"fold${gid + 1}",
+        Some(rows(agedDirs.map(n => s"$gp/batch=$n"))), now))
+    // recent batches CARRY their ORIGINAL publish timestamp: the replay
+    // grace clock runs from the stream's append, not from this retrain —
+    // re-stamping would reset their age on every retrain and, under
+    // recurring retrains, no batch would ever age into a fold (unbounded
+    // per-batch directory growth on a long stream)
+    val recentBatches: Seq[(String, Option[DataFrame], Long)] = recent.map { n =>
+      (n,
+        if (f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
+          Some(rows(Seq(s"$gp/batch=$n")))
+        else None, // marker-only empty batch stays marker-only
+        newest(n))
     }
     val carried = (names(f, root, SeenPrefix).map(_._2) ++ aged).distinct
     writeGen(spark, dir, gid + 1, cents, newCbs, newRot,
@@ -792,7 +819,7 @@ object IvfIndex {
                        centroids: Array[Array[Double]],
                        cbs: Option[Array[Array[Array[Double]]]],
                        rot: Option[Array[Array[Double]]],
-                       batches: Seq[(String, Option[DataFrame])],
+                       batches: Seq[(String, Option[DataFrame], Long)],
                        carriedNames: Seq[String]): Unit = {
     import spark.implicits._
     val gp = genPath(dir, gid)
@@ -808,7 +835,7 @@ object IvfIndex {
     rot.foreach(Similarity.writeRotation(spark, gp, _))
     val f = fs(spark, dir)
     val now = System.currentTimeMillis()
-    batches.foreach { case (name, vectors) =>
+    batches.foreach { case (name, vectors, markerTs) =>
       vectors.foreach { vecs =>
         val assigned = vecs.select(col("vec_id").as("cid"),
             col("embedding").cast("array<double>").as("ce"))
@@ -821,8 +848,10 @@ object IvfIndex {
           .parquet(s"$gp/batch=$name")
         writeHist(spark, f, gp, name)
       }
+      // markerTs preserves a carried batch's ORIGINAL publish time, so
+      // its fold-grace clock survives the generation flip
       f.create(new org.apache.hadoop.fs.Path(gp,
-        s"$MarkerPrefix$now.$name"), false).close()
+        s"$MarkerPrefix$markerTs.$name"), false).close()
     }
     carriedNames.foreach { n =>
       f.create(new org.apache.hadoop.fs.Path(gp, s"$SeenPrefix$now.$n"), false).close()
@@ -961,6 +990,13 @@ object IvfIndex {
       aged.foreach { n =>
         f.delete(new org.apache.hadoop.fs.Path(root, s"$HistPrefix$n"), false)
       }
+    }
+    // crash-orphaned histogram tmp files (a writeHist that died between
+    // create and rename) sweep once past the grace window
+    f.listStatus(root).toSeq.foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(HistTmpPrefix) &&
+          st.getModificationTime <= now - graceMs)
+        f.delete(st.getPath, false)
     }
     // sequence-slot ledger of the current generation: only the MAX
     // matters (the next append's predecessor) — fold the tail

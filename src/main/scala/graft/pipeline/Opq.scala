@@ -158,6 +158,7 @@ object Opq {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .orderBy(col("vec_id")).limit(trainLimit)
       .collect().map(_.getSeq[Double](1).toArray)
+    require(x.nonEmpty, "Opq.distortion: empty sample") // loud, never NaN
     val subDims = rotation.length / codebooks.length
     val errs = x.map { v =>
       val y = apply(rotation, v)

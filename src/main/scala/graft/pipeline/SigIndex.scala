@@ -152,12 +152,18 @@ object SigIndex {
           vanished += n.drop("batch-".length)
       }
       else if (st.isDirectory &&
-          (n.startsWith(DecisionPrefix) || n.startsWith("decled-")))
+          (n.startsWith(DecisionPrefix) || n.startsWith("decled-"))) {
         // line-dedup decision sidecars and their fold ledger
         // ([[Curation.dedupLinesIncremental]]) ride along: a batch
         // replayed against the restored snapshot rewrites from its
-        // frozen decision, the exactly-once contract
-        linkDirTolerant(f, st.getPath, new org.apache.hadoop.fs.Path(out, n), link)
+        // frozen decision, the exactly-once contract. A LEDGER dir that
+        // vanished mid-copy must also suppress its `_decled.` marker
+        // below — a restored currentLedger pointing at a missing
+        // directory would crash every replay's ledger fallback.
+        if (!linkDirTolerant(f, st.getPath, new org.apache.hadoop.fs.Path(out, n), link)
+            && n.startsWith("decled-"))
+          vanished += n
+      }
     }
     entries.foreach { st =>
       val n = st.getPath.getName
@@ -165,7 +171,9 @@ object SigIndex {
         stamped(MarkerPrefix, n).exists(m =>
           live.contains(m._2) && !vanished.contains(m._2)) ||
           n.startsWith(SeenPrefix) || n.startsWith(SlotPrefix) ||
-          n.startsWith(DecFoldPrefix) || n.startsWith(DecLedgerPrefix)
+          n.startsWith(DecFoldPrefix) ||
+          (n.startsWith(DecLedgerPrefix) && stamped(DecLedgerPrefix, n)
+            .exists(m => !vanished.contains(s"decled-${m._2}")))
       if (st.isFile && wanted)
         // marker/seen/slot files are ZERO-BYTE names: re-create them from
         // the captured listing instead of linking — a compact racing the

@@ -535,6 +535,34 @@ object PipelineQueries {
     (0 until 7).map(j => s"WHEN c$mm = $j THEN q.d_${mm}_$j")
       .mkString("CASE ", " ", s" ELSE q.d_${mm}_7 END")
 
+  /** The recall@3 tail every ANN recall oracle shares (flat IVF, PQ,
+    * OPQ, IMI): exact brute-force cosine top-3 + per-query hit
+    * intersection over `rankedRel`'s (qid, cid, rank) rows. ONE
+    * definition so the tie-break/rounding of the exact side can never
+    * drift between the recall gates. */
+  private def recallTailSql(rankedRel: String): String =
+    s"""approx AS (SELECT qid, cid FROM $rankedRel WHERE rank <= 3),
+       |ex_pairs AS (
+       |  SELECT qv.vec_id AS qid, cv.vec_id AS cid,
+       |         qv.embedding AS qe, cv.embedding AS ce
+       |  FROM embeddings qv JOIN embeddings cv ON qv.vec_id <> cv.vec_id
+       |  WHERE qv.vec_id < 10),
+       |ex_scored AS (
+       |  SELECT qid, cid,
+       |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
+       |  FROM ex_pairs),
+       |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |         FROM ex_scored),
+       |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
+       |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
+       |hits AS (
+       |  SELECT a.qid, count(*) AS hits
+       |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+       |  GROUP BY a.qid)
+       |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
+       |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
+       |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin
+
   // OPQ oracle pieces: the fixed signed-permutation rotation baked in —
   // rotated component d of v is sign_d * v[perm_d + 1], exactly the
   // RotateVec kernel's output for a ±1 permutation matrix (zero terms
@@ -1590,27 +1618,7 @@ object PipelineQueries {
          |  FROM q JOIN coded ON q.vec_id <> coded.cid),
          |adc_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
          |          FROM adc),
-         |approx AS (SELECT qid, cid FROM adc_r WHERE rank <= 3),
-         |ex_pairs AS (
-         |  SELECT qv.vec_id AS qid, cv.vec_id AS cid,
-         |         qv.embedding AS qe, cv.embedding AS ce
-         |  FROM embeddings qv JOIN embeddings cv ON qv.vec_id <> cv.vec_id
-         |  WHERE qv.vec_id < 10),
-         |ex_scored AS (
-         |  SELECT qid, cid,
-         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
-         |  FROM ex_pairs),
-         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
-         |         FROM ex_scored),
-         |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
-         |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
-         |hits AS (
-         |  SELECT a.qid, count(*) AS hits
-         |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
-         |  GROUP BY a.qid)
-         |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
-         |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
-         |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin,
+         |${recallTailSql("adc_r")}""".stripMargin,
 
     // recall@3: the ivf-probe CTEs and the brute-force CTEs, joined on
     // (qid, cid) for the hit count; recall = hits / exact-k as ONE double
@@ -1638,26 +1646,7 @@ object PipelineQueries {
          |  FROM qprobe q JOIN cells c ON q.cell = c.cell AND q.qid <> c.cid),
          |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
          |          FROM ivf_scored),
-         |approx AS (SELECT qid, cid FROM ivf_r WHERE rank <= 3),
-         |ex_pairs AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 10),
-         |ex_scored AS (
-         |  SELECT qid, cid,
-         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
-         |  FROM ex_pairs),
-         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
-         |         FROM ex_scored),
-         |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
-         |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
-         |hits AS (
-         |  SELECT a.qid, count(*) AS hits
-         |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
-         |  GROUP BY a.qid)
-         |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
-         |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
-         |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin,
+         |${recallTailSql("ivf_r")}""".stripMargin,
 
     // OPQ/ADC: q_sim_pq's chain with every component read through the
     // fixed signed-permutation rotation
@@ -1669,26 +1658,7 @@ object PipelineQueries {
     // top-3 — the q_sim_recall tail over the OPQ prelude
     "q_sim_recall_opq" ->
       s"""WITH $opqPreludeSql,
-         |approx AS (SELECT qid, cid FROM opq_r WHERE rank <= 3),
-         |ex_pairs AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 10),
-         |ex_scored AS (
-         |  SELECT qid, cid,
-         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
-         |  FROM ex_pairs),
-         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
-         |         FROM ex_scored),
-         |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
-         |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
-         |hits AS (
-         |  SELECT a.qid, count(*) AS hits
-         |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
-         |  GROUP BY a.qid)
-         |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
-         |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
-         |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin,
+         |${recallTailSql("opq_r")}""".stripMargin,
 
     // IMI: the two-level cells and the pair-ranked probe, exact cosine
     // inside the probed cells — every double in the engine's fold order
@@ -1700,26 +1670,7 @@ object PipelineQueries {
     // tail as q_sim_recall over the two-level prelude
     "q_sim_recall_imi" ->
       s"""WITH $imiPreludeSql,
-         |approx AS (SELECT qid, cid FROM imi_r WHERE rank <= 3),
-         |ex_pairs AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
-         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 10),
-         |ex_scored AS (
-         |  SELECT qid, cid,
-         |         ($dotTerms) / (sqrt(${selfDot("qe")}) * sqrt(${selfDot("ce")})) AS cos
-         |  FROM ex_pairs),
-         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
-         |         FROM ex_scored),
-         |exact AS (SELECT qid, cid FROM ex_r WHERE rank <= 3),
-         |kk AS (SELECT qid, count(*) AS k FROM exact GROUP BY qid),
-         |hits AS (
-         |  SELECT a.qid, count(*) AS hits
-         |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
-         |  GROUP BY a.qid)
-         |SELECT kk.qid, coalesce(hits.hits, 0) AS hits, kk.k,
-         |       CAST(coalesce(hits.hits, 0) AS DOUBLE) / kk.k AS recall
-         |FROM kk LEFT JOIN hits ON kk.qid = hits.qid""".stripMargin,
+         |${recallTailSql("imi_r")}""".stripMargin,
 
     "q_sim_pq" ->
       s"""WITH dist AS (

@@ -592,10 +592,21 @@ class IvfIndexSpec extends AnyFunSuite {
       .find(_.getName.matches("_live\\.\\d+\\.s0")).get
     assert(f.rename(m, new org.apache.hadoop.fs.Path(gp, "_live.1000.s0")))
     Similarity.semDeDupIncremental(vecDf(2L -> planeVec(60)), dir, "s1", 0.99)
+    val s1Ts = f.listStatus(gp).map(_.getPath.getName)
+      .collectFirst { case n if n.matches("_live\\.\\d+\\.s1") =>
+        n.split("\\.")(1).toLong }.get
     assert(IvfIndex.retrain(spark, dir, k = 1, iters = 1, trainLimit = 100) == 1L)
     // the RECENT batch keeps per-batch identity in the new generation...
     assert(IvfIndex.readBatch(spark, dir, "s1").get
       .select("cid").collect().map(_.getLong(0)).toSet == Set(2L))
+    // ...and CARRIES ITS ORIGINAL publish timestamp — a retrain that
+    // re-stamped it would reset the fold-grace clock on every flip, and
+    // under recurring retrains no batch would ever age into a fold
+    val gp1 = new org.apache.hadoop.fs.Path(s"$dir/gen-1")
+    val s1TsAfter = f.listStatus(gp1).map(_.getPath.getName)
+      .collectFirst { case n if n.matches("_live\\.\\d+\\.s1") =>
+        n.split("\\.")(1).toLong }.get
+    assert(s1TsAfter == s1Ts, "retrain re-stamped a carried batch's marker")
     // ...the AGED one folded: replay-detected, not individually readable
     assert(IvfIndex.contains(spark, dir, "s0"))
     assert(IvfIndex.readBatch(spark, dir, "s0").isEmpty)
