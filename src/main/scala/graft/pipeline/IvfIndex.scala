@@ -194,20 +194,102 @@ object IvfIndex {
   def init(spark: SparkSession, dir: String,
            centroids: Array[Array[Double]],
            codebooks: Option[Array[Array[Array[Double]]]] = None,
-           rotation: Option[Array[Array[Double]]] = None): Unit = {
+           rotation: Option[Array[Array[Double]]] = None): Unit =
+    initCoarse(spark, dir, FlatCoarse(centroids), codebooks, rotation)
+
+  /** [[init]] with the TWO-LEVEL (inverted multi-index) coarse
+    * quantizer: `halves` are the two half-space codebooks (the
+    * [[Similarity.trainCodebooks]]/[[Similarity.fixedCodebooks]] M=2
+    * product shape); the cell id is first-half argmin · K + second-half
+    * argmin, giving K² effective cells for 2K distance evaluations per
+    * appended vector — the assignment-cost story that makes √n cell
+    * counts affordable at billion-vector scale. Every other IvfIndex
+    * behavior (appends, folds, retrain, PQ codes, snapshots, SemDeDup)
+    * is unchanged: cells are cells. */
+  def initImi(spark: SparkSession, dir: String,
+              halves: Array[Array[Array[Double]]],
+              codebooks: Option[Array[Array[Array[Double]]]] = None,
+              rotation: Option[Array[Array[Double]]] = None): Unit = {
+    require(halves.length == 2,
+      s"IvfIndex at $dir: IMI quantizes exactly two half-spaces, got ${halves.length}")
+    initCoarse(spark, dir, ImiCoarse(halves), codebooks, rotation)
+  }
+
+  private def initCoarse(spark: SparkSession, dir: String, coarse: Coarse,
+                         codebooks: Option[Array[Array[Array[Double]]]],
+                         rotation: Option[Array[Array[Double]]]): Unit = {
     require(currentGen(spark, dir).isEmpty, s"IvfIndex at $dir already exists")
     require(rotation.isEmpty || codebooks.isDefined,
       s"IvfIndex at $dir: an OPQ rotation without codebooks has nothing to rotate for")
-    writeGen(spark, dir, 0L, centroids, codebooks, rotation, Nil, Nil)
+    writeGen(spark, dir, 0L, coarse, codebooks, rotation, Nil, Nil)
   }
 
-  /** The current generation's quantizer, cell-ordered. */
+  /** The current generation's FLAT quantizer, cell-ordered (fails on an
+    * IMI-quantized index — use [[cellAssigner]]/[[imiHalves]] there). */
   def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     centroidsIn(spark, requireGen(spark, dir)._2)
 
   private def centroidsIn(spark: SparkSession, gp: String): Array[Array[Double]] =
     spark.read.parquet(s"$gp/centroids").orderBy(col("cell"))
       .collect().map(_.getSeq[Double](1).toArray)
+
+  /** The current generation's IMI half codebooks (None on a flat index). */
+  def imiHalves(spark: SparkSession,
+                dir: String): Option[Array[Array[Array[Double]]]] = {
+    val gp = requireGen(spark, dir)._2
+    coarseIn(spark, gp) match {
+      case ImiCoarse(h) => Some(h)
+      case _ => None
+    }
+  }
+
+  // ---- the pluggable coarse quantizer ------------------------------------
+  // A generation's cells come from either a FLAT k-centroid quantizer
+  // (`centroids/`) or the TWO-LEVEL inverted multi-index construction
+  // (`imicb/` — Babenko & Lempitsky CVPR 2012: cell = first-half argmin
+  // · K + second-half argmin, K² effective cells for 2K evaluations per
+  // vector). Everything downstream — the cell=<i> directory layout,
+  // partition pruning, folds, retrains, snapshots, PQ codes — is
+  // quantizer-agnostic: a cell id is a cell id.
+
+  private[pipeline] sealed trait Coarse { def kEff: Int }
+  private[pipeline] final case class FlatCoarse(centroids: Array[Array[Double]])
+    extends Coarse { def kEff: Int = centroids.length }
+  private[pipeline] final case class ImiCoarse(halves: Array[Array[Array[Double]]])
+    extends Coarse { def kEff: Int = halves(0).length * halves(1).length }
+
+  private def coarseIn(spark: SparkSession, gp: String): Coarse = {
+    val p = new org.apache.hadoop.fs.Path(s"$gp/imicb")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      ImiCoarse(Similarity.readCodebooks(spark, p.toString))
+    else FlatCoarse(centroidsIn(spark, gp))
+  }
+
+  /** Single-cell assignment column for corpus-side rows. */
+  private def assignCol(c: Coarse, e: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = c match {
+    case FlatCoarse(cents) => NearestCells.cell(e, cents)
+    case ImiCoarse(h) => Similarity.imiCell(e, h)
+  }
+
+  /** Expand a bounded query frame (carrying `qid`, `qe` and any rider
+    * columns) to its `nProbe` probed cells: flat kernel explode, or the
+    * IMI pair ranking — the rider columns (PQ LUTs) survive both. */
+  private def probeExploded(c: Coarse, q: DataFrame, nProbe: Int): DataFrame =
+    c match {
+      case FlatCoarse(cents) =>
+        q.withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
+      case ImiCoarse(h) => Similarity.imiProbedCells(q, h, nProbe)
+    }
+
+  /** The CURRENT generation's cell-assignment function — incremental
+    * consumers ([[Similarity.semDeDupIncremental]]) assign batches with
+    * it, so they work over flat AND IMI-quantized indexes. */
+  def cellAssigner(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val c = coarseIn(spark, requireGen(spark, dir)._2)
+    e => assignCol(c, e)
+  }
 
   /** The current generation's PQ codebooks (None on a flat index) —
     * [[Similarity.readCodebooks]] over the generation's parquet. */
@@ -259,8 +341,8 @@ object IvfIndex {
     // quantizer and codebooks from the SAME generation resolution as the
     // layout (gp): a retrain flipping in this window cannot pair the new
     // quantizer's assignment with the old generation's directories — the
-    // discipline every search path follows (centroidsIn/readColsIn)
-    val cents = centroidsIn(spark, gp)
+    // discipline every search path follows (coarseIn/readColsIn)
+    val coarse = coarseIn(spark, gp)
     val cbs = codebooksIn(spark, gp)
     val rot = Similarity.readRotation(spark, gp)
     // an EMPTY batch (routine: every survivor of a semDeDup batch was a
@@ -271,7 +353,7 @@ object IvfIndex {
     if (!vectors.isEmpty) {
       val assigned = vectors.select(col("vec_id").as("cid"),
           col("embedding").cast("array<double>").as("ce"))
-        .withColumn("cell", NearestCells.cell(col("ce"), cents))
+        .withColumn("cell", assignCol(coarse, col("ce")))
       // a PQ generation also encodes AT APPEND TIME against its persisted
       // codebooks (one more codegen'd projection in the same pass) — the
       // code column is what [[searchPq]] scans; an OPQ generation rotates
@@ -405,11 +487,12 @@ object IvfIndex {
     // ONE generation resolution for the whole query: quantizer and layout
     // always agree even when a retrain flips mid-call
     val (_, gp) = requireGen(spark, dir)
-    val cents = centroidsIn(spark, gp)
-    val q = Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.search")
-      .select(col("vec_id").as("qid"),
-        col("embedding").cast("array<double>").as("qe"))
-      .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
+    val coarse = coarseIn(spark, gp)
+    val q = probeExploded(coarse,
+        Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.search")
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qe")),
+        nProbe)
       .localCheckpoint() // assignment runs once: probe set AND join side
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
     val cells = readColsIn(spark, gp, Seq("cell", "cid", "ce"), cellSchema)
@@ -470,7 +553,7 @@ object IvfIndex {
                           queries: DataFrame, nProbe: Int, maxQueryRows: Long,
                           op: String, keepQe: Boolean)
       : (DataFrame, DataFrame, Seq[Int]) = {
-    val cents = centroidsIn(spark, gp)
+    val coarse = coarseIn(spark, gp)
     val cbs = codebooksIn(spark, gp).getOrElse(throw new IllegalStateException(
       s"IvfIndex at $dir is not product-quantized — init() with codebooks"))
     val rot = Similarity.readRotation(spark, gp)
@@ -486,10 +569,10 @@ object IvfIndex {
     // table arithmetic cannot diverge between the search paths. On an
     // OPQ generation the LUTs build over the ROTATED query (the stored
     // codes' space); the cell probe stays in the raw space.
-    val q = qBase
-      .select(Seq(col("qid"), col("qe")) ++
-        Similarity.adcLutColumns(cbs, Similarity.rotatedCol(col("qe"), rot)): _*)
-      .withColumn("cell", explode(NearestCells.column(col("qe"), cents, nProbe)))
+    val q = probeExploded(coarse, qBase
+        .select(Seq(col("qid"), col("qe")) ++
+          Similarity.adcLutColumns(cbs, Similarity.rotatedCol(col("qe"), rot)): _*),
+        nProbe)
       .drop("qe")
       .localCheckpoint() // one pass builds probe set + LUTs
     val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
@@ -694,7 +777,7 @@ object IvfIndex {
     * read — [[cellCounts]] sums the `_hist` sidecars, never batch data. */
   def skew(spark: SparkSession, dir: String): Double = {
     val (_, gp) = requireGen(spark, dir)
-    val k = centroidsIn(spark, gp).length
+    val k = coarseIn(spark, gp).kEff
     val counts = cellCountsIn(spark, gp)
     val total = counts.values.sum
     if (total == 0L) 1.0
@@ -757,9 +840,20 @@ object IvfIndex {
     // nothing to learn from an empty index: the flip still happens (the
     // caller asked for a generation) but the quantizer carries unchanged
     val empty = sample.isEmpty
-    val cents =
-      if (empty) centroidsIn(spark, gp)
-      else Similarity.trainCentroids(sample, k, iters, trainLimit)
+    val oldCoarse = coarseIn(spark, gp)
+    // the quantizer retrains IN KIND: a flat generation trains k fresh
+    // centroids; an IMI generation re-trains its two half codebooks at
+    // their existing per-half K (k_eff = K² is the two-level shape's
+    // invariant — resize by re-initializing, not by drift maintenance)
+    val coarse: Coarse =
+      if (empty) oldCoarse
+      else oldCoarse match {
+        case FlatCoarse(_) =>
+          FlatCoarse(Similarity.trainCentroids(sample, k, iters, trainLimit))
+        case ImiCoarse(h) =>
+          ImiCoarse(Similarity.trainCodebooks(sample, 2, h(0).length,
+            iters, trainLimit))
+      }
     val oldCbs = codebooksIn(spark, gp)
     val oldRot = Similarity.readRotation(spark, gp)
     // an OPQ generation re-learns rotation AND codebooks together (the
@@ -797,7 +891,7 @@ object IvfIndex {
         newest(n))
     }
     val carried = (names(f, root, SeenPrefix).map(_._2) ++ aged).distinct
-    writeGen(spark, dir, gid + 1, cents, newCbs, newRot,
+    writeGen(spark, dir, gid + 1, coarse, newCbs, newRot,
       fold ++ recentBatches, carried)
     gid + 1
   }
@@ -816,22 +910,26 @@ object IvfIndex {
     else None
 
   private def writeGen(spark: SparkSession, dir: String, gid: Long,
-                       centroids: Array[Array[Double]],
+                       coarse: Coarse,
                        cbs: Option[Array[Array[Array[Double]]]],
                        rot: Option[Array[Array[Double]]],
                        batches: Seq[(String, Option[DataFrame], Long)],
                        carriedNames: Seq[String]): Unit = {
     import spark.implicits._
     val gp = genPath(dir, gid)
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "c")
-      .repartition(1).write.mode("overwrite").parquet(s"$gp/centroids")
-    cbs.foreach { b =>
+    def writeCbs(b: Array[Array[Array[Double]]], path: String): Unit =
       b.zipWithIndex.flatMap { case (cb, mm) =>
         cb.zipWithIndex.map { case (v, j) => (mm, j, v.toSeq) }
       }.toSeq.toDF("m", "j", "c")
-        .repartition(1).write.mode("overwrite").parquet(s"$gp/codebooks")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    coarse match {
+      case FlatCoarse(centroids) =>
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "c")
+          .repartition(1).write.mode("overwrite").parquet(s"$gp/centroids")
+      case ImiCoarse(halves) => writeCbs(halves, s"$gp/imicb")
     }
+    cbs.foreach(writeCbs(_, s"$gp/codebooks"))
     rot.foreach(Similarity.writeRotation(spark, gp, _))
     val f = fs(spark, dir)
     val now = System.currentTimeMillis()
@@ -839,7 +937,7 @@ object IvfIndex {
       vectors.foreach { vecs =>
         val assigned = vecs.select(col("vec_id").as("cid"),
             col("embedding").cast("array<double>").as("ce"))
-          .withColumn("cell", NearestCells.cell(col("ce"), centroids))
+          .withColumn("cell", assignCol(coarse, col("ce")))
         cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
             assigned.withColumn("codes",
                 Similarity.pqCodesCol(Similarity.rotatedCol(col("ce"), rot), b))
@@ -899,7 +997,7 @@ object IvfIndex {
     entries.foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && (n == "centroids" || n == "codebooks" ||
-          n == "rotation" ||
+          n == "rotation" || n == "imicb" ||
           (n.startsWith("batch=") && live.contains(n.drop("batch=".length))))) {
         try linkTree(st.getPath, new org.apache.hadoop.fs.Path(ogp, n))
         catch {

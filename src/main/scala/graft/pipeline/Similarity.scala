@@ -337,12 +337,30 @@ object Similarity {
   def imiProbe(corpus: DataFrame, queries: DataFrame, topK: Int,
                codebooks: Array[Array[Array[Double]]], nProbe: Int,
                maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
-    require(codebooks.length == 2,
-      s"imiProbe: IMI quantizes exactly two half-spaces, got ${codebooks.length}")
-    val ks = codebooks(1).length
     val cells = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cell", imiCell(col("e"), codebooks))
       .select(col("cell"), col("vec_id").as("cid"), col("e").as("ce"))
+    val qb = requireBounded(queries, maxQueryRows, "imiProbe")
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+    val q = imiProbedCells(qb, codebooks, nProbe)
+    val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qe"), col("ce")))
+    rankTopK(scored, "cos", ascending = false, topK)
+  }
+
+  /** The IMI probe-set expansion — adds `cell` rows for the `nProbe`
+    * cell PAIRS nearest by half-distance sum (du + dv, ties by cell id)
+    * to a bounded query frame carrying a `qe` column, PRESERVING every
+    * other column (the PQ search rides its LUT columns through). The
+    * two-level counterpart of `explode(NearestCells.column(...))` —
+    * shared by [[imiProbe]] and [[IvfIndex]]'s IMI-quantized search
+    * paths so the pair arithmetic exists once. */
+  private[pipeline] def imiProbedCells(q: DataFrame,
+      codebooks: Array[Array[Array[Double]]], nProbe: Int): DataFrame = {
+    require(codebooks.length == 2,
+      s"IMI quantizes exactly two half-spaces, got ${codebooks.length}")
+    val ks = codebooks(1).length
+    val sub0 = codebooks(0)(0).length
     // per-half squared distances of the query to each codebook entry, in
     // the [[NearestCells]] kernel's exact left-fold term order
     def halfDists(mm: Int, off: Int): Column = array(codebooks(mm).indices.map { j =>
@@ -352,24 +370,19 @@ object Similarity {
         x * x
       }.reduceLeft(_ + _)
     }: _*)
-    val sub0 = codebooks(0)(0).length
-    val qb = requireBounded(queries, maxQueryRows, "imiProbe")
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-    val pairs = qb
-      .select(col("qid"), col("qe"), halfDists(1, sub0).as("dvs"),
-        posexplode(halfDists(0, 0)).as(Seq("u", "du")))
-      .select(col("qid"), col("qe"), col("u"), col("du"),
-        posexplode(col("dvs")).as(Seq("v", "dv")))
-      .withColumn("cell", col("u") * lit(ks) + col("v"))
-      .withColumn("pd", col("du") + col("dv"))
+    val keep = q.columns.map(col)
+    val pairs = q
+      .select(keep :+ halfDists(1, sub0).as("_imi_dvs")
+        :+ posexplode(halfDists(0, 0)).as(Seq("_imi_u", "_imi_du")): _*)
+      .select(keep :+ col("_imi_u") :+ col("_imi_du")
+        :+ posexplode(col("_imi_dvs")).as(Seq("_imi_v", "_imi_dv")): _*)
+      .withColumn("cell", col("_imi_u") * lit(ks) + col("_imi_v"))
+      .withColumn("_imi_pd", col("_imi_du") + col("_imi_dv"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("pd").asc, col("cell").asc)
-    val q = pairs.withColumn("cr", row_number().over(w))
-      .where(col("cr") <= nProbe)
-      .select(col("qid"), col("qe"), col("cell"))
-    val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qe"), col("ce")))
-    rankTopK(scored, "cos", ascending = false, topK)
+      .partitionBy(col("qid")).orderBy(col("_imi_pd").asc, col("cell").asc)
+    pairs.withColumn("_imi_cr", row_number().over(w))
+      .where(col("_imi_cr") <= nProbe)
+      .select(keep :+ col("cell"): _*)
   }
 
   /** Cluster-stratified DIVERSITY sample — the k-means quota sampling of
@@ -828,10 +841,12 @@ object Similarity {
     // guard): a second writer whose snapshot races this one fails loud
     // at its append instead of silently splitting survivors
     val seq = IvfIndex.nextAppendSeq(spark, indexDir)
-    val cents = IvfIndex.centroids(spark, indexDir)
+    // the index's OWN quantizer assigns the batch — flat or two-level
+    // (IMI) alike, so SemDeDup state can live behind either construction
+    val assign = IvfIndex.cellAssigner(spark, indexDir)
     val batch = vectors
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("cell", NearestCells.cell(col("e"), cents))
+      .withColumn("cell", assign(col("e")))
       .localCheckpoint() // one assignment: probe set + index join + peer join
     val probed = batch.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq // driver-bounded: ≤ k ints

@@ -215,6 +215,21 @@ object PipelineQueries {
       Similarity.imiProbe(e, e.where(col("vec_id") < 10), 3,
         Similarity.fixedCodebooks(2, 4, 32), nProbe = 3)
     }),
+    // the INCREMENTAL index behind the TWO-LEVEL quantizer: a 3-batch
+    // append history with a mid-history fold over an IMI-initialized
+    // IvfIndex must answer exactly like the one-shot in-memory pair-
+    // ranked probe (cell assignment is per-vector — shares q_sim_imi's
+    // oracle, the q_sim_ivf_incremental pattern)
+    "q_sim_imi_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_imi_inc").toString + "/idx"
+      IvfIndex.initImi(s, idx, Similarity.fixedCodebooks(2, 4, 32))
+      (0 until 3).foreach { b =>
+        IvfIndex.append(e.where(pmod(col("vec_id"), lit(3)) === b), idx, s"i$b")
+        if (b == 1) IvfIndex.compact(s, idx, graceMs = 0L) // fold mid-history
+      }
+      IvfIndex.search(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
+    }),
     // recall@3 of the IMI probe against the exact top-3 — prices the
     // two-level quantizer's nProbe knob exactly like q_sim_recall prices
     // the flat one's
@@ -2584,6 +2599,9 @@ object PipelineQueries {
       // so the appendable IVF-PQ history must answer exactly like the
       // immutable one-shot build — the ivfpq oracle serves both
       ("q_sim_ivfpq_incremental" -> oracleBase("q_sim_ivfpq")) +
+      // the two-level cell is per-vector (history-agnostic), so the
+      // IMI-quantized incremental index shares the one-shot probe oracle
+      ("q_sim_imi_incremental" -> oracleBase("q_sim_imi")) +
       // min-k per cell is a semilattice: the incremental state equals the
       // one-shot sample over the union, so they share one oracle
       ("q_pipe_diversity_incremental" -> oracleBase("q_pipe_diversity_sample"))

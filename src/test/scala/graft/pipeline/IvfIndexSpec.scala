@@ -664,6 +664,65 @@ class IvfIndexSpec extends AnyFunSuite {
       emb.where(col("vec_id") < 0), 3, nProbe = 3, batchRows = 2L).count() == 0)
   }
 
+  test("IMI-quantized index: appends+fold equal the pair-ranked probe; retrain in kind; semDeDup rides") {
+    val halves = Similarity.fixedCodebooks(2, 4, 32)
+    val dir = Files.createTempDirectory("ivf_imi").toString + "/idx"
+    IvfIndex.initImi(spark, dir, halves)
+    (0 until 3).foreach { b =>
+      assert(IvfIndex.append(emb.where(col("vec_id") % 3 === b), dir, s"i$b"))
+      if (b == 1) IvfIndex.compact(spark, dir, graceMs = 0L)
+    }
+    val q = emb.where(col("vec_id") < 10)
+    val res = IvfIndex.search(spark, dir, q, 3, nProbe = 3)
+    res.collect()
+    assert(resultSet(res) ==
+      resultSet(Similarity.imiProbe(emb, q, 3, halves, nProbe = 3)))
+    // the two-level probe set still partition-prunes every live batch
+    // directory and still broadcasts the bounded query side
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("\\s", "")
+      .matches("(?s).*PartitionFilters:\\[[^\\]]*cell.*"),
+      s"IMI cell probe not a partition filter:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"))
+    // skew denominates by k_eff (16), from the histogram sidecars
+    val s = IvfIndex.skew(spark, dir)
+    assert(s >= 1.0 && s <= 16.0, s"skew $s out of k_eff range")
+    // retrain re-trains the two HALVES in kind; the flip answers like the
+    // in-memory probe over the retrained halves
+    IvfIndex.retrain(spark, dir, iters = 2, trainLimit = 500)
+    val nh = IvfIndex.imiHalves(spark, dir).get
+    assert(nh.length == 2 && nh(0).length == 4 && nh(0)(0).length == 32)
+    assert(nh.flatten.flatten.toSeq != halves.flatten.flatten.toSeq,
+      "IMI halves did not re-train")
+    assert(resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3)) ==
+      resultSet(Similarity.imiProbe(emb, q, 3, nh, nProbe = 3)))
+    // incremental SemDeDup assigns with the index's OWN quantizer —
+    // flat or two-level alike
+    val sd = Files.createTempDirectory("ivf_imi_sdd").toString + "/idx"
+    IvfIndex.initImi(spark, sd, halves)
+    val k0 = Similarity.semDeDupIncremental(
+      emb.where(col("vec_id") % 2 === 0), sd, "s0", 0.3).count()
+    val k1 = Similarity.semDeDupIncremental(
+      emb.where(col("vec_id") % 2 === 1), sd, "s1", 0.3).count()
+    assert(k0 + k1 == IvfIndex.read(spark, sd).count() && k0 > 0)
+  }
+
+  test("IMI + PQ composed index: all-cell ADC probe equals the flat pqTopK exactly") {
+    val halves = Similarity.fixedCodebooks(2, 4, 32)
+    val dir = Files.createTempDirectory("ivf_imipq").toString + "/idx"
+    IvfIndex.initImi(spark, dir, halves, Some(cbs))
+    (0 until 2).foreach(b => IvfIndex.append(
+      emb.where(col("vec_id") % 2 === b), dir, s"p$b"))
+    val q = emb.where(col("vec_id") < 10)
+    // probing all 16 (u, v) pairs scores every candidate: the composed
+    // index's ADC search IS pqTopK (same codes, same LUTs, same tail)
+    assert(resultSet(IvfIndex.searchPq(spark, dir, q, 3, nProbe = 16)) ==
+      resultSet(Similarity.pqTopK(emb, q, 3, cbs)))
+    // and the rerank's exact stage is quantizer-agnostic
+    assert(IvfIndex.searchPqRerank(spark, dir, q, 3, shortlist = 12,
+      nProbe = 3).count() == 30)
+  }
+
   test("PQ snapshot restores with codebooks; searchPq answers from the snapshot") {
     val dir = freshPqIndex()
     (0 until 2).foreach(b => IvfIndex.append(
