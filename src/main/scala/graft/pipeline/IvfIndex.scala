@@ -487,6 +487,11 @@ object IvfIndex {
     // ONE generation resolution for the whole query: quantizer and layout
     // always agree even when a retrain flips mid-call
     val (_, gp) = requireGen(spark, dir)
+    searchIn(spark, gp, queries, topK, nProbe, maxQueryRows)
+  }
+
+  private def searchIn(spark: SparkSession, gp: String, queries: DataFrame,
+                       topK: Int, nProbe: Int, maxQueryRows: Long): DataFrame = {
     val coarse = coarseIn(spark, gp)
     val q = probeExploded(coarse,
         Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.search")
@@ -673,37 +678,57 @@ object IvfIndex {
   def searchPqBatched(spark: SparkSession, dir: String, queries: DataFrame,
                       topK: Int, nProbe: Int = 4,
                       batchRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
-    require(batchRows > 0, s"batchRows $batchRows must be positive")
     // ONE generation resolution for every slice: a retrain flipping
     // mid-iteration cannot answer different slices from different
     // quantizers
     val (_, gp) = requireGen(spark, dir)
-    // slice boundaries by sorted vec_id: a distributed sort + one pass
-    // that keeps every batchRows-th id — the driver holds only the
-    // boundaries. Slices are exact (the unique-vec_id query contract),
-    // so each bounded call's require can never trip.
+    batchedOver(spark, queries, batchRows,
+      one = searchPq(spark, dir, _, topK, nProbe, batchRows),
+      perSlice = q => {
+        val scored = adcScoredIn(spark, gp, dir, q, nProbe, batchRows,
+          "IvfIndex.searchPqBatched", keepQe = false)._1
+        Similarity.rankTopK(scored, "adist", ascending = true, topK)
+      })
+  }
+
+  /** [[search]] (exact cosine in the probed cells) over an UNBOUNDED
+    * query frame — [[searchPqBatched]]'s slicing for the flat search
+    * path, same bounded-driver/eager-slice discipline. */
+  def searchBatched(spark: SparkSession, dir: String, queries: DataFrame,
+                    topK: Int, nProbe: Int = 4,
+                    batchRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
+    val (_, gp) = requireGen(spark, dir)
+    batchedOver(spark, queries, batchRows,
+      one = searchIn(spark, gp, _, topK, nProbe, batchRows),
+      perSlice = q => searchIn(spark, gp, q, topK, nProbe, batchRows))
+  }
+
+  /** The shared unbounded-query slicing: deterministic vec_id ranges of
+    * at most `batchRows` queries, each answered by one bounded call
+    * against ONE already-resolved generation. Slice boundaries come from
+    * a distributed sort + one pass keeping every batchRows-th id — the
+    * driver holds one long per batchRows queries (a 10M-query frame ≈
+    * 100 boundaries), never the query count. Slices execute EAGERLY one
+    * at a time (localCheckpoint materializes each slice's bounded topK
+    * result and cuts the plan lineage), so only ONE slice's broadcast
+    * query frame is live at any moment — a lazy union of every slice's
+    * broadcast join would pin all broadcasts simultaneously at action
+    * time, re-creating exactly the driver-memory blowup maxQueryRows
+    * exists to prevent. What accumulates is the result itself:
+    * slice_rows × topK rows per slice, stored executor-distributed. */
+  private def batchedOver(spark: SparkSession, queries: DataFrame,
+                          batchRows: Long, one: DataFrame => DataFrame,
+                          perSlice: DataFrame => DataFrame): DataFrame = {
+    require(batchRows > 0, s"batchRows $batchRows must be positive")
     val bounds = queries.select(col("vec_id").cast("long"))
       .orderBy(col("vec_id")).rdd.zipWithIndex()
       .filter(_._2 % batchRows == 0).map(_._1.getLong(0)).collect().sorted
-    if (bounds.isEmpty) return searchPq(spark, dir, queries, topK, nProbe, batchRows)
-    val slices = bounds.zipWithIndex.map { case (lo, i) =>
+    if (bounds.isEmpty) return one(queries) // empty frame: bounded by definition
+    bounds.zipWithIndex.map { case (lo, i) =>
       val hi = if (i + 1 < bounds.length) Some(bounds(i + 1)) else None
-      queries.where(hi.fold(col("vec_id") >= lo)(h =>
+      val slice = queries.where(hi.fold(col("vec_id") >= lo)(h =>
         col("vec_id") >= lo && col("vec_id") < h))
-    }
-    // slices execute EAGERLY one at a time (localCheckpoint materializes
-    // each slice's bounded topK result and cuts the plan lineage), so
-    // only ONE slice's broadcast query+LUT frame is live at any moment —
-    // a lazy union of all slices' broadcast joins would pin every
-    // broadcast simultaneously at action time, re-creating exactly the
-    // driver-memory blowup maxQueryRows exists to prevent. What
-    // accumulates is the result itself: slice_rows × topK rows per
-    // slice, stored executor-distributed.
-    slices.map { q =>
-      val scored = adcScoredIn(spark, gp, dir, q, nProbe, batchRows,
-        "IvfIndex.searchPqBatched", keepQe = false)._1
-      Similarity.rankTopK(scored, "adist", ascending = true, topK)
-        .localCheckpoint()
+      perSlice(slice).localCheckpoint()
     }.reduce(_ unionByName _)
   }
 

@@ -230,6 +230,20 @@ object PipelineQueries {
       }
       IvfIndex.search(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
     }),
+    // the COMPOSED index — Babenko & Lempitsky's Multi-D-ADC shape: the
+    // two-level (IMI) coarse quantizer bounds WHICH rows a query reads
+    // (2K evaluations per appended vector for K² cells) while PQ codes
+    // bound their WIDTH (ADC over the code column) — the full
+    // billion-vector story in one appendable index
+    "q_sim_imipq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_imipq").toString + "/idx"
+      IvfIndex.initImi(s, idx, Similarity.fixedCodebooks(2, 4, 32),
+        Some(Similarity.fixedCodebooks(4, 8, 16)))
+      (0 until 3).foreach(b =>
+        IvfIndex.append(e.where(pmod(col("vec_id"), lit(3)) === b), idx, s"c$b"))
+      IvfIndex.searchPq(s, idx, e.where(col("vec_id") < 10), 3, nProbe = 3)
+    }),
     // recall@3 of the IMI probe against the exact top-3 — prices the
     // two-level quantizer's nProbe knob exactly like q_sim_recall prices
     // the flat one's
@@ -1680,6 +1694,50 @@ object PipelineQueries {
     "q_sim_imi" ->
       s"""WITH $imiPreludeSql
          |SELECT qid, cid, round(cos, 6) AS cos, rank FROM imi_r WHERE rank <= 3""".stripMargin,
+
+    // IMI + PQ (Multi-D-ADC): the two-level cells and pair-ranked probe
+    // composed with the PQ coding/LUT/ADC chain — q_sim_ivfpq's shape
+    // with the coarse layer swapped
+    "q_sim_imipq" ->
+      s"""WITH dist AS (
+         |  SELECT vec_id, embedding,
+         |         ${(for (mm <- 0 until 2; j <- 0 until 4)
+            yield s"(${imiHalfDistSql("embedding", mm, j)}) AS h_${mm}_$j")
+            .mkString(",\n         ")},
+         |         ${(for (mm <- 0 until 4; j <- 0 until 8)
+            yield s"(${pqSubDistSql("embedding", mm, j)}) AS d_${mm}_$j")
+            .mkString(",\n         ")}
+         |  FROM embeddings),
+         |cells AS (
+         |  SELECT vec_id AS cid,
+         |         (${imiArgminSql(0)}) * 4 + (${imiArgminSql(1)}) AS cell,
+         |         ${(0 until 4).map(mm => s"(${pqArgminSql(mm)}) AS c$mm")
+            .mkString(",\n         ")}
+         |  FROM dist),
+         |qprobe0 AS (
+         |  SELECT vec_id AS qid,
+         |         unnest([${(for (u <- 0 until 4; v <- 0 until 4)
+            yield s"struct_pack(cell := ${u * 4 + v}, pd := h_0_$u + h_1_$v)")
+            .mkString(", ")}]) AS p
+         |  FROM dist WHERE vec_id < 10),
+         |qprobe AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, p.cell AS cell,
+         |           row_number() OVER (PARTITION BY qid ORDER BY p.pd, p.cell) AS cr
+         |    FROM qprobe0)
+         |  WHERE cr <= 3),
+         |q AS (SELECT vec_id AS qid,
+         |         ${(for (mm <- 0 until 4; j <- 0 until 8) yield s"d_${mm}_$j").mkString(", ")}
+         |      FROM dist WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.qid, cells.cid,
+         |         ${(0 until 4).map(mm => s"(${pqAdcTermSql(mm)})")
+            .mkString(" + ")} AS adist
+         |  FROM qprobe JOIN q ON qprobe.qid = q.qid
+         |    JOIN cells ON qprobe.cell = cells.cell AND q.qid <> cells.cid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rank
+         |      FROM scored)
+         |SELECT qid, cid, round(adist, 6) AS adist, rank FROM r WHERE rank <= 3""".stripMargin,
 
     // recall of the IMI probe vs the exact brute-force top-3 — the same
     // tail as q_sim_recall over the two-level prelude

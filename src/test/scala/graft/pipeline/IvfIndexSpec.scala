@@ -662,6 +662,11 @@ class IvfIndexSpec extends AnyFunSuite {
     // an empty query frame stays empty, not an error
     assert(IvfIndex.searchPqBatched(spark, dir,
       emb.where(col("vec_id") < 0), 3, nProbe = 3, batchRows = 2L).count() == 0)
+    // the FLAT twin: same slicing, exact-cosine search per slice
+    val flatWant = resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3))
+    for (b <- Seq(3L, 100L))
+      assert(resultSet(IvfIndex.searchBatched(spark, dir, q, 3,
+        nProbe = 3, batchRows = b)) == flatWant, s"flat batchRows=$b diverged")
   }
 
   test("IMI-quantized index: appends+fold equal the pair-ranked probe; retrain in kind; semDeDup rides") {
