@@ -487,12 +487,12 @@ object IvfIndex {
     // ONE generation resolution for the whole query: quantizer and layout
     // always agree even when a retrain flips mid-call
     val (_, gp) = requireGen(spark, dir)
-    searchIn(spark, gp, queries, topK, nProbe, maxQueryRows)
+    searchIn(spark, gp, coarseIn(spark, gp), queries, topK, nProbe, maxQueryRows)
   }
 
-  private def searchIn(spark: SparkSession, gp: String, queries: DataFrame,
+  private def searchIn(spark: SparkSession, gp: String, coarse: Coarse,
+                       queries: DataFrame,
                        topK: Int, nProbe: Int, maxQueryRows: Long): DataFrame = {
-    val coarse = coarseIn(spark, gp)
     val q = probeExploded(coarse,
         Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.search")
           .select(col("vec_id").as("qid"),
@@ -542,10 +542,24 @@ object IvfIndex {
                topK: Int, nProbe: Int = 4,
                maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
     val (_, gp) = requireGen(spark, dir) // one resolution per query
-    val scored = adcScoredIn(spark, gp, dir, queries, nProbe, maxQueryRows,
-      "IvfIndex.searchPq", keepQe = false)._1
+    val scored = adcScoredIn(spark, pqGenIn(spark, gp, dir), queries, nProbe,
+      maxQueryRows, "IvfIndex.searchPq", keepQe = false, gp)._1
     Similarity.rankTopK(scored, "adist", ascending = true, topK)
   }
+
+  /** A product-quantized generation's resolved state — quantizer,
+    * codebooks and optional OPQ rotation from ONE generation resolution,
+    * read once per query (or once per BATCHED call and reused across
+    * slices — the quantizer data is immutable within a generation). */
+  private final case class PqGen(coarse: Coarse,
+                                 cbs: Array[Array[Array[Double]]],
+                                 rot: Option[Array[Array[Double]]])
+
+  private def pqGenIn(spark: SparkSession, gp: String, dir: String): PqGen =
+    PqGen(coarseIn(spark, gp),
+      codebooksIn(spark, gp).getOrElse(throw new IllegalStateException(
+        s"IvfIndex at $dir is not product-quantized — init() with codebooks")),
+      Similarity.readRotation(spark, gp))
 
   /** The deduped ADC-scored relation (qid, cid, adist) of one resolved
     * generation, plus the checkpointed RAW query frame (one (qid, qe)
@@ -554,14 +568,10 @@ object IvfIndex {
     * probed cell set — [[searchPq]]'s stage shared with
     * [[searchPqRerank]], which needs the SAME generation, query snapshot
     * and probe set for both its stages. */
-  private def adcScoredIn(spark: SparkSession, gp: String, dir: String,
+  private def adcScoredIn(spark: SparkSession, g: PqGen,
                           queries: DataFrame, nProbe: Int, maxQueryRows: Long,
-                          op: String, keepQe: Boolean)
+                          op: String, keepQe: Boolean, gp: String)
       : (DataFrame, DataFrame, Seq[Int]) = {
-    val coarse = coarseIn(spark, gp)
-    val cbs = codebooksIn(spark, gp).getOrElse(throw new IllegalStateException(
-      s"IvfIndex at $dir is not product-quantized — init() with codebooks"))
-    val rot = Similarity.readRotation(spark, gp)
     // ONE bounded materialization of the raw queries feeds the LUT build
     // AND (for the rerank) the exact stage 2
     val qRaw = Similarity.boundedQueries(queries, maxQueryRows, op)
@@ -574,9 +584,9 @@ object IvfIndex {
     // table arithmetic cannot diverge between the search paths. On an
     // OPQ generation the LUTs build over the ROTATED query (the stored
     // codes' space); the cell probe stays in the raw space.
-    val q = probeExploded(coarse, qBase
+    val q = probeExploded(g.coarse, qBase
         .select(Seq(col("qid"), col("qe")) ++
-          Similarity.adcLutColumns(cbs, Similarity.rotatedCol(col("qe"), rot)): _*),
+          Similarity.adcLutColumns(g.cbs, Similarity.rotatedCol(col("qe"), g.rot)): _*),
         nProbe)
       .drop("qe")
       .localCheckpoint() // one pass builds probe set + LUTs
@@ -585,7 +595,7 @@ object IvfIndex {
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = broadcast(q).join(cells, Seq("cell"))
       .where(col("qid") =!= col("cid"))
-      .withColumn("adist", Similarity.adcScoreCol(cbs))
+      .withColumn("adist", Similarity.adcScoreCol(g.cbs))
       // fold-window twins carry identical deterministic codes → identical
       // adist; dedup on scalars only, before ranking (like [[search]])
       .select("qid", "cid", "adist")
@@ -620,8 +630,8 @@ object IvfIndex {
     // with stage-2 layout (probed cells computed against one quantizer
     // filtering another generation's re-assigned directories)
     val (_, gp) = requireGen(spark, dir)
-    val (adc, q, probed) = adcScoredIn(spark, gp, dir, queries, nProbe,
-      maxQueryRows, "IvfIndex.searchPqRerank", keepQe = true)
+    val (adc, q, probed) = adcScoredIn(spark, pqGenIn(spark, gp, dir), queries,
+      nProbe, maxQueryRows, "IvfIndex.searchPqRerank", keepQe = true, gp)
     // the ONE shared ranking tail cuts the shortlist too — its tie-break
     // can never diverge from searchPq's
     val short = Similarity.rankTopK(adc, "adist", ascending = true, l)
@@ -682,13 +692,12 @@ object IvfIndex {
     // mid-iteration cannot answer different slices from different
     // quantizers
     val (_, gp) = requireGen(spark, dir)
-    batchedOver(spark, queries, batchRows,
-      one = searchPq(spark, dir, _, topK, nProbe, batchRows),
-      perSlice = q => {
-        val scored = adcScoredIn(spark, gp, dir, q, nProbe, batchRows,
-          "IvfIndex.searchPqBatched", keepQe = false)._1
-        Similarity.rankTopK(scored, "adist", ascending = true, topK)
-      })
+    val g = pqGenIn(spark, gp, dir) // quantizer state read ONCE, all slices
+    batchedOver(spark, queries, batchRows, q => {
+      val scored = adcScoredIn(spark, g, q, nProbe, batchRows,
+        "IvfIndex.searchPqBatched", keepQe = false, gp)._1
+      Similarity.rankTopK(scored, "adist", ascending = true, topK)
+    })
   }
 
   /** [[search]] (exact cosine in the probed cells) over an UNBOUNDED
@@ -698,9 +707,9 @@ object IvfIndex {
                     topK: Int, nProbe: Int = 4,
                     batchRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
     val (_, gp) = requireGen(spark, dir)
+    val coarse = coarseIn(spark, gp) // quantizer read ONCE, all slices
     batchedOver(spark, queries, batchRows,
-      one = searchIn(spark, gp, _, topK, nProbe, batchRows),
-      perSlice = q => searchIn(spark, gp, q, topK, nProbe, batchRows))
+      searchIn(spark, gp, coarse, _, topK, nProbe, batchRows))
   }
 
   /** The shared unbounded-query slicing: deterministic vec_id ranges of
@@ -717,13 +726,13 @@ object IvfIndex {
     * exists to prevent. What accumulates is the result itself:
     * slice_rows × topK rows per slice, stored executor-distributed. */
   private def batchedOver(spark: SparkSession, queries: DataFrame,
-                          batchRows: Long, one: DataFrame => DataFrame,
+                          batchRows: Long,
                           perSlice: DataFrame => DataFrame): DataFrame = {
     require(batchRows > 0, s"batchRows $batchRows must be positive")
     val bounds = queries.select(col("vec_id").cast("long"))
       .orderBy(col("vec_id")).rdd.zipWithIndex()
       .filter(_._2 % batchRows == 0).map(_._1.getLong(0)).collect().sorted
-    if (bounds.isEmpty) return one(queries) // empty frame: bounded by definition
+    if (bounds.isEmpty) return perSlice(queries) // empty frame: trivially bounded
     bounds.zipWithIndex.map { case (lo, i) =>
       val hi = if (i + 1 < bounds.length) Some(bounds(i + 1)) else None
       val slice = queries.where(hi.fold(col("vec_id") >= lo)(h =>
@@ -876,8 +885,17 @@ object IvfIndex {
         case FlatCoarse(_) =>
           FlatCoarse(Similarity.trainCentroids(sample, k, iters, trainLimit))
         case ImiCoarse(h) =>
-          ImiCoarse(Similarity.trainCodebooks(sample, 2, h(0).length,
-            iters, trainLimit))
+          // each half re-trains INDEPENDENTLY at its own K and its own
+          // sub-width — IMI halves may be asymmetric (unequal entry
+          // counts or an uneven dimension split), and the retrained
+          // quantizer must keep the exact shape the index was built with
+          val sub0 = h(0)(0).length
+          val sub1 = h(1)(0).length
+          def half(off: Int, len: Int): DataFrame = sample.select(
+            col("vec_id"), slice(col("embedding"), off + 1, len).as("embedding"))
+          ImiCoarse(Array(
+            Similarity.trainCentroids(half(0, sub0), h(0).length, iters, trainLimit),
+            Similarity.trainCentroids(half(sub0, sub1), h(1).length, iters, trainLimit)))
       }
     val oldCbs = codebooksIn(spark, gp)
     val oldRot = Similarity.readRotation(spark, gp)

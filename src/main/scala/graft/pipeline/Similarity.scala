@@ -370,19 +370,23 @@ object Similarity {
         x * x
       }.reduceLeft(_ + _)
     }: _*)
-    val keep = q.columns.map(col)
-    val pairs = q
-      .select(keep :+ halfDists(1, sub0).as("_imi_dvs")
-        :+ posexplode(halfDists(0, 0)).as(Seq("_imi_u", "_imi_du")): _*)
-      .select(keep :+ col("_imi_u") :+ col("_imi_du")
-        :+ posexplode(col("_imi_dvs")).as(Seq("_imi_v", "_imi_dv")): _*)
+    // the K²-per-query pair explosion ranks a NARROW (qid, pd, cell)
+    // projection only — rider columns (the PQ path's M×Ks LUT doubles)
+    // would otherwise stream through every pair row; they join back onto
+    // the ≤ nProbe survivors per query instead
+    val pairs = q.select(col("qid"), col("qe"))
+      .select(col("qid"), halfDists(1, sub0).as("_imi_dvs"),
+        posexplode(halfDists(0, 0)).as(Seq("_imi_u", "_imi_du")))
+      .select(col("qid"), col("_imi_u"), col("_imi_du"),
+        posexplode(col("_imi_dvs")).as(Seq("_imi_v", "_imi_dv")))
       .withColumn("cell", col("_imi_u") * lit(ks) + col("_imi_v"))
       .withColumn("_imi_pd", col("_imi_du") + col("_imi_dv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("_imi_pd").asc, col("cell").asc)
-    pairs.withColumn("_imi_cr", row_number().over(w))
+    val probes = pairs.withColumn("_imi_cr", row_number().over(w))
       .where(col("_imi_cr") <= nProbe)
-      .select(keep :+ col("cell"): _*)
+      .select(col("qid"), col("cell"))
+    q.join(probes, Seq("qid")) // one row per qid in q — nProbe rows out
   }
 
   /** Cluster-stratified DIVERSITY sample — the k-means quota sampling of

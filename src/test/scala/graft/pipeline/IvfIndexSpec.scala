@@ -692,6 +692,10 @@ class IvfIndexSpec extends AnyFunSuite {
     // skew denominates by k_eff (16), from the histogram sidecars
     val s = IvfIndex.skew(spark, dir)
     assert(s >= 1.0 && s <= 16.0, s"skew $s out of k_eff range")
+    // snapshots carry imicb/: the frozen index keeps answering with the
+    // ORIGINAL halves after the source retrains and vacuums
+    val snap = s"$dir/snapshots/${IvfIndex.snapshot(spark, dir)}"
+    val before = resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3))
     // retrain re-trains the two HALVES in kind; the flip answers like the
     // in-memory probe over the retrained halves
     IvfIndex.retrain(spark, dir, iters = 2, trainLimit = 500)
@@ -701,6 +705,10 @@ class IvfIndexSpec extends AnyFunSuite {
       "IMI halves did not re-train")
     assert(resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3)) ==
       resultSet(Similarity.imiProbe(emb, q, 3, nh, nProbe = 3)))
+    IvfIndex.compact(spark, dir, graceMs = 0L) // old gen vacuumed
+    assert(IvfIndex.imiHalves(spark, snap).get.flatten.flatten.toSeq ==
+      halves.flatten.flatten.toSeq)
+    assert(resultSet(IvfIndex.search(spark, snap, q, 3, nProbe = 3)) == before)
     // incremental SemDeDup assigns with the index's OWN quantizer —
     // flat or two-level alike
     val sd = Files.createTempDirectory("ivf_imi_sdd").toString + "/idx"
@@ -710,6 +718,26 @@ class IvfIndexSpec extends AnyFunSuite {
     val k1 = Similarity.semDeDupIncremental(
       emb.where(col("vec_id") % 2 === 1), sd, "s1", 0.3).count()
     assert(k0 + k1 == IvfIndex.read(spark, sd).count() && k0 > 0)
+  }
+
+  test("IMI retrain preserves ASYMMETRIC half shapes (unequal K, uneven split)") {
+    // 4 entries × 24 dims and 8 entries × 40 dims — k_eff = 32; each half
+    // must re-train at ITS OWN K and ITS OWN width
+    val halves = Array(
+      Similarity.fixedCodebooks(1, 4, 24)(0),
+      Similarity.fixedCodebooks(1, 8, 40)(0))
+    val dir = Files.createTempDirectory("ivf_imi_asym").toString + "/idx"
+    IvfIndex.initImi(spark, dir, halves)
+    IvfIndex.append(emb.where(col("vec_id") < 200), dir, "a0")
+    IvfIndex.retrain(spark, dir, iters = 1, trainLimit = 200)
+    val nh = IvfIndex.imiHalves(spark, dir).get
+    assert(nh(0).length == 4 && nh(0)(0).length == 24 &&
+      nh(1).length == 8 && nh(1)(0).length == 40,
+      "retrain changed the asymmetric IMI shape")
+    val q = emb.where(col("vec_id") < 5)
+    assert(resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3)) ==
+      resultSet(Similarity.imiProbe(emb.where(col("vec_id") < 200), q, 3,
+        nh, nProbe = 3)))
   }
 
   test("IMI + PQ composed index: all-cell ADC probe equals the flat pqTopK exactly") {
