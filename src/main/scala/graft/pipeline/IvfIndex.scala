@@ -230,8 +230,10 @@ object IvfIndex {
     centroidsIn(spark, requireGen(spark, dir)._2)
 
   private def centroidsIn(spark: SparkSession, gp: String): Array[Array[Double]] =
-    spark.read.parquet(s"$gp/centroids").orderBy(col("cell"))
-      .collect().map(_.getSeq[Double](1).toArray)
+    // k×dims quantizer metadata the driver consumes (the centroids ride
+    // into codegen'd expressions as literals) — direct driver read
+    // ([[QuantizerFiles]]), not a distributed job per append/search
+    QuantizerFiles.readIntVec(spark, s"$gp/centroids")
 
   /** The current generation's IMI half codebooks (None on a flat index). */
   def imiHalves(spark: SparkSession,
@@ -330,46 +332,74 @@ object IvfIndex {
     * batch directory is an unmarked orphan the next [[compact]] sweeps,
     * and the batch must be re-run. */
   def append(vectors: DataFrame, dir: String, name: String,
-             seq: Option[Long] = None): Boolean = {
-    val spark = vectors.sparkSession
+             seq: Option[Long] = None): Boolean =
+    appendCore(vectors.sparkSession, dir, name, seq, gp =>
+      // quantizer from the SAME generation resolution as the layout (gp):
+      // a retrain flipping in this window cannot pair the new quantizer's
+      // assignment with the old generation's directories — the discipline
+      // every search path follows (coarseIn/readColsIn)
+      vectors.select(col("vec_id").as("cid"),
+          col("embedding").cast("array<double>").as("ce"))
+        .withColumn("cell", assignCol(coarseIn(vectors.sparkSession, gp), col("ce"))))
+
+  /** [[append]] for a batch whose cell assignment ALREADY happened
+    * against the current generation's quantizer (`assigned`: (cell,
+    * vec_id, e)) — [[Similarity.semDeDupIncremental]] assigns its batch
+    * once (the checkpointed frame that feeds the probe set and both
+    * dedup joins) and appends the survivors from that same frame, so the
+    * write does not re-read the batch source or re-run the assignment
+    * kernel per survivor. Caller contract: the assignment must come from
+    * [[cellAssigner]] resolved within the same slot-read span as `seq`
+    * (the retrain pre/post checks inside still fail loud on a flip). */
+  private[pipeline] def appendAssigned(assigned: DataFrame, dir: String,
+                                       name: String,
+                                       seq: Option[Long]): Boolean =
+    appendCore(assigned.sparkSession, dir, name, seq, _ =>
+      assigned.select(col("cell"), col("vec_id").as("cid"),
+        col("e").cast("array<double>").as("ce")))
+
+  private def appendCore(spark: SparkSession, dir: String, name: String,
+                         seq: Option[Long],
+                         mkAssigned: String => DataFrame): Boolean = {
     val (gid, gp) = requireGen(spark, dir)
     if (contains(spark, dir, name)) return false
     val f = fs(spark, dir)
     // slot read FIRST (before the quantizer read — the start of this
     // append's view of the index), claim before the marker create
     val next = seq.getOrElse(maxSlot(f, gp) + 1)
-    // quantizer and codebooks from the SAME generation resolution as the
-    // layout (gp): a retrain flipping in this window cannot pair the new
-    // quantizer's assignment with the old generation's directories — the
-    // discipline every search path follows (coarseIn/readColsIn)
-    val coarse = coarseIn(spark, gp)
     val cbs = codebooksIn(spark, gp)
     val rot = Similarity.readRotation(spark, gp)
+    val assigned = mkAssigned(gp)
+    // a PQ generation also encodes AT APPEND TIME against its persisted
+    // codebooks (one more codegen'd projection in the same pass) — the
+    // code column is what [[searchPq]] scans; an OPQ generation rotates
+    // before the subspace split (codes live in the rotated space)
+    cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
+        assigned.withColumn("codes",
+            Similarity.pqCodesCol(Similarity.rotatedCol(col("ce"), rot), b))
+          .select("cell", "cid", "ce", "codes"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$gp/batch=$name")
     // an EMPTY batch (routine: every survivor of a semDeDup batch was a
     // near-dup) publishes its marker WITHOUT a directory — a zero-row
     // partitionBy write emits no parquet footer, which later reads could
     // not parse; [[readBatch]]/[[read]] treat the missing directory as
-    // the empty relation
-    if (!vectors.isEmpty) {
-      val assigned = vectors.select(col("vec_id").as("cid"),
-          col("embedding").cast("array<double>").as("ce"))
-        .withColumn("cell", assignCol(coarse, col("ce")))
-      // a PQ generation also encodes AT APPEND TIME against its persisted
-      // codebooks (one more codegen'd projection in the same pass) — the
-      // code column is what [[searchPq]] scans; an OPQ generation rotates
-      // before the subspace split (codes live in the rotated space)
-      cbs.fold(assigned.select("cell", "cid", "ce"))(b =>
-          assigned.withColumn("codes",
-              Similarity.pqCodesCol(Similarity.rotatedCol(col("ce"), rot), b))
-            .select("cell", "cid", "ce", "codes"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$gp/batch=$name")
+    // the empty relation. Emptiness is read OFF THE WRITTEN DIRECTORY
+    // (no cell= children) instead of a separate isEmpty pre-action,
+    // which cost one full extra pass over the batch's dedup lineage per
+    // append; a crash between the write and this delete leaves an
+    // unmarked orphan dir, exactly like a crash mid-write — [[compact]]
+    // sweeps it.
+    val outDir = new org.apache.hadoop.fs.Path(s"$gp/batch=$name")
+    val wroteRows = f.exists(outDir) && f.listStatus(outDir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("cell="))
+    if (wroteRows)
       // the per-cell occupancy histogram rides along as a tiny sidecar
       // (footer row counts of the just-written directory — no data pages
       // decode): [[skew]] then prices quantizer drift from sidecar sums
       // instead of scanning the index
       writeHist(spark, f, gp, name)
-    }
+    else f.delete(outDir, true)
     Option(appendTestHook.getAndSet(null)).foreach(_.apply())
     if (currentGen(spark, dir) != Some(gid))
       throw new IllegalStateException(
@@ -405,7 +435,9 @@ object IvfIndex {
     else if (!f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$name")))
       Some(emptyCells(spark))
     else
-      Some(spark.read.option("basePath", gp).parquet(s"$gp/batch=$name")
+      Some(spark.read.option("basePath", gp)
+        .schema(layoutSchema(withCodes = false)) // no inference job
+        .parquet(s"$gp/batch=$name")
         .select(col("cell"), col("cid"), col("ce")))
   }
 
@@ -445,6 +477,22 @@ object IvfIndex {
                        emptySchema: StructType): DataFrame =
     readColsIn(spark, requireGen(spark, dir)._2, cols, emptySchema)
 
+  /** The user-specified schema of a batch-directory read — data columns
+    * plus the `batch`/`cell` partition path columns. Handing it to the
+    * reader SKIPS parquet schema inference: without it every read of the
+    * layout paid one footer-sampling Spark job before any real work
+    * (guide §1.2 — remove passes). The layout is written by this object,
+    * so the schema is known by construction; `withCodes = false` on a
+    * product-quantized generation simply never touches the code column
+    * (parquet is columnar — undeclared columns are not read). */
+  private def layoutSchema(withCodes: Boolean): StructType =
+    StructType(Seq(
+      StructField("cid", LongType),
+      StructField("ce", ArrayType(DoubleType))) ++
+      (if (withCodes) Seq(StructField("codes", ArrayType(IntegerType))) else Nil) ++
+      Seq(StructField("batch", org.apache.spark.sql.types.StringType),
+        StructField("cell", IntegerType)))
+
   /** [[readCols]] against an ALREADY-RESOLVED generation path — multi-
     * stage queries resolve the generation ONCE and thread it through, so
     * a retrain flipping mid-query cannot mix two quantizers' layouts. */
@@ -463,6 +511,7 @@ object IvfIndex {
       // partition dimensions, so a literal cell predicate prunes every
       // batch's directory listing in a single scan node
       spark.read.option("basePath", gp)
+        .schema(layoutSchema(withCodes = cols.contains("codes")))
         .parquet(live.map(n => s"$gp/batch=$n"): _*)
         .select(cols.map(col): _*)
   }
@@ -493,13 +542,18 @@ object IvfIndex {
   private def searchIn(spark: SparkSession, gp: String, coarse: Coarse,
                        queries: DataFrame,
                        topK: Int, nProbe: Int, maxQueryRows: Long): DataFrame = {
-    val q = probeExploded(coarse,
-        Similarity.boundedQueries(queries, maxQueryRows, "IvfIndex.search")
-          .select(col("vec_id").as("qid"),
-            col("embedding").cast("array<double>").as("qe")),
-        nProbe)
-      .localCheckpoint() // assignment runs once: probe set AND join side
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    // the bounded query side lands on the driver ONCE
+    // ([[Similarity.localizeBounded]] — same bytes the broadcast below
+    // holds anyway): bound check, probe-cell assignment, probe set and
+    // join side all come from that single materialization instead of
+    // {bounded count, localCheckpoint, distinct collect} — three
+    // scheduler round trips per search
+    val qLocal = Similarity.localizeBounded(
+      queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe")),
+      maxQueryRows, "IvfIndex.search")
+    val (q, qRows) = Similarity.localized(probeExploded(coarse, qLocal, nProbe))
+    val probed = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
     val cells = readColsIn(spark, gp, Seq("cell", "cid", "ce"), cellSchema)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     // the query side is bounded by contract — broadcast it explicitly
@@ -543,7 +597,7 @@ object IvfIndex {
                maxQueryRows: Long = Similarity.DefaultMaxQueryRows): DataFrame = {
     val (_, gp) = requireGen(spark, dir) // one resolution per query
     val scored = adcScoredIn(spark, pqGenIn(spark, gp, dir), queries, nProbe,
-      maxQueryRows, "IvfIndex.searchPq", keepQe = false, gp)._1
+      maxQueryRows, "IvfIndex.searchPq", gp)._1
     Similarity.rankTopK(scored, "adist", ascending = true, topK)
   }
 
@@ -562,35 +616,36 @@ object IvfIndex {
       Similarity.readRotation(spark, gp))
 
   /** The deduped ADC-scored relation (qid, cid, adist) of one resolved
-    * generation, plus the checkpointed RAW query frame (one (qid, qe)
-    * row per query — [[searchPqRerank]]'s stage 2 uses it directly, no
+    * generation, plus the LOCAL raw query frame (one (qid, qe) row per
+    * query — [[searchPqRerank]]'s stage 2 joins it directly, no
     * array-carrying dedup that would fall back to SortAggregate) and the
     * probed cell set — [[searchPq]]'s stage shared with
     * [[searchPqRerank]], which needs the SAME generation, query snapshot
-    * and probe set for both its stages. */
+    * and probe set for both its stages. The query side materializes on
+    * the driver ONCE ([[Similarity.localizeBounded]]/[[Similarity.localized]]
+    * — the same bytes the broadcast holds anyway); bound check, LUT
+    * build, probe set and join side all derive from it. */
   private def adcScoredIn(spark: SparkSession, g: PqGen,
                           queries: DataFrame, nProbe: Int, maxQueryRows: Long,
-                          op: String, keepQe: Boolean, gp: String)
+                          op: String, gp: String)
       : (DataFrame, DataFrame, Seq[Int]) = {
-    // ONE bounded materialization of the raw queries feeds the LUT build
-    // AND (for the rerank) the exact stage 2
-    val qRaw = Similarity.boundedQueries(queries, maxQueryRows, op)
-      .select(col("vec_id").as("qid"),
-        col("embedding").cast("array<double>").as("qe"))
-    val qBase = if (keepQe) qRaw.localCheckpoint() else qRaw
+    val qBase = Similarity.localizeBounded(
+      queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe")),
+      maxQueryRows, op)
     // the LUT builder and ADC scorer are the ONE shared implementation
     // ([[Similarity.adcLutColumns]]/[[Similarity.adcScoreCol]]) the
     // immutable ivfPqSearch and pqTopK also compile — the gate-pinned
     // table arithmetic cannot diverge between the search paths. On an
     // OPQ generation the LUTs build over the ROTATED query (the stored
     // codes' space); the cell probe stays in the raw space.
-    val q = probeExploded(g.coarse, qBase
-        .select(Seq(col("qid"), col("qe")) ++
-          Similarity.adcLutColumns(g.cbs, Similarity.rotatedCol(col("qe"), g.rot)): _*),
-        nProbe)
-      .drop("qe")
-      .localCheckpoint() // one pass builds probe set + LUTs
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val (q, qRows) = Similarity.localized(
+      probeExploded(g.coarse, qBase
+          .select(Seq(col("qid"), col("qe")) ++
+            Similarity.adcLutColumns(g.cbs, Similarity.rotatedCol(col("qe"), g.rot)): _*),
+          nProbe)
+        .drop("qe"))
+    val probed = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
     val cells = readColsIn(spark, gp, Seq("cell", "cid", "codes"), codedSchema)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = broadcast(q).join(cells, Seq("cell"))
@@ -631,21 +686,24 @@ object IvfIndex {
     // filtering another generation's re-assigned directories)
     val (_, gp) = requireGen(spark, dir)
     val (adc, q, probed) = adcScoredIn(spark, pqGenIn(spark, gp, dir), queries,
-      nProbe, maxQueryRows, "IvfIndex.searchPqRerank", keepQe = true, gp)
+      nProbe, maxQueryRows, "IvfIndex.searchPqRerank", gp)
     // the ONE shared ranking tail cuts the shortlist too — its tie-break
-    // can never diverge from searchPq's
-    val short = Similarity.rankTopK(adc, "adist", ascending = true, l)
-      .select(col("qid"), col("cid"))
-      .localCheckpoint() // one shortlist: the cid probe AND the join side
-    // stage 2: raw vectors for the shortlist only. The shortlist is
-    // bounded (queries × l rows), so its distinct cids become a LITERAL
-    // In predicate pushed into the scan — row groups holding none of the
-    // shortlist never decompress their ce column, keeping the stage-2
-    // read shortlist-sized, not probed-cells-sized; past the driver
-    // budget the broadcast semi-join alone filters (the scan then reads
-    // the probed cells' ce — still nProbe/k, never the corpus)
-    val cidProbe = short.select(col("cid")).distinct()
-      .take(MaxRerankCidProbe + 1).map(_.getLong(0))
+    // can never diverge from searchPq's. The shortlist is bounded by
+    // contract (queries × l rows): collect it ONCE — the cid probe and
+    // the broadcast join side both come from that single materialization
+    // (stage 1 executes exactly once, as the old localCheckpoint
+    // guaranteed, minus the checkpoint and distinct-take round trips)
+    val (short, shortRows) = Similarity.localized(
+      Similarity.rankTopK(adc, "adist", ascending = true, l)
+        .select(col("qid"), col("cid")))
+    // stage 2: raw vectors for the shortlist only. The shortlist's
+    // distinct cids become a LITERAL In predicate pushed into the scan —
+    // row groups holding none of the shortlist never decompress their ce
+    // column, keeping the stage-2 read shortlist-sized, not
+    // probed-cells-sized; past the driver budget the broadcast semi-join
+    // alone filters (the scan then reads the probed cells' ce — still
+    // nProbe/k, never the corpus)
+    val cidProbe = shortRows.map(_.getLong(1)).distinct
     val vecsAll = readColsIn(spark, gp, Seq("cell", "cid", "ce"), cellSchema)
       .where(col("cell").isInCollection(probed))
     val vecs =
@@ -653,8 +711,8 @@ object IvfIndex {
         vecsAll.where(col("cid").isInCollection(cidProbe.toSeq))
       else vecsAll
     val cand = vecs.join(broadcast(short), Seq("cid"))
-    // q IS the checkpointed raw (qid, qe) frame — one row per query by
-    // the family-wide unique-vec_id contract (an array-carrying first()
+    // q IS the local raw (qid, qe) frame — one row per query by the
+    // family-wide unique-vec_id contract (an array-carrying first()
     // dedup buffer here would downgrade the aggregation to SortAggregate)
     val scored = broadcast(q).join(cand, Seq("qid"))
       .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
@@ -695,7 +753,7 @@ object IvfIndex {
     val g = pqGenIn(spark, gp, dir) // quantizer state read ONCE, all slices
     batchedOver(spark, queries, batchRows, q => {
       val scored = adcScoredIn(spark, g, q, nProbe, batchRows,
-        "IvfIndex.searchPqBatched", keepQe = false, gp)._1
+        "IvfIndex.searchPqBatched", gp)._1
       Similarity.rankTopK(scored, "adist", ascending = true, topK)
     })
   }
@@ -931,7 +989,9 @@ object IvfIndex {
       case _ => (None, None)
     }
     def rows(paths: Seq[String]): DataFrame =
-      spark.read.option("basePath", gp).parquet(paths: _*)
+      spark.read.option("basePath", gp)
+        .schema(layoutSchema(withCodes = false)) // no inference job
+        .parquet(paths: _*)
         .select(col("cid").as("vec_id"), col("ce").as("embedding"))
     val agedDirs = aged.filter(n =>
       f.exists(new org.apache.hadoop.fs.Path(s"$gp/batch=$n")))
@@ -1121,10 +1181,15 @@ object IvfIndex {
         // a PQ generation's rows carry the code column — fold it verbatim
         // (codes are deterministic per (vector, generation codebooks), so
         // distinct() still collapses duplicate vectors exactly)
+        // existence check only (and against THIS call's generation
+        // resolution, not a fresh one) — the codebook VALUES are not
+        // needed to know the fold's column set
+        val pq = f.exists(new org.apache.hadoop.fs.Path(s"$gp/codebooks"))
         val cols =
-          if (codebooks(spark, dir).isDefined) Seq("cell", "cid", "ce", "codes")
+          if (pq) Seq("cell", "cid", "ce", "codes")
           else Seq("cell", "cid", "ce")
         spark.read.option("basePath", gp)
+          .schema(layoutSchema(withCodes = pq)) // no inference job
           .parquet(agedDirs.map(n => s"$gp/batch=$n"): _*)
           .select(cols.map(col): _*)
           .distinct() // set semantics, like SigIndex (a fold racing a fold)

@@ -29,12 +29,19 @@ final case class RotateVec(child: Expression, mat: Array[Double], dims: Int)
   override def prettyName: String = "rotate_vec"
 
   protected override def nullSafeEval(input: Any): Any =
-    RotateVec.apply(mat, dims, input.asInstanceOf[ArrayData])
+    RotateVec.rotate(mat, dims, input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("mat", mat, "double[]")
+    // the kernel must NOT be named `apply`: the case class inherits
+    // TreeNode.apply(Int), so scalac emits no static forwarder for a
+    // companion `apply` and Janino resolves the generated call to
+    // TreeNode's — every rotation projection then silently fell back to
+    // interpreter mode ("Failed to compile ... candidates are:
+    // TreeNode.apply(int)"). A distinctly-named kernel gets its static
+    // forwarder and the call compiles ([[NearestCells.nearest]] pattern).
     defineCodeGen(ctx, ev, c =>
-      s"graft.pipeline.RotateVec.apply($mRef, $dims, $c)")
+      s"graft.pipeline.RotateVec.rotate($mRef, $dims, $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RotateVec =
@@ -54,8 +61,9 @@ object RotateVec {
   }
 
   /** Static runtime kernel shared by interpreted and generated code:
-    * out[d] = Σ_e mat[d·dims + e] · x[e], accumulated left to right. */
-  def apply(mat: Array[Double], dims: Int, e: ArrayData): ArrayData = {
+    * out[d] = Σ_e mat[d·dims + e] · x[e], accumulated left to right.
+    * (Named `rotate`, not `apply` — see [[RotateVec.doGenCode]].) */
+  def rotate(mat: Array[Double], dims: Int, e: ArrayData): ArrayData = {
     val out = new Array[Double](dims)
     var d = 0
     while (d < dims) {

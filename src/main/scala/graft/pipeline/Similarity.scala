@@ -46,22 +46,51 @@ object Similarity {
     * duplicates merely duplicate join work. Dedup upstream. */
   val DefaultMaxQueryRows: Long = 100000L
 
-  /** [[requireBounded]] for sibling pipeline operators ([[IvfIndex]]). */
-  private[pipeline] def boundedQueries(queries: DataFrame, maxRows: Long,
-                                       op: String): DataFrame =
-    requireBounded(queries, maxRows, op)
-
   /** Fail FAST (one bounded `limit(max+1)` count — never a full count of
     * an unboundedly large frame) when the query side exceeds the cap. */
   private def requireBounded(queries: DataFrame, maxRows: Long, op: String): DataFrame = {
     val probe = math.min(maxRows, Int.MaxValue - 8L).toInt
     val n = queries.limit(probe + 1).count()
-    require(n <= maxRows,
-      s"Similarity.$op: query set exceeds maxQueryRows=$maxRows (the query " +
-        "side is broadcast / candidate-multiplied by construction; a " +
-        "corpus-sized query frame would OOM, not just run slow). Swap the " +
-        "sides, batch the queries, or raise maxQueryRows deliberately.")
+    require(n <= maxRows, boundMsg(op, maxRows))
     queries
+  }
+
+  private def boundMsg(op: String, maxRows: Long): String =
+    s"Similarity.$op: query set exceeds maxQueryRows=$maxRows (the query " +
+      "side is broadcast / candidate-multiplied by construction; a " +
+      "corpus-sized query frame would OOM, not just run slow). Swap the " +
+      "sides, batch the queries, or raise maxQueryRows deliberately."
+
+  /** [[requireBounded]] that also MATERIALIZES the bounded frame as a
+    * local relation: one incremental `take(max + 1)` both enforces the
+    * cap (fail-fast, bounded fetch — take scales partitions up
+    * gradually, it never collects an unbounded frame) and lands the rows
+    * on the driver, where the search paths need them anyway — the query
+    * side of every top-k operator is BROADCAST, and a broadcast build
+    * collects to the driver regardless. Callers then derive the probe
+    * set AND the join side from this one materialization instead of
+    * paying {bounded count, localCheckpoint, distinct().collect()} —
+    * three scheduler round trips per search whose driver-side planning
+    * dominated the small-batch searches (ProfileJobs r14). Same driver
+    * memory as the broadcast the search already built. */
+  private[pipeline] def localizeBounded(queries: DataFrame, maxRows: Long,
+                                        op: String): DataFrame = {
+    val spark = queries.sparkSession
+    val probe = math.min(maxRows, Int.MaxValue - 8L).toInt
+    val rows = queries.take(probe + 1)
+    require(rows.length <= maxRows, boundMsg(op, maxRows))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), queries.schema)
+  }
+
+  /** Evaluate a bounded (by construction) frame ONCE and return it as a
+    * broadcast-ready local relation plus its rows — the collect-once
+    * discipline for probe-set frames whose values feed both a literal
+    * pushdown predicate and the broadcast join side. */
+  private[pipeline] def localized(df: DataFrame)
+      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val rows = df.collect()
+    (df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema), rows)
   }
 
   /** The one per-query ranking tail every top-k operator shares: rank
@@ -201,8 +230,14 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 5,
                      trainLimit: Int = 100000): Array[Array[Double]] = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val sample = c.orderBy(col("vec_id")).limit(trainLimit)
-    var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
+    // materialize the bounded sample ONCE: without this every Lloyd
+    // iteration (and the seed read) re-ran the orderBy+limit over the
+    // FULL corpus — iters+1 corpus passes to refine on a fixed
+    // trainLimit-row sample (guide §1.2: don't compute things you throw
+    // away). One corpus pass now feeds every iteration.
+    val sample = c.orderBy(col("vec_id")).limit(trainLimit).localCheckpoint()
+    val seedSrc = if (k <= trainLimit) sample else c // degenerate k: old path
+    var centroids: Array[Array[Double]] = seedSrc.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 0 until iters) {
       val assigned = sample.withColumn("cell", NearestCells.cell(col("e"), centroids))
@@ -257,15 +292,17 @@ object Similarity {
   def ivfSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
                 queries: DataFrame, topK: Int, nProbe: Int = 4,
                 maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toArray)
-    val q = requireBounded(queries, maxQueryRows, "ivfSearch")
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-      .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
-      .localCheckpoint() // assignment runs once: feeds the probe set AND the join
-    val probed = q.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // k×dims quantizer metadata — direct driver read ([[QuantizerFiles]])
+    val centroids = QuantizerFiles.readIntVec(spark, s"$dir/centroids")
+    // ONE driver materialization of the bounded query side (the bytes a
+    // broadcast build would land on the driver anyway): bound check,
+    // assignment, probe set and join side all derive from it
+    val (q, qRows) = localized(
+      localizeBounded(queries
+          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
+          maxQueryRows, "ivfSearch")
+        .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe))))
+    val probed = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
     val cells = spark.read.parquet(s"$dir/cells")
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
@@ -361,15 +398,12 @@ object Similarity {
       s"IMI quantizes exactly two half-spaces, got ${codebooks.length}")
     val ks = codebooks(1).length
     val sub0 = codebooks(0)(0).length
-    // per-half squared distances of the query to each codebook entry, in
-    // the [[NearestCells]] kernel's exact left-fold term order
-    def halfDists(mm: Int, off: Int): Column = array(codebooks(mm).indices.map { j =>
-      (0 until codebooks(mm)(0).length).map { d =>
-        val c = codebooks(mm)(j)(d)
-        val x = element_at(col("qe"), off + d + 1) - lit(c)
-        x * x
-      }.reduceLeft(_ + _)
-    }: _*)
+    // per-half squared distances of the query to each codebook entry —
+    // the native [[SubDists]] kernel, whose loop IS the [[NearestCells]]
+    // left-fold term order (bit-identical to the column-tree formulation
+    // it replaces, which planned/codegen'd a ~14 KB literal tree per half)
+    def halfDists(mm: Int, off: Int): Column =
+      SubDists.column(col("qe"), codebooks(mm), off)
     // the K²-per-query pair explosion ranks a NARROW (qid, pd, cell)
     // projection only — rider columns (the PQ path's M×Ks LUT doubles)
     // would otherwise stream through every pair row; they join back onto
@@ -498,12 +532,17 @@ object Similarity {
   def trainCodebooks(corpus: DataFrame, m: Int, ks: Int, iters: Int = 5,
                      trainLimit: Int = 100000): Array[Array[Array[Double]]] = {
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val dims = e.select(size(col("e"))).head().getInt(0)
+    // ONE bounded materialization feeds every subspace's Lloyd passes:
+    // each of the m inner trainCentroids calls used to re-scan the FULL
+    // corpus per iteration — m × (iters + 1) corpus passes for a fixed
+    // trainLimit-row sample. Now the corpus is read once.
+    val sample = e.orderBy(col("vec_id")).limit(trainLimit).localCheckpoint()
+    val dims = sample.select(size(col("e"))).head().getInt(0)
     require(dims % m == 0,
       s"trainCodebooks: $dims dims not divisible into $m subspaces")
     val subDims = dims / m
     (0 until m).map { mm =>
-      trainCentroids(e.select(col("vec_id"),
+      trainCentroids(sample.select(col("vec_id"),
           slice(col("e"), mm * subDims + 1, subDims).as("embedding")),
         ks, iters, trainLimit)
     }.toArray
@@ -535,47 +574,46 @@ object Similarity {
 
   /** Decode a persisted `(m, j, c)` codebooks parquet back into the
     * `[m][ks][subDims]` array — the one reader [[ivfPqSearch]] and
-    * [[IvfIndex.codebooks]] share. */
+    * [[IvfIndex.codebooks]] share. Read DIRECTLY on the driver
+    * ([[QuantizerFiles]]): the codebooks are bounded M×Ks×subDims
+    * metadata the driver consumes (they ride into codegen'd expressions
+    * as literals), so a distributed-job round trip per read was pure
+    * scheduling overhead — several times per append/search. */
   private[pipeline] def readCodebooks(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[Array[Array[Double]]] = {
-    val flat = spark.read.parquet(path)
-      .orderBy(col("m"), col("j")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
-    flat.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
-  }
+      path: String): Array[Array[Array[Double]]] =
+    QuantizerFiles.readIntIntVec(spark, path)
 
-  /** The per-query ADC lookup-table columns `d_mm_j` over `src` (default
-    * the `qe` column; the OPQ path passes the ROTATED query) — exact
-    * subspace distances with a FIXED left-fold term order, so an external
-    * oracle reproduces the doubles bit-for-bit. Shared by every ADC
-    * scorer ([[pqTopK]], [[ivfPqSearch]], [[IvfIndex.searchPq]]): the
-    * gate-pinned table arithmetic exists ONCE. */
+  /** The per-query ADC lookup-table columns — one `array<double>` column
+    * `d_mm` of the Ks exact subspace distances per subspace, over `src`
+    * (default the `qe` column; the OPQ path passes the ROTATED query) —
+    * computed by the native [[SubDists]] kernel with the same fixed
+    * left-fold term order the old M×Ks scalar-column formulation
+    * evaluated (bit-identical doubles; the external oracles reproduce
+    * them unchanged). Shared by every ADC scorer ([[pqTopK]],
+    * [[ivfPqSearch]], [[IvfIndex.searchPq]]): the gate-pinned table
+    * arithmetic exists ONCE. The collapse from M×Ks scalar columns
+    * (each a subDims-term literal tree — 4096 columns at production
+    * M=16/Ks=256) to M kernel calls is what keeps LUT planning and
+    * codegen O(M), not O(M·Ks·subDims) (guide §4). */
   private[pipeline] def adcLutColumns(
       codebooks: Array[Array[Array[Double]]],
       src: Column = col("qe")): Seq[Column] = {
     val subDims = codebooks(0)(0).length
-    for (mm <- codebooks.indices; j <- codebooks(mm).indices) yield {
-      (0 until subDims).map { d =>
-        val c = codebooks(mm)(j)(d)
-        val x = element_at(src, mm * subDims + d + 1) - lit(c)
-        x * x
-      }.reduceLeft(_ + _).as(s"d_${mm}_$j")
-    }
+    codebooks.indices.map(mm =>
+      SubDists.column(src, codebooks(mm), mm * subDims).as(s"d_$mm"))
   }
 
   /** The ADC score: M table probes on `codes` against the broadcast
-    * `d_mm_j` LUT columns, summed in fixed order. */
+    * `d_mm` LUT arrays, summed in fixed order. `element_at(d_mm,
+    * code+1)` reads the SAME double the old Ks-deep CASE chain selected
+    * (codes are [[NearestCells]] argmins — always in [0, Ks)), in O(1)
+    * per candidate instead of O(Ks) branch evaluations per candidate
+    * row — the scan-side win at production Ks=256. */
   private[pipeline] def adcScoreCol(
-      codebooks: Array[Array[Array[Double]]]): Column = {
-    val ks = codebooks(0).length
-    def termFor(mm: Int): Column = {
-      val code = element_at(col("codes"), mm + 1)
-      (0 until ks - 1).foldRight(col(s"d_${mm}_${ks - 1}")) { (j, acc) =>
-        when(code === j, col(s"d_${mm}_$j")).otherwise(acc)
-      }
-    }
-    codebooks.indices.map(termFor).reduceLeft(_ + _)
-  }
+      codebooks: Array[Array[Array[Double]]]): Column =
+    codebooks.indices.map(mm =>
+      element_at(col(s"d_$mm"), element_at(col("codes"), mm + 1) + 1))
+      .reduceLeft(_ + _)
 
   /** Product-quantize the corpus: each vector becomes M small codes (one
     * argmin per `subDims`-wide subspace against that subspace's
@@ -717,8 +755,8 @@ object Similarity {
       dir: String): Option[Array[Array[Double]]] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
-    else Some(spark.read.parquet(p.toString).orderBy(col("d"))
-      .collect().map(_.getSeq[Double](1).toArray))
+    // dims×dims metadata the driver consumes — direct driver read, no job
+    else Some(QuantizerFiles.readIntVec(spark, p.toString))
   }
 
   /** Search a persisted IVF-PQ index: queries rank their `nProbe` nearest
@@ -733,20 +771,23 @@ object Similarity {
   def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
                   queries: DataFrame, topK: Int, nProbe: Int = 4,
                   maxQueryRows: Long = DefaultMaxQueryRows): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    // quantizer state is bounded metadata — direct driver reads, no jobs
+    val centroids = QuantizerFiles.readIntVec(spark, s"$dir/centroids")
     val codebooks = readCodebooks(spark, s"$dir/codebooks")
     // an OPQ index persisted a rotation: LUTs build over the ROTATED
     // query (matching the stored codes' space); the cell probe stays raw
     val rot = readRotation(spark, dir)
-    val q = requireBounded(queries, maxQueryRows, "ivfPqSearch")
-      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-      .select(Seq(col("qid"), col("qe")) ++
-        adcLutColumns(codebooks, rotatedCol(col("qe"), rot)): _*)
-      .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
-      .drop("qe")
-      .localCheckpoint() // one pass builds probe set + LUTs
-    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    // ONE driver materialization: bound check, LUT build, probe set and
+    // broadcast side from a single pass ([[localizeBounded]]/[[localized]])
+    val (q, qRows) = localized(
+      localizeBounded(queries
+          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
+          maxQueryRows, "ivfPqSearch")
+        .select(Seq(col("qid"), col("qe")) ++
+          adcLutColumns(codebooks, rotatedCol(col("qe"), rot)): _*)
+        .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
+        .drop("qe"))
+    val probed = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
     val cells = spark.read.parquet(s"$dir/cells")
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = broadcast(q).join(cells, Seq("cell"))
@@ -866,9 +907,14 @@ object Similarity {
       .where(cosine(col("ea"), col("e")) >= threshold)
       .select("vec_id")
     val dropped = hitIndex.unionByName(hitPeer).distinct().localCheckpoint()
-    val survivors = vectors.join(dropped, Seq("vec_id"), "left_anti")
-    IvfIndex.append(survivors, indexDir, name, seq = Some(seq))
-    survivors
+    // the append writes survivors FROM THE CHECKPOINTED ASSIGNED BATCH
+    // (anti-join of two materialized frames): no re-read of the batch
+    // source and no second run of the assignment kernel — the checkpointed
+    // `cell` column is the same single assignment that fed the dedup joins
+    IvfIndex.appendAssigned(
+      batch.join(dropped, Seq("vec_id"), "left_anti"),
+      indexDir, name, seq = Some(seq))
+    vectors.join(dropped, Seq("vec_id"), "left_anti")
   }
 
   /** [[semDeDupIncremental]] keyed by a streaming batch id — the

@@ -21,6 +21,33 @@ class OpqSpec extends AnyFunSuite {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("rotate_vec generated code COMPILES (no silent interpreter fallback)") {
+    // regression pin for the r14 codegen defect: the kernel was named
+    // `apply`, TreeNode.apply(Int) suppressed the companion's static
+    // forwarder, Janino failed to resolve the generated call and every
+    // rotation projection fell back to interpreter mode. Generating the
+    // projection DIRECTLY (no fallback wrapper) throws if that ever
+    // regresses, and the generated result must equal the interpreted
+    // kernel's bit-for-bit.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dims = 8
+    val flat = Similarity.fixedRotation(dims).flatten
+    val expr = RotateVec(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false),
+        nullable = false), flat, dims)
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(Seq(expr))
+    val in = ArrayData.toArrayData(Array.tabulate(dims)(_ + 0.5))
+    val generated = proj(InternalRow(in)).getArray(0)
+    val interpreted = RotateVec.rotate(flat, dims,
+      ArrayData.toArrayData(Array.tabulate(dims)(_ + 0.5)))
+    (0 until dims).foreach(i =>
+      assert(generated.getDouble(i) == interpreted.getDouble(i)))
+  }
+
   test("fixedRotation is a signed permutation: orthogonal and exactly representable") {
     val r = Similarity.fixedRotation(64)
     // each row holds exactly one ±1 (exactly representable; the SQL
