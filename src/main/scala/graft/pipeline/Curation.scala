@@ -709,9 +709,10 @@ object Curation {
           s"dedupLinesIncremental: boilerplate set exceeds $maxBoilerplate lines")
         // decision sidecar FIRST, pairs after: the batch marker implies
         // the sidecar exists (a crash in between replays the whole batch,
-        // which overwrites the sidecar with the identical recomputation)
-        h.toSeq.toDF("bv").repartition(1)
-          .write.mode("overwrite").parquet(boilerPath)
+        // which overwrites the sidecar with the identical recomputation).
+        // The decision set is a bounded driver array (maxBoilerplate) —
+        // direct driver parquet write, no Spark job per batch
+        QuantizerFiles.writeLongs(spark, boilerPath, "bv", h.toSeq)
         SigIndex.append(pairs, indexDir, name, seq = Some(seq))
         h
       }

@@ -1036,18 +1036,17 @@ object IvfIndex {
                        rot: Option[Array[Array[Double]]],
                        batches: Seq[(String, Option[DataFrame], Long)],
                        carriedNames: Seq[String]): Unit = {
-    import spark.implicits._
     val gp = genPath(dir, gid)
+    // quantizer state is a driver array — direct driver parquet writes
+    // ([[QuantizerFiles]]), no Spark job per file
     def writeCbs(b: Array[Array[Array[Double]]], path: String): Unit =
-      b.zipWithIndex.flatMap { case (cb, mm) =>
-        cb.zipWithIndex.map { case (v, j) => (mm, j, v.toSeq) }
-      }.toSeq.toDF("m", "j", "c")
-        .repartition(1).write.mode("overwrite").parquet(path)
+      QuantizerFiles.writeIntIntVec(spark, path,
+        for ((cb, mm) <- b.zipWithIndex.toSeq; (v, j) <- cb.zipWithIndex)
+          yield (mm, j, v))
     coarse match {
       case FlatCoarse(centroids) =>
-        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cell", "c")
-          .repartition(1).write.mode("overwrite").parquet(s"$gp/centroids")
+        QuantizerFiles.writeIntVec(spark, s"$gp/centroids", "cell", "c",
+          centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
       case ImiCoarse(halves) => writeCbs(halves, s"$gp/imicb")
     }
     cbs.foreach(writeCbs(_, s"$gp/codebooks"))

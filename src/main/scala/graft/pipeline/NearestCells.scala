@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * closure indirection ([[NibbleSpread]] static-kernel pattern).
   */
 final case class NearestCells(child: Expression, centroids: Array[Array[Double]],
-                              n: Int) extends UnaryExpression {
+                              n: Int, offset: Int = 0) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -37,12 +37,12 @@ final case class NearestCells(child: Expression, centroids: Array[Array[Double]]
   }
 
   protected override def nullSafeEval(input: Any): Any =
-    NearestCells.nearest(flat, dims, input.asInstanceOf[ArrayData], n)
+    NearestCells.nearest(flat, dims, input.asInstanceOf[ArrayData], n, offset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("centroids", flat, "double[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.pipeline.NearestCells.nearest($cRef, $dims, $c, $n)")
+      s"graft.pipeline.NearestCells.nearest($cRef, $dims, $c, $n, $offset)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
@@ -55,14 +55,25 @@ object NearestCells {
   def cell(e: Column, centroids: Array[Array[Double]]): Column =
     org.apache.spark.sql.functions.element_at(column(e, centroids, 1), 1)
 
+  /** [[cell]] over the `dims`-wide slice of `e` starting at 0-based
+    * `offset` — the IMI half-space assignment without a per-row
+    * `slice()` array copy per half (the kernel reads at an offset; the
+    * doubles are identical to slicing first). */
+  def cellAt(e: Column, centroids: Array[Array[Double]], offset: Int): Column =
+    org.apache.spark.sql.functions.element_at(
+      ColumnBridge.column(NearestCells(ColumnBridge.expression(e), centroids,
+        1, offset)), 1)
+
   /** The `n` nearest cell ids (ARRAY<INT> column, nearest first). */
   def column(e: Column, centroids: Array[Array[Double]], n: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(e), centroids, n))
 
   /** Static runtime kernel shared by interpreted and generated code:
-    * distances to all k centroids, then selection of the n smallest by
-    * (distance, index) — identical ordering to a (d, i) sort. */
-  def nearest(flat: Array[Double], dims: Int, e: ArrayData, n: Int): ArrayData = {
+    * distances to all k centroids (read from `e` at `offset`), then
+    * selection of the n smallest by (distance, index) — identical
+    * ordering to a (d, i) sort. */
+  def nearest(flat: Array[Double], dims: Int, e: ArrayData, n: Int,
+              offset: Int): ArrayData = {
     val k = if (dims == 0) 0 else flat.length / dims
     val ds = new Array[Double](k)
     var i = 0
@@ -71,7 +82,7 @@ object NearestCells {
       var j = 0
       val off = i * dims
       while (j < dims) {
-        val x = e.getDouble(j) - flat(off + j)
+        val x = e.getDouble(offset + j) - flat(off + j)
         d += x * x
         j += 1
       }

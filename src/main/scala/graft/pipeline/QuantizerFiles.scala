@@ -77,4 +77,96 @@ private[pipeline] object QuantizerFiles {
     buf.groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
   }
+
+  // ---- driver-direct writers ----------------------------------------------
+  // The quantizer/sidecar values being persisted are DRIVER ARRAYS (a few
+  // KB); `toDF(...).repartition(1).write.parquet` spent a full Spark job
+  // (plan + schedule + task + commit protocol) per write to move bytes the
+  // driver already holds. These writers produce the SAME file layout —
+  // Spark-readable standard three-level LISTs — with zero jobs.
+
+  private def listField(name: String): org.apache.parquet.schema.Type =
+    org.apache.parquet.schema.Types.optionalGroup()
+      .as(org.apache.parquet.schema.LogicalTypeAnnotation.listType())
+      .addField(org.apache.parquet.schema.Types.repeatedGroup()
+        .addField(org.apache.parquet.schema.Types
+          .optional(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE)
+          .named("element"))
+        .named("list"))
+      .named(name)
+
+  private def intField(name: String): org.apache.parquet.schema.Type =
+    org.apache.parquet.schema.Types
+      .optional(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+      .named(name)
+
+  private def writeGroups(spark: SparkSession, path: String,
+                          schema: org.apache.parquet.schema.MessageType)(
+      fill: (org.apache.parquet.example.data.simple.SimpleGroupFactory,
+             org.apache.parquet.example.data.Group => Unit) => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val f = dir.getFileSystem(conf)
+    f.delete(dir, true) // mode("overwrite") semantics
+    f.mkdirs(dir)
+    val file = new org.apache.hadoop.fs.Path(dir,
+      s"part-00000-${java.util.UUID.randomUUID()}.parquet")
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withType(schema).build()
+    try fill(factory, g => w.write(g)) finally w.close()
+  }
+
+  private def addVec(g: org.apache.parquet.example.data.Group, field: String,
+                     v: Array[Double]): Unit = {
+    val lst = g.addGroup(field)
+    var i = 0
+    while (i < v.length) { lst.addGroup("list").add("element", v(i)); i += 1 }
+  }
+
+  /** Write `(key, vector)` rows (centroids / rotation layout). */
+  def writeIntVec(spark: SparkSession, path: String, keyName: String,
+                  vecName: String, rows: Iterable[(Int, Array[Double])]): Unit = {
+    val schema = new org.apache.parquet.schema.MessageType("spark_schema",
+      intField(keyName), listField(vecName))
+    writeGroups(spark, path, schema) { (fac, write) =>
+      rows.foreach { case (k, v) =>
+        val g = fac.newGroup()
+        g.add(keyName, k); addVec(g, vecName, v)
+        write(g)
+      }
+    }
+  }
+
+  /** Write `(m, j, vector)` rows (PQ/IMI codebooks layout). */
+  def writeIntIntVec(spark: SparkSession, path: String,
+                     rows: Iterable[(Int, Int, Array[Double])]): Unit = {
+    val schema = new org.apache.parquet.schema.MessageType("spark_schema",
+      intField("m"), intField("j"), listField("c"))
+    writeGroups(spark, path, schema) { (fac, write) =>
+      rows.foreach { case (m, j, v) =>
+        val g = fac.newGroup()
+        g.add("m", m); g.add("j", j); addVec(g, "c", v)
+        write(g)
+      }
+    }
+  }
+
+  /** Write a single-column `bv BIGINT` parquet (decision sidecars — the
+    * values are a bounded driver array by construction). */
+  def writeLongs(spark: SparkSession, path: String, name: String,
+                 values: Iterable[Long]): Unit = {
+    val schema = new org.apache.parquet.schema.MessageType("spark_schema",
+      org.apache.parquet.schema.Types
+        .optional(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+        .named(name))
+    writeGroups(spark, path, schema) { (fac, write) =>
+      values.foreach { v =>
+        val g = fac.newGroup()
+        g.add(name, v)
+        write(g)
+      }
+    }
+  }
 }

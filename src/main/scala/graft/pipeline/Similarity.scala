@@ -268,10 +268,9 @@ object Similarity {
   def ivfBuild(corpus: DataFrame, dir: String,
                centroids: Array[Array[Double]]): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "c")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // quantizer metadata: direct driver parquet write, no job
+    QuantizerFiles.writeIntVec(spark, s"$dir/centroids", "cell", "c",
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cell", NearestCells.cell(col("e"), centroids))
       .select(col("cell"), col("vec_id").as("cid"), col("e").as("ce"))
@@ -356,8 +355,11 @@ object Similarity {
       s"imiCell: IMI quantizes exactly two half-spaces, got ${codebooks.length}")
     val ks = codebooks(1).length
     val sub0 = codebooks(0)(0).length
-    NearestCells.cell(slice(e, 1, sub0), codebooks(0)) * lit(ks) +
-      NearestCells.cell(slice(e, sub0 + 1, codebooks(1)(0).length), codebooks(1))
+    // offset reads instead of slice(): no per-row half-array copies on
+    // the corpus-side assignment (identical doubles — the kernel reads
+    // the same elements at an offset)
+    NearestCells.cellAt(e, codebooks(0), 0) * lit(ks) +
+      NearestCells.cellAt(e, codebooks(1), sub0)
   }
 
   /** IMI probe — [[ivfProbe]]'s contract (and output) over the two-level
@@ -567,8 +569,10 @@ object Similarity {
   private[pipeline] def pqCodesCol(e: Column,
       codebooks: Array[Array[Array[Double]]]): Column = {
     val subDims = codebooks(0)(0).length
+    // offset reads instead of slice(): no M per-row subspace array
+    // copies at encode time (identical doubles)
     array(codebooks.indices.map { mm =>
-      NearestCells.cell(slice(e, mm * subDims + 1, subDims), codebooks(mm))
+      NearestCells.cellAt(e, codebooks(mm), mm * subDims)
     }: _*)
   }
 
@@ -723,14 +727,12 @@ object Similarity {
                  codebooks: Array[Array[Array[Double]]],
                  rotation: Option[Array[Array[Double]]] = None): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "c")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.zipWithIndex.flatMap { case (cb, mm) =>
-      cb.zipWithIndex.map { case (v, j) => (mm, j, v.toSeq) }
-    }.toSeq.toDF("m", "j", "c")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // quantizer metadata: direct driver parquet writes, no jobs
+    QuantizerFiles.writeIntVec(spark, s"$dir/centroids", "cell", "c",
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+    QuantizerFiles.writeIntIntVec(spark, s"$dir/codebooks",
+      for ((cb, mm) <- codebooks.zipWithIndex.toSeq; (v, j) <- cb.zipWithIndex)
+        yield (mm, j, v))
     rotation.foreach(writeRotation(spark, dir, _))
     val e = asDouble(col("embedding"))
     corpus.select(col("vec_id").as("cid"), e.as("e"))
@@ -745,11 +747,10 @@ object Similarity {
     rotation.fold(e)(RotateVec.column(e, _))
 
   private[pipeline] def writeRotation(spark: org.apache.spark.sql.SparkSession,
-      dir: String, r: Array[Array[Double]]): Unit = {
-    import spark.implicits._
-    r.zipWithIndex.map { case (row, d) => (d, row.toSeq) }.toSeq.toDF("d", "r")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/rotation")
-  }
+      dir: String, r: Array[Array[Double]]): Unit =
+    // dims×dims metadata: direct driver parquet write, no job
+    QuantizerFiles.writeIntVec(spark, s"$dir/rotation", "d", "r",
+      r.zipWithIndex.map { case (row, d) => (d, row) }.toSeq)
 
   private[pipeline] def readRotation(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[Array[Array[Double]]] = {
