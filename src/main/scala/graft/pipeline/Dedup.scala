@@ -592,11 +592,17 @@ object Dedup {
       // convergence there splits components and emits conflicting
       // labels for the shared source. (a) is one cheap node-sized
       // aggregation and short-circuits (b)'s self-join pre-convergence.
+      // ONE action probes both conditions: a union's partitions evaluate
+      // in leg order under the limit-1 probe, so pre-convergence the (a)
+      // leg short-circuits exactly as the old `&&` did, and AT the
+      // fixpoint both legs cost one action instead of two
       converged = next.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .where(col("d") > 1).isEmpty &&
-        next.select(col("v"))
-          .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
-          .isEmpty
+        .where(col("d") > 1).select(lit(1).as("viol"))
+        .unionByName(
+          next.select(col("v"))
+            .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+            .select(lit(1).as("viol")))
+        .isEmpty
       edges = next
       it += 1
     }
