@@ -590,19 +590,20 @@ object Dedup {
       // node with two out-edges to different roots (e.g. {(2,0),(2,1)})
       // passes (b) alone but still needs a merge round — declaring
       // convergence there splits components and emits conflicting
-      // labels for the shared source. (a) is one cheap node-sized
-      // aggregation and short-circuits (b)'s self-join pre-convergence.
-      // ONE action probes both conditions: a union's partitions evaluate
-      // in leg order under the limit-1 probe, so pre-convergence the (a)
-      // leg short-circuits exactly as the old `&&` did, and AT the
-      // fixpoint both legs cost one action instead of two
+      // labels for the shared source. TWO actions, `&&`-ordered, on
+      // purpose: (a) is one cheap node-sized aggregation whose false
+      // result pre-convergence means (b)'s self-join NEVER RUNS those
+      // rounds. A fused union probe would not short-circuit — AQE
+      // materializes every leaf exchange of the final plan eagerly, so
+      // (b)'s two shuffles of `next` would execute on every
+      // pre-convergence round (O(log n) of them) to save one scheduler
+      // round trip at the fixpoint: shuffles-per-round beats
+      // actions-at-fixpoint at any scale.
       converged = next.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .where(col("d") > 1).select(lit(1).as("viol"))
-        .unionByName(
-          next.select(col("v"))
-            .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
-            .select(lit(1).as("viol")))
-        .isEmpty
+        .where(col("d") > 1).isEmpty &&
+        next.select(col("v"))
+          .join(next.select(col("u").as("v")), Seq("v"), "left_semi")
+          .isEmpty
       edges = next
       it += 1
     }

@@ -288,9 +288,21 @@ object IvfIndex {
     * consumers ([[Similarity.semDeDupIncremental]]) assign batches with
     * it, so they work over flat AND IMI-quantized indexes. */
   def cellAssigner(spark: SparkSession, dir: String)
-      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
-    val c = coarseIn(spark, requireGen(spark, dir)._2)
-    e => assignCol(c, e)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    cellAssignerGen(spark, dir)._2
+
+  /** [[cellAssigner]] plus the generation id it resolved. A caller that
+    * later hands the assigned batch to [[appendAssigned]] passes the gid
+    * along: cell ids are meaningful only within the generation whose
+    * quantizer produced them, so the append fails loud if a retrain
+    * flipped generations between the assignment and the append (the
+    * append's own requireGen would otherwise happily write stale-gen
+    * cells into the new generation's layout). */
+  private[pipeline] def cellAssignerGen(spark: SparkSession, dir: String)
+      : (Long, org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val (gid, gp) = requireGen(spark, dir)
+    val c = coarseIn(spark, gp)
+    (gid, e => assignCol(c, e))
   }
 
   /** The current generation's PQ codebooks (None on a flat index) —
@@ -343,25 +355,36 @@ object IvfIndex {
         .withColumn("cell", assignCol(coarseIn(vectors.sparkSession, gp), col("ce"))))
 
   /** [[append]] for a batch whose cell assignment ALREADY happened
-    * against the current generation's quantizer (`assigned`: (cell,
+    * against generation `assignedGen`'s quantizer (`assigned`: (cell,
     * vec_id, e)) — [[Similarity.semDeDupIncremental]] assigns its batch
     * once (the checkpointed frame that feeds the probe set and both
     * dedup joins) and appends the survivors from that same frame, so the
     * write does not re-read the batch source or re-run the assignment
-    * kernel per survivor. Caller contract: the assignment must come from
-    * [[cellAssigner]] resolved within the same slot-read span as `seq`
-    * (the retrain pre/post checks inside still fail loud on a flip). */
+    * kernel per survivor. Caller contract: the assignment comes from
+    * [[cellAssignerGen]], whose gid is passed here — cell ids are
+    * generation-specific, so a retrain flipping between the assignment
+    * and this append throws (the internal pre/post checks only cover
+    * flips INSIDE the append; without the gid pin a pre-append flip
+    * would silently write stale-generation cells into the new layout). */
   private[pipeline] def appendAssigned(assigned: DataFrame, dir: String,
-                                       name: String,
-                                       seq: Option[Long]): Boolean =
+                                       name: String, seq: Option[Long],
+                                       assignedGen: Long): Boolean =
     appendCore(assigned.sparkSession, dir, name, seq, _ =>
       assigned.select(col("cell"), col("vec_id").as("cid"),
-        col("e").cast("array<double>").as("ce")))
+        col("e").cast("array<double>").as("ce")),
+      expectGen = Some(assignedGen))
 
   private def appendCore(spark: SparkSession, dir: String, name: String,
                          seq: Option[Long],
-                         mkAssigned: String => DataFrame): Boolean = {
+                         mkAssigned: String => DataFrame,
+                         expectGen: Option[Long] = None): Boolean = {
     val (gid, gp) = requireGen(spark, dir)
+    expectGen.filter(_ != gid).foreach(eg =>
+      throw new IllegalStateException(
+        s"IvfIndex append '$name' raced a retrain at $dir: the batch was " +
+          s"assigned against generation $eg but the index is at $gid — " +
+          "cell assignments are generation-specific; re-run the batch " +
+          "against the new quantizer"))
     if (contains(spark, dir, name)) return false
     val f = fs(spark, dir)
     // slot read FIRST (before the quantizer read — the start of this

@@ -74,6 +74,13 @@ object NearestCells {
     * ordering to a (d, i) sort. */
   def nearest(flat: Array[Double], dims: Int, e: ArrayData, n: Int,
               offset: Int): ArrayData = {
+    // offset reads skip the per-row slice() copy, so the slice's implicit
+    // length check moves here: a malformed (short) embedding must fail
+    // loud, not read past the row buffer into garbage assignments
+    if (e.numElements() < offset + dims)
+      throw new IllegalArgumentException(
+        s"nearest_cells: embedding has ${e.numElements()} elements, kernel " +
+          s"reads ${offset + dims} (offset $offset, dims $dims) — malformed vector")
     val k = if (dims == 0) 0 else flat.length / dims
     val ds = new Array[Double](k)
     var i = 0

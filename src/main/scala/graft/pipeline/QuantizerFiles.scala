@@ -29,9 +29,19 @@ private[pipeline] object QuantizerFiles {
                     path: String): Seq[org.apache.hadoop.fs.Path] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.listStatus(p).toSeq
+    val out = f.listStatus(p).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
+    // fail LOUD on a footer-less directory (crashed/partial write): the
+    // old spark.read.parquet threw here; silently returning zero rows
+    // would surface as empty quantizers far from the corrupt-metadata
+    // cause. Every writer (ours and the legacy Spark one) emits ≥ 1
+    // .parquet file even for zero rows, so emptiness is always damage.
+    if (out.isEmpty)
+      throw new IllegalStateException(
+        s"no parquet files under $path — quantizer/sidecar metadata " +
+          "missing or partially written (crashed write?)")
+    out
   }
 
   private def foreachRow(spark: SparkSession, path: String)(

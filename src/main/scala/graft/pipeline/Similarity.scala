@@ -59,7 +59,11 @@ object Similarity {
     s"Similarity.$op: query set exceeds maxQueryRows=$maxRows (the query " +
       "side is broadcast / candidate-multiplied by construction; a " +
       "corpus-sized query frame would OOM, not just run slow). Swap the " +
-      "sides, batch the queries, or raise maxQueryRows deliberately."
+      "sides, batch the queries (IvfIndex.searchBatched/searchPqBatched " +
+      "iterate bounded slices), or raise maxQueryRows deliberately — the " +
+      "bounded query frame is materialized on the DRIVER (it feeds the " +
+      "broadcast build and the probe-set literals), so a raised cap must " +
+      "fit rows × dims × 8 B in driver memory."
 
   /** [[requireBounded]] that also MATERIALIZES the bounded frame as a
     * local relation: one incremental `take(max + 1)` both enforces the
@@ -888,8 +892,10 @@ object Similarity {
     // at its append instead of silently splitting survivors
     val seq = IvfIndex.nextAppendSeq(spark, indexDir)
     // the index's OWN quantizer assigns the batch — flat or two-level
-    // (IMI) alike, so SemDeDup state can live behind either construction
-    val assign = IvfIndex.cellAssigner(spark, indexDir)
+    // (IMI) alike, so SemDeDup state can live behind either construction;
+    // the resolved generation pins the append below (stale-gen cells must
+    // never land in a retrained layout)
+    val (assignedGen, assign) = IvfIndex.cellAssignerGen(spark, indexDir)
     val batch = vectors
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cell", assign(col("e")))
@@ -914,7 +920,7 @@ object Similarity {
     // `cell` column is the same single assignment that fed the dedup joins
     IvfIndex.appendAssigned(
       batch.join(dropped, Seq("vec_id"), "left_anti"),
-      indexDir, name, seq = Some(seq))
+      indexDir, name, seq = Some(seq), assignedGen = assignedGen)
     vectors.join(dropped, Seq("vec_id"), "left_anti")
   }
 

@@ -67,6 +67,13 @@ object SubDists {
 
   /** Static runtime kernel shared by interpreted and generated code. */
   def dists(flat: Array[Double], sub: Int, offset: Int, e: ArrayData): ArrayData = {
+    // same discipline as [[NearestCells.nearest]]: the offset read has no
+    // slice() bounding it, so a short embedding fails loud here instead of
+    // reading past the row buffer into garbage distances
+    if (e.numElements() < offset + sub)
+      throw new IllegalArgumentException(
+        s"sub_dists: embedding has ${e.numElements()} elements, kernel " +
+          s"reads ${offset + sub} (offset $offset, subDims $sub) — malformed vector")
     val ks = if (sub == 0) 0 else flat.length / sub
     val out = new Array[Double](ks)
     var j = 0

@@ -334,6 +334,37 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L, 20L, 30L))
   }
 
+  test("appendAssigned rejects assignments from a retired generation") {
+    val dir = freshIndex()
+    IvfIndex.append(emb.where(col("vec_id") < 50), dir, "b0")
+    val seq = IvfIndex.nextAppendSeq(spark, dir)
+    val (gen, assign) = IvfIndex.cellAssignerGen(spark, dir)
+    val batch = emb.where(col("vec_id") >= 50 && col("vec_id") < 90)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("cell", assign(col("e")))
+      .localCheckpoint()
+    // a retrain flips the generation BETWEEN the assignment and the
+    // append — the semDeDupIncremental read→dedup→append span. Cell ids
+    // are generation-specific: without the gid pin the append's own
+    // requireGen would resolve the NEW generation and silently write
+    // stale-gen cells into its layout (searches probing new-quantizer
+    // cells would never find them).
+    IvfIndex.retrain(spark, dir, k = 8, iters = 1, trainLimit = 200)
+    val e = intercept[IllegalStateException] {
+      IvfIndex.appendAssigned(batch, dir, "b1", seq = Some(seq),
+        assignedGen = gen)
+    }
+    assert(e.getMessage.contains("assigned against generation"))
+    assert(!IvfIndex.contains(spark, dir, "b1"))
+    // re-assigning against the CURRENT generation lands and is searchable
+    val seq2 = IvfIndex.nextAppendSeq(spark, dir)
+    val (gen2, assign2) = IvfIndex.cellAssignerGen(spark, dir)
+    assert(IvfIndex.appendAssigned(
+      batch.drop("cell").withColumn("cell", assign2(col("e"))),
+      dir, "b1", seq = Some(seq2), assignedGen = gen2))
+    assert(IvfIndex.read(spark, dir).count() == 90)
+  }
+
   test("a retrain flipping inside the append marker window is detected loud") {
     val dir = freshIndex()
     IvfIndex.append(emb.where(col("vec_id") < 50), dir, "b0")

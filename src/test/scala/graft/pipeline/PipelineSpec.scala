@@ -793,4 +793,28 @@ class PipelineSpec extends AnyFunSuite {
       val x = r.getAs[Double]("recall"); x >= 0.0 && x <= 1.0
     })
   }
+
+  test("offset kernels fail loud on short embeddings, never read garbage") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val short = new GenericArrayData(Array(1.0, 2.0))
+    // flat path: 2 elements, kernel wants dims=4 from offset 0
+    intercept[IllegalArgumentException] {
+      NearestCells.nearest(new Array[Double](4), 4, short, 1, 0)
+    }
+    // offset path: 2 elements, kernel wants [1, 3) then [1, 3) of a LUT
+    intercept[IllegalArgumentException] {
+      SubDists.dists(new Array[Double](2), 2, 1, short)
+    }
+    // well-formed input at an offset still works (reads the tail slice)
+    assert(SubDists.dists(Array(2.0), 1, 1, short).toDoubleArray()
+      .sameElements(Array(0.0)))
+  }
+
+  test("quantizer metadata reads fail loud on a footer-less directory") {
+    val dir = java.nio.file.Files.createTempDirectory("qf_empty").toString
+    val e = intercept[IllegalStateException] {
+      QuantizerFiles.readIntVec(spark, dir)
+    }
+    assert(e.getMessage.contains("no parquet files"))
+  }
 }
