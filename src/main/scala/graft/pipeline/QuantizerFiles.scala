@@ -119,13 +119,21 @@ private[pipeline] object QuantizerFiles {
     val f = dir.getFileSystem(conf)
     f.delete(dir, true) // mode("overwrite") semantics
     f.mkdirs(dir)
-    val file = new org.apache.hadoop.fs.Path(dir,
-      s"part-00000-${java.util.UUID.randomUUID()}.parquet")
+    // stage-then-rename commit (the FileOutputCommitter discipline the
+    // replaced Spark write had): the in-progress name does not end in
+    // .parquet, so readers — whose file filter only admits *.parquet —
+    // never observe a footer-less partial file; a crash mid-write leaves
+    // only the staged file and [[files]] fails loud on the empty result
+    val base = s"part-00000-${java.util.UUID.randomUUID()}.parquet"
+    val staged = new org.apache.hadoop.fs.Path(dir, s"$base.inprogress")
+    val file = new org.apache.hadoop.fs.Path(dir, base)
     val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
     val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(staged, conf))
       .withType(schema).build()
     try fill(factory, g => w.write(g)) finally w.close()
+    if (!f.rename(staged, file))
+      throw new IllegalStateException(s"could not commit $staged to $file")
   }
 
   private def addVec(g: org.apache.parquet.example.data.Group, field: String,

@@ -62,8 +62,9 @@ object Similarity {
       "sides, batch the queries (IvfIndex.searchBatched/searchPqBatched " +
       "iterate bounded slices), or raise maxQueryRows deliberately — the " +
       "bounded query frame is materialized on the DRIVER (it feeds the " +
-      "broadcast build and the probe-set literals), so a raised cap must " +
-      "fit rows × dims × 8 B in driver memory."
+      "broadcast build and the probe-set literals), so budget a raised " +
+      "cap at a FEW MULTIPLES of rows × nProbe × (dims + LUT entries) × " +
+      "8 B in driver memory (local relation + broadcast build coexist)."
 
   /** [[requireBounded]] that also MATERIALIZES the bounded frame as a
     * local relation: one incremental `take(max + 1)` both enforces the
