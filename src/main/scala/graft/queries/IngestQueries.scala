@@ -146,24 +146,19 @@ object IngestQueries {
     }),
 
     "q_alert_for_state" -> ((s, dir) => {
-      // cached across the 5 sequential ticks: a production rule manager
-      // evaluates against the hot store, not a fresh scan per tick (each
-      // uncached tick would re-read parquet and re-derive sig/labels)
-      val pts = graft.model.Points.eventsPoints(s, dir).cache()
       // the threshold lives in the PromQL expression (comparison filter),
       // exactly like a real alerting rule; `for: 2d` must hold across
-      // consecutive daily ticks before the alert fires
+      // consecutive daily ticks before the alert fires. The 5 daily ticks
+      // evaluate as ONE grid plan (Rules.alertingTickGrid — ticks-as-data):
+      // one range-query pass over the points + one window fold replaces 5
+      // sequential instant-query analyses and per-tick state checkpoints;
+      // AlertGridSpec pins row-for-row equivalence with the per-tick fold
+      val pts = graft.model.Points.eventsPoints(s, dir)
       val rule = Rules.AlertingRule("HighClick",
         "sum by (user) (click) > 10", forMs = 2 * DAY)
-      var state = Rules.emptyState(s)
-      var firing: DataFrame = null
       val lastTick = T0 + 14 * DAY
-      (10 to 14).foreach { k =>
-        val tick = T0 + k * DAY
-        val (st, f) = Rules.alertingTick(s, pts, rule, state, tick, lookbackMs = DAY)
-        state = st.localCheckpoint(true)
-        firing = f
-      }
+      val (_, firing) = Rules.alertingTickGrid(s, pts, rule,
+        Rules.emptyState(s), T0 + 10 * DAY, lastTick, DAY, lookbackMs = DAY)
       firing.select(col("labels").getItem("user").as("user"),
         round(col("value"), 6).as("value"), col("since"), lit(lastTick).as("t"))
     })

@@ -58,6 +58,61 @@ object Rules {
       ts.as("t"), col("value")))
   }
 
+  /** Fold a WHOLE grid of alerting ticks in ONE plan — the alerting
+    * analog of [[backfill]] (ticks-as-data): instead of a driver loop of
+    * per-tick [[alertingTick]]s (each a full Catalyst analysis + a state
+    * checkpoint action), the rule's expr evaluates as a single range
+    * query over [startMs, endMs] by stepMs, and the sequential
+    * pending→firing `for:` fold becomes a gaps-and-islands window over
+    * the per-step results: a series' `since` at the final tick is the
+    * first step of the maximal run of CONSECUTIVE steps ending at the
+    * final tick (a missing step resolves the alert, exactly like the
+    * per-tick fold dropping an absent series), inheriting the seeded
+    * `state`'s `since` when the run reaches back to the first tick.
+    *
+    * Returns (newState at the final tick, firing at the final tick) —
+    * row-for-row what folding [[alertingTick]] over every grid tick
+    * leaves (AlertGridSpec pins the equivalence, gaps and seeds
+    * included). One window shuffle of the per-step results replaces
+    * nSteps sequential plan analyses; use this for catch-up / replay /
+    * gate evaluation, and [[alertingTick]] for live single ticks. */
+  def alertingTickGrid(spark: SparkSession, points: DataFrame,
+                       rule: AlertingRule, state: DataFrame,
+                       startMs: Long, endMs: Long, stepMs: Long,
+                       lookbackMs: Long = 300000L): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = graft.engine.StepGrid(startMs, endMs, stepMs)
+    val lastTick = startMs + (grid.nSteps - 1) * stepMs
+    val res = Engine.rangeQuery(spark, points, rule.expr, startMs, endMs,
+      stepMs, lookbackMs)
+      .select(Points.sigOf(col("name"), col("labels")).as("sig"),
+        col("labels"), col("t").as("_step"), col("value"))
+    // gaps-and-islands with ONE window spec (partition sig, order step):
+    // a run starts where the previous step is absent or non-adjacent; the
+    // running max of run-start steps is the current run's first step
+    val w = Window.partitionBy(col("sig")).orderBy(col("_step"))
+    val runs = res
+      .withColumn("_prevStep", lag(col("_step"), 1).over(w))
+      .withColumn("_runStart", max(when(
+        col("_prevStep").isNull || col("_prevStep") =!= col("_step") - stepMs,
+        col("_step")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // a run reaching back to the FIRST tick continues the seeded state's
+    // `since` (the per-tick fold's coalesce(prev.since, tick) chain)
+    val seed = state.select(col("sig"), col("since").as("_seedSince"))
+    val newState = runs
+      .where(col("_step") === lit(lastTick))
+      .join(seed, Seq("sig"), "left")
+      .select(col("sig"), col("labels"),
+        when(col("_runStart") === lit(startMs) && col("_seedSince").isNotNull,
+          col("_seedSince")).otherwise(col("_runStart")).as("since"),
+        col("value"))
+    val firing = newState
+      .where(lit(lastTick) - col("since") >= rule.forMs)
+      .withColumn("alertname", lit(rule.alert))
+    (newState, firing)
+  }
+
   /** Alert state: one row per active (pending or firing) series.
     * Schema: sig LONG, labels MAP, since LONG (first tick the condition
     * held), value DOUBLE (latest). */
