@@ -177,6 +177,29 @@ object Bench {
       Seq("q1_agg", "q_sel_instant", "q_agg_sum_by", "q_fn_rate", "q_binop_arith")
         .foreach(q => SparkEntry.queries.get(q).foreach(_(spark, sfDir).count()))
     } catch { case _: Throwable => () }
+    // MACHINE-INDEPENDENT per-query counters (r14 verdict: wall clocks
+    // alone cannot separate plan changes from box weather — job/action
+    // counts can). Every timed run is tagged with a job group; a listener
+    // tallies jobs and distinct SQL executions per group. Counts are taken
+    // from run #2 (steady state — run #1 may include one-time lazy inits)
+    // and ride on the full-map output line as additions; the headline JSON
+    // is unchanged.
+    val benchGroupPrefix = "graft.bench:"
+    val groupJobs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val groupExecs = new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(j.properties.getProperty("spark.jobGroup.id")).getOrElse("")
+        if (g.startsWith(benchGroupPrefix)) {
+          groupJobs.computeIfAbsent(g,
+            _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+          Option(j.properties.getProperty("spark.sql.execution.id")).foreach { e =>
+            groupExecs.computeIfAbsent(g, _ =>
+              java.util.concurrent.ConcurrentHashMap.newKeySet[String]()).add(e)
+          }
+        }
+      }
+    })
     // min-of-2 timing: the second run measures steady state (no
     // first-call codegen/JIT, OS page cache warm) and a transient load
     // spike on either run cannot inflate the reported number —
@@ -184,12 +207,14 @@ object Bench {
     // weather.
     def timed(qs: Seq[(String, () => Long)]): Map[String, Double] =
       qs.map { case (name, run) =>
-        def once(): Double = {
+        def once(tag: String): Double = {
+          spark.sparkContext.setJobGroup(s"$benchGroupPrefix$name#$tag", name)
           val t0 = System.nanoTime()
           try run() catch { case _: Throwable => () }
+          finally spark.sparkContext.clearJobGroup()
           (System.nanoTime() - t0) / 1e9
         }
-        name -> math.min(once(), once())
+        name -> math.min(once("1"), once("2"))
       }.toMap
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration; the
     // driver never sets it, so the per-round bench always runs everything
@@ -239,10 +264,24 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // ref_wall rides on the full-map line too: a single query's
     // round-over-round delta then divides the box out (q_r13/ref_r13 vs
-    // q_r12/ref_r12) without cross-referencing the headline
+    // q_r12/ref_r12) without cross-referencing the headline.
+    // njobs/nactions (steady-state run #2, from the job-group listener)
+    // ride at the END of the same line, newest-value-last so the driver's
+    // bounded stdout tail keeps as much of them as fits — they are the
+    // machine-independent signal that separates plan changes from box
+    // weather round-over-round. Additions only: the headline line below
+    // is byte-identical in shape to previous rounds.
+    Thread.sleep(1000) // drain the async listener bus before reading counts
+    def countMap(of: String => Option[Long]): String =
+      results.keys.toSeq.sorted.flatMap(k =>
+        of(s"$benchGroupPrefix$k#2").map(v => s"\"" + k + "\":" + v))
+        .mkString("{", ",", "}")
+    val njobs = countMap(g => Option(groupJobs.get(g)).map(_.get()))
+    val nactions = countMap(g => Option(groupExecs.get(g)).map(_.size.toLong))
     println(results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString(s"""{"ref_wall":${fmt(refWall)},"all_queries":{""", ",", "}}"))
+      .mkString(s"""{"ref_wall":${fmt(refWall)},"all_queries":{""", ",",
+        s"""},"njobs":$njobs,"nactions":$nactions}"""))
     val canaries = results.filter { case (k, _) => k.startsWith("canary") }
     val slowest = (results -- canaries.keys).toSeq.sortBy(-_._2).take(30)
     val head = (canaries.toSeq.sortBy(_._1) ++ slowest)
