@@ -22,7 +22,7 @@ object Bench {
     * reference's MaxSamples=20M guard); the 10x store holds 100M. */
   private val T0 = 1704067200000L
   private val WEEK_MIN = 10080L
-  private val N_SERIES = 1000L
+  private[graft] val N_SERIES = 1000L
   private val END = T0 + (WEEK_MIN - 1) * 60000L
 
   /** Bump when the canary data or store layout changes: a mismatched
@@ -47,7 +47,7 @@ object Bench {
     * compaction) unless a valid store from a previous bench run exists —
     * the data is deterministic, so the store is reusable across runs and
     * the untimed build cost is paid once per machine. */
-  private def ensureStore(spark: SparkSession, dir: String, nSeries: Long): Unit = {
+  private[graft] def ensureStore(spark: SparkSession, dir: String, nSeries: Long): Unit = {
     val marker = new java.io.File(dir, "_GRAFT_BENCH_STORE_OK")
     val want = s"$StoreLayoutVersion:${WEEK_MIN * nSeries}"
     if (marker.isFile &&
@@ -129,8 +129,9 @@ object Bench {
 
   /** PromQL workload over a canary store (reference probes:
     * blackbox/performance_calculator.go:55-71). Every query plans a fresh
-    * pruned read — nothing is cached between timings. */
-  private def canaryQueries(spark: SparkSession, store: String,
+    * pruned read — nothing is cached between timings. (private[graft]: the
+    * ProfileJobs measurement main attributes the same queries per-job.) */
+  private[graft] def canaryQueries(spark: SparkSession, store: String,
                             prefix: String): Seq[(String, () => Long)] = Seq(
     // instant selector: prunes to the single day the lookback touches
     s"${prefix}_instant" -> (() =>

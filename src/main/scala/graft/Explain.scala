@@ -27,10 +27,26 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // canary gates live in Bench over the reusable bench store: resolve
+    // their DataFrames here so the scan-ceiling plans are auditable too
+    val storeRoot = sys.env.getOrElse("SPARK_GRAFT_BENCH_STORE", "target/bench-store")
+    lazy val canaryDfs: Map[String, () => org.apache.spark.sql.DataFrame] = {
+      val end = 1704067200000L + (10080L - 1) * 60000L
+      def store(p: String) = s"$storeRoot/$p"
+      Map(
+        "canary10x_count_over_time" -> (() => Bench.storeBackedQuery(spark,
+          store("c10x"), "sum(count_over_time(canary[1w]))", end, end, 1000L)),
+        "canary10x_instant" -> (() => Bench.storeBackedQuery(spark,
+          store("c10x"), """canary{instance_id="5"}""", end, end, 1000L)),
+        "canary10x_rate_range" -> (() => Bench.storeBackedQuery(spark,
+          store("c10x"), "sum by (instance_id) (rate(canary[5m]))",
+          end - 3600000L, end, 60000L)))
+    }
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None if canaryDfs.contains(n) => canaryDfs(n)().explain("formatted")
         case None => println(s"unknown query $n")
       }
     }

@@ -26,6 +26,10 @@ object ProfileJobs {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // match Bench exactly for the canary gates (the rate-family kernels
+      // are ObjectHashAggregates; the default 128-key fallback would turn
+      // them into sorts and misattribute the profile)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
     // A/B knobs for attribution runs, e.g.
     // SPARK_GRAFT_PROFILE_CONF="spark.sql.codegen.wholeStage=false"
@@ -68,14 +72,25 @@ object ProfileJobs {
       Seq("q1_agg", "q_sel_instant", "q_fn_rate")
         .foreach(q => SparkEntry.queries.get(q).foreach(_(spark, sfDir).count()))
     } catch { case _: Throwable => () }
+    // canary gates live in Bench, not SparkEntry: resolve them against the
+    // same reusable bench store so the scan ceiling is attributable per job
+    val storeRoot = sys.env.getOrElse("SPARK_GRAFT_BENCH_STORE", "target/bench-store")
+    lazy val canaries: Map[String, () => Long] = {
+      Bench.ensureStore(spark, s"$storeRoot/c1x", Bench.N_SERIES)
+      Bench.ensureStore(spark, s"$storeRoot/c10x", Bench.N_SERIES * 10)
+      (Bench.canaryQueries(spark, s"$storeRoot/c1x", "canary") ++
+        Bench.canaryQueries(spark, s"$storeRoot/c10x", "canary10x")).toMap
+    }
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warm run (min-of-2's steady state)
+      val run: () => Unit =
+        if (name.startsWith("canary")) () => canaries(name)()
+        else () => SparkEntry.queries(name)(spark, sfDir).count(): Unit
+      run() // warm run (min-of-2's steady state)
       Thread.sleep(300)
       jobs.synchronized(jobs.clear())
       actions.synchronized(actions.clear())
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      run()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // drain listener bus
       val snap = jobs.synchronized(jobs.toVector.sortBy(_._1))

@@ -48,26 +48,36 @@ object Selectors {
   def explodeToSteps(points: DataFrame, grid: StepGrid, windowMs: Long,
                      tally: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val bounded = points.where(col("t") >= grid.startMs - windowMs && col("t") <= grid.endMs)
-    val withK = bounded
-      .withColumn("_kLo", greatest(lit(0L),
-        floor((col("t") - grid.startMs + grid.stepMs - 1) / grid.stepMs).cast("long")))
-      .withColumn("_kHi", least(lit(grid.nSteps - 1),
-        floor((col("t") + windowMs - grid.startMs) / grid.stepMs).cast("long")))
-      .where(col("_kLo") <= col("_kHi"))
     // the MaxSamples meter wraps the step column: it is evaluated exactly
     // once per (sample, window) row — the reference's per-step sample
     // accounting — inside the same codegen'd pipeline (no second scan),
     // and step feeds every downstream aggregation so it is never pruned
-    val stepCol = lit(grid.startMs) + col("step") * grid.stepMs
-    val counted = tally match {
+    def counted(stepCol: Column): Column = tally match {
       case Some(acc) => org.apache.spark.sql.graftbridge.ColumnBridge.column(
         TallySamples(org.apache.spark.sql.graftbridge.ColumnBridge.expression(stepCol), acc))
       case None => stepCol
     }
-    withK
-      .withColumn("step", explode(sequence(col("_kLo"), col("_kHi"))))
-      .withColumn("step", counted)
-      .drop("_kLo", "_kHi")
+    if (grid.nSteps == 1) {
+      // DEGENERATE (instant-query) grid: every bounded sample serves step 0
+      // and only step 0 — kLo = max(0, ceil((t-start)/step)) = 0 for t <=
+      // start, kHi = min(0, floor((t+w-start)/step)) = 0 for t >= start-w,
+      // both implied by the bound above — so the per-row floor arithmetic
+      // and the explode(sequence(...)) Generate (a Long-array allocation
+      // per sample) are pure overhead on the engine's biggest relation.
+      // Same rows, same step values, one WholeStageCodegen span.
+      bounded.withColumn("step", counted(lit(grid.startMs)))
+    } else {
+      val withK = bounded
+        .withColumn("_kLo", greatest(lit(0L),
+          floor((col("t") - grid.startMs + grid.stepMs - 1) / grid.stepMs).cast("long")))
+        .withColumn("_kHi", least(lit(grid.nSteps - 1),
+          floor((col("t") + windowMs - grid.startMs) / grid.stepMs).cast("long")))
+        .where(col("_kLo") <= col("_kHi"))
+      withK
+        .withColumn("step", explode(sequence(col("_kLo"), col("_kHi"))))
+        .withColumn("step", counted(lit(grid.startMs) + col("step") * grid.stepMs))
+        .drop("_kLo", "_kHi")
+    }
   }
 
   /** Instant vector selector: per (series, step), the newest sample within

@@ -271,9 +271,15 @@ object PointsStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val live = liveDayFiles(fs, p)
+    // driver-direct footer schema ([[sampleFooterSchema]]): a bare
+    // spark.read.parquet pays a schema-inference JOB per dict read — one
+    // per store-backed query (the dict rides every selector evaluation)
+    def dictRead(files: Seq[String]) =
+      spark.read.schema(sampleFooterSchema(spark, files.head)(
+        spark.read.parquet(files.head).schema)).parquet(files: _*)
     if (live.isEmpty) None
-    else if (live.length == 1) Some(spark.read.parquet(live.head))
-    else Some(dedupDict(spark.read.parquet(live: _*)))
+    else if (live.length == 1) Some(dictRead(live))
+    else Some(dedupDict(dictRead(live)))
   }
 
   /** Read back, pruning day partitions to [startMs-slackMs, endMs]. The
@@ -361,10 +367,38 @@ object PointsStore {
     * null, by-name resolution), and fold null → false. Every reader —
     * queries, compaction rewrites, delete rewrites — then sees the same
     * columns regardless of which ingest paths fed the store. */
+  /** Spark schema of one parquet file, read DRIVER-DIRECT from its footer's
+    * Spark row-metadata key. `spark.read.parquet(file).schema` launches a
+    * full Spark JOB for the same footer bytes (~100-200 ms of scheduler +
+    * planning), and [[readPointFiles]] samples a footer on EVERY store read
+    * and every compact/delete day-rewrite — pure fixed overhead at any
+    * scale (guide §1.2: remove passes; the [[graft.pipeline.QuantizerFiles]]
+    * discipline for metadata I/O). Store data files are all Spark-written
+    * and carry the metadata key; anything without it (or an unreadable
+    * footer) falls back to the inference job with identical results. */
+  private def sampleFooterSchema(spark: SparkSession, file: String)(
+      fallback: => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val meta = try r.getFooter.getFileMetaData.getKeyValueMetaData
+                 finally r.close()
+      Option(meta.get("org.apache.spark.sql.parquet.row.metadata")) match {
+        case Some(json) =>
+          org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        case None => fallback
+      }
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+
   private def readPointFiles(spark: SparkSession, files: Seq[String],
                              basePath: Option[String]): DataFrame = {
     def reader = basePath.foldLeft(spark.read)((r, p) => r.option("basePath", p))
-    val sampled = reader.parquet(files.head).schema
+    val sampled = sampleFooterSchema(spark, files.head)(
+      reader.parquet(files.head).schema)
     // inject every KNOWN optional store column the sampled footer lacks,
     // so a mixed-layout file set cannot silently drop a column another
     // file carries: `stale` (pre-normalization layouts would otherwise
