@@ -284,6 +284,15 @@ object IvfIndex {
       case ImiCoarse(h) => Similarity.imiProbedCells(q, h, nProbe)
     }
 
+  /** Driver-side twin of [[probeExploded]]'s per-row cell expansion —
+    * the same kernels for both coarse shapes, invoked on collected rows
+    * ([[Similarity.cellProbeLocal]]/[[Similarity.imiProbeLocal]]). */
+  private def probeLocal(c: Coarse, nProbe: Int): Array[Double] => Array[Int] =
+    c match {
+      case FlatCoarse(cents) => Similarity.cellProbeLocal(cents, nProbe)
+      case ImiCoarse(h) => Similarity.imiProbeLocal(h, nProbe)
+    }
+
   /** The CURRENT generation's cell-assignment function — incremental
     * consumers ([[Similarity.semDeDupIncremental]]) assign batches with
     * it, so they work over flat AND IMI-quantized indexes. */
@@ -566,17 +575,15 @@ object IvfIndex {
                        queries: DataFrame,
                        topK: Int, nProbe: Int, maxQueryRows: Long): DataFrame = {
     // the bounded query side lands on the driver ONCE
-    // ([[Similarity.localizeBounded]] — same bytes the broadcast below
-    // holds anyway): bound check, probe-cell assignment, probe set and
-    // join side all come from that single materialization instead of
-    // {bounded count, localCheckpoint, distinct collect} — three
-    // scheduler round trips per search
-    val qLocal = Similarity.localizeBounded(
-      queries.select(col("vec_id").as("qid"),
-        col("embedding").cast("array<double>").as("qe")),
-      maxQueryRows, "IvfIndex.search")
-    val (q, qRows) = Similarity.localized(probeExploded(coarse, qLocal, nProbe))
-    val probed = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    // ([[Similarity.takeBounded]] — same bytes the broadcast below holds
+    // anyway): bound check, probe-cell assignment (driver-side, same
+    // kernels — [[probeLocal]]), probe set and join side all come from
+    // that single materialization, with no further jobs per search
+    val qFrame = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qe"))
+    val rows = Similarity.takeBounded(qFrame, maxQueryRows, "IvfIndex.search")
+    val (q, probed) = Similarity.probedLocalFlat(spark, rows, qFrame.schema,
+      probeLocal(coarse, nProbe))
     val cells = readColsIn(spark, gp, Seq("cell", "cid", "ce"), cellSchema)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     // the query side is bounded by contract — broadcast it explicitly
@@ -645,30 +652,28 @@ object IvfIndex {
     * probed cell set — [[searchPq]]'s stage shared with
     * [[searchPqRerank]], which needs the SAME generation, query snapshot
     * and probe set for both its stages. The query side materializes on
-    * the driver ONCE ([[Similarity.localizeBounded]]/[[Similarity.localized]]
-    * — the same bytes the broadcast holds anyway); bound check, LUT
-    * build, probe set and join side all derive from it. */
+    * the driver ONCE ([[Similarity.takeBounded]] — the same bytes the
+    * broadcast holds anyway); bound check, LUT build, probe set and join
+    * side all derive from it, driver-side ([[Similarity.probedLocalLut]]). */
   private def adcScoredIn(spark: SparkSession, g: PqGen,
                           queries: DataFrame, nProbe: Int, maxQueryRows: Long,
                           op: String, gp: String)
       : (DataFrame, DataFrame, Seq[Int]) = {
-    val qBase = Similarity.localizeBounded(
-      queries.select(col("vec_id").as("qid"),
-        col("embedding").cast("array<double>").as("qe")),
-      maxQueryRows, op)
-    // the LUT builder and ADC scorer are the ONE shared implementation
-    // ([[Similarity.adcLutColumns]]/[[Similarity.adcScoreCol]]) the
-    // immutable ivfPqSearch and pqTopK also compile — the gate-pinned
-    // table arithmetic cannot diverge between the search paths. On an
-    // OPQ generation the LUTs build over the ROTATED query (the stored
-    // codes' space); the cell probe stays in the raw space.
-    val (q, qRows) = Similarity.localized(
-      probeExploded(g.coarse, qBase
-          .select(Seq(col("qid"), col("qe")) ++
-            Similarity.adcLutColumns(g.cbs, Similarity.rotatedCol(col("qe"), g.rot)): _*),
-          nProbe)
-        .drop("qe"))
-    val probed = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    val qFrame = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qe"))
+    val rows = Similarity.takeBounded(qFrame, maxQueryRows, op)
+    val qBase = Similarity.localRelation(spark, rows, qFrame.schema)
+    // the LUT builder and ADC scorer call the ONE shared kernel set
+    // ([[SubDists]]/[[RotateVec]] — [[Similarity.adcLutLocal]] is the
+    // driver-side composition of [[Similarity.adcLutColumns]] over
+    // [[Similarity.rotatedCol]]) the immutable ivfPqSearch and pqTopK
+    // also compile — the gate-pinned table arithmetic cannot diverge
+    // between the search paths. On an OPQ generation the LUTs build over
+    // the ROTATED query (the stored codes' space); the cell probe stays
+    // in the raw space.
+    val (q, probed) = Similarity.probedLocalLut(spark, rows, qFrame.schema,
+      probeLocal(g.coarse, nProbe), Similarity.adcLutLocal(g.cbs, g.rot),
+      g.cbs.length)
     val cells = readColsIn(spark, gp, Seq("cell", "cid", "codes"), codedSchema)
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = broadcast(q).join(cells, Seq("cell"))

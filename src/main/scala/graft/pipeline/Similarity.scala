@@ -66,25 +66,183 @@ object Similarity {
       "cap at a FEW MULTIPLES of rows × nProbe × (dims + LUT entries) × " +
       "8 B in driver memory (local relation + broadcast build coexist)."
 
-  /** [[requireBounded]] that also MATERIALIZES the bounded frame as a
-    * local relation: one incremental `take(max + 1)` both enforces the
-    * cap (fail-fast, bounded fetch — take scales partitions up
-    * gradually, it never collects an unbounded frame) and lands the rows
-    * on the driver, where the search paths need them anyway — the query
-    * side of every top-k operator is BROADCAST, and a broadcast build
-    * collects to the driver regardless. Callers then derive the probe
-    * set AND the join side from this one materialization instead of
-    * paying {bounded count, localCheckpoint, distinct().collect()} —
-    * three scheduler round trips per search whose driver-side planning
-    * dominated the small-batch searches (ProfileJobs r14). Same driver
-    * memory as the broadcast the search already built. */
-  private[pipeline] def localizeBounded(queries: DataFrame, maxRows: Long,
-                                        op: String): DataFrame = {
-    val spark = queries.sparkSession
+  /** [[requireBounded]] that also MATERIALIZES the bounded frame's rows on
+    * the driver: one incremental `take(max + 1)` both enforces the cap
+    * (fail-fast, bounded fetch — take scales partitions up gradually, it
+    * never collects an unbounded frame) and lands the rows where the
+    * search paths need them anyway — the query side of every top-k
+    * operator is BROADCAST, and a broadcast build collects to the driver
+    * regardless. Callers derive the bound check, the probe-cell set AND
+    * the broadcast join side from this ONE materialization (r14 removed
+    * the {bounded count, localCheckpoint, distinct().collect()} trio; r15
+    * moves the probe-cell expansion itself onto the driver —
+    * [[probedLocalFlat]]/[[probedLocalLut]] — so the plan-side explode +
+    * second collect job per search are gone too). */
+  private[pipeline] def takeBounded(queries: DataFrame, maxRows: Long,
+                                    op: String): Array[org.apache.spark.sql.Row] = {
     val probe = math.min(maxRows, Int.MaxValue - 8L).toInt
     val rows = queries.take(probe + 1)
     require(rows.length <= maxRows, boundMsg(op, maxRows))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), queries.schema)
+    rows
+  }
+
+  /** Local relation over driver rows (broadcast-ready, plans as a
+    * LocalTableScan — a job-free broadcast build). */
+  private[pipeline] def localRelation(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  // ---- driver-side probe expansion ---------------------------------------
+  //
+  // The persisted-search paths need, per bounded query row, its nProbe
+  // probe cells — to build the literal partition-pruning predicate AND the
+  // exploded broadcast join side. r14 computed the explode in a PLAN over
+  // the localized frame and collect()ed the exploded (rows × nProbe)
+  // result: one extra Spark job per search, with qe (and LUT riders)
+  // duplicated nProbe× through the job-result transfer. The expansion is a
+  // pure function of the collected rows, so it now runs ON THE DRIVER,
+  // calling the SAME static kernels the plan-side assignment codegen calls
+  // ([[NearestCells.nearest]], [[SubDists.dists]], [[RotateVec.rotate]]) —
+  // bit-identical doubles and tie-breaks by construction, zero jobs.
+
+  /** qe → nProbe nearest cell ids, nearest first — the driver-side twin of
+    * `explode(NearestCells.column(qe, centroids, nProbe))`. */
+  private[pipeline] def cellProbeLocal(centroids: Array[Array[Double]],
+      nProbe: Int): Array[Double] => Array[Int] = {
+    val dims = if (centroids.isEmpty) 0 else centroids(0).length
+    val flat = flatOf(centroids, dims)
+    qe => NearestCells.nearest(flat, dims,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(qe), nProbe, 0)
+      .toIntArray()
+  }
+
+  /** qe → nProbe nearest IMI cell PAIRS by half-distance sum (du + dv,
+    * ties by cell id) — the driver-side twin of [[imiProbedCells]]'s
+    * (pd asc, cell asc) row_number window: same [[SubDists]] doubles, and
+    * `java.lang.Double.compare` orders NaN greatest exactly like the
+    * window sort (distances are sums of squares, so -0.0 cannot occur). */
+  private[pipeline] def imiProbeLocal(codebooks: Array[Array[Array[Double]]],
+      nProbe: Int): Array[Double] => Array[Int] = {
+    require(codebooks.length == 2,
+      s"IMI quantizes exactly two half-spaces, got ${codebooks.length}")
+    val ks = codebooks(1).length
+    val sub0 = codebooks(0)(0).length
+    val sub1 = codebooks(1)(0).length
+    val flat0 = flatOf(codebooks(0), sub0)
+    val flat1 = flatOf(codebooks(1), sub1)
+    qe => {
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(qe)
+      val du = SubDists.dists(flat0, sub0, 0, ad).toDoubleArray()
+      val dv = SubDists.dists(flat1, sub1, sub0, ad).toDoubleArray()
+      val cells = new Array[Int](du.length * dv.length)
+      val pds = new Array[Double](cells.length)
+      var i = 0
+      var u = 0
+      while (u < du.length) {
+        var v = 0
+        while (v < dv.length) {
+          cells(i) = u * ks + v
+          pds(i) = du(u) + dv(v)
+          v += 1; i += 1
+        }
+        u += 1
+      }
+      val order = Array.range(0, cells.length).sortWith { (a, b) =>
+        val c = java.lang.Double.compare(pds(a), pds(b))
+        if (c != 0) c < 0 else cells(a) < cells(b)
+      }
+      order.take(math.min(nProbe, cells.length)).map(cells)
+    }
+  }
+
+  /** qe → M per-subspace ADC LUT arrays over the (optionally rotated)
+    * query — the driver-side twin of [[adcLutColumns]] ∘ [[rotatedCol]]. */
+  private[pipeline] def adcLutLocal(codebooks: Array[Array[Array[Double]]],
+      rotation: Option[Array[Array[Double]]])
+      : Array[Double] => Array[Array[Double]] = {
+    val subDims = codebooks(0)(0).length
+    val flats = codebooks.map(flatOf(_, subDims))
+    val rotFlat = rotation.map { m =>
+      val dims = m.length
+      val f = new Array[Double](dims * dims)
+      var i = 0
+      while (i < dims) { System.arraycopy(m(i), 0, f, i * dims, dims); i += 1 }
+      (f, dims)
+    }
+    qe => {
+      val base = new org.apache.spark.sql.catalyst.util.GenericArrayData(qe)
+      val src = rotFlat match {
+        case Some((f, dims)) => RotateVec.rotate(f, dims, base)
+        case None => base
+      }
+      flats.zipWithIndex.map { case (f, mm) =>
+        SubDists.dists(f, subDims, mm * subDims, src).toDoubleArray()
+      }
+    }
+  }
+
+  private def flatOf(m: Array[Array[Double]], width: Int): Array[Double] = {
+    val out = new Array[Double](m.length * width)
+    var i = 0
+    while (i < m.length) { System.arraycopy(m(i), 0, out, i * width, width); i += 1 }
+    out
+  }
+
+  /** Exploded-query local relation for the FLAT-payload searches: per
+    * bounded (qid, qe) row, one (qid, qe, cell) row per probe cell —
+    * built entirely on the driver — plus the distinct probed-cell set for
+    * the literal pushdown predicate. Null embeddings expand to no cells,
+    * exactly like the plan-side `explode` of a null assignment array. */
+  private[pipeline] def probedLocalFlat(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      probe: Array[Double] => Array[Int]): (DataFrame, Seq[Int]) = {
+    val qeIdx = schema.fieldIndex("qe")
+    val out = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val exploded = rows.flatMap { r =>
+      if (r.isNullAt(qeIdx)) Array.empty[org.apache.spark.sql.Row]
+      else probe(r.getSeq[Double](qeIdx).toArray).map(c =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c))
+    }
+    (localRelation(spark, exploded, out),
+      exploded.map(_.getInt(out.fieldIndex("cell"))).distinct.toSeq)
+  }
+
+  /** Exploded-query local relation for the ADC searches: per bounded
+    * (qid, qe) row, one (qid, d_0..d_{M-1}, cell) row per probe cell —
+    * the LUTs computed ONCE per query on the driver, qe dropped (the ADC
+    * scorer probes tables, never the raw vector). */
+  private[pipeline] def probedLocalLut(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      probe: Array[Double] => Array[Int],
+      lut: Array[Double] => Array[Array[Double]],
+      nLut: Int): (DataFrame, Seq[Int]) = {
+    val qidIdx = schema.fieldIndex("qid")
+    val qeIdx = schema.fieldIndex("qe")
+    val out = org.apache.spark.sql.types.StructType(
+      schema.fields(qidIdx) +:
+        (0 until nLut).map(mm => org.apache.spark.sql.types.StructField(s"d_$mm",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false))) :+
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    val probedAll = Seq.newBuilder[Int]
+    val exploded = rows.flatMap { r =>
+      if (r.isNullAt(qeIdx)) Array.empty[org.apache.spark.sql.Row]
+      else {
+        val qe = r.getSeq[Double](qeIdx).toArray
+        val tables = lut(qe).map(_.toSeq)
+        probe(qe).map { c =>
+          probedAll += c
+          org.apache.spark.sql.Row.fromSeq(r.get(qidIdx) +: tables :+ c)
+        }
+      }
+    }
+    (localRelation(spark, exploded, out), probedAll.result().distinct)
   }
 
   /** Evaluate a bounded (by construction) frame ONCE and return it as a
@@ -300,13 +458,13 @@ object Similarity {
     val centroids = QuantizerFiles.readIntVec(spark, s"$dir/centroids")
     // ONE driver materialization of the bounded query side (the bytes a
     // broadcast build would land on the driver anyway): bound check,
-    // assignment, probe set and join side all derive from it
-    val (q, qRows) = localized(
-      localizeBounded(queries
-          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
-          maxQueryRows, "ivfSearch")
-        .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe))))
-    val probed = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    // probe-cell assignment (driver-side, same kernel), probe set and
+    // join side all derive from it — zero further jobs
+    val qFrame = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+    val rows = takeBounded(qFrame, maxQueryRows, "ivfSearch")
+    val (q, probed) = probedLocalFlat(spark, rows, qFrame.schema,
+      cellProbeLocal(centroids, nProbe))
     val cells = spark.read.parquet(s"$dir/cells")
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = q.join(cells, Seq("cell")).where(col("qid") =!= col("cid"))
@@ -783,17 +941,14 @@ object Similarity {
     // an OPQ index persisted a rotation: LUTs build over the ROTATED
     // query (matching the stored codes' space); the cell probe stays raw
     val rot = readRotation(spark, dir)
-    // ONE driver materialization: bound check, LUT build, probe set and
-    // broadcast side from a single pass ([[localizeBounded]]/[[localized]])
-    val (q, qRows) = localized(
-      localizeBounded(queries
-          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe")),
-          maxQueryRows, "ivfPqSearch")
-        .select(Seq(col("qid"), col("qe")) ++
-          adcLutColumns(codebooks, rotatedCol(col("qe"), rot)): _*)
-        .withColumn("cell", explode(NearestCells.column(col("qe"), centroids, nProbe)))
-        .drop("qe"))
-    val probed = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    // ONE driver materialization: bound check, LUT build (driver-side,
+    // same kernels), probe set and broadcast side from a single take
+    val qFrame = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+    val rows = takeBounded(qFrame, maxQueryRows, "ivfPqSearch")
+    val (q, probed) = probedLocalLut(spark, rows, qFrame.schema,
+      cellProbeLocal(centroids, nProbe), adcLutLocal(codebooks, rot),
+      codebooks.length)
     val cells = spark.read.parquet(s"$dir/cells")
       .where(col("cell").isInCollection(probed)) // literal → partition pruning
     val scored = broadcast(q).join(cells, Seq("cell"))
