@@ -141,8 +141,20 @@ object PointsStore {
     // inference sampled — either dropping the column (markers surface as
     // NaN samples) or reading stale-less rows as stale=null, which
     // Selectors' `!stale` filter silently drops (NULL is not TRUE).
+    // ONE pass over the batch source: the dict write and the data write
+    // below both consume the canonicalized batch, and `_lc`/`sig` are the
+    // expensive per-row computations (map sort + concat + hash) — without
+    // the persist each write re-reads the source and re-derives them. The
+    // cache is an intra-append intermediate (unpersisted before return),
+    // bounded by the batch (micro-batch sized on the streaming path;
+    // MEMORY_AND_DISK spills rather than OOMs on large backfill appends).
+    // Write ORDERING is unchanged: the dict job runs first and is what
+    // materializes the cache, so a crash between the writes still leaves
+    // the dict a superset of the data — the documented contract.
     val withLc = graft.model.Points.withCanonical(normalizeStale(points))
       .withColumn("date", to_date(timestamp_millis(col("t"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // series-dictionary sidecar: sig -> (name, _lc, lastDay), one row per
     // series per batch (map-side partial dedup keeps the shuffle
     // series-sized; sig functionally determines name and _lc, so they ride
@@ -187,6 +199,7 @@ object PointsStore {
       .partitionBy("date")
       .mode(SaveMode.Append)
       .parquet(path)
+    } finally withLc.unpersist(blocking = false)
   }
 
   /** Keep the LAST row of each within-partition (date, sig, t) run — the
