@@ -1182,6 +1182,18 @@ object IvfIndex {
     name
   }
 
+  /** Driver budget for [[compact]]'s duplicate-cid probe ([[SigIndex]]'s
+    * probedRows discipline) and the fold's output file-size goal. */
+  private def MaxFoldDupProbe: Int =
+    Option(maxFoldDupProbeOverride.get).map(_.intValue).getOrElse(100000)
+  private val FoldTargetBytes = 128L * 1024 * 1024
+
+  /** Test seam: lowers the fold's duplicate-probe budget so CI can drive
+    * the full-row distinct fallback at spec scale. Production never sets
+    * it ([[maxRerankCidProbeOverride]] pattern). */
+  private[pipeline] val maxFoldDupProbeOverride =
+    new java.util.concurrent.atomic.AtomicReference[Integer](null)
+
   /** Fold aged live batches of the CURRENT generation into one directory
     * (publish-before-retire, so concurrent readers see at worst duplicate
     * vectors — harmless under search's (cos, cid) ranking), sweep retired
@@ -1207,7 +1219,7 @@ object IvfIndex {
       if (agedDirs.nonEmpty) {
         // a PQ generation's rows carry the code column — fold it verbatim
         // (codes are deterministic per (vector, generation codebooks), so
-        // distinct() still collapses duplicate vectors exactly)
+        // the keyed dedup below collapses duplicate vectors exactly)
         // existence check only (and against THIS call's generation
         // resolution, not a fresh one) — the codebook VALUES are not
         // needed to know the fold's column set
@@ -1215,11 +1227,52 @@ object IvfIndex {
         val cols =
           if (pq) Seq("cell", "cid", "ce", "codes")
           else Seq("cell", "cid", "ce")
-        spark.read.option("basePath", gp)
+        def readAged() = spark.read.option("basePath", gp)
           .schema(layoutSchema(withCodes = pq)) // no inference job
           .parquet(agedDirs.map(n => s"$gp/batch=$n"): _*)
-          .select(cols.map(col): _*)
-          .distinct() // set semantics, like SigIndex (a fold racing a fold)
+        // SET-SEMANTICS dedup (a fold racing a fold, or a crash between a
+        // fold's publish and its retire markers, exposes a vector in two
+        // batch dirs) on the KEYS, not the rows: within one generation
+        // `cid` determines (cell, ce, codes) — same quantizer, same
+        // deterministic encode — so the old full-row distinct() shuffled
+        // the embedding/code arrays only to compare keys (guide §2.3
+        // "shuffle keys and metadata instead of payloads"). Pass 1 scans
+        // the two path columns + cid (column-pruned — no array pages
+        // decode) and finds cids present in >1 batch dir; in the common
+        // duplicate-free case the payload then moves source→fold with NO
+        // exchange at all, and otherwise the bounded loser set drops the
+        // extra copies via a broadcast anti-join. A loser set past the
+        // driver budget (mass duplication — repeatedly crashed folds)
+        // falls back to the full-row distinct.
+        val copies = readAged()
+          .groupBy(col("cid")).agg(collect_set(col("batch")).as("bs"))
+          .where(size(col("bs")) > 1)
+          .take(MaxFoldDupProbe + 1)
+        val folded =
+          if (copies.length > MaxFoldDupProbe)
+            readAged().select(cols.map(col): _*).distinct()
+          else if (copies.isEmpty)
+            readAged().select(cols.map(col): _*)
+          else {
+            // keeper = lexicographically smallest batch name
+            // (deterministic); every other (cid, batch) copy loses
+            val losers = copies.flatMap { r =>
+              r.getSeq[String](1).sorted.tail.map(b => (r.getLong(0), b))
+            }.toSeq
+            import spark.implicits._
+            readAged()
+              .join(broadcast(losers.toDF("cid", "batch")),
+                Seq("cid", "batch"), "left_anti")
+              .select(cols.map(col): _*)
+          }
+        // scale-adaptive output sizing replaces the removed exchange's
+        // AQE coalescing: merge scan partitions locally (no shuffle) to
+        // ~targetBytes outputs so the fold actually shrinks file counts
+        val agedBytes = agedDirs.map(n =>
+          f.getContentSummary(new org.apache.hadoop.fs.Path(s"$gp/batch=$n"))
+            .getLength).sum
+        val nOut = math.max(1, (agedBytes / FoldTargetBytes).toInt)
+        folded.coalesce(nOut)
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$gp/batch=$foldName")
       }

@@ -106,6 +106,34 @@ class IvfIndexSpec extends AnyFunSuite {
       emb.where(col("vec_id") % 4 === b), dir, s"b$b")))
   }
 
+  test("compact's keyed fold collapses cross-batch duplicate vectors exactly") {
+    // overlapping appends simulate the fold crash window (a vector live in
+    // two batch dirs); the fold must keep ONE copy per cid — the same set
+    // the old full-row distinct() produced — via the narrow-key dedup
+    val q = emb.where(col("vec_id") < 10)
+    def build(): String = {
+      val dir = freshIndex()
+      IvfIndex.append(emb.where(col("vec_id") < 50), dir, "b0")
+      IvfIndex.append(
+        emb.where(col("vec_id") >= 25 && col("vec_id") < 75), dir, "b1")
+      dir
+    }
+    val dir = build()
+    val before = resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3))
+    IvfIndex.compact(spark, dir, graceMs = 0L)
+    assert(IvfIndex.read(spark, dir).count() == 75) // one copy per cid
+    assert(IvfIndex.read(spark, dir).select("cid").distinct().count() == 75)
+    assert(resultSet(IvfIndex.search(spark, dir, q, 3, nProbe = 3)) == before)
+    // the distinct() fallback (loser set past the driver budget) produces
+    // the same fold
+    val dir2 = build()
+    IvfIndex.maxFoldDupProbeOverride.set(0)
+    try IvfIndex.compact(spark, dir2, graceMs = 0L)
+    finally IvfIndex.maxFoldDupProbeOverride.set(null)
+    assert(IvfIndex.read(spark, dir2).count() == 75)
+    assert(resultSet(IvfIndex.search(spark, dir2, q, 3, nProbe = 3)) == before)
+  }
+
   test("skew measures quantizer drift; maybeRetrain fires only past the threshold") {
     val dir = freshIndex()
     IvfIndex.append(emb, dir, "b0")
