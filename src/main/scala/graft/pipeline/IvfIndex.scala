@@ -388,13 +388,18 @@ object IvfIndex {
                          mkAssigned: String => DataFrame,
                          expectGen: Option[Long] = None): Boolean = {
     val (gid, gp) = requireGen(spark, dir)
+    // idempotency FIRST: a retry of an already-landed batch stays a no-op
+    // even when it carries a stale assignedGen (a retrain that landed
+    // after the first attempt committed must not turn the replay into a
+    // spurious failure — the marker carried across the flip, nothing is
+    // written). The generation pin below guards NOT-landed batches only.
+    if (contains(spark, dir, name)) return false
     expectGen.filter(_ != gid).foreach(eg =>
       throw new IllegalStateException(
         s"IvfIndex append '$name' raced a retrain at $dir: the batch was " +
           s"assigned against generation $eg but the index is at $gid — " +
           "cell assignments are generation-specific; re-run the batch " +
           "against the new quantizer"))
-    if (contains(spark, dir, name)) return false
     val f = fs(spark, dir)
     // slot read FIRST (before the quantizer read — the start of this
     // append's view of the index), claim before the marker create

@@ -123,7 +123,14 @@ private[pipeline] object QuantizerFiles {
     // replaced Spark write had): the in-progress name does not end in
     // .parquet, so readers — whose file filter only admits *.parquet —
     // never observe a footer-less partial file; a crash mid-write leaves
-    // only the staged file and [[files]] fails loud on the empty result
+    // only the staged file and [[files]] fails loud on the empty result.
+    // ASSUMES an atomic FileSystem.rename (HDFS / local FS — the store's
+    // deployment substrate); on an object store whose rename is
+    // copy+delete (S3A) a concurrent reader could observe a partial
+    // .parquet, the same caveat every rename-committed layout here has.
+    // The delete(dir) above also sweeps any crashed write's stale
+    // `.inprogress` leftover on the rewrite path; a never-rewritten dir's
+    // orphan is inert (the read filter never admits it).
     val base = s"part-00000-${java.util.UUID.randomUUID()}.parquet"
     val staged = new org.apache.hadoop.fs.Path(dir, s"$base.inprogress")
     val file = new org.apache.hadoop.fs.Path(dir, base)

@@ -811,10 +811,12 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("quantizer metadata reads fail loud on a footer-less directory") {
-    val dir = java.nio.file.Files.createTempDirectory("qf_empty").toString
-    val e = intercept[IllegalStateException] {
-      QuantizerFiles.readIntVec(spark, dir)
-    }
-    assert(e.getMessage.contains("no parquet files"))
+    val dir = java.nio.file.Files.createTempDirectory("qf_empty")
+    try {
+      val e = intercept[IllegalStateException] {
+        QuantizerFiles.readIntVec(spark, dir.toString)
+      }
+      assert(e.getMessage.contains("no parquet files"))
+    } finally java.nio.file.Files.deleteIfExists(dir)
   }
 }
