@@ -78,13 +78,13 @@ object Aggregations {
       .withColumn("sig", xxhash64(col("_glc")))
       .drop("_glc")
 
-  /** The grouping-subset canonical computed on a series-DICTIONARY row
-    * (its `_lc` column) rather than a sample row's labels map. */
-  private def groupedCanonicalOnDict(ae: AggregateExpr): Column = {
-    val labels = Labels.fromCanonical(col("_lc"))
-    if (ae.without) CanonicalLabels.dropColumn(labels, ae.grouping)
-    else CanonicalLabels.keepColumn(labels, ae.grouping)
-  }
+  /** The grouping-subset canonical computed on a series-DICTIONARY row —
+    * a single-pass byte filter of the stored `_lc` ([[CanonicalSubset]]),
+    * bit-identical to parsing the map and re-canonicalizing the subset
+    * but without the per-dictionary-row map round trip. */
+  private def groupedCanonicalOnDict(ae: AggregateExpr): Column =
+    if (ae.without) CanonicalLabels.dropOnCanonical(col("_lc"), ae.grouping)
+    else CanonicalLabels.keepOnCanonical(col("_lc"), ae.grouping)
 
   /** DICTIONARY-PATH aggregation: the group key is a pure function of the
     * series, so it is computed once per SERIES on the dictionary and
@@ -99,6 +99,25 @@ object Aggregations {
                           pre: DataFrame => DataFrame,
                           aggCols: Seq[Column]): VectorVal = {
     val d = v.dict.get
+    if (ae.grouping.isEmpty && !ae.without) {
+      // `sum(x)` with no by/without: ONE group — the grouped canonical of
+      // EVERY series is the empty string ([[CanonicalLabels.build]] with
+      // an empty keep set), so the group key is a constant. The
+      // per-series dict passes (parse + re-canonicalize + hash + dedup
+      // per dictionary row — two SortAggregate/Exchange rounds at
+      // fleet-scale series counts) and the sig→group join are pure
+      // overhead: aggregate by step alone and attach the constant sig
+      // (xxhash64 of a literal — constant-folded) on the result-sized
+      // output. Bit-identical sigs/labels to the general path.
+      val out = pre(v.raw)
+        .groupBy(col("step"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(xxhash64(lit("")).as("sig"), col("step"),
+          col("step").as("t"), col("value"))
+      val dAgg = d.sparkSession.range(1).select(xxhash64(lit("")).as("sig"),
+        lit(null).cast("string").as("name"), lit("").as("_lc"))
+      return VectorVal(out, Some(dAgg))
+    }
     val glc = groupedCanonicalOnDict(ae)
     val gkey = d.select(col("sig"), xxhash64(glc).as("_gsig"))
     val out = pre(v.raw).join(gkey, Seq("sig"))
@@ -159,9 +178,7 @@ object Aggregations {
     // and the winners join back to the SLIM rows.
     val (src, vRows) = v.dict match {
       case Some(d) =>
-        val labels = Labels.fromCanonical(col("_lc"))
-        val gl = if (ae.without) CanonicalLabels.dropColumn(labels, ae.grouping)
-                 else CanonicalLabels.keepColumn(labels, ae.grouping)
+        val gl = groupedCanonicalOnDict(ae) // string-level subset, no map round trip
         val aug = d.select(col("sig"), xxhash64(gl).as("_gsig"),
           concat_ws("\u0000", coalesce(col("name"), lit("")), col("_lc")).as("_tie"))
         (withParam(v.raw, p).join(aug, Seq("sig")), v.raw)

@@ -143,19 +143,18 @@ object BinOps {
     } else xxhash64(CanonicalLabels.dropColumn(col("labels"), m.labels))
 
   /** [[msig]] evaluated on a series-DICTIONARY row (name, _lc) instead of
-    * a sample row: the canonical string is expanded to the labels map and
-    * filtered exactly as the per-row path does, so both representations
-    * hash identically. Runs once per SERIES, not once per (series, step). */
-  private def msigOnDict(m: VectorMatching): Column = {
-    val labels = Labels.fromCanonical(col("_lc"))
+    * a sample row: the stored canonical string is subset-filtered
+    * directly ([[CanonicalSubset]] — one byte scan, no map round trip),
+    * hashing identically to the per-row path. Runs once per SERIES, not
+    * once per (series, step). */
+  private def msigOnDict(m: VectorMatching): Column =
     if (m.on) {
       val mapKeys = m.labels.filterNot(_ == "__name__")
-      val base = CanonicalLabels.keepColumn(labels, mapKeys)
+      val base = CanonicalLabels.keepOnCanonical(col("_lc"), mapKeys)
       if (m.labels.contains("__name__"))
         xxhash64(coalesce(col("name"), lit("")), base)
       else xxhash64(base)
-    } else xxhash64(CanonicalLabels.dropColumn(labels, m.labels))
-  }
+    } else xxhash64(CanonicalLabels.dropOnCanonical(col("_lc"), m.labels))
 
   /** Attach the matching signature to an operand's rows. FULL operands
     * compute it per row (a pure projection). SLIM operands (dictionary

@@ -87,7 +87,50 @@ final case class CanonicalToMap(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The keep/drop subset of an ALREADY-CANONICAL string, computed by one
+  * byte scan — no map materialization. A build-produced canonical has its
+  * entries key-sorted and its separator bytes only at true boundaries
+  * (escaping shifts \\u0001-\\u0003 out of content), so subsetting copies
+  * kept entries VERBATIM: order and escaping preserved, output
+  * bit-identical to `build(parse(c), keep, drop)`. This is the
+  * dictionary-path twin of [[CanonicalLabels]]: aggregations' by/without
+  * group keys and binops' matching signatures evaluate once per SERIES on
+  * the dictionary's stored `_lc`, and the previous parse-map-rebuild per
+  * dictionary row was a no-op round trip wrapped around this filter. */
+final case class CanonicalSubset(
+    child: Expression,
+    keep: Option[Seq[String]],
+    drop: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonical_subset"
+
+  @transient private lazy val keepSet: java.util.HashSet[UTF8String] =
+    keep.map(CanonicalLabels.escapedSet).orNull
+
+  @transient private lazy val dropSet: java.util.HashSet[UTF8String] =
+    if (drop.isEmpty) null else CanonicalLabels.escapedSet(drop)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CanonicalLabels.subset(input.asInstanceOf[UTF8String], keepSet, dropSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keepRef =
+      if (keepSet == null) "null"
+      else ctx.addReferenceObj("keepSet", keepSet, "java.util.HashSet")
+    val dropRef =
+      if (dropSet == null) "null"
+      else ctx.addReferenceObj("dropSet", dropSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.engine.CanonicalLabels.subset($c, $keepRef, $dropRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalSubset =
+    copy(child = newChild)
+}
+
 object CanonicalLabels {
+
   private val SEP_ENTRY = UTF8String.fromString("\u0001")
   private val SEP_KV = UTF8String.fromString("\u0002")
 
@@ -215,6 +258,53 @@ object CanonicalLabels {
       keys.toArray(Array.empty[UTF8String]).asInstanceOf[Array[Any]],
       vals.toArray(Array.empty[UTF8String]).asInstanceOf[Array[Any]])
   }
+
+
+  /** ESCAPED key set for [[CanonicalSubset]]: entry keys inside a
+    * canonical string are escaped, and escape is injective, so comparing
+    * escaped bytes equals comparing raw keys. */
+  private[engine] def escapedSet(ks: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](ks.size * 2)
+    ks.foreach(k => s.add(escape(UTF8String.fromString(k))))
+    s
+  }
+
+  /** Static kernel of [[CanonicalSubset]]: copy the entries whose
+    * (escaped) key passes the keep/drop filter, verbatim. Called from
+    * generated code — must stay a static signature. */
+  def subset(c: UTF8String, keepSet: java.util.HashSet[UTF8String],
+             dropSet: java.util.HashSet[UTF8String]): UTF8String = {
+    val n = c.numBytes
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val bytes = c.getBytes
+    val out = new Array[Byte](n)
+    var o = 0
+    var s = 0
+    while (s < n) {
+      var e = s
+      var kEnd = -1
+      while (e < n && bytes(e) != 1) {
+        if (bytes(e) == 2 && kEnd < 0) kEnd = e
+        e += 1
+      }
+      val key = UTF8String.fromBytes(bytes, s, (if (kEnd >= 0) kEnd else e) - s)
+      if ((keepSet == null || keepSet.contains(key)) &&
+          (dropSet == null || !dropSet.contains(key))) {
+        if (o > 0) { out(o) = 1; o += 1 }
+        System.arraycopy(bytes, s, out, o, e - s)
+        o += e - s
+      }
+      s = e + 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** [[CanonicalSubset]] column factories — subset of a CANONICAL STRING
+    * column (the dictionary's `_lc`), no map round trip. */
+  def keepOnCanonical(c: Column, keys: Seq[String]): Column =
+    ColumnBridge.column(CanonicalSubset(ColumnBridge.expression(c), Some(keys), Nil))
+  def dropOnCanonical(c: Column, keys: Seq[String]): Column =
+    ColumnBridge.column(CanonicalSubset(ColumnBridge.expression(c), None, keys))
 
   // ---- Column factories -------------------------------------------------
 

@@ -251,10 +251,14 @@ object Functions {
   /** The series identity after the kernel's dropMetricName re-key (null
     * name, unchanged labels) — [[Labels.dropName]]'s resig evaluated on a
     * DICTIONARY row, so the slim output's sigs match what a full-path
-    * restore-then-dropName would have produced. */
+    * restore-then-dropName would have produced. `canonical ∘ fromCanonical`
+    * is the identity on every build-produced `_lc` (keys already sorted,
+    * escaping bijective — [[CanonicalLabels]]; [[Selectors.instant]] hashes
+    * the stored string under the same identity), so the string hashes
+    * DIRECTLY: the previous parse-map-rebuild per dictionary row was a
+    * fleet-scale-series no-op pass on every name-dropping kernel. */
   private def droppedNameSig: Column =
-    graft.model.Points.sigOf(lit(null).cast("string"),
-      Labels.fromCanonical(col("_lc")))
+    xxhash64(lit(null).cast("string"), col("_lc"))
 
   /** Wrap a kernel's (sig, step, value) aggregate as a VectorVal. On the
     * dictionary path the output STAYS SLIM — no label string ever touches

@@ -34,6 +34,12 @@ final case class TallySamples(child: Expression, acc: LongAccumulator)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "tally_samples"
   override lazy val deterministic: Boolean = false
+  // NEVER foldable, even over a literal child (UnaryExpression would
+  // inherit the child's foldability): ConstantFolding folds on `foldable`
+  // alone, which would evaluate the tally ONCE at plan time and replace
+  // it with its value — deleting the meter from the executed plan. A
+  // single-step grid wraps a literal step exactly this way.
+  override def foldable: Boolean = false
 
   override def eval(input: InternalRow): Any = {
     acc.add(1L)

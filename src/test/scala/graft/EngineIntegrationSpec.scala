@@ -251,8 +251,12 @@ class EngineIntegrationSpec extends AnyFunSuite {
     val sigShuffles = try {
       // the SELECTOR aggregation partitions by (sig, step); the dict's own
       // series-sized dedup shuffle partitions by sig alone and may carry
-      // its (name, _lc) payload — that one is the result-sized join side
-      Engine.instantQuery(spark, stored, "click", tick,
+      // its (name, _lc) payload — that one is the result-sized join side.
+      // Pinned on a 2-STEP grid: a 1-step (instant) grid's step key is a
+      // constant the optimizer folds, so the step attribute would not
+      // appear in the partitioning string (the r15 degenerate-grid fast
+      // path); the slimness contract is the same either way.
+      Engine.rangeQuery(spark, stored, "click", tick - day, tick, day,
         lookbackMs = day, seriesDict = dict).queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec
           if e.outputPartitioning.toString.contains("sig") &&
@@ -445,7 +449,9 @@ class EngineIntegrationSpec extends AnyFunSuite {
     try {
       for (q <- Seq("sum by (par) (rate(click[2d]))",
         "sum by (par) (rate(click[2d])) / sum by (par) (count_over_time(click[2d]))")) {
-        val plan = Engine.instantQuery(spark, stored, q, tick,
+        // 2-step grid: a 1-step grid's constant step key constant-folds
+        // out of the partitioning string (r15 degenerate-grid fast path)
+        val plan = Engine.rangeQuery(spark, stored, q, tick - day, tick, day,
           lookbackMs = day, seriesDict = dict).queryExecution.executedPlan
         val stepShuffles = plan.collect {
           case e: ShuffleExchangeExec
